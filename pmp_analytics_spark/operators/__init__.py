@@ -1,0 +1,19 @@
+from pmp_analytics_spark.operators import (
+    agg,
+    dedup,
+    joins,
+    sample,
+    sessionize,
+    setops,
+    similarity_search,
+)
+
+__all__ = [
+    "agg",
+    "dedup",
+    "joins",
+    "sample",
+    "sessionize",
+    "setops",
+    "similarity_search",
+]

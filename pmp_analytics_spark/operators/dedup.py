@@ -1,0 +1,162 @@
+"""Deduplication operators: exact, keep-first-by-order, MinHash-LSH near-dup.
+
+Reference parity: whole-row ``unique()`` (delinquent_data_submitters.py:67)
+and ordering-sensitive keep-first dedup (mm2.py:37-39 — sort by Active desc,
+keep first per DEA). Polars' ``maintain_order=True`` has no distributed
+equivalent, so keep-first REQUIRES explicit order keys: we implement it as
+``row_number`` over (partition, order) and document that an order-free
+keep-first is non-deterministic on any parallel engine.
+
+Extension surface (north star): near-duplicate detection for LLM corpus
+cleaning — exact (fingerprint groupBy), MinHash+LSH banding, and n-gram
+Jaccard verification. All shuffle-aware:
+
+- exact dedup shuffles once on the fingerprint (a uniform md5 → no skew);
+- LSH candidate generation explodes each doc into ``bands`` rows and
+  shuffles on (band_id, band_hash) — uniform by construction, and the
+  self-join per bucket touches only colliding docs, never |D|²;
+- Jaccard verification runs only on candidate pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from pmp_analytics_spark.functions.text import char_shingles, fingerprint, minhash_signature
+
+
+def dedup_exact(df: DataFrame, subset: list[str] | None = None) -> DataFrame:
+    """Whole-row (or keyed) exact dedup — ``dropDuplicates``. One shuffle
+    on the dedup key; AQE coalesces the result."""
+    return df.dropDuplicates(subset) if subset else df.dropDuplicates()
+
+
+def keep_first(df: DataFrame, partition_by: list[str], order_by: list[Column]) -> DataFrame:
+    """Deterministic keep-first dedup (reference: mm2.py:37-39).
+
+    ``order_by`` must be a total order within each partition for stable
+    results (callers append a unique tiebreaker key).
+    """
+    w = Window.partitionBy(*partition_by).orderBy(*order_by)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def dedup_by_fingerprint(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact near-dup (normalization-invariant) dedup: keep the min-id doc
+    per token-normalized md5 fingerprint. Shuffles once on the fingerprint."""
+    return (
+        df.withColumn("__fp", fingerprint(text_col))
+        .groupBy("__fp")
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("dup_count"))
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """Near-duplicate candidate pairs via MinHash + LSH banding.
+
+    signature (num_hashes md5-minima) → split into ``bands`` bands of
+    ``num_hashes/bands`` rows → hash each band → explode to (band_id,
+    band_key) → self-join per bucket. Returns distinct (id_a, id_b) pairs
+    with id_a < id_b. Cost: one explode (×bands), one shuffle on the band
+    key, bucket-local pair generation.
+    """
+    rows_per_band = num_hashes // bands
+    assert rows_per_band * bands == num_hashes, "bands must divide num_hashes"
+    sig = (
+        df.select(F.col(id_col), char_shingles(text_col, shingle_k).alias("__sh"))
+        .where(F.size("__sh") > 0)
+        .select(F.col(id_col), minhash_signature(F.col("__sh"), num_hashes).alias("__sig"))
+    )
+    banded = sig.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.md5(F.array_join(F.slice("__sig", b * rows_per_band + 1, rows_per_band), "|")).alias(
+                            "band_key"
+                        ),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select(id_col, "band.band_id", "band.band_key")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("a.band_id") == F.col("b.band_id"),
+                F.col("a.band_key") == F.col("b.band_key"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    candidates: DataFrame,
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_k: int = 5,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Verify candidate pairs with exact shingle-set Jaccard similarity.
+
+    Joins the (small) candidate set back to the corpus twice to fetch
+    shingle sets, then computes |∩|/|∪| with array intersection — JVM-side.
+    At 100 TB the candidate set is orders of magnitude smaller than the
+    corpus, so these are two hash joins on doc id, not corpus-wide work.
+    """
+    sh = df.select(
+        F.col(id_col),
+        F.array_distinct(char_shingles(text_col, shingle_k)).alias("__sh"),
+    )
+    out = (
+        candidates.join(sh.withColumnsRenamed({id_col: "id_a", "__sh": "__sh_a"}), on="id_a")
+        .join(sh.withColumnsRenamed({id_col: "id_b", "__sh": "__sh_b"}), on="id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("__sh_a", "__sh_b")).cast("double")
+                / F.size(F.array_union("__sh_a", "__sh_b")),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+def ngram_jaccard_dedup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_k: int = 5,
+    threshold: float = 0.7,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Full near-dup pipeline: LSH candidates → Jaccard verify → pairs
+    above threshold."""
+    cand = minhash_lsh_candidates(df, text_col, id_col, num_hashes, bands, shingle_k)
+    return jaccard_pairs(cand, df, text_col, id_col, shingle_k, threshold)

@@ -1,0 +1,133 @@
+"""Embedding similarity search (extension surface, north star).
+
+Brute-force cosine top-k as the exact baseline, and an LSH-bucketed variant
+as the 100 TB scale path. Embeddings are ``array<float>`` columns.
+
+Scale design:
+- Query set is small (user-supplied) → broadcast it; the corpus is scanned
+  once, each task scores its partition against all broadcast queries, and
+  top-k is a per-partition heap + merge (TakeOrderedAndProject per query via
+  window row_number — bounded by k·|Q| rows out of the shuffle).
+- Dot products use ``F.zip_with`` + ``F.aggregate`` — JVM-side, no Python.
+  (At very high dims a vectorized numpy pandas_udf wins on constant factors;
+  the built-in HOF path keeps whole-stage codegen and zero serde, which
+  benchmarked faster at d=64.)
+- The LSH variant hashes vectors into sign-buckets over fixed random
+  hyperplanes (seeded, engine-independent via md5-derived coefficients is
+  overkill — we use deterministic literal planes), joins on bucket, and
+  scores only colliding pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    sim_name: str = "cosine_sim",
+) -> DataFrame:
+    """Exact top-k neighbors per query by cosine similarity.
+
+    ``queries`` is broadcast; scoring is map-side over the corpus scan; the
+    per-query top-k is a window row_number bounded to k (ties broken by
+    corpus id for determinism).
+    """
+    scored = corpus.crossJoin(F.broadcast(queries)).select(
+        F.col(query_id),
+        F.col(corpus_id),
+        F.round(cosine(F.col(corpus_vec), F.col(query_vec)), 6).alias(sim_name),
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc(sim_name), F.asc(corpus_id))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id, corpus_id, sim_name, "rank")
+    )
+
+
+def _bucket_signature(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-LSH bucket id: concatenated signs of dot(vec, plane) for fixed
+    hyperplanes. Deterministic literals → reproducible across runs."""
+    bits = [
+        F.when(
+            F.aggregate(
+                F.zip_with(vec, F.array(*[F.lit(p) for p in plane]), lambda x, y: x.cast("double") * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            >= 0,
+            F.lit("1"),
+        ).otherwise(F.lit("0"))
+        for plane in planes
+    ]
+    return F.concat(*bits)
+
+
+def make_planes(dim: int, n_planes: int = 8, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (LCG-based, no numpy RNG
+    state) — importable by tests for reproducibility."""
+    planes = []
+    state = seed
+    for _ in range(n_planes):
+        plane = []
+        for _ in range(dim):
+            state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+            plane.append((state / float(1 << 63)) * 2.0 - 1.0)
+        planes.append(plane)
+    return planes
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_planes: int = 8,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    sim_name: str = "cosine_sim",
+) -> DataFrame:
+    """Approximate top-k: score only corpus vectors sharing the query's
+    sign-LSH bucket. Recall < 1.0 by design; at 100 TB this replaces the
+    full corpus scan per query with a bucket-pruned one (multi-probe and
+    band-OR variants are the standard recall knobs)."""
+    planes = make_planes(dim, n_planes)
+    c = corpus.withColumn("__bucket", _bucket_signature(F.col(corpus_vec), planes))
+    q = queries.withColumn("__bucket", _bucket_signature(F.col(query_vec), planes))
+    scored = c.join(F.broadcast(q), on="__bucket").select(
+        F.col(query_id),
+        F.col(corpus_id),
+        F.round(cosine(F.col(corpus_vec), F.col(query_vec)), 6).alias(sim_name),
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc(sim_name), F.asc(corpus_id))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id, corpus_id, sim_name, "rank")
+    )

@@ -1,0 +1,37 @@
+"""Declared query registry.
+
+Each query is a named callable ``(spark, sf_dir) -> DataFrame`` paired
+(where SQL-expressible) with an ANSI-SQL oracle string for DuckDB. The
+driver's harness compares row count + schema + order-insensitive value hash
+at sf=0.01 (see /root/repo/__spark_entry__.py).
+
+Registry contract: every computed column is aliased IDENTICALLY in the
+Spark pipeline and the oracle SQL; double aggregates are rounded on both
+sides (engine summation order differs at the ulp level); timestamps are
+projected as DATE or epoch seconds (Spark is µs-precision, the parquet
+events table is ns — raw timestamp equality across engines is a trap).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from pmp_analytics_spark.queries import llm, parity
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+def all_queries() -> dict[str, QueryFn]:
+    out: dict[str, QueryFn] = {}
+    out.update(parity.QUERIES)
+    out.update(llm.QUERIES)
+    return out
+
+
+def all_oracles() -> dict[str, str]:
+    out: dict[str, str] = {}
+    out.update(parity.ORACLE)
+    out.update(llm.ORACLE)
+    return out

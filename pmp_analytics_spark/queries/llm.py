@@ -1,0 +1,331 @@
+"""LLM-data-pipeline queries (north-star extension surface).
+
+Dedup, similarity search, and text analysis over the ``documents`` and
+``embeddings`` tables. Every operator is shuffle-aware and oracle-checked
+against DuckDB where ANSI-SQL-expressible; the md5 hash family is used for
+fingerprints/MinHash precisely because it is engine-independent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pmp_analytics_spark.functions.text import (
+    fingerprint,
+    langid_guess,
+    mean_token_len,
+    punct_ratio,
+    quality_score,
+    stopword_ratio,
+    token_count,
+    tokens,
+)
+from pmp_analytics_spark.operators.dedup import minhash_lsh_candidates, ngram_jaccard_dedup
+from pmp_analytics_spark.operators.similarity_search import brute_force_topk
+from pmp_analytics_spark.sources.reader import load_table
+
+QUERIES: dict = {}
+ORACLE: dict[str, str] = {}
+
+# DuckDB equivalent of functions.text.tokens()
+_DUCK_TOKENS = "LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '[^a-z0-9]+'), t -> t <> '')"
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+
+    return deco
+
+
+# --------------------------------------------------------------------------
+# Q: docs_exact_dedup — normalization-invariant exact dedup: one shuffle on
+# the md5 fingerprint (uniform key, no skew); keeps min doc_id per group.
+# --------------------------------------------------------------------------
+@query(
+    "docs_exact_dedup",
+    f"""
+    SELECT MD5(ARRAY_TO_STRING({_DUCK_TOKENS}, ' ')) AS fp,
+           MIN(doc_id) AS doc_id,
+           COUNT(*) AS dup_count
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def docs_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("fp", fingerprint("text"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("dup_count"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Q: docs_token_stats — token counting (whitespace+punct tokenizer) and
+# length statistics; the cheap text-profiling pass of a corpus pipeline.
+# --------------------------------------------------------------------------
+@query(
+    "docs_token_stats",
+    f"""
+    WITH tk AS (SELECT doc_id, n_chars, {_DUCK_TOKENS} AS toks FROM documents)
+    SELECT doc_id,
+           CAST(LEN(toks) AS BIGINT) AS n_tokens,
+           CAST(LEN(LIST_DISTINCT(toks)) AS BIGINT) AS n_unique_tokens,
+           ROUND(CASE WHEN LEN(toks) > 0
+                 THEN LIST_SUM(LIST_TRANSFORM(toks, t -> LENGTH(t))) * 1.0 / LEN(toks)
+                 ELSE 0.0 END, 4) AS mean_token_len,
+           n_chars
+    FROM tk
+    """,
+)
+def docs_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count("text").cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(tokens("text"))).cast("long").alias("n_unique_tokens"),
+        F.round(mean_token_len("text"), 4).alias("mean_token_len"),
+        "n_chars",
+    )
+
+
+# --------------------------------------------------------------------------
+# Q: docs_quality — quality scoring (length/punct/stopword ratios), the
+# standard cheap pre-filter for corpus cleaning.
+# --------------------------------------------------------------------------
+@query(
+    "docs_quality",
+    f"""
+    WITH feats AS (
+        SELECT doc_id,
+               LENGTH(text) AS n,
+               LENGTH(REGEXP_REPLACE(text, '[A-Za-z0-9\\s]', '', 'g')) AS n_punct,
+               {_DUCK_TOKENS} AS toks
+        FROM documents
+    ), ratios AS (
+        SELECT doc_id,
+               CASE WHEN n > 0 THEN n_punct * 1.0 / n ELSE 0.0 END AS punct_ratio,
+               CASE WHEN LEN(toks) > 0
+                    THEN LEN(LIST_FILTER(toks, t -> LIST_CONTAINS(
+                        ['the','and','of','to','in','is','that','for','with','as'], t))) * 1.0 / LEN(toks)
+                    ELSE 0.0 END AS stopword_ratio,
+               n
+        FROM feats
+    )
+    SELECT doc_id,
+           ROUND(punct_ratio, 6) AS punct_ratio,
+           ROUND(stopword_ratio, 6) AS stopword_ratio,
+           ROUND((LEAST(n / 500.0, 1.0)
+                  + (1.0 - LEAST(punct_ratio * 5.0, 1.0))
+                  + LEAST(stopword_ratio * 4.0, 1.0)) / 3.0, 6) AS quality
+    FROM ratios
+    """,
+)
+def docs_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.round(punct_ratio("text"), 6).alias("punct_ratio"),
+        F.round(stopword_ratio("text"), 6).alias("stopword_ratio"),
+        quality_score("text").alias("quality"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Q: docs_langid — stopword-heuristic language ID vs the labeled lang
+# column; per-language agreement counts.
+# --------------------------------------------------------------------------
+@query(
+    "docs_langid",
+    f"""
+    WITH tk AS (SELECT doc_id, lang, {_DUCK_TOKENS} AS toks FROM documents),
+    hits AS (
+        SELECT doc_id, lang,
+          LEN(LIST_FILTER(toks, t -> LIST_CONTAINS(['the','and','of','to','in','is','that','for','with','as'], t))) AS h_en,
+          LEN(LIST_FILTER(toks, t -> LIST_CONTAINS(['el','la','de','que','y','en','los','del','las','por'], t))) AS h_es,
+          LEN(LIST_FILTER(toks, t -> LIST_CONTAINS(['le','la','de','et','les','des','en','un','une','du'], t))) AS h_fr,
+          LEN(LIST_FILTER(toks, t -> LIST_CONTAINS(['der','die','und','das','von','zu','den','mit','ist','im'], t))) AS h_de
+        FROM tk
+    ), guess AS (
+        SELECT doc_id, lang,
+               CASE WHEN GREATEST(h_en, h_es, h_fr, h_de) <= 0 THEN 'und'
+                    WHEN h_en = GREATEST(h_en, h_es, h_fr, h_de) THEN 'en'
+                    WHEN h_es = GREATEST(h_en, h_es, h_fr, h_de) THEN 'es'
+                    WHEN h_fr = GREATEST(h_en, h_es, h_fr, h_de) THEN 'fr'
+                    ELSE 'de' END AS lang_guess
+        FROM hits
+    )
+    SELECT lang, lang_guess, COUNT(*) AS n_docs
+    FROM guess GROUP BY lang, lang_guess
+    """,
+)
+def docs_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", langid_guess("text").alias("lang_guess"))
+        .groupBy("lang", "lang_guess")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Q: docs_fingerprint_sample — document fingerprinting exposed row-level
+# (md5 over normalized tokens), deterministic sample for inspection.
+# --------------------------------------------------------------------------
+@query(
+    "docs_fingerprint_sample",
+    f"""
+    SELECT doc_id,
+           MD5(ARRAY_TO_STRING({_DUCK_TOKENS}, ' ')) AS fp,
+           source
+    FROM documents
+    ORDER BY MD5(CAST(doc_id AS VARCHAR)), doc_id
+    LIMIT 50
+    """,
+)
+def docs_fingerprint_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", fingerprint("text").alias("fp"), "source")
+        .orderBy(F.md5(F.col("doc_id").cast("string")), F.col("doc_id"))
+        .limit(50)
+    )
+
+
+# --------------------------------------------------------------------------
+# Q: docs_neardup_pairs — MinHash(md5)+LSH banding candidates verified with
+# exact shingle Jaccard. The oracle recomputes the identical md5-family
+# signatures in SQL (engine-independent by construction).
+# --------------------------------------------------------------------------
+_SEEDS = list(range(16))
+_BANDS = 4
+_ROWS_PER_BAND = 4
+_SHINGLE_K = 5
+_JACCARD_T = 0.6
+
+_DUCK_SHINGLES = (
+    "LIST_TRANSFORM(GENERATE_SERIES(1, GREATEST(LENGTH(LOWER(text)) - 4, 0)), "
+    "i -> SUBSTRING(LOWER(text), CAST(i AS INT), 5))"
+)
+_DUCK_SIG = ", ".join(
+    f"LIST_MIN(LIST_TRANSFORM(sh, s -> MD5('{seed}:' || s))) AS m{seed}" for seed in _SEEDS
+)
+_DUCK_BAND_ROWS = " UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band_id, "
+    + "MD5("
+    + " || '|' || ".join(f"m{b * _ROWS_PER_BAND + r}" for r in range(_ROWS_PER_BAND))
+    + ") AS band_key FROM sig"
+    for b in range(_BANDS)
+)
+
+
+@query(
+    "docs_neardup_pairs",
+    f"""
+    WITH sh AS (
+        SELECT doc_id, {_DUCK_SHINGLES} AS sh FROM documents
+        WHERE LENGTH(text) >= 5
+    ), sig AS (
+        SELECT doc_id, {_DUCK_SIG} FROM sh
+    ), banded AS (
+        {_DUCK_BAND_ROWS}
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM banded a JOIN banded b
+          ON a.band_id = b.band_id AND a.band_key = b.band_key
+             AND a.doc_id < b.doc_id
+    ), dsh AS (
+        SELECT doc_id, LIST_DISTINCT(sh) AS dsh FROM sh
+    ), scored AS (
+        SELECT id_a, id_b,
+               LEN(LIST_INTERSECT(a.dsh, b.dsh)) * 1.0 /
+               (LEN(a.dsh) + LEN(b.dsh) - LEN(LIST_INTERSECT(a.dsh, b.dsh))) AS j
+        FROM cand JOIN dsh a ON cand.id_a = a.doc_id
+                  JOIN dsh b ON cand.id_b = b.doc_id
+    )
+    SELECT id_a, id_b, ROUND(j, 6) AS jaccard
+    FROM scored WHERE j >= {_JACCARD_T}
+    """,
+)
+def docs_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_dedup(
+        docs,
+        text_col="text",
+        id_col="doc_id",
+        shingle_k=_SHINGLE_K,
+        threshold=_JACCARD_T,
+        num_hashes=len(_SEEDS),
+        bands=_BANDS,
+    ).withColumnsRenamed({"jaccard": "jaccard"})
+
+
+# --------------------------------------------------------------------------
+# Q: embedding_topk — brute-force cosine top-k similarity search; the exact
+# baseline (queries broadcast, corpus scanned once, per-query heap).
+# --------------------------------------------------------------------------
+_TOPK = 5
+_NQ = 10
+
+
+@query(
+    "embedding_topk",
+    f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < {_NQ}
+    ), scored AS (
+        SELECT q.query_id, e.vec_id,
+               ROUND(LIST_COSINE_SIMILARITY(
+                   CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])), 6) AS cosine_sim
+        FROM embeddings e CROSS JOIN q
+    ), ranked AS (
+        SELECT query_id, vec_id, cosine_sim,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cosine_sim DESC, vec_id) AS rank
+        FROM scored
+    )
+    SELECT query_id, vec_id, cosine_sim, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= {_TOPK}
+    """,
+)
+def embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.where(F.col("vec_id") < _NQ).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = brute_force_topk(emb, queries_df, k=_TOPK)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+# --------------------------------------------------------------------------
+# Q: embedding_label_centroids — per-label mean embedding summary (the
+# aggregation side of embedding analytics; array-wise avg via posexplode).
+# --------------------------------------------------------------------------
+@query(
+    "embedding_label_centroids",
+    """
+    SELECT label,
+           COUNT(DISTINCT vec_id) AS n_vecs,
+           ROUND(AVG(x), 6) AS mean_component,
+           ROUND(MIN(x), 6) AS min_component,
+           ROUND(MAX(x), 6) AS max_component
+    FROM (SELECT label, vec_id, UNNEST(embedding)::DOUBLE AS x FROM embeddings)
+    GROUP BY label
+    """,
+)
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    exploded = emb.select("label", "vec_id", F.explode("embedding").alias("x")).withColumn(
+        "x", F.col("x").cast("double")
+    )
+    return exploded.groupBy("label").agg(
+        F.countDistinct("vec_id").alias("n_vecs"),
+        F.round(F.avg("x"), 6).alias("mean_component"),
+        F.round(F.min("x"), 6).alias("min_component"),
+        F.round(F.max("x"), 6).alias("max_component"),
+    )

@@ -1,0 +1,805 @@
+"""Reference-parity queries over the synthetic star schema.
+
+Each query re-expresses one of the reference's relational patterns
+(SURVEY.md §2) as an idiomatic Spark pipeline, with a DuckDB oracle.
+FIXTURES.md mapping: customer↔pharmacies, nation↔boards/licenses,
+orders↔delinquent-dispenser facts, supplier↔DEA registrants,
+lineitem↔dispensations, part↔drugs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pmp_analytics_spark.functions.checksums import dea_is_valid, npi_is_valid
+from pmp_analytics_spark.functions.normalize import clean_key, null_or_empty
+from pmp_analytics_spark.operators.agg import (
+    collect_sorted_list,
+    top_k,
+    value_counts,
+    with_global_agg,
+)
+from pmp_analytics_spark.operators.dedup import keep_first
+from pmp_analytics_spark.operators.joins import anti_join, fuzzy_join, semi_join
+from pmp_analytics_spark.operators.sample import deterministic_sample
+from pmp_analytics_spark.operators.sessionize import sessionize
+from pmp_analytics_spark.sources.reader import load_table
+
+QUERIES: dict = {}
+ORACLE: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+
+    return deco
+
+
+# --------------------------------------------------------------------------
+# Q: pricing_summary — TPC-H Q1 shape (SURVEY §2.5 A1/A2, §2.7 O1).
+# The dispensation-volume rollup pattern (scorecard.py:59-65 group_by sum).
+# --------------------------------------------------------------------------
+@query(
+    "pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2)                                  AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2)                             AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)          AS sum_disc_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           ROUND(AVG(l_quantity), 4)                                  AS avg_qty,
+           ROUND(AVG(l_extendedprice), 4)                             AS avg_price,
+           ROUND(AVG(l_discount), 4)                                  AS avg_disc,
+           COUNT(*)                                                   AS count_order
+    FROM lineitem
+    WHERE CAST(l_shipdate AS DATE) <= DATE '2001-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.where(F.col("l_shipdate").cast("date") <= F.lit("2001-09-02").cast("date"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q: delinquency_notices — the flagship; re-targets the reference's richest
+# pipeline (delinquent_data_submitters.py:24-107): 3 normalized sources →
+# delinquency filter w/ null-or-empty disjunction → left join (pharmacies) →
+# inner join (boards) → anti join (open complaints) → array-assembly
+# projection → ordered notices. (J1+J2+J3, F1-F10, P1-P4, O1-O3.)
+# --------------------------------------------------------------------------
+@query(
+    "delinquency_notices",
+    """
+    WITH pharmacies AS (
+        SELECT c_custkey,
+               UPPER(TRIM(c_name)) AS pharmacy_name,
+               c_nationkey,
+               COALESCE(NULLIF(c_mktsegment, ''), 'UNKNOWN') AS segment
+        FROM customer
+        WHERE c_mktsegment IS NULL OR c_mktsegment <> 'FURNITURE'
+    ), boards AS (
+        SELECT n_nationkey, UPPER(TRIM(n_name)) AS board_name FROM nation
+    ), delinquent AS (
+        SELECT o_orderkey, o_custkey,
+               CAST(o_orderdate AS DATE) AS last_compliant,
+               CAST(o_orderdate + INTERVAL 1 DAY AS DATE) AS first_delinquent,
+               DATEDIFF('day', CAST(o_orderdate AS DATE), DATE '2002-06-01') AS days_delinquent
+        FROM orders
+        WHERE o_orderstatus = 'F'
+          AND NOT (o_orderpriority IS NULL OR o_orderpriority = ''
+                   OR o_orderpriority = '4-NOT SPECIFIED')
+          AND DATEDIFF('day', CAST(o_orderdate AS DATE), DATE '2002-06-01') > 180
+    ), complaints AS (
+        SELECT DISTINCT o_custkey FROM orders
+        WHERE o_orderstatus = 'P' AND o_orderpriority = '1-URGENT'
+    )
+    SELECT d.o_orderkey AS notice_id,
+           p.c_custkey AS pharmacy_id,
+           p.pharmacy_name,
+           b.board_name,
+           p.segment,
+           d.last_compliant,
+           d.first_delinquent,
+           d.days_delinquent,
+           ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT(
+               [LOWER(p.pharmacy_name), LOWER(p.segment), LOWER(b.board_name)]
+           )), ';') AS contacts
+    FROM delinquent d
+    LEFT JOIN pharmacies p ON d.o_custkey = p.c_custkey
+    INNER JOIN boards b ON p.c_nationkey = b.n_nationkey
+    WHERE d.o_custkey NOT IN (SELECT o_custkey FROM complaints)
+    """,
+)
+def delinquency_notices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders")
+
+    pharmacies = customer.where(
+        F.col("c_mktsegment").isNull() | (F.col("c_mktsegment") != "FURNITURE")
+    ).select(
+        "c_custkey",
+        clean_key("c_name").alias("pharmacy_name"),
+        "c_nationkey",
+        F.coalesce(F.nullif(F.col("c_mktsegment"), F.lit("")), F.lit("UNKNOWN")).alias("segment"),
+    )
+    boards = nation.select("n_nationkey", clean_key("n_name").alias("board_name"))
+    as_of = F.lit("2002-06-01").cast("date")
+    delinquent = (
+        orders.where(F.col("o_orderstatus") == "F")
+        .where(~(null_or_empty("o_orderpriority") | (F.col("o_orderpriority") == "4-NOT SPECIFIED")))
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.col("o_orderdate").cast("date").alias("last_compliant"),
+            F.date_add(F.col("o_orderdate").cast("date"), 1).alias("first_delinquent"),
+            F.datediff(as_of, F.col("o_orderdate").cast("date")).alias("days_delinquent"),
+        )
+        .where(F.col("days_delinquent") > 180)
+    )
+    complaints = (
+        orders.where((F.col("o_orderstatus") == "P") & (F.col("o_orderpriority") == "1-URGENT"))
+        .select("o_custkey")
+        .distinct()
+    )
+    notices = (
+        anti_join(delinquent, complaints, on=["o_custkey"])
+        .join(F.broadcast(pharmacies), delinquent["o_custkey"] == pharmacies["c_custkey"], "left")
+        .join(F.broadcast(boards), pharmacies["c_nationkey"] == boards["n_nationkey"], "inner")
+    )
+    return notices.select(
+        F.col("o_orderkey").alias("notice_id"),
+        F.col("c_custkey").alias("pharmacy_id"),
+        "pharmacy_name",
+        "board_name",
+        "segment",
+        "last_compliant",
+        "first_delinquent",
+        "days_delinquent",
+        F.array_join(
+            F.array_sort(
+                F.array_distinct(
+                    F.array(F.lower("pharmacy_name"), F.lower("segment"), F.lower("board_name"))
+                )
+            ),
+            ";",
+        ).alias("contacts"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Q: customers_without_orders — anti-join as exclusion (J3; the reference's
+# signature pattern, e.g. permit_inspection_licenses.py:48).
+# --------------------------------------------------------------------------
+@query(
+    "customers_without_orders",
+    """
+    SELECT c.c_custkey, c.c_name, c.c_mktsegment
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return anti_join(
+        customer, orders.select(F.col("o_custkey").alias("c_custkey")), on=["c_custkey"], broadcast_right=False
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+# --------------------------------------------------------------------------
+# Q: high_volume_suppliers — membership as broadcast SEMI join, replacing the
+# reference's driver-side is_in(list) (F5, unreg_presc.py:119).
+# --------------------------------------------------------------------------
+@query(
+    "high_volume_suppliers",
+    """
+    SELECT s.s_suppkey, s.s_name, s.s_nationkey
+    FROM supplier s
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_suppkey = s.s_suppkey AND l.l_quantity >= 49)
+    """,
+)
+def high_volume_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supplier = load_table(spark, sf_dir, "supplier")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    members = lineitem.where(F.col("l_quantity") >= 49).select(F.col("l_suppkey").alias("s_suppkey"))
+    return semi_join(supplier, members, on=["s_suppkey"], broadcast_right=False).select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+
+
+# --------------------------------------------------------------------------
+# Q: repeat_customers — count-over-partition window (W1,
+# awarxe_cleanup.py:218 multiple-roles check).
+# --------------------------------------------------------------------------
+@query(
+    "repeat_customers",
+    """
+    SELECT * FROM (
+        SELECT o_orderkey, o_custkey,
+               COUNT(*) OVER (PARTITION BY o_custkey) AS n_orders
+        FROM orders
+    ) WHERE n_orders > 14
+    """,
+)
+def repeat_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    return (
+        orders.select("o_orderkey", "o_custkey", F.count(F.lit(1)).over(w).alias("n_orders"))
+        .where(F.col("n_orders") > 14)
+    )
+
+
+# --------------------------------------------------------------------------
+# Q: latest_order_per_customer — deterministic keep-first dedup (W2,
+# mm2.py:37-39 sort+unique keep='first').
+# --------------------------------------------------------------------------
+@query(
+    "latest_order_per_customer",
+    """
+    SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate, o_orderstatus
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        FROM orders
+    ) WHERE rn = 1
+    """,
+)
+def latest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return keep_first(
+        orders,
+        partition_by=["o_custkey"],
+        order_by=[F.desc("o_orderdate"), F.desc("o_orderkey")],
+    ).select("o_custkey", "o_orderkey", F.col("o_orderdate").cast("date").alias("o_orderdate"), "o_orderstatus")
+
+
+# --------------------------------------------------------------------------
+# Q: event_type_counts — value_counts (A5, unreg_presc.py:165).
+# --------------------------------------------------------------------------
+@query(
+    "event_type_counts",
+    """
+    SELECT event_type, COUNT(*) AS count
+    FROM events GROUP BY event_type
+    """,
+)
+def event_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return value_counts(events, "event_type")
+
+
+# --------------------------------------------------------------------------
+# Q: top_customers_by_spend — group-by sum + top-K (A2+O4; scorecard.py:59,
+# mu_extras.py:100 head(TOP_PRESCRIBERS=40)).
+# --------------------------------------------------------------------------
+@query(
+    "top_customers_by_spend",
+    """
+    SELECT o_custkey, ROUND(SUM(o_totalprice), 2) AS total_spend, COUNT(*) AS n_orders
+    FROM orders GROUP BY o_custkey
+    ORDER BY total_spend DESC, o_custkey LIMIT 40
+    """,
+)
+def top_customers_by_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    agg = orders.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("total_spend"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    return top_k(agg, [F.desc("total_spend"), F.asc("o_custkey")], 40)
+
+
+# --------------------------------------------------------------------------
+# Q: busiest_suppliers — argmax rows (A8, error_pharmacies.py:43
+# filter(len == len.max())).
+# --------------------------------------------------------------------------
+@query(
+    "busiest_suppliers",
+    """
+    WITH counts AS (
+        SELECT l_suppkey, COUNT(*) AS n_items FROM lineitem GROUP BY l_suppkey
+    )
+    SELECT l_suppkey, n_items FROM counts
+    WHERE n_items = (SELECT MAX(n_items) FROM counts)
+    """,
+)
+def busiest_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    counts = lineitem.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("n_items"))
+    maxed = with_global_agg(counts, {"__gmax": F.max("n_items")})
+    return maxed.where(F.col("n_items") == F.col("__gmax")).select("l_suppkey", "n_items")
+
+
+# --------------------------------------------------------------------------
+# Q: nation_revenue_share — broadcast (whole-frame) aggregate in projection
+# (A7+A10, error_pharmacies.py:114-116) without the single-partition window.
+# --------------------------------------------------------------------------
+@query(
+    "nation_revenue_share",
+    """
+    WITH rev AS (
+        SELECT n.n_name,
+               SUM(l.l_extendedprice * (1 - l.l_discount)) AS revenue_raw
+        FROM lineitem l
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+    )
+    SELECT n_name,
+           ROUND(revenue_raw, 2) AS revenue,
+           ROUND(revenue_raw / SUM(revenue_raw) OVER (), 4) AS revenue_share
+    FROM rev
+    """,
+)
+def nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    rev = (
+        lineitem.join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue_raw"))
+    )
+    shared = with_global_agg(rev, {"__total": F.sum("revenue_raw")})
+    return shared.select(
+        "n_name",
+        F.round("revenue_raw", 2).alias("revenue"),
+        F.round(F.col("revenue_raw") / F.col("__total"), 4).alias("revenue_share"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Q: customer_priority_history — per-group sorted list collection (A4,
+# awarxe_cleanup.py:264-265) projected to a join-string (list.join, §2.9).
+# --------------------------------------------------------------------------
+@query(
+    "customer_priority_history",
+    """
+    SELECT o_custkey,
+           STRING_AGG(o_orderpriority, ';' ORDER BY o_orderkey) AS priorities,
+           COUNT(*) AS n_orders
+    FROM orders GROUP BY o_custkey
+    """,
+)
+def customer_priority_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    collected = collect_sorted_list(
+        orders, group_by=["o_custkey"], order_col="o_orderkey", value_col="o_orderpriority", out_name="__p"
+    )
+    return collected.select(
+        "o_custkey",
+        F.array_join("__p", ";").alias("priorities"),
+        F.size("__p").cast("long").alias("n_orders"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Q: normalized_supplier_directory — the string-normalization workhorse pack
+# (§2.9: trim/upper/lower, zfill→lpad, slice→right, regexp_replace,
+# concat_ws, length).
+# --------------------------------------------------------------------------
+@query(
+    "normalized_supplier_directory",
+    """
+    SELECT s_suppkey,
+           UPPER(TRIM(s_name)) AS supplier_key,
+           LPAD(CAST(s_suppkey AS VARCHAR), 9, '0') AS padded_id,
+           RIGHT(UPPER(TRIM(s_name)), 3) AS key_suffix,
+           REGEXP_REPLACE(LOWER(s_name), '[^a-z0-9]+', '_', 'g') AS slug,
+           CONCAT_WS(' ', UPPER(TRIM(s_name)), UPPER(TRIM(n_name))) AS display,
+           LENGTH(s_name) AS name_len
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    """,
+)
+def normalized_supplier_directory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    return supplier.join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")).select(
+        "s_suppkey",
+        clean_key("s_name").alias("supplier_key"),
+        F.lpad(F.col("s_suppkey").cast("string"), 9, "0").alias("padded_id"),
+        F.substring(clean_key("s_name"), -3, 3).alias("key_suffix"),
+        F.regexp_replace(F.lower("s_name"), "[^a-z0-9]+", "_").alias("slug"),
+        F.concat_ws(" ", clean_key("s_name"), clean_key("n_name")).alias("display"),
+        F.length("s_name").cast("long").alias("name_len"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Q: customer_account_flags — when/otherwise cascade + coalesce/nullif
+# (§2.9 conditional pack; pharmacy_deas_not_in_mp.py:31-38,
+# unreg_pharmacists.py:120-121 replace_strict).
+# --------------------------------------------------------------------------
+@query(
+    "customer_account_flags",
+    """
+    SELECT c_custkey,
+           CASE WHEN c_acctbal < 0 THEN 'DELINQUENT'
+                WHEN c_acctbal < 5000 THEN 'STANDARD'
+                ELSE 'PREMIUM' END AS tier,
+           COALESCE(NULLIF(TRIM(c_mktsegment), ''), 'UNKNOWN') AS segment,
+           CASE WHEN c_acctbal < 0 THEN 'YES' ELSE 'NO' END AS flagged,
+           ROUND(c_acctbal, 2) AS acctbal
+    FROM customer
+    """,
+)
+def customer_account_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    return customer.select(
+        "c_custkey",
+        F.when(F.col("c_acctbal") < 0, "DELINQUENT")
+        .when(F.col("c_acctbal") < 5000, "STANDARD")
+        .otherwise("PREMIUM")
+        .alias("tier"),
+        F.coalesce(F.nullif(F.trim(F.col("c_mktsegment")), F.lit("")), F.lit("UNKNOWN")).alias("segment"),
+        F.when(F.col("c_acctbal") < 0, "YES").otherwise("NO").alias("flagged"),
+        F.round("c_acctbal", 2).alias("acctbal"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Q: order_date_dimensions — date parse/format/arithmetic pack (§2.9
+# date/time; techs.py:40-45 datediff, delinquent_data_submitters.py:96
+# date+1, mu_extras.py:141 strftime).
+# --------------------------------------------------------------------------
+@query(
+    "order_date_dimensions",
+    """
+    SELECT o_orderkey,
+           CAST(o_orderdate AS DATE) AS order_date,
+           CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS order_year,
+           CAST(EXTRACT(MONTH FROM o_orderdate) AS INT) AS order_month,
+           STRFTIME(o_orderdate, '%Y-%m') AS order_ym,
+           CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS due_date,
+           DATEDIFF('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS age_days
+    FROM orders
+    WHERE o_orderstatus = 'O'
+    """,
+)
+def order_date_dimensions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return orders.where(F.col("o_orderstatus") == "O").select(
+        "o_orderkey",
+        d.alias("order_date"),
+        F.year(d).alias("order_year"),
+        F.month(d).alias("order_month"),
+        F.date_format(d, "yyyy-MM").alias("order_ym"),
+        F.date_add(d, 30).alias("due_date"),
+        F.datediff(F.lit("2002-01-01").cast("date"), d).alias("age_days"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Q: flagged_customer_union — name-aligned UNION ALL + distinct (U1/U2,
+# pl.concat at delinquent_data_submitters.py:240; unique at :67).
+# --------------------------------------------------------------------------
+@query(
+    "flagged_customer_union",
+    """
+    SELECT DISTINCT o_custkey, flag FROM (
+        SELECT o_custkey, 'URGENT' AS flag FROM orders WHERE o_orderpriority = '1-URGENT'
+        UNION ALL
+        SELECT o_custkey, 'HIGH' AS flag FROM orders WHERE o_orderpriority = '2-HIGH'
+    )
+    """,
+)
+def flagged_customer_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    urgent = orders.where(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_custkey", F.lit("URGENT").alias("flag")
+    )
+    high = orders.where(F.col("o_orderpriority") == "2-HIGH").select("o_custkey", F.lit("HIGH").alias("flag"))
+    return urgent.unionByName(high).distinct()
+
+
+# --------------------------------------------------------------------------
+# Q: masked_extract_sample — exact-N engine-independent sample (O5,
+# check_masked.py:73 .sample(20)); md5 ordering reproduces across engines.
+# --------------------------------------------------------------------------
+@query(
+    "masked_extract_sample",
+    """
+    SELECT o_orderkey, o_custkey, o_orderstatus
+    FROM orders
+    ORDER BY MD5(CAST(o_orderkey AS VARCHAR)), o_orderkey
+    LIMIT 20
+    """,
+)
+def masked_extract_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return deterministic_sample(orders, "o_orderkey", 20).select("o_orderkey", "o_custkey", "o_orderstatus")
+
+
+# --------------------------------------------------------------------------
+# Q: dea_checksum_audit — DEA mod-10 checksum over synthesized registration
+# codes (awarxe_cleanup.py:57-75) via higher-order functions, no UDF.
+# --------------------------------------------------------------------------
+@query(
+    "dea_checksum_audit",
+    """
+    WITH codes AS (
+        SELECT c_custkey,
+               'A' || SUBSTRING('ABCDEFGHIJKLMNOPQRSTUVWXYZ', (c_custkey % 26)::INT + 1, 1)
+                   || LPAD(CAST((c_custkey * 7919) % 10000000 AS VARCHAR), 7, '0') AS dea_code
+        FROM customer
+    ), digits AS (
+        SELECT c_custkey, dea_code,
+               CAST(SUBSTRING(dea_code, 3, 1) AS INT) AS d1,
+               CAST(SUBSTRING(dea_code, 4, 1) AS INT) AS d2,
+               CAST(SUBSTRING(dea_code, 5, 1) AS INT) AS d3,
+               CAST(SUBSTRING(dea_code, 6, 1) AS INT) AS d4,
+               CAST(SUBSTRING(dea_code, 7, 1) AS INT) AS d5,
+               CAST(SUBSTRING(dea_code, 8, 1) AS INT) AS d6,
+               CAST(SUBSTRING(dea_code, 9, 1) AS INT) AS d7
+        FROM codes
+    )
+    SELECT c_custkey, dea_code,
+           ((d1 + d3 + d5) + 2 * (d2 + d4 + d6)) % 10 = d7 AS dea_valid
+    FROM digits
+    """,
+)
+def dea_checksum_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    code = F.concat(
+        F.lit("A"),
+        F.substring(F.lit("ABCDEFGHIJKLMNOPQRSTUVWXYZ"), (F.col("c_custkey") % 26 + 1).cast("int"), 1),
+        F.lpad(((F.col("c_custkey") * 7919) % 10000000).cast("string"), 7, "0"),
+    )
+    return customer.select(
+        "c_custkey",
+        code.alias("dea_code"),
+        dea_is_valid(code).alias("dea_valid"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Q: npi_checksum_audit — NPI Luhn-variant (awarxe_cleanup.py:183-205).
+# --------------------------------------------------------------------------
+@query(
+    "npi_checksum_audit",
+    """
+    WITH codes AS (
+        SELECT s_suppkey,
+               LPAD(CAST((s_suppkey * 104729 + 12345) % 10000000000 AS VARCHAR), 10, '0') AS npi_code
+        FROM supplier
+    ), digits AS (
+        SELECT s_suppkey, npi_code,
+               CAST(SUBSTRING(npi_code, 1, 1) AS INT) AS d1,
+               CAST(SUBSTRING(npi_code, 2, 1) AS INT) AS d2,
+               CAST(SUBSTRING(npi_code, 3, 1) AS INT) AS d3,
+               CAST(SUBSTRING(npi_code, 4, 1) AS INT) AS d4,
+               CAST(SUBSTRING(npi_code, 5, 1) AS INT) AS d5,
+               CAST(SUBSTRING(npi_code, 6, 1) AS INT) AS d6,
+               CAST(SUBSTRING(npi_code, 7, 1) AS INT) AS d7,
+               CAST(SUBSTRING(npi_code, 8, 1) AS INT) AS d8,
+               CAST(SUBSTRING(npi_code, 9, 1) AS INT) AS d9,
+               CAST(SUBSTRING(npi_code, 10, 1) AS INT) AS d10
+        FROM codes
+    )
+    SELECT s_suppkey, npi_code,
+           (10 - (
+              ((2*d1) % 10 + (2*d1) // 10) +
+              ((2*d3) % 10 + (2*d3) // 10) +
+              ((2*d5) % 10 + (2*d5) // 10) +
+              ((2*d7) % 10 + (2*d7) // 10) +
+              ((2*d9) % 10 + (2*d9) // 10) +
+              d2 + d4 + d6 + d8 + 24
+           ) % 10) % 10 = d10 AS npi_valid
+    FROM digits
+    """,
+)
+def npi_checksum_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supplier = load_table(spark, sf_dir, "supplier")
+    code = F.lpad(((F.col("s_suppkey") * 104729 + 12345) % 10000000000).cast("string"), 10, "0")
+    return supplier.select(
+        "s_suppkey",
+        code.alias("npi_code"),
+        npi_is_valid(code).alias("npi_valid"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Q: part_name_tokens — split + explode + count (§2.9 explode, mm2.py:36;
+# value_counts over exploded tokens).
+# --------------------------------------------------------------------------
+@query(
+    "part_name_tokens",
+    """
+    SELECT token, COUNT(*) AS count
+    FROM (SELECT UNNEST(STRING_SPLIT(p_name, ' ')) AS token FROM part)
+    WHERE token <> ''
+    GROUP BY token
+    """,
+)
+def part_name_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    return (
+        part.select(F.explode(F.split("p_name", " ")).alias("token"))
+        .where(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("count"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Q: order_quantity_profile — list-ops pack over per-order quantity arrays
+# (§2.9 array trio + list.filter/sum/get; awarxe_cleanup.py:109-131).
+# --------------------------------------------------------------------------
+@query(
+    "order_quantity_profile",
+    """
+    WITH arrs AS (
+        SELECT l_orderkey,
+               LIST(CAST(FLOOR(l_quantity) AS BIGINT)
+                    ORDER BY l_linenumber, CAST(FLOOR(l_quantity) AS BIGINT)) AS qtys
+        FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT l_orderkey,
+           LEN(qtys) AS n_items,
+           qtys[1] AS first_qty,
+           qtys[-1] AS last_qty,
+           LIST_SUM(qtys) AS qty_sum,
+           LEN(LIST_FILTER(qtys, x -> x % 2 = 0)) AS n_even,
+           ARRAY_TO_STRING(LIST_SORT(qtys), ',') AS qty_csv
+    FROM arrs
+    """,
+)
+def order_quantity_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    # FLOOR then cast on both engines: Spark's double→long cast truncates
+    # while DuckDB's rounds — explicit floor pins the semantics.
+    arrs = collect_sorted_list(
+        lineitem.withColumn("q", F.floor("l_quantity").cast("long")),
+        group_by=["l_orderkey"],
+        order_col="l_linenumber",
+        value_col="q",
+        out_name="qtys",
+    )
+    return arrs.select(
+        "l_orderkey",
+        F.size("qtys").cast("long").alias("n_items"),
+        F.element_at("qtys", 1).alias("first_qty"),
+        F.element_at("qtys", -1).alias("last_qty"),
+        F.aggregate("qtys", F.lit(0).cast("long"), lambda a, x: a + x).alias("qty_sum"),
+        F.size(F.filter("qtys", lambda x: x % 2 == 0)).cast("long").alias("n_even"),
+        F.array_join(F.transform(F.array_sort("qtys"), lambda x: x.cast("string")), ",").alias("qty_csv"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Q: event_sessions — gaps-and-islands sessionization (extension op;
+# SQL-oracle-checkable batch form of the streaming session window).
+# --------------------------------------------------------------------------
+@query(
+    "event_sessions",
+    """
+    WITH flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                         OR EPOCH_US(ts) - EPOCH_US(LAG(ts) OVER w) > 1800000000
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), numbered AS (
+        SELECT user_id, ts,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS UNBOUNDED PRECEDING) AS session_seq
+        FROM flagged
+    )
+    SELECT user_id,
+           CAST(session_seq AS BIGINT) AS session_seq,
+           EPOCH_US(MIN(ts)) AS session_start_us,
+           EPOCH_US(MAX(ts)) AS session_end_us,
+           COUNT(*) AS n_events,
+           EPOCH_US(MAX(ts)) - EPOCH_US(MIN(ts)) AS duration_us
+    FROM numbered
+    GROUP BY user_id, session_seq
+    """,
+)
+def event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    sess = sessionize(events, user_col="user_id", ts_col="ts", gap_seconds=1800)
+    return sess.select(
+        "user_id",
+        F.col("session_seq").cast("long").alias("session_seq"),
+        F.unix_micros("session_start").alias("session_start_us"),
+        F.unix_micros("session_end").alias("session_end_us"),
+        "n_events",
+        "duration_us",
+    )
+
+
+# --------------------------------------------------------------------------
+# Q: hourly_event_rollup — tumbling-window aggregation (extension op;
+# batch form of the streaming windowed agg, SURVEY §2.10).
+# --------------------------------------------------------------------------
+@query(
+    "hourly_event_rollup",
+    """
+    SELECT CAST(EPOCH(DATE_TRUNC('hour', ts)) AS BIGINT) AS hour_s,
+           event_type,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def hourly_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("hour_s"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q: fuzzy_supplier_match — blocked Jaro-Winkler fuzzy join (J7/X2,
+# od.py:79-105: equi-join on blocking key then similarity >= threshold).
+# DuckDB's jaro_winkler_similarity implements the same standard definition
+# (prefix scale 0.1, max prefix 4, boost threshold 0.7), making the fuzzy
+# join oracle-checkable end-to-end.
+# --------------------------------------------------------------------------
+@query(
+    "fuzzy_supplier_match",
+    """
+    SELECT c.c_custkey, s.s_suppkey,
+           ROUND(JARO_WINKLER_SIMILARITY(
+               REPLACE(c.c_name, 'Customer#', ''),
+               REPLACE(s.s_name, 'Supplier#', '')), 6) AS similarity
+    FROM customer c
+    JOIN supplier s ON c.c_nationkey = s.s_nationkey
+    WHERE ROUND(JARO_WINKLER_SIMILARITY(
+        REPLACE(c.c_name, 'Customer#', ''),
+        REPLACE(s.s_name, 'Supplier#', '')), 6) >= 0.88
+    """,
+)
+def fuzzy_supplier_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pmp_analytics_spark.functions.similarity import jw_similarity
+
+    customer = load_table(spark, sf_dir, "customer").withColumn(
+        "c_code", F.replace(F.col("c_name"), F.lit("Customer#"), F.lit(""))
+    )
+    supplier = load_table(spark, sf_dir, "supplier").withColumn(
+        "s_code", F.replace(F.col("s_name"), F.lit("Supplier#"), F.lit(""))
+    )
+    # Blocked fuzzy join (same shape as operators.joins.fuzzy_join, keys
+    # differ by name): equi-join on nation bounds candidates, JW UDF runs
+    # on candidates only, filter on the ROUNDED similarity on both engines.
+    joined = customer.join(F.broadcast(supplier), F.col("c_nationkey") == F.col("s_nationkey"), "inner")
+    sim = jw_similarity(F.col("c_code"), F.col("s_code"))
+    return (
+        joined.withColumn("similarity", F.round(sim, 6))
+        .where(F.col("similarity") >= 0.88)
+        .select("c_custkey", "s_suppkey", "similarity")
+    )

@@ -1,0 +1,67 @@
+"""SparkSession factory with scale-aware defaults.
+
+The reference (jbgreenh/pmp-analytics) runs Polars single-machine; its only
+scale accommodation is ``collect(engine='streaming')`` (awarxe_cleanup.py:131).
+Here distributed execution is the default — this factory pins the configs that
+matter for both local correctness testing and 100 TB cluster runs:
+
+- AQE on (runtime re-plan: coalesce partitions, skew-join handling, dynamic
+  broadcast selection).
+- UTC session timezone (oracle comparisons against DuckDB are TZ-naive).
+- Arrow on (vectorized pandas_udf / toPandas transfer).
+- shuffle partitions sized to the local core count by default; a real cluster
+  deployment overrides via ``spark.sql.shuffle.partitions`` or relies on AQE
+  coalescing from a high initial value.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_parallelism() -> int:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS")
+    if cpus:
+        try:
+            return max(1, int(cpus))
+        except ValueError:
+            pass
+    return os.cpu_count() or 8
+
+
+def get_spark(
+    app_name: str = "pmp-analytics-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with engine defaults.
+
+    In local mode shuffle partitions default to the core count — the AQE
+    coalescer then shrinks tiny shuffles further. On a cluster, pass a large
+    ``shuffle_partitions`` (or set it in spark-defaults) and let AQE coalesce;
+    the rest of these configs are scale-independent.
+    """
+    par = default_parallelism()
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{par}]")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or par))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Parquet scans: vectorized reader + pushdown are on by default; keep
+        # files from fragmenting into too many tiny tasks at bench SFs.
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.extraJavaOptions", "-Duser.timezone=UTC")
+        .config("spark.executor.extraJavaOptions", "-Duser.timezone=UTC")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

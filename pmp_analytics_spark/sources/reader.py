@@ -1,0 +1,110 @@
+"""Source readers.
+
+Two read policies:
+
+1. Parquet star-schema tables (the engine's primary source; the reference's
+   Drive/Tableau/SFTP connectors are out-of-scope storage integrations whose
+   semantics — filtered source read — reduce to ``spark.read.parquet(...)
+   .where(...)`` with Catalyst pushdown; see SURVEY.md §2.1 S6/S7).
+
+2. All-string CSV reads reproducing the reference's ``infer_schema=False``
+   discipline (reference: delinquent_data_submitters.py:37,50,82 et al.):
+   every column loads as StringType, casts happen late and explicitly.
+   Empty string and null are DISTINCT values (reference relies on this —
+   SURVEY.md §2.3 F10); Spark's CSV reader folds ``""`` to null unless
+   ``emptyValue`` is pinned, so we pin it.
+"""
+
+from __future__ import annotations
+
+import csv
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StringType, StructField, StructType
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one star-schema parquet table.
+
+    Plain ``spark.read.parquet`` so Catalyst owns predicate pushdown, column
+    pruning, and partition pruning — nothing to hand-schedule.
+
+    The ``events`` table carries TIMESTAMP(NANOS) which Spark's reader
+    rejects (TimestampType is µs); we read nanos as long
+    (``spark.sql.legacy.parquet.nanosAsLong``) and convert to a µs
+    timestamp — exact integer math, no precision surprises vs the DuckDB
+    oracle (which truncates ns→µs identically via EPOCH_US).
+    """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType
+
+        if isinstance(df.schema["ts"].dataType, LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
+    return spark.read.parquet(path)
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in names}
+
+
+def all_string_schema(columns: list[str]) -> StructType:
+    """Explicit all-StringType schema — the Spark expression of the
+    reference's ``infer_schema=False`` (avoids the inference pass entirely;
+    on 100 TB of CSV an inference pass is a full extra scan)."""
+    return StructType([StructField(c, StringType(), nullable=True) for c in columns])
+
+
+def read_csv_strings(
+    spark: SparkSession,
+    path: str,
+    columns: list[str] | None = None,
+    sep: str = ",",
+) -> DataFrame:
+    """CSV read with reference semantics: all columns String, header row,
+    empty string preserved as ``''`` (NOT null), absent fields as null.
+
+    If ``columns`` is None, the header is read driver-side from the first
+    file (one tiny read — never a full inference scan).
+    """
+    if columns is None:
+        columns = _peek_header(path, sep)
+    return (
+        spark.read.schema(all_string_schema(columns))
+        .option("header", True)
+        .option("sep", sep)
+        # Distinguish empty string from null: unquoted empty field -> '',
+        # and only an explicit literal used by writers maps to null.
+        .option("emptyValue", "")
+        .option("nullValue", "\\N")
+        .csv(path)
+    )
+
+
+def _peek_header(path: str, sep: str) -> list[str]:
+    target = path
+    if os.path.isdir(path):
+        parts = sorted(p for p in os.listdir(path) if p.endswith(".csv"))
+        if not parts:
+            raise FileNotFoundError(f"no csv files under {path}")
+        target = os.path.join(path, parts[0])
+    with open(target, newline="") as fh:
+        return next(csv.reader(fh, delimiter=sep))

@@ -1,0 +1,116 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every declared query on Spark and its oracle SQL on DuckDB over the
+same parquet tables, then compares row count, column names/order-insensitive
+values. Usage:
+
+    python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import duckdb
+
+sys.path.insert(0, "/root/repo")
+
+from pmp_analytics_spark.session import get_spark  # noqa: E402
+from pmp_analytics_spark.sources.reader import TABLES  # noqa: E402
+
+
+def duck_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+def normalize_cell(v):
+    import datetime
+    import math
+
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return round(v, 9)
+    if isinstance(v, datetime.datetime):
+        return v.isoformat()
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    if isinstance(v, list):
+        return tuple(normalize_cell(x) for x in v)
+    return v
+
+
+def frame_key(columns, rows):
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+    cols_sorted = [columns[i] for i in order]
+    normalized = sorted(
+        tuple(normalize_cell(row[i]) for i in order) for row in rows
+    )
+    return cols_sorted, normalized
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    import __spark_entry__ as ent
+
+    qs = ent.queries()
+    oracles = ent.oracle_sql()
+    spark = get_spark("oracle-check")
+    con = duck_conn(sf_dir)
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL  {name}: spark error: {e}")
+            failures.append(name)
+            continue
+        if name not in oracles:
+            print(f"OK?   {name}: rows={len(srows)} (no oracle — rows-only check) [{time.time()-t0:.1f}s]")
+            continue
+        try:
+            res = con.execute(oracles[name])
+            dcols = [d[0] for d in res.description]
+            drows = res.fetchall()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL  {name}: duckdb error: {e}")
+            failures.append(name)
+            continue
+        sc, sv = frame_key(scols, srows)
+        dc, dv = frame_key(dcols, drows)
+        status = []
+        if len(srows) != len(drows):
+            status.append(f"rowcount {len(srows)} vs {len(drows)}")
+        if sc != dc:
+            status.append(f"columns {sc} vs {dc}")
+        if not status and sv != dv:
+            n_bad = sum(1 for a, b in zip(sv, dv) if a != b)
+            first_bad = next(((a, b) for a, b in zip(sv, dv) if a != b), None)
+            status.append(f"values differ in {n_bad}/{len(sv)} rows; first: {first_bad}")
+        if status:
+            print(f"FAIL  {name}: {'; '.join(status)}")
+            failures.append(name)
+        else:
+            print(f"PASS  {name}: rows={len(srows)} [{time.time()-t0:.1f}s]")
+    print()
+    if failures:
+        print(f"{len(failures)} FAILED: {failures}")
+        return 1
+    print("all queries match the oracle")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
