@@ -28,11 +28,11 @@ def jaro(s1: str, s2: str) -> float:
     variant (rapidfuzz) — chosen so results agree bit-for-bit with the
     DuckDB oracle. The two differ only when the mismatch count is odd.
     """
-    if s1 == s2:
-        return 1.0
     len1, len2 = len(s1), len(s2)
     if len1 == 0 or len2 == 0:
-        return 0.0
+        return 0.0  # DuckDB convention: empty vs anything (incl. empty) is 0
+    if s1 == s2:
+        return 1.0
     match_window = max(len1, len2) // 2 - 1
     if match_window < 0:
         match_window = 0

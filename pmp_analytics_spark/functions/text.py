@@ -82,11 +82,18 @@ def simhash64(c: Column | str, k: int = 4) -> Column:
     sh = char_shingles(c, k)
     hashes = F.transform(sh, lambda s: F.xxhash64(s))
     n = F.size(sh)
+    # The Python DSL's shiftright/shiftleft insist on an int shift amount;
+    # the underlying SQL expressions take any expression, so call them by
+    # name for the column-valued bit index inside the lambda.
     bits = F.transform(
         F.sequence(F.lit(0), F.lit(63)),
         lambda b: F.when(
-            F.size(F.filter(hashes, lambda h: F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1)) * 2 > n,
-            F.shiftleft(F.lit(1).cast("long"), b),
+            F.size(
+                F.filter(hashes, lambda h: F.call_function("shiftright", h, b).bitwiseAND(F.lit(1)) == 1)
+            )
+            * 2
+            > n,
+            F.call_function("shiftleft", F.lit(1).cast("long"), b),
         ).otherwise(F.lit(0).cast("long")),
     )
     return F.aggregate(bits, F.lit(0).cast("long"), lambda acc, x: acc.bitwiseOR(x))

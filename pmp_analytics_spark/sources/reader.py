@@ -79,8 +79,12 @@ def read_csv_strings(
     columns: list[str] | None = None,
     sep: str = ",",
 ) -> DataFrame:
-    """CSV read with reference semantics: all columns String, header row,
-    empty string preserved as ``''`` (NOT null), absent fields as null.
+    """CSV read with reference semantics: all columns String, header row.
+
+    Empty-vs-null contract (SURVEY.md §2.3 F10): a QUOTED empty field
+    (``""``) loads as ``''``, an unquoted empty field and the ``\\N``
+    sentinel load as null. Spark's CSV reader cannot represent unquoted
+    empty as ``''`` — writers that need the distinction must quote.
 
     If ``columns`` is None, the header is read driver-side from the first
     file (one tiny read — never a full inference scan).

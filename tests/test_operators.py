@@ -1,0 +1,203 @@
+"""Operator semantics: dedup, joins, aggs, sessionization, sampling,
+similarity search."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from pmp_analytics_spark.operators.agg import (
+    argmax_rows,
+    collect_sorted_list,
+    top_k,
+    value_counts,
+    with_global_agg,
+)
+from pmp_analytics_spark.operators.dedup import (
+    dedup_by_fingerprint,
+    keep_first,
+    minhash_lsh_candidates,
+    ngram_jaccard_dedup,
+)
+from pmp_analytics_spark.operators.joins import anti_join, fuzzy_join, semi_join, two_stage_match
+from pmp_analytics_spark.operators.sample import deterministic_sample
+from pmp_analytics_spark.operators.sessionize import sessionize, sessionize_native
+from pmp_analytics_spark.operators.setops import concat_by_name, except_by_key
+from pmp_analytics_spark.operators.similarity_search import brute_force_topk, cosine, lsh_topk
+
+
+def test_keep_first_deterministic(spark):
+    df = spark.createDataFrame(
+        [("d1", "N", 1), ("d1", "Y", 2), ("d2", "Y", 3)], ["dea", "active", "id"]
+    )
+    out = keep_first(df, ["dea"], [F.desc("active"), F.asc("id")])
+    got = {r["dea"]: r["id"] for r in out.collect()}
+    assert got == {"d1": 2, "d2": 3}
+
+
+def test_collect_sorted_list_tie_break(spark):
+    df = spark.createDataFrame(
+        [(1, 7, 30), (1, 7, 10), (1, 3, 20)], ["k", "o", "v"]
+    )
+    out = collect_sorted_list(df, ["k"], "o", "v", "vs").collect()
+    assert out[0]["vs"] == [20, 10, 30]  # o=3 first; o=7 tie broken by v
+
+
+def test_value_counts_and_topk(spark):
+    df = spark.createDataFrame([("a",), ("b",), ("a",), ("c",), ("a",), ("b",)], ["x"])
+    vc = value_counts(df, "x").collect()
+    assert [(r["x"], r["count"]) for r in vc] == [("a", 3), ("b", 2), ("c", 1)]
+    tk = top_k(df.groupBy("x").count(), [F.desc("count"), F.asc("x")], 2).collect()
+    assert [r["x"] for r in tk] == ["a", "b"]
+
+
+def test_global_agg_and_argmax(spark):
+    df = spark.createDataFrame([(1,), (5,), (5,), (2,)], ["v"])
+    g = with_global_agg(df, {"vmax": F.max("v"), "vmin": F.min("v")})
+    rows = g.collect()
+    assert all(r["vmax"] == 5 and r["vmin"] == 1 for r in rows)
+    am = argmax_rows(df, F.col("v")).collect()
+    assert len(am) == 2 and all(r["v"] == 5 for r in am)
+
+
+def test_anti_semi_join(spark):
+    left = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], ["k", "x"])
+    right = spark.createDataFrame([(2,), (3,)], ["k"])
+    assert {r["k"] for r in anti_join(left, right, ["k"]).collect()} == {1}
+    assert {r["k"] for r in semi_join(left, right, ["k"]).collect()} == {2, 3}
+
+
+def test_except_concat(spark):
+    a = spark.createDataFrame([(1, "x"), (2, "y")], ["k", "v"])
+    b = spark.createDataFrame([(2, "z")], ["k", "v"])
+    assert [r["k"] for r in except_by_key(a, b, ["k"]).collect()] == [1]
+    # name-aligned union: column order differs between inputs
+    c = spark.createDataFrame([("w", 9)], ["v", "k"])
+    got = {(r["k"], r["v"]) for r in concat_by_name(a, c).collect()}
+    assert got == {(1, "x"), (2, "y"), (9, "w")}
+
+
+def test_fuzzy_join_blocked(spark):
+    left = spark.createDataFrame(
+        [("1990-01-01", "SMITH JOHN"), ("1990-01-01", "JONES BOB"), ("1985-05-05", "SMITH JOHN")],
+        ["dob", "name_a"],
+    )
+    right = spark.createDataFrame(
+        [("1990-01-01", "SMITH JON"), ("1985-05-05", "WILSON TED")],
+        ["dob", "name_b"],
+    )
+    out = fuzzy_join(left, right, ["dob"], "name_a", "name_b", threshold=0.9).collect()
+    assert len(out) == 1
+    assert out[0]["name_a"] == "SMITH JOHN" and out[0]["name_b"] == "SMITH JON"
+
+
+def test_two_stage_match(spark):
+    left = spark.createDataFrame(
+        [("K1", "alpha"), ("K2", "beta co"), ("K3", "nomatch")], ["key", "lname"]
+    )
+    right = spark.createDataFrame(
+        [("K1", "alpha"), ("KX", "beta co")], ["key", "rname"]
+    )
+    out = two_stage_match(
+        left,
+        right,
+        exact_key="key",
+        fallback_left_key=F.upper(F.col("lname")),
+        fallback_right_key=F.upper(F.col("rname")),
+    )
+    rows = out.collect()
+    # K1 matches exactly; beta co matches on the fallback key; K3 drops
+    assert len(rows) == 2
+
+
+def test_dedup_fingerprint(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello World"), (2, "  hello   world "), (3, "different")], ["id", "text"]
+    )
+    out = dedup_by_fingerprint(df, "text", "id").collect()
+    assert len(out) == 2
+    counts = {r["id"]: r["dup_count"] for r in out}
+    assert counts[1] == 2 and counts[3] == 1
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    base = "the quick brown fox jumps over the lazy dog and keeps running far away"
+    df = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base.replace("dog", "cat")),
+            (3, "entirely unrelated text about spark query optimization and shuffles"),
+        ],
+        ["doc_id", "text"],
+    )
+    cand = {(r["id_a"], r["id_b"]) for r in minhash_lsh_candidates(df, "text", "doc_id").collect()}
+    assert (1, 2) in cand
+    assert (1, 3) not in cand
+    pairs = ngram_jaccard_dedup(df, "text", "doc_id", threshold=0.5).collect()
+    assert [(r["id_a"], r["id_b"]) for r in pairs] == [(1, 2)]
+    assert 0.5 <= pairs[0]["jaccard"] < 1.0
+
+
+def test_sessionize_both_impls_agree(spark):
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, t0),
+        (1, t0 + dt.timedelta(minutes=10)),
+        (1, t0 + dt.timedelta(minutes=50)),  # 40min gap -> new session
+        (2, t0),
+    ]
+    events = spark.createDataFrame(rows, ["user_id", "ts"])
+    a = sessionize(events, gap_seconds=1800)
+    b = sessionize_native(events, gap_seconds=1800)
+    ka = sorted((r["user_id"], r["session_start"], r["n_events"]) for r in a.collect())
+    kb = sorted((r["user_id"], r["session_start"], r["n_events"]) for r in b.collect())
+    assert ka == kb
+    assert len(ka) == 3
+
+
+def test_deterministic_sample_stable(spark):
+    df = spark.range(100).withColumnRenamed("id", "k")
+    s1 = [r["k"] for r in deterministic_sample(df, "k", 10).collect()]
+    s2 = [r["k"] for r in deterministic_sample(df, "k", 10).collect()]
+    assert s1 == s2 and len(s1) == 10
+    s3 = [r["k"] for r in deterministic_sample(df, "k", 10, salt="x").collect()]
+    assert s1 != s3
+
+
+def test_brute_force_topk_matches_numpy(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(30, 8)).astype("float32")
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(30)], ["vec_id", "embedding"]
+    )
+    queries = spark.createDataFrame(
+        [(0, [float(x) for x in vecs[0]])], ["query_id", "query_vec"]
+    )
+    out = brute_force_topk(corpus, queries, k=5).collect()
+    got = [r["vec_id"] for r in sorted(out, key=lambda r: r["rank"])]
+    sims = vecs @ vecs[0] / (np.linalg.norm(vecs, axis=1) * np.linalg.norm(vecs[0]))
+    expected = list(np.argsort(np.round(-sims, 6), kind="stable")[:5])
+    assert got == expected
+    assert got[0] == 0 and out[0]["cosine_sim"] <= 1.0
+
+
+def test_lsh_topk_self_hit(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    vecs = rng.normal(size=(40, 8)).astype("float32")
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(40)], ["vec_id", "embedding"]
+    )
+    queries = spark.createDataFrame(
+        [(5, [float(x) for x in vecs[5]])], ["query_id", "query_vec"]
+    )
+    out = lsh_topk(corpus, queries, dim=8, k=3, n_planes=4).collect()
+    assert out, "query vector must collide with its own bucket"
+    best = min(out, key=lambda r: r["rank"])
+    assert best["vec_id"] == 5 and abs(best["cosine_sim"] - 1.0) < 1e-6

@@ -1,0 +1,29 @@
+"""Source-reader semantics: all-string CSV with empty-vs-null preserved."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql.types import StringType
+
+from pmp_analytics_spark.sources.reader import load_table, read_csv_strings
+
+
+def test_csv_all_string_empty_vs_null(spark):
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "t.csv")
+        with open(p, "w") as fh:
+            fh.write('a,b,c\n1,"",x\n2,\\N,y\n3,,z\n')
+        df = read_csv_strings(spark, p)
+        assert all(isinstance(f.dataType, StringType) for f in df.schema.fields)
+        rows = {r["a"]: (r["b"], r["c"]) for r in df.collect()}
+        assert rows["1"] == ("", "x")  # quoted empty survives as ''
+        assert rows["2"] == (None, "y")  # explicit \N is null
+        assert rows["3"] == (None, "z")  # unquoted empty is null
+
+
+def test_events_ts_is_timestamp(spark):
+    df = load_table(spark, "/root/testdata/sf0.001", "events")
+    assert df.schema["ts"].dataType.typeName() == "timestamp"
+    assert df.limit(1).count() == 1
