@@ -80,15 +80,36 @@ def jaro_winkler(s1: str, s2: str, prefix_weight: float = 0.1, boost_threshold: 
 
 
 def _jw_batch(a: pd.Series, b: pd.Series) -> pd.Series:
-    return pd.Series(
-        [jaro_winkler(x, y) if x is not None and y is not None else None for x, y in zip(a, b)],
-        dtype="float64",
-    )
+    """Arrow-batch JW kernel.
+
+    Fast path: DuckDB's native ``jaro_winkler_similarity`` evaluated over
+    the whole batch in-process (C++ speed, and bit-identical to the DuckDB
+    oracle by construction — it IS the oracle's function). Fallback: the
+    pure-Python reference implementation above.
+    """
+    try:
+        import duckdb
+
+        con = duckdb.connect()
+        batch = pd.DataFrame({"a": a, "b": b})
+        out = con.execute(
+            "SELECT jaro_winkler_similarity(a, b) AS s FROM batch"
+        ).df()["s"]
+        con.close()
+        return out.astype("float64")
+    except ImportError:
+        return pd.Series(
+            [jaro_winkler(x, y) if x is not None and y is not None else None for x, y in zip(a, b)],
+            dtype="float64",
+        )
 
 
 # DoubleType() (not the "double" DDL string) so the UDF can be declared at
-# import time without an active SparkSession.
-jaro_winkler_udf = pandas_udf(_jw_batch, DoubleType())
+# import time without an active SparkSession. Marked non-deterministic —
+# it is semantically deterministic, but the flag stops Catalyst from
+# duplicating the (expensive) UDF into both a pushed-down Filter and the
+# final Project (two ArrowEvalPython nodes = 2× the Python work).
+jaro_winkler_udf = pandas_udf(_jw_batch, DoubleType()).asNondeterministic()
 
 
 def jw_similarity(a: Column | str, b: Column | str) -> Column:

@@ -45,15 +45,33 @@ def token_count(c: Column | str) -> Column:
     return F.size(tokens(c))
 
 
+def _let(bound: Column, body) -> Column:
+    """Let-binding for expression trees: evaluate ``bound`` ONCE and feed
+    the bound value to ``body``.
+
+    Implemented as ``transform(array(bound), v -> body(v))[1]`` — lambda
+    variables are evaluated values, so ``body`` referencing ``v`` n times
+    costs one evaluation of ``bound``, not n. Embedding an expression
+    directly in a per-element lambda re-evaluates it per element (e.g.
+    lower(text) inside a shingle lambda turns shingling O(n²)).
+    """
+    return F.element_at(F.transform(F.array(bound), body), 1)
+
+
 def char_shingles(c: Column | str, k: int = 5) -> Column:
     """All k-character shingles of the lowercased text as an array.
-    Built with sequence+transform (JVM-side); empty array for short docs."""
-    t = F.lower(_col(c))
-    n = F.length(t) - (k - 1)
-    return F.when(
-        n >= 1,
-        F.transform(F.sequence(F.lit(1), n), lambda i: F.substring(t, i, k)),
-    ).otherwise(F.array().cast("array<string>"))
+    Built with sequence+transform (JVM-side); empty array for short docs.
+    The lowercased text is let-bound so it is computed once per row, not
+    once per shingle."""
+
+    def build(t: Column) -> Column:
+        n = F.length(t) - (k - 1)
+        return F.when(
+            n >= 1,
+            F.transform(F.sequence(F.lit(1), n), lambda i: F.substring(t, i, k)),
+        ).otherwise(F.array().cast("array<string>"))
+
+    return _let(F.lower(_col(c)), build)
 
 
 def minhash_value(shingles: Column, seed: int) -> Column:
@@ -79,24 +97,27 @@ def simhash64(c: Column | str, k: int = 4) -> Column:
     half. Engine-specific hash (xxhash64) → validated by pytest, not the
     DuckDB oracle (rows-only check).
     """
-    sh = char_shingles(c, k)
-    hashes = F.transform(sh, lambda s: F.xxhash64(s))
-    n = F.size(sh)
     # The Python DSL's shiftright/shiftleft insist on an int shift amount;
     # the underlying SQL expressions take any expression, so call them by
-    # name for the column-valued bit index inside the lambda.
-    bits = F.transform(
-        F.sequence(F.lit(0), F.lit(63)),
-        lambda b: F.when(
-            F.size(
-                F.filter(hashes, lambda h: F.call_function("shiftright", h, b).bitwiseAND(F.lit(1)) == 1)
-            )
-            * 2
-            > n,
-            F.call_function("shiftleft", F.lit(1).cast("long"), b),
-        ).otherwise(F.lit(0).cast("long")),
-    )
-    return F.aggregate(bits, F.lit(0).cast("long"), lambda acc, x: acc.bitwiseOR(x))
+    # name for the column-valued bit index inside the lambda. The hash
+    # array is let-bound: 64 bit-lambdas reference it, and an embedded
+    # expression would be re-hashed once per bit.
+    def vote(hashes: Column) -> Column:
+        n = F.size(hashes)
+        bits = F.transform(
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda b: F.when(
+                F.size(
+                    F.filter(hashes, lambda h: F.call_function("shiftright", h, b).bitwiseAND(F.lit(1)) == 1)
+                )
+                * 2
+                > n,
+                F.call_function("shiftleft", F.lit(1).cast("long"), b),
+            ).otherwise(F.lit(0).cast("long")),
+        )
+        return F.aggregate(bits, F.lit(0).cast("long"), lambda acc, x: acc.bitwiseOR(x))
+
+    return _let(F.transform(char_shingles(c, k), lambda s: F.xxhash64(s)), vote)
 
 
 def stopword_hits(c: Column | str, lang: str) -> Column:

@@ -24,6 +24,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from pmp_analytics_spark.functions.text import char_shingles, fingerprint, minhash_signature
+from pmp_analytics_spark.operators.partitioning import ensure_parallelism
 
 
 def dedup_exact(df: DataFrame, subset: list[str] | None = None) -> DataFrame:
@@ -63,22 +64,49 @@ def minhash_lsh_candidates(
     num_hashes: int = 16,
     bands: int = 4,
     shingle_k: int = 5,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-duplicate candidate pairs via MinHash + LSH banding.
 
     signature (num_hashes md5-minima) → split into ``bands`` bands of
     ``num_hashes/bands`` rows → hash each band → explode to (band_id,
-    band_key) → self-join per bucket. Returns distinct (id_a, id_b) pairs
-    with id_a < id_b. Cost: one explode (×bands), one shuffle on the band
-    key, bucket-local pair generation.
+    band_key) → groupBy bucket → expand in-bucket pairs. Returns distinct
+    (id_a, id_b) pairs with id_a < id_b.
+
+    Cost: ONE pass over the corpus for signatures (a self-join would
+    evaluate the MinHash subtree once per join branch), one shuffle on the
+    uniform band key, and pair expansion local to each bucket via array
+    ops — never a corpus×corpus join. A pathological bucket (b identical
+    docs) still expands b²/2 pairs; that is inherent to LSH and handled
+    by ``max_bucket`` (drop over-common buckets, trading recall — the
+    standard knob at 100 TB; default None keeps exact LSH semantics).
     """
+    sh = shingle_frame(df, text_col, id_col, shingle_k)
+    return lsh_candidates_from_shingles(sh, id_col, num_hashes, bands, max_bucket)
+
+
+def shingle_frame(df: DataFrame, text_col: str, id_col: str, shingle_k: int = 5) -> DataFrame:
+    """(id, __sh) frame of k-shingle arrays, spread to full parallelism —
+    the shared CPU-heavy base of the LSH and verify stages. Callers that
+    consume it more than once should ``.cache()`` it (shingle construction
+    dominates the near-dup pipeline's cost; see ngram_jaccard_dedup)."""
+    return ensure_parallelism(
+        df.select(F.col(id_col), char_shingles(text_col, shingle_k).alias("__sh"))
+    ).where(F.size("__sh") > 0)
+
+
+def lsh_candidates_from_shingles(
+    sh: DataFrame,
+    id_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """LSH banding over a precomputed ``shingle_frame`` (see
+    minhash_lsh_candidates for the algorithm & scale notes)."""
     rows_per_band = num_hashes // bands
     assert rows_per_band * bands == num_hashes, "bands must divide num_hashes"
-    sig = (
-        df.select(F.col(id_col), char_shingles(text_col, shingle_k).alias("__sh"))
-        .where(F.size("__sh") > 0)
-        .select(F.col(id_col), minhash_signature(F.col("__sh"), num_hashes).alias("__sig"))
-    )
+    sig = sh.select(F.col(id_col), minhash_signature(F.col("__sh"), num_hashes).alias("__sig"))
     banded = sig.select(
         F.col(id_col),
         F.explode(
@@ -95,18 +123,27 @@ def minhash_lsh_candidates(
             )
         ).alias("band"),
     ).select(id_col, "band.band_id", "band.band_key")
-    a = banded.alias("a")
-    b = banded.alias("b")
-    return (
-        a.join(
-            b,
-            on=[
-                F.col("a.band_id") == F.col("b.band_id"),
-                F.col("a.band_key") == F.col("b.band_key"),
-                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
-            ],
+    buckets = (
+        banded.groupBy("band_id", "band_key")
+        .agg(F.sort_array(F.collect_set(id_col)).alias("__ids"))
+        .where(F.size("__ids") >= 2)
+    )
+    if max_bucket is not None:
+        buckets = buckets.where(F.size("__ids") <= max_bucket)
+    # In-bucket pair expansion with array HOFs: for each id at index i,
+    # pair it with every id after it (sorted → id_a < id_b for free).
+    pairs = F.flatten(
+        F.transform(
+            "__ids",
+            lambda x, i: F.transform(
+                F.slice("__ids", i + 2, F.size("__ids")),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
         )
-        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+    )
+    return (
+        buckets.select(F.explode(pairs).alias("p"))
+        .select("p.id_a", "p.id_b")
         .distinct()
     )
 
@@ -124,11 +161,29 @@ def jaccard_pairs(
     Joins the (small) candidate set back to the corpus twice to fetch
     shingle sets, then computes |∩|/|∪| with array intersection — JVM-side.
     At 100 TB the candidate set is orders of magnitude smaller than the
-    corpus, so these are two hash joins on doc id, not corpus-wide work.
+    corpus, so shingles are computed ONLY for docs that appear in some
+    candidate pair (semi-join first), and the pair joins touch that
+    restricted set, never the full corpus.
     """
-    sh = df.select(
+    sh_base = shingle_frame(df, text_col, id_col, shingle_k)
+    return jaccard_pairs_from_shingles(candidates, sh_base, id_col, threshold)
+
+
+def jaccard_pairs_from_shingles(
+    candidates: DataFrame,
+    sh_base: DataFrame,
+    id_col: str,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Jaccard verification over a precomputed ``shingle_frame``."""
+    cand_ids = (
+        candidates.select(F.col("id_a").alias(id_col))
+        .union(candidates.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    sh = sh_base.join(F.broadcast(cand_ids), on=id_col, how="left_semi").select(
         F.col(id_col),
-        F.array_distinct(char_shingles(text_col, shingle_k)).alias("__sh"),
+        F.array_distinct("__sh").alias("__sh"),
     )
     out = (
         candidates.join(sh.withColumnsRenamed({id_col: "id_a", "__sh": "__sh_a"}), on="id_a")
@@ -157,6 +212,14 @@ def ngram_jaccard_dedup(
     bands: int = 4,
 ) -> DataFrame:
     """Full near-dup pipeline: LSH candidates → Jaccard verify → pairs
-    above threshold."""
-    cand = minhash_lsh_candidates(df, text_col, id_col, num_hashes, bands, shingle_k)
-    return jaccard_pairs(cand, df, text_col, id_col, shingle_k, threshold)
+    above threshold.
+
+    Caching strategy (the pipeline's whole cost profile): the shingle
+    frame is the expensive narrow stage and has two consumers (signature
+    banding; verify), and the candidate set is tiny but also has two
+    consumers (id semi-join; pair join) — cache both so each subtree
+    evaluates exactly once per run instead of once per consumer.
+    """
+    sh = shingle_frame(df, text_col, id_col, shingle_k).cache()
+    cand = lsh_candidates_from_shingles(sh, id_col, num_hashes, bands).cache()
+    return jaccard_pairs_from_shingles(cand, sh, id_col, threshold)

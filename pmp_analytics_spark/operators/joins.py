@@ -22,6 +22,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from pmp_analytics_spark.functions.similarity import jw_similarity
+from pmp_analytics_spark.operators.partitioning import ensure_parallelism
 
 
 def anti_join(left: DataFrame, right: DataFrame, on: Sequence[str] | Column, broadcast_right: bool = True) -> DataFrame:
@@ -53,9 +54,11 @@ def fuzzy_join(
 
     The blocking equi-join is the scale story: candidates = pairs sharing
     the blocking key, so cost is sum over keys of |L_k|·|R_k|, not |L|·|R|.
-    The Arrow-batched JW UDF runs post-join on candidates only.
+    The Arrow-batched JW UDF runs post-join on candidates only, with the
+    left side spread to full parallelism first — a small-file scan must
+    not serialize the Python stage onto one core.
     """
-    joined = left.join(right, on=list(blocking_on), how="inner")
+    joined = ensure_parallelism(left).join(right, on=list(blocking_on), how="inner")
     sim = jw_similarity(F.col(left_text), F.col(right_text))
     return joined.withColumn(sim_col, sim).where(F.col(sim_col) >= F.lit(threshold))
 

@@ -796,7 +796,13 @@ def fuzzy_supplier_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Blocked fuzzy join (same shape as operators.joins.fuzzy_join, keys
     # differ by name): equi-join on nation bounds candidates, JW UDF runs
     # on candidates only, filter on the ROUNDED similarity on both engines.
-    joined = customer.join(F.broadcast(supplier), F.col("c_nationkey") == F.col("s_nationkey"), "inner")
+    # Customer is spread to full parallelism first so the Python UDF stage
+    # is not serialized onto the single input split of a small scan.
+    from pmp_analytics_spark.operators.partitioning import ensure_parallelism
+
+    joined = ensure_parallelism(customer).join(
+        F.broadcast(supplier), F.col("c_nationkey") == F.col("s_nationkey"), "inner"
+    )
     sim = jw_similarity(F.col("c_code"), F.col("s_code"))
     return (
         joined.withColumn("similarity", F.round(sim, 6))
