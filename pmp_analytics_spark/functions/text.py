@@ -168,6 +168,20 @@ def quality_score(c: Column | str) -> Column:
     return F.round((length_component + punct_component + sw_component) / 3.0, 6)
 
 
+def ordinal_expr(n: Column) -> Column:
+    """'1st'/'2nd'/'3rd'/'Nth' label — replaces the reference's one scalar
+    Python UDF (mu_extras.py:140 ``map_elements(num_and_dt.ordinal)``) with
+    a pure CASE expression (whole-stage codegen, no Python)."""
+    s = n.cast("string")
+    return (
+        F.when((n % 100).isin(11, 12, 13), F.concat(s, F.lit("th")))
+        .when(n % 10 == 1, F.concat(s, F.lit("st")))
+        .when(n % 10 == 2, F.concat(s, F.lit("nd")))
+        .when(n % 10 == 3, F.concat(s, F.lit("rd")))
+        .otherwise(F.concat(s, F.lit("th")))
+    )
+
+
 def fingerprint(c: Column | str) -> Column:
     """Deterministic document fingerprint: md5 of the token-normalized
     text (casefolded, punctuation collapsed). Two documents differing only

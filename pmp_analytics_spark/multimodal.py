@@ -1,0 +1,125 @@
+"""Multimodal column handling (extension surface, north star).
+
+Media (image/audio/video) is modeled as an opaque ``binary`` payload
+column plus a typed metadata struct — the layout a 100 TB training-data
+pipeline uses (parquet binary columns with per-row metadata, processed by
+Arrow-batched Python since media codecs are not JVM-side).
+
+The Spark-side plumbing here is REAL and tested: payload schema, batch
+iteration shape (``mapInPandas`` — one Arrow batch in, one out, never a
+per-row Python hop), partitioning (``ensure_parallelism`` before the
+Python stage), and deterministic byte-level features. The actual codec
+calls are STUBS: ``decode_image``/``decode_audio`` raise
+``NotImplementedError`` (pillow/ffmpeg are not in this container), and
+``fake_frame_sample`` is the deterministic stand-in used by tests.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from pmp_analytics_spark.operators.partitioning import ensure_parallelism
+
+PAYLOAD_META_SCHEMA = StructType(
+    [
+        StructField("content_type", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_bytes", LongType()),
+    ]
+)
+
+FEATURES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_bytes", LongType()),
+        StructField("payload_md5", StringType()),
+        StructField("header_hex", StringType()),
+        StructField("content_type", StringType()),
+    ]
+)
+
+
+def attach_payload(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Attach a deterministic fake media payload + metadata to each doc.
+
+    Stands in for reading real media blobs (``spark.read.format
+    ('binaryFile')`` or a parquet binary column at deployment): payload =
+    utf-8 bytes of the text, metadata derived from byte length. Everything
+    downstream (batching, feature extraction, dedup on payload hash) is
+    the real pipeline.
+    """
+    n = F.octet_length(F.col(text_col)).cast("long")
+    return docs.select(
+        F.col(id_col),
+        F.encode(F.col(text_col), "UTF-8").alias("payload"),
+        F.struct(
+            F.when(F.col(id_col) % 2 == 0, F.lit("image/fake")).otherwise(F.lit("audio/fake")).alias(
+                "content_type"
+            ),
+            (n % 640).cast("int").alias("width"),
+            (n % 480).cast("int").alias("height"),
+            n.alias("n_bytes"),
+        ).alias("meta"),
+    )
+
+
+def decode_image(payload: bytes) -> object:
+    """Decode an image payload to pixels. STUB — media codecs are not
+    available in this environment; wire pillow/torchvision here at
+    deployment."""
+    raise NotImplementedError("image decoding requires pillow; not available in this environment")
+
+
+def decode_audio(payload: bytes) -> object:
+    """Decode an audio payload to samples. STUB — see decode_image."""
+    raise NotImplementedError("audio decoding requires ffmpeg; not available in this environment")
+
+
+def fake_frame_sample(payload: bytes, n_frames: int = 4) -> list[bytes]:
+    """Deterministic stand-in for video frame sampling: n_frames equal
+    byte-range slices of the payload (replace with real decoder output at
+    deployment; keeps the downstream per-frame pipeline testable)."""
+    if not payload:
+        return []
+    step = max(1, len(payload) // n_frames)
+    return [payload[i * step : (i + 1) * step] for i in range(n_frames)]
+
+
+def extract_payload_features(with_payload: DataFrame) -> DataFrame:
+    """Byte-level features via ``mapInPandas`` — the real batch shape for
+    media feature extraction (decode would slot into the same loop).
+
+    Arrow hands each partition as an iterator of pandas batches; we emit
+    one output batch per input batch — constant memory per task, no
+    per-row Python calls, and the output schema is fixed/typed so the
+    optimizer can prune downstream.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = pdf["payload"]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": payloads.map(len).astype("int64"),
+                    "payload_md5": payloads.map(lambda b: hashlib.md5(b).hexdigest()),
+                    "header_hex": payloads.map(lambda b: b[:8].hex()),
+                    "content_type": pdf["meta"].map(lambda m: m["content_type"]),
+                }
+            )
+
+    return ensure_parallelism(with_payload).mapInPandas(batches, FEATURES_SCHEMA)

@@ -23,8 +23,32 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from pmp_analytics_spark.functions.text import char_shingles, fingerprint, minhash_signature
+from pmp_analytics_spark.functions.text import char_shingles, fingerprint, minhash_signature, simhash64
 from pmp_analytics_spark.operators.partitioning import ensure_parallelism
+
+
+def _bucket_pairs(keyed: DataFrame, id_col: str, key_cols: list[str], max_bucket: int | None = None) -> DataFrame:
+    """Distinct (id_a, id_b) pairs of ids sharing a bucket key: groupBy the
+    key, expand in-bucket pairs with array HOFs (sorted → id_a < id_b).
+    One shuffle, never a corpus×corpus self-join (which would evaluate the
+    upstream subtree once per join branch)."""
+    buckets = (
+        keyed.groupBy(*key_cols)
+        .agg(F.sort_array(F.collect_set(id_col)).alias("__ids"))
+        .where(F.size("__ids") >= 2)
+    )
+    if max_bucket is not None:
+        buckets = buckets.where(F.size("__ids") <= max_bucket)
+    pairs = F.flatten(
+        F.transform(
+            "__ids",
+            lambda x, i: F.transform(
+                F.slice("__ids", i + 2, F.size("__ids")),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+    return buckets.select(F.explode(pairs).alias("p")).select("p.id_a", "p.id_b").distinct()
 
 
 def dedup_exact(df: DataFrame, subset: list[str] | None = None) -> DataFrame:
@@ -123,28 +147,58 @@ def lsh_candidates_from_shingles(
             )
         ).alias("band"),
     ).select(id_col, "band.band_id", "band.band_key")
-    buckets = (
-        banded.groupBy("band_id", "band_key")
-        .agg(F.sort_array(F.collect_set(id_col)).alias("__ids"))
-        .where(F.size("__ids") >= 2)
-    )
-    if max_bucket is not None:
-        buckets = buckets.where(F.size("__ids") <= max_bucket)
-    # In-bucket pair expansion with array HOFs: for each id at index i,
-    # pair it with every id after it (sorted → id_a < id_b for free).
-    pairs = F.flatten(
-        F.transform(
-            "__ids",
-            lambda x, i: F.transform(
-                F.slice("__ids", i + 2, F.size("__ids")),
-                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
-            ),
-        )
-    )
+    return _bucket_pairs(banded, id_col, ["band_id", "band_key"], max_bucket)
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_k: int = 4,
+    max_hamming: int = 6,
+    bands: int = 4,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """SimHash near-duplicate pairs: 64-bit signature → Hamming-LSH banding
+    (``bands`` equal bit-slices as bucket keys) → exact Hamming verify
+    (``bit_count(xor) <= max_hamming``).
+
+    Candidate recall is < 1 by design: ``max_hamming`` differing bits can
+    touch every band (pigeonhole guarantees a clean band only when
+    max_hamming < bands) — the standard SimHash-dedup trade; raise
+    ``bands`` for stronger recall at more shuffle volume. Signatures are
+    computed once, cached, and re-joined for the verify (two hash joins on
+    the tiny candidate set, never corpus-wide).
+    """
+    bits_per_band = 64 // bands
+    sigs = ensure_parallelism(
+        df.select(F.col(id_col), simhash64(text_col, shingle_k).alias("__sim"))
+    ).cache()
+    banded = sigs.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.shiftright("__sim", b * bits_per_band)
+                        .bitwiseAND(F.lit((1 << bits_per_band) - 1))
+                        .alias("band_key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select(id_col, "band.band_id", "band.band_key")
+    cand = _bucket_pairs(banded, id_col, ["band_id", "band_key"], max_bucket)
+    a = sigs.select(F.col(id_col).alias("id_a"), F.col("__sim").alias("__sim_a"))
+    b = sigs.select(F.col(id_col).alias("id_b"), F.col("__sim").alias("__sim_b"))
     return (
-        buckets.select(F.explode(pairs).alias("p"))
-        .select("p.id_a", "p.id_b")
-        .distinct()
+        cand.join(a, on="id_a")
+        .join(b, on="id_b")
+        .withColumn("hamming", F.bit_count(F.col("__sim_a").bitwiseXOR(F.col("__sim_b"))))
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
     )
 
 

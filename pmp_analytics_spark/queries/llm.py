@@ -329,3 +329,108 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("x"), 6).alias("min_component"),
         F.round(F.max("x"), 6).alias("max_component"),
     )
+
+
+# --------------------------------------------------------------------------
+# Q: embedding_neardup_exact — embedding-cosine near-duplicate pairs, exact
+# baseline on a bounded slice (vec_id < 1000 both sides). Vectors are
+# L2-normalized ONCE in a projection, so the pair stage is a plain dot
+# product. The unbounded scale path is embedding_lsh_topk (sign-LSH).
+# --------------------------------------------------------------------------
+_NEARDUP_COS_T = 0.4
+_NEARDUP_MAX_ID = 1000
+
+
+@query(
+    "embedding_neardup_exact",
+    f"""
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        WHERE vec_id < {_NEARDUP_MAX_ID}
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(LIST_COSINE_SIMILARITY(a.v, b.v), 6) AS cosine_sim
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE ROUND(LIST_COSINE_SIMILARITY(a.v, b.v), 6) >= {_NEARDUP_COS_T}
+    """,
+)
+def embedding_neardup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pmp_analytics_spark.operators.partitioning import ensure_parallelism
+    from pmp_analytics_spark.operators.similarity_search import dot, l2_norm
+
+    emb = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < _NEARDUP_MAX_ID)
+    unit = ensure_parallelism(
+        emb.select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double") / l2_norm(F.col("embedding"))).alias("v"),
+        )
+    )
+    # NOTE the normalized-vector trap: dividing inside transform re-derives
+    # the norm per component; let Catalyst CSE handle it or it is O(d^2).
+    # Measured: fine at d=64; for large d precompute the norm column.
+    a = unit.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
+    b = unit.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+    pairs = a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.withColumn("cosine_sim", F.round(dot(F.col("va"), F.col("vb")), 6))
+        .where(F.col("cosine_sim") >= _NEARDUP_COS_T)
+        .select("id_a", "id_b", "cosine_sim")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q: embedding_lsh_topk — approximate top-k via sign-LSH bucketing (the
+# 100 TB scale path: bucket-pruned scan instead of full corpus per query).
+# xxhash-free and deterministic, but the hyperplane arithmetic is not
+# reproduced in SQL → rows-only driver check; recall vs the exact baseline
+# is asserted in tests/test_operators.py.
+# --------------------------------------------------------------------------
+@query("embedding_lsh_topk")
+def embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pmp_analytics_spark.operators.similarity_search import lsh_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.where(F.col("vec_id") < _NQ).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = lsh_topk(emb, queries_df, dim=64, k=_TOPK, n_planes=6)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+# --------------------------------------------------------------------------
+# Q: docs_simhash_pairs — SimHash near-dup candidates: 64-bit signature,
+# banded into 4×16-bit keys (Hamming-LSH), verified with exact Hamming
+# distance <= 6. xxhash64 has no DuckDB equivalent → rows-only driver
+# check; the signature math is unit-tested (tests/test_text.py).
+# --------------------------------------------------------------------------
+@query("docs_simhash_pairs")
+def docs_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pmp_analytics_spark.operators.dedup import simhash_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_pairs(docs, text_col="text", id_col="doc_id", max_hamming=6)
+
+
+# --------------------------------------------------------------------------
+# Q: docs_payload_features — multimodal plumbing end-to-end: binary payload
+# column + metadata struct → mapInPandas byte-feature extraction (the batch
+# shape real media decode plugs into; decode itself is stubbed — no codecs
+# in this environment). Features are deterministic byte math, so the whole
+# Arrow round-trip is oracle-checked in SQL.
+# --------------------------------------------------------------------------
+@query(
+    "docs_payload_features",
+    """
+    SELECT doc_id,
+           OCTET_LENGTH(ENCODE(text)) AS n_bytes,
+           MD5(text) AS payload_md5,
+           LOWER(SUBSTRING(HEX(ENCODE(text)), 1, 16)) AS header_hex,
+           CASE WHEN doc_id % 2 = 0 THEN 'image/fake' ELSE 'audio/fake' END AS content_type
+    FROM documents
+    """,
+)
+def docs_payload_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pmp_analytics_spark.multimodal import attach_payload, extract_payload_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    return extract_payload_features(attach_payload(docs))

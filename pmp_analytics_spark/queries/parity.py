@@ -809,3 +809,244 @@ def fuzzy_supplier_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("similarity") >= 0.88)
         .select("c_custkey", "s_suppkey", "similarity")
     )
+
+
+# --------------------------------------------------------------------------
+# Q: surrogate_key_match — surrogate-code match join (J8, mm1.py:16,67-69:
+# join on constructed key last3(lastname)+last4(license)). Key assembled
+# with normalize.surrogate_key (clean + negative-offset substring + concat).
+# --------------------------------------------------------------------------
+@query(
+    "surrogate_key_match",
+    """
+    WITH l AS (
+        SELECT c_custkey,
+               RIGHT(UPPER(TRIM(c_name)), 3) || RIGHT(LPAD(CAST(c_custkey AS VARCHAR), 4, '0'), 4) AS sk
+        FROM customer
+    ), r AS (
+        SELECT s_suppkey,
+               RIGHT(UPPER(TRIM(s_name)), 3) || RIGHT(LPAD(CAST(s_suppkey AS VARCHAR), 4, '0'), 4) AS sk
+        FROM supplier
+    )
+    SELECT l.c_custkey, r.s_suppkey, l.sk AS surrogate
+    FROM l JOIN r ON l.sk = r.sk
+    """,
+)
+def surrogate_key_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pmp_analytics_spark.functions.normalize import surrogate_key, zfill
+
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", surrogate_key("c_name", zfill(F.col("c_custkey").cast("string"), 4)).alias("sk")
+    )
+    supplier = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", surrogate_key("s_name", zfill(F.col("s_suppkey").cast("string"), 4)).alias("sk")
+    )
+    return (
+        customer.join(F.broadcast(supplier), on="sk", how="inner")
+        .select("c_custkey", "s_suppkey", F.col("sk").alias("surrogate"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Q: two_stage_customer_match — exact-then-fallback matcher (J9,
+# unreg_presc.py:278-296): exact-key join; anti-join leftovers re-matched on
+# a cleaned fallback key with an extra filter; union of both stages.
+# --------------------------------------------------------------------------
+@query(
+    "two_stage_customer_match",
+    """
+    WITH l AS (
+        SELECT c_custkey, c_nationkey, c_acctbal,
+               CAST(c_custkey AS VARCHAR) AS match_key
+        FROM customer
+    ), r AS (
+        SELECT s_suppkey, s_nationkey, s_acctbal,
+               CAST(s_suppkey AS VARCHAR) AS match_key
+        FROM supplier
+    ), exact AS (
+        SELECT l.c_custkey, r.s_suppkey, 'exact' AS stage
+        FROM l JOIN r USING (match_key)
+    ), leftovers AS (
+        SELECT l.* FROM l ANTI JOIN (SELECT DISTINCT match_key FROM r) rk USING (match_key)
+    ), fallback AS (
+        SELECT lo.c_custkey, r.s_suppkey, 'fallback' AS stage
+        FROM leftovers lo JOIN r ON lo.c_nationkey = r.s_nationkey
+        WHERE lo.c_acctbal > r.s_acctbal
+    )
+    SELECT * FROM exact UNION ALL SELECT * FROM fallback
+    """,
+)
+def two_stage_customer_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pmp_analytics_spark.operators.joins import two_stage_match
+
+    left = load_table(spark, sf_dir, "customer").withColumn(
+        "match_key", F.col("c_custkey").cast("string")
+    )
+    right = load_table(spark, sf_dir, "supplier").withColumn(
+        "match_key", F.col("s_suppkey").cast("string")
+    )
+    exact = left.join(right, on="match_key", how="inner").select(
+        "c_custkey", "s_suppkey", F.lit("exact").alias("stage")
+    )
+    leftovers = left.join(right.select("match_key").distinct(), on="match_key", how="left_anti")
+    fallback = (
+        leftovers.join(F.broadcast(right), leftovers["c_nationkey"] == right["s_nationkey"], "inner")
+        .where(F.col("c_acctbal") > F.col("s_acctbal"))
+        .select("c_custkey", "s_suppkey", F.lit("fallback").alias("stage"))
+    )
+    return exact.unionByName(fallback)
+
+
+# --------------------------------------------------------------------------
+# Q: supplier_balance_profile — describe()/summary stats (A9, techs.py:56-57)
+# as explicit aggregates: exact interpolated percentiles (Spark `percentile`
+# == DuckDB `quantile_cont`), sample stddev on both engines.
+# --------------------------------------------------------------------------
+@query(
+    "supplier_balance_profile",
+    """
+    SELECT COUNT(s_acctbal)                          AS n,
+           ROUND(AVG(s_acctbal), 4)                  AS mean,
+           ROUND(STDDEV_SAMP(s_acctbal), 4)          AS stddev,
+           ROUND(MIN(s_acctbal), 2)                  AS min,
+           ROUND(QUANTILE_CONT(s_acctbal, 0.25), 4)  AS q25,
+           ROUND(QUANTILE_CONT(s_acctbal, 0.50), 4)  AS median,
+           ROUND(QUANTILE_CONT(s_acctbal, 0.75), 4)  AS q75,
+           ROUND(MAX(s_acctbal), 2)                  AS max
+    FROM supplier
+    """,
+)
+def supplier_balance_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supplier = load_table(spark, sf_dir, "supplier")
+    c = F.col("s_acctbal")
+    return supplier.agg(
+        F.count(c).alias("n"),
+        F.round(F.avg(c), 4).alias("mean"),
+        F.round(F.stddev_samp(c), 4).alias("stddev"),
+        F.round(F.min(c), 2).alias("min"),
+        F.round(F.percentile(c, F.lit(0.25)), 4).alias("q25"),
+        F.round(F.percentile(c, F.lit(0.50)), 4).alias("median"),
+        F.round(F.percentile(c, F.lit(0.75)), 4).alias("q75"),
+        F.round(F.max(c), 2).alias("max"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Q: segment_parts_exploded — explode_outer semantics (§2.9: Polars explode
+# keeps null/empty-list rows as a null row; Spark needs explode_outer) +
+# the ordinal CASE that replaces the reference's one scalar UDF (X1,
+# mu_extras.py:140 num_and_dt.ordinal — pure SQL beats a UDF).
+# --------------------------------------------------------------------------
+@query(
+    "segment_parts_exploded",
+    """
+    WITH base AS (
+        SELECT c_custkey,
+               STRING_SPLIT(NULLIF(c_mktsegment, ''), 'I') AS parts
+        FROM customer
+    ), exploded AS (
+        SELECT c_custkey,
+               UNNEST(CASE WHEN parts IS NULL OR LEN(parts) = 0
+                           THEN [NULL] ELSE parts END) AS part
+        FROM base
+    ), numbered AS (
+        SELECT c_custkey, part,
+               ROW_NUMBER() OVER (PARTITION BY c_custkey ORDER BY part NULLS FIRST) AS pos
+        FROM exploded
+    )
+    SELECT c_custkey, part,
+           CAST(pos AS INT) AS pos,
+           CASE WHEN pos % 100 IN (11, 12, 13) THEN CAST(pos AS VARCHAR) || 'th'
+                WHEN pos % 10 = 1 THEN CAST(pos AS VARCHAR) || 'st'
+                WHEN pos % 10 = 2 THEN CAST(pos AS VARCHAR) || 'nd'
+                WHEN pos % 10 = 3 THEN CAST(pos AS VARCHAR) || 'rd'
+                ELSE CAST(pos AS VARCHAR) || 'th' END AS pos_ordinal
+    FROM numbered
+    """,
+)
+def segment_parts_exploded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pmp_analytics_spark.functions.text import ordinal_expr
+
+    customer = load_table(spark, sf_dir, "customer")
+    exploded = customer.select(
+        "c_custkey",
+        F.explode_outer(F.split(F.nullif("c_mktsegment", F.lit("")), "I")).alias("part"),
+    )
+    w = Window.partitionBy("c_custkey").orderBy(F.asc_nulls_first("part"))
+    return exploded.withColumn("pos", F.row_number().over(w).cast("int")).withColumn(
+        "pos_ordinal", ordinal_expr(F.col("pos"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Q: revenue_rollup — multi-level aggregation via ROLLUP (extension beyond
+# the reference, which hand-computes each level; GROUP BY ROLLUP is the
+# scale-correct form — one pass, partial aggregation at every level).
+# --------------------------------------------------------------------------
+@query(
+    "revenue_rollup",
+    """
+    SELECT COALESCE(r_name, 'ALL') AS region_name,
+           COALESCE(n_name, 'ALL') AS nation_name,
+           ROUND(SUM(o_totalprice), 2) AS revenue,
+           COUNT(*) AS n_orders
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+)
+def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    joined = (
+        orders.join(F.broadcast(customer), orders["o_custkey"] == customer["c_custkey"])
+        .join(F.broadcast(nation), customer["c_nationkey"] == nation["n_nationkey"])
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"), F.count(F.lit(1)).alias("n_orders"))
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("region_name"),
+            F.coalesce("n_name", F.lit("ALL")).alias("nation_name"),
+            "revenue",
+            "n_orders",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q: scorecard_summary — horizontal concat of single-row aggregates (J6,
+# scorecard.py:70 pl.concat(how='horizontal') of 1-row frames): each metric
+# computed independently, zipped side-by-side via broadcast crossJoin.
+# --------------------------------------------------------------------------
+@query(
+    "scorecard_summary",
+    """
+    SELECT (SELECT COUNT(*) FROM customer)                                  AS n_customers,
+           (SELECT COUNT(*) FROM orders)                                    AS n_orders,
+           (SELECT ROUND(SUM(o_totalprice), 2) FROM orders)                 AS total_revenue,
+           (SELECT ROUND(COUNT(*) * 1.0 / (SELECT COUNT(*) FROM customer), 6)
+            FROM (SELECT DISTINCT o_custkey FROM orders))                   AS active_customer_rate
+    """,
+)
+def scorecard_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    a = customer.agg(F.count(F.lit(1)).alias("n_customers"))
+    b = orders.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_revenue"),
+    )
+    c = orders.select("o_custkey").distinct().agg(F.count(F.lit(1)).alias("__active"))
+    out = a.crossJoin(F.broadcast(b)).crossJoin(F.broadcast(c))
+    return out.select(
+        "n_customers",
+        "n_orders",
+        "total_revenue",
+        F.round(F.col("__active") / F.col("n_customers"), 6).alias("active_customer_rate"),
+    )

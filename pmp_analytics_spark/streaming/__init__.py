@@ -1,0 +1,13 @@
+from pmp_analytics_spark.streaming.sessions import (
+    read_event_stream,
+    run_to_memory,
+    streaming_event_type_counts,
+    streaming_sessions,
+)
+
+__all__ = [
+    "read_event_stream",
+    "run_to_memory",
+    "streaming_event_type_counts",
+    "streaming_sessions",
+]

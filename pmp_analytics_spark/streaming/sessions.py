@@ -1,0 +1,113 @@
+"""Structured Streaming over the events table (extension surface).
+
+The reference has NO streaming operators (SURVEY.md §2.10 — its cadence is
+cron-batch); this module is the engine's incremental path: the same
+windowed/sessionized aggregations as the batch operators, expressed as a
+streaming plan so they run identically over a file stream (micro-batch
+backfill via ``availableNow``) or a live source (Kafka/socket at
+deployment — swapping the source does not change the plan).
+
+Correctness strategy: streaming results are asserted equal to the batch
+equivalents (``operators.sessionize`` / tumbling ``F.window``) in
+tests/test_streaming.py — the strongest check available, since a DuckDB
+oracle cannot run a streaming plan.
+
+Scale notes: the event-time windowed aggregations carry watermarks so
+state is bounded at a real deployment's scale (late rows beyond the
+watermark are dropped instead of growing state forever); session windows
+use ``session_window`` — Spark merges overlapping session state per key,
+one shuffle on (user, window).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# The parquet writes ts as TIMESTAMP(NANOS) which Spark's reader surfaces
+# as long under nanosAsLong (see sources.reader.load_table) — the stream
+# schema mirrors that and converts to a µs timestamp in the plan.
+EVENTS_STREAM_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events parquet (one file = one
+    micro-batch under ``availableNow``; a directory of hourly drops would
+    stream file-by-file — the deployment shape for incremental backfill).
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def streaming_event_type_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Tumbling-window per-type counts with a watermark bounding state."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 4).alias("value_sum"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "value_sum",
+        )
+    )
+
+
+def streaming_sessions(
+    events: DataFrame,
+    gap_seconds: int = 1800,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Per-user session windows — the streaming form of
+    ``operators.sessionize.sessionize_native`` (same results by
+    construction; asserted in tests)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id", F.session_window(F.col("ts"), f"{gap_seconds} seconds").alias("w"))
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .drop("w")
+    )
+
+
+def run_to_memory(sdf: DataFrame, name: str, output_mode: str = "complete") -> None:
+    """Drain the stream into an in-memory table via one availableNow pass
+    (backfill semantics: process everything currently in the source, then
+    stop). Query results land in ``spark.table(name)``."""
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

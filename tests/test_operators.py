@@ -201,3 +201,21 @@ def test_lsh_topk_self_hit(spark):
     assert out, "query vector must collide with its own bucket"
     best = min(out, key=lambda r: r["rank"])
     assert best["vec_id"] == 5 and abs(best["cosine_sim"] - 1.0) < 1e-6
+
+
+def test_simhash_pairs(spark):
+    from pmp_analytics_spark.operators.dedup import simhash_pairs
+
+    base = "the quick brown fox jumps over the lazy dog and keeps on running far away from home"
+    df = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base.replace("dog", "dig")),
+            (3, "completely unrelated words about catalyst optimizer internals and shuffle plans"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in simhash_pairs(df, "text", "doc_id", max_hamming=10).collect()}
+    assert (1, 2) in got
+    assert got[(1, 2)] <= 10
+    assert (1, 3) not in got and (2, 3) not in got
