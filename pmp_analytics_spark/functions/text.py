@@ -92,30 +92,40 @@ def minhash_signature(shingles: Column, num_hashes: int = 16) -> Column:
 def simhash64(c: Column | str, k: int = 4) -> Column:
     """64-bit SimHash over k-shingles using xxhash64 bit-voting.
 
-    Implemented with higher-order functions: for each of 64 bits, count
-    shingles whose hash has that bit set; bit is 1 when the count exceeds
-    half. Engine-specific hash (xxhash64) → validated by pytest, not the
-    DuckDB oracle (rows-only check).
+    Engine-specific hash (xxhash64) → validated by pytest, not the DuckDB
+    oracle (rows-only check). Single-pass vote: aggregate over the hash
+    array with a 64-wide accumulator (votes[b] += bit b of each hash),
+    then fold the majority bits into one long. An earlier formulation did
+    64 separate filter-and-count passes over the array — ~7× slower from
+    the per-bit array allocations. The Python DSL's shiftright/shiftleft
+    insist on an int shift amount; the underlying SQL expressions take any
+    expression, so they are called by name for the column-valued bit
+    index. The hash array is let-bound so it is hashed once, not once per
+    consumer.
     """
-    # The Python DSL's shiftright/shiftleft insist on an int shift amount;
-    # the underlying SQL expressions take any expression, so call them by
-    # name for the column-valued bit index inside the lambda. The hash
-    # array is let-bound: 64 bit-lambdas reference it, and an embedded
-    # expression would be re-hashed once per bit.
+
     def vote(hashes: Column) -> Column:
         n = F.size(hashes)
-        bits = F.transform(
-            F.sequence(F.lit(0), F.lit(63)),
-            lambda b: F.when(
-                F.size(
-                    F.filter(hashes, lambda h: F.call_function("shiftright", h, b).bitwiseAND(F.lit(1)) == 1)
-                )
-                * 2
-                > n,
-                F.call_function("shiftleft", F.lit(1).cast("long"), b),
-            ).otherwise(F.lit(0).cast("long")),
+        votes = F.aggregate(
+            hashes,
+            F.array_repeat(F.lit(0).cast("long"), 64),
+            lambda acc, h: F.zip_with(
+                acc,
+                F.sequence(F.lit(0), F.lit(63)),
+                lambda a, b: a + F.call_function("shiftright", h, b).bitwiseAND(F.lit(1)),
+            ),
         )
-        return F.aggregate(bits, F.lit(0).cast("long"), lambda acc, x: acc.bitwiseOR(x))
+        return F.aggregate(
+            F.zip_with(
+                votes,
+                F.sequence(F.lit(0), F.lit(63)),
+                lambda v, b: F.when(
+                    v * 2 > n, F.call_function("shiftleft", F.lit(1).cast("long"), b)
+                ).otherwise(F.lit(0).cast("long")),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc.bitwiseOR(x),
+        )
 
     return _let(F.transform(char_shingles(c, k), lambda s: F.xxhash64(s)), vote)
 

@@ -23,7 +23,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from pmp_analytics_spark.functions.text import char_shingles, fingerprint, minhash_signature, simhash64
+from pmp_analytics_spark.functions.text import (
+    char_shingles,
+    fingerprint,
+    minhash_signature,
+    simhash64,
+)
 from pmp_analytics_spark.operators.partitioning import ensure_parallelism
 
 
@@ -113,10 +118,17 @@ def shingle_frame(df: DataFrame, text_col: str, id_col: str, shingle_k: int = 5)
     """(id, __sh) frame of k-shingle arrays, spread to full parallelism —
     the shared CPU-heavy base of the LSH and verify stages. Callers that
     consume it more than once should ``.cache()`` it (shingle construction
-    dominates the near-dup pipeline's cost; see ngram_jaccard_dedup)."""
-    return ensure_parallelism(
-        df.select(F.col(id_col), char_shingles(text_col, shingle_k).alias("__sh"))
-    ).where(F.size("__sh") > 0)
+    dominates the near-dup pipeline's cost; see ngram_jaccard_dedup).
+
+    Order matters: repartition the (narrow) input FIRST, then project the
+    shingles. ``repartition`` applied on top of the projection would put
+    the expensive compute on the shuffle's MAP side — i.e. still on the
+    single input split it was meant to escape."""
+    return (
+        ensure_parallelism(df.select(F.col(id_col), F.col(text_col)))
+        .select(F.col(id_col), char_shingles(text_col, shingle_k).alias("__sh"))
+        .where(F.size("__sh") > 0)
+    )
 
 
 def lsh_candidates_from_shingles(
@@ -171,9 +183,12 @@ def simhash_pairs(
     the tiny candidate set, never corpus-wide).
     """
     bits_per_band = 64 // bands
-    sigs = ensure_parallelism(
-        df.select(F.col(id_col), simhash64(text_col, shingle_k).alias("__sim"))
-    ).cache()
+    # Repartition BEFORE the signature projection (see shingle_frame).
+    sigs = (
+        ensure_parallelism(df.select(F.col(id_col), F.col(text_col)))
+        .select(F.col(id_col), simhash64(text_col, shingle_k).alias("__sim"))
+        .cache()
+    )
     banded = sigs.select(
         F.col(id_col),
         F.explode(

@@ -359,11 +359,11 @@ def embedding_neardup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pmp_analytics_spark.operators.similarity_search import dot, l2_norm
 
     emb = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < _NEARDUP_MAX_ID)
-    unit = ensure_parallelism(
-        emb.select(
-            "vec_id",
-            F.transform("embedding", lambda x: x.cast("double") / l2_norm(F.col("embedding"))).alias("v"),
-        )
+    # Repartition the raw vectors BEFORE normalizing — a repartition on top
+    # of the projection would run the transform on the single input split.
+    unit = ensure_parallelism(emb.select("vec_id", "embedding")).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double") / l2_norm(F.col("embedding"))).alias("v"),
     )
     # NOTE the normalized-vector trap: dividing inside transform re-derives
     # the norm per component; let Catalyst CSE handle it or it is O(d^2).
