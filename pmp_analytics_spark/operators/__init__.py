@@ -2,6 +2,7 @@ from pmp_analytics_spark.operators import (
     agg,
     dedup,
     joins,
+    partitioning,
     sample,
     sessionize,
     setops,
@@ -12,6 +13,7 @@ __all__ = [
     "agg",
     "dedup",
     "joins",
+    "partitioning",
     "sample",
     "sessionize",
     "setops",

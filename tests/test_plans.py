@@ -1,0 +1,72 @@
+"""Plan-quality gates: the physical plans stay the plans we designed.
+
+A silent plan regression (broadcast → sort-merge, lost pushdown, a
+cartesian product sneaking into a join rewrite) is a 100 TB incident that
+looks fine at test scale — so the expected plan shape is asserted here.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pmp_analytics_spark.plans import (
+    assert_no_cartesian_product,
+    count_exchanges,
+    has_broadcast_hash_join,
+    has_pushed_filters,
+    has_take_ordered,
+)
+from pmp_analytics_spark.plans.audit import scan_read_schema
+from pmp_analytics_spark.queries import all_queries
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def queries():
+    return all_queries()
+
+
+def test_delinquency_notices_broadcasts_dims(spark, queries):
+    df = queries["delinquency_notices"](spark, SF)
+    assert has_broadcast_hash_join(df)
+    assert_no_cartesian_product(df)
+
+
+def test_pricing_summary_pushdown_and_pruning(spark, queries):
+    df = queries["pricing_summary"](spark, SF)
+    assert has_pushed_filters(df)  # shipdate filter reaches the scan
+    read = set(scan_read_schema(df))
+    # column pruning: the 11-column lineitem scan reads only what Q1 needs
+    assert "l_orderkey" not in read and "l_partkey" not in read
+    assert {"l_quantity", "l_extendedprice", "l_discount", "l_tax"} <= read
+
+
+def test_top_customers_uses_heap_topk(spark, queries):
+    df = queries["top_customers_by_spend"](spark, SF)
+    assert has_take_ordered(df)  # orderBy+limit -> per-partition heaps
+
+
+def test_semi_join_membership_is_broadcast(spark, queries):
+    df = queries["high_volume_suppliers"](spark, SF)
+    assert has_broadcast_hash_join(df)
+
+
+def test_fuzzy_join_is_not_cartesian(spark, queries):
+    df = queries["fuzzy_supplier_match"](spark, SF)
+    assert_no_cartesian_product(df)
+    assert has_broadcast_hash_join(df)
+
+
+def test_neardup_pipeline_shuffle_budget(spark, queries):
+    # LSH candidates + verify: band groupBy, pair distinct, id semi-join,
+    # two pair joins + final dedupe — bounded small number of exchanges,
+    # and critically no corpus×corpus join.
+    df = queries["docs_neardup_pairs"](spark, SF)
+    assert_no_cartesian_product(df)
+    assert count_exchanges(df) <= 8
+
+
+def test_exact_dedup_single_shuffle(spark, queries):
+    df = queries["docs_exact_dedup"](spark, SF)
+    assert count_exchanges(df) <= 1  # one shuffle on the fingerprint
