@@ -178,6 +178,34 @@ def quality_score(c: Column | str) -> Column:
     return F.round((length_component + punct_component + sw_component) / 3.0, 6)
 
 
+def winnow_fingerprints(c: Column | str, k: int = 5, window: int = 4) -> Column:
+    """Winnowing document fingerprints (the MOSS rolling-hash scheme):
+    hash every k-gram, slide a ``window`` over the hash sequence, keep
+    each window's minimum, dedupe. Guarantees any shared substring of
+    length >= k + window - 1 contributes a shared fingerprint — the
+    local-sampling property plain min-hash lacks.
+
+    All JVM HOFs (md5 as the engine-independent hash family; the hash
+    array is let-bound so it is computed once, not once per window).
+    """
+
+    def build(hashes: Column) -> Column:
+        n_windows = F.size(hashes) - (window - 1)
+        return F.when(
+            n_windows >= 1,
+            F.array_sort(
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(1), n_windows),
+                        lambda i: F.array_min(F.slice(hashes, i, window)),
+                    )
+                )
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    return _let(F.transform(char_shingles(c, k), lambda s: F.md5(s)), build)
+
+
 def ordinal_expr(n: Column) -> Column:
     """'1st'/'2nd'/'3rd'/'Nth' label — replaces the reference's one scalar
     Python UDF (mu_extras.py:140 ``map_elements(num_and_dt.ordinal)``) with

@@ -434,3 +434,89 @@ def docs_payload_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return extract_payload_features(attach_payload(docs))
+
+
+# --------------------------------------------------------------------------
+# Q: docs_winnowing — rolling-hash (winnowing/MOSS) document fingerprints:
+# md5 every k-gram, slide a window over the hash sequence, keep per-window
+# minima, dedupe. Local-sampling guarantee: any shared substring of length
+# >= k+window-1 yields a shared fingerprint. Exploded to (doc_id, fp) rows
+# and fully oracle-checked (md5 is engine-independent).
+# --------------------------------------------------------------------------
+_WINNOW_K = 5
+_WINNOW_W = 4
+
+
+@query(
+    "docs_winnowing",
+    f"""
+    WITH sh AS (
+        SELECT doc_id, {_DUCK_SHINGLES} AS sh FROM documents WHERE LENGTH(text) >= {_WINNOW_K}
+    ), h AS (
+        SELECT doc_id, LIST_TRANSFORM(sh, s -> MD5(s)) AS hs FROM sh
+    ), fps AS (
+        SELECT doc_id,
+               LIST_SORT(LIST_DISTINCT(LIST_TRANSFORM(
+                   GENERATE_SERIES(1, LEN(hs) - {_WINNOW_W - 1}),
+                   i -> LIST_MIN(hs[i:i+{_WINNOW_W - 1}])))) AS fps
+        FROM h WHERE LEN(hs) >= {_WINNOW_W}
+    )
+    SELECT doc_id, UNNEST(fps) AS fp FROM fps
+    """,
+)
+def docs_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pmp_analytics_spark.functions.text import winnow_fingerprints
+    from pmp_analytics_spark.operators.partitioning import ensure_parallelism
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    return docs.select(
+        "doc_id", F.explode(winnow_fingerprints("text", _WINNOW_K, _WINNOW_W)).alias("fp")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q: streaming_session_rollup — the Structured Streaming path as a declared
+# query: drain the events file stream through a session_window aggregation
+# (availableNow backfill into a memory sink) and hash-check the RESULT
+# against the batch gaps-and-islands SQL oracle. Streaming and batch
+# answers must be identical — that is the correctness contract for the
+# engine's incremental path.
+# --------------------------------------------------------------------------
+@query(
+    "streaming_session_rollup",
+    """
+    WITH flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                         OR EPOCH_US(ts) - EPOCH_US(LAG(ts) OVER w) > 1800000000
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), numbered AS (
+        SELECT user_id, ts,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS UNBOUNDED PRECEDING) AS session_seq
+        FROM flagged
+    )
+    SELECT user_id,
+           EPOCH_US(MIN(ts)) AS session_start_us,
+           EPOCH_US(MAX(ts)) AS session_end_us,
+           COUNT(*) AS n_events
+    FROM numbered
+    GROUP BY user_id, session_seq
+    """,
+)
+def streaming_session_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from pmp_analytics_spark.streaming import read_event_stream, run_to_memory, streaming_sessions
+
+    name = f"stream_sessions_{uuid.uuid4().hex[:12]}"
+    stream = read_event_stream(spark, sf_dir)
+    run_to_memory(streaming_sessions(stream, gap_seconds=1800), name)
+    return spark.table(name).select(
+        "user_id",
+        F.unix_micros("session_start").alias("session_start_us"),
+        F.unix_micros("session_end").alias("session_end_us"),
+        "n_events",
+    )

@@ -78,3 +78,27 @@ def test_langid(spark):
     rows = df.select("t", langid_guess("t").alias("lang")).collect()
     for r in rows:
         assert r["lang"] == cases[r["t"]], r["t"]
+
+
+def test_winnowing_shared_substring_guarantee(spark):
+    from pmp_analytics_spark.functions.text import winnow_fingerprints
+
+    # two docs sharing a long substring must share a fingerprint
+    # (guarantee window: k + w - 1 = 8 chars; shared run is much longer)
+    a = "AAAA the common shared middle section here BBBB"
+    b = "XXXX the common shared middle section here YYYY"
+    c = "totally different content with no overlap at all"
+    df = spark.createDataFrame([(1, a), (2, b), (3, c)], ["id", "t"])
+    rows = {r["id"]: set(r["fps"]) for r in df.select("id", winnow_fingerprints("t").alias("fps")).collect()}
+    assert rows[1] & rows[2], "shared substring must produce shared fingerprints"
+    assert not (rows[1] & rows[3])
+    # deterministic + sorted + distinct
+    again = {r["id"]: r["fps"] for r in df.select("id", winnow_fingerprints("t").alias("fps")).collect()}
+    assert sorted(set(again[1])) == again[1]
+
+
+def test_winnowing_short_doc_empty(spark):
+    from pmp_analytics_spark.functions.text import winnow_fingerprints
+
+    df = spark.createDataFrame([("ab",)], ["t"])
+    assert df.select(winnow_fingerprints("t").alias("f")).collect()[0]["f"] == []
