@@ -1050,3 +1050,126 @@ def scorecard_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total_revenue",
         F.round(F.col("__active") / F.col("n_customers"), 6).alias("active_customer_rate"),
     )
+
+
+# --------------------------------------------------------------------------
+# Q: registrant_hygiene_report — the §3.2 lifecycle shape (awarxe_cleanup
+# main: ONE materialized source fans out to independent check functions,
+# results unioned into a findings report). The base frame is cached so the
+# fan-out reads it once; each check is a named filter + projection with a
+# check_name literal; union by name.
+# --------------------------------------------------------------------------
+@query(
+    "registrant_hygiene_report",
+    """
+    WITH base AS (
+        SELECT c_custkey,
+               UPPER(TRIM(c_name)) AS name,
+               c_mktsegment,
+               c_acctbal,
+               'AB' || LPAD(CAST(c_custkey % 10000000 AS VARCHAR), 7, '0') AS dea_number
+        FROM customer
+    ), bad_checksum AS (
+        SELECT c_custkey, 'bad_dea_checksum' AS check_name FROM base
+        WHERE NOT (
+            ((CAST(SUBSTRING(dea_number, 3, 1) AS BIGINT)
+              + CAST(SUBSTRING(dea_number, 5, 1) AS BIGINT)
+              + CAST(SUBSTRING(dea_number, 7, 1) AS BIGINT))
+             + 2 * (CAST(SUBSTRING(dea_number, 4, 1) AS BIGINT)
+                    + CAST(SUBSTRING(dea_number, 6, 1) AS BIGINT)
+                    + CAST(SUBSTRING(dea_number, 8, 1) AS BIGINT))) % 10
+            = CAST(SUBSTRING(dea_number, 9, 1) AS BIGINT)
+        )
+    ), missing_segment AS (
+        SELECT c_custkey, 'missing_segment' AS check_name FROM base
+        WHERE c_mktsegment IS NULL OR c_mktsegment = ''
+    ), negative_balance AS (
+        SELECT c_custkey, 'negative_balance' AS check_name FROM base
+        WHERE c_acctbal < 0
+    )
+    SELECT * FROM bad_checksum
+    UNION ALL SELECT * FROM missing_segment
+    UNION ALL SELECT * FROM negative_balance
+    """,
+)
+def registrant_hygiene_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pmp_analytics_spark.functions.checksums import dea_is_valid
+    from pmp_analytics_spark.functions.normalize import null_or_empty, zfill
+    from pmp_analytics_spark.operators.setops import concat_by_name
+
+    base = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        clean_key("c_name").alias("name"),
+        "c_mktsegment",
+        "c_acctbal",
+        F.concat(F.lit("AB"), zfill((F.col("c_custkey") % 10000000).cast("string"), 7)).alias(
+            "dea_number"
+        ),
+    ).cache()  # one materialization feeds every check (awarxe_cleanup.py:337-347)
+    bad_checksum = base.where(~dea_is_valid("dea_number")).select(
+        "c_custkey", F.lit("bad_dea_checksum").alias("check_name")
+    )
+    missing_segment = base.where(null_or_empty("c_mktsegment")).select(
+        "c_custkey", F.lit("missing_segment").alias("check_name")
+    )
+    negative_balance = base.where(F.col("c_acctbal") < 0).select(
+        "c_custkey", F.lit("negative_balance").alias("check_name")
+    )
+    return concat_by_name(bad_checksum, missing_segment, negative_balance)
+
+
+# --------------------------------------------------------------------------
+# Q: activity_extract — the parameterized filtered-extract shape (S7,
+# activity_request.py:225-230: per-DEA Tableau reads with server-side
+# filters). Here the filter dict is ordinary .where() on the parquet scan
+# — Catalyst pushes supplier key + date range down to the reader
+# (asserted in tests/test_plans.py).
+# --------------------------------------------------------------------------
+_EXTRACT_SUPPKEY = 7
+_EXTRACT_START = "1995-01-01"
+_EXTRACT_END = "1997-12-31"
+
+
+@query(
+    "activity_extract",
+    f"""
+    SELECT l_orderkey AS order_id,
+           l_linenumber AS line_no,
+           CAST(l_shipdate AS DATE) AS ship_date,
+           l_quantity AS quantity,
+           l_extendedprice * (1 - l_discount) AS net_price,
+           l_returnflag AS return_flag
+    FROM lineitem
+    WHERE l_suppkey = {_EXTRACT_SUPPKEY}
+      AND CAST(l_shipdate AS DATE) BETWEEN DATE '{_EXTRACT_START}' AND DATE '{_EXTRACT_END}'
+    """,
+)
+def activity_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return activity_extract_for(spark, sf_dir, _EXTRACT_SUPPKEY, _EXTRACT_START, _EXTRACT_END)
+
+
+def activity_extract_for(
+    spark: SparkSession, sf_dir: str, suppkey: int, start: str, end: str
+) -> DataFrame:
+    """Parameterized extract: the caller supplies the key + date range
+    (the reference pulls them out of request PDFs, activity_request.py:
+    61-122 — parameter *sourcing* is driver-side either way; the engine
+    surface is the filtered scan + projection)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_suppkey") == suppkey)
+            & F.col("l_shipdate").cast("date").between(F.lit(start).cast("date"), F.lit(end).cast("date"))
+        )
+        .select(
+            F.col("l_orderkey").alias("order_id"),
+            F.col("l_linenumber").alias("line_no"),
+            F.col("l_shipdate").cast("date").alias("ship_date"),
+            F.col("l_quantity").alias("quantity"),
+            # no per-row ROUND: a round-half tie resolves differently in
+            # Spark (exact-decimal HALF_UP) vs DuckDB (scaled-double); the
+            # raw product is bit-identical across engines (same op order)
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("net_price"),
+            F.col("l_returnflag").alias("return_flag"),
+        )
+    )

@@ -70,3 +70,12 @@ def test_neardup_pipeline_shuffle_budget(spark, queries):
 def test_exact_dedup_single_shuffle(spark, queries):
     df = queries["docs_exact_dedup"](spark, SF)
     assert count_exchanges(df) <= 1  # one shuffle on the fingerprint
+
+
+def test_activity_extract_pushdown(spark, queries):
+    # the S7 "server-side filter" shape: suppkey + date range must reach
+    # the parquet scan as pushed filters, and pruning must drop unused cols
+    df = queries["activity_extract"](spark, SF)
+    assert has_pushed_filters(df)
+    read = set(scan_read_schema(df))
+    assert "l_partkey" not in read and "l_tax" not in read

@@ -27,3 +27,36 @@ def test_events_ts_is_timestamp(spark):
     df = load_table(spark, "/root/testdata/sf0.001", "events")
     assert df.schema["ts"].dataType.typeName() == "timestamp"
     assert df.limit(1).count() == 1
+
+
+def test_write_csv_single_roundtrip(spark):
+    import os
+    import tempfile
+
+    from pmp_analytics_spark.sources.writers import write_csv_single, write_pipe_delimited
+
+    df = spark.createDataFrame([(1, "a,b"), (2, "c|d")], ["k", "v"])
+    with tempfile.TemporaryDirectory() as d:
+        p = write_csv_single(df.orderBy("k"), os.path.join(d, "out.csv"))
+        content = open(p).read()
+        assert content.splitlines()[0] == "k,v"
+        assert '"a,b"' in content  # embedded separator quoted
+        p2 = write_pipe_delimited(df.orderBy("k"), os.path.join(d, "out.psv"))
+        lines = open(p2).read().splitlines()
+        assert lines[0] == "k|v"
+        assert any('"c|d"' in ln for ln in lines)
+
+
+def test_append_log(spark):
+    import tempfile
+
+    from pmp_analytics_spark.sources.writers import append_log
+
+    with tempfile.TemporaryDirectory() as d:
+        path = f"{d}/log"
+        a = spark.createDataFrame([(1, "x")], ["k", "v"])
+        b = spark.createDataFrame([(2, "y")], ["k", "v"])
+        append_log(a, path)
+        append_log(b, path)
+        got = {(r["k"], r["v"]) for r in spark.read.parquet(path).collect()}
+        assert got == {(1, "x"), (2, "y")}

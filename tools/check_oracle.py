@@ -62,6 +62,9 @@ def main() -> int:
 
     qs = ent.queries()
     oracles = ent.oracle_sql()
+    unknown = only - set(qs)
+    if unknown:
+        print(f"WARNING: unknown query names ignored: {sorted(unknown)}")
     spark = get_spark("oracle-check")
     con = duck_conn(sf_dir)
     failures = []
