@@ -219,3 +219,21 @@ def test_simhash_pairs(spark):
     assert (1, 2) in got
     assert got[(1, 2)] <= 10
     assert (1, 3) not in got and (2, 3) not in got
+
+
+def test_salted_agg_matches_plain(spark):
+    from pmp_analytics_spark.operators.partitioning import salted_agg
+
+    df = spark.createDataFrame(
+        [("hot", float(i)) for i in range(200)] + [("cold", 1.0), ("cold", 2.0)],
+        ["k", "x"],
+    )
+    out = salted_agg(
+        df,
+        group_by=["k"],
+        aggs={"n": (F.count, F.sum, F.lit(1)), "total": (F.sum, F.sum, "x")},
+        salt_buckets=8,
+    )
+    got = {r["k"]: (r["n"], r["total"]) for r in out.collect()}
+    assert got["hot"] == (200, float(sum(range(200))))
+    assert got["cold"] == (2, 3.0)

