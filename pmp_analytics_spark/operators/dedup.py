@@ -292,3 +292,82 @@ def ngram_jaccard_dedup(
     sh = shingle_frame(df, text_col, id_col, shingle_k).cache()
     cand = lsh_candidates_from_shingles(sh, id_col, num_hashes, bands).cache()
     return jaccard_pairs_from_shingles(cand, sh, id_col, threshold)
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Connected components over near-dup pairs → (id, component) where
+    component = min id reachable. Near-dup PAIRS are not dedup GROUPS:
+    A~B and B~C must collapse {A,B,C} to one canonical doc even when A~C
+    was never emitted — that closure is exactly connected components.
+
+    Iterative label propagation (the standard Spark formulation, no
+    GraphX dependency): every node starts labeled with itself; each round
+    every node takes the min label in its neighborhood; fixpoint in
+    O(diameter) rounds — near-dup clusters are tiny and dense, so 2-3
+    rounds in practice, bounded by ``max_iterations``. Each round is one
+    shuffle (groupBy node); labels are cached per round and lineage is
+    cut via localCheckpoint so the plan does not grow exponentially.
+    """
+    spark = pairs.sparkSession
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .cache()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges["dst"] == labels["id"])
+            .groupBy("src")
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels["id"] == neighbor_min["src"], "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce("nbr_component", F.col("component"))
+                ).alias("component"),
+            )
+        )
+        updated = updated.localCheckpoint()
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("l"), "id")
+            .where(F.col("u.component") != F.col("l.component"))
+            .limit(1)
+            .count()
+        )
+        labels = updated
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
+def dedup_keep_canonical(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Corpus-clean step: given near-dup pairs, drop every doc that is in
+    a component but is not its canonical (min-id) member. Docs in no pair
+    survive untouched — only pair members join the component table
+    (broadcast; the component table is candidate-sized, not corpus-sized).
+    """
+    comp = connected_components(pairs, id_a, id_b)
+    losers = comp.where(F.col("id") != F.col("component")).select(F.col("id").alias(id_col))
+    return df.join(F.broadcast(losers), on=id_col, how="left_anti")

@@ -131,3 +131,80 @@ def lsh_topk(
         .where(F.col("rank") <= k)
         .select(query_id, corpus_id, sim_name, "rank")
     )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    k: int = 10,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    sim_name: str = "cosine_sim",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-style approximate top-k: MLlib KMeans as the coarse quantizer,
+    then exact cosine rescoring inside the ``nprobe`` nearest cells.
+
+    The 100 TB shape: the centroid table is tiny (n_centroids × dim) and
+    broadcast everywhere; the corpus is scanned once to assign cells
+    (in practice pre-assigned and PARTITIONED BY cell on disk, so a query
+    touches nprobe partitions instead of the full corpus — partition
+    pruning does the skipping); candidates are scored exactly. Recall is
+    tunable via nprobe (nprobe = n_centroids degenerates to brute force).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    from pmp_analytics_spark.operators.partitioning import ensure_parallelism
+
+    dense = ensure_parallelism(corpus.select(corpus_id, corpus_vec)).withColumn(
+        "__features", array_to_vector(F.col(corpus_vec).cast("array<double>"))
+    ).cache()
+    # Standard IVF practice: the quantizer trains on a bounded sample
+    # (training cost constant in corpus size — nobody k-means 100 TB),
+    # and a coarse quantizer does not need convergence (maxIter=4).
+    train = dense.orderBy(F.md5(F.col(corpus_id).cast("string"))).limit(max(2000, 20 * n_centroids))
+    model = KMeans(
+        k=n_centroids, seed=seed, maxIter=4, featuresCol="__features", predictionCol="__cell"
+    ).fit(train)
+    assigned = model.transform(dense).select(corpus_id, corpus_vec, "__cell")
+
+    centroids = [
+        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    ]
+    spark = corpus.sparkSession
+    cent_df = spark.createDataFrame(centroids, ["__cell", "__centroid"])
+
+    # nprobe nearest cells per query (centroids broadcast; tiny cross)
+    q_cells = (
+        queries.crossJoin(F.broadcast(cent_df))
+        .withColumn("__dist", F.sqrt(
+            F.aggregate(
+                F.zip_with(F.col(query_vec), F.col("__centroid"), lambda a, b: (a.cast("double") - b) * (a.cast("double") - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        ))
+    )
+    w = Window.partitionBy(query_id).orderBy(F.asc("__dist"), F.asc("__cell"))
+    probes = (
+        q_cells.withColumn("__rank", F.row_number().over(w))
+        .where(F.col("__rank") <= nprobe)
+        .select(query_id, query_vec, "__cell")
+    )
+
+    scored = assigned.join(F.broadcast(probes), on="__cell").select(
+        F.col(query_id),
+        F.col(corpus_id),
+        F.round(cosine(F.col(corpus_vec), F.col(query_vec)), 6).alias(sim_name),
+    )
+    w2 = Window.partitionBy(query_id).orderBy(F.desc(sim_name), F.asc(corpus_id))
+    return (
+        scored.withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= k)
+        .select(query_id, corpus_id, sim_name, "rank")
+    )

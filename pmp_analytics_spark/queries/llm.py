@@ -520,3 +520,67 @@ def streaming_session_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("session_end").alias("session_end_us"),
         "n_events",
     )
+
+
+# --------------------------------------------------------------------------
+# Q: docs_dedup_canonical — END-TO-END corpus cleaning: near-dup pairs →
+# connected components (A~B, B~C must collapse {A,B,C} even without an
+# A~C edge) → keep each component's min-id doc. Components run as
+# iterative label propagation on Spark; the oracle closes the transitive
+# hull with a recursive CTE — both sides must agree on the surviving set.
+# --------------------------------------------------------------------------
+@query(
+    "docs_dedup_canonical",
+    f"""
+    WITH RECURSIVE pairs AS (
+        {ORACLE["docs_neardup_pairs"]}
+    ), edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION
+        SELECT id_b AS src, id_a AS dst FROM pairs
+    ), walk(src, dst) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT w.src, e.dst FROM walk w JOIN edges e ON w.dst = e.src
+    ), comp AS (
+        SELECT src AS id, LEAST(src, MIN(dst)) AS component
+        FROM walk GROUP BY src
+    ), losers AS (
+        SELECT id FROM comp WHERE id <> component
+    )
+    SELECT d.doc_id, d.source
+    FROM documents d ANTI JOIN losers l ON d.doc_id = l.id
+    """,
+)
+def docs_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pmp_analytics_spark.operators.dedup import dedup_keep_canonical
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_dedup(
+        docs,
+        text_col="text",
+        id_col="doc_id",
+        shingle_k=_SHINGLE_K,
+        threshold=_JACCARD_T,
+        num_hashes=len(_SEEDS),
+        bands=_BANDS,
+    )
+    return dedup_keep_canonical(docs, pairs, "doc_id").select("doc_id", "source")
+
+
+# --------------------------------------------------------------------------
+# Q: embedding_ivf_topk — IVF approximate nearest neighbor: MLlib KMeans
+# coarse quantizer, probe the nprobe nearest cells, exact cosine rescore.
+# KMeans cell assignment is not SQL-expressible → rows-only driver check;
+# recall vs the exact baseline is asserted in tests/test_operators.py.
+# --------------------------------------------------------------------------
+@query("embedding_ivf_topk")
+def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pmp_analytics_spark.operators.similarity_search import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.where(F.col("vec_id") < _NQ).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = ivf_topk(emb, queries_df, n_centroids=16, nprobe=4, k=_TOPK)
+    return out.withColumn("rank", F.col("rank").cast("long"))
