@@ -58,6 +58,23 @@ def _let(bound: Column, body) -> Column:
     return F.element_at(F.transform(F.array(bound), body), 1)
 
 
+BPE_SPLIT_RE = r"'[a-z]+| ?[a-z]+| ?[0-9]+| ?[^\sa-z0-9]+|\s+"
+
+
+def bpe_tokens(c: Column | str) -> Column:
+    """GPT-2-style pre-tokenization (the BPE-ish regex): contraction
+    suffixes, space-prefixed letter runs, digit runs, punctuation runs,
+    whitespace runs — the standard first pass of byte-pair tokenizers.
+    Whitespace-only tokens are dropped from counts (they carry no BPE
+    merges); leading spaces are kept on word tokens, as BPE does."""
+    arr = F.regexp_extract_all(F.lower(_col(c)), F.lit(BPE_SPLIT_RE), 0)
+    return F.filter(arr, lambda t: ~t.rlike(r"^\s+$"))
+
+
+def bpe_token_count(c: Column | str) -> Column:
+    return F.size(bpe_tokens(c))
+
+
 def char_shingles(c: Column | str, k: int = 5) -> Column:
     """All k-character shingles of the lowercased text as an array.
     Built with sequence+transform (JVM-side); empty array for short docs.

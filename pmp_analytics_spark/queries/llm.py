@@ -584,3 +584,49 @@ def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = ivf_topk(emb, queries_df, n_centroids=16, nprobe=4, k=_TOPK)
     return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+# --------------------------------------------------------------------------
+# Q: docs_bpe_token_stats — BPE-ish pre-tokenization counts (the GPT-2
+# split regex: contractions, space-prefixed letter runs, digit runs,
+# punctuation runs) — the token-budget estimator of a training-data
+# pipeline, next to the whitespace tokenizer of docs_token_stats.
+# --------------------------------------------------------------------------
+_DUCK_BPE = (
+    "LIST_FILTER(REGEXP_EXTRACT_ALL(LOWER(text), "
+    "'''[a-z]+| ?[a-z]+| ?[0-9]+| ?[^\\sa-z0-9]+|\\s+'), "
+    "t -> NOT REGEXP_MATCHES(t, '^\\s+$'))"
+)
+
+
+@query(
+    "docs_bpe_token_stats",
+    f"""
+    WITH tk AS (SELECT doc_id, {_DUCK_BPE} AS toks FROM documents)
+    SELECT doc_id,
+           CAST(LEN(toks) AS BIGINT) AS n_bpe_tokens,
+           CAST(LEN(LIST_DISTINCT(toks)) AS BIGINT) AS n_unique,
+           ROUND(CASE WHEN LEN(toks) > 0
+                 THEN LIST_SUM(LIST_TRANSFORM(toks, t -> LENGTH(t))) * 1.0 / LEN(toks)
+                 ELSE 0.0 END, 4) AS mean_bpe_len
+    FROM tk
+    """,
+)
+def docs_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pmp_analytics_spark.functions.text import bpe_token_count, bpe_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = bpe_tokens("text")
+    return docs.select(
+        "doc_id",
+        bpe_token_count("text").cast("long").alias("n_bpe_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_unique"),
+        F.round(
+            F.when(
+                F.size(toks) > 0,
+                F.aggregate(toks, F.lit(0).cast("long"), lambda a, x: a + F.length(x)).cast("double")
+                / F.size(toks),
+            ).otherwise(F.lit(0.0)),
+            4,
+        ).alias("mean_bpe_len"),
+    )

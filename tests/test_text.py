@@ -102,3 +102,11 @@ def test_winnowing_short_doc_empty(spark):
 
     df = spark.createDataFrame([("ab",)], ["t"])
     assert df.select(winnow_fingerprints("t").alias("f")).collect()[0]["f"] == []
+
+
+def test_bpe_tokens_gpt2_shapes(spark):
+    from pmp_analytics_spark.functions.text import bpe_tokens
+
+    df = spark.createDataFrame([("Hello, world! It's 42 degrees...",)], ["t"])
+    got = df.select(bpe_tokens("t").alias("v")).collect()[0]["v"]
+    assert got == ["hello", ",", " world", "!", " it", "'s", " 42", " degrees", "..."]
