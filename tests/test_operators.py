@@ -298,3 +298,30 @@ def test_ivf_topk_recall(spark):
     exact = set(np.argsort(np.round(-sims, 6), kind="stable")[:5])
     got = {r["vec_id"] for r in rows}
     assert len(got & exact) >= 3
+
+
+def test_dataset_diff(spark):
+    import pytest as _pytest
+
+    from pmp_analytics_spark.operators.diff import assert_compatible, dataset_diff
+
+    old = spark.createDataFrame([(1, "2024-01-01"), (2, "2024-01-15")], ["k", "d"])
+    new = spark.createDataFrame(
+        [(1, "2024-02-01"), (2, "2024-02-15"), (3, "2024-02-20")], ["k", "d"]
+    )
+    diff = dataset_diff(old, new, bound_cols=["d"], sample_n=2, sample_key="k")
+    assert diff.schema_matches
+    assert (diff.rows_old, diff.rows_new) == (2, 3)
+    assert diff.pct_change == 50.0
+    assert diff.bounds_old["d"] == ("2024-01-01", "2024-01-15")
+    assert diff.bounds_new["d"] == ("2024-02-01", "2024-02-20")
+    assert len(diff.sample_new) == 2
+    with _pytest.raises(AssertionError, match="drifted"):
+        assert_compatible(diff, max_pct_change=25.0)
+    assert_compatible(diff, max_pct_change=60.0)
+
+    renamed = new.withColumnRenamed("d", "date")
+    diff2 = dataset_diff(old, renamed)
+    assert not diff2.schema_matches
+    with _pytest.raises(AssertionError, match="schema drift"):
+        assert_compatible(diff2)
