@@ -1173,3 +1173,118 @@ def activity_extract_for(
             F.col("l_returnflag").alias("return_flag"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Q: degree_board_inference — the §2.9 composite "degree inference from
+# trailing name token" (unreg_presc.py:149-174): regex-clean the name,
+# take the last whitespace token, exclude veterinary degrees via
+# multi-substring match (F8 contains_any), prefix-filter (F9
+# starts_with), then broadcast-join the degree→board mapping. Degree
+# tokens are synthesized deterministically from the key so the pipeline
+# is fully oracle-checkable.
+# --------------------------------------------------------------------------
+_DEGREE_BOARDS = [
+    ("MD", "MEDICAL BOARD"),
+    ("D.O.", "OSTEOPATHIC BOARD"),
+    ("NP", "NURSING BOARD"),
+    ("PA", "PA BOARD"),
+    ("DVM", "VETERINARY BOARD"),
+]
+
+
+@query(
+    "degree_board_inference",
+    """
+    WITH named AS (
+        SELECT c_custkey,
+               UPPER(TRIM(c_name)) || ' ' ||
+               (['MD', 'D.O.', 'NP', 'PA', 'DVM'])[CAST(c_custkey % 5 AS INT) + 1] AS name_full
+        FROM customer
+    ), cleaned AS (
+        SELECT c_custkey, name_full,
+               REGEXP_REPLACE(name_full, '[().]', '', 'g') AS name_clean
+        FROM named
+        WHERE STARTS_WITH(UPPER(TRIM(name_full)), 'CUSTOMER')
+    ), tokened AS (
+        SELECT c_custkey, name_clean,
+               LIST_EXTRACT(STRING_SPLIT_REGEX(name_clean, '\\s+'), -1) AS degree
+        FROM cleaned
+        WHERE NOT (name_clean LIKE '%DVM%' OR name_clean LIKE '%VMD%')
+    ), boards(degree, board) AS (
+        VALUES ('MD', 'MEDICAL BOARD'), ('DO', 'OSTEOPATHIC BOARD'),
+               ('NP', 'NURSING BOARD'), ('PA', 'PA BOARD'), ('DVM', 'VETERINARY BOARD')
+    )
+    SELECT t.c_custkey, t.degree, b.board
+    FROM tokened t LEFT JOIN boards b ON t.degree = b.degree
+    """,
+)
+def degree_board_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pmp_analytics_spark.functions.normalize import last_token, strip_punct
+
+    customer = load_table(spark, sf_dir, "customer")
+    degrees = F.array(*[F.lit(d) for d, _ in _DEGREE_BOARDS])
+    named = customer.select(
+        "c_custkey",
+        F.concat(
+            clean_key("c_name"), F.lit(" "), F.element_at(degrees, (F.col("c_custkey") % 5).cast("int") + 1)
+        ).alias("name_full"),
+    )
+    cleaned = named.where(F.startswith(clean_key("name_full"), F.lit("CUSTOMER"))).select(
+        "c_custkey", strip_punct("name_full").alias("name_clean")
+    )
+    # F8 multi-substring exclusion (reference: contains_any(['DVM','VMD']))
+    tokened = cleaned.where(~F.col("name_clean").rlike("DVM|VMD")).select(
+        "c_custkey", last_token("name_clean").alias("degree")
+    )
+    boards = load_table(spark, sf_dir, "region").sparkSession.createDataFrame(
+        [(d.replace(".", ""), b) for d, b in _DEGREE_BOARDS], ["degree", "board"]
+    )
+    return tokened.join(F.broadcast(boards), on="degree", how="left").select(
+        "c_custkey", "degree", "board"
+    )
+
+
+# --------------------------------------------------------------------------
+# Q: csv_allstring_roundtrip — the S1 source discipline end-to-end inside
+# the registry: write a CSV extract (K1), scan it back with the explicit
+# all-String schema (infer_schema=False semantics — no inference pass),
+# cast LATE with lenient try_cast, aggregate. The oracle computes the
+# same result from the parquet table directly, so the whole
+# write→scan→cast path must be lossless.
+# --------------------------------------------------------------------------
+@query(
+    "csv_allstring_roundtrip",
+    """
+    SELECT s_nationkey AS nation_key,
+           COUNT(*) AS n_suppliers,
+           ROUND(SUM(s_acctbal), 2) AS total_balance,
+           SUM(CASE WHEN s_acctbal < 0 THEN 1 ELSE 0 END) AS n_negative
+    FROM supplier
+    GROUP BY s_nationkey
+    """,
+)
+def csv_allstring_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from pmp_analytics_spark.functions.normalize import str_to_int
+    from pmp_analytics_spark.sources.reader import read_csv_strings
+    from pmp_analytics_spark.sources.writers import write_csv_single
+
+    supplier = load_table(spark, sf_dir, "supplier")
+    tmp = tempfile.mkdtemp(prefix="csv_roundtrip_")
+    path = write_csv_single(supplier, os.path.join(tmp, "supplier.csv"))
+    raw = read_csv_strings(spark, path)  # every column arrives as String
+    return (
+        raw.select(
+            str_to_int("s_nationkey").alias("nation_key"),
+            F.col("s_acctbal").try_cast("double").alias("bal"),
+        )
+        .groupBy("nation_key")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.round(F.sum("bal"), 2).alias("total_balance"),
+            F.sum(F.when(F.col("bal") < 0, 1).otherwise(0)).alias("n_negative"),
+        )
+    )
