@@ -1330,3 +1330,39 @@ def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------------
+# Q: event_props_stats — JSON column parsing (extension; the reference has
+# no JSON surface): typed from_json on the props payload, then per-type
+# stats on the extracted field. Schema-on-read with an explicit struct —
+# never schema inference over a 100 TB JSON column.
+# --------------------------------------------------------------------------
+@query(
+    "event_props_stats",
+    """
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           SUM(CAST(props->>'k' AS BIGINT)) AS k_sum,
+           MIN(CAST(props->>'k' AS BIGINT)) AS k_min,
+           MAX(CAST(props->>'k' AS BIGINT)) AS k_max,
+           SUM(CASE WHEN props->>'k' IS NULL THEN 1 ELSE 0 END) AS n_missing
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def event_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    events = load_table(spark, sf_dir, "events")
+    parsed = events.withColumn(
+        "__p", F.from_json("props", StructType([StructField("k", LongType())]))
+    )
+    k = F.col("__p.k")
+    return parsed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(k).alias("k_sum"),
+        F.min(k).alias("k_min"),
+        F.max(k).alias("k_max"),
+        F.sum(F.when(k.isNull(), 1).otherwise(0)).alias("n_missing"),
+    )
