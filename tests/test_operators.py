@@ -325,3 +325,39 @@ def test_dataset_diff(spark):
     assert not diff2.schema_matches
     with _pytest.raises(AssertionError, match="schema drift"):
         assert_compatible(diff2)
+
+
+def test_determinism_invariant_to_partitioning(spark):
+    """The ordering-sensitive operators must give identical results no
+    matter how the input is partitioned — the distributed-semantics claim
+    behind keep_first / collect_sorted_list / deterministic_sample."""
+    import random
+
+    rnd = random.Random(9)
+    rows = [(rnd.randrange(20), rnd.randrange(100), i) for i in range(500)]
+    base = spark.createDataFrame(rows, ["k", "o", "v"])
+
+    def all_layouts(fn):
+        outs = []
+        for df in (base.coalesce(1), base.repartition(7), base.repartition(32, "k")):
+            outs.append(fn(df))
+        return outs
+
+    kf = all_layouts(
+        lambda df: sorted(
+            (r["k"], r["v"]) for r in keep_first(df, ["k"], [F.asc("o"), F.asc("v")]).collect()
+        )
+    )
+    assert kf[0] == kf[1] == kf[2]
+
+    cl = all_layouts(
+        lambda df: sorted(
+            (r["k"], tuple(r["vs"])) for r in collect_sorted_list(df, ["k"], "o", "v", "vs").collect()
+        )
+    )
+    assert cl[0] == cl[1] == cl[2]
+
+    ds = all_layouts(
+        lambda df: [r["v"] for r in deterministic_sample(df, "v", 10).collect()]
+    )
+    assert ds[0] == ds[1] == ds[2]
