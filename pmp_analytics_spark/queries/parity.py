@@ -1366,3 +1366,39 @@ def event_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(k).alias("k_max"),
         F.sum(F.when(k.isNull(), 1).otherwise(0)).alias("n_missing"),
     )
+
+
+# --------------------------------------------------------------------------
+# Q: sliding_event_rollup — sliding event-time windows (2h window, 1h
+# slide): each event lands in two windows. The oracle reproduces the
+# window assignment by unioning both bucket alignments — time_bucket(1h)
+# and time_bucket(1h) - 1h — which is exactly Spark's window expansion.
+# --------------------------------------------------------------------------
+@query(
+    "sliding_event_rollup",
+    """
+    WITH expanded AS (
+        SELECT TIME_BUCKET(INTERVAL 1 HOUR, ts) AS window_start, event_type, value FROM events
+        UNION ALL
+        SELECT TIME_BUCKET(INTERVAL 1 HOUR, ts) - INTERVAL 1 HOUR, event_type, value FROM events
+    )
+    SELECT EPOCH_US(window_start) AS window_start_us,
+           event_type,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 4) AS value_sum
+    FROM expanded
+    GROUP BY window_start, event_type
+    """,
+)
+def sliding_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 4).alias("value_sum"))
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "event_type",
+            "n_events",
+            "value_sum",
+        )
+    )
