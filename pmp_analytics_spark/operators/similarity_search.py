@@ -208,3 +208,43 @@ def ivf_topk(
         .where(F.col("rank") <= k)
         .select(query_id, corpus_id, sim_name, "rank")
     )
+
+
+def label_affinity(
+    emb: DataFrame,
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-group vectorized scoring via ``applyInPandas`` (grouped-map):
+    each label group arrives as one pandas frame; affinity = cosine of
+    each vector to its group centroid, computed with one numpy matmul per
+    group. The grouped-map path is the right shape when per-group math is
+    genuinely matrix-like (centroid + batched dot products) — a per-row
+    HOF would recompute the centroid per row or need a separate join.
+
+    Scale: one shuffle on the label; group size bounds task memory (a
+    label's vectors must fit one task — for unbounded groups switch to
+    the two-pass join form: centroid agg + broadcast join + per-row dot).
+    """
+    import numpy as np
+    import pandas as pd
+
+    def score(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+        centroid = m.mean(axis=0)
+        c_norm = np.linalg.norm(centroid)
+        norms = np.linalg.norm(m, axis=1)
+        denom = norms * c_norm
+        with np.errstate(invalid="ignore", divide="ignore"):
+            sims = np.where(denom > 0, (m @ centroid) / denom, 0.0)
+        return pd.DataFrame(
+            {
+                "label": pdf[label_col],
+                "vec_id": pdf[id_col],
+                "affinity": np.round(sims, 6),
+            }
+        )
+
+    out_schema = "label int, vec_id long, affinity double"
+    return emb.groupBy(label_col).applyInPandas(score, schema=out_schema)

@@ -630,3 +630,34 @@ def docs_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("mean_bpe_len"),
     )
+
+
+# --------------------------------------------------------------------------
+# Q: embedding_label_affinity — grouped-map applyInPandas: per-label
+# centroid + batched cosine of every member to it (one numpy matmul per
+# group). Oracle recomputes the centroid with unnest/avg and
+# LIST_COSINE_SIMILARITY — the Arrow round trip and the SQL must agree
+# to 6 decimals.
+# --------------------------------------------------------------------------
+@query(
+    "embedding_label_affinity",
+    """
+    WITH comp AS (
+        SELECT label, vec_id, UNNEST(CAST(embedding AS DOUBLE[])) AS x,
+               GENERATE_SUBSCRIPTS(embedding, 1) AS i
+        FROM embeddings
+    ), centroid AS (
+        SELECT label, i, AVG(x) AS cx FROM comp GROUP BY label, i
+    ), cent_vec AS (
+        SELECT label, LIST(cx ORDER BY i) AS cv FROM centroid GROUP BY label
+    )
+    SELECT e.label, e.vec_id,
+           ROUND(LIST_COSINE_SIMILARITY(CAST(e.embedding AS DOUBLE[]), c.cv), 6) AS affinity
+    FROM embeddings e JOIN cent_vec c ON e.label = c.label
+    """,
+)
+def embedding_label_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pmp_analytics_spark.operators.similarity_search import label_affinity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return label_affinity(emb)

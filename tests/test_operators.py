@@ -361,3 +361,22 @@ def test_determinism_invariant_to_partitioning(spark):
         lambda df: [r["v"] for r in deterministic_sample(df, "v", 10).collect()]
     )
     assert ds[0] == ds[1] == ds[2]
+
+
+def test_label_affinity_grouped_map(spark):
+    import numpy as np
+
+    from pmp_analytics_spark.operators.similarity_search import label_affinity
+
+    rng = np.random.default_rng(5)
+    rows = []
+    for label in (0, 1):
+        center = rng.normal(scale=3.0, size=4)
+        for i in range(10):
+            rows.append((label * 100 + i, label, [float(x) for x in center + rng.normal(size=4)]))
+    emb = spark.createDataFrame(rows, ["vec_id", "label", "embedding"])
+    out = label_affinity(emb).collect()
+    assert len(out) == 20
+    assert all(-1.0 <= r["affinity"] <= 1.0 for r in out)
+    # tight clusters around a strong center -> high affinity to own centroid
+    assert sum(r["affinity"] > 0.8 for r in out) >= 16
