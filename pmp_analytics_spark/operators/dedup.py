@@ -352,6 +352,20 @@ def connected_components(
         labels = updated
         if changed == 0:
             break
+    else:
+        # Exited on the iteration bound, not the fixpoint: labels for
+        # components with diameter > max_iterations are WRONG (not yet the
+        # component min). Callers like dedup_keep_canonical would silently
+        # keep non-canonical duplicates — surface it loudly.
+        import warnings
+
+        warnings.warn(
+            f"connected_components did not converge within {max_iterations} "
+            "iterations; component labels may be incorrect for "
+            "large-diameter components. Raise max_iterations.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     edges.unpersist()
     return labels
 

@@ -240,11 +240,17 @@ def label_affinity(
             sims = np.where(denom > 0, (m @ centroid) / denom, 0.0)
         return pd.DataFrame(
             {
-                "label": pdf[label_col],
-                "vec_id": pdf[id_col],
+                label_col: pdf[label_col],
+                id_col: pdf[id_col],
                 "affinity": np.round(sims, 6),
             }
         )
 
-    out_schema = "label int, vec_id long, affinity double"
+    # Output schema derives from the input dtypes: any label/id type the
+    # caller uses (string labels, int ids, ...) passes through unchanged.
+    in_types = dict(emb.dtypes)
+    out_schema = (
+        f"`{label_col}` {in_types[label_col]}, "
+        f"`{id_col}` {in_types[id_col]}, affinity double"
+    )
     return emb.groupBy(label_col).applyInPandas(score, schema=out_schema)

@@ -663,7 +663,7 @@ def part_name_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
            LEN(qtys) AS n_items,
            qtys[1] AS first_qty,
            qtys[-1] AS last_qty,
-           LIST_SUM(qtys) AS qty_sum,
+           CAST(LIST_SUM(qtys) AS BIGINT) AS qty_sum,
            LEN(LIST_FILTER(qtys, x -> x % 2 = 0)) AS n_even,
            ARRAY_TO_STRING(LIST_SORT(qtys), ',') AS qty_csv
     FROM arrs
@@ -1256,10 +1256,10 @@ def degree_board_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "csv_allstring_roundtrip",
     """
-    SELECT s_nationkey AS nation_key,
+    SELECT CAST(s_nationkey AS BIGINT) AS nation_key,
            COUNT(*) AS n_suppliers,
            ROUND(SUM(s_acctbal), 2) AS total_balance,
-           SUM(CASE WHEN s_acctbal < 0 THEN 1 ELSE 0 END) AS n_negative
+           CAST(SUM(CASE WHEN s_acctbal < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_negative
     FROM supplier
     GROUP BY s_nationkey
     """,
@@ -1343,10 +1343,10 @@ def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT event_type,
            COUNT(*) AS n_events,
-           SUM(CAST(props->>'k' AS BIGINT)) AS k_sum,
+           CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS k_sum,
            MIN(CAST(props->>'k' AS BIGINT)) AS k_min,
            MAX(CAST(props->>'k' AS BIGINT)) AS k_max,
-           SUM(CASE WHEN props->>'k' IS NULL THEN 1 ELSE 0 END) AS n_missing
+           CAST(SUM(CASE WHEN props->>'k' IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_missing
     FROM events
     GROUP BY event_type
     """,

@@ -28,22 +28,39 @@ def duck_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 
 def normalize_cell(v):
+    """Type-aware cell serialization predicting the driver's value hash.
+
+    The driver's hash is type-sensitive: an int 10 and a float 10.0 (or a
+    Decimal('10')) hash differently even though Python says 10 == 10.0.  So
+    every cell is rendered as (type_tag, canonical_repr) — cross-type
+    equality can never mask a dtype mismatch here the way plain Python
+    equality would.
+    """
     import datetime
+    import decimal
     import math
 
     if v is None:
         return None
+    if isinstance(v, bool):  # before int: bool is an int subclass
+        return ("bool", v)
+    if isinstance(v, int):
+        return ("int", v)
     if isinstance(v, float):
         if math.isnan(v):
-            return "NaN"
-        return round(v, 9)
+            return ("float", "NaN")
+        return ("float", round(v, 9))
+    if isinstance(v, decimal.Decimal):
+        return ("decimal", str(v))
     if isinstance(v, datetime.datetime):
-        return v.isoformat()
+        return ("datetime", v.isoformat())
     if isinstance(v, datetime.date):
-        return v.isoformat()
-    if isinstance(v, list):
-        return tuple(normalize_cell(x) for x in v)
-    return v
+        return ("date", v.isoformat())
+    if isinstance(v, (list, tuple)):
+        return ("list", tuple(normalize_cell(x) for x in v))
+    if isinstance(v, bytes):
+        return ("bytes", v)
+    return (type(v).__name__, v)
 
 
 def frame_key(columns, rows):
