@@ -18,7 +18,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from pmp_analytics_spark.queries import llm, parity
+from pmp_analytics_spark.queries import extended, llm, parity
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -27,6 +27,7 @@ def all_queries() -> dict[str, QueryFn]:
     out: dict[str, QueryFn] = {}
     out.update(parity.QUERIES)
     out.update(llm.QUERIES)
+    out.update(extended.QUERIES)
     return out
 
 
@@ -34,4 +35,5 @@ def all_oracles() -> dict[str, str]:
     out: dict[str, str] = {}
     out.update(parity.ORACLE)
     out.update(llm.ORACLE)
+    out.update(extended.ORACLE)
     return out

@@ -1,0 +1,421 @@
+"""Extended operator pack (round 2): temporal joins, multi-dim OLAP,
+exact percentiles, distinct cardinalities, and more LLM-pipeline text /
+embedding operators.
+
+These go beyond the reference's own surface (SURVEY.md §2.4 notes as-of /
+range joins are absent there) — they are the operators a user of a
+general analytics engine reaches for next, each expressed Spark-first and
+oracle-checked against DuckDB (which has native ASOF JOIN, CUBE,
+quantile_cont — strong independent oracles).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pmp_analytics_spark.functions.text import tokens
+from pmp_analytics_spark.operators.joins import asof_join, range_join
+from pmp_analytics_spark.operators.partitioning import salted_agg
+from pmp_analytics_spark.queries.llm import _DUCK_TOKENS
+from pmp_analytics_spark.sources.reader import load_table
+
+QUERIES: dict = {}
+ORACLE: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+
+    return deco
+
+
+# --------------------------------------------------------------------------
+# Q: purchase_attribution — AS-OF JOIN (operator Spark lacks natively):
+# each purchase event is attributed to the same user's most recent
+# preceding click. Implemented as operators.joins.asof_join — union +
+# ordered window, ONE shuffle on the key, no range explosion. Oracle is
+# DuckDB's native ASOF LEFT JOIN (independent implementation).
+# --------------------------------------------------------------------------
+@query(
+    "purchase_attribution",
+    """
+    SELECT p.event_id AS purchase_id,
+           p.user_id,
+           EPOCH_US(p.ts) AS purchase_ts_us,
+           c.event_id AS click_id,
+           EPOCH_US(c.ts) AS click_ts_us,
+           EPOCH_US(p.ts) - EPOCH_US(c.ts) AS gap_us
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    matched = asof_join(
+        purchases, clicks, on=["user_id"], left_ts="ts", right_ts="click_ts"
+    )
+    return matched.select(
+        "purchase_id",
+        "user_id",
+        F.unix_micros("ts").alias("purchase_ts_us"),
+        "click_id",
+        F.unix_micros("click_ts").alias("click_ts_us"),
+        (F.unix_micros("ts") - F.unix_micros("click_ts")).alias("gap_us"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Q: signup_followup_activity — RANGE (interval) JOIN blocked on the user
+# key: events landing within 1 hour after the same user's signup.
+# Equi-key bounds candidates (Σ_k |L_k|·|R_k|, never |L|·|R|); the time
+# predicate is exact integer µs arithmetic on both engines.
+# --------------------------------------------------------------------------
+@query(
+    "signup_followup_activity",
+    """
+    SELECT a.event_id AS anchor_id,
+           COUNT(*) AS n_follow,
+           ROUND(SUM(e.value), 4) AS value_sum
+    FROM (SELECT * FROM events WHERE event_type = 'signup') a
+    JOIN events e
+      ON e.user_id = a.user_id
+     AND EPOCH_US(e.ts) >= EPOCH_US(a.ts)
+     AND EPOCH_US(e.ts) < EPOCH_US(a.ts) + 3600000000
+     AND e.event_id <> a.event_id
+    GROUP BY 1
+    """,
+)
+def signup_followup_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").withColumn("ts_us", F.unix_micros("ts"))
+    anchors = ev.where(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("anchor_id"),
+        F.col("user_id"),
+        F.col("ts_us").alias("anchor_us"),
+    )
+    follows = ev.select("user_id", "event_id", "ts_us", "value")
+    joined = range_join(
+        follows,
+        anchors,
+        on=["user_id"],
+        left_ts="ts_us",
+        lo=F.col("anchor_us"),
+        hi=F.col("anchor_us") + F.lit(3600000000),
+    ).where(F.col("event_id") != F.col("anchor_id"))
+    return joined.groupBy("anchor_id").agg(
+        F.count(F.lit(1)).alias("n_follow"),
+        F.round(F.sum("value"), 4).alias("value_sum"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Q: quantity_quartiles — EXACT percentiles per group (F.percentile, not
+# percentile_approx: at 100 TB you'd flip to approx with a stated error
+# budget; the exact form is the oracle-checkable baseline). DuckDB
+# quantile_cont uses the same linear interpolation.
+# --------------------------------------------------------------------------
+@query(
+    "quantity_quartiles",
+    """
+    SELECT l_returnflag,
+           COUNT(*) AS n_rows,
+           ROUND(QUANTILE_CONT(l_quantity, 0.25), 6) AS p25,
+           ROUND(QUANTILE_CONT(l_quantity, 0.50), 6) AS p50,
+           ROUND(QUANTILE_CONT(l_quantity, 0.75), 6) AS p75,
+           ROUND(AVG(l_quantity), 6) AS mean_qty,
+           ROUND(STDDEV_SAMP(l_quantity), 6) AS sd_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def quantity_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    pct = F.percentile("l_quantity", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)))
+    return (
+        lineitem.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            pct.alias("__p"),
+            F.round(F.avg("l_quantity"), 6).alias("mean_qty"),
+            F.round(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
+        )
+        .select(
+            "l_returnflag",
+            "n_rows",
+            F.round(F.element_at("__p", 1), 6).alias("p25"),
+            F.round(F.element_at("__p", 2), 6).alias("p50"),
+            F.round(F.element_at("__p", 3), 6).alias("p75"),
+            "mean_qty",
+            "sd_qty",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q: revenue_cube — GROUP BY CUBE over (nation, order year): all four
+# grouping combinations in one pass (Catalyst expands to Expand + single
+# shuffle — not 4 scans). GROUPING() flags disambiguate subtotal rows
+# from genuine null keys, the standard CUBE-reading discipline.
+# --------------------------------------------------------------------------
+@query(
+    "revenue_cube",
+    """
+    SELECT n.n_name,
+           CAST(EXTRACT(YEAR FROM o.o_orderdate) AS BIGINT) AS order_year,
+           CAST(GROUPING(n.n_name) AS INT) AS g_nation,
+           CAST(GROUPING(EXTRACT(YEAR FROM o.o_orderdate)) AS INT) AS g_year,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o.o_totalprice), 2) AS revenue
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY CUBE (n.n_name, EXTRACT(YEAR FROM o.o_orderdate))
+    """,
+)
+def revenue_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    base = (
+        orders.join(customer, orders["o_custkey"] == customer["c_custkey"])
+        .join(F.broadcast(nation), customer["c_nationkey"] == nation["n_nationkey"])
+        .select("n_name", F.year("o_orderdate").cast("long").alias("order_year"), "o_totalprice")
+    )
+    return (
+        base.cube("n_name", "order_year")
+        .agg(
+            F.grouping("n_name").alias("g_nation"),
+            F.grouping("order_year").alias("g_year"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .select("n_name", "order_year", "g_nation", "g_year", "n_orders", "revenue")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q: event_user_cardinality — multi-distinct aggregation (Catalyst plans
+# the two DISTINCTs via Expand + two-phase agg; at 100 TB the same query
+# flips to approx_count_distinct — HLL accuracy is pytest-checked in
+# tests/test_operators.py since sketches can't hash-match an oracle).
+# --------------------------------------------------------------------------
+@query(
+    "event_user_cardinality",
+    """
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users,
+           COUNT(DISTINCT CAST(ts AS DATE)) AS n_active_days,
+           ROUND(COUNT(*) * 1.0 / COUNT(DISTINCT user_id), 6) AS events_per_user
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def event_user_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.countDistinct(F.col("ts").cast("date")).alias("n_active_days"),
+        F.round(
+            F.count(F.lit(1)) * F.lit(1.0) / F.countDistinct("user_id"), 6
+        ).alias("events_per_user"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Q: event_value_salted_rollup — skew-salted two-phase aggregation
+# (operators.partitioning.salted_agg): 5 hot keys over 10k rows is
+# exactly the shape where one reducer straggles at scale; the salt
+# spreads each hot key over 16 reducers, then merges partials. Result is
+# IDENTICAL to the plain groupBy — which is what the oracle asserts.
+# --------------------------------------------------------------------------
+@query(
+    "event_value_salted_rollup",
+    """
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 4) AS value_sum,
+           ROUND(MIN(value), 6) AS value_min,
+           ROUND(MAX(value), 6) AS value_max
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def event_value_salted_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    out = salted_agg(
+        ev,
+        group_by=["event_type"],
+        aggs={
+            "n_events": (F.count, F.sum, F.lit(1)),
+            "__vs": (F.sum, F.sum, "value"),
+            "__mn": (F.min, F.min, "value"),
+            "__mx": (F.max, F.max, "value"),
+        },
+        salt_buckets=16,
+    )
+    return out.select(
+        "event_type",
+        "n_events",
+        F.round("__vs", 4).alias("value_sum"),
+        F.round("__mn", 6).alias("value_min"),
+        F.round("__mx", 6).alias("value_max"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Q: docs_chunks — overlapping fixed-size token chunks (size 50, stride
+# 25): THE text-prep step before embedding/training. sequence +
+# posexplode + slice — all JVM-side HOFs, no Python; a 100 TB corpus
+# chunks map-side with zero shuffle.
+# --------------------------------------------------------------------------
+@query(
+    "docs_chunks",
+    f"""
+    WITH tk AS (SELECT doc_id, {_DUCK_TOKENS} AS toks FROM documents),
+    st AS (
+        SELECT doc_id, toks,
+               UNNEST(RANGE(0, GREATEST(LEN(toks), 1), 25)) AS start
+        FROM tk
+    )
+    SELECT doc_id,
+           CAST(start / 25 AS BIGINT) AS chunk_idx,
+           CAST(start AS BIGINT) AS start_token,
+           CAST(LEN(toks[start + 1 : start + 50]) AS BIGINT) AS n_chunk_tokens,
+           ARRAY_TO_STRING(toks[start + 1 : start + 50], ' ') AS chunk_text
+    FROM st
+    WHERE LEN(toks[start + 1 : start + 50]) > 0
+    """,
+)
+def docs_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.select("doc_id", tokens(F.col("text")).alias("toks"))
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size("toks") - 1, F.lit(0)), F.lit(25)
+    )
+    exploded = toked.select(
+        "doc_id", "toks", F.explode(starts).alias("start")
+    ).withColumn("chunk", F.slice("toks", F.col("start") + 1, 50))
+    return exploded.where(F.size("chunk") > 0).select(
+        "doc_id",
+        (F.col("start") / 25).cast("long").alias("chunk_idx"),
+        F.col("start").cast("long").alias("start_token"),
+        F.size("chunk").cast("long").alias("n_chunk_tokens"),
+        F.array_join("chunk", " ").alias("chunk_text"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Q: embedding_dim_stats — per-dimension distribution profile of the
+# embedding column (posexplode → 64-way groupBy): the feature-drift /
+# normalization-check pass of an embedding pipeline. Dimension index is
+# 0-based on both engines (DuckDB GENERATE_SUBSCRIPTS is 1-based → -1).
+# --------------------------------------------------------------------------
+@query(
+    "embedding_dim_stats",
+    """
+    WITH flat AS (
+        SELECT GENERATE_SUBSCRIPTS(embedding, 1) - 1 AS dim,
+               CAST(UNNEST(embedding) AS DOUBLE) AS v
+        FROM embeddings
+    )
+    SELECT CAST(dim AS INT) AS dim,
+           COUNT(*) AS n,
+           ROUND(AVG(v), 6) AS mean_v,
+           ROUND(STDDEV_SAMP(v), 6) AS sd_v,
+           ROUND(MIN(v), 6) AS min_v,
+           ROUND(MAX(v), 6) AS max_v
+    FROM flat
+    GROUP BY dim
+    """,
+)
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    flat = emb.select(F.posexplode("embedding").alias("dim", "raw")).select(
+        F.col("dim").cast("int").alias("dim"), F.col("raw").cast("double").alias("v")
+    )
+    return flat.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("v"), 6).alias("mean_v"),
+        F.round(F.stddev_samp("v"), 6).alias("sd_v"),
+        F.round(F.min("v"), 6).alias("min_v"),
+        F.round(F.max("v"), 6).alias("max_v"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Q: docs_vocab_df — corpus vocabulary with document frequency and
+# collection frequency (explode once, aggregate both in one pass): the
+# input to IDF weighting, stopword derivation, and vocab pruning.
+# --------------------------------------------------------------------------
+@query(
+    "docs_vocab_df",
+    f"""
+    WITH flat AS (
+        SELECT doc_id, UNNEST({_DUCK_TOKENS}) AS token FROM documents
+    )
+    SELECT token,
+           COUNT(DISTINCT doc_id) AS doc_freq,
+           COUNT(*) AS coll_freq,
+           ROUND(LN((SELECT COUNT(*) FROM documents) * 1.0
+                    / COUNT(DISTINCT doc_id)), 6) AS idf
+    FROM flat
+    GROUP BY token
+    """,
+)
+def docs_vocab_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    flat = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
+    return flat.groupBy("token").agg(
+        F.countDistinct("doc_id").alias("doc_freq"),
+        F.count(F.lit(1)).alias("coll_freq"),
+        F.round(
+            F.log(F.lit(float(n_docs)) / F.countDistinct("doc_id")), 6
+        ).alias("idf"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Q: streaming_distinct_users — streaming deduplication: dropDuplicates
+# on (user_id, event_type) with a watermark bounding dedup state, then
+# per-type counts. Oracle = batch COUNT(DISTINCT user_id) — streaming
+# and batch must agree exactly under availableNow backfill.
+# --------------------------------------------------------------------------
+@query(
+    "streaming_distinct_users",
+    """
+    SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def streaming_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from pmp_analytics_spark.streaming import read_event_stream, run_to_memory
+
+    name = f"stream_dedup_{uuid.uuid4().hex[:12]}"
+    stream = read_event_stream(spark, sf_dir)
+    deduped = (
+        stream.withWatermark("ts", "30 days")
+        .dropDuplicates(["user_id", "event_type"])
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+    run_to_memory(deduped, name)
+    return spark.table(name)

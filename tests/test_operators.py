@@ -380,3 +380,27 @@ def test_label_affinity_grouped_map(spark):
     assert all(-1.0 <= r["affinity"] <= 1.0 for r in out)
     # tight clusters around a strong center -> high affinity to own centroid
     assert sum(r["affinity"] > 0.8 for r in out) >= 16
+
+
+def test_approx_count_distinct_tolerance(spark):
+    """The 100 TB form of event_user_cardinality swaps COUNT(DISTINCT)
+    for approx_count_distinct (HLL++, mergeable, single-pass). The sketch
+    can't hash-match a SQL oracle, so its accuracy contract lives here:
+    within the configured rsd against the exact count."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 20000).select(
+        (F.col("id") % 977).alias("u"), (F.col("id") % 5).alias("g")
+    )
+    got = {
+        r["g"]: (r["exact"], r["approx"])
+        for r in df.groupBy("g")
+        .agg(
+            F.countDistinct("u").alias("exact"),
+            F.approx_count_distinct("u", rsd=0.02).alias("approx"),
+        )
+        .collect()
+    }
+    assert len(got) == 5
+    for exact, approx in got.values():
+        assert abs(approx - exact) <= max(3, 0.06 * exact)  # 3·rsd margin

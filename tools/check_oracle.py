@@ -41,14 +41,14 @@ def normalize_cell(v):
     import math
 
     if v is None:
-        return None
+        return ("none", "")  # sortable alongside the typed tuples below
     if isinstance(v, bool):  # before int: bool is an int subclass
         return ("bool", v)
     if isinstance(v, int):
         return ("int", v)
     if isinstance(v, float):
         if math.isnan(v):
-            return ("float", "NaN")
+            return ("floatnan", 0.0)  # own tag: sortable next to real floats
         return ("float", round(v, 9))
     if isinstance(v, decimal.Decimal):
         return ("decimal", str(v))
