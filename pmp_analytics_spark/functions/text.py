@@ -91,51 +91,111 @@ def char_shingles(c: Column | str, k: int = 5) -> Column:
     return _let(F.lower(_col(c)), build)
 
 
-def minhash_value(shingles: Column, seed: int) -> Column:
-    """One MinHash component: min over md5(seed || shingle).
+# Universal-hash MinHash parameters. P is the Mersenne prime 2^31-1; the
+# (a, b) pairs are fixed literals generated once from a seeded PRNG and
+# baked into BOTH the Spark plan and the DuckDB oracle SQL, so signatures
+# stay engine-independent.
+MINHASH_P = 2147483647
 
-    md5 hex strings order lexicographically, which is a valid total order
-    for min-hashing; identical in DuckDB (``min(md5(seed || s))``) so
-    signatures are oracle-checkable.
+
+def minhash_params(num_hashes: int) -> list[tuple[int, int]]:
+    import random
+
+    rng = random.Random(1234567)
+    return [
+        (rng.randrange(1, MINHASH_P), rng.randrange(0, MINHASH_P))
+        for _ in range(num_hashes)
+    ]
+
+
+def shingle_hash(s: Column) -> Column:
+    """Engine-independent 60-bit integer hash of one shingle: first 15 hex
+    chars of md5, parsed base-16, reduced mod P. DuckDB computes the
+    identical value via ``CAST('0x' || SUBSTRING(MD5(s),1,15) AS BIGINT)``.
     """
-    return F.array_min(F.transform(shingles, lambda s: F.md5(F.concat(F.lit(f"{seed}:"), s))))
+    return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long") % MINHASH_P
+
+
+def minhash_value(shingles: Column, seed: int) -> Column:
+    """One MinHash component (kept for tests/back-compat; prefer
+    ``minhash_signature`` which hashes each shingle ONCE for all seeds)."""
+    a, b = minhash_params(seed + 1)[seed]
+    return F.array_min(
+        F.transform(shingles, lambda s: (F.lit(a) * shingle_hash(s) + F.lit(b)) % MINHASH_P)
+    )
 
 
 def minhash_signature(shingles: Column, num_hashes: int = 16) -> Column:
-    """Array of MinHash components (seeds 0..num_hashes-1)."""
-    return F.array(*[minhash_value(shingles, i) for i in range(num_hashes)])
+    """Array of MinHash components.
+
+    One md5 per SHINGLE (let-bound hash array), then ``num_hashes`` affine
+    transforms ``(a_i·x + b_i) mod P`` over the integer array — the
+    classic universal-hash MinHash. The earlier formulation hashed
+    md5(seed||shingle) per (seed, shingle): 16× the md5 work plus a
+    string concat/alloc per pair; integer min beats string min on top.
+    ``a·x`` stays under 2^62 (a, x < 2^31), so the arithmetic is exact
+    int64 on both engines.
+    """
+    params = minhash_params(num_hashes)
+
+    def build(hs: Column) -> Column:
+        return F.array(
+            *[
+                F.array_min(F.transform(hs, lambda x: (F.lit(a) * x + F.lit(b)) % MINHASH_P))
+                for a, b in params
+            ]
+        )
+
+    return _let(F.transform(shingles, shingle_hash), build)
+
+
+SIMHASH_BITS = 60
+
+
+def shingle_hash60(s: Column) -> Column:
+    """Engine-independent 60-bit integer hash (first 15 md5 hex chars,
+    base-16) — the unreduced form of ``shingle_hash``. DuckDB:
+    ``CAST('0x' || SUBSTRING(MD5(s),1,15) AS BIGINT)``."""
+    return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
 
 
 def simhash64(c: Column | str, k: int = 4) -> Column:
-    """64-bit SimHash over k-shingles using xxhash64 bit-voting.
+    """60-bit SimHash over k-shingles with md5-derived integer hashes and
+    bit-voting. (Name kept for API stability; the signature occupies the
+    low 60 bits of a long.)
 
-    Engine-specific hash (xxhash64) → validated by pytest, not the DuckDB
-    oracle (rows-only check). Single-pass vote: aggregate over the hash
-    array with a 64-wide accumulator (votes[b] += bit b of each hash),
-    then fold the majority bits into one long. An earlier formulation did
-    64 separate filter-and-count passes over the array — ~7× slower from
-    the per-bit array allocations. The Python DSL's shiftright/shiftleft
-    insist on an int shift amount; the underlying SQL expressions take any
-    expression, so they are called by name for the column-valued bit
-    index. The hash array is let-bound so it is hashed once, not once per
-    consumer.
+    The hash family is the engine-independent ``shingle_hash60`` so the
+    whole signature — and therefore the banded near-dup pipeline built on
+    it — is reproducible in ANSI SQL for the DuckDB oracle. (xxhash64
+    would be ~2× faster per shingle at cluster scale but is
+    Spark-specific; the md5 path is what keeps docs_simhash_pairs
+    oracle-checked rather than rows-only.)
+
+    Single-pass vote: aggregate over the hash array with a 60-wide
+    accumulator (votes[b] += bit b of each hash), then fold the majority
+    bits into one long. An earlier formulation did one filter-and-count
+    pass per bit — ~7× slower from the per-bit array allocations. The
+    Python DSL's shiftright/shiftleft insist on an int shift amount; the
+    underlying SQL expressions take any expression, so they are called by
+    name for the column-valued bit index. The hash array is let-bound so
+    it is hashed once, not once per consumer.
     """
 
     def vote(hashes: Column) -> Column:
         n = F.size(hashes)
         votes = F.aggregate(
             hashes,
-            F.array_repeat(F.lit(0).cast("long"), 64),
+            F.array_repeat(F.lit(0).cast("long"), SIMHASH_BITS),
             lambda acc, h: F.zip_with(
                 acc,
-                F.sequence(F.lit(0), F.lit(63)),
+                F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1)),
                 lambda a, b: a + F.call_function("shiftright", h, b).bitwiseAND(F.lit(1)),
             ),
         )
         return F.aggregate(
             F.zip_with(
                 votes,
-                F.sequence(F.lit(0), F.lit(63)),
+                F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1)),
                 lambda v, b: F.when(
                     v * 2 > n, F.call_function("shiftleft", F.lit(1).cast("long"), b)
                 ).otherwise(F.lit(0).cast("long")),
@@ -144,7 +204,7 @@ def simhash64(c: Column | str, k: int = 4) -> Column:
             lambda acc, x: acc.bitwiseOR(x),
         )
 
-    return _let(F.transform(char_shingles(c, k), lambda s: F.xxhash64(s)), vote)
+    return _let(F.transform(char_shingles(c, k), shingle_hash60), vote)
 
 
 def stopword_hits(c: Column | str, lang: str) -> Column:

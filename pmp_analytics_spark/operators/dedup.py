@@ -150,9 +150,15 @@ def lsh_candidates_from_shingles(
                 *[
                     F.struct(
                         F.lit(b).alias("band_id"),
-                        F.md5(F.array_join(F.slice("__sig", b * rows_per_band + 1, rows_per_band), "|")).alias(
-                            "band_key"
-                        ),
+                        F.md5(
+                            F.array_join(
+                                F.transform(
+                                    F.slice("__sig", b * rows_per_band + 1, rows_per_band),
+                                    lambda x: x.cast("string"),
+                                ),
+                                "|",
+                            )
+                        ).alias("band_key"),
                     )
                     for b in range(bands)
                 ]
@@ -171,9 +177,9 @@ def simhash_pairs(
     bands: int = 4,
     max_bucket: int | None = None,
 ) -> DataFrame:
-    """SimHash near-duplicate pairs: 64-bit signature → Hamming-LSH banding
-    (``bands`` equal bit-slices as bucket keys) → exact Hamming verify
-    (``bit_count(xor) <= max_hamming``).
+    """SimHash near-duplicate pairs: 60-bit md5-family signature →
+    Hamming-LSH banding (``bands`` equal bit-slices as bucket keys) →
+    exact Hamming verify (``bit_count(xor) <= max_hamming``).
 
     Candidate recall is < 1 by design: ``max_hamming`` differing bits can
     touch every band (pigeonhole guarantees a clean band only when
@@ -182,7 +188,9 @@ def simhash_pairs(
     computed once, cached, and re-joined for the verify (two hash joins on
     the tiny candidate set, never corpus-wide).
     """
-    bits_per_band = 64 // bands
+    from pmp_analytics_spark.functions.text import SIMHASH_BITS
+
+    bits_per_band = SIMHASH_BITS // bands
     # Repartition BEFORE the signature projection (see shingle_frame).
     sigs = (
         ensure_parallelism(df.select(F.col(id_col), F.col(text_col)))

@@ -212,13 +212,23 @@ _DUCK_SHINGLES = (
     "LIST_TRANSFORM(GENERATE_SERIES(1, GREATEST(LENGTH(LOWER(text)) - 4, 0)), "
     "i -> SUBSTRING(LOWER(text), CAST(i AS INT), 5))"
 )
+# Universal-hash MinHash mirroring functions.text.minhash_signature: one
+# 60-bit md5-derived integer per shingle, then (a_i·x + b_i) mod P per seed.
+from pmp_analytics_spark.functions.text import MINHASH_P, minhash_params  # noqa: E402
+
+_PARAMS = minhash_params(len(_SEEDS))
+_DUCK_SHINGLE_HASH = (
+    "LIST_TRANSFORM(sh, s -> CAST(('0x' || SUBSTRING(MD5(s), 1, 15)) AS BIGINT) "
+    f"% {MINHASH_P})"
+)
 _DUCK_SIG = ", ".join(
-    f"LIST_MIN(LIST_TRANSFORM(sh, s -> MD5('{seed}:' || s))) AS m{seed}" for seed in _SEEDS
+    f"LIST_MIN(LIST_TRANSFORM(hs, x -> ({a} * x + {b}) % {MINHASH_P})) AS m{i}"
+    for i, (a, b) in enumerate(_PARAMS)
 )
 _DUCK_BAND_ROWS = " UNION ALL ".join(
     f"SELECT doc_id, {b} AS band_id, "
     + "MD5("
-    + " || '|' || ".join(f"m{b * _ROWS_PER_BAND + r}" for r in range(_ROWS_PER_BAND))
+    + " || '|' || ".join(f"CAST(m{b * _ROWS_PER_BAND + r} AS VARCHAR)" for r in range(_ROWS_PER_BAND))
     + ") AS band_key FROM sig"
     for b in range(_BANDS)
 )
@@ -230,8 +240,10 @@ _DUCK_BAND_ROWS = " UNION ALL ".join(
     WITH sh AS (
         SELECT doc_id, {_DUCK_SHINGLES} AS sh FROM documents
         WHERE LENGTH(text) >= 5
+    ), hashed AS (
+        SELECT doc_id, {_DUCK_SHINGLE_HASH} AS hs FROM sh
     ), sig AS (
-        SELECT doc_id, {_DUCK_SIG} FROM sh
+        SELECT doc_id, {_DUCK_SIG} FROM hashed
     ), banded AS (
         {_DUCK_BAND_ROWS}
     ), cand AS (
@@ -381,11 +393,47 @@ def embedding_neardup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # Q: embedding_lsh_topk — approximate top-k via sign-LSH bucketing (the
 # 100 TB scale path: bucket-pruned scan instead of full corpus per query).
-# xxhash-free and deterministic, but the hyperplane arithmetic is not
-# reproduced in SQL → rows-only driver check; recall vs the exact baseline
-# is asserted in tests/test_operators.py.
+# The hyperplanes are deterministic literals (make_planes LCG), so the
+# oracle reproduces the exact bucket assignment via LIST_DOT_PRODUCT sign
+# tests — a full independent check of an *approximate* operator.
 # --------------------------------------------------------------------------
-@query("embedding_lsh_topk")
+def _duck_sign_bucket(vcol: str, planes: list[list[float]]) -> str:
+    return " || ".join(
+        f"(CASE WHEN LIST_DOT_PRODUCT({vcol}, [{', '.join(repr(x) for x in plane)}]) >= 0 "
+        "THEN '1' ELSE '0' END)"
+        for plane in planes
+    )
+
+
+def _lsh_planes():
+    from pmp_analytics_spark.operators.similarity_search import make_planes
+
+    return make_planes(64, 6)
+
+
+@query(
+    "embedding_lsh_topk",
+    f"""
+    WITH c AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), cb AS (
+        SELECT vec_id, v, {{bucket}} AS bucket FROM c
+    ), q AS (
+        SELECT vec_id AS query_id, v AS qv, bucket AS qb FROM cb WHERE vec_id < {_NQ}
+    ), scored AS (
+        SELECT q.query_id, cb.vec_id,
+               ROUND(LIST_COSINE_SIMILARITY(cb.v, q.qv), 6) AS cosine_sim
+        FROM cb JOIN q ON cb.bucket = q.qb
+    ), ranked AS (
+        SELECT query_id, vec_id, cosine_sim,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cosine_sim DESC, vec_id) AS rank
+        FROM scored
+    )
+    SELECT query_id, vec_id, cosine_sim, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= {_TOPK}
+    """.format(bucket=_duck_sign_bucket("v", _lsh_planes())),
+)
 def embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pmp_analytics_spark.operators.similarity_search import lsh_topk
 
@@ -398,17 +446,64 @@ def embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# Q: docs_simhash_pairs — SimHash near-dup candidates: 64-bit signature,
-# banded into 4×16-bit keys (Hamming-LSH), verified with exact Hamming
-# distance <= 6. xxhash64 has no DuckDB equivalent → rows-only driver
-# check; the signature math is unit-tested (tests/test_text.py).
+# Q: docs_simhash_pairs — SimHash near-dup candidates: 60-bit md5-family
+# signature, banded into 4×15-bit keys (Hamming-LSH), verified with exact
+# Hamming distance <= 6. The oracle recomputes the identical signature
+# (hash each 4-shingle once, majority-vote each bit) and the identical
+# banding — a full independent check of the sketch pipeline.
 # --------------------------------------------------------------------------
-@query("docs_simhash_pairs")
+_SIMHASH_BANDS = 4
+_SIMHASH_HAMMING = 6
+
+_DUCK_SH4 = (
+    "LIST_TRANSFORM(GENERATE_SERIES(1, GREATEST(LENGTH(LOWER(text)) - 3, 0)), "
+    "i -> SUBSTRING(LOWER(text), CAST(i AS INT), 4))"
+)
+_DUCK_HS60 = "LIST_TRANSFORM(sh, s -> CAST(('0x' || SUBSTRING(MD5(s), 1, 15)) AS BIGINT))"
+_DUCK_SIMHASH = " + ".join(
+    f"(CASE WHEN 2 * LIST_SUM(LIST_TRANSFORM(hs, h -> (h >> {b}) & 1)) > LEN(hs) "
+    f"THEN (CAST(1 AS BIGINT) << {b}) ELSE 0 END)"
+    for b in range(60)
+)
+_DUCK_SIM_BANDS = " UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band_id, (sim >> {b * 15}) & 32767 AS band_key FROM sig"
+    for b in range(_SIMHASH_BANDS)
+)
+
+
+@query(
+    "docs_simhash_pairs",
+    f"""
+    WITH sh AS (
+        SELECT doc_id, {_DUCK_SH4} AS sh FROM documents
+    ), hashed AS (
+        SELECT doc_id, {_DUCK_HS60} AS hs FROM sh
+    ), sig AS (
+        SELECT doc_id, CAST({_DUCK_SIMHASH} AS BIGINT) AS sim FROM hashed
+    ), banded AS (
+        {_DUCK_SIM_BANDS}
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM banded a JOIN banded b
+          ON a.band_id = b.band_id AND a.band_key = b.band_key
+             AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b,
+           CAST(BIT_COUNT(XOR(sa.sim, sb.sim)) AS INT) AS hamming
+    FROM cand
+    JOIN sig sa ON cand.id_a = sa.doc_id
+    JOIN sig sb ON cand.id_b = sb.doc_id
+    WHERE BIT_COUNT(XOR(sa.sim, sb.sim)) <= {_SIMHASH_HAMMING}
+    """,
+)
 def docs_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pmp_analytics_spark.operators.dedup import simhash_pairs
 
     docs = load_table(spark, sf_dir, "documents")
-    return simhash_pairs(docs, text_col="text", id_col="doc_id", max_hamming=6)
+    out = simhash_pairs(
+        docs, text_col="text", id_col="doc_id", max_hamming=_SIMHASH_HAMMING, bands=_SIMHASH_BANDS
+    )
+    return out.withColumn("hamming", F.col("hamming").cast("int"))
 
 
 # --------------------------------------------------------------------------
