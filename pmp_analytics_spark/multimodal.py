@@ -99,6 +99,45 @@ def fake_frame_sample(payload: bytes, n_frames: int = 4) -> list[bytes]:
     return [payload[i * step : (i + 1) * step] for i in range(n_frames)]
 
 
+def resize_image(payload: bytes, width: int, height: int) -> bytes:
+    """Resize an image payload. STUB — decode→resize→re-encode requires
+    pillow; wire it here at deployment. The distributed shape is identical
+    to extract_payload_features: mapInPandas batch in, batch out."""
+    raise NotImplementedError("image resize requires pillow; not available in this environment")
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame_bytes", LongType()),
+        StructField("frame_md5", StringType()),
+    ]
+)
+
+
+def sample_frames(with_payload: DataFrame, n_frames: int = 4) -> DataFrame:
+    """Per-frame fan-out: one payload row in → ``n_frames`` frame rows out,
+    via ``mapInPandas`` (the Python-side set-returning shape — a real video
+    pipeline swaps ``fake_frame_sample`` for decoder output, nothing else
+    changes). Output rows carry per-frame byte features; empty payloads
+    produce no rows.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: dict[str, list] = {"doc_id": [], "frame_idx": [], "frame_bytes": [], "frame_md5": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                for i, frame in enumerate(fake_frame_sample(bytes(payload), n_frames)):
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(i)
+                    out["frame_bytes"].append(len(frame))
+                    out["frame_md5"].append(hashlib.md5(frame).hexdigest())
+            yield pd.DataFrame(out)
+
+    return ensure_parallelism(with_payload).mapInPandas(batches, FRAME_SCHEMA)
+
+
 def extract_payload_features(with_payload: DataFrame) -> DataFrame:
     """Byte-level features via ``mapInPandas`` — the real batch shape for
     media feature extraction (decode would slot into the same loop).

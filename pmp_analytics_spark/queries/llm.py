@@ -532,6 +532,40 @@ def docs_payload_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Q: docs_frame_samples — the video-pipeline shape: payload → n equal
+# byte-range "frames" per doc (mapInPandas fan-out, 1 row in → 4 rows
+# out) → per-frame byte features. The deterministic frame slicing stands
+# in for decoder output (codecs stubbed in this environment), so the
+# whole Arrow fan-out round-trip is oracle-checked: the corpus text is
+# ASCII, so VARCHAR slicing in SQL reproduces the byte slicing exactly.
+# --------------------------------------------------------------------------
+@query(
+    "docs_frame_samples",
+    """
+    WITH p AS (
+        SELECT doc_id, text, GREATEST(1, LENGTH(text) // 4) AS step
+        FROM documents WHERE LENGTH(text) > 0
+    ), f AS (
+        SELECT doc_id, UNNEST(RANGE(0, 4)) AS frame_idx,
+               SUBSTRING(text, CAST(UNNEST(RANGE(0, 4)) * step + 1 AS BIGINT),
+                         CAST(step AS BIGINT)) AS frame
+        FROM p
+    )
+    SELECT doc_id,
+           CAST(frame_idx AS INT) AS frame_idx,
+           CAST(LENGTH(frame) AS BIGINT) AS frame_bytes,
+           MD5(frame) AS frame_md5
+    FROM f
+    """,
+)
+def docs_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pmp_analytics_spark.multimodal import attach_payload, sample_frames
+
+    docs = load_table(spark, sf_dir, "documents")
+    return sample_frames(attach_payload(docs), n_frames=4)
+
+
+# --------------------------------------------------------------------------
 # Q: docs_winnowing — rolling-hash (winnowing/MOSS) document fingerprints:
 # md5 every k-gram, slide a window over the hash sequence, keep per-window
 # minima, dedupe. Local-sampling guarantee: any shared substring of length
