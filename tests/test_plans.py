@@ -79,3 +79,31 @@ def test_activity_extract_pushdown(spark, queries):
     assert has_pushed_filters(df)
     read = set(scan_read_schema(df))
     assert "l_partkey" not in read and "l_tax" not in read
+
+
+def test_asof_join_single_shuffle(spark, queries):
+    # union + ordered-window formulation: exactly ONE exchange (the key
+    # partitioning) — never a range-explosion join or per-key collect.
+    df = queries["purchase_attribution"](spark, SF)
+    assert_no_cartesian_product(df)
+    assert count_exchanges(df) == 1
+    assert has_pushed_filters(df)  # event_type filters reach both scans
+
+
+def test_range_join_is_blocked_not_cartesian(spark, queries):
+    # the equi-key must plan a hash join with the time predicate as a
+    # post-join filter; an unkeyed interval join would be a cartesian.
+    df = queries["signup_followup_activity"](spark, SF)
+    assert_no_cartesian_product(df)
+
+
+def test_docs_chunks_is_narrow(spark, queries):
+    # chunking is pure map-side fan-out: zero shuffles at any scale.
+    df = queries["docs_chunks"](spark, SF)
+    assert count_exchanges(df) == 0
+
+
+def test_cube_single_shuffle(spark, queries):
+    # CUBE = Expand + ONE shuffle, not one scan per grouping set.
+    df = queries["revenue_cube"](spark, SF)
+    assert count_exchanges(df) <= 2  # join may add one under AQE at tiny SF
