@@ -391,6 +391,80 @@ def docs_vocab_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Q: priority_pivot — PIVOT: long→wide reshape (groupBy().pivot().agg()).
+# The pivot VALUES are declared explicitly — Spark otherwise runs an extra
+# distinct-collect job over 100 TB just to learn the column set, and an
+# unbounded value domain would OOM the driver with one column per value.
+# Oracle is the equivalent conditional aggregation.
+# --------------------------------------------------------------------------
+_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+_PRIORITY_ALIASES = ["urgent", "high", "medium", "not_specified", "low"]
+
+
+@query(
+    "priority_pivot",
+    f"""
+    SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS order_year,
+           {", ".join(
+               f"ROUND(SUM(CASE WHEN o_orderpriority = '{p}' THEN o_totalprice END), 2)"
+               f" AS {a}"
+               for p, a in zip(_PRIORITIES, _PRIORITY_ALIASES)
+           )}
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def priority_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    wide = (
+        orders.select(F.year("o_orderdate").cast("long").alias("order_year"), "o_orderpriority", "o_totalprice")
+        .groupBy("order_year")
+        .pivot("o_orderpriority", _PRIORITIES)
+        .agg(F.round(F.sum("o_totalprice"), 2))
+    )
+    renames = dict(zip(_PRIORITIES, _PRIORITY_ALIASES))
+    return wide.withColumnsRenamed(renames)
+
+
+# --------------------------------------------------------------------------
+# Q: nation_balance_melt — UNPIVOT (melt): wide→long reshape of per-nation
+# aggregates into (nation_key, metric, val) rows. ``df.unpivot`` is a
+# narrow Expand — no shuffle beyond the aggregation's own; the oracle is
+# the classic UNION ALL formulation.
+# --------------------------------------------------------------------------
+@query(
+    "nation_balance_melt",
+    """
+    WITH agg AS (
+        SELECT s_nationkey,
+               CAST(COUNT(*) AS DOUBLE) AS n_suppliers,
+               ROUND(SUM(s_acctbal), 2) AS total_balance,
+               ROUND(AVG(s_acctbal), 6) AS avg_balance
+        FROM supplier GROUP BY s_nationkey
+    )
+    SELECT s_nationkey, 'n_suppliers' AS metric, n_suppliers AS val FROM agg
+    UNION ALL
+    SELECT s_nationkey, 'total_balance', total_balance FROM agg
+    UNION ALL
+    SELECT s_nationkey, 'avg_balance', avg_balance FROM agg
+    """,
+)
+def nation_balance_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supplier = load_table(spark, sf_dir, "supplier")
+    agg = supplier.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).cast("double").alias("n_suppliers"),
+        F.round(F.sum("s_acctbal"), 2).alias("total_balance"),
+        F.round(F.avg("s_acctbal"), 6).alias("avg_balance"),
+    )
+    return agg.unpivot(
+        ids=["s_nationkey"],
+        values=["n_suppliers", "total_balance", "avg_balance"],
+        variableColumnName="metric",
+        valueColumnName="val",
+    )
+
+
+# --------------------------------------------------------------------------
 # Q: streaming_distinct_users — streaming deduplication: dropDuplicates
 # on (user_id, event_type) with a watermark bounding dedup state, then
 # per-type counts. Oracle = batch COUNT(DISTINCT user_id) — streaming
