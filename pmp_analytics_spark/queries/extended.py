@@ -11,7 +11,7 @@ quantile_cont — strong independent oracles).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pmp_analytics_spark.functions.text import tokens
@@ -387,6 +387,117 @@ def docs_vocab_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.log(F.lit(float(n_docs)) / F.countDistinct("doc_id")), 6
         ).alias("idf"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Q: daily_revenue_ma7 — windowed moving aggregate with a RANGE frame
+# (7-day trailing mean of daily revenue per priority class). The
+# reference has no frame specs at all (SURVEY §2.6); this is the standard
+# time-series smoothing shape. Determinism note: the frame SUM runs over
+# exact integer cents (window summation order differs between engines —
+# DuckDB uses segment-tree aggregation — so a double frame-sum could
+# differ in ulps and flip a rounded digit; integer sums cannot).
+# --------------------------------------------------------------------------
+@query(
+    "daily_revenue_ma7",
+    """
+    WITH daily AS (
+        SELECT o_orderpriority,
+               CAST(o_orderdate AS DATE) AS d,
+               CAST(ROUND(SUM(o_totalprice) * 100, 0) AS BIGINT) AS rev_cents
+        FROM orders GROUP BY 1, 2
+    )
+    SELECT o_orderpriority, d,
+           ROUND(rev_cents / 100.0, 2) AS daily_rev,
+           ROUND(
+               SUM(rev_cents) OVER w / (100.0 * COUNT(*) OVER w), 4
+           ) AS rev_ma7
+    FROM daily
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY d
+                 RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW)
+    """,
+)
+def daily_revenue_ma7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    # Round to integer CENTS before the long cast: Spark's double→long
+    # cast truncates while DuckDB's rounds, so `round(x,2)*100` would be
+    # off by one cent wherever the scaled double lands below the integer.
+    daily = orders.groupBy(
+        "o_orderpriority", F.col("o_orderdate").cast("date").alias("d")
+    ).agg(F.round(F.sum("o_totalprice") * 100, 0).cast("long").alias("rev_cents"))
+    # RANGE frame over days: Spark's rangeBetween needs a numeric ordering
+    # key — epoch days give exactly DuckDB's RANGE INTERVAL 6 DAYS.
+    epoch_day = F.datediff(F.col("d"), F.lit("1970-01-01").cast("date"))
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy(epoch_day)
+        .rangeBetween(-6, Window.currentRow)
+    )
+    return daily.select(
+        "o_orderpriority",
+        "d",
+        F.round(F.col("rev_cents") / 100.0, 2).alias("daily_rev"),
+        F.round(
+            F.sum("rev_cents").over(w) / (F.lit(100.0) * F.count(F.lit(1)).over(w)), 4
+        ).alias("rev_ma7"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Q: events_partition_pruning — partitioned storage end-to-end: write the
+# events table PARTITIONED BY event_date (hive-style directories), read
+# it back with a partition predicate, aggregate. At 100 TB this is THE
+# dominant access pattern — the date filter prunes directories at
+# planning time, so the scan touches 1/30th of the files (asserted in
+# tests/test_plans.py). The oracle computes the same day's rollup from
+# the unpartitioned table.
+# --------------------------------------------------------------------------
+_PRUNE_DATE = "2024-01-15"
+
+
+def partitioned_events_path(spark: SparkSession, sf_dir: str) -> str:
+    """Write (once per sf_dir) a date-partitioned copy of events.
+    ``repartition(event_date)`` first so each partition directory gets one
+    file instead of one per task."""
+    import hashlib
+    import os
+    import tempfile
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    path = os.path.join(tempfile.gettempdir(), f"pmp_events_partitioned_{tag}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        ev = load_table(spark, sf_dir, "events").withColumn(
+            "event_date", F.col("ts").cast("date")
+        )
+        (
+            ev.repartition("event_date")
+            .write.partitionBy("event_date")
+            .mode("overwrite")
+            .parquet(path)
+        )
+    return path
+
+
+@query(
+    "events_partition_pruning",
+    f"""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 4) AS value_sum
+    FROM events
+    WHERE CAST(ts AS DATE) = DATE '{_PRUNE_DATE}'
+    GROUP BY event_type
+    """,
+)
+def events_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = partitioned_events_path(spark, sf_dir)
+    part = spark.read.parquet(path).where(
+        F.col("event_date") == F.lit(_PRUNE_DATE).cast("date")
+    )
+    return part.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("value_sum"),
     )
 
 

@@ -107,3 +107,22 @@ def test_cube_single_shuffle(spark, queries):
     # CUBE = Expand + ONE shuffle, not one scan per grouping set.
     df = queries["revenue_cube"](spark, SF)
     assert count_exchanges(df) <= 2  # join may add one under AQE at tiny SF
+
+
+def test_partitioned_scan_prunes(spark, queries):
+    # the date predicate must appear as a PARTITION filter (directory
+    # pruning at planning time), not merely a row-level parquet filter.
+    from pmp_analytics_spark.plans import physical_plan
+
+    df = queries["events_partition_pruning"](spark, SF)
+    plan = physical_plan(df)
+    assert "PartitionFilters" in plan
+    seg = plan[plan.index("PartitionFilters"):]
+    assert "event_date" in seg[: seg.index("]")]
+
+
+def test_moving_average_single_window_shuffle(spark, queries):
+    df = queries["daily_revenue_ma7"](spark, SF)
+    # one shuffle for the daily agg; AQE may reuse the same partitioning
+    # for the priority-partitioned window (same key prefix).
+    assert count_exchanges(df) <= 2
