@@ -136,17 +136,21 @@ def minhash_signature(shingles: Column, num_hashes: int = 16) -> Column:
     ``a·x`` stays under 2^62 (a, x < 2^31), so the arithmetic is exact
     int64 on both engines.
     """
+    return _let(F.transform(shingles, shingle_hash), lambda hs: minhash_signature_from_hashes(hs, num_hashes))
+
+
+def minhash_signature_from_hashes(hs: Column, num_hashes: int = 16) -> Column:
+    """MinHash signature from a PRECOMPUTED ``shingle_hash`` int array —
+    the zero-rehash path for pipelines that materialize the hashed
+    shingle frame once and feed both LSH banding and Jaccard verify from
+    it (operators/dedup.py::hashed_shingle_frame)."""
     params = minhash_params(num_hashes)
-
-    def build(hs: Column) -> Column:
-        return F.array(
-            *[
-                F.array_min(F.transform(hs, lambda x: (F.lit(a) * x + F.lit(b)) % MINHASH_P))
-                for a, b in params
-            ]
-        )
-
-    return _let(F.transform(shingles, shingle_hash), build)
+    return F.array(
+        *[
+            F.array_min(F.transform(hs, lambda x: (F.lit(a) * x + F.lit(b)) % MINHASH_P))
+            for a, b in params
+        ]
+    )
 
 
 SIMHASH_BITS = 60

@@ -26,7 +26,8 @@ from pyspark.sql import functions as F
 from pmp_analytics_spark.functions.text import (
     char_shingles,
     fingerprint,
-    minhash_signature,
+    minhash_signature_from_hashes,
+    shingle_hash,
     simhash64,
 )
 from pmp_analytics_spark.operators.partitioning import ensure_parallelism
@@ -110,24 +111,46 @@ def minhash_lsh_candidates(
     by ``max_bucket`` (drop over-common buckets, trading recall — the
     standard knob at 100 TB; default None keeps exact LSH semantics).
     """
-    sh = shingle_frame(df, text_col, id_col, shingle_k)
+    sh = hashed_shingle_frame(df, text_col, id_col, shingle_k)
     return lsh_candidates_from_shingles(sh, id_col, num_hashes, bands, max_bucket)
 
 
 def shingle_frame(df: DataFrame, text_col: str, id_col: str, shingle_k: int = 5) -> DataFrame:
-    """(id, __sh) frame of k-shingle arrays, spread to full parallelism —
-    the shared CPU-heavy base of the LSH and verify stages. Callers that
-    consume it more than once should ``.cache()`` it (shingle construction
-    dominates the near-dup pipeline's cost; see ngram_jaccard_dedup).
-
-    Order matters: repartition the (narrow) input FIRST, then project the
-    shingles. ``repartition`` applied on top of the projection would put
-    the expensive compute on the shuffle's MAP side — i.e. still on the
-    single input split it was meant to escape."""
+    """(id, __sh) frame of k-shingle STRING arrays (kept for callers that
+    need the raw shingles); the near-dup pipeline itself runs on
+    ``hashed_shingle_frame`` — see there for why."""
     return (
         ensure_parallelism(df.select(F.col(id_col), F.col(text_col)))
         .select(F.col(id_col), char_shingles(text_col, shingle_k).alias("__sh"))
         .where(F.size("__sh") > 0)
+    )
+
+
+def hashed_shingle_frame(df: DataFrame, text_col: str, id_col: str, shingle_k: int = 5) -> DataFrame:
+    """(id, __hs) frame of k-shingle 60-bit integer hashes, spread to full
+    parallelism — the shared CPU-heavy base of the LSH and verify stages.
+    Callers that consume it more than once should ``.cache()`` it.
+
+    Hashing AT THE BASE is the pipeline's cost structure: each shingle is
+    md5'd exactly once; MinHash components are integer transforms of this
+    array, and the Jaccard verify intersects the same int arrays —
+    caching longs costs a fraction of caching 5-char string arrays, and
+    integer intersection beats string intersection. (Jaccard over hashed
+    shingles equals Jaccard over shingles modulo 60-bit collisions —
+    negligible, and the DuckDB oracle hashes identically so the check is
+    exact either way.)
+
+    Order matters: repartition the (narrow) input FIRST, then project the
+    hashes. ``repartition`` applied on top of the projection would put
+    the expensive compute on the shuffle's MAP side — i.e. still on the
+    single input split it was meant to escape."""
+    return (
+        ensure_parallelism(df.select(F.col(id_col), F.col(text_col)))
+        .select(
+            F.col(id_col),
+            F.transform(char_shingles(text_col, shingle_k), shingle_hash).alias("__hs"),
+        )
+        .where(F.size("__hs") > 0)
     )
 
 
@@ -138,11 +161,11 @@ def lsh_candidates_from_shingles(
     bands: int = 4,
     max_bucket: int | None = None,
 ) -> DataFrame:
-    """LSH banding over a precomputed ``shingle_frame`` (see
+    """LSH banding over a precomputed ``hashed_shingle_frame`` (see
     minhash_lsh_candidates for the algorithm & scale notes)."""
     rows_per_band = num_hashes // bands
     assert rows_per_band * bands == num_hashes, "bands must divide num_hashes"
-    sig = sh.select(F.col(id_col), minhash_signature(F.col("__sh"), num_hashes).alias("__sig"))
+    sig = sh.select(F.col(id_col), minhash_signature_from_hashes(F.col("__hs"), num_hashes).alias("__sig"))
     banded = sig.select(
         F.col(id_col),
         F.explode(
@@ -242,7 +265,7 @@ def jaccard_pairs(
     candidate pair (semi-join first), and the pair joins touch that
     restricted set, never the full corpus.
     """
-    sh_base = shingle_frame(df, text_col, id_col, shingle_k)
+    sh_base = hashed_shingle_frame(df, text_col, id_col, shingle_k)
     return jaccard_pairs_from_shingles(candidates, sh_base, id_col, threshold)
 
 
@@ -252,7 +275,8 @@ def jaccard_pairs_from_shingles(
     id_col: str,
     threshold: float = 0.7,
 ) -> DataFrame:
-    """Jaccard verification over a precomputed ``shingle_frame``."""
+    """Jaccard verification over a precomputed ``hashed_shingle_frame``
+    (exact set Jaccard on the hashed shingle sets — int intersection)."""
     cand_ids = (
         candidates.select(F.col("id_a").alias(id_col))
         .union(candidates.select(F.col("id_b").alias(id_col)))
@@ -260,7 +284,7 @@ def jaccard_pairs_from_shingles(
     )
     sh = sh_base.join(F.broadcast(cand_ids), on=id_col, how="left_semi").select(
         F.col(id_col),
-        F.array_distinct("__sh").alias("__sh"),
+        F.array_distinct("__hs").alias("__sh"),
     )
     out = (
         candidates.join(sh.withColumnsRenamed({id_col: "id_a", "__sh": "__sh_a"}), on="id_a")
@@ -297,7 +321,7 @@ def ngram_jaccard_dedup(
     consumers (id semi-join; pair join) — cache both so each subtree
     evaluates exactly once per run instead of once per consumer.
     """
-    sh = shingle_frame(df, text_col, id_col, shingle_k).cache()
+    sh = hashed_shingle_frame(df, text_col, id_col, shingle_k).cache()
     cand = lsh_candidates_from_shingles(sh, id_col, num_hashes, bands).cache()
     return jaccard_pairs_from_shingles(cand, sh, id_col, threshold)
 

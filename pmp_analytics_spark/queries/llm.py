@@ -252,7 +252,7 @@ _DUCK_BAND_ROWS = " UNION ALL ".join(
           ON a.band_id = b.band_id AND a.band_key = b.band_key
              AND a.doc_id < b.doc_id
     ), dsh AS (
-        SELECT doc_id, LIST_DISTINCT(sh) AS dsh FROM sh
+        SELECT doc_id, LIST_DISTINCT(hs) AS dsh FROM hashed
     ), scored AS (
         SELECT id_a, id_b,
                LEN(LIST_INTERSECT(a.dsh, b.dsh)) * 1.0 /
