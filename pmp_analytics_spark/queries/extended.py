@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from pmp_analytics_spark.functions.text import tokens
+from pmp_analytics_spark.functions.text import shingle_hash, tokens
 from pmp_analytics_spark.operators.joins import asof_join, range_join
 from pmp_analytics_spark.operators.partitioning import salted_agg
 from pmp_analytics_spark.queries.llm import _DUCK_TOKENS
@@ -572,6 +572,69 @@ def nation_balance_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
         values=["n_suppliers", "total_balance", "avg_balance"],
         variableColumnName="metric",
         valueColumnName="val",
+    )
+
+
+# --------------------------------------------------------------------------
+# Q: docs_contamination — benchmark decontamination: which training docs
+# share >= 3 word-8-grams with any doc of a held-out eval set (here:
+# doc_id < 25 plays the eval set). The canonical pre-training hygiene
+# op: hash each 8-gram once (distinct per doc), explode, equi-join on
+# the gram hash — the join key is a uniform 60-bit hash, so the shuffle
+# is skew-free; the eval side is tiny and broadcast.
+# --------------------------------------------------------------------------
+_EVAL_MAX_ID = 25
+_CONTAM_MIN_SHARED = 3
+_DUCK_TOKS = "LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '[^a-z0-9]+'), t -> t <> '')"
+_DUCK_GRAMS8 = (
+    f"LIST_DISTINCT(LIST_TRANSFORM(GENERATE_SERIES(1, GREATEST(LEN({_DUCK_TOKS}) - 7, 0)), "
+    f"i -> CAST(('0x' || SUBSTRING(MD5(ARRAY_TO_STRING(({_DUCK_TOKS})[i : i + 7], ' ')), 1, 15)) AS BIGINT) "
+    "% 2147483647))"
+)
+
+
+@query(
+    "docs_contamination",
+    f"""
+    WITH grams AS (
+        SELECT doc_id, UNNEST({_DUCK_GRAMS8}) AS g FROM documents
+    ), eval_g AS (
+        SELECT doc_id AS eval_id, g FROM grams WHERE doc_id < {_EVAL_MAX_ID}
+    ), train_g AS (
+        SELECT doc_id AS train_id, g FROM grams WHERE doc_id >= {_EVAL_MAX_ID}
+    )
+    SELECT t.train_id, e.eval_id, COUNT(*) AS n_shared
+    FROM train_g t JOIN eval_g e ON t.g = e.g
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= {_CONTAM_MIN_SHARED}
+    """,
+)
+def docs_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    # Guard: Spark's sequence(1, 0) yields a DESCENDING [1, 0], not empty
+    # like DuckDB's generate_series — short docs must short-circuit.
+    grams = F.when(
+        F.size(toks) >= 8,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - 7),
+                lambda i: shingle_hash(F.array_join(F.slice(toks, i, 8), " ")),
+            )
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    flat = docs.select("doc_id", F.explode(grams).alias("g"))
+    eval_g = flat.where(F.col("doc_id") < _EVAL_MAX_ID).select(
+        F.col("doc_id").alias("eval_id"), "g"
+    )
+    train_g = flat.where(F.col("doc_id") >= _EVAL_MAX_ID).select(
+        F.col("doc_id").alias("train_id"), "g"
+    )
+    return (
+        train_g.join(F.broadcast(eval_g), on="g")
+        .groupBy("train_id", "eval_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= _CONTAM_MIN_SHARED)
     )
 
 
