@@ -306,3 +306,17 @@ def fingerprint(c: Column | str) -> Column:
     text (casefolded, punctuation collapsed). Two documents differing only
     in whitespace/punct/case share a fingerprint — the exact-dedup key."""
     return F.md5(F.array_join(tokens(c), " "))
+
+
+def word_ngrams(toks: Column, n: int) -> Column:
+    """All word n-grams of a token array, space-joined — the unit of
+    Gopher-style repetition signals and n-gram contamination checks.
+    sequence+transform+slice is pure JVM map-side fan-out (no shuffle,
+    no Python); empty array when the doc has fewer than n tokens."""
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    return F.when(F.size(toks) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )

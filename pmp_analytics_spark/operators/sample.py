@@ -27,3 +27,36 @@ def deterministic_sample(df: DataFrame, key_col: str, n: int, salt: str = "") ->
     """Exact-N engine-independent pseudo-random sample: order by
     md5(salt || key) and take n. Changing ``salt`` redraws the sample."""
     return df.orderBy(F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))), F.col(key_col)).limit(n)
+
+
+def stratified_sample(
+    df: DataFrame, group_col: str, key_col: str, n: int, salt: str = ""
+) -> DataFrame:
+    """Exact-N-per-group deterministic sample (adds a ``sample_rank``
+    column). One shuffle on the group key; the per-group md5 order is a
+    uniform pseudo-random draw reproducible across engines — the standard
+    per-source inspection sample of a corpus pipeline. Groups smaller
+    than n pass through whole."""
+    from pyspark.sql import Window
+
+    key = F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string")))
+    w = Window.partitionBy(group_col).orderBy(key, F.col(key_col))
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w).cast("long"))
+        .where(F.col("sample_rank") <= n)
+    )
+
+
+def hash_decimate(df: DataFrame, key_col: str, keep: int, mod: int = 100) -> DataFrame:
+    """Deterministic decimation: keep rows whose md5-derived bucket
+    ``< keep`` of ``mod`` — the reproducible way to cut a 100 TB corpus
+    to keep/mod of its size with no shuffle, no rand() stream, and a
+    stable row set under re-runs/retries (rand() is NOT stable across
+    task retries; content hashing is). Adds the bucket as ``__bucket``
+    for auditability."""
+    bucket = (
+        F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        % mod
+    )
+    return df.withColumn("__bucket", bucket).where(F.col("__bucket") < keep)

@@ -197,8 +197,8 @@ def revenue_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         base.cube("n_name", "order_year")
         .agg(
-            F.grouping("n_name").alias("g_nation"),
-            F.grouping("order_year").alias("g_year"),
+            F.grouping("n_name").cast("int").alias("g_nation"),
+            F.grouping("order_year").cast("int").alias("g_year"),
             F.count(F.lit(1)).alias("n_orders"),
             F.round(F.sum("o_totalprice"), 2).alias("revenue"),
         )

@@ -153,7 +153,7 @@ def delinquency_notices(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_custkey",
             F.col("o_orderdate").cast("date").alias("last_compliant"),
             F.date_add(F.col("o_orderdate").cast("date"), 1).alias("first_delinquent"),
-            F.datediff(as_of, F.col("o_orderdate").cast("date")).alias("days_delinquent"),
+            F.datediff(as_of, F.col("o_orderdate").cast("date")).cast("long").alias("days_delinquent"),
         )
         .where(F.col("days_delinquent") > 180)
     )
@@ -490,7 +490,7 @@ def order_date_dimensions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.month(d).alias("order_month"),
         F.date_format(d, "yyyy-MM").alias("order_ym"),
         F.date_add(d, 30).alias("due_date"),
-        F.datediff(F.lit("2002-01-01").cast("date"), d).alias("age_days"),
+        F.datediff(F.lit("2002-01-01").cast("date"), d).cast("long").alias("age_days"),
     )
 
 

@@ -63,6 +63,73 @@ def normalize_cell(v):
     return (type(v).__name__, v)
 
 
+def canon_spark_type(dt: str) -> str:
+    """Map a Spark simpleString dtype to the cross-engine lattice."""
+    dt = dt.lower()
+    if dt.startswith("array<") and dt.endswith(">"):
+        return f"list<{canon_spark_type(dt[6:-1])}>"
+    if dt.startswith("decimal"):
+        return "decimal"
+    return {
+        "tinyint": "int8",
+        "smallint": "int16",
+        "int": "int32",
+        "integer": "int32",
+        "bigint": "int64",
+        "float": "float32",
+        "double": "float64",
+        "string": "str",
+        "boolean": "bool",
+        "date": "date",
+        "timestamp": "timestamp",
+        "timestamp_ntz": "timestamp",
+        "binary": "bytes",
+    }.get(dt, dt)
+
+
+def canon_duck_type(dt) -> str:
+    """Map a DuckDB logical type to the same lattice as canon_spark_type."""
+    s = str(dt).lower()
+    if s.endswith("[]"):
+        return f"list<{canon_duck_type(s[:-2])}>"
+    if s.startswith("decimal"):
+        return "decimal"
+    return {
+        "tinyint": "int8",
+        "smallint": "int16",
+        "integer": "int32",
+        "bigint": "int64",
+        "hugeint": "int128",
+        "float": "float32",
+        "double": "float64",
+        "varchar": "str",
+        "boolean": "bool",
+        "date": "date",
+        "timestamp": "timestamp",
+        "timestamp_ns": "timestamp",
+        "timestamp with time zone": "timestamp",
+        "blob": "bytes",
+    }.get(s, s)
+
+
+def dtype_mismatches(scols, stypes, dcols, dtypes_):
+    """Columns whose canonical dtypes differ between Spark and DuckDB.
+
+    The driver's value hash goes through typed Arrow/pandas frames, so an
+    INTEGER-vs-BIGINT or HUGEINT-vs-BIGINT difference fails its gate even
+    though collect()ed Python ints compare equal — this check catches that
+    class locally (it is what bit order_quantity_profile/
+    csv_allstring_roundtrip/event_props_stats in round 1).
+    """
+    smap = {c: canon_spark_type(t) for c, t in zip(scols, stypes)}
+    dmap = {c: canon_duck_type(t) for c, t in zip(dcols, dtypes_)}
+    return [
+        f"{c}: spark={smap[c]} duckdb={dmap[c]}"
+        for c in smap
+        if c in dmap and smap[c] != dmap[c]
+    ]
+
+
 def frame_key(columns, rows):
     order = sorted(range(len(columns)), key=lambda i: columns[i])
     cols_sorted = [columns[i] for i in order]
@@ -92,6 +159,7 @@ def main() -> int:
         try:
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
+            stypes = [f.dataType.simpleString() for f in sdf.schema.fields]
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: spark error: {e}")
@@ -101,9 +169,10 @@ def main() -> int:
             print(f"OK?   {name}: rows={len(srows)} (no oracle — rows-only check) [{time.time()-t0:.1f}s]")
             continue
         try:
-            res = con.execute(oracles[name])
-            dcols = [d[0] for d in res.description]
-            drows = res.fetchall()
+            rel = con.sql(oracles[name])
+            dcols = list(rel.columns)
+            dtypes_ = list(rel.types)
+            drows = rel.fetchall()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: duckdb error: {e}")
             failures.append(name)
@@ -111,6 +180,9 @@ def main() -> int:
         sc, sv = frame_key(scols, srows)
         dc, dv = frame_key(dcols, drows)
         status = []
+        bad_types = dtype_mismatches(scols, stypes, dcols, dtypes_)
+        if bad_types:
+            status.append(f"dtypes {bad_types}")
         if len(srows) != len(drows):
             status.append(f"rowcount {len(srows)} vs {len(drows)}")
         if sc != dc:
