@@ -47,6 +47,16 @@ def stratified_sample(
     )
 
 
+def hash_bucket(key_col: str, mod: int) -> F.Column:
+    """md5-derived uniform bucket in [0, mod) — engine-independent (the
+    first 15 hex chars parse as a 60-bit int on any engine)."""
+    return (
+        F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        % mod
+    )
+
+
 def hash_decimate(df: DataFrame, key_col: str, keep: int, mod: int = 100) -> DataFrame:
     """Deterministic decimation: keep rows whose md5-derived bucket
     ``< keep`` of ``mod`` — the reproducible way to cut a 100 TB corpus
@@ -54,9 +64,6 @@ def hash_decimate(df: DataFrame, key_col: str, keep: int, mod: int = 100) -> Dat
     stable row set under re-runs/retries (rand() is NOT stable across
     task retries; content hashing is). Adds the bucket as ``__bucket``
     for auditability."""
-    bucket = (
-        F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 15), 16, 10)
-        .cast("long")
-        % mod
+    return df.withColumn("__bucket", hash_bucket(key_col, mod)).where(
+        F.col("__bucket") < keep
     )
-    return df.withColumn("__bucket", bucket).where(F.col("__bucket") < keep)

@@ -18,7 +18,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from pmp_analytics_spark.queries import extended, llm, parity
+from pmp_analytics_spark.queries import corpus, extended, llm, parity
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -28,6 +28,7 @@ def all_queries() -> dict[str, QueryFn]:
     out.update(parity.QUERIES)
     out.update(llm.QUERIES)
     out.update(extended.QUERIES)
+    out.update(corpus.QUERIES)
     return out
 
 
@@ -36,4 +37,5 @@ def all_oracles() -> dict[str, str]:
     out.update(parity.ORACLE)
     out.update(llm.ORACLE)
     out.update(extended.ORACLE)
+    out.update(corpus.ORACLE)
     return out

@@ -1,0 +1,468 @@
+"""Corpus-quality, sampling, and conversion-analytics queries (round 2).
+
+The second tranche of north-star LLM-pipeline operators: Gopher-style
+repetition signals, C4-style filter flags, TF-IDF term ranking,
+deterministic decimation/stratified sampling, PII scrubbing, int8
+embedding quantization, and the stream-stream interval join. Every
+query is DuckDB-oracle-checked (same column names, aligned dtypes,
+engine-independent hashing/ordering).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pmp_analytics_spark.functions.pii import (
+    EMAIL_RE,
+    PHONE_RE,
+    SSN_RE,
+    count_pattern,
+    duck_scrub_sql,
+    scrub_pii,
+)
+from pmp_analytics_spark.functions.text import (
+    mean_token_len,
+    punct_ratio,
+    stopword_ratio,
+    token_count,
+    tokens,
+    word_ngrams,
+)
+from pmp_analytics_spark.sources.reader import load_table
+
+QUERIES: dict = {}
+ORACLE: dict[str, str] = {}
+
+# Same tokenizer as queries/llm.py — the one DuckDB rendering of
+# functions.text.tokens().
+_DUCK_TOKENS = "LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '[^a-z0-9]+'), t -> t <> '')"
+_DUCK_2GRAMS = (
+    "LIST_TRANSFORM(GENERATE_SERIES(1, LEN(toks) - 1), "
+    "i -> ARRAY_TO_STRING(toks[i:i+1], ' '))"
+)
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+
+    return deco
+
+
+# --------------------------------------------------------------------------
+# Q: docs_repetition_stats — Gopher-style repetition quality signals: the
+# fraction of tokens that are the single most frequent token, and the
+# most-frequent / duplicate fractions of word 2-grams. High values mark
+# boilerplate/spam documents a training pipeline drops. Two explode →
+# two-level aggregate trees (partial aggregation map-side both times),
+# joined on doc_id — no driver state, scales linearly in corpus size.
+# --------------------------------------------------------------------------
+@query(
+    "docs_repetition_stats",
+    f"""
+    WITH tk AS (SELECT doc_id, {_DUCK_TOKENS} AS toks FROM documents),
+    w AS (SELECT doc_id, UNNEST(toks) AS w FROM tk),
+    wc AS (SELECT doc_id, w, COUNT(*) AS c FROM w GROUP BY doc_id, w),
+    wstat AS (
+        SELECT doc_id,
+               CAST(SUM(c) AS BIGINT) AS n_words,
+               CAST(MAX(c) AS BIGINT) AS top_word_count,
+               CAST(COUNT(*) AS BIGINT) AS n_distinct_words
+        FROM wc GROUP BY doc_id
+    ),
+    g AS (
+        SELECT doc_id, UNNEST({_DUCK_2GRAMS}) AS gm
+        FROM tk WHERE LEN(toks) >= 2
+    ),
+    gc AS (SELECT doc_id, gm, COUNT(*) AS c FROM g GROUP BY doc_id, gm),
+    gstat AS (
+        SELECT doc_id,
+               CAST(SUM(c) AS BIGINT) AS n_grams,
+               CAST(MAX(c) AS BIGINT) AS top_gram_count,
+               CAST(COUNT(*) AS BIGINT) AS n_distinct_grams
+        FROM gc GROUP BY doc_id
+    )
+    SELECT w.doc_id,
+           w.n_words,
+           ROUND(w.top_word_count * 1.0 / w.n_words, 6) AS top_word_frac,
+           ROUND(COALESCE(g.top_gram_count * 1.0 / g.n_grams, 0.0), 6) AS top_2gram_frac,
+           ROUND(COALESCE(1.0 - g.n_distinct_grams * 1.0 / g.n_grams, 0.0), 6) AS dup_2gram_frac
+    FROM wstat w LEFT JOIN gstat g ON w.doc_id = g.doc_id
+    """,
+)
+def docs_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", tokens("text").alias("toks")
+    )
+    words = docs.select("doc_id", F.explode("toks").alias("w"))
+    wc = words.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("c"))
+    wstat = wc.groupBy("doc_id").agg(
+        F.sum("c").alias("n_words"),
+        F.max("c").alias("top_word_count"),
+        F.count(F.lit(1)).alias("n_distinct_words"),
+    )
+    grams = docs.select("doc_id", F.explode(word_ngrams(F.col("toks"), 2)).alias("gm"))
+    gc = grams.groupBy("doc_id", "gm").agg(F.count(F.lit(1)).alias("c"))
+    gstat = gc.groupBy("doc_id").agg(
+        F.sum("c").alias("n_grams"),
+        F.max("c").alias("top_gram_count"),
+        F.count(F.lit(1)).alias("n_distinct_grams"),
+    )
+    return wstat.join(gstat, "doc_id", "left").select(
+        "doc_id",
+        "n_words",
+        F.round(F.col("top_word_count") / F.col("n_words"), 6).alias("top_word_frac"),
+        F.round(
+            F.coalesce(F.col("top_gram_count") / F.col("n_grams"), F.lit(0.0)), 6
+        ).alias("top_2gram_frac"),
+        F.round(
+            F.coalesce(
+                F.lit(1.0) - F.col("n_distinct_grams") / F.col("n_grams"), F.lit(0.0)
+            ),
+            6,
+        ).alias("dup_2gram_frac"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Q: docs_c4_filters — C4-style composite cleaning flags: every heuristic
+# is a pure-JVM expression over integer counts + one division, so the
+# booleans are bit-identical across engines (no float-boundary risk).
+# The keep decision is the conjunction — the corpus pre-filter shape.
+# --------------------------------------------------------------------------
+@query(
+    "docs_c4_filters",
+    f"""
+    WITH feats AS (
+        SELECT doc_id,
+               {_DUCK_TOKENS} AS toks,
+               LENGTH(text) AS n,
+               LENGTH(REGEXP_REPLACE(text, '[A-Za-z0-9\\s]', '', 'g')) AS n_sym
+        FROM documents
+    ), r AS (
+        SELECT doc_id,
+               CAST(LEN(toks) AS BIGINT) AS n_words,
+               CASE WHEN LEN(toks) > 0
+                    THEN LIST_SUM(LIST_TRANSFORM(toks, t -> LENGTH(t))) * 1.0 / LEN(toks)
+                    ELSE 0.0 END AS mwl,
+               CASE WHEN n > 0 THEN n_sym * 1.0 / n ELSE 0.0 END AS sym_ratio,
+               CASE WHEN LEN(toks) > 0
+                    THEN LEN(LIST_FILTER(toks, t -> LIST_CONTAINS(
+                        ['the','and','of','to','in','is','that','for','with','as'], t))) * 1.0 / LEN(toks)
+                    ELSE 0.0 END AS stop_ratio
+        FROM feats
+    )
+    SELECT doc_id, n_words,
+           ROUND(mwl, 4) AS mean_word_len,
+           ROUND(sym_ratio, 6) AS symbol_ratio,
+           ROUND(stop_ratio, 6) AS stop_ratio,
+           n_words >= 50 AS flag_min_words,
+           mwl >= 3 AND mwl <= 10 AS flag_word_len,
+           sym_ratio < 0.1 AS flag_symbols,
+           stop_ratio >= 0.05 AS flag_stopwords,
+           (n_words >= 50 AND mwl >= 3 AND mwl <= 10
+            AND sym_ratio < 0.1 AND stop_ratio >= 0.05) AS keep
+    FROM r
+    """,
+)
+def docs_c4_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        token_count("text").cast("long").alias("n_words"),
+        mean_token_len("text").alias("mwl"),
+        punct_ratio("text").alias("sym_ratio"),
+        stopword_ratio("text").alias("stop_ratio"),
+    )
+    flag_min_words = F.col("n_words") >= 50
+    flag_word_len = (F.col("mwl") >= 3) & (F.col("mwl") <= 10)
+    flag_symbols = F.col("sym_ratio") < 0.1
+    flag_stopwords = F.col("stop_ratio") >= 0.05
+    return base.select(
+        "doc_id",
+        "n_words",
+        F.round("mwl", 4).alias("mean_word_len"),
+        F.round("sym_ratio", 6).alias("symbol_ratio"),
+        F.round("stop_ratio", 6).alias("stop_ratio"),
+        flag_min_words.alias("flag_min_words"),
+        flag_word_len.alias("flag_word_len"),
+        flag_symbols.alias("flag_symbols"),
+        flag_stopwords.alias("flag_stopwords"),
+        (flag_min_words & flag_word_len & flag_symbols & flag_stopwords).alias("keep"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Q: docs_stratified_sample — exact-N-per-stratum deterministic sample
+# (20 per source): one shuffle on the stratum key, md5 draw reproducible
+# across engines and across task retries (rand() is not).
+# --------------------------------------------------------------------------
+_STRAT_N = 20
+
+
+@query(
+    "docs_stratified_sample",
+    f"""
+    SELECT source, doc_id, sample_rank FROM (
+        SELECT source, doc_id,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY MD5(CAST(doc_id AS VARCHAR)), doc_id
+               ) AS BIGINT) AS sample_rank
+        FROM documents
+    ) WHERE sample_rank <= {_STRAT_N}
+    """,
+)
+def docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pmp_analytics_spark.operators.sample import stratified_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return stratified_sample(docs, "source", "doc_id", _STRAT_N).select(
+        "source", "doc_id", "sample_rank"
+    )
+
+
+# --------------------------------------------------------------------------
+# Q: docs_hash_decimation — deterministic corpus decimation audit: bucket
+# every doc by md5(doc_id) mod 10, keep buckets < 3, report per-source
+# retention. Map-side only (no shuffle before the tiny per-source agg);
+# the 100 TB story is the same expression as a scan filter.
+# --------------------------------------------------------------------------
+@query(
+    "docs_hash_decimation",
+    """
+    WITH b AS (
+        SELECT source,
+               CAST(('0x' || SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10 AS bucket
+        FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(SUM(CASE WHEN bucket < 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           ROUND(SUM(CASE WHEN bucket < 3 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 4) AS keep_rate
+    FROM b GROUP BY source
+    """,
+)
+def docs_hash_decimation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pmp_analytics_spark.operators.sample import hash_bucket
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = F.when(hash_bucket("doc_id", 10) < 3, 1).otherwise(0)
+    return (
+        docs.select("source", kept.alias("kept"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum("kept").alias("n_kept"),
+            F.round(F.sum("kept") / F.count(F.lit(1)), 4).alias("keep_rate"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q: pii_scrub_extract — PII redaction end-to-end: synthesize a contact
+# blob with a deterministic email/phone/SSN per customer (the engine op
+# under test is the scrubber, not the data), redact with the shared
+# Java/RE2 pattern set, count each entity class. The oracle applies the
+# IDENTICAL patterns in the identical order — the scrubbed strings must
+# match byte-for-byte.
+# --------------------------------------------------------------------------
+_DUCK_CONTACT = (
+    "c_name || ' ph 555-' || LPAD(CAST(c_custkey % 10000 AS VARCHAR), 4, '0') "
+    "|| ' user' || CAST(c_custkey AS VARCHAR) || '@example.com ssn ' "
+    "|| LPAD(CAST(c_custkey % 1000 AS VARCHAR), 3, '0') || '-' "
+    "|| LPAD(CAST(c_custkey % 100 AS VARCHAR), 2, '0') || '-' "
+    "|| LPAD(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')"
+)
+
+
+@query(
+    "pii_scrub_extract",
+    f"""
+    WITH c AS (SELECT c_custkey, {_DUCK_CONTACT} AS contact FROM customer)
+    SELECT c_custkey,
+           {duck_scrub_sql("contact")} AS scrubbed,
+           CAST(LEN(REGEXP_EXTRACT_ALL(contact, '{EMAIL_RE}')) AS BIGINT) AS n_emails,
+           CAST(LEN(REGEXP_EXTRACT_ALL(contact, '{SSN_RE}')) AS BIGINT) AS n_ssns,
+           CAST(LEN(REGEXP_EXTRACT_ALL(contact, '{PHONE_RE}')) AS BIGINT) AS n_phones
+    FROM c
+    """,
+)
+def pii_scrub_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    key = F.col("c_custkey")
+    contact = F.concat(
+        F.col("c_name"),
+        F.lit(" ph 555-"),
+        F.lpad((key % 10000).cast("string"), 4, "0"),
+        F.lit(" user"),
+        key.cast("string"),
+        F.lit("@example.com ssn "),
+        F.lpad((key % 1000).cast("string"), 3, "0"),
+        F.lit("-"),
+        F.lpad((key % 100).cast("string"), 2, "0"),
+        F.lit("-"),
+        F.lpad((key % 10000).cast("string"), 4, "0"),
+    )
+    blob = customer.select("c_custkey", contact.alias("contact"))
+    return blob.select(
+        "c_custkey",
+        scrub_pii("contact").alias("scrubbed"),
+        count_pattern("contact", EMAIL_RE).alias("n_emails"),
+        count_pattern("contact", SSN_RE).alias("n_ssns"),
+        count_pattern("contact", PHONE_RE).alias("n_phones"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Q: embedding_quantize_int8 — symmetric int8 scalar quantization with
+# reconstruction diagnostics. floor(x*127/m + 0.5) double math is
+# IEEE-identical across engines, so the oracle checks the CODES (via
+# their checksum) — not just an error bound — plus rmse to 6 decimals.
+# --------------------------------------------------------------------------
+@query(
+    "embedding_quantize_int8",
+    """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    m AS (SELECT vec_id, v, LIST_MAX(LIST_TRANSFORM(v, x -> ABS(x))) AS mx FROM e),
+    q AS (
+        SELECT vec_id, v, mx,
+               CASE WHEN mx > 0 THEN LIST_TRANSFORM(
+                   v, x -> CAST(FLOOR(x * 127.0 / mx + 0.5) AS BIGINT)) END AS qv
+        FROM m
+    )
+    SELECT vec_id,
+           ROUND(mx, 6) AS max_abs,
+           CAST(LIST_SUM(qv) AS BIGINT) AS q_sum,
+           ROUND(SQRT(LIST_SUM(LIST_TRANSFORM(LIST_ZIP(v, qv),
+                 p -> POWER(p[1] - p[2] * mx / 127.0, 2))) / LEN(v)), 6) AS rmse
+    FROM q
+    """,
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pmp_analytics_spark.operators.quantize import quantize_embeddings
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return quantize_embeddings(emb)
+
+
+# --------------------------------------------------------------------------
+# Q: docs_tfidf_topterms — per-document top-3 TF-IDF terms: term
+# frequency (explode + count), document frequency (second-level count —
+# tf is already distinct per (doc, term)), smoothed idf via a broadcast
+# 1-row corpus count. Ranking key is ROUND(tfidf, 6) then term — pinned
+# to 6 decimals so a 1-ulp ln() difference between engines cannot flip
+# the order.
+# --------------------------------------------------------------------------
+_TFIDF_K = 3
+
+
+@query(
+    "docs_tfidf_topterms",
+    f"""
+    WITH tk AS (SELECT doc_id, {_DUCK_TOKENS} AS toks FROM documents),
+    w AS (SELECT doc_id, UNNEST(toks) AS term FROM tk),
+    tf AS (SELECT doc_id, term, COUNT(*) AS c FROM w GROUP BY doc_id, term),
+    dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS dfc FROM tf GROUP BY term),
+    n AS (SELECT COUNT(*) AS nd FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.term,
+               CAST(tf.c AS BIGINT) AS tf_count,
+               dfreq.dfc AS doc_freq,
+               ROUND(tf.c * LN((n.nd + 1.0) / (dfreq.dfc + 1.0)), 6) AS tfidf
+        FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n
+    )
+    SELECT doc_id, term, tf_count, doc_freq, tfidf, rk FROM (
+        SELECT *, CAST(ROW_NUMBER() OVER (
+            PARTITION BY doc_id ORDER BY tfidf DESC, term) AS BIGINT) AS rk
+        FROM scored
+    ) WHERE rk <= {_TFIDF_K}
+    """,
+)
+def docs_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+    tf = w.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("c"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("dfc"))
+    nd = docs.agg(F.count(F.lit(1)).alias("nd"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "doc_id",
+            "term",
+            F.col("c").alias("tf_count"),
+            F.col("dfc").alias("doc_freq"),
+            F.round(
+                F.col("c") * F.log((F.col("nd") + 1.0) / (F.col("dfc") + 1.0)), 6
+            ).alias("tfidf"),
+        )
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    )
+    return (
+        scored.withColumn("rk", rk.cast("long"))
+        .where(F.col("rk") <= _TFIDF_K)
+        .select("doc_id", "term", "tf_count", "doc_freq", "tfidf", "rk")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q: streaming_conversion_lag — stream-stream interval join as a declared
+# query: two file streams (views, purchases) joined on user within a
+# 4-hour event-time window, drained append-mode into a memory sink, then
+# aggregated per user. An inner interval join emits exactly the batch
+# join's rows, so the batch SQL oracle fully checks the streaming plan.
+# --------------------------------------------------------------------------
+_CONV_LAG_MIN = 240
+
+
+@query(
+    "streaming_conversion_lag",
+    f"""
+    WITH pr AS (
+        SELECT v.user_id, EPOCH_US(p.ts) - EPOCH_US(v.ts) AS lag_us
+        FROM events v JOIN events p
+          ON v.user_id = p.user_id
+         AND v.event_type = 'view' AND p.event_type = 'purchase'
+         AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL {_CONV_LAG_MIN} MINUTES
+    )
+    SELECT user_id,
+           COUNT(*) AS n_pairs,
+           MIN(lag_us) AS min_lag_us,
+           MAX(lag_us) AS max_lag_us,
+           CAST(SUM(lag_us) AS BIGINT) AS total_lag_us
+    FROM pr GROUP BY user_id
+    """,
+)
+def streaming_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from pmp_analytics_spark.streaming import (
+        read_event_stream,
+        run_to_memory,
+        view_purchase_pairs,
+    )
+
+    views = read_event_stream(spark, sf_dir).where(F.col("event_type") == "view")
+    purchases = read_event_stream(spark, sf_dir).where(
+        F.col("event_type") == "purchase"
+    )
+    pairs = view_purchase_pairs(views, purchases, max_lag_minutes=_CONV_LAG_MIN)
+    name = f"stream_conv_{uuid.uuid4().hex[:12]}"
+    run_to_memory(pairs, name, output_mode="append")
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.min("lag_us").alias("min_lag_us"),
+            F.max("lag_us").alias("max_lag_us"),
+            F.sum("lag_us").alias("total_lag_us"),
+        )
+    )

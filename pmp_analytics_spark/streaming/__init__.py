@@ -1,3 +1,4 @@
+from pmp_analytics_spark.streaming.joins import view_purchase_pairs
 from pmp_analytics_spark.streaming.sessions import (
     read_event_stream,
     run_to_memory,
@@ -10,4 +11,5 @@ __all__ = [
     "run_to_memory",
     "streaming_event_type_counts",
     "streaming_sessions",
+    "view_purchase_pairs",
 ]

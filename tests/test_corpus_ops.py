@@ -1,0 +1,122 @@
+"""Round-2 corpus operators: repetition n-grams, PII scrub, deterministic
+sampling, int8 quantization, and the stream-stream interval join."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pmp_analytics_spark.functions.pii import scrub_pii
+from pmp_analytics_spark.functions.text import tokens, word_ngrams
+from pmp_analytics_spark.operators.quantize import quantize_embeddings
+from pmp_analytics_spark.operators.sample import (
+    hash_bucket,
+    hash_decimate,
+    stratified_sample,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_word_ngrams_basic_and_short(spark):
+    df = spark.createDataFrame([("a b c d",), ("x y",), ("solo",), ("",)], ["t"])
+    out = [
+        r.g
+        for r in df.select(word_ngrams(tokens("t"), 3).alias("g"))
+        .orderBy(F.length("t").desc())
+        .collect()
+    ]
+    assert out[0] == ["a b c", "b c d"]
+    assert out[1] == [] and out[2] == [] and out[3] == []
+
+
+def test_scrub_pii_order_and_counts(spark):
+    df = spark.createDataFrame(
+        [
+            ("mail bob9@corp.io now",),
+            ("ssn 123-45-6789 ok",),
+            ("call 480-555-1234 or 555-9876",),
+            ("clean text, no pii",),
+        ],
+        ["t"],
+    )
+    got = [r.s for r in df.select(scrub_pii("t").alias("s")).collect()]
+    assert got[0] == "mail [EMAIL] now"
+    assert got[1] == "ssn [SSN] ok"
+    assert got[2] == "call [PHONE] or [PHONE]"
+    assert got[3] == "clean text, no pii"
+
+
+def test_stratified_sample_exact_n_and_deterministic(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    a = stratified_sample(docs, "source", "doc_id", 5)
+    counts = {r.source: r.n for r in a.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    totals = {r.source: r.n for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    for src, n in counts.items():
+        assert n == min(5, totals[src])
+    ids_1 = sorted(r.doc_id for r in a.collect())
+    ids_2 = sorted(r.doc_id for r in stratified_sample(docs, "source", "doc_id", 5).collect())
+    assert ids_1 == ids_2
+    # a different salt redraws
+    ids_salted = sorted(
+        r.doc_id for r in stratified_sample(docs, "source", "doc_id", 5, salt="x").collect()
+    )
+    assert ids_salted != ids_1
+
+
+def test_hash_decimate_stable_and_bounded(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    kept = hash_decimate(docs, "doc_id", keep=3, mod=10)
+    ids = sorted(r.doc_id for r in kept.collect())
+    assert ids == sorted(r.doc_id for r in hash_decimate(docs, "doc_id", 3, 10).collect())
+    buckets = [r.b for r in docs.select(hash_bucket("doc_id", 10).alias("b")).collect()]
+    assert all(0 <= b < 10 for b in buckets)
+    # roughly 30% kept (uniform hash; loose bound)
+    assert 0.1 < len(ids) / docs.count() < 0.5
+
+
+def test_quantize_int8_codes_and_error(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    out = quantize_embeddings(emb).collect()
+    assert len(out) == emb.count()
+    for r in out[:50]:
+        assert r.max_abs > 0 and r.rmse is not None
+        # rmse bounded by half a quantization step
+        assert r.rmse <= r.max_abs / 127.0
+    # zero vector: null codes, not a crash
+    z = spark.createDataFrame([(1, [0.0, 0.0]), (2, [1.0, -2.0])], ["vec_id", "embedding"])
+    rows = {r.vec_id: r for r in quantize_embeddings(z).collect()}
+    assert rows[1].q_sum is None and rows[1].rmse is None
+    assert rows[2].q_sum is not None
+
+
+def test_view_purchase_pairs_streaming_matches_batch(spark):
+    from pmp_analytics_spark.streaming import (
+        read_event_stream,
+        run_to_memory,
+        view_purchase_pairs,
+    )
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch = (
+        spark.read.schema("event_id long, ts long, user_id long, event_type string, value double, props string")
+        .parquet(f"{SF}/events.parquet")
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    bviews = batch.where(F.col("event_type") == "view")
+    bbuys = batch.where(F.col("event_type") == "purchase")
+    expected = sorted(
+        (r.view_id, r.purchase_id)
+        for r in view_purchase_pairs(bviews, bbuys, max_lag_minutes=240).collect()
+    )
+
+    sviews = read_event_stream(spark, SF).where(F.col("event_type") == "view")
+    sbuys = read_event_stream(spark, SF).where(F.col("event_type") == "purchase")
+    run_to_memory(
+        view_purchase_pairs(sviews, sbuys, max_lag_minutes=240),
+        "t_conv_pairs",
+        output_mode="append",
+    )
+    got = sorted(
+        (r.view_id, r.purchase_id) for r in spark.table("t_conv_pairs").collect()
+    )
+    assert got == expected and len(got) > 0
