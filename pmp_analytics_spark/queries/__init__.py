@@ -18,7 +18,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from pmp_analytics_spark.queries import corpus, extended, llm, parity
+from pmp_analytics_spark.queries import corpus, extended, llm, parity, pretrain
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -29,6 +29,7 @@ def all_queries() -> dict[str, QueryFn]:
     out.update(llm.QUERIES)
     out.update(extended.QUERIES)
     out.update(corpus.QUERIES)
+    out.update(pretrain.QUERIES)
     return out
 
 
@@ -38,4 +39,5 @@ def all_oracles() -> dict[str, str]:
     out.update(llm.ORACLE)
     out.update(extended.ORACLE)
     out.update(corpus.ORACLE)
+    out.update(pretrain.ORACLE)
     return out

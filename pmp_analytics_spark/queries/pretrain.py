@@ -1,0 +1,695 @@
+"""Pretraining-pipeline and relational-completeness queries (round 2,
+second tranche).
+
+Corpus-side: sequence packing over a distributed prefix sum, chunk-level
+exact dedup, deterministic train/val/test hash split, per-source quota
+capping, incremental-ingest dedup against an existing corpus, a bigram
+language-model table, and per-document character entropy.
+
+Relational/API-side: GROUPING SETS, full-outer join profiling, Spark 4
+VariantType JSON access, MapType explode stats, and a Python UDTF lateral
+join cross-checked against the pure-JVM chunker.
+
+Every query is DuckDB-oracle-checked except where noted; the shared
+tokenizer rendering (_DUCK_TOKENS) matches functions.text.tokens().
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pmp_analytics_spark.functions.text import token_count, tokens
+from pmp_analytics_spark.operators.packing import pack_sequences
+from pmp_analytics_spark.operators.sample import hash_bucket
+from pmp_analytics_spark.sources.reader import load_table
+
+QUERIES: dict = {}
+ORACLE: dict[str, str] = {}
+
+_DUCK_TOKENS = "LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '[^a-z0-9]+'), t -> t <> '')"
+_DUCK_BUCKET = (
+    "CAST(('0x' || SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)"
+)
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+
+    return deco
+
+
+# --------------------------------------------------------------------------
+# Q: docs_pack_sequences — GPT-style sequence packing: concatenate the
+# tokenized corpus in doc_id order, slice into 512-token context windows,
+# report per-bin fill stats. The offset comes from the two-phase
+# distributed prefix sum (operators/prefix_sum.py) — NO single-partition
+# window, so the identical plan runs on a 100 TB corpus.
+# --------------------------------------------------------------------------
+@query(
+    "docs_pack_sequences",
+    f"""
+    WITH tk AS (
+        SELECT doc_id, CAST(LEN({_DUCK_TOKENS}) AS BIGINT) AS n_tok
+        FROM documents
+    ),
+    o AS (
+        SELECT doc_id, n_tok,
+               CAST(COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS off
+        FROM tk
+    )
+    SELECT CAST(FLOOR(off / 512) AS BIGINT) AS bin_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+           MIN(doc_id) AS first_doc,
+           MAX(doc_id) AS last_doc,
+           CAST(SUM(CASE WHEN FLOOR((off % 512 + n_tok - 1) / 512) + 1 > 1
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_spanning
+    FROM o GROUP BY 1
+    """,
+)
+def docs_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.select("doc_id", token_count(F.col("text")).cast("long").alias("n_tok"))
+    packed = pack_sequences(toked, id_col="doc_id", n_tokens_col="n_tok", budget=512)
+    return packed.groupBy("bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("n_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+        F.sum(F.when(F.col("bins_spanned") > 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_spanning"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Q: docs_chunk_dedup — paragraph-level exact dedup, the RefinedWeb/CCNet
+# shape adapted to fixed 20-token chunks: fingerprint every chunk, keep
+# the globally-first occurrence (doc_id, chunk_idx order), report per-doc
+# retention. One shuffle on the fingerprint (the dedup key), one on
+# doc_id for the rollup — both map-side-combined.
+# --------------------------------------------------------------------------
+@query(
+    "docs_chunk_dedup",
+    f"""
+    WITH tk AS (SELECT doc_id, {_DUCK_TOKENS} AS toks FROM documents),
+    st AS (
+        SELECT doc_id, toks,
+               UNNEST(RANGE(0, GREATEST(LEN(toks), 1), 20)) AS start
+        FROM tk
+    ),
+    ch AS (
+        SELECT doc_id,
+               CAST(start / 20 AS BIGINT) AS chunk_idx,
+               MD5(ARRAY_TO_STRING(toks[start + 1 : start + 20], ' ')) AS fp
+        FROM st WHERE LEN(toks[start + 1 : start + 20]) > 0
+    ),
+    r AS (
+        SELECT doc_id, chunk_idx,
+               ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id, chunk_idx) AS rn
+        FROM ch
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_chunks,
+           CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+           ROUND(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 4)
+               AS keep_ratio
+    FROM r GROUP BY doc_id
+    """,
+)
+def docs_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.select("doc_id", tokens(F.col("text")).alias("toks"))
+    starts = F.sequence(F.lit(0), F.greatest(F.size("toks") - 1, F.lit(0)), F.lit(20))
+    chunks = (
+        toked.select("doc_id", "toks", F.explode(starts).alias("start"))
+        .withColumn("chunk", F.slice("toks", F.col("start") + 1, 20))
+        .where(F.size("chunk") > 0)
+        .select(
+            "doc_id",
+            (F.col("start") / 20).cast("long").alias("chunk_idx"),
+            F.md5(F.array_join("chunk", " ")).alias("fp"),
+        )
+    )
+    w = Window.partitionBy("fp").orderBy("doc_id", "chunk_idx")
+    flagged = chunks.withColumn("rn", F.row_number().over(w))
+    kept = F.when(F.col("rn") == 1, 1).otherwise(0)
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum(kept).cast("long").alias("n_kept"),
+        F.sum(1 - kept).cast("long").alias("n_dropped"),
+        F.round(F.sum(kept) / F.count(F.lit(1)), 4).alias("keep_ratio"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Q: docs_train_split — deterministic train/valid/test split (90/5/5) by
+# md5 bucket of doc_id: reproducible across engines, runs, and cluster
+# sizes (no rand()). Map-side expression + tiny agg; at 100 TB the same
+# expression is a scan-level filter for materializing each split.
+# --------------------------------------------------------------------------
+@query(
+    "docs_train_split",
+    f"""
+    WITH b AS (
+        SELECT lang, n_chars,
+               CAST(LEN({_DUCK_TOKENS}) AS BIGINT) AS n_tok,
+               {_DUCK_BUCKET} % 100 AS bucket
+        FROM documents
+    )
+    SELECT CASE WHEN bucket < 90 THEN 'train'
+                WHEN bucket < 95 THEN 'valid'
+                ELSE 'test' END AS split,
+           lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM b GROUP BY 1, 2
+    """,
+)
+def docs_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = hash_bucket("doc_id", 100)
+    split = (
+        F.when(bucket < 90, "train").when(bucket < 95, "valid").otherwise("test")
+    )
+    return (
+        docs.select(
+            split.alias("split"),
+            "lang",
+            token_count(F.col("text")).cast("long").alias("n_tok"),
+            "n_chars",
+        )
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q: docs_source_quota — per-domain quota capping (each source keeps its
+# top-10 docs by length): the anti-domination pass of corpus curation.
+# One shuffle on source; row_number tie-broken on doc_id for determinism.
+# --------------------------------------------------------------------------
+@query(
+    "docs_source_quota",
+    """
+    WITH r AS (
+        SELECT doc_id, source, n_chars,
+               ROW_NUMBER() OVER (PARTITION BY source
+                   ORDER BY n_chars DESC, doc_id) AS quota_rank
+        FROM documents
+    )
+    SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(quota_rank AS BIGINT) AS quota_rank
+    FROM r WHERE quota_rank <= 10
+    """,
+)
+def docs_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        docs.withColumn("quota_rank", F.row_number().over(w))
+        .where(F.col("quota_rank") <= 10)
+        .select(
+            "doc_id",
+            "source",
+            F.col("n_chars").cast("long").alias("n_chars"),
+            F.col("quota_rank").cast("long").alias("quota_rank"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q: docs_incremental_ingest — incremental dedup: a new batch (sources
+# src15..src19) lands against an already-ingested corpus; keep batch docs
+# whose text fingerprint is unseen in the corpus AND first within the
+# batch. This is the steady-state shape of corpus ingestion — the corpus
+# side is fingerprints only (narrow), the anti-join shuffles on fp.
+# --------------------------------------------------------------------------
+_BATCH_SOURCES = "('src15', 'src16', 'src17', 'src18', 'src19')"
+
+
+@query(
+    "docs_incremental_ingest",
+    f"""
+    WITH batch AS (
+        SELECT doc_id, source, lang, MD5(text) AS fp
+        FROM documents WHERE source IN {_BATCH_SOURCES}
+    ),
+    corpus AS (
+        SELECT DISTINCT MD5(text) AS fp
+        FROM documents WHERE source NOT IN {_BATCH_SOURCES}
+    ),
+    fresh AS (
+        SELECT b.* FROM batch b ANTI JOIN corpus c USING (fp)
+    ),
+    r AS (
+        SELECT doc_id, source, lang, fp,
+               ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        FROM fresh
+    )
+    SELECT doc_id, source, lang, fp FROM r WHERE rn = 1
+    """,
+)
+def docs_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    batch_sources = ["src15", "src16", "src17", "src18", "src19"]
+    batch = docs.where(F.col("source").isin(batch_sources)).select(
+        "doc_id", "source", "lang", F.md5("text").alias("fp")
+    )
+    corpus = (
+        docs.where(~F.col("source").isin(batch_sources))
+        .select(F.md5("text").alias("fp"))
+        .distinct()
+    )
+    fresh = batch.join(corpus, on="fp", how="left_anti")
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    return (
+        fresh.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", "source", "lang", "fp")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q: docs_bigram_lm — bigram language-model table: corpus-wide (w1, w2)
+# counts, top-3 continuations per w1. Bigrams are built JVM-side with
+# zip_with over two array slices (no Python, no self-join); the count
+# aggregate map-side-combines, then a per-w1 window ranks continuations.
+# --------------------------------------------------------------------------
+@query(
+    "docs_bigram_lm",
+    f"""
+    WITH tk AS (SELECT {_DUCK_TOKENS} AS toks FROM documents),
+    ix AS (
+        SELECT toks, UNNEST(GENERATE_SERIES(1, LEN(toks) - 1)) AS i
+        FROM tk WHERE LEN(toks) >= 2
+    ),
+    pairs AS (SELECT toks[i] AS w1, toks[i + 1] AS w2 FROM ix),
+    c AS (SELECT w1, w2, COUNT(*) AS n_pairs FROM pairs GROUP BY 1, 2),
+    r AS (
+        SELECT w1, w2, n_pairs,
+               ROW_NUMBER() OVER (PARTITION BY w1
+                   ORDER BY n_pairs DESC, w2) AS rnk
+        FROM c
+    )
+    SELECT w1, w2, n_pairs, CAST(rnk AS BIGINT) AS rnk
+    FROM r WHERE rnk <= 3
+    """,
+)
+def docs_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.select(tokens(F.col("text")).alias("toks")).where(
+        F.size("toks") >= 2
+    )
+    bigrams = toked.select(
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("toks"), F.lit(1), F.size("toks") - 1),
+                F.slice(F.col("toks"), F.lit(2), F.size("toks") - 1),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("bg")
+    ).select("bg.w1", "bg.w2")
+    counts = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_pairs"))
+    w = Window.partitionBy("w1").orderBy(F.desc("n_pairs"), F.asc("w2"))
+    return (
+        counts.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= 3)
+        .select("w1", "w2", "n_pairs", "rnk")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q: docs_char_entropy — per-document character-distribution entropy (a
+# compression-ratio-style quality signal: near-zero entropy = degenerate
+# repetition). Pure JVM: char explode → two-level aggregate; entropy via
+# the algebraic identity H = log2(n) - sum(c*log2(c))/n so a single agg
+# pass suffices (no per-char p=c/n division then re-sum).
+# --------------------------------------------------------------------------
+@query(
+    "docs_char_entropy",
+    """
+    WITH pos AS (
+        SELECT doc_id, text, UNNEST(GENERATE_SERIES(1, LEN(text))) AS i
+        FROM documents
+    ),
+    cc AS (SELECT doc_id, SUBSTRING(text, i, 1) AS ch FROM pos),
+    cnt AS (SELECT doc_id, ch, COUNT(*) AS c FROM cc GROUP BY 1, 2)
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_chars_total,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct_chars,
+           ROUND(LOG2(SUM(c)) - SUM(c * LOG2(c)) / SUM(c), 6) AS char_entropy
+    FROM cnt GROUP BY doc_id
+    """,
+)
+def docs_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    chars = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), "(?!$)")).alias("ch")
+    )
+    cnt = chars.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("c"))
+    n = F.sum("c")
+    return cnt.groupBy("doc_id").agg(
+        n.cast("long").alias("n_chars_total"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct_chars"),
+        F.round(
+            F.log2(n) - F.sum(F.col("c") * F.log2("c")) / n, 6
+        ).alias("char_entropy"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Q: revenue_grouping_sets — explicit GROUPING SETS (the general form of
+# CUBE/ROLLUP already covered by revenue_cube/revenue_rollup): the three
+# grouping combinations expand to ONE scan + one shuffle (Expand node),
+# not three scans; GROUPING() flags disambiguate subtotal rows.
+# --------------------------------------------------------------------------
+_GROUPING_SETS_SQL = """
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+           CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+           COUNT(*) AS n_items,
+           ROUND(SUM(l_extendedprice), 2) AS gross
+    FROM {table}
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+"""
+
+
+@query("revenue_grouping_sets", _GROUPING_SETS_SQL.format(table="lineitem"))
+def revenue_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "lineitem_gsets"
+    )
+    return spark.sql(_GROUPING_SETS_SQL.format(table="lineitem_gsets"))
+
+
+# --------------------------------------------------------------------------
+# Q: nation_fulljoin_profile — FULL OUTER equi-join (the one join type the
+# reference never uses, SURVEY §2.4): per-nation BUILDING-segment customer
+# counts vs high-balance supplier counts, with coalesced key and side
+# indicator. Both inputs pre-aggregate to ≤ nation cardinality before the
+# join, so the outer join is over two tiny frames at any corpus scale.
+# --------------------------------------------------------------------------
+@query(
+    "nation_fulljoin_profile",
+    """
+    WITH c AS (
+        SELECT CAST(c_nationkey AS BIGINT) AS k, COUNT(*) AS n_cust
+        FROM customer WHERE c_mktsegment = 'BUILDING' GROUP BY 1
+    ),
+    s AS (
+        SELECT CAST(s_nationkey AS BIGINT) AS k, COUNT(*) AS n_supp
+        FROM supplier WHERE s_acctbal > 5000 GROUP BY 1
+    )
+    SELECT COALESCE(c.k, s.k) AS nationkey,
+           CAST(COALESCE(c.n_cust, 0) AS BIGINT) AS n_cust,
+           CAST(COALESCE(s.n_supp, 0) AS BIGINT) AS n_supp,
+           CASE WHEN c.k IS NULL THEN 'supplier_only'
+                WHEN s.k IS NULL THEN 'customer_only'
+                ELSE 'both' END AS side
+    FROM c FULL OUTER JOIN s ON c.k = s.k
+    """,
+)
+def nation_fulljoin_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    c = (
+        customer.where(F.col("c_mktsegment") == "BUILDING")
+        .groupBy(F.col("c_nationkey").cast("long").alias("ck"))
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    s = (
+        supplier.where(F.col("s_acctbal") > 5000)
+        .groupBy(F.col("s_nationkey").cast("long").alias("sk"))
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    joined = c.join(s, c["ck"] == s["sk"], "full_outer")
+    return joined.select(
+        F.coalesce("ck", "sk").alias("nationkey"),
+        F.coalesce("n_cust", F.lit(0)).cast("long").alias("n_cust"),
+        F.coalesce("n_supp", F.lit(0)).cast("long").alias("n_supp"),
+        F.when(F.col("ck").isNull(), "supplier_only")
+        .when(F.col("sk").isNull(), "customer_only")
+        .otherwise("both")
+        .alias("side"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Q: event_props_variant — Spark 4 VariantType path over the JSON props
+# column: parse_json once, variant_get typed extraction (vs the
+# from_json-with-declared-schema path of event_props_stats — Variant
+# needs no schema up front, the right tool for evolving telemetry).
+# Oracle reads the same field with DuckDB's JSON operators.
+# --------------------------------------------------------------------------
+@query(
+    "event_props_variant",
+    """
+    WITH v AS (
+        SELECT event_type, CAST(props ->> 'k' AS BIGINT) AS k
+        FROM events
+    )
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(k) AS BIGINT) AS k_sum,
+           ROUND(AVG(k), 6) AS k_avg,
+           CAST(SUM(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_missing
+    FROM v GROUP BY event_type
+    """,
+)
+def event_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json(F.col("props")), "$.k", "bigint")
+    withk = events.select("event_type", k.alias("k"))
+    return withk.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("k").cast("long").alias("k_sum"),
+        F.round(F.avg("k"), 6).alias("k_avg"),
+        F.sum(F.when(F.col("k").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_missing"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Q: event_props_map_stats — MapType surface: parse props as
+# map<string,bigint>, explode entries, per-key stats. The schema-free
+# cousin of event_props_stats for when keys are an open set; explode of a
+# map is the standard EAV flattening and shuffles only on the (tiny) key
+# domain.
+# --------------------------------------------------------------------------
+@query(
+    "event_props_map_stats",
+    """
+    WITH kv AS (
+        SELECT UNNEST(JSON_KEYS(props)) AS key, props
+        FROM events WHERE props IS NOT NULL
+    ),
+    v AS (SELECT key, CAST(props ->> key AS BIGINT) AS val FROM kv)
+    SELECT key,
+           COUNT(*) AS n,
+           CAST(SUM(val) AS BIGINT) AS v_sum,
+           MIN(val) AS v_min,
+           MAX(val) AS v_max
+    FROM v GROUP BY key
+    """,
+)
+def event_props_map_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    m = F.from_json(F.col("props"), "map<string,bigint>")
+    kv = events.where(F.col("props").isNotNull()).select(
+        F.explode(m).alias("key", "val")
+    )
+    return kv.groupBy("key").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("val").cast("long").alias("v_sum"),
+        F.min("val").alias("v_min"),
+        F.max("val").alias("v_max"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Q: docs_chunk_udtf — Python UDTF (Spark 4 table function) fanning each
+# document into 30-token chunks via SQL LATERAL. Deliberately the same
+# semantics as the JVM chunker family (docs_chunks) so the UDTF path is
+# oracle-checked too; the JVM HOF path remains the production choice —
+# this query exists to cover the UDTF API surface end-to-end.
+# --------------------------------------------------------------------------
+@query(
+    "docs_chunk_udtf",
+    f"""
+    WITH tk AS (SELECT doc_id, {_DUCK_TOKENS} AS toks FROM documents),
+    st AS (
+        SELECT doc_id, toks,
+               UNNEST(RANGE(0, GREATEST(LEN(toks), 1), 30)) AS start
+        FROM tk
+    )
+    SELECT doc_id,
+           CAST(start / 30 AS BIGINT) AS chunk_idx,
+           CAST(LEN(toks[start + 1 : start + 30]) AS BIGINT) AS n_chunk_tokens,
+           ARRAY_TO_STRING(toks[start + 1 : start + 30], ' ') AS chunk_text
+    FROM st WHERE LEN(toks[start + 1 : start + 30]) > 0
+    """,
+)
+def docs_chunk_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pmp_analytics_spark.functions.udtfs import register_udtfs
+
+    register_udtfs(spark)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "docs_udtf_src"
+    )
+    return spark.sql(
+        """
+        SELECT d.doc_id, c.chunk_idx, c.n_chunk_tokens, c.chunk_text
+        FROM docs_udtf_src d, LATERAL chunk_docs(d.text) c
+        """
+    )
+
+
+# --------------------------------------------------------------------------
+# Q: monthly_order_spine — time-series gap fill: month spine over the
+# full order-date range (operators/timeseries.py::date_spine), left join
+# per-month rollups, zero-fill gaps. The spine derives from a 1-row
+# bounds aggregate, so the plan is scan + tiny broadcast join at any
+# fact-table scale.
+# --------------------------------------------------------------------------
+@query(
+    "monthly_order_spine",
+    """
+    WITH bounds AS (
+        SELECT DATE_TRUNC('month', MIN(o_orderdate)) AS lo,
+               DATE_TRUNC('month', MAX(o_orderdate)) AS hi
+        FROM orders
+    ),
+    spine AS (
+        SELECT CAST(UNNEST(GENERATE_SERIES(lo, hi, INTERVAL 1 MONTH)) AS DATE)
+            AS month
+        FROM bounds
+    ),
+    m AS (
+        SELECT CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS month,
+               COUNT(*) AS n_orders,
+               ROUND(SUM(o_totalprice), 2) AS revenue
+        FROM orders GROUP BY 1
+    )
+    SELECT s.month,
+           CAST(COALESCE(m.n_orders, 0) AS BIGINT) AS n_orders,
+           COALESCE(m.revenue, 0.0) AS revenue,
+           CAST(CASE WHEN m.month IS NULL THEN 1 ELSE 0 END AS INT) AS is_gap
+    FROM spine s LEFT JOIN m ON s.month = m.month
+    """,
+)
+def monthly_order_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pmp_analytics_spark.operators.timeseries import date_spine
+
+    orders = load_table(spark, sf_dir, "orders")
+    spine = date_spine(
+        orders,
+        start=F.date_trunc("month", F.min("o_orderdate")).cast("date"),
+        end=F.date_trunc("month", F.max("o_orderdate")).cast("date"),
+        step="interval 1 month",
+        out_col="month",
+    )
+    monthly = orders.groupBy(
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )
+    joined = spine.join(monthly, on="month", how="left")
+    return joined.select(
+        "month",
+        F.coalesce("n_orders", F.lit(0)).cast("long").alias("n_orders"),
+        F.coalesce("revenue", F.lit(0.0)).alias("revenue"),
+        F.when(F.col("n_orders").isNull(), 1).otherwise(0).cast("int").alias("is_gap"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Q: customer_spend_deciles — ranking-window surface the reference never
+# exercises (SURVEY §2.6 note): NTILE deciles + PERCENT_RANK over total
+# customer spend, tie-broken on custkey so both engines rank identically.
+# --------------------------------------------------------------------------
+@query(
+    "customer_spend_deciles",
+    """
+    WITH s AS (
+        SELECT o_custkey AS custkey, ROUND(SUM(o_totalprice), 2) AS spend
+        FROM orders GROUP BY 1
+    )
+    SELECT custkey, spend,
+           CAST(NTILE(10) OVER w AS INT) AS decile,
+           ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank
+    FROM s
+    WINDOW w AS (ORDER BY spend DESC, custkey)
+    """,
+)
+def customer_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    spend = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.round(F.sum("o_totalprice"), 2).alias("spend")
+    )
+    w = Window.orderBy(F.desc("spend"), F.asc("custkey"))
+    return spend.select(
+        "custkey",
+        "spend",
+        F.ntile(10).over(w).cast("int").alias("decile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Q: supplier_geomean_balance — pandas GROUPED_AGG UDAF (the one UDF
+# flavor not yet exercised): per-nation geometric mean of positive
+# account balances, computed as one numpy reduction per group over Arrow
+# batches. Oracle = the log-space identity EXP(AVG(LN(x))).
+# --------------------------------------------------------------------------
+@query(
+    "supplier_geomean_balance",
+    """
+    SELECT CAST(s_nationkey AS BIGINT) AS nationkey,
+           COUNT(*) AS n_supp,
+           ROUND(EXP(AVG(LN(s_acctbal))), 4) AS geomean_balance
+    FROM supplier WHERE s_acctbal > 0
+    GROUP BY 1
+    """,
+)
+def supplier_geomean_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def geomean(v: pd.Series) -> float:
+        return float(np.exp(np.log(v.to_numpy(dtype="float64")).mean()))
+
+    # A GROUPED_AGG pandas UDF cannot share an agg() with JVM aggregates
+    # (INVALID_PANDAS_UDF_PLACEMENT) — the group count is a pandas
+    # aggregate too, so both reduce in the same Arrow pass.
+    @pandas_udf("long")
+    def n_rows(v: pd.Series) -> int:
+        return len(v)
+
+    supplier = load_table(spark, sf_dir, "supplier")
+    return (
+        supplier.where(F.col("s_acctbal") > 0)
+        .groupBy(F.col("s_nationkey").cast("long").alias("nationkey"))
+        .agg(
+            n_rows("s_acctbal").alias("n_supp"),
+            F.round(geomean("s_acctbal"), 4).alias("geomean_balance"),
+        )
+    )

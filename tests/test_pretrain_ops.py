@@ -1,0 +1,118 @@
+"""Tests for the pretraining-tranche operators: distributed prefix sum,
+sequence packing, and the chunking UDTF's parity with the JVM chunker."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from pmp_analytics_spark.operators.packing import pack_sequences
+from pmp_analytics_spark.operators.prefix_sum import running_total
+
+
+def _rows(df, *cols):
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+class TestRunningTotal:
+    def test_matches_global_window(self, spark):
+        df = spark.range(0, 1000).withColumn(
+            "v", (F.col("id") * 7 % 13 + 1).cast("long")
+        )
+        got = running_total(df, "v", "id", out_col="rt", num_partitions=8)
+        w = Window.orderBy("id").rowsBetween(Window.unboundedPreceding, -1)
+        want = df.withColumn("rt", F.coalesce(F.sum("v").over(w), F.lit(0)))
+        assert _rows(got, "id", "rt") == _rows(want, "id", "rt")
+
+    def test_inclusive_form(self, spark):
+        df = spark.range(0, 100).withColumn("v", F.lit(2).cast("long"))
+        got = running_total(
+            df, "v", "id", out_col="rt", include_current=True, num_partitions=4
+        )
+        rows = dict(_rows(got, "id", "rt"))
+        assert rows[0] == 2 and rows[99] == 200
+
+    def test_invariant_to_input_partitioning(self, spark):
+        base = spark.range(0, 500).withColumn("v", (F.col("id") % 5).cast("long"))
+        a = running_total(base.repartition(1), "v", "id", num_partitions=6)
+        b = running_total(base.repartition(17), "v", "id", num_partitions=3)
+        assert _rows(a, "id", "running_total") == _rows(b, "id", "running_total")
+
+    def test_partition_count_exceeding_rows(self, spark):
+        df = spark.range(0, 3).withColumn("v", F.lit(1).cast("long"))
+        got = dict(_rows(running_total(df, "v", "id", num_partitions=8), "id", "running_total"))
+        assert got == {0: 0, 1: 1, 2: 2}
+
+
+class TestPackSequences:
+    @pytest.fixture()
+    def packed(self, spark):
+        # 10 docs of 300 tokens: offsets 0,300,...,2700 against budget 512.
+        df = spark.range(0, 10).select(
+            F.col("id").alias("doc_id"), F.lit(300).cast("long").alias("n_tok")
+        )
+        return pack_sequences(df, "doc_id", "n_tok", budget=512, num_partitions=4)
+
+    def test_offsets_and_bins(self, packed):
+        rows = {r["doc_id"]: r for r in packed.collect()}
+        assert rows[0]["token_offset"] == 0 and rows[0]["bin_id"] == 0
+        assert rows[3]["token_offset"] == 900 and rows[3]["bin_id"] == 1
+        # doc 3 occupies [900, 1200) → bins 1..2 → spans 2 bins
+        assert rows[3]["bins_spanned"] == 2
+        # doc 5: offset 1500 → [1500,1800) fully inside bin 2 ([1024,1536))?
+        # 1500//512 = 2, end 1799//512 = 3 → spans 2 bins.
+        assert rows[5]["bin_id"] == 2 and rows[5]["bins_spanned"] == 2
+
+    def test_total_tokens_conserved(self, packed):
+        agg = packed.agg(
+            F.sum("n_tok").alias("s"),
+            F.max(F.col("token_offset") + F.col("n_tok")).alias("end"),
+        ).collect()[0]
+        assert agg["s"] == 3000 and agg["end"] == 3000
+
+    def test_no_single_partition_exchange(self, spark):
+        df = spark.range(0, 100).select(
+            F.col("id").alias("doc_id"), F.lit(10).cast("long").alias("n_tok")
+        )
+        plan = pack_sequences(
+            df, "doc_id", "n_tok", budget=64, num_partitions=4
+        )._jdf.queryExecution().executedPlan().toString()
+        # The data-bearing side must not funnel through a single partition;
+        # the only SinglePartition exchange allowed is the n_partitions-row
+        # offsets side (tiny). Count them: at most one.
+        assert plan.count("Exchange SinglePartition") <= 1
+
+
+class TestChunkUdtf:
+    def test_matches_jvm_chunker(self, spark):
+        from pmp_analytics_spark.functions.text import tokens
+        from pmp_analytics_spark.functions.udtfs import register_udtfs
+
+        register_udtfs(spark)
+        df = spark.createDataFrame(
+            [(1, "the quick brown fox " * 20), (2, "alpha beta"), (3, None)],
+            "doc_id bigint, text string",
+        )
+        df.createOrReplaceTempView("udtf_docs")
+        got = spark.sql(
+            "SELECT d.doc_id, c.chunk_idx, c.chunk_text "
+            "FROM udtf_docs d, LATERAL chunk_docs(d.text) c"
+        )
+        toked = df.select("doc_id", tokens(F.col("text")).alias("toks"))
+        starts = F.sequence(
+            F.lit(0), F.greatest(F.size("toks") - 1, F.lit(0)), F.lit(30)
+        )
+        want = (
+            toked.select("doc_id", "toks", F.explode(starts).alias("start"))
+            .withColumn("chunk", F.slice("toks", F.col("start") + 1, 30))
+            .where(F.size("chunk") > 0)
+            .select(
+                "doc_id",
+                (F.col("start") / 30).cast("long").alias("chunk_idx"),
+                F.array_join("chunk", " ").alias("chunk_text"),
+            )
+        )
+        assert _rows(got, "doc_id", "chunk_idx", "chunk_text") == _rows(
+            want, "doc_id", "chunk_idx", "chunk_text"
+        )
