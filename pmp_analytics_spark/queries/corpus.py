@@ -455,7 +455,7 @@ def streaming_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pairs = view_purchase_pairs(views, purchases, max_lag_minutes=_CONV_LAG_MIN)
     name = f"stream_conv_{uuid.uuid4().hex[:12]}"
-    run_to_memory(pairs, name, output_mode="append")
+    run_to_memory(pairs, name, output_mode="append", state_partitions=8)
     return (
         spark.table(name)
         .groupBy("user_id")

@@ -665,5 +665,5 @@ def streaming_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
-    run_to_memory(deduped, name)
+    run_to_memory(deduped, name, state_partitions=8)
     return spark.table(name)

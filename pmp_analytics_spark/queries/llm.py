@@ -642,7 +642,7 @@ def streaming_session_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     name = f"stream_sessions_{uuid.uuid4().hex[:12]}"
     stream = read_event_stream(spark, sf_dir)
-    run_to_memory(streaming_sessions(stream, gap_seconds=1800), name)
+    run_to_memory(streaming_sessions(stream, gap_seconds=1800), name, state_partitions=8)
     return spark.table(name).select(
         "user_id",
         F.unix_micros("session_start").alias("session_start_us"),

@@ -15,6 +15,7 @@ from pmp_analytics_spark.plans import (
     has_broadcast_hash_join,
     has_pushed_filters,
     has_take_ordered,
+    physical_plan,
 )
 from pmp_analytics_spark.plans.audit import scan_read_schema
 from pmp_analytics_spark.queries import all_queries
@@ -126,3 +127,48 @@ def test_moving_average_single_window_shuffle(spark, queries):
     # one shuffle for the daily agg; AQE may reuse the same partitioning
     # for the priority-partitioned window (same key prefix).
     assert count_exchanges(df) <= 2
+
+
+def test_grouping_sets_single_expand(spark, queries):
+    # GROUPING SETS must compile to ONE scan + Expand + one agg shuffle,
+    # not a union of three scans.
+    df = queries["revenue_grouping_sets"](spark, SF)
+    plan = physical_plan(df)
+    assert "Expand" in plan
+    # exactly one source scan (node details list one file-index Location)
+    assert plan.count("Location: InMemoryFileIndex") == 1
+    assert count_exchanges(df) == 1  # the single agg exchange
+
+
+def test_monthly_spine_broadcasts(spark, queries):
+    # The month spine is a 1-row-aggregate derivative: its join against
+    # the monthly rollup must broadcast, never sort-merge.
+    df = queries["monthly_order_spine"](spark, SF)
+    assert has_broadcast_hash_join(df)
+    assert_no_cartesian_product(df)
+
+
+def test_source_quota_single_shuffle(spark, queries):
+    # Per-source quota = one hash exchange on source for the window; no
+    # extra sort-merge machinery.
+    df = queries["docs_source_quota"](spark, SF)
+    assert count_exchanges(df) == 1
+
+
+def test_pack_sequences_no_global_window(spark, queries):
+    # The packing prefix sum must not funnel the data side through a
+    # single partition: at most one SinglePartition exchange (the
+    # n_partitions-row offsets frame).
+    df = queries["docs_pack_sequences"](spark, SF)
+    plan = physical_plan(df)
+    assert plan.count("Exchange SinglePartition") <= 1
+    assert has_broadcast_hash_join(df)  # offsets join back via broadcast
+
+
+def test_incremental_ingest_no_broadcast_of_corpus(spark, queries):
+    # The corpus-fingerprint side is unbounded at scale; the anti-join
+    # must stay shuffle-based here only if Spark chooses, but it must
+    # never be a cartesian product and the within-batch keep-first must
+    # add exactly one window exchange on fp.
+    df = queries["docs_incremental_ingest"](spark, SF)
+    assert_no_cartesian_product(df)
