@@ -611,19 +611,24 @@ _DUCK_GRAMS8 = (
 )
 def docs_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    toks = tokens(F.col("text"))
-    # Guard: Spark's sequence(1, 0) yields a DESCENDING [1, 0], not empty
-    # like DuckDB's generate_series — short docs must short-circuit.
-    grams = F.when(
-        F.size(toks) >= 8,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.size(toks) - 7),
-                lambda i: shingle_hash(F.array_join(F.slice(toks, i, 8), " ")),
-            )
-        ),
-    ).otherwise(F.array().cast("array<long>"))
-    flat = docs.select("doc_id", F.explode(grams).alias("g"))
+    # Tokenize into a materialized column FIRST: referencing the full
+    # tokens(text) expression inside a per-gram lambda re-evaluates the
+    # tokenization per gram (O(n²)); and per-row md5 in a flat projection
+    # runs under whole-stage codegen, where the HOF-lambda form is
+    # interpreted. explode + distinct replaces transform+array_distinct
+    # with identical (doc_id, g) sets. The size >= 8 guard also covers
+    # Spark's sequence(1, 0) yielding a DESCENDING [1, 0], not empty
+    # like DuckDB's generate_series.
+    toked = docs.select("doc_id", tokens(F.col("text")).alias("toks")).where(
+        F.size("toks") >= 8
+    )
+    pos = toked.select(
+        "doc_id",
+        "toks",
+        F.explode(F.sequence(F.lit(1), F.size("toks") - 7)).alias("__i"),
+    )
+    g = shingle_hash(F.concat_ws(" ", F.expr("slice(toks, __i, 8)")))
+    flat = pos.select("doc_id", g.alias("g")).distinct()
     eval_g = flat.where(F.col("doc_id") < _EVAL_MAX_ID).select(
         F.col("doc_id").alias("eval_id"), "g"
     )
