@@ -112,8 +112,9 @@ def minhash_lsh_candidates(
     by ``max_bucket`` (drop over-common buckets, trading recall — the
     standard knob at 100 TB; default None keeps exact LSH semantics).
     """
-    sh = hashed_shingle_frame(df, text_col, id_col, shingle_k)
-    return lsh_candidates_from_shingles(sh, id_col, num_hashes, bands, max_bucket)
+    ex = exploded_shingle_hashes(df, text_col, id_col, shingle_k)
+    sig = minhash_signatures(ex, id_col, num_hashes)
+    return lsh_candidates_from_sig(sig, id_col, num_hashes, bands, max_bucket)
 
 
 def shingle_frame(df: DataFrame, text_col: str, id_col: str, shingle_k: int = 5) -> DataFrame:
@@ -127,35 +128,35 @@ def shingle_frame(df: DataFrame, text_col: str, id_col: str, shingle_k: int = 5)
     )
 
 
-def hashed_shingle_frame(df: DataFrame, text_col: str, id_col: str, shingle_k: int = 5) -> DataFrame:
-    """(id, __hs) frame of k-shingle 60-bit integer hashes, spread to full
-    parallelism — the shared CPU-heavy base of the LSH and verify stages.
-    Callers that consume it more than once should ``.cache()`` it.
+def exploded_shingle_hashes(
+    df: DataFrame, text_col: str, id_col: str, shingle_k: int = 5
+) -> DataFrame:
+    """(id, __h) stream — ONE ROW per shingle position, hashed per row —
+    the shared base of the near-dup pipeline.
 
     Hashing AT THE BASE is the pipeline's cost structure: each shingle is
-    md5'd exactly once; MinHash components are integer transforms of this
-    array, and the Jaccard verify intersects the same int arrays —
-    caching longs costs a fraction of caching 5-char string arrays, and
-    integer intersection beats string intersection. (Jaccard over hashed
-    shingles equals Jaccard over shingles modulo 60-bit collisions —
-    negligible, and the DuckDB oracle hashes identically so the check is
-    exact either way.)
+    md5'd exactly once; MinHash components are integer transforms of the
+    hash, and the Jaccard verify intersects sets of the same ints —
+    integer ops beat 5-char string ops everywhere downstream. (Jaccard
+    over hashed shingles equals Jaccard over shingles modulo 60-bit
+    collisions — negligible, and the DuckDB oracle hashes identically so
+    the check is exact either way.)
+
+    Formulation: explode + per-row hash runs inside whole-stage codegen;
+    the array formulation (``transform(char_shingles(...),
+    shingle_hash)``) evaluates every lambda element through the
+    interpreted expression path — measured 3.4x slower at sf0.1.
+
+    The frame is NARROW (no shuffle): explode preserves the input split,
+    so a doc's hashes stay inside one partition. That makes the signature
+    aggregation downstream collapse each doc map-side (see
+    ``minhash_signatures``) — the full hash stream never crosses the
+    network.
 
     Order matters: repartition the (narrow) input FIRST, then project the
     hashes. ``repartition`` applied on top of the projection would put
     the expensive compute on the shuffle's MAP side — i.e. still on the
     single input split it was meant to escape.
-
-    Formulation: explode one row per shingle position, hash per ROW,
-    collect_list back per doc. The per-row md5+conv runs inside
-    whole-stage codegen; the equivalent array formulation
-    (``transform(char_shingles(...), shingle_hash)``) evaluates every
-    lambda element through the interpreted expression path — measured
-    3.4x slower at sf0.1. The price is one extra shuffle of the hash
-    stream, which is linear in corpus size and groups on the doc id
-    (same cardinality as the input — no skew); every downstream consumer
-    (MinHash min, Jaccard set ops) is order-insensitive, so the
-    collect_list's nondeterministic order is immaterial.
     """
     base = (
         ensure_parallelism(df.select(F.col(id_col), F.col(text_col)))
@@ -179,8 +180,49 @@ def hashed_shingle_frame(df: DataFrame, text_col: str, id_col: str, shingle_k: i
         ).cast("long")
         % MINHASH_P
     )
-    return pos.select(F.col(id_col), h.alias("__h")).groupBy(id_col).agg(
-        F.collect_list("__h").alias("__hs")
+    return pos.select(F.col(id_col), h.alias("__h"))
+
+
+def hashed_shingle_frame(df: DataFrame, text_col: str, id_col: str, shingle_k: int = 5) -> DataFrame:
+    """(id, __hs) frame of k-shingle 60-bit integer hash ARRAYS — the
+    exploded stream collected back per doc. Kept for callers that need
+    whole-doc hash arrays; the near-dup pipeline itself now stays on the
+    exploded form (``ngram_jaccard_dedup``) so the corpus-wide shuffle
+    carries 16 signature longs per doc, not the full hash list. Every
+    consumer (MinHash min, Jaccard set ops) is order-insensitive, so the
+    collect_list's nondeterministic order is immaterial.
+    """
+    return (
+        exploded_shingle_hashes(df, text_col, id_col, shingle_k)
+        .groupBy(id_col)
+        .agg(F.collect_list("__h").alias("__hs"))
+    )
+
+
+def minhash_signatures(
+    ex: DataFrame, id_col: str, num_hashes: int = 16
+) -> DataFrame:
+    """(id, __sig) MinHash signatures from the EXPLODED hash stream: one
+    codegen ``min((a_i*h + b_i) % P)`` aggregate per component, all in a
+    single groupBy.
+
+    This is the 100 TB shape of MinHash: hash-aggregate partial
+    aggregation collapses each doc to one 16-long row ON THE MAP SIDE
+    (the exploded frame is narrow, so a doc's shingles sit in one input
+    partition) — the shuffle moves ~128 bytes per doc instead of the full
+    hash list (~2 KB+ per doc), and nothing here touches the interpreted
+    HOF path. ``a*h`` stays under 2^62 (a, h < 2^31), exact int64.
+    """
+    from pmp_analytics_spark.functions.text import minhash_params
+
+    params = minhash_params(num_hashes)
+    mins = [
+        F.min((F.lit(a) * F.col("__h") + F.lit(b)) % MINHASH_P).alias(f"__m{i}")
+        for i, (a, b) in enumerate(params)
+    ]
+    return ex.groupBy(id_col).agg(*mins).select(
+        F.col(id_col),
+        F.array(*[F.col(f"__m{i}") for i in range(num_hashes)]).alias("__sig"),
     )
 
 
@@ -192,10 +234,27 @@ def lsh_candidates_from_shingles(
     max_bucket: int | None = None,
 ) -> DataFrame:
     """LSH banding over a precomputed ``hashed_shingle_frame`` (see
-    minhash_lsh_candidates for the algorithm & scale notes)."""
+    minhash_lsh_candidates for the algorithm & scale notes). Prefer
+    ``lsh_candidates_from_sig`` fed by ``minhash_signatures`` — it skips
+    the interpreted per-array HOF transforms entirely."""
+    sig = sh.select(F.col(id_col), minhash_signature_from_hashes(F.col("__hs"), num_hashes).alias("__sig"))
+    return lsh_candidates_from_sig(sig, id_col, num_hashes, bands, max_bucket)
+
+
+def lsh_candidates_from_sig(
+    sig: DataFrame,
+    id_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """LSH banding over a precomputed (id, __sig) signature frame: slice
+    the signature into ``bands`` equal bands, hash each band to a bucket
+    key, expand in-bucket pairs. Band keys are byte-identical to the
+    historical formulation (md5 of the '|'-joined component longs), so
+    the DuckDB oracles reproduce bucket assignment exactly."""
     rows_per_band = num_hashes // bands
     assert rows_per_band * bands == num_hashes, "bands must divide num_hashes"
-    sig = sh.select(F.col(id_col), minhash_signature_from_hashes(F.col("__hs"), num_hashes).alias("__sig"))
     banded = sig.select(
         F.col(id_col),
         F.explode(
@@ -307,15 +366,50 @@ def jaccard_pairs_from_shingles(
 ) -> DataFrame:
     """Jaccard verification over a precomputed ``hashed_shingle_frame``
     (exact set Jaccard on the hashed shingle sets — int intersection)."""
-    cand_ids = (
-        candidates.select(F.col("id_a").alias(id_col))
-        .union(candidates.select(F.col("id_b").alias(id_col)))
-        .distinct()
-    )
+    cand_ids = _candidate_ids(candidates, id_col)
     sh = sh_base.join(F.broadcast(cand_ids), on=id_col, how="left_semi").select(
         F.col(id_col),
         F.array_distinct("__hs").alias("__sh"),
     )
+    return _jaccard_verify(candidates, sh, threshold)
+
+
+def jaccard_pairs_from_exploded(
+    candidates: DataFrame,
+    ex: DataFrame,
+    id_col: str,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Jaccard verification fed by the EXPLODED hash stream: broadcast
+    semi-join the candidate ids into the stream (narrow — no corpus-wide
+    shuffle), then ``collect_set`` builds distinct-hash arrays ONLY for
+    docs that appear in some candidate pair. At 100 TB the candidate set
+    is orders of magnitude smaller than the corpus, so this is the only
+    shuffle of shingle data anywhere in the pipeline — and it is
+    candidate-sized, not corpus-sized."""
+    cand_ids = _candidate_ids(candidates, id_col)
+    sets = (
+        ex.join(F.broadcast(cand_ids), on=id_col, how="left_semi")
+        .groupBy(id_col)
+        .agg(F.collect_set("__h").alias("__sh"))
+    )
+    return _jaccard_verify(candidates, sets, threshold)
+
+
+def _candidate_ids(candidates: DataFrame, id_col: str) -> DataFrame:
+    return (
+        candidates.select(F.col("id_a").alias(id_col))
+        .union(candidates.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+
+
+def _jaccard_verify(
+    candidates: DataFrame, sh: DataFrame, threshold: float
+) -> DataFrame:
+    """|∩|/|∪| over (id, __sh) distinct-hash arrays, joined to both sides
+    of the candidate pairs; the id column of ``sh`` must be its first."""
+    id_col = sh.columns[0]
     out = (
         candidates.join(sh.withColumnsRenamed({id_col: "id_a", "__sh": "__sh_a"}), on="id_a")
         .join(sh.withColumnsRenamed({id_col: "id_b", "__sh": "__sh_b"}), on="id_b")
@@ -345,15 +439,24 @@ def ngram_jaccard_dedup(
     """Full near-dup pipeline: LSH candidates → Jaccard verify → pairs
     above threshold.
 
-    Caching strategy (the pipeline's whole cost profile): the shingle
-    frame is the expensive narrow stage and has two consumers (signature
-    banding; verify), and the candidate set is tiny but also has two
-    consumers (id semi-join; pair join) — cache both so each subtree
-    evaluates exactly once per run instead of once per consumer.
+    Data movement at a glance (the 100 TB story): the exploded hash
+    stream is NARROW; signatures collapse map-side to 16 longs per doc
+    before their one corpus-wide shuffle (``minhash_signatures``); the
+    band-bucket shuffle moves (id, 2 keys) per band; and shingle SETS are
+    materialized & shuffled only for candidate-involved docs
+    (``jaccard_pairs_from_exploded``). Nothing ever shuffles the full
+    per-doc hash list.
+
+    Caching strategy: the exploded stream is the expensive compute stage
+    (one md5 per shingle) and has two consumers (signatures; verify
+    sets), and the candidate set is tiny but also has two consumers (id
+    semi-join; pair join) — cache both so each subtree evaluates exactly
+    once per run instead of once per consumer.
     """
-    sh = hashed_shingle_frame(df, text_col, id_col, shingle_k).cache()
-    cand = lsh_candidates_from_shingles(sh, id_col, num_hashes, bands).cache()
-    return jaccard_pairs_from_shingles(cand, sh, id_col, threshold)
+    ex = exploded_shingle_hashes(df, text_col, id_col, shingle_k).cache()
+    sig = minhash_signatures(ex, id_col, num_hashes)
+    cand = lsh_candidates_from_sig(sig, id_col, num_hashes, bands).cache()
+    return jaccard_pairs_from_exploded(cand, ex, id_col, threshold)
 
 
 def connected_components(
