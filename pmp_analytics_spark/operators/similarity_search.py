@@ -69,6 +69,107 @@ def brute_force_topk(
     )
 
 
+def range_search(
+    corpus: DataFrame,
+    queries: DataFrame,
+    min_sim: float,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    sim_name: str = "cosine_sim",
+) -> DataFrame:
+    """All corpus vectors within a cosine RADIUS of each query (threshold-
+    based, vs top-k's rank-based cut) — the dedup/recall-audit companion to
+    ``brute_force_topk``. Same scale shape: queries broadcast, one corpus
+    scan, but no per-query heap — the filter is a map-side predicate, so
+    the output (not the corpus) is the only thing that moves."""
+    return (
+        corpus.crossJoin(F.broadcast(queries))
+        .select(
+            F.col(query_id),
+            F.col(corpus_id),
+            F.round(cosine(F.col(corpus_vec), F.col(query_vec)), 6).alias(sim_name),
+        )
+        .where(F.col(sim_name) >= min_sim)
+    )
+
+
+def matmul_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    sim_name: str = "cosine_sim",
+    batch_margin: int = 16,
+) -> DataFrame:
+    """Exact top-k via Arrow-batched numpy matrix products (mapInPandas).
+
+    The alternative physical strategy to ``brute_force_topk``'s HOF path:
+    normalize the (small, broadcast) query matrix once on the driver, then
+    each Arrow batch of corpus vectors scores as ONE (n×d)·(d×q) BLAS
+    call and emits only its per-query partial top-(k+margin) — the
+    shuffle into the final global window carries O(partitions·q·k) rows,
+    never the full n·q score matrix. At high dims the BLAS constant
+    factor wins over per-element HOF evaluation; at d≈64 they tie (see
+    module docstring) — this operator exists so both strategies are
+    available and measured.
+
+    The margin guards the pruning: batch-local selection is by raw
+    float64 scores while the global cut is by the 6-decimal rounded score
+    with id tie-break, so a boundary row is only dropped if > margin
+    batch-mates share its rounded score. Ties that wide don't occur in
+    real embedding data (and would make ANY top-k id-arbitrary).
+    """
+    import numpy as np
+    import pandas as pd
+
+    q_rows = queries.select(query_id, query_vec).collect()
+    qids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    qm = np.array([list(r[1]) for r in q_rows], dtype=np.float64)
+    qm = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+    bq = corpus.sparkSession.sparkContext.broadcast((qids, qm))
+    keep = k + batch_margin
+
+    def score(batches):
+        q_ids, q_mat = bq.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[corpus_id].to_numpy(dtype=np.int64)
+            c = np.array(pdf[corpus_vec].tolist(), dtype=np.float64)
+            c = c / np.linalg.norm(c, axis=1, keepdims=True)
+            sims = c @ q_mat.T  # (n, q)
+            kk = min(keep, sims.shape[0])
+            part = np.argpartition(-sims, kk - 1, axis=0)[:kk]  # (kk, q)
+            out_q, out_id, out_s = [], [], []
+            for j in range(sims.shape[1]):
+                rows = part[:, j]
+                out_q.append(np.full(kk, q_ids[j]))
+                out_id.append(ids[rows])
+                out_s.append(np.round(sims[rows, j], 6))
+            yield pd.DataFrame(
+                {
+                    query_id: np.concatenate(out_q),
+                    corpus_id: np.concatenate(out_id),
+                    sim_name: np.concatenate(out_s),
+                }
+            )
+
+    partial = corpus.select(corpus_id, corpus_vec).mapInPandas(
+        score, schema=f"{query_id} long, {corpus_id} long, {sim_name} double"
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc(sim_name), F.asc(corpus_id))
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id, corpus_id, sim_name, "rank")
+    )
+
+
 def _bucket_signature(vec: Column, planes: list[list[float]]) -> Column:
     """Sign-LSH bucket id: concatenated signs of dot(vec, plane) for fixed
     hyperplanes. Deterministic literals → reproducible across runs."""

@@ -18,7 +18,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from pmp_analytics_spark.queries import corpus, extended, llm, parity, pretrain
+from pmp_analytics_spark.queries import analytic, corpus, extended, llm, parity, pretrain
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -30,6 +30,7 @@ def all_queries() -> dict[str, QueryFn]:
     out.update(extended.QUERIES)
     out.update(corpus.QUERIES)
     out.update(pretrain.QUERIES)
+    out.update(analytic.QUERIES)
     return out
 
 
@@ -40,4 +41,5 @@ def all_oracles() -> dict[str, str]:
     out.update(extended.ORACLE)
     out.update(corpus.ORACLE)
     out.update(pretrain.ORACLE)
+    out.update(analytic.ORACLE)
     return out

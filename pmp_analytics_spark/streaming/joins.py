@@ -70,3 +70,40 @@ def view_purchase_pairs(
         "purchase_ts",
         (F.unix_micros("purchase_ts") - F.unix_micros("view_ts")).alias("lag_us"),
     )
+
+
+def segment_windowed_counts(
+    events: DataFrame,
+    customers: DataFrame,
+    window: str = "6 hours",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """STREAM-STATIC join + windowed aggregation: enrich the event stream
+    with a dimension table (user → market segment), then tumbling-window
+    counts per segment.
+
+    The static side needs no watermark and holds NO streaming state — each
+    micro-batch plans a fresh broadcast-hash join against the dim exactly
+    as a batch query would, which is the standard deployment shape for
+    slowly-changing dimensions (the dim is re-read per batch, so an
+    updated dim file takes effect on the next micro-batch). Unmatched
+    events keep flowing via the left join with a sentinel segment, so a
+    dim gap never silently drops stream rows.
+    """
+    dim = customers.select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    enriched = events.join(F.broadcast(dim), on="user_id", how="left").withColumn(
+        "segment", F.coalesce("segment", F.lit("UNKNOWN"))
+    )
+    if events.isStreaming:
+        enriched = enriched.withWatermark("ts", watermark)
+    return (
+        enriched.groupBy(F.window("ts", window).alias("w"), "segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("value_sum"),
+        )
+        .select(F.col("w.start").alias("window_start"), "segment", "n_events", "value_sum")
+    )

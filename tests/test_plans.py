@@ -172,3 +172,35 @@ def test_incremental_ingest_no_broadcast_of_corpus(spark, queries):
     # add exactly one window exchange on fp.
     df = queries["docs_incremental_ingest"](spark, SF)
     assert_no_cartesian_product(df)
+
+
+def test_correlated_subqueries_decorrelate(spark, queries):
+    # Catalyst must rewrite both correlated scalar subqueries into
+    # aggregated joins — never a per-row re-execution (and never a
+    # cartesian between customer and orders).
+    df = queries["customer_order_subqueries"](spark, SF)
+    assert_no_cartesian_product(df)
+    plan = physical_plan(df)
+    assert "Join" in plan  # decorrelated form is join-shaped
+
+
+def test_zipf_topk_before_window(spark, queries):
+    # the cumulative window must run over the 50-row top-K, not the full
+    # vocabulary: TakeOrderedAndProject must appear below the window.
+    df = queries["docs_zipf_curve"](spark, SF)
+    assert has_take_ordered(df)
+
+
+def test_mixture_rates_broadcast(spark, queries):
+    # the per-source rate table joins back to the corpus as a broadcast —
+    # a shuffle of the corpus on `source` (20 hot keys) would be a skew
+    # disaster at 100 TB.
+    df = queries["docs_source_mixture"](spark, SF)
+    assert has_broadcast_hash_join(df)
+
+
+def test_matmul_topk_is_arrow_batched(spark, queries):
+    df = queries["embedding_topk_arrow"](spark, SF)
+    plan = physical_plan(df)
+    assert "MapInPandas" in plan or "ArrowEvalPython" in plan
+    assert_no_cartesian_product(df)
