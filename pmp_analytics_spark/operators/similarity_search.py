@@ -247,8 +247,9 @@ def ivf_topk(
     sim_name: str = "cosine_sim",
     seed: int = 42,
 ) -> DataFrame:
-    """IVF-style approximate top-k: MLlib KMeans as the coarse quantizer,
-    then exact cosine rescoring inside the ``nprobe`` nearest cells.
+    """IVF-style approximate top-k: a coarse k-means quantizer trained on
+    a bounded sample, then exact cosine rescoring inside the ``nprobe``
+    nearest cells.
 
     The 100 TB shape: the centroid table is tiny (n_centroids × dim) and
     broadcast everywhere; the corpus is scanned once to assign cells
@@ -256,28 +257,58 @@ def ivf_topk(
     touches nprobe partitions instead of the full corpus — partition
     pruning does the skipping); candidates are scored exactly. Recall is
     tunable via nprobe (nprobe = n_centroids degenerates to brute force).
+
+    The quantizer is a seeded numpy Lloyd's on a DRIVER-COLLECTED sample
+    (md5-ordered → engine- and cluster-size-independent): standard IVF
+    practice is a bounded training set (nobody k-means the full corpus),
+    so the fit is O(sample) on the driver — replacing an MLlib fit that
+    launched ~a dozen Spark jobs of pure fixed overhead for the same
+    bounded sample. Cell assignment is one Arrow-batched argmin matmul
+    per corpus batch (distributed, the only corpus-sized step).
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+    import numpy as np
+    import pandas as pd
 
     from pmp_analytics_spark.operators.partitioning import ensure_parallelism
 
-    dense = ensure_parallelism(corpus.select(corpus_id, corpus_vec)).withColumn(
-        "__features", array_to_vector(F.col(corpus_vec).cast("array<double>"))
-    ).cache()
-    # Standard IVF practice: the quantizer trains on a bounded sample
-    # (training cost constant in corpus size — nobody k-means 100 TB),
-    # and a coarse quantizer does not need convergence (maxIter=4).
-    train = dense.orderBy(F.md5(F.col(corpus_id).cast("string"))).limit(max(2000, 20 * n_centroids))
-    model = KMeans(
-        k=n_centroids, seed=seed, maxIter=4, featuresCol="__features", predictionCol="__cell"
-    ).fit(train)
-    assigned = model.transform(dense).select(corpus_id, corpus_vec, "__cell")
+    dense = ensure_parallelism(corpus.select(corpus_id, corpus_vec))
+    sample_rows = (
+        dense.orderBy(F.md5(F.col(corpus_id).cast("string")))
+        .limit(max(2000, 20 * n_centroids))
+        .collect()
+    )
+    train = np.array([list(r[1]) for r in sample_rows], dtype=np.float64)
+    cents = _kmeans_fit(train, n_centroids, seed)
 
-    centroids = [
-        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
-    ]
     spark = corpus.sparkSession
+    bc = spark.sparkContext.broadcast(cents)
+
+    def assign(batches):
+        c = bc.value
+        c2 = (c**2).sum(axis=1)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = np.array(pdf[corpus_vec].tolist(), dtype=np.float64)
+            d2 = (m**2).sum(axis=1)[:, None] + c2[None, :] - 2.0 * (m @ c.T)
+            yield pd.DataFrame(
+                {
+                    corpus_id: pdf[corpus_id],
+                    corpus_vec: pdf[corpus_vec],
+                    "__cell": d2.argmin(axis=1).astype(np.int64),
+                }
+            )
+
+    in_types = dict(dense.dtypes)
+    assigned = dense.mapInPandas(
+        assign,
+        schema=(
+            f"`{corpus_id}` {in_types[corpus_id]}, "
+            f"`{corpus_vec}` {in_types[corpus_vec]}, __cell long"
+        ),
+    )
+
+    centroids = [(i, [float(x) for x in c]) for i, c in enumerate(cents)]
     cent_df = spark.createDataFrame(centroids, ["__cell", "__centroid"])
 
     # nprobe nearest cells per query (centroids broadcast; tiny cross)
@@ -309,6 +340,38 @@ def ivf_topk(
         .where(F.col("rank") <= k)
         .select(query_id, corpus_id, sim_name, "rank")
     )
+
+
+def _kmeans_fit(sample, k: int, seed: int, iters: int = 8):
+    """Seeded k-means++ init + Lloyd's iterations over a numpy sample.
+    Deterministic for a fixed (sample, k, seed); empty cells keep their
+    previous centroid (standard degenerate-cell handling)."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    centers = [sample[rng.randint(len(sample))]]
+    for _ in range(k - 1):
+        d2 = np.min(
+            [((sample - c) ** 2).sum(axis=1) for c in centers], axis=0
+        )
+        total = d2.sum()
+        if total <= 0:
+            centers.append(sample[rng.randint(len(sample))])
+            continue
+        centers.append(sample[rng.choice(len(sample), p=d2 / total)])
+    cents = np.array(centers, dtype=np.float64)
+    for _ in range(iters):
+        d2 = (
+            (sample**2).sum(axis=1)[:, None]
+            + (cents**2).sum(axis=1)[None, :]
+            - 2.0 * (sample @ cents.T)
+        )
+        labels = d2.argmin(axis=1)
+        for j in range(k):
+            pts = sample[labels == j]
+            if len(pts):
+                cents[j] = pts.mean(axis=0)
+    return cents
 
 
 def label_affinity(
