@@ -518,3 +518,148 @@ def streaming_segment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "value_sum",
     )
+
+
+# --------------------------------------------------------------------------
+# Q: customer_priority_islands — gaps-and-islands by VALUE CHANGE (the
+# SCD2 interval build): consecutive same-priority orders per customer
+# collapse into [start_date, end_date] episodes. Break detection is
+# null-safe (IS DISTINCT FROM / eqNullSafe) so the first row opens island
+# 1 on both engines; one shuffle on custkey serves the lag, the running
+# island id, and the final per-island aggregate.
+# --------------------------------------------------------------------------
+@query(
+    "customer_priority_islands",
+    """
+    WITH o AS (
+        SELECT o_custkey, o_orderkey, o_orderpriority AS priority,
+               CAST(o_orderdate AS DATE) AS od
+        FROM orders
+    ), f AS (
+        SELECT *, CASE WHEN LAG(priority) OVER w IS DISTINCT FROM priority
+                       THEN 1 ELSE 0 END AS brk
+        FROM o WINDOW w AS (PARTITION BY o_custkey ORDER BY od, o_orderkey)
+    ), n AS (
+        SELECT *, CAST(SUM(brk) OVER (PARTITION BY o_custkey
+                     ORDER BY od, o_orderkey ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS island_seq
+        FROM f
+    )
+    SELECT o_custkey, priority, island_seq,
+           MIN(od) AS start_date, MAX(od) AS end_date, COUNT(*) AS n_orders
+    FROM n GROUP BY o_custkey, priority, island_seq
+    """,
+)
+def customer_priority_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderdate").cast("date").alias("od"),
+    )
+    w = Window.partitionBy("o_custkey").orderBy("od", "o_orderkey")
+    brk = F.when(
+        ~F.lag("priority").over(w).eqNullSafe(F.col("priority")), 1
+    ).otherwise(0)
+    numbered = orders.withColumn("brk", brk).withColumn(
+        "island_seq",
+        F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("long"),
+    )
+    return numbered.groupBy("o_custkey", "priority", "island_seq").agg(
+        F.min("od").alias("start_date"),
+        F.max("od").alias("end_date"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Q: docs_curriculum_order — curriculum data ordering: docs sorted
+# short-to-long get a GLOBAL cumulative token position and a training
+# shard id, computed with the distributed prefix sum (range partition +
+# partial sums + broadcast offsets, operators/prefix_sum.py) — NEVER a
+# single-partition global window, which is the naive formulation that
+# dies at 100 TB. The oracle is the straightforward global window (fine
+# for DuckDB at sf0.01).
+# --------------------------------------------------------------------------
+_SHARD_TOKENS = 20_000
+
+
+@query(
+    "docs_curriculum_order",
+    f"""
+    WITH t AS (
+        SELECT doc_id, n_chars,
+               CAST(LEN({_DUCK_TOKENS}) AS BIGINT) AS n_tok
+        FROM documents
+    )
+    SELECT doc_id, n_chars, n_tok,
+           CAST(SUM(n_tok) OVER (ORDER BY n_chars, doc_id
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens,
+           CAST((SUM(n_tok) OVER (ORDER BY n_chars, doc_id
+                ROWS UNBOUNDED PRECEDING) - 1) // {_SHARD_TOKENS} AS BIGINT) AS shard
+    FROM t
+    """,
+)
+def docs_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pmp_analytics_spark.functions.text import token_count
+    from pmp_analytics_spark.operators.prefix_sum import running_total
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "n_chars",
+        token_count(F.col("text")).cast("long").alias("n_tok"),
+    )
+    # unique global order key: (n_chars, doc_id) packed into one long
+    keyed = docs.withColumn(
+        "__ord", F.col("n_chars") * F.lit(10_000_000) + F.col("doc_id")
+    ).cache()
+    out = running_total(
+        keyed, value_col="n_tok", order_col="__ord", out_col="cum_tokens",
+        include_current=True,
+    )
+    return out.select(
+        "doc_id",
+        "n_chars",
+        "n_tok",
+        F.col("cum_tokens").cast("long").alias("cum_tokens"),
+        ((F.col("cum_tokens") - 1) / _SHARD_TOKENS).cast("long").alias("shard"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Q: event_cohort_retention — cohort retention: users grouped by
+# first-seen day, distinct-user counts per (cohort_day, day_offset).
+# The cohort map is an aggregate of the same scan it joins back to —
+# broadcast at any realistic cohort cardinality (users << events).
+# --------------------------------------------------------------------------
+@query(
+    "event_cohort_retention",
+    """
+    WITH firsts AS (
+        SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day
+        FROM events GROUP BY user_id
+    )
+    SELECT f.cohort_day,
+           CAST(DATE_DIFF('day', f.cohort_day, CAST(e.ts AS DATE)) AS BIGINT) AS day_offset,
+           COUNT(DISTINCT e.user_id) AS n_users,
+           COUNT(*) AS n_events
+    FROM events e JOIN firsts f ON e.user_id = f.user_id
+    GROUP BY 1, 2
+    """,
+)
+def event_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    )
+    firsts = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        ev.join(F.broadcast(firsts), on="user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff("day", "cohort_day").cast("long").alias("day_offset"),
+        )
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )

@@ -104,3 +104,22 @@ def test_stateful_running_totals_match_batch(spark):
             assert gn == n, (uid, gn, n)
             assert abs(gvs - vs) < 1e-4, (uid, gvs, vs)
             assert glt == lt
+
+
+def test_foreach_batch_sink_idempotent(spark, tmp_path):
+    from pmp_analytics_spark.streaming.sinks import write_batches_idempotent
+
+    out = str(tmp_path / "landed")
+    ckpt = str(tmp_path / "ckpt")
+    stream = read_event_stream(spark, SF_DIR).select("event_id", "user_id", "event_type")
+    write_batches_idempotent(stream, out, ckpt)
+
+    landed = spark.read.parquet(out)
+    events = load_table(spark, SF_DIR, "events")
+    assert landed.count() == events.count()
+    assert landed.select("event_id").distinct().count() == events.count()
+
+    # Re-running with the same checkpoint processes no new offsets and
+    # appends nothing — the exactly-once property under replay.
+    write_batches_idempotent(stream, out, ckpt)
+    assert spark.read.parquet(out).count() == events.count()
