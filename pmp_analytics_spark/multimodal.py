@@ -106,6 +106,108 @@ def resize_image(payload: bytes, width: int, height: int) -> bytes:
     raise NotImplementedError("image resize requires pillow; not available in this environment")
 
 
+def _resize_backend():
+    """Import-gated codec selection: real pillow resize when the library
+    exists, the deterministic byte-truncation fake otherwise (keeps the
+    distributed plumbing testable in codec-less environments)."""
+    try:  # pragma: no cover - pillow absent in this container
+        from PIL import Image  # noqa: F401
+
+        def real(payload: bytes, cap: int) -> bytes:
+            import io
+
+            img = Image.open(io.BytesIO(payload))
+            img.thumbnail((64, 64))
+            buf = io.BytesIO()
+            img.save(buf, format=img.format or "PNG")
+            return buf.getvalue()
+
+        return real
+    except ImportError:
+        return lambda payload, cap: payload[:cap]
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("out_w", IntegerType()),
+        StructField("out_h", IntegerType()),
+        StructField("thumb_bytes", LongType()),
+        StructField("thumb_md5", StringType()),
+    ]
+)
+
+
+def resize_thumbnails(with_payload: DataFrame, cap_bytes: int = 256) -> DataFrame:
+    """Distributed thumbnailing: mapInPandas batch in → per-doc thumbnail
+    features out. The codec is import-gated (``_resize_backend``): pillow
+    when present, the deterministic byte-truncation fake otherwise — the
+    Spark-side shape (batching, schema, halved dimensions from the meta
+    struct) is identical either way, so the pipeline is fully tested and
+    oracle-checkable in this environment and swaps to real decoding with
+    zero plan changes."""
+    resize = _resize_backend()
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            thumbs = [resize(bytes(p), cap_bytes) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "out_w": pdf["meta"].map(lambda m: m["width"] // 2).astype("int32"),
+                    "out_h": pdf["meta"].map(lambda m: m["height"] // 2).astype("int32"),
+                    "thumb_bytes": [len(t) for t in thumbs],
+                    "thumb_md5": [hashlib.md5(t).hexdigest() for t in thumbs],
+                }
+            )
+
+    return ensure_parallelism(with_payload).mapInPandas(batches, RESIZED_SCHEMA)
+
+
+AUDIO_CHUNK_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("chunk_idx", IntegerType()),
+        StructField("offset", LongType()),
+        StructField("n_bytes", LongType()),
+        StructField("chunk_md5", StringType()),
+    ]
+)
+
+
+def chunk_audio(
+    with_payload: DataFrame, chunk_bytes: int = 400, stride: int = 300
+) -> DataFrame:
+    """Overlapping audio chunk windows (the ASR/feature-extraction
+    pre-pass): one payload row in → ceil(n/stride) chunk rows out, each a
+    ``chunk_bytes`` window at ``stride`` spacing (trailing partial window
+    kept). Same mapInPandas fan-out shape as ``sample_frames``; a real
+    pipeline decodes samples in the same loop. Purely map-side — a 100 TB
+    audio corpus chunks with zero shuffles."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: dict[str, list] = {
+                "doc_id": [], "chunk_idx": [], "offset": [], "n_bytes": [], "chunk_md5": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                idx = 0
+                for off in range(0, max(len(b), 1), stride):
+                    chunk = b[off : off + chunk_bytes]
+                    if not chunk:
+                        break
+                    out["doc_id"].append(doc_id)
+                    out["chunk_idx"].append(idx)
+                    out["offset"].append(off)
+                    out["n_bytes"].append(len(chunk))
+                    out["chunk_md5"].append(hashlib.md5(chunk).hexdigest())
+                    idx += 1
+            yield pd.DataFrame(out)
+
+    return ensure_parallelism(with_payload).mapInPandas(batches, AUDIO_CHUNK_SCHEMA)
+
+
 FRAME_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),

@@ -663,3 +663,57 @@ def event_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Q: docs_payload_thumbnails — multimodal resize pipeline end-to-end:
+# binary payload + meta struct → mapInPandas thumbnailing (import-gated
+# codec: pillow at deployment, deterministic byte-truncation fake here).
+# Because the fake is deterministic over the payload bytes, the WHOLE
+# Python pipeline is oracle-checked (DuckDB MD5/SUBSTRING over the same
+# ASCII bytes) — the multimodal plumbing graduates from rows-only to a
+# full value-hash gate.
+# --------------------------------------------------------------------------
+@query(
+    "docs_payload_thumbnails",
+    """
+    SELECT doc_id,
+           CAST((LENGTH(text) % 640) // 2 AS INTEGER) AS out_w,
+           CAST((LENGTH(text) % 480) // 2 AS INTEGER) AS out_h,
+           CAST(LEAST(LENGTH(text), 256) AS BIGINT) AS thumb_bytes,
+           MD5(SUBSTRING(text, 1, 256)) AS thumb_md5
+    FROM documents
+    """,
+)
+def docs_payload_thumbnails(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pmp_analytics_spark.multimodal import attach_payload, resize_thumbnails
+
+    docs = load_table(spark, sf_dir, "documents")
+    return resize_thumbnails(attach_payload(docs))
+
+
+# --------------------------------------------------------------------------
+# Q: docs_audio_chunks — overlapping audio chunk windows (400-byte
+# windows, 300-byte stride) over the audio-typed payloads: the map-side
+# 1-row→n-rows fan-out of an ASR pre-pass, oracle-checked byte-for-byte
+# via GENERATE_SERIES + SUBSTRING over the same ASCII payloads.
+# --------------------------------------------------------------------------
+@query(
+    "docs_audio_chunks",
+    """
+    SELECT d.doc_id,
+           CAST(off // 300 AS INTEGER) AS chunk_idx,
+           CAST(off AS BIGINT) AS "offset",
+           CAST(LEAST(400, LENGTH(d.text) - off) AS BIGINT) AS n_bytes,
+           MD5(SUBSTRING(d.text, CAST(off + 1 AS INT), 400)) AS chunk_md5
+    FROM documents d,
+         LATERAL UNNEST(GENERATE_SERIES(0, GREATEST(LENGTH(d.text) - 1, 0), 300)) AS t(off)
+    WHERE d.doc_id % 2 = 1 AND LENGTH(d.text) > 0
+    """,
+)
+def docs_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pmp_analytics_spark.multimodal import attach_payload, chunk_audio
+
+    docs = load_table(spark, sf_dir, "documents")
+    audio = attach_payload(docs).where(F.col("meta.content_type") == "audio/fake")
+    return chunk_audio(audio)
