@@ -717,3 +717,169 @@ def docs_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     audio = attach_payload(docs).where(F.col("meta.content_type") == "audio/fake")
     return chunk_audio(audio)
+
+
+# --------------------------------------------------------------------------
+# Q: big_quantity_orders — the TPC-H Q18 shape: HAVING on an aggregated
+# subquery, then joined back to the fact + dim. Catalyst pushes the
+# HAVING into the aggregate (no post-join filter on the big side) and
+# the qualifying-orders side is small enough to broadcast at any SF —
+# the classic "filter early via aggregation" plan.
+# --------------------------------------------------------------------------
+@query(
+    "big_quantity_orders",
+    """
+    WITH big AS (
+        SELECT l_orderkey,
+               CAST(SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS BIGINT) AS total_qty
+        FROM lineitem
+        GROUP BY l_orderkey
+        HAVING SUM(CAST(FLOOR(l_quantity) AS BIGINT)) > 150
+    )
+    SELECT c.c_custkey, c.c_name, o.o_orderkey,
+           CAST(o.o_orderdate AS DATE) AS od, b.total_qty
+    FROM big b
+    JOIN orders o ON o.o_orderkey = b.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    """,
+)
+def big_quantity_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum(F.floor("l_quantity").cast("long")).cast("long").alias("total_qty"))
+        .where(F.col("total_qty") > 150)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("od"),
+            "total_qty",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q: customer_order_bookends — FIRST_VALUE / LAST_VALUE / NTH_VALUE over
+# an explicit full-partition frame (the frame spec is the point:
+# LAST_VALUE over the default frame is the famous running-last bug; the
+# UNBOUNDED FOLLOWING frame pins the true bookends on both engines).
+# --------------------------------------------------------------------------
+@query(
+    "customer_order_bookends",
+    """
+    WITH o AS (
+        SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS od FROM orders
+    )
+    SELECT DISTINCT o_custkey,
+           FIRST_VALUE(o_orderkey) OVER w AS first_orderkey,
+           LAST_VALUE(o_orderkey) OVER w AS last_orderkey,
+           NTH_VALUE(o_orderkey, 2) OVER w AS second_orderkey
+    FROM o
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY od, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def customer_order_bookends(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", F.col("o_orderdate").cast("date").alias("od")
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("od", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return orders.select(
+        "o_custkey",
+        F.first("o_orderkey").over(w).alias("first_orderkey"),
+        F.last("o_orderkey").over(w).alias("last_orderkey"),
+        F.nth_value("o_orderkey", 2).over(w).alias("second_orderkey"),
+    ).distinct()
+
+
+# --------------------------------------------------------------------------
+# Q: customer_merge_upsert — MERGE/upsert semantics as a batch operator:
+# a partial dimension (custkey < 1000) merged with fresh per-customer
+# order totals. Matched keys update, unmatched source keys insert,
+# unmatched target keys keep — the full-outer + coalesce + action-tag
+# formulation (what engines with MERGE INTO compile to; Spark expresses
+# it directly, one shuffle or a broadcast when one side is small).
+# --------------------------------------------------------------------------
+@query(
+    "customer_merge_upsert",
+    """
+    WITH base AS (
+        SELECT c_custkey, CAST(FLOOR(c_acctbal * 100) AS BIGINT) AS balance_cents
+        FROM customer WHERE c_custkey < 1000
+    ), updates AS (
+        SELECT o_custkey AS c_custkey,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS order_cents
+        FROM orders GROUP BY o_custkey
+    )
+    SELECT COALESCE(b.c_custkey, u.c_custkey) AS c_custkey,
+           b.balance_cents,
+           u.order_cents,
+           CASE WHEN b.c_custkey IS NULL THEN 'insert'
+                WHEN u.c_custkey IS NULL THEN 'keep'
+                ELSE 'update' END AS action
+    FROM base b FULL OUTER JOIN updates u ON b.c_custkey = u.c_custkey
+    """,
+)
+def customer_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    base = customer.where(F.col("c_custkey") < 1000).select(
+        "c_custkey", F.floor(F.col("c_acctbal") * 100).cast("long").alias("balance_cents")
+    )
+    updates = orders.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).cast("long").alias("order_cents")
+    )
+    b = base.alias("b")
+    u = updates.alias("u")
+    return b.join(u, F.col("b.c_custkey") == F.col("u.c_custkey"), "full_outer").select(
+        F.coalesce("b.c_custkey", "u.c_custkey").alias("c_custkey"),
+        "b.balance_cents",
+        "u.order_cents",
+        F.when(F.col("b.c_custkey").isNull(), "insert")
+        .when(F.col("u.c_custkey").isNull(), "keep")
+        .otherwise("update")
+        .alias("action"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Q: docs_json_roundtrip — JSON codec identity under load: each row is
+# serialized to a JSON document (to_json over a struct) and parsed back
+# with a declared schema (from_json), then aggregated from the PARSED
+# columns. The oracle computes the same aggregate from the raw parquet —
+# equality proves the Spark JSON write→read roundtrip is lossless for
+# every row (any codec drift would shift the per-lang sums).
+# --------------------------------------------------------------------------
+@query(
+    "docs_json_roundtrip",
+    """
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+    FROM documents GROUP BY lang
+    """,
+)
+def docs_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    j = docs.select(
+        F.to_json(F.struct("doc_id", "lang", "n_chars")).alias("js")
+    )
+    parsed = j.select(
+        F.from_json("js", "doc_id bigint, lang string, n_chars bigint").alias("r")
+    ).select("r.*")
+    return parsed.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+        F.sum("doc_id").cast("long").alias("sum_ids"),
+    )
