@@ -480,19 +480,30 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iterations: int = 20,
+    driver_edge_limit: int = 2_000_000,
 ) -> DataFrame:
     """Connected components over near-dup pairs → (id, component) where
     component = min id reachable. Near-dup PAIRS are not dedup GROUPS:
     A~B and B~C must collapse {A,B,C} to one canonical doc even when A~C
     was never emitted — that closure is exactly connected components.
 
-    Iterative label propagation (the standard Spark formulation, no
-    GraphX dependency): every node starts labeled with itself; each round
-    every node takes the min label in its neighborhood; fixpoint in
-    O(diameter) rounds — near-dup clusters are tiny and dense, so 2-3
-    rounds in practice, bounded by ``max_iterations``. Each round is one
-    shuffle (groupBy node); labels are cached per round and lineage is
-    cut via localCheckpoint so the plan does not grow exponentially.
+    Two physical strategies, chosen by EDGE COUNT (the broadcast-join
+    pattern applied to graph closure):
+
+    - **Driver union-find fast path** (edges ≤ ``driver_edge_limit``):
+      verified near-dup edges are orders of magnitude fewer than corpus
+      rows even at 100 TB (they are the *output* of the dedup funnel), so
+      the usual case fits the driver easily; union-find with the smaller
+      root as parent runs in O(E·α) and yields min-id components exactly.
+      This replaces ~6 fixed-overhead Spark jobs PER ITERATION with one
+      collect.
+    - **Distributed label propagation** (bigger edge sets): every node
+      starts labeled with itself; each round takes the min label in its
+      neighborhood; fixpoint in O(diameter) rounds — near-dup clusters
+      are tiny and dense, so 2-3 rounds in practice, bounded by
+      ``max_iterations``. Each round is one shuffle (groupBy node);
+      lineage is cut via localCheckpoint so the plan does not grow
+      exponentially.
     """
     spark = pairs.sparkSession
     edges = (
@@ -501,6 +512,34 @@ def connected_components(
         .distinct()
         .cache()
     )
+    if edges.count() <= driver_edge_limit:
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for row in edges.collect():
+            a, b = row["src"], row["dst"]
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # smaller root becomes parent → the final root of every
+                # tree is the MIN member of its component
+                if rb < ra:
+                    ra, rb = rb, ra
+                parent[rb] = ra
+        out = [(x, find(x)) for x in parent]
+        id_type = dict(pairs.dtypes)[id_a]
+        edges.unpersist()
+        return spark.createDataFrame(
+            out, schema=f"id {id_type}, component {id_type}"
+        )
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()

@@ -264,6 +264,14 @@ def test_connected_components_vs_union_find(spark):
     expected = {n: min(members) for members in roots.values() for n in members}
     assert got == expected
 
+    # pin the DISTRIBUTED label-propagation path (the default took the
+    # driver union-find fast path above) — identical results required
+    got_dist = {
+        r["id"]: r["component"]
+        for r in connected_components(pairs, driver_edge_limit=0).collect()
+    }
+    assert got_dist == expected
+
 
 def test_dedup_keep_canonical_transitive(spark):
     from pmp_analytics_spark.operators.dedup import dedup_keep_canonical
