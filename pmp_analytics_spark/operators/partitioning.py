@@ -31,6 +31,71 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
     return df
 
 
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    how: str = "inner",
+    salt_buckets: int = 16,
+):
+    """Skew-salted equi-join: the big (skewed) side gets a uniform salt in
+    [0, salt_buckets); the small side is REPLICATED once per salt value;
+    the join runs on (key…, salt) so a hot key's rows spread over
+    ``salt_buckets`` reducers instead of funneling one straggler.
+
+    Use when AQE's runtime skew splitting isn't available or the skew is
+    in an aggregation-feeding join it can't split. The replicated side
+    costs salt_buckets× its size — the dim-table side, by construction.
+    Join semantics are salt-invariant: every left row still meets every
+    matching right row exactly once (each right row exists once per salt).
+    ``how`` may be 'inner' or 'left'."""
+    from pyspark.sql import functions as F
+
+    salt = F.pmod(
+        F.spark_partition_id() + F.monotonically_increasing_id(), F.lit(salt_buckets)
+    )
+    lhs = left.withColumn("__salt", salt)
+    rhs = right.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))
+    )
+    return lhs.join(rhs, on=[*on, "__salt"], how=how).drop("__salt")
+
+
+def morton_key(a, b, bits: int = 16):
+    """Z-order (Morton) interleaving of the low ``bits`` of two integer
+    columns — the multi-dimensional clustering key: sorting/range-
+    partitioning by it keeps rows close in BOTH dimensions physically
+    adjacent, so min/max column statistics (parquet row groups, file
+    pruning) skip data for predicates on EITHER column, where a plain
+    sort only skips on its leading column. Pure bit arithmetic inside
+    whole-stage codegen; identical math is SQL-expressible for oracles.
+
+    Deployment shape: ``df.repartitionByRange(N, zkey)
+    .sortWithinPartitions(zkey).write...`` — the standard layout pass for
+    multi-dim scan-heavy tables at 100 TB."""
+    from pyspark.sql import functions as F
+
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    out = F.lit(0).cast("long")
+    for i in range(bits):
+        abit = F.shiftright(a.cast("long"), i).bitwiseAND(F.lit(1))
+        bbit = F.shiftright(b.cast("long"), i).bitwiseAND(F.lit(1))
+        out = out.bitwiseOR(F.shiftleft(abit, 2 * i + 1)).bitwiseOR(
+            F.shiftleft(bbit, 2 * i)
+        )
+    return out
+
+
+def morton_key_sql(a: str, b: str, bits: int = 16) -> str:
+    """The identical Morton interleave as ANSI SQL (DuckDB oracle side)."""
+    parts = []
+    for i in range(bits):
+        parts.append(f"(((({a} >> {i}) & 1)) << {2 * i + 1})")
+        parts.append(f"(((({b} >> {i}) & 1)) << {2 * i})")
+    return "(" + " | ".join(parts) + ")"
+
+
 def salted_agg(
     df: DataFrame,
     group_by: list[str],

@@ -883,3 +883,52 @@ def docs_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").cast("long").alias("sum_chars"),
         F.sum("doc_id").cast("long").alias("sum_ids"),
     )
+
+
+# --------------------------------------------------------------------------
+# Q: events_zorder_layout — Z-order (Morton) clustering: events keyed by
+# the bit-interleave of (user_id, day-index) and profiled per 256-key
+# Z-range. Sorting/range-partitioning by this key before writing keeps
+# rows adjacent in BOTH dimensions, so row-group min/max stats prune
+# scans for predicates on user OR day — the multi-dim layout pass for
+# 100 TB scan-heavy tables (see operators/partitioning.py::morton_key).
+# The oracle reproduces the interleave with identical bit arithmetic.
+# --------------------------------------------------------------------------
+def _zorder_oracle() -> str:
+    from pmp_analytics_spark.operators.partitioning import morton_key_sql
+
+    z = morton_key_sql("user_id", "day_idx", bits=10)
+    return f"""
+    WITH base AS (
+        SELECT user_id,
+               CAST(DATE_DIFF('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) % 1024 AS day_idx
+        FROM events
+    ), keyed AS (
+        SELECT user_id, day_idx, CAST({z} AS BIGINT) AS zkey FROM base
+    )
+    SELECT CAST(zkey // 256 AS BIGINT) AS zbucket,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users,
+           COUNT(DISTINCT day_idx) AS n_days,
+           CAST(MIN(zkey) AS BIGINT) AS z_min,
+           CAST(MAX(zkey) AS BIGINT) AS z_max
+    FROM keyed GROUP BY 1
+    """
+
+
+@query("events_zorder_layout", _zorder_oracle())
+def events_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pmp_analytics_spark.operators.partitioning import morton_key
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        (F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")).cast("long") % 1024).alias("day_idx"),
+    )
+    keyed = ev.withColumn("zkey", morton_key("user_id", "day_idx", bits=10))
+    return keyed.groupBy(F.expr("zkey DIV 256").alias("zbucket")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.countDistinct("day_idx").alias("n_days"),
+        F.min("zkey").alias("z_min"),
+        F.max("zkey").alias("z_max"),
+    )
