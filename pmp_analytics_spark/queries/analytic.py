@@ -932,3 +932,39 @@ def events_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("zkey").alias("z_min"),
         F.max("zkey").alias("z_max"),
     )
+
+
+# --------------------------------------------------------------------------
+# Q: docs_custom_source_scan — the custom Python DataSource end-to-end
+# (sources/pydatasource.py): partitioned pyarrow scan + EqualTo filter
+# PUSHED INTO the source via the connector API's pushFilters, then a
+# per-source aggregate. The oracle reads the same parquet natively —
+# byte-identical results prove the connector path (schema, partitions,
+# pushdown, Arrow batches) is faithful.
+# --------------------------------------------------------------------------
+@query(
+    "docs_custom_source_scan",
+    """
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM documents WHERE lang = 'en'
+    GROUP BY source
+    """,
+)
+def docs_custom_source_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pmp_analytics_spark.sources import pydatasource
+
+    pydatasource.register(spark)
+    docs = (
+        spark.read.format("pyshard")
+        .option("path", f"{sf_dir}/documents.parquet")
+        .load()
+    )
+    return (
+        docs.where(F.col("lang") == "en")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+        )
+    )
