@@ -968,3 +968,40 @@ def docs_custom_source_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").cast("long").alias("sum_chars"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Q: streaming_custom_source_rollup — Structured Streaming over the
+# CUSTOM Python data source (offset-based micro-batches, row-position
+# offsets, partitioned reads): the same per-lang aggregate as a batch
+# query, drained availableNow into a memory sink. Swapping the file
+# source for a custom connector changes nothing downstream — and the
+# batch SQL oracle fully checks the streaming connector path.
+# --------------------------------------------------------------------------
+@query(
+    "streaming_custom_source_rollup",
+    """
+    SELECT lang, source, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM documents GROUP BY lang, source
+    """,
+)
+def streaming_custom_source_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from pmp_analytics_spark.sources import pydatasource
+    from pmp_analytics_spark.streaming import run_to_memory
+
+    pydatasource.register(spark)
+    sdf = (
+        spark.readStream.format("pyshard")
+        .option("path", f"{sf_dir}/documents.parquet")
+        .load()
+    )
+    agg = sdf.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+    )
+    name = f"pyds_rollup_{uuid.uuid4().hex[:12]}"
+    run_to_memory(agg, name, output_mode="complete", state_partitions=8)
+    return spark.table(name)
