@@ -85,3 +85,17 @@ def test_python_datasource_partitions_and_pushdown(spark):
     f_custom = df.where(df.lang == "en").count()
     f_native = native.where(native.lang == "en").count()
     assert f_custom == f_native and f_native > 0
+
+
+def test_orc_roundtrip(spark, tmp_path):
+    # ORC as a second columnar format: write -> read preserves schema and
+    # every row (the engine is not parquet-bound).
+    src = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    path = str(tmp_path / "docs_orc")
+    src.write.orc(path)
+    back = spark.read.orc(path)
+    assert back.schema == src.schema
+    assert back.count() == src.count()
+    a = {r["doc_id"]: r["n_chars"] for r in src.select("doc_id", "n_chars").collect()}
+    b = {r["doc_id"]: r["n_chars"] for r in back.select("doc_id", "n_chars").collect()}
+    assert a == b
