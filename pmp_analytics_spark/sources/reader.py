@@ -43,21 +43,27 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     Plain ``spark.read.parquet`` so Catalyst owns predicate pushdown, column
     pruning, and partition pruning — nothing to hand-schedule.
 
-    The ``events`` table carries TIMESTAMP(NANOS) which Spark's reader
-    rejects (TimestampType is µs); we read nanos as long
-    (``spark.sql.legacy.parquet.nanosAsLong``) and convert to a µs
-    timestamp — exact integer math, no precision surprises vs the DuckDB
-    oracle (which truncates ns→µs identically via EPOCH_US).
+    The ``events`` table's ``ts`` physical type has varied across testdata
+    generations — TIMESTAMP(NANOS) (rejected by Spark's µs TimestampType,
+    readable as long under ``spark.sql.legacy.parquet.nanosAsLong``) and
+    TIMESTAMP(MICROS) without UTC adjustment (surfaced as TIMESTAMP_NTZ).
+    Both are normalized here to a session-TZ (UTC) TimestampType so every
+    downstream ``unix_micros``/window op sees one type, matching the DuckDB
+    oracle's EPOCH_US over naive timestamps. Exact integer math either way.
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
         from pyspark.sql import functions as F
-        from pyspark.sql.types import LongType
+        from pyspark.sql.types import LongType, TimestampNTZType
 
         if isinstance(df.schema["ts"].dataType, LongType):
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(df.schema["ts"].dataType, TimestampNTZType):
+            # session tz is pinned UTC: naive → UTC instant, same epoch µs
+            # DuckDB computes for the same naive value.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(path)
 

@@ -31,9 +31,10 @@ from pyspark.sql.types import (
     StructType,
 )
 
-# The parquet writes ts as TIMESTAMP(NANOS) which Spark's reader surfaces
-# as long under nanosAsLong (see sources.reader.load_table) — the stream
-# schema mirrors that and converts to a µs timestamp in the plan.
+# Fallback stream schema for TIMESTAMP(NANOS) testdata generations, where
+# Spark surfaces ts as long under nanosAsLong (see sources.reader.load_table).
+# Current generations write TIMESTAMP(MICROS) w/o UTC adjustment, which a
+# batch-schema peek reports as TIMESTAMP_NTZ; read_event_stream adapts.
 EVENTS_STREAM_SCHEMA = StructType(
     [
         StructField("event_id", LongType()),
@@ -50,14 +51,30 @@ def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events parquet (one file = one
     micro-batch under ``availableNow``; a directory of hourly drops would
     stream file-by-file — the deployment shape for incremental backfill).
+
+    A streaming source needs a declared schema, so the events file's footer
+    is peeked once via the batch reader (metadata-only, driver-side) and
+    ``ts`` is normalized to a session-TZ µs TimestampType exactly as
+    ``sources.reader.load_table`` does for batch — streaming and batch
+    plans then see identical event-time types.
     """
+    import os
+
+    from pyspark.sql.types import TimestampNTZType
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
     raw = (
-        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ts_type = schema["ts"].dataType
+    if isinstance(ts_type, LongType):
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif isinstance(ts_type, TimestampNTZType):
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def streaming_event_type_counts(
