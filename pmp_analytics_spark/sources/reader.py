@@ -37,34 +37,55 @@ TABLES = (
 )
 
 
+def normalize_event_ts(df: DataFrame) -> DataFrame:
+    """Normalize the events table's ``ts`` to a session-TZ (UTC) µs
+    TimestampType, whatever physical type the testdata generation wrote.
+
+    The ``ts`` physical type has varied across generations —
+    TIMESTAMP(NANOS) (rejected by Spark's µs TimestampType, readable as
+    long under ``spark.sql.legacy.parquet.nanosAsLong``) and
+    TIMESTAMP(MICROS) without UTC adjustment (surfaced as TIMESTAMP_NTZ).
+    Both land on one TimestampType so every downstream
+    ``unix_micros``/window op sees one type, matching the DuckDB oracle's
+    EPOCH_US over naive timestamps. Exact integer math either way.
+
+    Shared by the batch (``load_table``) and streaming
+    (``streaming.sessions.read_event_stream``) paths so the two cannot
+    drift on the next testdata generation change.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, TimestampNTZType
+
+    ts_type = df.schema["ts"].dataType
+    if isinstance(ts_type, LongType):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif isinstance(ts_type, TimestampNTZType):
+        # The NTZ→timestamp cast is epoch-preserving ONLY when the session
+        # timezone is UTC (naive value → same epoch µs DuckDB computes for
+        # it). Guard it so a session built outside session.get_spark (or
+        # with an overriding extra_conf) fails loudly instead of silently
+        # shifting every event timestamp.
+        tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
+        if tz != "UTC":
+            raise ValueError(
+                f"events.ts is TIMESTAMP_NTZ; normalizing it requires "
+                f"spark.sql.session.timeZone=UTC (got {tz!r})"
+            )
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one star-schema parquet table.
 
     Plain ``spark.read.parquet`` so Catalyst owns predicate pushdown, column
-    pruning, and partition pruning — nothing to hand-schedule.
-
-    The ``events`` table's ``ts`` physical type has varied across testdata
-    generations — TIMESTAMP(NANOS) (rejected by Spark's µs TimestampType,
-    readable as long under ``spark.sql.legacy.parquet.nanosAsLong``) and
-    TIMESTAMP(MICROS) without UTC adjustment (surfaced as TIMESTAMP_NTZ).
-    Both are normalized here to a session-TZ (UTC) TimestampType so every
-    downstream ``unix_micros``/window op sees one type, matching the DuckDB
-    oracle's EPOCH_US over naive timestamps. Exact integer math either way.
+    pruning, and partition pruning — nothing to hand-schedule. The events
+    table's ``ts`` is normalized via ``normalize_event_ts``.
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(path)
-        from pyspark.sql import functions as F
-        from pyspark.sql.types import LongType, TimestampNTZType
-
-        if isinstance(df.schema["ts"].dataType, LongType):
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        elif isinstance(df.schema["ts"].dataType, TimestampNTZType):
-            # session tz is pinned UTC: naive → UTC instant, same epoch µs
-            # DuckDB computes for the same naive value.
-            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
-        return df
+        return normalize_event_ts(spark.read.parquet(path))
     return spark.read.parquet(path)
 
 

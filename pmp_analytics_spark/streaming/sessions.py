@@ -23,28 +23,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import (
-    DoubleType,
-    LongType,
-    StringType,
-    StructField,
-    StructType,
-)
-
-# Fallback stream schema for TIMESTAMP(NANOS) testdata generations, where
-# Spark surfaces ts as long under nanosAsLong (see sources.reader.load_table).
-# Current generations write TIMESTAMP(MICROS) w/o UTC adjustment, which a
-# batch-schema peek reports as TIMESTAMP_NTZ; read_event_stream adapts.
-EVENTS_STREAM_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
 
 
 def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -54,13 +32,13 @@ def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     A streaming source needs a declared schema, so the events file's footer
     is peeked once via the batch reader (metadata-only, driver-side) and
-    ``ts`` is normalized to a session-TZ µs TimestampType exactly as
-    ``sources.reader.load_table`` does for batch — streaming and batch
-    plans then see identical event-time types.
+    ``ts`` is normalized via the same ``sources.reader.normalize_event_ts``
+    the batch path uses — streaming and batch plans then see identical
+    event-time types by construction.
     """
     import os
 
-    from pyspark.sql.types import TimestampNTZType
+    from pmp_analytics_spark.sources.reader import normalize_event_ts
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
@@ -69,12 +47,7 @@ def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    ts_type = schema["ts"].dataType
-    if isinstance(ts_type, LongType):
-        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    elif isinstance(ts_type, TimestampNTZType):
-        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
-    return raw
+    return normalize_event_ts(raw)
 
 
 def streaming_event_type_counts(

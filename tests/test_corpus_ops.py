@@ -96,12 +96,12 @@ def test_view_purchase_pairs_streaming_matches_batch(spark):
         view_purchase_pairs,
     )
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    batch = (
-        spark.read.schema("event_id long, ts long, user_id long, event_type string, value double, props string")
-        .parquet(f"{SF}/events.parquet")
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    from pmp_analytics_spark.sources.reader import load_table
+
+    # Build the batch "expected" side through the same reader the engine
+    # uses so the ts normalization (nanos-long vs TIMESTAMP_NTZ) can't
+    # drift from read_event_stream's.
+    batch = load_table(spark, SF, "events")
     bviews = batch.where(F.col("event_type") == "view")
     bbuys = batch.where(F.col("event_type") == "purchase")
     expected = sorted(
