@@ -48,8 +48,16 @@ def salted_join(
     costs salt_buckets× its size — the dim-table side, by construction.
     Join semantics are salt-invariant: every left row still meets every
     matching right row exactly once (each right row exists once per salt).
-    ``how`` may be 'inner' or 'left'."""
+    ``how`` may be 'inner' or 'left' — right/full would count unmatched
+    right rows once per salt replica, so anything else is rejected."""
     from pyspark.sql import functions as F
+
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports how='inner'|'left' (got {how!r}): the "
+            "right side is replicated per salt, which breaks right/full "
+            "outer semantics"
+        )
 
     salt = F.pmod(
         F.spark_partition_id() + F.monotonically_increasing_id(), F.lit(salt_buckets)

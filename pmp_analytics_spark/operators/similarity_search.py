@@ -6,8 +6,11 @@ as the 100 TB scale path. Embeddings are ``array<float>`` columns.
 Scale design:
 - Query set is small (user-supplied) → broadcast it; the corpus is scanned
   once, each task scores its partition against all broadcast queries, and
-  top-k is a per-partition heap + merge (TakeOrderedAndProject per query via
-  window row_number — bounded by k·|Q| rows out of the shuffle).
+  top-k is a two-window cut: a partition-local row_number ≤ k on
+  (spark_partition_id, query) first, so the final per-query window reads
+  O(partitions·q·k) rows instead of funneling every scored row of a query
+  into one reducer (see ``brute_force_topk``; ``matmul_topk`` does the
+  local cut inside the Arrow batch instead).
 - Dot products use ``F.zip_with`` + ``F.aggregate`` — JVM-side, no Python.
   (At very high dims a vectorized numpy pandas_udf wins on constant factors;
   the built-in HOF path keeps whole-stage codegen and zero serde, which
@@ -52,18 +55,39 @@ def brute_force_topk(
 ) -> DataFrame:
     """Exact top-k neighbors per query by cosine similarity.
 
-    ``queries`` is broadcast; scoring is map-side over the corpus scan; the
-    per-query top-k is a window row_number bounded to k (ties broken by
-    corpus id for determinism).
+    ``queries`` is broadcast; scoring is map-side over the corpus scan.
+    The top-k cut happens in TWO windows so no reducer ever sees the
+    full score matrix:
+
+    1. a pre-cut keyed by ``(spark_partition_id, query_id)`` — its
+       exchange spreads the n·q scored rows UNIFORMLY (every scan
+       partition contributes its own key group), and only the local
+       top-k per (partition, query) survives;
+    2. the global per-query window then receives O(partitions·q·k)
+       rows — without the pre-cut it would funnel all n scored rows of
+       each query into that query's single reducer, the classic top-k
+       hotspot at scale.
+
+    The pre-cut is EXACT (unlike ``matmul_topk``'s margin heuristic):
+    both windows order by the same rounded score with the same corpus-id
+    tie-break, so a row cut locally can never belong to the global top-k.
     """
     scored = corpus.crossJoin(F.broadcast(queries)).select(
         F.col(query_id),
         F.col(corpus_id),
         F.round(cosine(F.col(corpus_vec), F.col(query_vec)), 6).alias(sim_name),
     )
-    w = Window.partitionBy(query_id).orderBy(F.desc(sim_name), F.asc(corpus_id))
+    order = [F.desc(sim_name), F.asc(corpus_id)]
+    w_local = Window.partitionBy("__pid", query_id).orderBy(*order)
+    pre = (
+        scored.withColumn("__pid", F.spark_partition_id())
+        .withColumn("__lrank", F.row_number().over(w_local))
+        .where(F.col("__lrank") <= k)
+        .drop("__pid", "__lrank")
+    )
+    w = Window.partitionBy(query_id).orderBy(*order)
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        pre.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select(query_id, corpus_id, sim_name, "rank")
     )

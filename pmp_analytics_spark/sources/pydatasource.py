@@ -74,7 +74,10 @@ class ParquetShardDataSource(DataSource):
 class _ShardReader(DataSourceReader):
     def __init__(self, options):
         self.path = options["path"]
-        self.rows_per_split = int(options.get("rows_per_split", "200"))
+        # Big-enough splits that task-scheduling overhead amortizes; a
+        # tiny default (e.g. 200) makes every real scan pure scheduler
+        # churn. Tests override with a small value to force many splits.
+        self.rows_per_split = int(options.get("rows_per_split", "4096"))
         self.filters: list[EqualTo] = []
 
     def pushFilters(self, filters):
@@ -129,7 +132,7 @@ class _ShardStreamReader(DataSourceStreamReader):
 
     def __init__(self, options):
         self.path = options["path"]
-        self.rows_per_split = int(options.get("rows_per_split", "200"))
+        self.rows_per_split = int(options.get("rows_per_split", "4096"))
         import pyarrow.parquet as pq
 
         self.total_rows = pq.ParquetFile(self.path).metadata.num_rows
@@ -147,12 +150,35 @@ class _ShardStreamReader(DataSourceStreamReader):
         ]
 
     def read(self, partition: _RowRange):
+        """Read ONLY the row groups covering [start, end) — never the
+        whole file. A micro-batch split into P partitions must cost
+        ~one file's worth of I/O total, not P full-file reads
+        (O(file × partitions) is a scale-killer on a growing shard).
+        Row offsets are file-global, so each task maps its range onto
+        the group layout from the footer (metadata-only read) and
+        slices relative to the first touched group's start row.
+        """
         import pyarrow.parquet as pq
 
-        table = (
-            pq.ParquetFile(self.path)
-            .read()
-            .slice(partition.start, partition.end - partition.start)
+        pf = pq.ParquetFile(self.path)
+        meta = pf.metadata
+        groups: list[int] = []
+        first_group_start = 0
+        pos = 0
+        for rg in range(meta.num_row_groups):
+            n = meta.row_group(rg).num_rows
+            if pos < partition.end and pos + n > partition.start:
+                if not groups:
+                    first_group_start = pos
+                groups.append(rg)
+            pos += n
+            if pos >= partition.end:
+                break
+        if not groups:
+            return
+        table = pf.read_row_groups(groups).slice(
+            partition.start - first_group_start,
+            partition.end - partition.start,
         )
         yield from table.to_batches()
 

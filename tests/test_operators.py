@@ -440,6 +440,13 @@ def test_salted_join_matches_plain_join(spark):
     }
     assert salted_left == plain_left
 
+    # right/full outer would count unmatched right rows once per salt
+    # replica — rejected up front, before any plan is built
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="inner.*left"):
+        salted_join(left, right, on=["k"], how="right", salt_buckets=8)
+
 
 def test_morton_key_interleaves_locality(spark):
     from pyspark.sql import functions as F

@@ -204,3 +204,14 @@ def test_matmul_topk_is_arrow_batched(spark, queries):
     plan = physical_plan(df)
     assert "MapInPandas" in plan or "ArrowEvalPython" in plan
     assert_no_cartesian_product(df)
+
+
+def test_brute_force_topk_has_partition_local_precut(spark, queries):
+    # The exact top-k must cut per (scan-partition, query) BEFORE the
+    # per-query window: two Window nodes, with the first's partition key
+    # including spark_partition_id — otherwise the final window funnels
+    # every scored row of a query into that query's single reducer.
+    df = queries["embedding_topk"](spark, SF)
+    plan = physical_plan(df)
+    assert plan.count("Window") >= 2
+    assert "SPARK_PARTITION_ID" in plan.upper()
