@@ -698,12 +698,94 @@ def docs_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# Q: embedding_ivf_topk — IVF approximate nearest neighbor: MLlib KMeans
-# coarse quantizer, probe the nprobe nearest cells, exact cosine rescore.
-# KMeans cell assignment is not SQL-expressible → rows-only driver check;
-# recall vs the exact baseline is asserted in tests/test_operators.py.
+# Q: embedding_ivf_topk — IVF approximate nearest neighbor: seeded-numpy
+# k-means coarse quantizer, probe the nprobe nearest cells, exact cosine
+# rescore. The quantizer fit is deterministic (k-means++ with a fixed seed
+# on the md5-ordered sample), so the oracle SNAPSHOTS the centroids the
+# sf0.01 fit produces as literals and reproduces the ENTIRE downstream
+# pipeline in SQL — argmin cell assignment, nprobe probing with the same
+# (distance, cell) tie-break, cosine rescoring, ranking — the same
+# replay-the-deterministic-preprocessing trick embedding_lsh_topk uses
+# for its hyperplane buckets. (The oracle is built against the driver
+# gate's fixed sf=0.01 tables; recall vs the exact baseline is separately
+# asserted in tests/test_operators.py.)
 # --------------------------------------------------------------------------
-@query("embedding_ivf_topk")
+_IVF_N_CENTROIDS = 16
+_IVF_NPROBE = 4
+
+
+def _ivf_oracle() -> str | None:
+    """Snapshot sf0.01 IVF centroids and emit the full SQL replay.
+
+    Reproduces ``ivf_topk``'s fit inputs exactly, without Spark: the
+    training sample is every embedding row ordered by md5(vec_id) —
+    the same engine-independent order the operator's driver-side
+    ``orderBy(F.md5(...)).limit(...)`` produces — fed to the identical
+    ``_kmeans_fit``. Returns None (→ rows-only driver check) if the
+    gate tables are unavailable wherever this module is imported.
+    """
+    import hashlib
+    import os
+
+    try:
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from pmp_analytics_spark.operators.similarity_search import _kmeans_fit
+
+        sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+        tbl = pq.read_table(
+            os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+        )
+        rows = sorted(
+            zip(tbl["vec_id"].to_pylist(), tbl["embedding"].to_pylist()),
+            key=lambda r: hashlib.md5(str(r[0]).encode()).hexdigest(),
+        )[: max(2000, 20 * _IVF_N_CENTROIDS)]
+        train = np.array([r[1] for r in rows], dtype=np.float64)
+        cents = _kmeans_fit(train, _IVF_N_CENTROIDS, seed=42)
+    except Exception:  # noqa: BLE001 — no tables here: fall back, don't break import
+        return None
+
+    cent_rows = ", ".join(
+        f"({i}, [{', '.join(repr(float(x)) for x in c)}]::DOUBLE[])"
+        for i, c in enumerate(cents)
+    )
+    return f"""
+    WITH c AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), cent(cell, cv) AS (
+        VALUES {cent_rows}
+    ), assign AS (
+        SELECT vec_id, v, cell,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY LIST_DISTANCE(v, cv), cell) AS rn
+        FROM c CROSS JOIN cent
+    ), cells AS (
+        SELECT vec_id, v, cell FROM assign WHERE rn = 1
+    ), q AS (
+        SELECT vec_id AS query_id, v AS qv FROM c WHERE vec_id < {_NQ}
+    ), qprobe AS (
+        SELECT query_id, qv, cell,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY LIST_DISTANCE(qv, cv), cell) AS rn
+        FROM q CROSS JOIN cent
+    ), scored AS (
+        SELECT p.query_id, cells.vec_id,
+               ROUND(LIST_COSINE_SIMILARITY(cells.v, p.qv), 6) AS cosine_sim
+        FROM cells JOIN (SELECT * FROM qprobe WHERE rn <= {_IVF_NPROBE}) p
+          ON cells.cell = p.cell
+    ), ranked AS (
+        SELECT query_id, vec_id, cosine_sim,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cosine_sim DESC, vec_id) AS rank
+        FROM scored
+    )
+    SELECT query_id, vec_id, cosine_sim, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= {_TOPK}
+    """
+
+
+@query("embedding_ivf_topk", _ivf_oracle())
 def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pmp_analytics_spark.operators.similarity_search import ivf_topk
 
@@ -711,7 +793,7 @@ def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries_df = emb.where(F.col("vec_id") < _NQ).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    out = ivf_topk(emb, queries_df, n_centroids=16, nprobe=4, k=_TOPK)
+    out = ivf_topk(emb, queries_df, n_centroids=_IVF_N_CENTROIDS, nprobe=_IVF_NPROBE, k=_TOPK)
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
