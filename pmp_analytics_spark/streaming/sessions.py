@@ -94,7 +94,7 @@ def run_to_memory(
     name: str,
     output_mode: str = "complete",
     state_partitions: int | None = None,
-) -> None:
+):
     """Drain the stream into an in-memory table via one availableNow pass
     (backfill semantics: process everything currently in the source, then
     stop). Query results land in ``spark.table(name)``.
@@ -107,6 +107,9 @@ def run_to_memory(
     2x faster at 8 state partitions than at 32. At production scale the
     same knob goes UP with keyspace size. The session-wide conf is
     restored after the drain.
+
+    Returns the terminated StreamingQuery so callers can inspect
+    ``recentProgress`` (e.g. to assert how many micro-batches ran).
     """
     spark = sdf.sparkSession
     prev = spark.conf.get("spark.sql.shuffle.partitions")
@@ -121,5 +124,6 @@ def run_to_memory(
             .start()
         )
         q.awaitTermination()
+        return q
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)

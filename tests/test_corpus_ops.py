@@ -120,3 +120,66 @@ def test_view_purchase_pairs_streaming_matches_batch(spark):
         (r.view_id, r.purchase_id) for r in spark.table("t_conv_pairs").collect()
     )
     assert got == expected and len(got) > 0
+
+
+def test_view_purchase_pairs_multibatch_no_dropped_pairs(spark, tmp_path):
+    """The single-file variant above drains in ONE micro-batch, which
+    never exercises watermark eviction across batch boundaries. Here the
+    events land as four time-ordered files consumed one per trigger
+    (maxFilesPerTrigger=1), so views must SURVIVE in the join state
+    across batches until their 240-minute lag window passes the
+    watermark — a dropped in-bound pair would show up as a missing row
+    vs the batch join."""
+    import time
+
+    from pmp_analytics_spark.sources.reader import load_table
+    from pmp_analytics_spark.streaming import run_to_memory, view_purchase_pairs
+
+    batch = load_table(spark, SF, "events")
+    expected = sorted(
+        (r.view_id, r.purchase_id)
+        for r in view_purchase_pairs(
+            batch.where(F.col("event_type") == "view"),
+            batch.where(F.col("event_type") == "purchase"),
+            max_lag_minutes=240,
+        ).collect()
+    )
+
+    # four time-ordered drops: quartile chunks written oldest-first with
+    # distinct mtimes so the file source replays them in arrival order
+    # (the standard hourly-drop directory shape; a time-ordered feed is
+    # the contract watermarks bound disorder AGAINST, not a shortcut)
+    src = tmp_path / "events_drops"
+    src.mkdir()
+    rows = batch.orderBy("ts").collect()
+    quarter = (len(rows) + 3) // 4
+    for i in range(4):
+        chunk = rows[i * quarter : (i + 1) * quarter]
+        spark.createDataFrame(chunk, batch.schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(src / f"drop_{i}"))
+        time.sleep(1.1)  # distinct mtime seconds -> deterministic order
+
+    sdf = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "*.parquet")
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    q = run_to_memory(
+        view_purchase_pairs(
+            sdf.where(F.col("event_type") == "view"),
+            sdf.where(F.col("event_type") == "purchase"),
+            max_lag_minutes=240,
+        ),
+        "t_conv_pairs_mb",
+        output_mode="append",
+        state_partitions=8,
+    )
+    data_batches = [p for p in q.recentProgress if p["numInputRows"] > 0]
+    assert len(data_batches) >= 2, "stream must span multiple micro-batches"
+    got = sorted(
+        (r.view_id, r.purchase_id) for r in spark.table("t_conv_pairs_mb").collect()
+    )
+    assert got == expected and len(got) > 0
