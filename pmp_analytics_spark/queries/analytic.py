@@ -339,11 +339,12 @@ def docs_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # Q: docs_zipf_curve — token rank-frequency (Zipf) curve, top 50 terms
-# with cumulative corpus share in permille. The global window runs over
-# exactly 50 rows (top-K FIRST via TakeOrderedAndProject, THEN the
-# cumulative sum + a broadcast 1-row total) — never a corpus-wide
-# single-partition window. Shares are integer permille (exact on both
-# engines); term tie-break is lexicographic.
+# with cumulative corpus share in permille. Top-K FIRST via
+# TakeOrderedAndProject, THEN rank + cumulative sum via a triangular
+# broadcast self-join over the 50-row frame (≤ K² pairs, constant wrt
+# corpus size) — never a corpus-wide single-partition window, and no
+# unpartitioned-window plan node at all. Shares are integer permille
+# (exact on both engines); term tie-break is lexicographic.
 # --------------------------------------------------------------------------
 _ZIPF_K = 50
 
@@ -377,10 +378,20 @@ def docs_zipf_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     total = counts.agg(F.sum("n").cast("long").alias("total"))
     topk = counts.orderBy(F.desc("n"), F.asc("term")).limit(_ZIPF_K)
-    w = Window.orderBy(F.desc("n"), F.asc("term"))
+    # b "at or before" a in (n DESC, term ASC) order: COUNT gives the
+    # 1-based rank, SUM the inclusive cumulative count — one bounded
+    # broadcast nested-loop over the already-cut top-K.
+    b = topk.select(F.col("term").alias("b_term"), F.col("n").alias("b_n"))
+    at_or_before = (F.col("b_n") > F.col("n")) | (
+        (F.col("b_n") == F.col("n")) & (F.col("b_term") <= F.col("term"))
+    )
     return (
-        topk.withColumn("rank", F.row_number().over(w).cast("long"))
-        .withColumn("cum", F.sum("n").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        topk.join(F.broadcast(b), at_or_before)
+        .groupBy("term", "n")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("rank"),
+            F.sum("b_n").alias("cum"),
+        )
         .crossJoin(F.broadcast(total))
         .select(
             "rank",

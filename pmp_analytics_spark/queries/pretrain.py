@@ -625,6 +625,12 @@ def monthly_order_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q: customer_spend_deciles — ranking-window surface the reference never
 # exercises (SURVEY §2.6 note): NTILE deciles + PERCENT_RANK over total
 # customer spend, tie-broken on custkey so both engines rank identically.
+# The Spark side never plans a single-partition window: the global rank
+# comes from the two-phase range-partition scan (operators.prefix_sum.
+# global_row_number), and NTILE / PERCENT_RANK are pure functions of
+# (rank, total count) once the order is total —
+#   ntile(k):   first n%k buckets hold n//k+1 rows, the rest n//k;
+#   pct_rank:   (rank-1)/(n-1), 0.0 for a single row.
 # --------------------------------------------------------------------------
 @query(
     "customer_spend_deciles",
@@ -641,16 +647,40 @@ def monthly_order_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def customer_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pmp_analytics_spark.operators.prefix_sum import global_row_number
+
     orders = load_table(spark, sf_dir, "orders")
     spend = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
         F.round(F.sum("o_totalprice"), 2).alias("spend")
     )
-    w = Window.orderBy(F.desc("spend"), F.asc("custkey"))
-    return spend.select(
-        "custkey",
-        "spend",
-        F.ntile(10).over(w).cast("int").alias("decile"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+    ranked = global_row_number(
+        spend, [F.desc("spend"), F.asc("custkey")], out_col="__rank"
+    )
+    tot = spend.agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .withColumn("__base", F.expr("__n DIV 10"))
+        .withColumn("__extra", F.col("__n") % 10)
+        .withColumn("__boundary", F.col("__extra") * (F.col("__base") + 1))
+        .select(
+            "custkey",
+            "spend",
+            # first __extra buckets hold __base+1 rows, the rest __base;
+            # when __n < 10 every rank falls in the boundary branch, so
+            # the __base=0 divisor in the ELSE arm is never evaluated
+            F.expr(
+                "CAST(CASE WHEN __rank <= __boundary"
+                "     THEN (__rank - 1) DIV (__base + 1)"
+                "     ELSE __extra + (__rank - __boundary - 1) DIV __base"
+                "     END + 1 AS INT)"
+            ).alias("decile"),
+            F.round(
+                F.when(
+                    F.col("__n") > 1, (F.col("__rank") - 1) / (F.col("__n") - 1)
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("pct_rank"),
+        )
     )
 
 

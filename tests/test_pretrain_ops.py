@@ -45,6 +45,31 @@ class TestRunningTotal:
         assert got == {0: 0, 1: 1, 2: 2}
 
 
+class TestGlobalRowNumber:
+    def test_matches_global_window_with_composite_order(self, spark):
+        from pmp_analytics_spark.operators.prefix_sum import global_row_number
+
+        df = spark.range(0, 1000).select(
+            F.col("id"), (F.col("id") * 37 % 50).cast("long").alias("score")
+        )
+        got = global_row_number(
+            df, [F.desc("score"), F.asc("id")], out_col="rn", num_partitions=7
+        )
+        w = Window.orderBy(F.desc("score"), F.asc("id"))
+        want = df.withColumn("rn", F.row_number().over(w).cast("long"))
+        assert _rows(got, "id", "rn") == _rows(want, "id", "rn")
+
+    def test_no_unpartitioned_window_in_plan(self, spark):
+        from pmp_analytics_spark.operators.prefix_sum import global_row_number
+        from pmp_analytics_spark.plans import physical_plan
+
+        df = spark.range(0, 100).withColumn("v", F.col("id") % 9)
+        got = global_row_number(df, [F.asc("v"), F.asc("id")], num_partitions=4)
+        # the data-sized side must never pass through a SinglePartition
+        # exchange; the offsets side is a triangular join, not a window
+        assert physical_plan(got).count("Exchange SinglePartition") == 0
+
+
 class TestPackSequences:
     @pytest.fixture()
     def packed(self, spark):
