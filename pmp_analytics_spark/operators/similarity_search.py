@@ -43,6 +43,36 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
 
+def _topk_per_query(
+    scored: DataFrame,
+    k: int,
+    query_id: str,
+    corpus_id: str,
+    sim_name: str,
+) -> DataFrame:
+    """Two-window exact top-k cut over a (query_id, corpus_id, sim) score
+    stream: a pre-cut keyed by (spark_partition_id, query) bounds what
+    the per-query window receives to O(partitions·q·k) rows — without
+    it, the final window funnels every scored row of a query into that
+    query's single reducer. Exact: both windows use the same (score
+    desc, corpus id asc) total order, so a locally-cut row can never be
+    in the global top-k."""
+    order = [F.desc(sim_name), F.asc(corpus_id)]
+    w_local = Window.partitionBy("__pid", query_id).orderBy(*order)
+    pre = (
+        scored.withColumn("__pid", F.spark_partition_id())
+        .withColumn("__lrank", F.row_number().over(w_local))
+        .where(F.col("__lrank") <= k)
+        .drop("__pid", "__lrank")
+    )
+    w = Window.partitionBy(query_id).orderBy(*order)
+    return (
+        pre.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id, corpus_id, sim_name, "rank")
+    )
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -77,20 +107,7 @@ def brute_force_topk(
         F.col(corpus_id),
         F.round(cosine(F.col(corpus_vec), F.col(query_vec)), 6).alias(sim_name),
     )
-    order = [F.desc(sim_name), F.asc(corpus_id)]
-    w_local = Window.partitionBy("__pid", query_id).orderBy(*order)
-    pre = (
-        scored.withColumn("__pid", F.spark_partition_id())
-        .withColumn("__lrank", F.row_number().over(w_local))
-        .where(F.col("__lrank") <= k)
-        .drop("__pid", "__lrank")
-    )
-    w = Window.partitionBy(query_id).orderBy(*order)
-    return (
-        pre.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select(query_id, corpus_id, sim_name, "rank")
-    )
+    return _topk_per_query(scored, k, query_id, corpus_id, sim_name)
 
 
 def range_search(
@@ -250,12 +267,7 @@ def lsh_topk(
         F.col(corpus_id),
         F.round(cosine(F.col(corpus_vec), F.col(query_vec)), 6).alias(sim_name),
     )
-    w = Window.partitionBy(query_id).orderBy(F.desc(sim_name), F.asc(corpus_id))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select(query_id, corpus_id, sim_name, "rank")
-    )
+    return _topk_per_query(scored, k, query_id, corpus_id, sim_name)
 
 
 def ivf_topk(
@@ -358,12 +370,7 @@ def ivf_topk(
         F.col(corpus_id),
         F.round(cosine(F.col(corpus_vec), F.col(query_vec)), 6).alias(sim_name),
     )
-    w2 = Window.partitionBy(query_id).orderBy(F.desc(sim_name), F.asc(corpus_id))
-    return (
-        scored.withColumn("rank", F.row_number().over(w2))
-        .where(F.col("rank") <= k)
-        .select(query_id, corpus_id, sim_name, "rank")
-    )
+    return _topk_per_query(scored, k, query_id, corpus_id, sim_name)
 
 
 def _kmeans_fit(sample, k: int, seed: int, iters: int = 8):

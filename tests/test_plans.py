@@ -215,3 +215,10 @@ def test_brute_force_topk_has_partition_local_precut(spark, queries):
     plan = physical_plan(df)
     assert plan.count("Window") >= 2
     assert "SPARK_PARTITION_ID" in plan.upper()
+
+
+def test_lsh_and_ivf_topk_share_the_precut(spark, queries):
+    for name in ("embedding_lsh_topk", "embedding_ivf_topk"):
+        plan = physical_plan(queries[name](spark, SF))
+        assert plan.count("Window") >= 2, name
+        assert "SPARK_PARTITION_ID" in plan.upper(), name
