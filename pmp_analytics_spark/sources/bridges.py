@@ -176,6 +176,118 @@ def _frame_from_rows(
     return spark.createDataFrame(data, schema)
 
 
+def _col_letter(idx: int) -> str:
+    """0 -> 'A', 27 -> 'AB' (inverse of _col_index)."""
+    out = ""
+    idx += 1
+    while idx:
+        idx, rem = divmod(idx - 1, 26)
+        out = chr(ord("A") + rem) + out
+    return out
+
+
+def _xml_escape(s: str) -> str:
+    return (
+        s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+        .replace('"', "&quot;")
+    )
+
+
+_XLSX_TYPES = """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">
+ <Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>
+ <Default Extension="xml" ContentType="application/xml"/>
+ <Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>
+ <Override PartName="/xl/worksheets/sheet1.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>
+</Types>"""
+
+_XLSX_ROOT_RELS = """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+ <Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/>
+</Relationships>"""
+
+_XLSX_WB_RELS = """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+ <Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>
+</Relationships>"""
+
+
+def write_excel_bridge(
+    df: DataFrame,
+    path: str,
+    sheet_name: str = "Sheet1",
+    max_rows: int = 100_000,
+) -> int:
+    """K3: DataFrame → xlsx on the driver, mirroring the reference's
+    formatted-report sinks (xlsxwriter in /root/reference/mm2.py:87-127,
+    /root/reference/threshold.py:87-100). Returns the number of data
+    rows written.
+
+    Presentation files are driver-sized BY DEFINITION (a human opens
+    them) — so this collects, with ``max_rows`` as the guard rail
+    against someone pointing a 100 TB table at a spreadsheet. Numeric
+    columns are written as native Excel numbers, everything else as
+    inline strings; cell styling beyond that is presentation concern
+    the engine deliberately leaves to downstream tooling. Stdlib-only
+    (zip + XML — the same public OOXML the read bridge parses), and
+    round-trippable through ``read_excel_bridge``.
+    """
+    rows = df.limit(max_rows + 1).collect()
+    if len(rows) > max_rows:
+        raise ValueError(
+            f"refusing to write >{max_rows} rows to a spreadsheet; "
+            "aggregate or sample first (raise max_rows to override)"
+        )
+    numeric = {
+        name
+        for name, dtype in df.dtypes
+        if dtype in ("tinyint", "smallint", "int", "bigint", "float", "double")
+        or dtype.startswith("decimal")
+    }
+    lines = ["<sheetData>"]
+    header_cells = "".join(
+        f'<c r="{_col_letter(i)}1" t="inlineStr"><is><t>{_xml_escape(c)}</t></is></c>'
+        for i, c in enumerate(df.columns)
+    )
+    lines.append(f'<row r="1">{header_cells}</row>')
+    for rnum, row in enumerate(rows, start=2):
+        cells = []
+        for i, name in enumerate(df.columns):
+            v = row[name]
+            if v is None:
+                continue  # sparse like real writers: missing cell = empty
+            ref = f"{_col_letter(i)}{rnum}"
+            if name in numeric:
+                cells.append(f'<c r="{ref}"><v>{v}</v></c>')
+            else:
+                cells.append(
+                    f'<c r="{ref}" t="inlineStr"><is><t>'
+                    f"{_xml_escape(str(v))}</t></is></c>"
+                )
+        lines.append(f'<row r="{rnum}">{"".join(cells)}</row>')
+    lines.append("</sheetData>")
+    sheet_xml = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<worksheet xmlns="http://schemas.openxmlformats.org/'
+        'spreadsheetml/2006/main">' + "".join(lines) + "</worksheet>"
+    )
+    wb_xml = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"'
+        ' xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/'
+        'relationships"><sheets>'
+        f'<sheet name="{_xml_escape(sheet_name)}" sheetId="1" r:id="rId1"/>'
+        "</sheets></workbook>"
+    )
+    with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as zf:
+        zf.writestr("[Content_Types].xml", _XLSX_TYPES)
+        zf.writestr("_rels/.rels", _XLSX_ROOT_RELS)
+        zf.writestr("xl/workbook.xml", wb_xml)
+        zf.writestr("xl/_rels/workbook.xml.rels", _XLSX_WB_RELS)
+        zf.writestr("xl/worksheets/sheet1.xml", sheet_xml)
+    return len(rows)
+
+
 def read_excel_bridge(
     spark: SparkSession,
     path: str,

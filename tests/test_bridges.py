@@ -16,6 +16,7 @@ import pytest
 from pmp_analytics_spark.sources.bridges import (
     read_excel_bridge,
     read_html_table_bridge,
+    write_excel_bridge,
 )
 
 _WB = """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
@@ -129,3 +130,31 @@ def test_html_bridge_matches_read_html_shape(spark, tmp_path):
     assert other.columns == ["other"]
     with pytest.raises(ValueError, match="table"):
         read_html_table_bridge(spark, str(p), table_index=2)
+
+
+def test_excel_write_roundtrips_through_read_bridge(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, "Board <A> & Co", 12.5), (2, None, 3.0), (3, 'say "hi"', None)],
+        ["id", "name", "score"],
+    ).withColumn("id", F.col("id").cast("long"))
+    p = str(tmp_path / "report.xlsx")
+    assert write_excel_bridge(df, p, sheet_name="extract") == 3
+
+    back = read_excel_bridge(spark, p, sheet_name="extract")
+    assert back.columns == ["id", "name", "score"]
+    rows = sorted(tuple(r) for r in back.collect())
+    # all-string on re-read (the infer_schema_length=0 contract); nulls
+    # survive as missing cells; XML-special characters escape correctly
+    assert rows == [
+        ("1", "Board <A> & Co", "12.5"),
+        ("2", None, "3.0"),
+        ("3", 'say "hi"', None),
+    ]
+
+
+def test_excel_write_refuses_unbounded_extract(spark):
+    df = spark.range(0, 20).withColumnRenamed("id", "n")
+    with pytest.raises(ValueError, match="refusing"):
+        write_excel_bridge(df, "/tmp/never_written.xlsx", max_rows=10)
