@@ -475,6 +475,89 @@ def ngram_jaccard_dedup(
     return jaccard_pairs_from_exploded(cand, ex, id_col, threshold)
 
 
+def jaccard_prefix_join(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_k: int = 5,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """EXACT n-gram-Jaccard near-duplicate pairs — no sketch, no recall
+    loss — via prefix filtering (the AllPairs/PPJoin family of set-
+    similarity joins: Bayardo et al., "Scaling Up All Pairs Similarity
+    Search", WWW 2007). Complements the probabilistic paths: MinHash+LSH
+    (``ngram_jaccard_dedup``) trades recall for candidate volume; this
+    operator is lossless and returns EVERY pair with Jaccard ≥ t.
+
+    Why it scales: under any global token order, two sets with
+    J(A,B) ≥ t must share their smallest common token within both
+    PREFIXES of length |X| − ⌈t·|X|⌉ + 1 (if the intersection avoided
+    A's prefix it would have to fit inside A's suffix of size
+    ⌈t·|A|⌉ − 1 < t·|A| ≤ |A∩B|). So the self-join runs on exploded
+    PREFIX tokens only — never full sets, never all pairs.
+
+    The global order here is the shingle hash value itself: any total
+    order preserves completeness, and hash order makes the prefix a
+    map-side ``array_sort`` + ``slice`` — zero extra passes or joins.
+    (Classic AllPairs orders by ascending document frequency to shrink
+    candidates further; that adds a token-frequency aggregation + join
+    per run and is the natural extension if candidate volume ever
+    dominates.) Hash order also spreads prefix tokens uniformly, so the
+    token-join shuffle has no linguistically hot keys.
+
+    Movement: one shuffle builds the distinct-hash sets (the thing ANY
+    exact method must materialize, carried once per doc), the prefix
+    join shuffles (id, token) prefix rows, and the verify joins are
+    candidate-sized. The filter compares the UNROUNDED ratio (rounding
+    only for display) so the threshold semantics are identical to the
+    SQL replay oracle's.
+    """
+    ex = exploded_shingle_hashes(df, text_col, id_col, shingle_k)
+    sets = (
+        ex.groupBy(id_col)
+        .agg(F.sort_array(F.collect_set("__h")).alias("__sh"))
+        .withColumn("__n", F.size("__sh"))
+        .withColumn(
+            "__p",
+            (F.col("__n") - F.ceil(F.lit(threshold) * F.col("__n")) + 1).cast("int"),
+        )
+        .cache()  # three consumers: prefix explode + both verify sides
+    )
+    pref = sets.select(
+        F.col(id_col), F.explode(F.expr("slice(__sh, 1, __p)")).alias("__tok")
+    )
+    cand = (
+        pref.select(F.col(id_col).alias("id_a"), "__tok")
+        .join(pref.select(F.col(id_col).alias("id_b"), "__tok"), on="__tok")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sized = sets.select(F.col(id_col), "__sh", "__n")
+    return (
+        cand.join(
+            sized.withColumnsRenamed(
+                {id_col: "id_a", "__sh": "__sh_a", "__n": "__n_a"}
+            ),
+            on="id_a",
+        )
+        .join(
+            sized.withColumnsRenamed(
+                {id_col: "id_b", "__sh": "__sh_b", "__n": "__n_b"}
+            ),
+            on="id_b",
+        )
+        .withColumn("__inter", F.size(F.array_intersect("__sh_a", "__sh_b")))
+        .withColumn(
+            "__j",
+            F.col("__inter").cast("double")
+            / (F.col("__n_a") + F.col("__n_b") - F.col("__inter")),
+        )
+        .where(F.col("__j") >= threshold)
+        .select("id_a", "id_b", F.round("__j", 6).alias("jaccard"))
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",

@@ -278,6 +278,48 @@ def docs_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Q: docs_jaccard_exact_pairs — EXACT n-gram Jaccard near-dup pairs via
+# prefix filtering (AllPairs/PPJoin family) — the lossless counterpart to
+# docs_neardup_pairs' MinHash sketch. Because prefix filtering is
+# complete (every pair with J >= t is found), the oracle is brute-force
+# pairwise Jaccard over the same hashed shingle sets, with the lossless
+# size filter (t·|A| <= |B| <= |A|/t) pruning the quadratic pair space.
+# Both sides compare the UNROUNDED ratio and round only for display.
+# --------------------------------------------------------------------------
+_PJ_T = 0.5
+
+
+@query(
+    "docs_jaccard_exact_pairs",
+    f"""
+    WITH sh AS (
+        SELECT doc_id, {_DUCK_SHINGLES} AS sh FROM documents
+        WHERE LENGTH(text) >= 5
+    ), d AS (
+        SELECT doc_id, LIST_DISTINCT({_DUCK_SHINGLE_HASH}) AS s FROM sh
+    ), scored AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               LEN(LIST_INTERSECT(a.s, b.s)) * 1.0 /
+               (LEN(a.s) + LEN(b.s) - LEN(LIST_INTERSECT(a.s, b.s))) AS j
+        FROM d a JOIN d b
+          ON a.doc_id < b.doc_id
+         AND LEN(b.s) >= CEIL({_PJ_T} * LEN(a.s))
+         AND LEN(a.s) >= CEIL({_PJ_T} * LEN(b.s))
+    )
+    SELECT id_a, id_b, ROUND(j, 6) AS jaccard
+    FROM scored WHERE j >= {_PJ_T}
+    """,
+)
+def docs_jaccard_exact_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pmp_analytics_spark.operators.dedup import jaccard_prefix_join
+
+    docs = load_table(spark, sf_dir, "documents")
+    return jaccard_prefix_join(
+        docs, text_col="text", id_col="doc_id", shingle_k=_SHINGLE_K, threshold=_PJ_T
+    )
+
+
+# --------------------------------------------------------------------------
 # Q: embedding_topk — brute-force cosine top-k similarity search; the exact
 # baseline (queries broadcast, corpus scanned once, per-query heap).
 # --------------------------------------------------------------------------

@@ -139,6 +139,54 @@ def test_minhash_lsh_finds_near_dups(spark):
     assert 0.5 <= pairs[0]["jaccard"] < 1.0
 
 
+def test_jaccard_prefix_join_is_lossless(spark):
+    """Prefix filtering must return EXACTLY the brute-force pair set —
+    it is an exact algorithm, not a sketch. Brute force here = crossJoin
+    + set Jaccard over the same hashed shingle sets."""
+    from pyspark.sql import functions as F
+
+    from pmp_analytics_spark.operators.dedup import (
+        hashed_shingle_frame,
+        jaccard_prefix_join,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog and keeps running far away"
+    rows = [
+        (1, base),
+        (2, base.replace("dog", "cat")),
+        (3, base.replace("quick", "slow").replace("lazy", "tired")),
+        (4, "entirely unrelated text about spark query optimization and shuffles"),
+        (5, base + " again and again"),
+        (6, "spark query optimization and shuffles are entirely unrelated topics"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    t = 0.4
+
+    sets = hashed_shingle_frame(df, "text", "doc_id").select(
+        "doc_id", F.array_distinct("__hs").alias("s")
+    )
+    a = sets.select(F.col("doc_id").alias("id_a"), F.col("s").alias("sa"))
+    b = sets.select(F.col("doc_id").alias("id_b"), F.col("s").alias("sb"))
+    brute = {
+        (r["id_a"], r["id_b"]): r["j"]
+        for r in a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("__i", F.size(F.array_intersect("sa", "sb")))
+        .withColumn(
+            "j",
+            F.round(
+                F.col("__i") / (F.size("sa") + F.size("sb") - F.col("__i")), 6
+            ),
+        )
+        .where(F.col("j") >= t)
+        .collect()
+    }
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in jaccard_prefix_join(df, "text", "doc_id", threshold=t).collect()
+    }
+    assert got == brute and len(got) >= 2
+
+
 def test_sessionize_both_impls_agree(spark):
     import datetime as dt
 

@@ -222,3 +222,10 @@ def test_lsh_and_ivf_topk_share_the_precut(spark, queries):
         plan = physical_plan(queries[name](spark, SF))
         assert plan.count("Window") >= 2, name
         assert "SPARK_PARTITION_ID" in plan.upper(), name
+
+
+def test_jaccard_prefix_join_never_cartesian(spark, queries):
+    # the exact set-similarity join must run on exploded prefix tokens
+    # (equi-join on the token), never a corpus x corpus product
+    df = queries["docs_jaccard_exact_pairs"](spark, SF)
+    assert_no_cartesian_product(df)
