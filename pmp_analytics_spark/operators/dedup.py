@@ -496,42 +496,67 @@ def jaccard_prefix_join(
     ⌈t·|A|⌉ − 1 < t·|A| ≤ |A∩B|). So the self-join runs on exploded
     PREFIX tokens only — never full sets, never all pairs.
 
-    The global order here is the shingle hash value itself: any total
-    order preserves completeness, and hash order makes the prefix a
-    map-side ``array_sort`` + ``slice`` — zero extra passes or joins.
-    (Classic AllPairs orders by ascending document frequency to shrink
-    candidates further; that adds a token-frequency aggregation + join
-    per run and is the natural extension if candidate volume ever
-    dominates.) Hash order also spreads prefix tokens uniformly, so the
-    token-join shuffle has no linguistically hot keys.
+    The global order is ASCENDING DOCUMENT FREQUENCY (ties by token
+    value) — the canonical AllPairs order, and on real corpora not an
+    optional nicety: prefixes then hold each doc's RAREST shingles, so
+    the token self-join meets few docs per key. (A hash-value order
+    needs no df pass but was measured to blow the candidate set up by
+    orders of magnitude on template-heavy corpora — boilerplate
+    shingles land in prefixes and every boilerplate pair collides.)
+    The df computation is two narrow shuffles over (id, token) rows.
 
-    Movement: one shuffle builds the distinct-hash sets (the thing ANY
-    exact method must materialize, carried once per doc), the prefix
-    join shuffles (id, token) prefix rows, and the verify joins are
-    candidate-sized. The filter compares the UNROUNDED ratio (rounding
-    only for display) so the threshold semantics are identical to the
-    SQL replay oracle's.
+    A second lossless prune runs at candidate time: J ≥ t implies
+    t·|A| ≤ |B| ≤ |A|/t, so size-incompatible collisions are dropped
+    before the distinct and before any set is materialized.
+
+    Movement: distinct (id, token) stream → df counts (token-keyed
+    shuffle) → per-doc rank window (id-keyed shuffle, 3-long rows) →
+    prefix-token self-join (uniform keys by construction) → verify
+    joins sized by the candidate set, with the full hash sets built
+    ONLY for candidate-involved docs (semi-join first), exactly like
+    the MinHash pipeline's verify. The filter compares the UNROUNDED
+    ratio (rounding only for display) so the threshold semantics are
+    identical to the SQL replay oracle's.
     """
     ex = exploded_shingle_hashes(df, text_col, id_col, shingle_k)
-    sets = (
-        ex.groupBy(id_col)
-        .agg(F.sort_array(F.collect_set("__h")).alias("__sh"))
-        .withColumn("__n", F.size("__sh"))
-        .withColumn(
-            "__p",
-            (F.col("__n") - F.ceil(F.lit(threshold) * F.col("__n")) + 1).cast("int"),
+    toks = ex.distinct().cache()  # (id, __h): prefix source + verify sets
+    sizes = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n"))
+    df_tok = toks.groupBy("__h").agg(F.count(F.lit(1)).alias("__df"))
+    w_doc = Window.partitionBy(id_col).orderBy("__df", "__h")
+    pref = (
+        toks.join(df_tok, on="__h")
+        .withColumn("__rn", F.row_number().over(w_doc))
+        .join(sizes, on=id_col)  # corpus-sized (one row per doc): plain join
+        .where(
+            F.col("__rn")
+            <= F.col("__n") - F.ceil(F.lit(threshold) * F.col("__n")) + 1
         )
-        .cache()  # three consumers: prefix explode + both verify sides
-    )
-    pref = sets.select(
-        F.col(id_col), F.explode(F.expr("slice(__sh, 1, __p)")).alias("__tok")
+        .select(F.col(id_col), F.col("__h").alias("__tok"), "__n")
     )
     cand = (
-        pref.select(F.col(id_col).alias("id_a"), "__tok")
-        .join(pref.select(F.col(id_col).alias("id_b"), "__tok"), on="__tok")
-        .where(F.col("id_a") < F.col("id_b"))
+        pref.select(F.col(id_col).alias("id_a"), "__tok", F.col("__n").alias("__na"))
+        .join(
+            pref.select(
+                F.col(id_col).alias("id_b"), "__tok", F.col("__n").alias("__nb")
+            ),
+            on="__tok",
+        )
+        .where(
+            (F.col("id_a") < F.col("id_b"))
+            # lossless size filter: J >= t forces t·|A| <= |B| <= |A|/t
+            & (F.col("__nb") >= F.lit(threshold) * F.col("__na"))
+            & (F.col("__na") >= F.lit(threshold) * F.col("__nb"))
+        )
         .select("id_a", "id_b")
         .distinct()
+        .cache()  # two consumers: id semi-join + pair join
+    )
+    cand_ids = _candidate_ids(cand, id_col)
+    sets = (
+        toks.join(F.broadcast(cand_ids), on=id_col, how="left_semi")
+        .groupBy(id_col)
+        .agg(F.collect_set("__h").alias("__sh"))
+        .withColumn("__n", F.size("__sh"))
     )
     sized = sets.select(F.col(id_col), "__sh", "__n")
     return (

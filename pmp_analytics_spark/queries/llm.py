@@ -285,8 +285,17 @@ def docs_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # pairwise Jaccard over the same hashed shingle sets, with the lossless
 # size filter (t·|A| <= |B| <= |A|/t) pruning the quadratic pair space.
 # Both sides compare the UNROUNDED ratio and round only for display.
+#
+# Bounded slice (doc_id < 1000), same framing as embedding_neardup_exact:
+# this synthetic corpus draws shingles from a ~2k-token universe (avg
+# token df ≈ 500 at sf0.1), which DEGENERATES every exact set-similarity
+# join — no prefix is rare, so candidates approach all-pairs. That is a
+# property of the data, not the algorithm; at 100 TB the exact join runs
+# where exactness is required (contamination audits, eval-slice dedup)
+# and the MinHash screen handles the open corpus.
 # --------------------------------------------------------------------------
 _PJ_T = 0.5
+_PJ_MAX_ID = 1000
 
 
 @query(
@@ -294,7 +303,7 @@ _PJ_T = 0.5
     f"""
     WITH sh AS (
         SELECT doc_id, {_DUCK_SHINGLES} AS sh FROM documents
-        WHERE LENGTH(text) >= 5
+        WHERE LENGTH(text) >= 5 AND doc_id < {_PJ_MAX_ID}
     ), d AS (
         SELECT doc_id, LIST_DISTINCT({_DUCK_SHINGLE_HASH}) AS s FROM sh
     ), scored AS (
@@ -313,7 +322,9 @@ _PJ_T = 0.5
 def docs_jaccard_exact_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pmp_analytics_spark.operators.dedup import jaccard_prefix_join
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") < _PJ_MAX_ID
+    )
     return jaccard_prefix_join(
         docs, text_col="text", id_col="doc_id", shingle_k=_SHINGLE_K, threshold=_PJ_T
     )
