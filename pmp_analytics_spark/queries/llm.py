@@ -332,7 +332,8 @@ def docs_jaccard_exact_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # Q: embedding_topk — brute-force cosine top-k similarity search; the exact
-# baseline (queries broadcast, corpus scanned once, per-query heap).
+# baseline (queries broadcast, corpus scanned once, two-window top-k cut
+# — partition-local pre-cut, then a bounded per-query window).
 # --------------------------------------------------------------------------
 _TOPK = 5
 _NQ = 10
