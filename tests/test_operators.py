@@ -496,6 +496,28 @@ def test_salted_join_matches_plain_join(spark):
         salted_join(left, right, on=["k"], how="right", salt_buckets=8)
 
 
+def test_observed_quality_rides_the_action(spark):
+    """Metrics must come from the SAME pass as the action — assert the
+    values are right and that no extra job was scheduled beyond the
+    action's own."""
+    from pyspark.sql import functions as F
+
+    from pmp_analytics_spark.operators.observe import observed_quality
+
+    df = spark.createDataFrame(
+        [(i, None if i % 3 == 0 else f"v{i}") for i in range(90)], ["id", "val"]
+    ).where(F.col("id") < 60)
+
+    observed, obs = observed_quality(df, null_cols=["val"])
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup() or [])
+    observed.write.format("noop").mode("overwrite").save()
+    after = len(tracker.getJobIdsForGroup() or [])
+    assert obs.get["n_rows"] == 60
+    assert obs.get["nulls_val"] == 20  # ids 0,3,...,57
+    assert after - before <= 1, "metrics must not schedule extra jobs"
+
+
 def test_morton_key_interleaves_locality(spark):
     from pyspark.sql import functions as F
 
