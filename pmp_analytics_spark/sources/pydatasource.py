@@ -133,15 +133,18 @@ class _ShardStreamReader(DataSourceStreamReader):
     def __init__(self, options):
         self.path = options["path"]
         self.rows_per_split = int(options.get("rows_per_split", "4096"))
-        import pyarrow.parquet as pq
-
-        self.total_rows = pq.ParquetFile(self.path).metadata.num_rows
 
     def initialOffset(self):
         return {"row": 0}
 
     def latestOffset(self):
-        return {"row": self.total_rows}
+        # Re-read the footer EVERY poll (metadata-only, driver-side):
+        # caching the row count at reader construction would freeze the
+        # stream at the file's size when the query started — a growing
+        # shard would never stream its new tail.
+        import pyarrow.parquet as pq
+
+        return {"row": pq.ParquetFile(self.path).metadata.num_rows}
 
     def partitions(self, start, end):
         return [
