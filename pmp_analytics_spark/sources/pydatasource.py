@@ -9,13 +9,22 @@ custom connector's results are fully oracle-checkable against the
 native path. The shape is what a real exotic-source connector (REST
 cursor, proprietary scan API, tape archive...) looks like:
 
-- ``partitions()`` plans one InputPartition per parquet row group (row
-  ranges when the file has a single group) — the unit of parallel read.
+- ``partitions()`` plans around the file's ROW GROUPS — a row group is
+  the ATOMIC unit of work, exactly like Spark's native parquet reader
+  (a group is never split across tasks, because parquet pages cannot be
+  row-addressed without decompressing the group: any sub-group split
+  re-decompresses the whole group per split, an
+  O(group_rows / split_rows) read amplification that is a scale-killer
+  on real ~1M-row groups). Adjacent tiny groups are COALESCED up to
+  ``rows_per_split`` rows per task so a fragmented file doesn't become
+  pure scheduler churn.
 - ``pushFilters()`` accepts EqualTo filters on scan columns and applies
   them INSIDE the source (pyarrow predicate), returning unsupported
   filters to Spark — source-side pushdown, the S7 semantics of
   SURVEY.md §2.1 implemented through the public connector API.
-- ``read()`` yields Arrow RecordBatches (zero row-at-a-time Python).
+- ``read()`` yields Arrow RecordBatches (zero row-at-a-time Python),
+  reading each planned row group EXACTLY ONCE
+  (pinned by tests/test_reader.py's read-amplification counter).
 """
 
 from __future__ import annotations
@@ -42,10 +51,38 @@ _SPARK_TYPES = {
 
 
 @dataclass
-class _RowRange(InputPartition):
-    row_group: int
-    start: int
-    end: int
+class _GroupSlice(InputPartition):
+    """A run of contiguous row groups, optionally trimmed at the edges.
+
+    ``offset``/``length`` are row positions RELATIVE to the concatenated
+    groups (``length=-1`` means "to the end"). Batch planning always
+    emits whole groups (offset 0, length -1); the stream reader trims
+    only the two boundary groups of a micro-batch range — groups that
+    must be decompressed anyway to serve the range, so the trim adds no
+    extra I/O.
+    """
+
+    groups: tuple[int, ...]
+    offset: int = 0
+    length: int = -1
+
+
+def _read_group_slice(path: str, partition: _GroupSlice, filters=()):
+    """Shared executor-side read: ONE ``read_row_groups`` call for the
+    partition's groups, then slice/filter in memory. Never touches a
+    row group outside ``partition.groups``."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    table = pq.ParquetFile(path).read_row_groups(list(partition.groups))
+    if partition.offset or partition.length >= 0:
+        table = table.slice(
+            partition.offset,
+            None if partition.length < 0 else partition.length,
+        )
+    for f in filters:
+        table = table.filter(pc.equal(table[f.attribute[0]], f.value))
+    yield from table.to_batches()
 
 
 class ParquetShardDataSource(DataSource):
@@ -74,9 +111,11 @@ class ParquetShardDataSource(DataSource):
 class _ShardReader(DataSourceReader):
     def __init__(self, options):
         self.path = options["path"]
-        # Big-enough splits that task-scheduling overhead amortizes; a
-        # tiny default (e.g. 200) makes every real scan pure scheduler
-        # churn. Tests override with a small value to force many splits.
+        # Coalescing target: adjacent row groups are packed into one task
+        # until it holds ~this many rows. A group is NEVER split — this
+        # is a floor on task size, not a ceiling (a single 1M-row group
+        # is one task regardless). Tests use a tiny value with a
+        # many-group fixture to force one-partition-per-group.
         self.rows_per_split = int(options.get("rows_per_split", "4096"))
         self.filters: list[EqualTo] = []
 
@@ -97,31 +136,36 @@ class _ShardReader(DataSourceReader):
         import pyarrow.parquet as pq
 
         meta = pq.ParquetFile(self.path).metadata
-        parts: list[_RowRange] = []
+        parts: list[_GroupSlice] = []
+        run: list[int] = []
+        run_rows = 0
         for rg in range(meta.num_row_groups):
-            n = meta.row_group(rg).num_rows
-            for start in range(0, n, self.rows_per_split):
-                parts.append(
-                    _RowRange(rg, start, min(start + self.rows_per_split, n))
-                )
-        return parts
+            run.append(rg)
+            run_rows += meta.row_group(rg).num_rows
+            if run_rows >= self.rows_per_split:
+                parts.append(_GroupSlice(tuple(run)))
+                run, run_rows = [], 0
+        if run:
+            parts.append(_GroupSlice(tuple(run)))
+        # Zero-group (empty) file: one no-op partition keeps Spark's
+        # planner happy and yields an empty scan.
+        return parts or [_GroupSlice(())]
 
-    def read(self, partition: _RowRange):
-        import pyarrow.compute as pc
-        import pyarrow.parquet as pq
-
-        table = pq.ParquetFile(self.path).read_row_group(partition.row_group)
-        table = table.slice(partition.start, partition.end - partition.start)
-        for f in self.filters:
-            table = table.filter(pc.equal(table[f.attribute[0]], f.value))
-        yield from table.to_batches()
+    def read(self, partition: _GroupSlice):
+        if not partition.groups:
+            return
+        yield from _read_group_slice(self.path, partition, self.filters)
 
 
 class _ShardStreamReader(DataSourceStreamReader):
     """Offset-based micro-batch streaming over the same parquet shards:
     the offset is a ROW POSITION in the file; a micro-batch covers the
-    [start, end) rows that appeared since the last committed offset,
-    split into ``rows_per_split`` parallel partitions. Exactly-once
+    [start, end) rows that appeared since the last committed offset.
+    Partition planning maps that range onto the file's ROW GROUPS —
+    group-aligned, coalescing tiny adjacent groups up to
+    ``rows_per_split`` rows per task — so each group the range touches
+    is decompressed exactly once per batch (only the two boundary
+    groups are trimmed, and those must be read anyway). Exactly-once
     comes from the offsets being deterministic row ranges — replaying a
     batch re-reads exactly the same rows — and a restart resumes from
     the checkpointed offset (a growing file streams only its new tail).
@@ -147,50 +191,73 @@ class _ShardStreamReader(DataSourceStreamReader):
         return {"row": pq.ParquetFile(self.path).metadata.num_rows}
 
     def partitions(self, start, end):
-        return [
-            _RowRange(0, s, min(s + self.rows_per_split, end["row"]))
-            for s in range(start["row"], end["row"], self.rows_per_split)
-        ]
-
-    def read(self, partition: _RowRange):
-        """Read ONLY the row groups covering [start, end) — never the
-        whole file. A micro-batch split into P partitions must cost
-        ~one file's worth of I/O total, not P full-file reads
-        (O(file × partitions) is a scale-killer on a growing shard).
-        Row offsets are file-global, so each task maps its range onto
-        the group layout from the footer (metadata-only read) and
-        slices relative to the first touched group's start row.
-        """
+        """Group-aligned planning for the row range [start, end):
+        one ``_GroupSlice`` per coalesced run of touched groups, trimmed
+        only at the range's two edges. A task never sub-splits a group
+        (sub-group splits re-decompress the whole group per split —
+        the round-2/3 O(file × partitions) scale bug, now structurally
+        impossible)."""
         import pyarrow.parquet as pq
 
-        pf = pq.ParquetFile(self.path)
-        meta = pf.metadata
-        groups: list[int] = []
-        first_group_start = 0
+        lo, hi = start["row"], end["row"]
+        meta = pq.ParquetFile(self.path).metadata
+        parts: list[_GroupSlice] = []
+        run: list[int] = []
+        run_offset = 0  # rows to skip inside the run's first group
+        run_rows = 0  # rows the run contributes
+        run_full_tail = True  # run's last group taken to its end?
         pos = 0
         for rg in range(meta.num_row_groups):
             n = meta.row_group(rg).num_rows
-            if pos < partition.end and pos + n > partition.start:
-                if not groups:
-                    first_group_start = pos
-                groups.append(rg)
-            pos += n
-            if pos >= partition.end:
-                break
-        if not groups:
+            g_start, g_end = pos, pos + n
+            pos = g_end
+            take_lo, take_hi = max(lo, g_start), min(hi, g_end)
+            if take_lo >= take_hi:
+                if g_start >= hi:
+                    break
+                continue
+            # Extend the current run only when contiguous: the previous
+            # group was taken to its end and this one from its start.
+            if run and run_full_tail and take_lo == g_start:
+                run.append(rg)
+                run_rows += take_hi - take_lo
+            else:
+                if run:
+                    parts.append(_GroupSlice(tuple(run), run_offset, run_rows))
+                run = [rg]
+                run_offset = take_lo - g_start
+                run_rows = take_hi - take_lo
+            run_full_tail = take_hi == g_end
+            if run_rows >= self.rows_per_split:
+                parts.append(_GroupSlice(tuple(run), run_offset, run_rows))
+                run, run_offset, run_rows = [], 0, 0
+        if run:
+            parts.append(_GroupSlice(tuple(run), run_offset, run_rows))
+        return parts
+
+    def read(self, partition: _GroupSlice):
+        if not partition.groups:
             return
-        table = pf.read_row_groups(groups).slice(
-            partition.start - first_group_start,
-            partition.end - partition.start,
-        )
-        yield from table.to_batches()
+        yield from _read_group_slice(self.path, partition)
 
     def commit(self, end):
         pass
 
 
 def register(spark) -> None:
+    """Idempotent connector registration (called once per session from
+    ``session.get_spark``; repeat calls from queries are no-ops — a
+    real deployment registers connectors at session build, not per
+    query, and re-pickling the class per query costs ~1.5 s of pure
+    overhead)."""
+    key = "spark.pmp.pyshard.registered"
+    try:
+        if spark.conf.get(key, "") == "1":
+            return
+    except Exception:  # pragma: no cover - conf.get with default never raises
+        pass
     # Python-source filter pushdown is opt-in (the worker refuses a
     # pushFilters() implementation without it).
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(ParquetShardDataSource)
+    spark.conf.set(key, "1")

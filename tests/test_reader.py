@@ -62,11 +62,24 @@ def test_append_log(spark):
         assert got == {(1, "x"), (2, "y")}
 
 
-def test_python_datasource_partitions_and_pushdown(spark):
+def _multigroup_copy(spark, tmp_path, rows_per_group=20):
+    """Rewrite the sf0.001 documents table as a parquet file with many
+    small row groups — the fixture that forces multi-partition planning
+    in the pyshard connector (one task per group at tiny rows_per_split)."""
+    import pyarrow.parquet as pq
+
+    src = pq.read_table("/root/testdata/sf0.001/documents.parquet")
+    path = str(tmp_path / "docs_multigroup.parquet")
+    pq.write_table(src, path, row_group_size=rows_per_group)
+    assert pq.ParquetFile(path).metadata.num_row_groups > 10
+    return path
+
+
+def test_python_datasource_partitions_and_pushdown(spark, tmp_path):
     from pmp_analytics_spark.sources import pydatasource
 
     pydatasource.register(spark)
-    path = "/root/testdata/sf0.001/documents.parquet"
+    path = _multigroup_copy(spark, tmp_path)
     df = (
         spark.read.format("pyshard")
         .option("path", path)
@@ -85,6 +98,106 @@ def test_python_datasource_partitions_and_pushdown(spark):
     f_custom = df.where(df.lang == "en").count()
     f_native = native.where(native.lang == "en").count()
     assert f_custom == f_native and f_native > 0
+
+
+def test_python_datasource_one_read_per_row_group(spark, tmp_path):
+    """Read-amplification pin: across ALL planned partitions, each row
+    group is handed to pyarrow's read_row_groups EXACTLY ONCE — a group
+    is the atomic unit of work, never sub-split (a sub-group split
+    re-decompresses the whole group per split: the round-2/3 scale bug).
+    Runs the reader in-process so pyarrow calls can be counted."""
+    from unittest.mock import patch
+
+    import pyarrow.parquet as pq
+
+    from pmp_analytics_spark.sources.pydatasource import _ShardReader
+
+    path = _multigroup_copy(spark, tmp_path)
+    n_groups = pq.ParquetFile(path).metadata.num_row_groups
+    reader = _ShardReader({"path": path, "rows_per_split": "20"})
+    parts = reader.partitions()
+    assert len(parts) == n_groups  # tiny target -> one task per group
+
+    real_pf = pq.ParquetFile
+    reads: list[int] = []
+
+    class CountingPF:
+        def __init__(self, p):
+            self._pf = real_pf(p)
+            self.metadata = self._pf.metadata
+
+        def read_row_groups(self, groups, **kw):
+            reads.extend(groups)
+            return self._pf.read_row_groups(groups, **kw)
+
+    total = 0
+    with patch("pyarrow.parquet.ParquetFile", CountingPF):
+        for part in parts:
+            for batch in reader.read(part):
+                total += batch.num_rows
+    assert total == pq.ParquetFile(path).metadata.num_rows
+    assert sorted(reads) == list(range(n_groups))  # each group exactly once
+
+    # Coalescing: a big target packs many groups into few tasks, still
+    # reading each group exactly once.
+    reader2 = _ShardReader({"path": path, "rows_per_split": "100"})
+    parts2 = reader2.partitions()
+    assert len(parts2) < n_groups
+    reads.clear()
+    with patch("pyarrow.parquet.ParquetFile", CountingPF):
+        for part in parts2:
+            for _ in reader2.read(part):
+                pass
+    assert sorted(reads) == list(range(n_groups))
+
+
+def test_python_datasource_stream_partitions_group_aligned(spark, tmp_path):
+    """Stream planner pin: a micro-batch row range maps onto whole row
+    groups (trimmed only at the range's two edges), each touched group
+    read exactly once, untouched groups never read."""
+    from unittest.mock import patch
+
+    import pyarrow.parquet as pq
+
+    from pmp_analytics_spark.sources.pydatasource import _ShardStreamReader
+
+    path = _multigroup_copy(spark, tmp_path)  # groups of 20 rows
+    meta = pq.ParquetFile(path).metadata
+    n_rows = meta.num_rows
+    sr = _ShardStreamReader({"path": path, "rows_per_split": "45"})
+
+    # Range straddling group boundaries mid-group on both ends.
+    lo, hi = 30, min(155, n_rows)
+    parts = sr.partitions({"row": lo}, {"row": hi})
+    real_pf = pq.ParquetFile
+    reads: list[int] = []
+
+    class CountingPF:
+        def __init__(self, p):
+            self._pf = real_pf(p)
+            self.metadata = self._pf.metadata
+
+        def read_row_groups(self, groups, **kw):
+            reads.extend(groups)
+            return self._pf.read_row_groups(groups, **kw)
+
+    total = 0
+    with patch("pyarrow.parquet.ParquetFile", CountingPF):
+        for part in parts:
+            for batch in sr.read(part):
+                total += batch.num_rows
+    assert total == hi - lo  # exact row coverage, no overlap/gap
+    touched = set(range(lo // 20, (hi + 19) // 20))
+    assert sorted(reads) == sorted(touched)  # each touched group once
+    assert set(reads) == touched  # untouched groups never read
+
+    # Full drain equals the file.
+    parts_all = sr.partitions({"row": 0}, {"row": n_rows})
+    got = 0
+    for part in parts_all:
+        for batch in sr.read(part):
+            got += batch.num_rows
+    assert got == n_rows
 
 
 def test_orc_roundtrip(spark, tmp_path):
