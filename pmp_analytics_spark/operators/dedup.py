@@ -475,6 +475,70 @@ def ngram_jaccard_dedup(
     return jaccard_pairs_from_exploded(cand, ex, id_col, threshold)
 
 
+def jaccard_prefix_candidates(
+    toks: DataFrame,
+    id_col: str,
+    threshold: float,
+    positional: bool = True,
+) -> DataFrame:
+    """Candidate (id_a, id_b) pairs for the exact Jaccard join, from a
+    distinct (id, __h) token stream: ascending-df prefix self-join with
+    the lossless size filter and (by default) PPJoin's positional
+    filter. Public so candidate-volume telemetry can A/B the filters —
+    see ``jaccard_prefix_join`` for the full semantics and citations.
+    """
+    sizes = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n"))
+    df_tok = toks.groupBy("__h").agg(F.count(F.lit(1)).alias("__df"))
+    w_doc = Window.partitionBy(id_col).orderBy("__df", "__h")
+    pref = (
+        toks.join(df_tok, on="__h")
+        .withColumn("__rn", F.row_number().over(w_doc))
+        .join(sizes, on=id_col)  # corpus-sized (one row per doc): plain join
+        .where(
+            F.col("__rn")
+            <= F.col("__n") - F.ceil(F.lit(threshold) * F.col("__n")) + 1
+        )
+        .select(F.col(id_col), F.col("__h").alias("__tok"), "__n", "__rn")
+    )
+    joined = pref.select(
+        F.col(id_col).alias("id_a"),
+        "__tok",
+        F.col("__n").alias("__na"),
+        F.col("__rn").alias("__ra"),
+    ).join(
+        pref.select(
+            F.col(id_col).alias("id_b"),
+            "__tok",
+            F.col("__n").alias("__nb"),
+            F.col("__rn").alias("__rb"),
+        ),
+        on="__tok",
+    )
+    keep = (
+        (F.col("id_a") < F.col("id_b"))
+        # lossless size filter: J >= t forces t·|A| <= |B| <= |A|/t
+        & (F.col("__nb") >= F.lit(threshold) * F.col("__na"))
+        & (F.col("__na") >= F.lit(threshold) * F.col("__nb"))
+    )
+    if positional:
+        # PPJoin positional filter: overlap through THIS collision is at
+        # most 1 + min(|A|−p_a, |B|−p_b); J ≥ t needs overlap ≥
+        # t·(|A|+|B|)/(1+t). Lossless via the first-shared-token
+        # argument (see jaccard_prefix_join docstring); the 1e-6 slack
+        # keeps float representation error from dropping an
+        # exact-boundary integer overlap (a hair loose ≠ lossy).
+        ubound = F.lit(1) + F.least(
+            F.col("__na") - F.col("__ra"), F.col("__nb") - F.col("__rb")
+        )
+        alpha = (
+            F.lit(threshold / (1.0 + threshold))
+            * (F.col("__na") + F.col("__nb"))
+            - F.lit(1e-6)
+        )
+        keep = keep & (ubound >= alpha)
+    return joined.where(keep).select("id_a", "id_b").distinct()
+
+
 def jaccard_prefix_join(
     df: DataFrame,
     text_col: str,
@@ -509,6 +573,17 @@ def jaccard_prefix_join(
     t·|A| ≤ |B| ≤ |A|/t, so size-incompatible collisions are dropped
     before the distinct and before any set is materialized.
 
+    On top of the size filter runs PPJoin's POSITIONAL filter (Xiao et
+    al., "Efficient Similarity Joins for Near Duplicate Detection",
+    WWW 2008): a colliding prefix token sits at rank p_a of A's ordered
+    tokens and p_b of B's, so the overlap can reach at most
+    1 + min(|A| − p_a, |B| − p_b) — everything shared beyond this token
+    lies in both suffixes. Any truly-similar pair passes the bound at
+    its FIRST shared token (all other shared tokens follow it in both
+    docs), so keeping pairs where ANY colliding row passes is lossless;
+    on template-heavy corpora it prunes collisions the size filter
+    can't (equal-sized docs sharing one late boilerplate shingle).
+
     Movement: distinct (id, token) stream → df counts (token-keyed
     shuffle) → per-doc rank window (id-keyed shuffle, 3-long rows) →
     prefix-token self-join (uniform keys by construction) → verify
@@ -520,37 +595,8 @@ def jaccard_prefix_join(
     """
     ex = exploded_shingle_hashes(df, text_col, id_col, shingle_k)
     toks = ex.distinct().cache()  # (id, __h): prefix source + verify sets
-    sizes = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n"))
-    df_tok = toks.groupBy("__h").agg(F.count(F.lit(1)).alias("__df"))
-    w_doc = Window.partitionBy(id_col).orderBy("__df", "__h")
-    pref = (
-        toks.join(df_tok, on="__h")
-        .withColumn("__rn", F.row_number().over(w_doc))
-        .join(sizes, on=id_col)  # corpus-sized (one row per doc): plain join
-        .where(
-            F.col("__rn")
-            <= F.col("__n") - F.ceil(F.lit(threshold) * F.col("__n")) + 1
-        )
-        .select(F.col(id_col), F.col("__h").alias("__tok"), "__n")
-    )
-    cand = (
-        pref.select(F.col(id_col).alias("id_a"), "__tok", F.col("__n").alias("__na"))
-        .join(
-            pref.select(
-                F.col(id_col).alias("id_b"), "__tok", F.col("__n").alias("__nb")
-            ),
-            on="__tok",
-        )
-        .where(
-            (F.col("id_a") < F.col("id_b"))
-            # lossless size filter: J >= t forces t·|A| <= |B| <= |A|/t
-            & (F.col("__nb") >= F.lit(threshold) * F.col("__na"))
-            & (F.col("__na") >= F.lit(threshold) * F.col("__nb"))
-        )
-        .select("id_a", "id_b")
-        .distinct()
-        .cache()  # two consumers: id semi-join + pair join
-    )
+    cand = jaccard_prefix_candidates(toks, id_col, threshold).cache()
+    # cached: two consumers (id semi-join + pair join)
     cand_ids = _candidate_ids(cand, id_col)
     sets = (
         toks.join(F.broadcast(cand_ids), on=id_col, how="left_semi")

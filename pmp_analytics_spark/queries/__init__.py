@@ -42,4 +42,12 @@ def all_oracles() -> dict[str, str]:
     out.update(corpus.ORACLE)
     out.update(pretrain.ORACLE)
     out.update(analytic.ORACLE)
-    return out
+    # Lazily-built oracles (e.g. embedding_ivf_topk's centroid snapshot)
+    # register a zero-arg callable; resolve them HERE — at check time —
+    # so query-module import stays cheap and an oracle-construction
+    # failure surfaces (warns + rows-only check) where the gate runs.
+    return {
+        name: sql
+        for name, sql in ((n, s() if callable(s) else s) for n, s in out.items())
+        if sql is not None
+    }

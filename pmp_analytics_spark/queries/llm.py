@@ -26,7 +26,9 @@ from pmp_analytics_spark.operators.similarity_search import brute_force_topk
 from pmp_analytics_spark.sources.reader import load_table
 
 QUERIES: dict = {}
-ORACLE: dict[str, str] = {}
+# Values are SQL strings, or a zero-arg callable returning SQL-or-None for
+# oracles that are expensive to build (resolved lazily by all_oracles()).
+ORACLE: dict = {}
 
 # DuckDB equivalent of functions.text.tokens()
 _DUCK_TOKENS = "LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '[^a-z0-9]+'), t -> t <> '')"
@@ -769,17 +771,25 @@ _IVF_NPROBE = 4
 
 
 def _ivf_oracle() -> str | None:
-    """Snapshot sf0.01 IVF centroids and emit the full SQL replay.
+    """Snapshot the gate-SF IVF centroids and emit the full SQL replay.
+
+    LAZY: registered as a callable and resolved by ``all_oracles()`` at
+    check time, so module import stays cheap (no parquet read / k-means
+    at import) and a broken oracle surfaces where the gate runs, not as
+    a silent import-time downgrade.
 
     Reproduces ``ivf_topk``'s fit inputs exactly, without Spark: the
-    training sample is every embedding row ordered by md5(vec_id) —
-    the same engine-independent order the operator's driver-side
-    ``orderBy(F.md5(...)).limit(...)`` produces — fed to the identical
-    ``_kmeans_fit``. Returns None (→ rows-only driver check) if the
-    gate tables are unavailable wherever this module is imported.
+    training sample is every embedding row of the GATE's sf_dir
+    (``$SPARK_GRAFT_ORACLE_SF_DIR``, exported by ``tools/check_oracle``
+    so fit inputs cannot diverge from the compared tables) ordered by
+    md5(vec_id) — the same engine-independent order the operator's
+    driver-side ``orderBy(F.md5(...)).limit(...)`` produces — fed to the
+    identical ``_kmeans_fit``. Returns None (→ rows-only driver check),
+    WITH a visible warning, only when the gate tables are unavailable.
     """
     import hashlib
     import os
+    import warnings
 
     try:
         import numpy as np
@@ -797,7 +807,11 @@ def _ivf_oracle() -> str | None:
         )[: max(2000, 20 * _IVF_N_CENTROIDS)]
         train = np.array([r[1] for r in rows], dtype=np.float64)
         cents = _kmeans_fit(train, _IVF_N_CENTROIDS, seed=42)
-    except Exception:  # noqa: BLE001 — no tables here: fall back, don't break import
+    except (ImportError, OSError, KeyError) as e:  # tables/deps unavailable here
+        warnings.warn(
+            f"embedding_ivf_topk oracle downgraded to rows-only check: {e!r}",
+            stacklevel=2,
+        )
         return None
 
     cent_rows = ", ".join(
@@ -839,7 +853,7 @@ def _ivf_oracle() -> str | None:
     """
 
 
-@query("embedding_ivf_topk", _ivf_oracle())
+@query("embedding_ivf_topk", _ivf_oracle)
 def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pmp_analytics_spark.operators.similarity_search import ivf_topk
 

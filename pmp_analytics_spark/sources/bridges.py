@@ -25,6 +25,7 @@ bridge stays importable anywhere.
 
 from __future__ import annotations
 
+import math
 import re
 import zipfile
 from html.parser import HTMLParser
@@ -88,6 +89,10 @@ def _xlsx_sheet_part(zf: zipfile.ZipFile, sheet_name: str | None) -> str:
                 f"{[n for n, _ in sheets]}"
             )
         target = matches[0]
+    # Spec-legal absolute targets ("/xl/worksheets/sheet1.xml", emitted by
+    # some writers) are archive-root-relative: strip the slash before the
+    # xl/ prefix check or the join would double the prefix.
+    target = target.lstrip("/")
     return target if target.startswith("xl/") else f"xl/{target}"
 
 
@@ -258,6 +263,10 @@ def write_excel_bridge(
                 continue  # sparse like real writers: missing cell = empty
             ref = f"{_col_letter(i)}{rnum}"
             if name in numeric:
+                # NaN/Infinity are not valid OOXML numeric cell values —
+                # emit an empty (missing) cell, like None.
+                if isinstance(v, float) and not math.isfinite(v):
+                    continue
                 cells.append(f'<c r="{ref}"><v>{v}</v></c>')
             else:
                 cells.append(
@@ -297,7 +306,18 @@ def read_excel_bridge(
     """S4: xlsx → all-string DataFrame, mirroring the reference's
     ``read_excel(..., sheet_name=..., infer_schema_length=0,
     read_options={'header_row': N})``
-    (/root/reference/permit_inspection_licenses.py:19)."""
+    (/root/reference/permit_inspection_licenses.py:19).
+
+    Numeric-cell contract: like the all-string CSV reader, every cell
+    surfaces as a STRING — a numeric cell yields the lexical text of its
+    stored ``<v>`` value, NOT a re-formatted number. Round-tripping
+    through ``write_excel_bridge`` therefore preserves Python's ``str()``
+    form exactly (``5`` → ``"5"``, ``2.5`` → ``"2.5"``, ``1e+20`` →
+    ``"1e+20"``); files from other writers yield whatever lexical form
+    that writer stored (Excel dates arrive as serial-number strings).
+    Casts happen late and explicitly, exactly as with CSV (§2.3 F10
+    discipline); non-finite floats were never written (empty cell → null).
+    """
     return _frame_from_rows(spark, _xlsx_rows(path, sheet_name), header_row)
 
 

@@ -158,3 +158,50 @@ def test_excel_write_refuses_unbounded_extract(spark):
     df = spark.range(0, 20).withColumnRenamed("id", "n")
     with pytest.raises(ValueError, match="refusing"):
         write_excel_bridge(df, "/tmp/never_written.xlsx", max_rows=10)
+
+
+def test_excel_bridge_absolute_rel_target(spark, tmp_path):
+    # Some writers emit spec-legal ABSOLUTE targets ("/xl/worksheets/...");
+    # the bridge must resolve them archive-root-relative, not double the
+    # xl/ prefix.
+    p = tmp_path / "abs_target.xlsx"
+    abs_rels = _RELS.replace(
+        'Target="worksheets/sheet1.xml"', 'Target="/xl/worksheets/sheet1.xml"'
+    ).replace('Target="worksheets/sheet2.xml"', 'Target="/xl/worksheets/sheet2.xml"')
+    with zipfile.ZipFile(p, "w") as zf:
+        zf.writestr("[Content_Types].xml", _TYPES)
+        zf.writestr("xl/workbook.xml", _WB)
+        zf.writestr("xl/_rels/workbook.xml.rels", abs_rels)
+        zf.writestr("xl/sharedStrings.xml", _SST)
+        zf.writestr("xl/worksheets/sheet1.xml", _SHEET1)
+        zf.writestr("xl/worksheets/sheet2.xml", _SHEET2)
+    df = read_excel_bridge(spark, str(p), sheet_name="input", header_row=4)
+    assert df.columns == ["Permit #", "Status", "Count"]
+    assert df.count() == 2
+
+
+def test_excel_write_mixed_numeric_lexical_contract(spark, tmp_path):
+    # The documented numeric round-trip contract: every cell comes back a
+    # STRING holding the lexical <v> text — Python str() forms for our own
+    # writer — and non-finite floats are written as EMPTY cells (NaN is not
+    # a legal OOXML numeric value), surfacing as null like None.
+    df = spark.createDataFrame(
+        [
+            (1, 2.5, float("nan"), "001"),
+            (9007199254740993, 1e20, float("inf"), ""),
+            (-3, 1e-07, 0.5, "x"),
+        ],
+        ["big", "flt", "weird", "txt"],
+    )
+    p = str(tmp_path / "mixed.xlsx")
+    assert write_excel_bridge(df, p) == 3
+    back = read_excel_bridge(spark, p)
+    assert all(t == "string" for _, t in back.dtypes)
+    rows = sorted(tuple(r) for r in back.collect())
+    assert rows == sorted(
+        [
+            ("1", "2.5", None, "001"),  # NaN -> empty cell -> null
+            ("9007199254740993", "1e+20", None, ""),  # int exact past 2^53
+            ("-3", "1e-07", "0.5", "x"),
+        ]
+    )

@@ -187,6 +187,54 @@ def test_jaccard_prefix_join_is_lossless(spark):
     assert got == brute and len(got) >= 2
 
 
+def test_jaccard_positional_filter_lossless_and_prunes(spark):
+    """PPJoin's positional filter must (a) keep every truly-similar
+    pair — it is a lossless prune — and (b) collapse the candidate set
+    on the corpus shape the size filter is blind to: equal-sized docs
+    whose shared boilerplate lands INSIDE the ascending-df prefix but
+    at late ranks (docs ~30% unique / ~70% boilerplate — with more
+    uniques the boilerplate exits the prefix and the df-order alone
+    prunes; with fewer the docs really are similar).
+
+    Token frame synthesized directly (the candidate generator's input
+    contract is just a distinct (id, __h) stream): 12 template docs =
+    30 private tokens + 60 boilerplate (true J = 0.5 pairwise, below
+    t=0.6), plus docs 100/101 sharing all 90 tokens (J = 1.0)."""
+    from pmp_analytics_spark.operators.dedup import jaccard_prefix_candidates
+
+    rows = []
+    boiler = [900_000 + k for k in range(60)]
+    for i in range(1, 13):
+        rows += [(i, i * 1000 + k) for k in range(30)]  # private: df=1
+        rows += [(i, h) for h in boiler]  # boilerplate: df=14
+    for i in (100, 101):
+        rows += [(i, 500_000 + k) for k in range(30)]  # shared pair: df=2
+        rows += [(i, h) for h in boiler]
+    toks = spark.createDataFrame(rows, ["doc_id", "__h"]).cache()
+    t = 0.6
+
+    loose = {
+        (r["id_a"], r["id_b"])
+        for r in jaccard_prefix_candidates(toks, "doc_id", t, positional=False).collect()
+    }
+    tight = {
+        (r["id_a"], r["id_b"])
+        for r in jaccard_prefix_candidates(toks, "doc_id", t, positional=True).collect()
+    }
+    # Size-filter-only: every pair collides on a late-prefix boilerplate
+    # token (all sizes equal -> size filter passes all 91 pairs).
+    assert len(loose) == 91
+    # Positional filter: a collision at rank r bounds the overlap by
+    # 1 + (90 - r) < alpha = 67.5 for every boilerplate rank r >= 31,
+    # so only the true pair (first shared token at rank 1) survives.
+    assert tight == {(100, 101)}
+    # Losslessness: the surviving set is exactly the truly-similar set
+    # (template pairs share 60/120 tokens -> J = 0.5 < t; 100~101 share
+    # 90/90 -> J = 1.0 >= t), so the prune dropped only sub-threshold
+    # pairs that the verify stage would have discarded anyway.
+    toks.unpersist()
+
+
 def test_sessionize_both_impls_agree(spark):
     import datetime as dt
 

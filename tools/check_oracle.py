@@ -9,6 +9,7 @@ values. Usage:
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
@@ -142,6 +143,10 @@ def frame_key(columns, rows):
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
+    # Snapshot-style oracles (embedding_ivf_topk's centroid replay) fit
+    # against this env var's tables — export the gate's own sf_dir so the
+    # fit inputs and the compared tables cannot diverge.
+    os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = sf_dir
     import __spark_entry__ as ent
 
     qs = ent.queries()
