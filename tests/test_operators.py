@@ -584,3 +584,31 @@ def test_morton_key_interleaves_locality(spark):
     assert rows[(15, 15)] == 255
     # z-ordering is a bijection on the 16x16 grid
     assert len(set(rows.values())) == 256
+
+
+def test_connected_components_label_prop_matches_union_find(spark):
+    """The distributed label-propagation fallback (edge sets too big to
+    collect) must produce EXACTLY the driver union-find's min-id
+    components. Forced onto each path via driver_edge_limit; the chain
+    component has diameter 6, so the min label needs several
+    propagation rounds (not just the trivial 1-hop case)."""
+    from pmp_analytics_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        # chain 1..7, triangle {10,11,12} (+ redundant edge), pair {20,21}
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (6, 7),
+         (10, 11), (11, 12), (10, 12), (20, 21)],
+        ["id_a", "id_b"],
+    )
+    uf = {
+        (r["id"], r["component"])
+        for r in connected_components(pairs, driver_edge_limit=10**6).collect()
+    }
+    lp = {
+        (r["id"], r["component"])
+        for r in connected_components(pairs, driver_edge_limit=0).collect()
+    }
+    assert lp == uf
+    assert uf == {(i, 1) for i in range(1, 8)} | {
+        (10, 10), (11, 10), (12, 10), (20, 20), (21, 20)
+    }
