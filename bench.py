@@ -55,6 +55,25 @@ def main() -> int:
         "queries": timings,
         "sf": sf,
     }
+    # Optional SECOND pass (SPARK_GRAFT_BENCH_WARM=1): per-query warm
+    # times de-noise cross-round comparisons — the single cold pass
+    # charges first-touch costs (Python worker spawns, codegen, shuffle
+    # file allocation) to whichever sub-second query hits them first,
+    # producing phantom 2-3× "regressions" between otherwise identical
+    # rounds. The driver contract (cold single pass, `value` = cold
+    # total) is unchanged when the env var is unset.
+    if os.environ.get("SPARK_GRAFT_BENCH_WARM") == "1":
+        warm: dict[str, float] = {}
+        for name, fn in qs.items():
+            t0 = time.perf_counter()
+            try:
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                warm[name] = round(time.perf_counter() - t0, 3)
+            except Exception as e:  # noqa: BLE001
+                print(f"ERROR warm {name}: {e}", file=sys.stderr)
+                warm[name] = -1.0
+        record["queries_warm"] = warm
+        record["warm_total"] = round(sum(t for t in warm.values() if t >= 0), 3)
     line = json.dumps(record)
     print(line)
     # Also persist in-repo: the driver's captured stdout tail has been

@@ -157,6 +157,7 @@ def main() -> int:
     spark = get_spark("oracle-check")
     con = duck_conn(sf_dir)
     failures = []
+    record: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -169,9 +170,19 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: spark error: {e}")
             failures.append(name)
+            record[name] = {
+                "rows_match": False, "schema_match": False, "hash_match": False,
+                "spark_rows": None, "oracle_rows": None,
+                "err": f"spark error: {e}"[:500],
+            }
             continue
         if name not in oracles:
             print(f"OK?   {name}: rows={len(srows)} (no oracle — rows-only check) [{time.time()-t0:.1f}s]")
+            record[name] = {
+                "rows_match": True, "schema_match": None, "hash_match": None,
+                "spark_rows": len(srows), "oracle_rows": None,
+                "err": None, "mode": "rows_only",
+            }
             continue
         try:
             rel = con.sql(oracles[name])
@@ -181,6 +192,11 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: duckdb error: {e}")
             failures.append(name)
+            record[name] = {
+                "rows_match": False, "schema_match": False, "hash_match": False,
+                "spark_rows": len(srows), "oracle_rows": None,
+                "err": f"duckdb error: {e}"[:500],
+            }
             continue
         sc, sv = frame_key(scols, srows)
         dc, dv = frame_key(dcols, drows)
@@ -196,11 +212,43 @@ def main() -> int:
             n_bad = sum(1 for a, b in zip(sv, dv) if a != b)
             first_bad = next(((a, b) for a, b in zip(sv, dv) if a != b), None)
             status.append(f"values differ in {n_bad}/{len(sv)} rows; first: {first_bad}")
+        record[name] = {
+            "rows_match": len(srows) == len(drows),
+            "schema_match": sc == dc and not bad_types,
+            "hash_match": not status,
+            "spark_rows": len(srows),
+            "oracle_rows": len(drows),
+            "err": "; ".join(status)[:500] or None,
+        }
         if status:
             print(f"FAIL  {name}: {'; '.join(status)}")
             failures.append(name)
         else:
             print(f"PASS  {name}: rows={len(srows)} [{time.time()-t0:.1f}s]")
+    # Persist the FULL record (the driver's CORRECTNESS_r*.json caps at a
+    # fixed 50-query subset; this file is the paper trail for the rest).
+    # Partial (CLI-filtered) runs don't clobber the full record.
+    if not only:
+        import json
+        import subprocess
+
+        head = subprocess.run(
+            ["git", "-C", os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+             "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True,
+        ).stdout.strip()
+        out_path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "CORRECTNESS_LOCAL.json",
+        )
+        with open(out_path, "w") as f:
+            json.dump(
+                {"sf_dir": sf_dir, "git_head": head, "n_queries": len(record),
+                 "n_failed": len(failures), "queries": record},
+                f, indent=1,
+            )
+            f.write("\n")
+        print(f"full record written to {out_path}")
     print()
     if failures:
         print(f"{len(failures)} FAILED: {failures}")
