@@ -253,9 +253,22 @@ def lsh_candidates_from_sig(
     key, expand in-bucket pairs. Band keys are byte-identical to the
     historical formulation (md5 of the '|'-joined component longs), so
     the DuckDB oracles reproduce bucket assignment exactly."""
+    banded = band_key_frame(sig, id_col, num_hashes, bands)
+    return _bucket_pairs(banded, id_col, ["band_id", "band_key"], max_bucket)
+
+
+def band_key_frame(
+    sig: DataFrame, id_col: str, num_hashes: int = 16, bands: int = 4
+) -> DataFrame:
+    """(id, band_id, band_key) LSH band-bucket rows from a (id, __sig)
+    signature frame — md5 of the '|'-joined component longs per band,
+    byte-identical to the SQL-replay oracles' formulation. This frame IS
+    the persistable bucket store of an incremental dedup pipeline: at
+    100 TB the historical side lives as a table partitioned/bucketed on
+    (band_id, band_key) and each ingest batch joins against it."""
     rows_per_band = num_hashes // bands
     assert rows_per_band * bands == num_hashes, "bands must divide num_hashes"
-    banded = sig.select(
+    return sig.select(
         F.col(id_col),
         F.explode(
             F.array(
@@ -277,7 +290,6 @@ def lsh_candidates_from_sig(
             )
         ).alias("band"),
     ).select(id_col, "band.band_id", "band.band_key")
-    return _bucket_pairs(banded, id_col, ["band_id", "band_key"], max_bucket)
 
 
 def simhash_pairs(
@@ -473,6 +485,57 @@ def ngram_jaccard_dedup(
     sig = minhash_signatures(ex, id_col, num_hashes)
     cand = lsh_candidates_from_sig(sig, id_col, num_hashes, bands).cache()
     return jaccard_pairs_from_exploded(cand, ex, id_col, threshold)
+
+
+def incremental_neardup(
+    history: DataFrame,
+    batch: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_k: int = 5,
+    threshold: float = 0.7,
+    num_hashes: int = 16,
+    bands: int = 4,
+    broadcast_batch: bool = True,
+) -> DataFrame:
+    """Near-dup check of an INCOMING batch against an EXISTING corpus —
+    the continuous-ingestion shape of a training-data pipeline: before
+    new documents enter the corpus, find which ones duplicate something
+    already there. Returns (id_a = batch doc, id_b = historical match,
+    jaccard ≥ threshold). Batch-INTERNAL duplicates are out of scope
+    here (the regular self-dedup handles a batch before/after ingest).
+
+    100 TB shape: the historical side's band-bucket rows
+    (``band_key_frame``) are exactly what a persisted bucket-store table
+    holds — computed ONCE per corpus doc at its own ingest time, stored
+    partitioned on (band_id, band_key), never recomputed per batch (here
+    it is derived inline because the declared query owns no state
+    between runs). The batch side is bounded by ingestion rate, so its
+    band keys BROADCAST (``broadcast_batch``) and the probe into the
+    bucket store is a map-side join — no shuffle of the historical
+    corpus at all. Verification then touches shingle sets only for
+    candidate-involved docs, exactly like the self-join pipeline
+    (``jaccard_pairs_from_exploded``).
+
+    Reference parity: the reference dedups only within one extract
+    (SURVEY.md §2.8 W2 keep-first); batch-vs-corpus near-dup ingest is
+    part of the LLM-pipeline extension surface.
+    """
+    ex_h = exploded_shingle_hashes(history, text_col, id_col, shingle_k)
+    ex_b = exploded_shingle_hashes(batch, text_col, id_col, shingle_k)
+    keys_h = band_key_frame(minhash_signatures(ex_h, id_col, num_hashes), id_col, num_hashes, bands)
+    keys_b = band_key_frame(minhash_signatures(ex_b, id_col, num_hashes), id_col, num_hashes, bands)
+    probe = F.broadcast(keys_b) if broadcast_batch else keys_b
+    cand = (
+        probe.select(F.col(id_col).alias("id_a"), "band_id", "band_key")
+        .join(
+            keys_h.select(F.col(id_col).alias("id_b"), "band_id", "band_key"),
+            on=["band_id", "band_key"],
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    return jaccard_pairs_from_exploded(cand, ex_b.union(ex_h), id_col, threshold)
 
 
 def jaccard_prefix_candidates(

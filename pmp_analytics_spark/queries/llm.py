@@ -280,6 +280,67 @@ def docs_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Q: docs_incremental_neardup — batch-vs-corpus near-dup ingest check:
+# the newest ~20% of docs (the "incoming batch") probe the older 80%'s
+# LSH band-bucket store; bucket collisions verify with exact Jaccard.
+# The oracle replays the identical deterministic pipeline in SQL —
+# shingle→md5 hash→MinHash signature→band keys on BOTH sides, cross-side
+# bucket join, set-Jaccard verify — so bucket assignment and scoring are
+# byte-identical (same _DUCK_* machinery as docs_neardup_pairs).
+# --------------------------------------------------------------------------
+@query(
+    "docs_incremental_neardup",
+    f"""
+    WITH cut AS (
+        SELECT (MAX(doc_id) * 4) // 5 AS c FROM documents
+    ), sh AS (
+        SELECT doc_id, {_DUCK_SHINGLES} AS sh FROM documents
+        WHERE LENGTH(text) >= 5
+    ), hashed AS (
+        SELECT doc_id, {_DUCK_SHINGLE_HASH} AS hs FROM sh
+    ), sig AS (
+        SELECT doc_id, {_DUCK_SIG} FROM hashed
+    ), banded AS (
+        {_DUCK_BAND_ROWS}
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM banded a JOIN banded b
+          ON a.band_id = b.band_id AND a.band_key = b.band_key
+        CROSS JOIN cut
+        WHERE a.doc_id >= cut.c AND b.doc_id < cut.c
+    ), dsh AS (
+        SELECT doc_id, LIST_DISTINCT(hs) AS dsh FROM hashed
+    ), scored AS (
+        SELECT id_a, id_b,
+               LEN(LIST_INTERSECT(a.dsh, b.dsh)) * 1.0 /
+               (LEN(a.dsh) + LEN(b.dsh) - LEN(LIST_INTERSECT(a.dsh, b.dsh))) AS j
+        FROM cand JOIN dsh a ON cand.id_a = a.doc_id
+                  JOIN dsh b ON cand.id_b = b.doc_id
+    )
+    SELECT id_a, id_b, ROUND(j, 6) AS jaccard
+    FROM scored WHERE ROUND(j, 6) >= {_JACCARD_T}
+    """,
+)
+def docs_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pmp_analytics_spark.operators.dedup import incremental_neardup
+
+    docs = load_table(spark, sf_dir, "documents")
+    # Deterministic batch split: newest fifth by id simulates the ingest
+    # batch. One scalar agg collect — bounded by definition.
+    cut = docs.agg(F.max("doc_id")).collect()[0][0] * 4 // 5
+    return incremental_neardup(
+        history=docs.where(F.col("doc_id") < cut),
+        batch=docs.where(F.col("doc_id") >= cut),
+        text_col="text",
+        id_col="doc_id",
+        shingle_k=_SHINGLE_K,
+        threshold=_JACCARD_T,
+        num_hashes=len(_SEEDS),
+        bands=_BANDS,
+    )
+
+
+# --------------------------------------------------------------------------
 # Q: docs_jaccard_exact_pairs — EXACT n-gram Jaccard near-dup pairs via
 # prefix filtering (AllPairs/PPJoin family) — the lossless counterpart to
 # docs_neardup_pairs' MinHash sketch. Because prefix filtering is

@@ -612,3 +612,35 @@ def test_connected_components_label_prop_matches_union_find(spark):
     assert uf == {(i, 1) for i in range(1, 8)} | {
         (10, 10), (11, 10), (12, 10), (20, 20), (21, 20)
     }
+
+
+def test_incremental_neardup_batch_vs_history_only(spark):
+    """Batch-vs-corpus near-dup ingest: only (batch, history) pairs come
+    back — never history-internal or batch-internal duplicates (those
+    belong to the regular self-dedup), and unrelated docs don't match."""
+    from pmp_analytics_spark.operators.dedup import incremental_neardup
+
+    base = "the quick brown fox jumps over the lazy dog and keeps running far away"
+    history = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base),  # history-internal dup of 1: must NOT be reported
+            (3, "entirely unrelated text about spark query optimization and shuffles"),
+        ],
+        ["doc_id", "text"],
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, base.replace("dog", "cat")),  # near-dup of history 1 and 2
+            (11, base.replace("dog", "cat")),  # batch-internal dup of 10: not reported
+            (12, "completely fresh content that matches nothing in the corpus at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        (r["id_a"], r["id_b"])
+        for r in incremental_neardup(
+            history, batch, "text", "doc_id", threshold=0.5
+        ).collect()
+    }
+    assert out == {(10, 1), (10, 2), (11, 1), (11, 2)}

@@ -212,3 +212,35 @@ def test_orc_roundtrip(spark, tmp_path):
     a = {r["doc_id"]: r["n_chars"] for r in src.select("doc_id", "n_chars").collect()}
     b = {r["doc_id"]: r["n_chars"] for r in back.select("doc_id", "n_chars").collect()}
     assert a == b
+
+
+def test_python_datasource_partition_count_through_spark(spark, tmp_path):
+    """End-to-end pin (through Spark's DSv2 path, not the in-process
+    planner): a multi-group file planned at a tiny coalescing target
+    yields one Spark partition per row group; a large target coalesces
+    groups but never splits one."""
+    import pyarrow.parquet as pq
+
+    path = _multigroup_copy(spark, tmp_path)
+    n_groups = pq.ParquetFile(path).metadata.num_row_groups
+    n_rows = pq.ParquetFile(path).metadata.num_rows
+
+    from pmp_analytics_spark.sources import pydatasource
+
+    pydatasource.register(spark)
+    fine = (
+        spark.read.format("pyshard")
+        .option("path", path)
+        .option("rows_per_split", "20")
+        .load()
+    )
+    assert fine.rdd.getNumPartitions() == n_groups
+    assert fine.count() == n_rows
+    coarse = (
+        spark.read.format("pyshard")
+        .option("path", path)
+        .option("rows_per_split", str(n_rows))
+        .load()
+    )
+    assert coarse.rdd.getNumPartitions() == 1
+    assert coarse.count() == n_rows
