@@ -522,20 +522,52 @@ def incremental_neardup(
     part of the LLM-pipeline extension surface.
     """
     ex_h = exploded_shingle_hashes(history, text_col, id_col, shingle_k)
-    ex_b = exploded_shingle_hashes(batch, text_col, id_col, shingle_k)
     keys_h = band_key_frame(minhash_signatures(ex_h, id_col, num_hashes), id_col, num_hashes, bands)
+    ex_b = exploded_shingle_hashes(batch, text_col, id_col, shingle_k)
+    return neardup_probe(
+        ex_h,
+        keys_h,
+        ex_b,
+        id_col,
+        threshold=threshold,
+        num_hashes=num_hashes,
+        bands=bands,
+        broadcast_batch=broadcast_batch,
+    )
+
+
+def neardup_probe(
+    history_ex: DataFrame,
+    history_keys: DataFrame,
+    batch_ex: DataFrame,
+    id_col: str,
+    threshold: float = 0.7,
+    num_hashes: int = 16,
+    bands: int = 4,
+    broadcast_batch: bool = True,
+) -> DataFrame:
+    """One batch's probe into a PRECOMPUTED bucket store, all inputs as
+    (id, __h) exploded hash streams / (id, band_id, band_key) rows:
+    ``history_ex``/``history_keys`` are per-CORPUS state (at scale,
+    persisted tables computed once per doc at its own ingest — and a
+    caller probing many batches caches them ONCE instead of re-deriving
+    the corpus per micro-batch); ``batch_ex`` is the incoming docs'
+    stream. Callers that hold the corpus-wide exploded stream derive
+    both sides as filters of ONE frame — a single explode pass, and
+    plan-identical to the self-dedup pipeline's cached subtree."""
+    ex_b = batch_ex
     keys_b = band_key_frame(minhash_signatures(ex_b, id_col, num_hashes), id_col, num_hashes, bands)
     probe = F.broadcast(keys_b) if broadcast_batch else keys_b
     cand = (
         probe.select(F.col(id_col).alias("id_a"), "band_id", "band_key")
         .join(
-            keys_h.select(F.col(id_col).alias("id_b"), "band_id", "band_key"),
+            history_keys.select(F.col(id_col).alias("id_b"), "band_id", "band_key"),
             on=["band_id", "band_key"],
         )
         .select("id_a", "id_b")
         .distinct()
     )
-    return jaccard_pairs_from_exploded(cand, ex_b.union(ex_h), id_col, threshold)
+    return jaccard_pairs_from_exploded(cand, ex_b.union(history_ex), id_col, threshold)
 
 
 def jaccard_prefix_candidates(

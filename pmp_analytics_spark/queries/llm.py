@@ -322,22 +322,106 @@ def docs_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def docs_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pmp_analytics_spark.operators.dedup import incremental_neardup
+    from pmp_analytics_spark.operators.dedup import (
+        band_key_frame,
+        exploded_shingle_hashes,
+        minhash_signatures,
+        neardup_probe,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
     # Deterministic batch split: newest fifth by id simulates the ingest
     # batch. One scalar agg collect — bounded by definition.
     cut = docs.agg(F.max("doc_id")).collect()[0][0] * 4 // 5
-    return incremental_neardup(
-        history=docs.where(F.col("doc_id") < cut),
-        batch=docs.where(F.col("doc_id") >= cut),
-        text_col="text",
-        id_col="doc_id",
+    # BOTH sides as filters of ONE corpus-wide exploded stream: a single
+    # explode pass, and plan-identical to the subtree the self-dedup
+    # pipeline caches — a multi-query session computes the shingle
+    # hashes once for all dedup paths.
+    ex = exploded_shingle_hashes(docs, "text", "doc_id", _SHINGLE_K)
+    ex_h = ex.where(F.col("doc_id") < cut)
+    keys_h = band_key_frame(
+        minhash_signatures(ex_h, "doc_id", len(_SEEDS)), "doc_id", len(_SEEDS), _BANDS
+    )
+    return neardup_probe(
+        ex_h,
+        keys_h,
+        ex.where(F.col("doc_id") >= cut),
+        "doc_id",
+        threshold=_JACCARD_T,
+        num_hashes=len(_SEEDS),
+        bands=_BANDS,
+    )
+
+
+# --------------------------------------------------------------------------
+# Q: streaming_neardup_ingest — the STREAMING form of
+# docs_incremental_neardup: the ingest batch arrives through the custom
+# pyshard stream source; each micro-batch probes the static historical
+# bucket store via foreachBatch (streaming/ingest.py) and lands its
+# pairs in a per-batch-id idempotent parquet sink. Deterministic
+# regardless of how the stream splits into micro-batches (each new doc's
+# matches depend only on that doc and the static history), so the oracle
+# is the SAME full SQL replay as the batch query — the strongest check a
+# streaming path can get.
+# --------------------------------------------------------------------------
+@query("streaming_neardup_ingest", ORACLE["docs_incremental_neardup"])
+def streaming_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    from pmp_analytics_spark.operators.dedup import (
+        band_key_frame,
+        exploded_shingle_hashes,
+        minhash_signatures,
+    )
+    from pmp_analytics_spark.sources import pydatasource
+    from pmp_analytics_spark.streaming import neardup_ingest_stream
+
+    docs = load_table(spark, sf_dir, "documents")
+    cut = docs.agg(F.max("doc_id")).collect()[0][0] * 4 // 5
+    # Precomputed bucket store (see docs_incremental_neardup: slice of
+    # the ONE corpus-wide exploded stream, shared with the self-dedup
+    # pipelines' cached subtree).
+    ex_h = exploded_shingle_hashes(docs, "text", "doc_id", _SHINGLE_K).where(
+        F.col("doc_id") < cut
+    )
+    keys_h = band_key_frame(
+        minhash_signatures(ex_h, "doc_id", len(_SEEDS)), "doc_id", len(_SEEDS), _BANDS
+    )
+    pydatasource.register(spark)
+    batch_stream = (
+        spark.readStream.format("pyshard")
+        .option("path", f"{sf_dir}/documents.parquet")
+        .load()
+        .where(F.col("doc_id") >= cut)
+    )
+    work = tempfile.mkdtemp(prefix="neardup_ingest_")
+    out_path, checkpoint = f"{work}/pairs", f"{work}/ckpt"
+    neardup_ingest_stream(
+        ex_h,
+        keys_h,
+        batch_stream,
+        "text",
+        "doc_id",
+        out_path,
+        checkpoint,
         shingle_k=_SHINGLE_K,
         threshold=_JACCARD_T,
         num_hashes=len(_SEEDS),
         bands=_BANDS,
     )
+    schema = StructType(
+        [
+            StructField("id_a", LongType()),
+            StructField("id_b", LongType()),
+            StructField("jaccard", DoubleType()),
+        ]
+    )
+    try:
+        return spark.read.parquet(out_path).select("id_a", "id_b", "jaccard")
+    except Exception:  # all micro-batches empty: no files written
+        return spark.createDataFrame([], schema)
 
 
 # --------------------------------------------------------------------------

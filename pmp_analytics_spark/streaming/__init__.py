@@ -1,3 +1,4 @@
+from pmp_analytics_spark.streaming.ingest import neardup_ingest_stream
 from pmp_analytics_spark.streaming.joins import view_purchase_pairs
 from pmp_analytics_spark.streaming.sessions import (
     read_event_stream,
@@ -7,6 +8,7 @@ from pmp_analytics_spark.streaming.sessions import (
 )
 
 __all__ = [
+    "neardup_ingest_stream",
     "read_event_stream",
     "run_to_memory",
     "streaming_event_type_counts",

@@ -1,0 +1,91 @@
+"""Streaming near-dup ingest — the continuous form of
+``operators.dedup.incremental_neardup``: documents arrive as a stream,
+and each micro-batch probes the STATIC historical corpus's LSH
+band-bucket store before its docs would enter the corpus.
+
+Why foreachBatch and not a pure stream-static join: the per-batch
+pipeline is multi-stage (per-doc MinHash aggregation → band-key
+explode → bucket join → candidate-sized Jaccard verify with its own
+aggregations) — several stateful stages that Structured Streaming's
+incremental planner would reject or force into one giant stateful
+query. ``foreachBatch`` is the standard pattern for exactly this: the
+micro-batch is a plain DataFrame, the full batch operator runs on it
+unchanged (one code path, one set of tests for both modes), and the
+sink keeps exactly-once semantics via per-batch-id idempotent
+overwrite (same contract as ``sinks.write_batches_idempotent``).
+
+Scale: state never accumulates in the stream (the probe is stateless
+per batch — history is a static table, at 100 TB a bucket-store table
+partitioned on (band_id, band_key)); batch band keys broadcast, so a
+micro-batch costs one map-side probe plus candidate-sized verify.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def neardup_ingest_stream(
+    history_ex: DataFrame,
+    history_keys: DataFrame,
+    batch_stream: DataFrame,
+    text_col: str,
+    id_col: str,
+    out_path: str,
+    checkpoint: str,
+    shingle_k: int = 5,
+    threshold: float = 0.7,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> None:
+    """Drain ``batch_stream`` (availableNow) through the batch
+    ``neardup_probe`` operator per micro-batch; (id_a = new doc,
+    id_b = historical match, jaccard) pairs land in
+    ``out_path/__batch_id=N/`` via dynamic partition overwrite, so a
+    replayed batch replaces exactly its own output (exactly-once
+    end-to-end on at-least-once delivery).
+
+    The bucket store arrives PRECOMPUTED (``history_ex`` exploded hash
+    stream + ``history_keys`` band rows — per-corpus state maintained at
+    corpus-ingest time, a persisted table pair at scale) and is cached
+    across micro-batches here; re-deriving the corpus per micro-batch
+    would be the O(corpus × batches) version of the round-2
+    stream-reader bug."""
+    from pmp_analytics_spark.operators.dedup import (
+        exploded_shingle_hashes,
+        neardup_probe,
+    )
+
+    ex_h = history_ex.cache()
+    keys_h = history_keys.cache()
+
+    def probe_batch(batch_df: DataFrame, batch_id: int) -> None:
+        pairs = neardup_probe(
+            ex_h,
+            keys_h,
+            exploded_shingle_hashes(batch_df, text_col, id_col, shingle_k),
+            id_col,
+            threshold=threshold,
+            num_hashes=num_hashes,
+            bands=bands,
+        )
+        (
+            pairs.withColumn("__batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__batch_id")
+            .parquet(out_path)
+        )
+
+    try:
+        q = (
+            batch_stream.writeStream.foreachBatch(probe_batch)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        ex_h.unpersist()
+        keys_h.unpersist()

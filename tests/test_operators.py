@@ -644,3 +644,65 @@ def test_incremental_neardup_batch_vs_history_only(spark):
         ).collect()
     }
     assert out == {(10, 1), (10, 2), (11, 1), (11, 2)}
+
+
+def test_neardup_ingest_stream_matches_batch_across_microbatches(spark, tmp_path):
+    """The streaming ingest probe must equal the batch operator's pairs
+    regardless of micro-batch boundaries (each new doc's matches depend
+    only on that doc and the static store). Two time-ordered file drops
+    consumed one per trigger force >= 2 data micro-batches, pinned via
+    the sink's __batch_id partition values."""
+    import time
+
+    from pmp_analytics_spark.operators.dedup import (
+        band_key_frame,
+        exploded_shingle_hashes,
+        incremental_neardup,
+        minhash_signatures,
+    )
+    from pmp_analytics_spark.streaming import neardup_ingest_stream
+
+    base_a = "the quick brown fox jumps over the lazy dog and keeps running far away"
+    base_b = "colorless green ideas sleep furiously while the committee debates the budget line"
+    history = spark.createDataFrame(
+        [(1, base_a), (2, base_b), (3, "entirely unrelated text about spark shuffles")],
+        ["doc_id", "text"],
+    )
+    batch_rows = [
+        (10, base_a.replace("dog", "cat")),  # drop 0: matches history 1
+        (11, base_b),  # drop 1: exact duplicate of history 2 (J=1.0)
+    ]
+    batch = spark.createDataFrame(batch_rows, ["doc_id", "text"])
+    expected = sorted(
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in incremental_neardup(history, batch, "text", "doc_id", threshold=0.5).collect()
+    )
+    assert {(a, b) for a, b, _ in expected} == {(10, 1), (11, 2)}
+
+    src = tmp_path / "doc_drops"
+    src.mkdir()
+    for i, row in enumerate(batch_rows):
+        spark.createDataFrame([row], batch.schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(src / f"drop_{i}"))
+        time.sleep(1.1)  # distinct mtime seconds -> deterministic order
+
+    ex_h = exploded_shingle_hashes(history, "text", "doc_id", 5)
+    keys_h = band_key_frame(minhash_signatures(ex_h, "doc_id", 16), "doc_id", 16, 4)
+    sdf = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "*.parquet")
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    out_path = str(tmp_path / "pairs")
+    neardup_ingest_stream(
+        ex_h, keys_h, sdf, "text", "doc_id", out_path,
+        str(tmp_path / "ckpt"), threshold=0.5,
+    )
+    out = spark.read.parquet(out_path)
+    got = sorted((r["id_a"], r["id_b"], r["jaccard"]) for r in out.collect())
+    assert got == expected
+    batches = {r["__batch_id"] for r in out.select("__batch_id").distinct().collect()}
+    assert len(batches) >= 2, "pairs must span multiple micro-batches"
