@@ -229,3 +229,16 @@ def test_jaccard_prefix_join_never_cartesian(spark, queries):
     # (equi-join on the token), never a corpus x corpus product
     df = queries["docs_jaccard_exact_pairs"](spark, SF)
     assert_no_cartesian_product(df)
+
+
+def test_incremental_neardup_probe_is_all_broadcast(spark, queries):
+    """The ingest probe must never shuffle-join: batch band keys
+    broadcast into the bucket store, candidate ids broadcast into the
+    verify — a sort-merge join here means the corpus moved for a
+    bounded batch."""
+    from pmp_analytics_spark.plans.audit import has_sort_merge_join
+
+    df = queries["docs_incremental_neardup"](spark, SF)
+    assert_no_cartesian_product(df)
+    assert has_broadcast_hash_join(df)
+    assert not has_sort_merge_join(df)
