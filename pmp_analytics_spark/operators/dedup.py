@@ -554,7 +554,15 @@ def neardup_probe(
     the corpus per micro-batch); ``batch_ex`` is the incoming docs'
     stream. Callers that hold the corpus-wide exploded stream derive
     both sides as filters of ONE frame — a single explode pass, and
-    plan-identical to the self-dedup pipeline's cached subtree."""
+    plan-identical to the self-dedup pipeline's cached subtree.
+
+    PRECONDITION: ids are globally unique ACROSS the two frames (the
+    standard doc-id contract). An id present in both would merge two
+    documents' shingle sets in the verify stage and corrupt every
+    jaccard involving it — re-ingesting an id the corpus already holds
+    is exact-dedup's job (fingerprint anti-join), not this probe's.
+    Identical-id band collisions are excluded structurally below so a
+    violation can at least never emit a self-pair."""
     ex_b = batch_ex
     keys_b = band_key_frame(minhash_signatures(ex_b, id_col, num_hashes), id_col, num_hashes, bands)
     probe = F.broadcast(keys_b) if broadcast_batch else keys_b
@@ -564,6 +572,7 @@ def neardup_probe(
             history_keys.select(F.col(id_col).alias("id_b"), "band_id", "band_key"),
             on=["band_id", "band_key"],
         )
+        .where(F.col("id_a") != F.col("id_b"))  # precondition backstop
         .select("id_a", "id_b")
         .distinct()
     )

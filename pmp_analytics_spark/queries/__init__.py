@@ -34,20 +34,38 @@ def all_queries() -> dict[str, QueryFn]:
     return out
 
 
-def all_oracles() -> dict[str, str]:
-    out: dict[str, str] = {}
+def all_oracles(names: set[str] | None = None) -> dict[str, str]:
+    """Resolved oracle SQL per query, optionally restricted to ``names``
+    (a targeted re-check shouldn't pay for oracles it never consults).
+
+    Lazily-built oracles (e.g. embedding_ivf_topk's centroid snapshot)
+    register a zero-arg callable; they resolve HERE — at check time — so
+    query-module import stays cheap. ANY construction failure downgrades
+    only that query to a rows-only check, with a visible warning: one
+    broken oracle must not take down the whole gate."""
+    import warnings
+
+    out: dict = {}
     out.update(parity.ORACLE)
     out.update(llm.ORACLE)
     out.update(extended.ORACLE)
     out.update(corpus.ORACLE)
     out.update(pretrain.ORACLE)
     out.update(analytic.ORACLE)
-    # Lazily-built oracles (e.g. embedding_ivf_topk's centroid snapshot)
-    # register a zero-arg callable; resolve them HERE — at check time —
-    # so query-module import stays cheap and an oracle-construction
-    # failure surfaces (warns + rows-only check) where the gate runs.
-    return {
-        name: sql
-        for name, sql in ((n, s() if callable(s) else s) for n, s in out.items())
-        if sql is not None
-    }
+    resolved: dict[str, str] = {}
+    for name, sql in out.items():
+        if names is not None and name not in names:
+            continue
+        if callable(sql):
+            try:
+                sql = sql()
+            except Exception as e:  # noqa: BLE001 — degrade THIS oracle only
+                warnings.warn(
+                    f"oracle for {name} failed to build ({e!r}); "
+                    "falling back to a rows-only check",
+                    stacklevel=2,
+                )
+                sql = None
+        if sql is not None:
+            resolved[name] = sql
+    return resolved

@@ -322,26 +322,9 @@ def docs_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def docs_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pmp_analytics_spark.operators.dedup import (
-        band_key_frame,
-        exploded_shingle_hashes,
-        minhash_signatures,
-        neardup_probe,
-    )
+    from pmp_analytics_spark.operators.dedup import neardup_probe
 
-    docs = load_table(spark, sf_dir, "documents")
-    # Deterministic batch split: newest fifth by id simulates the ingest
-    # batch. One scalar agg collect — bounded by definition.
-    cut = docs.agg(F.max("doc_id")).collect()[0][0] * 4 // 5
-    # BOTH sides as filters of ONE corpus-wide exploded stream: a single
-    # explode pass, and plan-identical to the subtree the self-dedup
-    # pipeline caches — a multi-query session computes the shingle
-    # hashes once for all dedup paths.
-    ex = exploded_shingle_hashes(docs, "text", "doc_id", _SHINGLE_K)
-    ex_h = ex.where(F.col("doc_id") < cut)
-    keys_h = band_key_frame(
-        minhash_signatures(ex_h, "doc_id", len(_SEEDS)), "doc_id", len(_SEEDS), _BANDS
-    )
+    cut, ex, ex_h, keys_h = _neardup_ingest_store(spark, sf_dir)
     return neardup_probe(
         ex_h,
         keys_h,
@@ -351,6 +334,34 @@ def docs_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         num_hashes=len(_SEEDS),
         bands=_BANDS,
     )
+
+
+def _neardup_ingest_store(spark: SparkSession, sf_dir: str):
+    """Shared derivation for the two incremental-ingest queries (batch +
+    streaming): the deterministic newest-fifth cut and the history
+    side's bucket store. One definition keeps cut formula / shingle_k /
+    seed count / band count in lockstep across both declared queries and
+    their SHARED SQL-replay oracle. Both sides come as filters of ONE
+    corpus-wide exploded stream: a single explode pass, plan-identical
+    to the subtree the self-dedup pipeline caches — a multi-query
+    session computes the shingle hashes once for all dedup paths.
+
+    Returns (cut, corpus_ex, ex_h, keys_h); the cut is one scalar agg
+    collect — bounded by definition."""
+    from pmp_analytics_spark.operators.dedup import (
+        band_key_frame,
+        exploded_shingle_hashes,
+        minhash_signatures,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    cut = docs.agg(F.max("doc_id")).collect()[0][0] * 4 // 5
+    ex = exploded_shingle_hashes(docs, "text", "doc_id", _SHINGLE_K)
+    ex_h = ex.where(F.col("doc_id") < cut)
+    keys_h = band_key_frame(
+        minhash_signatures(ex_h, "doc_id", len(_SEEDS)), "doc_id", len(_SEEDS), _BANDS
+    )
+    return cut, ex, ex_h, keys_h
 
 
 # --------------------------------------------------------------------------
@@ -366,29 +377,16 @@ def docs_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @query("streaming_neardup_ingest", ORACLE["docs_incremental_neardup"])
 def streaming_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
     import tempfile
 
     from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
-    from pmp_analytics_spark.operators.dedup import (
-        band_key_frame,
-        exploded_shingle_hashes,
-        minhash_signatures,
-    )
     from pmp_analytics_spark.sources import pydatasource
     from pmp_analytics_spark.streaming import neardup_ingest_stream
 
-    docs = load_table(spark, sf_dir, "documents")
-    cut = docs.agg(F.max("doc_id")).collect()[0][0] * 4 // 5
-    # Precomputed bucket store (see docs_incremental_neardup: slice of
-    # the ONE corpus-wide exploded stream, shared with the self-dedup
-    # pipelines' cached subtree).
-    ex_h = exploded_shingle_hashes(docs, "text", "doc_id", _SHINGLE_K).where(
-        F.col("doc_id") < cut
-    )
-    keys_h = band_key_frame(
-        minhash_signatures(ex_h, "doc_id", len(_SEEDS)), "doc_id", len(_SEEDS), _BANDS
-    )
+    cut, _, ex_h, keys_h = _neardup_ingest_store(spark, sf_dir)
     pydatasource.register(spark)
     batch_stream = (
         spark.readStream.format("pyshard")
@@ -396,7 +394,15 @@ def streaming_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load()
         .where(F.col("doc_id") >= cut)
     )
-    work = tempfile.mkdtemp(prefix="neardup_ingest_")
+    # Working dirs live under one fixed parent; stale dirs from PRIOR
+    # invocations are purged here (the returned DataFrame reads this
+    # run's parquet lazily, so this run's dir must outlive the call —
+    # cleanup is deferred one invocation instead of leaking forever).
+    parent = os.path.join(tempfile.gettempdir(), "pmp_neardup_ingest")
+    if os.path.isdir(parent):
+        shutil.rmtree(parent, ignore_errors=True)
+    os.makedirs(parent, exist_ok=True)
+    work = tempfile.mkdtemp(dir=parent)
     out_path, checkpoint = f"{work}/pairs", f"{work}/ckpt"
     neardup_ingest_stream(
         ex_h,

@@ -89,10 +89,12 @@ def _xlsx_sheet_part(zf: zipfile.ZipFile, sheet_name: str | None) -> str:
                 f"{[n for n, _ in sheets]}"
             )
         target = matches[0]
-    # Spec-legal absolute targets ("/xl/worksheets/sheet1.xml", emitted by
-    # some writers) are archive-root-relative: strip the slash before the
-    # xl/ prefix check or the join would double the prefix.
-    target = target.lstrip("/")
+    # OPC target resolution: an ABSOLUTE target ("/xl/worksheets/..." or
+    # "/worksheets/..." — emitted by some writers) is already
+    # archive-root-relative and must NOT get the xl/ prefix; a relative
+    # target resolves against the workbook part's directory (xl/).
+    if target.startswith("/"):
+        return target.lstrip("/")
     return target if target.startswith("xl/") else f"xl/{target}"
 
 

@@ -179,6 +179,23 @@ def test_excel_bridge_absolute_rel_target(spark, tmp_path):
     assert df.columns == ["Permit #", "Status", "Count"]
     assert df.count() == 2
 
+    # An absolute target may also point OUTSIDE xl/ (part at archive
+    # root) — it must resolve archive-root-relative, with no xl/ prefix.
+    p2 = tmp_path / "root_part.xlsx"
+    root_rels = _RELS.replace(
+        'Target="worksheets/sheet2.xml"', 'Target="/custom/sheet2.xml"'
+    )
+    with zipfile.ZipFile(p2, "w") as zf:
+        zf.writestr("[Content_Types].xml", _TYPES)
+        zf.writestr("xl/workbook.xml", _WB)
+        zf.writestr("xl/_rels/workbook.xml.rels", root_rels)
+        zf.writestr("xl/sharedStrings.xml", _SST)
+        zf.writestr("xl/worksheets/sheet1.xml", _SHEET1)
+        zf.writestr("custom/sheet2.xml", _SHEET2)
+    df2 = read_excel_bridge(spark, str(p2), sheet_name="input", header_row=4)
+    assert df2.columns == ["Permit #", "Status", "Count"]
+    assert df2.count() == 2
+
 
 def test_excel_write_mixed_numeric_lexical_contract(spark, tmp_path):
     # The documented numeric round-trip contract: every cell comes back a

@@ -100,23 +100,14 @@ def test_python_datasource_partitions_and_pushdown(spark, tmp_path):
     assert f_custom == f_native and f_native > 0
 
 
-def test_python_datasource_one_read_per_row_group(spark, tmp_path):
-    """Read-amplification pin: across ALL planned partitions, each row
-    group is handed to pyarrow's read_row_groups EXACTLY ONCE — a group
-    is the atomic unit of work, never sub-split (a sub-group split
-    re-decompresses the whole group per split: the round-2/3 scale bug).
-    Runs the reader in-process so pyarrow calls can be counted."""
+def _counted_reads(reader, parts):
+    """Drive reader.read over ``parts`` in-process with pyarrow's
+    ParquetFile wrapped to record which row groups get decompressed.
+    Returns (row-group index list in read order, total rows read) —
+    the shared harness of the read-amplification pins below."""
     from unittest.mock import patch
 
     import pyarrow.parquet as pq
-
-    from pmp_analytics_spark.sources.pydatasource import _ShardReader
-
-    path = _multigroup_copy(spark, tmp_path)
-    n_groups = pq.ParquetFile(path).metadata.num_row_groups
-    reader = _ShardReader({"path": path, "rows_per_split": "20"})
-    parts = reader.partitions()
-    assert len(parts) == n_groups  # tiny target -> one task per group
 
     real_pf = pq.ParquetFile
     reads: list[int] = []
@@ -135,6 +126,26 @@ def test_python_datasource_one_read_per_row_group(spark, tmp_path):
         for part in parts:
             for batch in reader.read(part):
                 total += batch.num_rows
+    return reads, total
+
+
+def test_python_datasource_one_read_per_row_group(spark, tmp_path):
+    """Read-amplification pin: across ALL planned partitions, each row
+    group is handed to pyarrow's read_row_groups EXACTLY ONCE — a group
+    is the atomic unit of work, never sub-split (a sub-group split
+    re-decompresses the whole group per split: the round-2/3 scale bug).
+    Runs the reader in-process so pyarrow calls can be counted."""
+    import pyarrow.parquet as pq
+
+    from pmp_analytics_spark.sources.pydatasource import _ShardReader
+
+    path = _multigroup_copy(spark, tmp_path)
+    n_groups = pq.ParquetFile(path).metadata.num_row_groups
+    reader = _ShardReader({"path": path, "rows_per_split": "20"})
+    parts = reader.partitions()
+    assert len(parts) == n_groups  # tiny target -> one task per group
+
+    reads, total = _counted_reads(reader, parts)
     assert total == pq.ParquetFile(path).metadata.num_rows
     assert sorted(reads) == list(range(n_groups))  # each group exactly once
 
@@ -143,20 +154,14 @@ def test_python_datasource_one_read_per_row_group(spark, tmp_path):
     reader2 = _ShardReader({"path": path, "rows_per_split": "100"})
     parts2 = reader2.partitions()
     assert len(parts2) < n_groups
-    reads.clear()
-    with patch("pyarrow.parquet.ParquetFile", CountingPF):
-        for part in parts2:
-            for _ in reader2.read(part):
-                pass
-    assert sorted(reads) == list(range(n_groups))
+    reads2, _ = _counted_reads(reader2, parts2)
+    assert sorted(reads2) == list(range(n_groups))
 
 
 def test_python_datasource_stream_partitions_group_aligned(spark, tmp_path):
     """Stream planner pin: a micro-batch row range maps onto whole row
     groups (trimmed only at the range's two edges), each touched group
     read exactly once, untouched groups never read."""
-    from unittest.mock import patch
-
     import pyarrow.parquet as pq
 
     from pmp_analytics_spark.sources.pydatasource import _ShardStreamReader
@@ -169,23 +174,7 @@ def test_python_datasource_stream_partitions_group_aligned(spark, tmp_path):
     # Range straddling group boundaries mid-group on both ends.
     lo, hi = 30, min(155, n_rows)
     parts = sr.partitions({"row": lo}, {"row": hi})
-    real_pf = pq.ParquetFile
-    reads: list[int] = []
-
-    class CountingPF:
-        def __init__(self, p):
-            self._pf = real_pf(p)
-            self.metadata = self._pf.metadata
-
-        def read_row_groups(self, groups, **kw):
-            reads.extend(groups)
-            return self._pf.read_row_groups(groups, **kw)
-
-    total = 0
-    with patch("pyarrow.parquet.ParquetFile", CountingPF):
-        for part in parts:
-            for batch in sr.read(part):
-                total += batch.num_rows
+    reads, total = _counted_reads(sr, parts)
     assert total == hi - lo  # exact row coverage, no overlap/gap
     touched = set(range(lo // 20, (hi + 19) // 20))
     assert sorted(reads) == sorted(touched)  # each touched group once

@@ -150,7 +150,14 @@ def main() -> int:
     import __spark_entry__ as ent
 
     qs = ent.queries()
-    oracles = ent.oracle_sql()
+    if only:
+        # Targeted re-checks resolve only the oracles they consult (a
+        # lazy oracle build can cost a parquet read + k-means fit).
+        from pmp_analytics_spark.queries import all_oracles
+
+        oracles = all_oracles(only)
+    else:
+        oracles = ent.oracle_sql()
     unknown = only - set(qs)
     if unknown:
         print(f"WARNING: unknown query names ignored: {sorted(unknown)}")
