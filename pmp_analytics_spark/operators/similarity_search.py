@@ -302,47 +302,8 @@ def ivf_topk(
     bounded sample. Cell assignment is one Arrow-batched argmin matmul
     per corpus batch (distributed, the only corpus-sized step).
     """
-    import numpy as np
-    import pandas as pd
-
-    from pmp_analytics_spark.operators.partitioning import ensure_parallelism
-
-    dense = ensure_parallelism(corpus.select(corpus_id, corpus_vec))
-    sample_rows = (
-        dense.orderBy(F.md5(F.col(corpus_id).cast("string")))
-        .limit(max(2000, 20 * n_centroids))
-        .collect()
-    )
-    train = np.array([list(r[1]) for r in sample_rows], dtype=np.float64)
-    cents = _kmeans_fit(train, n_centroids, seed)
-
     spark = corpus.sparkSession
-    bc = spark.sparkContext.broadcast(cents)
-
-    def assign(batches):
-        c = bc.value
-        c2 = (c**2).sum(axis=1)
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            m = np.array(pdf[corpus_vec].tolist(), dtype=np.float64)
-            d2 = (m**2).sum(axis=1)[:, None] + c2[None, :] - 2.0 * (m @ c.T)
-            yield pd.DataFrame(
-                {
-                    corpus_id: pdf[corpus_id],
-                    corpus_vec: pdf[corpus_vec],
-                    "__cell": d2.argmin(axis=1).astype(np.int64),
-                }
-            )
-
-    in_types = dict(dense.dtypes)
-    assigned = dense.mapInPandas(
-        assign,
-        schema=(
-            f"`{corpus_id}` {in_types[corpus_id]}, "
-            f"`{corpus_vec}` {in_types[corpus_vec]}, __cell long"
-        ),
-    )
+    assigned, cents = kmeans_assign(corpus, n_centroids, corpus_id, corpus_vec, seed)
 
     centroids = [(i, [float(x) for x in c]) for i, c in enumerate(cents)]
     cent_df = spark.createDataFrame(centroids, ["__cell", "__centroid"])
@@ -371,6 +332,105 @@ def ivf_topk(
         F.round(cosine(F.col(corpus_vec), F.col(query_vec)), 6).alias(sim_name),
     )
     return _topk_per_query(scored, k, query_id, corpus_id, sim_name)
+
+
+def kmeans_assign(
+    corpus: DataFrame,
+    n_centroids: int,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    seed: int = 42,
+):
+    """(id, vec, __cell) cluster assignment of a vector corpus + the
+    fitted centroid ndarray — the shared front half of ``ivf_topk`` and
+    ``semantic_neardup``. The quantizer is a seeded numpy Lloyd's on a
+    DRIVER-COLLECTED md5-ordered sample (bounded, engine-independent —
+    the SQL-replay oracles refit it bit-identically); assignment is one
+    Arrow-batched argmin matmul per corpus batch, the only corpus-sized
+    step, with the tiny centroid matrix broadcast."""
+    import numpy as np
+    import pandas as pd
+
+    from pmp_analytics_spark.operators.partitioning import ensure_parallelism
+
+    dense = ensure_parallelism(corpus.select(corpus_id, corpus_vec))
+    sample_rows = (
+        dense.orderBy(F.md5(F.col(corpus_id).cast("string")))
+        .limit(max(2000, 20 * n_centroids))
+        .collect()
+    )
+    train = np.array([list(r[1]) for r in sample_rows], dtype=np.float64)
+    cents = _kmeans_fit(train, n_centroids, seed)
+
+    bc = corpus.sparkSession.sparkContext.broadcast(cents)
+
+    def assign(batches):
+        c = bc.value
+        c2 = (c**2).sum(axis=1)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = np.array(pdf[corpus_vec].tolist(), dtype=np.float64)
+            d2 = (m**2).sum(axis=1)[:, None] + c2[None, :] - 2.0 * (m @ c.T)
+            yield pd.DataFrame(
+                {
+                    corpus_id: pdf[corpus_id],
+                    corpus_vec: pdf[corpus_vec],
+                    "__cell": d2.argmin(axis=1).astype(np.int64),
+                }
+            )
+
+    in_types = dict(dense.dtypes)
+    assigned = dense.mapInPandas(
+        assign,
+        schema=(
+            f"`{corpus_id}` {in_types[corpus_id]}, "
+            f"`{corpus_vec}` {in_types[corpus_vec]}, __cell long"
+        ),
+    )
+    return assigned, cents
+
+
+def semantic_neardup(
+    corpus: DataFrame,
+    threshold: float,
+    n_clusters: int = 16,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """SemDeDup-shaped semantic near-duplicate pairs: k-means cluster
+    the embedding space, then exact cosine over pairs WITHIN each
+    cluster only (Abbas et al., "SemDeDup: Data-efficient learning at
+    web-scale through semantic deduplication", 2023). Returns
+    (id_a < id_b, cosine_sim ≥ threshold).
+
+    This is the 100 TB counterpart to the bounded brute-force
+    ``embedding_neardup_exact`` slice: all-pairs cosine is quadratic in
+    the corpus, but semantic duplicates are by definition CLOSE in
+    embedding space, so restricting pairs to the same coarse cell keeps
+    ~(corpus/k)² per cell instead of corpus² — one shuffle on the cell
+    id, cluster-local joins, nothing corpus-quadratic. Recall < 1 by
+    design (a pair straddling a cell boundary is missed — the standard
+    SemDeDup trade; raise k for smaller, purer cells or lower k for
+    recall). Cell population is ~corpus/k by construction of k-means on
+    a uniform sample; a pathological cluster (one dense semantic mass)
+    concentrates pairs, which AQE's skew handling splits at join time.
+    """
+    assigned, _ = kmeans_assign(corpus, n_clusters, corpus_id, corpus_vec, seed)
+    a = assigned.select(
+        F.col("__cell"), F.col(corpus_id).alias("id_a"), F.col(corpus_vec).alias("__va")
+    )
+    b = assigned.select(
+        F.col("__cell"), F.col(corpus_id).alias("id_b"), F.col(corpus_vec).alias("__vb")
+    )
+    return (
+        a.join(b, on="__cell")
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine_sim", F.round(cosine(F.col("__va"), F.col("__vb")), 6))
+        .where(F.col("cosine_sim") >= threshold)
+        .select("id_a", "id_b", "cosine_sim")
+    )
 
 
 def _kmeans_fit(sample, k: int, seed: int, iters: int = 8):

@@ -1017,6 +1017,83 @@ def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Q: embedding_semantic_neardup — SemDeDup-shaped semantic dedup: k-means
+# cluster the embedding space, exact cosine over pairs WITHIN a cluster
+# only — the 100 TB scale path next to embedding_neardup_exact's bounded
+# brute-force slice. The oracle replays the deterministic quantizer the
+# same way embedding_ivf_topk's does: centroids from the identical
+# seeded fit as SQL literals, argmin assignment with the same
+# (distance, cell) tie-break, within-cell pair join, cosine filter.
+# Lazy callable: resolved by all_oracles() at check time against the
+# gate's own sf_dir.
+# --------------------------------------------------------------------------
+_SEM_CLUSTERS = 16
+_SEM_COS_T = 0.4
+
+
+def _semantic_oracle() -> str | None:
+    import hashlib
+    import os
+    import warnings
+
+    try:
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from pmp_analytics_spark.operators.similarity_search import _kmeans_fit
+
+        sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+        tbl = pq.read_table(
+            os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+        )
+        rows = sorted(
+            zip(tbl["vec_id"].to_pylist(), tbl["embedding"].to_pylist()),
+            key=lambda r: hashlib.md5(str(r[0]).encode()).hexdigest(),
+        )[: max(2000, 20 * _SEM_CLUSTERS)]
+        train = np.array([r[1] for r in rows], dtype=np.float64)
+        cents = _kmeans_fit(train, _SEM_CLUSTERS, seed=42)
+    except (ImportError, OSError, KeyError) as e:  # tables/deps unavailable here
+        warnings.warn(
+            f"embedding_semantic_neardup oracle downgraded to rows-only check: {e!r}",
+            stacklevel=2,
+        )
+        return None
+
+    cent_rows = ", ".join(
+        f"({i}, [{', '.join(repr(float(x)) for x in c)}]::DOUBLE[])"
+        for i, c in enumerate(cents)
+    )
+    return f"""
+    WITH c AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), cent(cell, cv) AS (
+        VALUES {cent_rows}
+    ), assign AS (
+        SELECT vec_id, v, cell,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY LIST_DISTANCE(v, cv), cell) AS rn
+        FROM c CROSS JOIN cent
+    ), cells AS (
+        SELECT vec_id, v, cell FROM assign WHERE rn = 1
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(LIST_COSINE_SIMILARITY(a.v, b.v), 6) AS cosine_sim
+    FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
+    WHERE ROUND(LIST_COSINE_SIMILARITY(a.v, b.v), 6) >= {_SEM_COS_T}
+    """
+
+
+@query("embedding_semantic_neardup", _semantic_oracle)
+def embedding_semantic_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pmp_analytics_spark.operators.similarity_search import semantic_neardup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_neardup(
+        emb, threshold=_SEM_COS_T, n_clusters=_SEM_CLUSTERS
+    )
+
+
+# --------------------------------------------------------------------------
 # Q: docs_bpe_token_stats — BPE-ish pre-tokenization counts (the GPT-2
 # split regex: contractions, space-prefixed letter runs, digit runs,
 # punctuation runs) — the token-budget estimator of a training-data

@@ -706,3 +706,37 @@ def test_neardup_ingest_stream_matches_batch_across_microbatches(spark, tmp_path
     assert got == expected
     batches = {r["__batch_id"] for r in out.select("__batch_id").distinct().collect()}
     assert len(batches) >= 2, "pairs must span multiple micro-batches"
+
+
+def test_semantic_neardup_cluster_bucketed_subset(spark):
+    """SemDeDup-shaped pairs are exactly the brute-force pairs whose
+    members landed in the SAME cluster: a subset of all-pairs cosine
+    (recall < 1 across cell boundaries, by design), with no same-cell
+    qualifying pair missed and identical scores where present."""
+    from pmp_analytics_spark.operators.similarity_search import (
+        cosine,
+        kmeans_assign,
+        semantic_neardup,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    t, k = 0.4, 8
+    got = {
+        (r["id_a"], r["id_b"]): r["cosine_sim"]
+        for r in semantic_neardup(emb, threshold=t, n_clusters=k).collect()
+    }
+    assigned, _ = kmeans_assign(emb, k)
+    cells = {r["vec_id"]: r["__cell"] for r in assigned.select("vec_id", "__cell").collect()}
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    brute = {
+        (r["id_a"], r["id_b"]): r["cs"]
+        for r in a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cs", F.round(cosine(F.col("va"), F.col("vb")), 6))
+        .where(F.col("cs") >= t)
+        .collect()
+    }
+    same_cell = {p: s for p, s in brute.items() if cells[p[0]] == cells[p[1]]}
+    assert got == same_cell
+    assert set(got) <= set(brute)
+    assert len(got) > 0
