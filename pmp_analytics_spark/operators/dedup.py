@@ -575,6 +575,10 @@ def neardup_probe(
         .where(F.col("id_a") != F.col("id_b"))  # precondition backstop
         .select("id_a", "id_b")
         .distinct()
+        # Two consumers downstream (id semi-join + pair join): without
+        # the cache each re-derives the batch band keys — and when the
+        # batch arrives through a custom source, re-READS the source.
+        .cache()
     )
     return jaccard_pairs_from_exploded(cand, ex_b.union(history_ex), id_col, threshold)
 

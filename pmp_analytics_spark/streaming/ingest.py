@@ -61,22 +61,30 @@ def neardup_ingest_stream(
     keys_h = history_keys.cache()
 
     def probe_batch(batch_df: DataFrame, batch_id: int) -> None:
-        pairs = neardup_probe(
-            ex_h,
-            keys_h,
-            exploded_shingle_hashes(batch_df, text_col, id_col, shingle_k),
-            id_col,
-            threshold=threshold,
-            num_hashes=num_hashes,
-            bands=bands,
-        )
-        (
-            pairs.withColumn("__batch_id", F.lit(batch_id))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("__batch_id")
-            .parquet(out_path)
-        )
+        # The micro-batch's exploded stream has two consumers (band keys
+        # + verify sets), and a foreachBatch DataFrame re-executes its
+        # SOURCE read per action — cache for the batch's lifetime so the
+        # connector is read once per micro-batch, not once per consumer.
+        ex_b = exploded_shingle_hashes(batch_df, text_col, id_col, shingle_k).cache()
+        try:
+            pairs = neardup_probe(
+                ex_h,
+                keys_h,
+                ex_b,
+                id_col,
+                threshold=threshold,
+                num_hashes=num_hashes,
+                bands=bands,
+            )
+            (
+                pairs.withColumn("__batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("__batch_id")
+                .parquet(out_path)
+            )
+        finally:
+            ex_b.unpersist()
 
     try:
         q = (
