@@ -242,3 +242,10 @@ def test_incremental_neardup_probe_is_all_broadcast(spark, queries):
     assert_no_cartesian_product(df)
     assert has_broadcast_hash_join(df)
     assert not has_sort_merge_join(df)
+
+
+def test_semantic_neardup_no_cartesian(spark, queries):
+    """Cluster-bucketed semantic pairs join on the cell id — never a
+    cartesian all-pairs (the whole point of the SemDeDup shape)."""
+    df = queries["embedding_semantic_neardup"](spark, SF)
+    assert_no_cartesian_product(df)
