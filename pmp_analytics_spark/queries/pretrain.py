@@ -723,3 +723,193 @@ def supplier_geomean_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(geomean("s_acctbal"), 4).alias("geomean_balance"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Q: docs_dup_ngram_ratio — span-level duplication signal (Lee et al. 2022,
+# "Deduplicating Training Data Makes Language Models Better"): for every
+# document, the fraction of its word-8-gram positions whose gram occurs
+# more than once in the ENTIRE corpus (within-doc repeats count). The
+# canonical pre-filter for substring-level dedup: a high ratio marks a
+# document whose content is largely boilerplate already seen elsewhere.
+# Reference analogue: the reference dedups whole rows (unique/keep-first,
+# top_ten_prescribers.py:61); this extends that hygiene to sub-document
+# granularity for pre-training corpora. Plan: explode positions map-side,
+# hash each gram once (60-bit md5, uniform keys), two aggregation trees
+# keyed on the hash (per-doc gram counts, corpus totals), join on the
+# uniform hash, final per-doc rollup — no driver state, no skew, linear
+# in corpus size.
+# --------------------------------------------------------------------------
+_DUPK = 8
+_DUCK_POS_GRAMS = (
+    f"LIST_TRANSFORM(GENERATE_SERIES(1, LEN(toks) - {_DUPK - 1}), "
+    f"i -> CAST(('0x' || SUBSTRING(MD5(ARRAY_TO_STRING(toks[i:i+{_DUPK - 1}], ' ')), 1, 15)) "
+    "AS BIGINT) % 2147483647)"
+)
+
+
+@query(
+    "docs_dup_ngram_ratio",
+    f"""
+    WITH tk AS (SELECT doc_id, {_DUCK_TOKENS} AS toks FROM documents),
+    pos AS (
+        SELECT doc_id, UNNEST({_DUCK_POS_GRAMS}) AS g
+        FROM tk WHERE LEN(toks) >= {_DUPK}
+    ),
+    pc AS (SELECT doc_id, g, COUNT(*) AS c FROM pos GROUP BY 1, 2),
+    tot AS (SELECT g, SUM(c) AS total FROM pc GROUP BY g)
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN total >= 2 THEN c ELSE 0 END) AS BIGINT) AS n_dup_grams,
+           ROUND(SUM(CASE WHEN total >= 2 THEN c ELSE 0 END) * 1.0 / SUM(c), 6) AS dup_ratio
+    FROM pc JOIN tot USING (g)
+    GROUP BY doc_id
+    """,
+)
+def docs_dup_ngram_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pmp_analytics_spark.functions.text import shingle_hash
+
+    docs = load_table(spark, sf_dir, "documents")
+    # Materialize tokens once, then explode positions: the per-gram lambda
+    # form re-tokenizes per gram (O(n^2)) and keeps md5 out of codegen —
+    # same rationale as docs_contamination (queries/extended.py).
+    toked = docs.select("doc_id", tokens(F.col("text")).alias("toks")).where(
+        F.size("toks") >= _DUPK
+    )
+    pos = toked.select(
+        "doc_id",
+        "toks",
+        F.explode(F.sequence(F.lit(1), F.size("toks") - (_DUPK - 1))).alias("__i"),
+    )
+    flat = pos.select(
+        "doc_id",
+        shingle_hash(F.concat_ws(" ", F.expr(f"slice(toks, __i, {_DUPK})"))).alias("g"),
+    )
+    pc = flat.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
+    tot = pc.groupBy("g").agg(F.sum("c").alias("total"))
+    dup_c = F.when(F.col("total") >= 2, F.col("c")).otherwise(F.lit(0))
+    return (
+        pc.join(tot, on="g")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_grams"),
+            F.sum(dup_c).alias("n_dup_grams"),
+        )
+        .withColumn("dup_ratio", F.round(F.col("n_dup_grams") / F.col("n_grams"), 6))
+    )
+
+
+# --------------------------------------------------------------------------
+# Q: docs_dup_spans — the span-extraction half of substring-level dedup:
+# merge each document's duplicated 8-gram positions into MAXIMAL token
+# intervals ([i, i+7] windows, merged while overlapping or adjacent) and
+# report per-doc span count, longest span, and the fraction of tokens
+# covered by duplicated spans — exactly the regions Lee-et-al-style span
+# removal would cut. Interval merge is the classic running-max islands
+# form: a window ordered by position per doc (docs are small and numerous,
+# so the partition key is fine at any scale), with the corpus-wide dup-gram
+# set arriving via an equi-join on the uniform 60-bit hash — never a
+# driver-side membership list.
+# --------------------------------------------------------------------------
+@query(
+    "docs_dup_spans",
+    f"""
+    WITH tk AS (SELECT doc_id, {_DUCK_TOKENS} AS toks FROM documents),
+    pos AS (
+        SELECT doc_id, CAST(LEN(toks) AS BIGINT) AS n_tokens,
+               UNNEST(GENERATE_SERIES(1, LEN(toks) - {_DUPK - 1})) AS i,
+               UNNEST({_DUCK_POS_GRAMS}) AS g
+        FROM tk WHERE LEN(toks) >= {_DUPK}
+    ),
+    tot AS (SELECT g, COUNT(*) AS total FROM pos GROUP BY g),
+    dup AS (
+        SELECT p.doc_id, p.n_tokens, p.i, p.i + {_DUPK - 1} AS e
+        FROM pos p JOIN tot USING (g) WHERE tot.total >= 2
+    ),
+    flagged AS (
+        SELECT doc_id, n_tokens, i, e,
+               CASE WHEN MAX(e) OVER (PARTITION BY doc_id ORDER BY i
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+                         OR i > MAX(e) OVER (PARTITION BY doc_id ORDER BY i
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
+                    THEN 1 ELSE 0 END AS new_span
+        FROM dup
+    ),
+    numbered AS (
+        SELECT doc_id, n_tokens, i, e,
+               SUM(new_span) OVER (PARTITION BY doc_id ORDER BY i
+                   ROWS UNBOUNDED PRECEDING) AS span_id
+        FROM flagged
+    ),
+    spans AS (
+        SELECT doc_id, n_tokens, span_id,
+               MIN(i) AS s, MAX(e) AS e
+        FROM numbered GROUP BY 1, 2, 3
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_spans,
+           CAST(MAX(e - s + 1) AS BIGINT) AS max_span_tokens,
+           CAST(SUM(e - s + 1) AS BIGINT) AS dup_tokens,
+           ROUND(SUM(e - s + 1) * 1.0 / n_tokens, 6) AS dup_token_frac
+    FROM spans
+    GROUP BY doc_id, n_tokens
+    """,
+)
+def docs_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pmp_analytics_spark.functions.text import shingle_hash
+
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.select("doc_id", tokens(F.col("text")).alias("toks")).where(
+        F.size("toks") >= _DUPK
+    )
+    pos = toked.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_tokens"),
+        "toks",
+        F.explode(F.sequence(F.lit(1), F.size("toks") - (_DUPK - 1))).alias("i"),
+    ).select(
+        "doc_id",
+        "n_tokens",
+        "i",
+        shingle_hash(F.concat_ws(" ", F.expr(f"slice(toks, i, {_DUPK})"))).alias("g"),
+    )
+    tot = pos.groupBy("g").agg(F.count(F.lit(1)).alias("total"))
+    dup = (
+        pos.join(tot.where(F.col("total") >= 2), on="g")
+        .select("doc_id", "n_tokens", "i", (F.col("i") + (_DUPK - 1)).alias("e"))
+    )
+    prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = dup.withColumn(
+        "new_span",
+        F.when(
+            F.max("e").over(prev).isNull() | (F.col("i") > F.max("e").over(prev) + 1),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    ordered = Window.partitionBy("doc_id").orderBy("i").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    numbered = flagged.withColumn("span_id", F.sum("new_span").over(ordered))
+    spans = numbered.groupBy("doc_id", "n_tokens", "span_id").agg(
+        F.min("i").alias("s"), F.max("e").alias("e")
+    )
+    span_len = F.col("e") - F.col("s") + 1
+    return (
+        spans.groupBy("doc_id", "n_tokens")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.max(span_len).cast("long").alias("max_span_tokens"),
+            F.sum(span_len).cast("long").alias("dup_tokens"),
+        )
+        .select(
+            "doc_id",
+            "n_spans",
+            "max_span_tokens",
+            "dup_tokens",
+            F.round(F.col("dup_tokens") / F.col("n_tokens"), 6).alias("dup_token_frac"),
+        )
+    )

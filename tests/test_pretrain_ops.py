@@ -141,3 +141,61 @@ class TestChunkUdtf:
         assert _rows(got, "doc_id", "chunk_idx", "chunk_text") == _rows(
             want, "doc_id", "chunk_idx", "chunk_text"
         )
+
+
+class TestDupNgramOps:
+    """Hand-computed fixtures for the substring-level dedup signals
+    (docs_dup_ngram_ratio / docs_dup_spans): whole-doc duplicates, an
+    embedded copied span, a doc with two non-mergeable spans, and a
+    unique doc — covering the corpus-wide total>=2 rule (within-doc
+    repeats included) and interval merging of overlapping 8-gram hits."""
+
+    @pytest.fixture()
+    def docs_dir(self, spark, tmp_path):
+        base = "a b c d e f g h i j"                       # 10 toks, 3 grams
+        uniq = " ".join(f"z{i}" for i in range(20))        # 20 unique toks
+        embed = "x1 x2 a b c d e f g h y1"                 # copied 8-gram at pos 3
+        two = "a b c d e f g h " + " ".join(f"u{i}" for i in range(5)) + " a b c d e f g h"
+        short = "p q r"                                    # < 8 toks: excluded
+        rows = [
+            (0, base), (1, base), (2, uniq), (3, embed), (4, two), (5, short),
+        ]
+        df = spark.createDataFrame(
+            [(i, t, "en", "fix", len(t)) for i, t in rows],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+        df.coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+        return str(tmp_path)
+
+    def test_dup_ngram_ratio_exact(self, spark, docs_dir):
+        from pmp_analytics_spark.queries.pretrain import docs_dup_ngram_ratio
+
+        got = {
+            r["doc_id"]: (r["n_grams"], r["n_dup_grams"], r["dup_ratio"])
+            for r in docs_dup_ngram_ratio(spark, docs_dir).collect()
+        }
+        assert got[0] == (3, 3, 1.0)
+        assert got[1] == (3, 3, 1.0)
+        assert got[2] == (13, 0, 0.0)
+        assert got[3] == (4, 1, 0.25)
+        # doc 4: 14 grams, dup at pos 1 and pos 14 (same gram, plus docs 0/1/3)
+        assert got[4] == (14, 2, round(2 / 14, 6))
+        assert 5 not in got  # under the 8-token floor
+
+    def test_dup_spans_exact(self, spark, docs_dir):
+        from pmp_analytics_spark.queries.pretrain import docs_dup_spans
+
+        got = {
+            r["doc_id"]: (
+                r["n_spans"], r["max_span_tokens"], r["dup_tokens"], r["dup_token_frac"]
+            )
+            for r in docs_dup_spans(spark, docs_dir).collect()
+        }
+        # whole-doc dups: one merged span covering all 10 tokens
+        assert got[0] == (1, 10, 10, 1.0)
+        assert got[1] == (1, 10, 10, 1.0)
+        assert 2 not in got            # no dup grams -> no row
+        assert got[3] == (1, 8, 8, round(8 / 11, 6))
+        # two spans with a 5-token gap: [1,8] and [14,21], NOT merged
+        assert got[4] == (2, 8, 16, round(16 / 21, 6))
+        assert 5 not in got
