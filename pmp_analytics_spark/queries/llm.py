@@ -905,6 +905,84 @@ def docs_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Q: docs_dedup_keep_best — quality-aware canonical selection: the same
+# near-dup → connected-components closure as docs_dedup_canonical, but
+# instead of keeping each component's min-id doc, keep its BEST doc
+# (longest by n_chars, ties → min doc_id) — the policy real pipelines
+# want (SemDeDup/RefinedWeb keep the highest-quality representative, not
+# an arbitrary one). Singleton docs (no near-dup edge) form their own
+# component. The winner pick reuses the keep_first operator (row_number
+# over the component, ordered by quality desc) and component membership
+# arrives by LEFT join of the corpus against the (tiny) component map —
+# the closure output, not the corpus, is what shuffles.
+# --------------------------------------------------------------------------
+@query(
+    "docs_dedup_keep_best",
+    f"""
+    WITH RECURSIVE pairs AS (
+        {ORACLE["docs_neardup_pairs"]}
+    ), edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION
+        SELECT id_b AS src, id_a AS dst FROM pairs
+    ), walk(src, dst) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT w.src, e.dst FROM walk w JOIN edges e ON w.dst = e.src
+    ), comp AS (
+        SELECT src AS id, LEAST(src, MIN(dst)) AS component
+        FROM walk GROUP BY src
+    ), members AS (
+        SELECT d.doc_id, d.n_chars,
+               COALESCE(c.component, d.doc_id) AS component
+        FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+    ), ranked AS (
+        SELECT component, doc_id, n_chars,
+               ROW_NUMBER() OVER (PARTITION BY component
+                   ORDER BY n_chars DESC, doc_id ASC) AS rn,
+               COUNT(*) OVER (PARTITION BY component) AS n_members
+        FROM members
+    )
+    SELECT component, doc_id AS keep_id,
+           CAST(n_members AS BIGINT) AS n_members,
+           CAST(n_chars AS BIGINT) AS keep_chars
+    FROM ranked WHERE rn = 1
+    """,
+)
+def docs_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pmp_analytics_spark.operators.dedup import connected_components, keep_first
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_dedup(
+        docs,
+        text_col="text",
+        id_col="doc_id",
+        shingle_k=_SHINGLE_K,
+        threshold=_JACCARD_T,
+        num_hashes=len(_SEEDS),
+        bands=_BANDS,
+    )
+    comp = connected_components(pairs, "id_a", "id_b")
+    members = (
+        docs.select("doc_id", "n_chars")
+        .join(comp, docs.doc_id == comp.id, "left")
+        .select(
+            "doc_id",
+            "n_chars",
+            F.coalesce(F.col("component"), F.col("doc_id")).alias("component"),
+        )
+    )
+    sizes = members.groupBy("component").agg(F.count(F.lit(1)).alias("n_members"))
+    best = keep_first(members, ["component"], [F.desc("n_chars"), F.asc("doc_id")])
+    return best.join(sizes, on="component").select(
+        "component",
+        F.col("doc_id").alias("keep_id"),
+        "n_members",
+        F.col("n_chars").alias("keep_chars"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Q: embedding_ivf_topk — IVF approximate nearest neighbor: seeded-numpy
 # k-means coarse quantizer, probe the nprobe nearest cells, exact cosine
 # rescore. The quantizer fit is deterministic (k-means++ with a fixed seed

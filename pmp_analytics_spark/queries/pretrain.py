@@ -913,3 +913,56 @@ def docs_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("dup_tokens") / F.col("n_tokens"), 6).alias("dup_token_frac"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Q: docs_pps_sample — deterministic PPS (probability-proportional-to-size)
+# systematic sampling: order the corpus by an engine-independent md5 key,
+# take the inclusive weighted prefix sum (n_chars as the size measure),
+# and keep every document whose cumulative-weight interval crosses one of
+# the N equally-spaced skip points k·W/N. Pure integer arithmetic (no
+# float thresholds — `cum·N DIV W` on both engines), so selection is
+# exactly reproducible everywhere. The prefix sum is the two-phase
+# distributed `running_total` (range exchange + broadcast offsets) and
+# the corpus total arrives broadcast via the 1-row-agg crossJoin — no
+# single-partition window, no driver loop; the same plan runs at 100 TB.
+# The training-pipeline use: subsample a corpus where long documents
+# should be kept proportionally more often, with a fixed, auditable seed.
+# --------------------------------------------------------------------------
+_PPS_N = 40
+
+
+@query(
+    "docs_pps_sample",
+    f"""
+    WITH w AS (
+        SELECT doc_id, n_chars, MD5(CAST(doc_id AS VARCHAR)) AS ord
+        FROM documents
+    ), c AS (
+        SELECT doc_id, n_chars,
+               SUM(n_chars) OVER (ORDER BY ord ROWS UNBOUNDED PRECEDING) AS cum
+        FROM w
+    ), t AS (SELECT SUM(n_chars) AS total FROM documents)
+    SELECT doc_id,
+           CAST(n_chars AS BIGINT) AS weight,
+           CAST(cum AS BIGINT) AS cum
+    FROM c, t
+    WHERE (cum * {_PPS_N}) // total > ((cum - n_chars) * {_PPS_N}) // total
+    """,
+)
+def docs_pps_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pmp_analytics_spark.operators.agg import with_global_agg
+    from pmp_analytics_spark.operators.prefix_sum import running_total
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    keyed = docs.withColumn("__ord", F.md5(F.col("doc_id").cast("string")))
+    c = running_total(keyed, "n_chars", "__ord", out_col="cum", include_current=True)
+    tot = with_global_agg(c, {"__total": F.sum("n_chars")})
+    crossing = F.expr(f"(cum * {_PPS_N}) DIV __total") > F.expr(
+        f"((cum - n_chars) * {_PPS_N}) DIV __total"
+    )
+    return tot.where(crossing).select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("weight"),
+        F.col("cum").cast("long").alias("cum"),
+    )

@@ -199,3 +199,64 @@ class TestDupNgramOps:
         # two spans with a 5-token gap: [1,8] and [14,21], NOT merged
         assert got[4] == (2, 8, 16, round(16 / 21, 6))
         assert 5 not in got
+
+
+class TestPpsSample:
+    SF = "/root/testdata/sf0.001"
+
+    def test_exact_count_and_determinism(self, spark):
+        from pmp_analytics_spark.queries.pretrain import _PPS_N, docs_pps_sample
+
+        a = sorted(tuple(r) for r in docs_pps_sample(spark, self.SF).collect())
+        # every weight is far below W/N on this corpus, so each skip point
+        # lands in a distinct doc: exactly N selections
+        assert len(a) == _PPS_N
+        b = sorted(tuple(r) for r in docs_pps_sample(spark, self.SF).collect())
+        assert a == b  # fixed md5 order -> same sample every run
+
+    def test_selection_rule_matches_bruteforce(self, spark):
+        from pmp_analytics_spark.queries.pretrain import _PPS_N, docs_pps_sample
+        import hashlib
+
+        docs = {
+            r["doc_id"]: r["n_chars"]
+            for r in spark.read.parquet(f"{self.SF}/documents.parquet")
+            .select("doc_id", "n_chars")
+            .collect()
+        }
+        total = sum(docs.values())
+        ordered = sorted(docs, key=lambda d: hashlib.md5(str(d).encode()).hexdigest())
+        cum, want = 0, set()
+        for d in ordered:
+            prev, cum = cum, cum + docs[d]
+            if (cum * _PPS_N) // total > (prev * _PPS_N) // total:
+                want.add(d)
+        got = {r["doc_id"] for r in docs_pps_sample(spark, self.SF).collect()}
+        assert got == want
+
+
+class TestDedupKeepBest:
+    SF = "/root/testdata/sf0.001"
+
+    def test_partition_of_corpus_and_quality_dominance(self, spark):
+        from pmp_analytics_spark.queries.llm import docs_dedup_keep_best
+
+        rows = docs_dedup_keep_best(spark, self.SF).collect()
+        n_docs = spark.read.parquet(f"{self.SF}/documents.parquet").count()
+        # components partition the corpus: member counts sum to |corpus|
+        assert sum(r["n_members"] for r in rows) == n_docs
+        # winners are unique and live in their own component's id space
+        keep_ids = [r["keep_id"] for r in rows]
+        assert len(keep_ids) == len(set(keep_ids))
+        comps = [r["component"] for r in rows]
+        assert len(comps) == len(set(comps))
+        # min-id canonical never beats the keep-best winner on quality
+        chars = {
+            r["doc_id"]: r["n_chars"]
+            for r in spark.read.parquet(f"{self.SF}/documents.parquet")
+            .select("doc_id", "n_chars")
+            .collect()
+        }
+        for r in rows:
+            assert r["keep_chars"] == chars[r["keep_id"]]
+            assert r["keep_chars"] >= chars[r["component"]]
