@@ -130,6 +130,49 @@ def read_csv_strings(
     )
 
 
+def read_csv_with_rejects(
+    spark: SparkSession,
+    path: str,
+    columns: list[str] | None = None,
+    sep: str = ",",
+    corrupt_col: str = "_corrupt_record",
+) -> DataFrame:
+    """All-string CSV read that CAPTURES malformed rows instead of
+    dropping or crashing on them — the ingestion-hygiene contract a
+    pipeline fed by third-party uploads needs (the reference's sources
+    are hand-exported agency CSVs; on a 100 TB ingest you quarantine bad
+    rows, you don't fail the job or silently lose data).
+
+    PERMISSIVE mode with an explicit ``corrupt_col``: well-formed rows
+    parse normally with the ``read_csv_strings`` empty-vs-null contract;
+    a row whose field count diverges from the declared schema lands with
+    its RAW text in ``corrupt_col`` and nulls elsewhere. Callers split
+    the frame once:
+
+        ok  = df.where(F.col(corrupt_col).isNull()).drop(corrupt_col)
+        bad = df.where(F.col(corrupt_col).isNotNull())  # -> quarantine sink
+
+    Note Spark's contract: the corrupt column must be ADDED to the
+    schema (same as the reader's own columnNameOfCorruptRecord option)
+    and a query that selects ONLY the corrupt column must materialize
+    via an action on the full frame (Spark requires a cache or full
+    projection; the split above satisfies it naturally).
+    """
+    if columns is None:
+        columns = _peek_header(path, sep)
+    schema = all_string_schema(columns).add(corrupt_col, StringType(), True)
+    return (
+        spark.read.schema(schema)
+        .option("header", True)
+        .option("sep", sep)
+        .option("emptyValue", "")
+        .option("nullValue", "\\N")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .csv(path)
+    )
+
+
 def _peek_header(path: str, sep: str) -> list[str]:
     target = path
     if os.path.isdir(path):

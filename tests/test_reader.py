@@ -5,6 +5,8 @@ from __future__ import annotations
 import os
 import tempfile
 
+import pytest
+
 from pyspark.sql.types import StringType
 
 from pmp_analytics_spark.sources.reader import load_table, read_csv_strings
@@ -233,3 +235,67 @@ def test_python_datasource_partition_count_through_spark(spark, tmp_path):
     )
     assert coarse.rdd.getNumPartitions() == 1
     assert coarse.count() == n_rows
+
+
+class TestCsvRejects:
+    """Malformed-row quarantine contract: PERMISSIVE + corrupt column."""
+
+    @pytest.fixture()
+    def messy_csv(self, tmp_path):
+        p = tmp_path / "messy.csv"
+        p.write_text(
+            "id,name,amount\n"
+            "1,alice,10\n"
+            "2,bob\n"                      # too few fields -> corrupt
+            "3,carol,30,EXTRA\n"           # too many fields -> corrupt
+            '4,"dee",40\n'
+            "5,\\N,50\n"                   # explicit null sentinel
+        )
+        return str(p)
+
+    def test_split_ok_and_quarantine(self, spark, messy_csv):
+        from pyspark.sql import functions as F
+
+        from pmp_analytics_spark.sources.reader import read_csv_with_rejects
+
+        df = read_csv_with_rejects(spark, messy_csv).cache()
+        ok = df.where(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
+        bad = df.where(F.col("_corrupt_record").isNotNull())
+        assert {r["id"] for r in ok.collect()} == {"1", "4", "5"}
+        # raw text of every malformed row is preserved for the quarantine sink
+        raws = sorted(r["_corrupt_record"] for r in bad.collect())
+        assert raws == ["2,bob", "3,carol,30,EXTRA"]
+        # the null sentinel still maps to null on well-formed rows
+        assert ok.where(F.col("id") == "5").first()["name"] is None
+        df.unpersist()
+
+
+class TestSchemaEvolution:
+    """Parquet schema drift across files — the long-lived-table reality:
+    a column added mid-stream must surface (as null for old files) under
+    mergeSchema, and the default fast path (first-file schema) must keep
+    working for reads that don't opt in."""
+
+    @pytest.fixture()
+    def drifting_table(self, spark, tmp_path):
+        d = str(tmp_path / "tbl.parquet")
+        spark.createDataFrame([(1, "a")], "id long, name string").write.mode(
+            "append"
+        ).parquet(d)
+        spark.createDataFrame(
+            [(2, "b", "en")], "id long, name string, lang string"
+        ).write.mode("append").parquet(d)
+        return d
+
+    def test_merge_schema_unions_columns(self, spark, drifting_table):
+        df = spark.read.option("mergeSchema", True).parquet(drifting_table)
+        assert set(df.columns) == {"id", "name", "lang"}
+        langs = {r["id"]: r["lang"] for r in df.collect()}
+        assert langs[2] == "en" and langs[1] is None
+
+    def test_explicit_schema_overrides_drift(self, spark, drifting_table):
+        # pinning the read schema (the engine's all-string CSV discipline,
+        # applied to parquet) yields a stable frame regardless of file order
+        df = spark.read.schema("id long, name string").parquet(drifting_table)
+        assert set(df.columns) == {"id", "name"}
+        assert df.count() == 2
