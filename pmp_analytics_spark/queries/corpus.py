@@ -466,3 +466,62 @@ def streaming_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("lag_us").alias("total_lag_us"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Q: docs_adaptive_quality_filter — per-SOURCE adaptive quality gate: keep
+# each source's top 75% of documents by the composite quality score
+# (exact interpolated P25 per source, not one global threshold — a fixed
+# cutoff over-prunes clean sources and under-prunes noisy ones; the
+# per-domain adaptive form is what large corpus pipelines actually run).
+# Quality values are 6-decimal-quantized on BOTH engines (quality_score
+# rounds, the oracle rounds), so the percentile interpolates identical
+# inputs and the boundary comparison is engine-exact. Scale shape: one
+# groupBy over ~#sources rows for the thresholds, broadcast back, map-side
+# filter — the corpus shuffles nowhere.
+# --------------------------------------------------------------------------
+from pmp_analytics_spark.functions.text import quality_score  # noqa: E402
+
+
+@query("docs_adaptive_quality_filter")
+def docs_adaptive_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    q = docs.select("doc_id", "source", quality_score("text").alias("quality"))
+    thr = q.groupBy("source").agg(
+        F.percentile("quality", F.lit(0.25)).alias("p25")
+    )
+    return (
+        q.join(F.broadcast(thr), on="source")
+        .where(F.col("quality") >= F.col("p25"))
+        .select(
+            "doc_id",
+            "source",
+            "quality",
+            F.round("p25", 6).alias("src_p25"),
+        )
+    )
+
+
+def _adaptive_quality_oracle() -> str:
+    # Lazily embeds the docs_quality oracle as a CTE (resolved at check
+    # time by all_oracles — avoids an import-order coupling with llm.py).
+    from pmp_analytics_spark.queries.llm import ORACLE as LLM_ORACLE
+
+    return f"""
+    WITH q AS (
+        {LLM_ORACLE["docs_quality"]}
+    ), j AS (
+        SELECT q.doc_id, s.source, q.quality
+        FROM q JOIN (SELECT doc_id, source FROM documents) s
+          ON q.doc_id = s.doc_id
+    ), thr AS (
+        SELECT source, QUANTILE_CONT(quality, 0.25) AS p25
+        FROM j GROUP BY source
+    )
+    SELECT j.doc_id, j.source, j.quality, ROUND(thr.p25, 6) AS src_p25
+    FROM j JOIN thr ON j.source = thr.source
+    WHERE j.quality >= thr.p25
+    """
+
+
+ORACLE["docs_adaptive_quality_filter"] = _adaptive_quality_oracle
