@@ -1,0 +1,105 @@
+"""Distributed BPE merge learning — the first k merge rules of a
+byte-pair-encoding tokenizer, learned from a corpus (Sennrich et al.,
+"Neural Machine Translation of Rare Words with Subword Units", ACL 2016).
+
+The reference has no tokenizer surface (its text ops are normalization,
+SURVEY.md §2.9); this is north-star LLM-pipeline extension: training a
+tokenizer's merge table IS a corpus-scale aggregation problem.
+
+Execution shape (why this scales to 100 TB of text):
+
+- The corpus collapses ONCE to the word-type vocabulary (word, freq) —
+  the classic BPE trick: merges depend only on type frequencies, so all
+  further work is vocab-sized, not corpus-sized. The vocab frame stays
+  DISTRIBUTED (at web scale it is 10-100M types — too big to collect,
+  tiny compared to the corpus).
+- Each iteration is one explode→groupBy over the vocab (adjacent symbol
+  pairs weighted by word freq, map-side partial sums) and ONE 1-row
+  collect: the argmax pair. The driver holds only the k merge rules —
+  the sequential dependency between merges is inherent to BPE, and one
+  scalar per round is the minimum possible driver traffic.
+- The merge rewrite is a literal string REPLACE on the space-delimited
+  symbol string (' l l ' -> ' ll '), left-to-right non-overlapping in
+  every engine — map-side, no shuffle. Lineage is cut per iteration via
+  localCheckpoint (the label-propagation pattern) so the plan does not
+  grow with k.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def word_vocab(docs: DataFrame, text_col: str) -> DataFrame:
+    """(word, freq) type-frequency vocabulary over the standard tokenizer
+    (lowercase [a-z0-9] runs — functions.text.tokens)."""
+    from pmp_analytics_spark.functions.text import tokens
+
+    return (
+        docs.select(F.explode(tokens(F.col(text_col))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+def _symbolized(vocab: DataFrame) -> DataFrame:
+    # ' h e l l o ' — leading/trailing spaces make ' a b ' a safe literal
+    # replace boundary for every adjacent pair, including at word edges.
+    sym = F.concat(
+        F.lit(" "), F.concat_ws(" ", F.split(F.col("word"), "")), F.lit(" ")
+    )
+    return vocab.select("word", "freq", sym.alias("sym"))
+
+
+def _pair_counts(symed: DataFrame) -> DataFrame:
+    toks = F.split(F.trim(F.col("sym")), " ")
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 1),
+        lambda i: F.concat(
+            F.element_at(toks, i), F.lit("|"), F.element_at(toks, i + 1)
+        ),
+    )
+    return (
+        symed.where(F.size(toks) >= 2)
+        .select(F.explode(pairs).alias("pair"), "freq")
+        .groupBy("pair")
+        .agg(F.sum("freq").alias("pair_freq"))
+    )
+
+
+def bpe_learn_merges(
+    docs: DataFrame, text_col: str, n_merges: int
+) -> DataFrame:
+    """Learn the first ``n_merges`` BPE merge rules; returns a DataFrame
+    (rank, lhs, rhs, merged, pair_freq) with rank 1..n_merges in merge
+    order. Ties break deterministically by pair string ascending — the
+    same total order the SQL replay oracle uses, so the learned table is
+    engine-exact. Stops early if no pair remains (rank list shorter)."""
+    spark = docs.sparkSession
+    symed = _symbolized(word_vocab(docs, text_col)).localCheckpoint(eager=False)
+    merges: list[tuple[int, str, str, str, int]] = []
+    for rank in range(1, n_merges + 1):
+        best = (
+            _pair_counts(symed)
+            .orderBy(F.desc("pair_freq"), F.asc("pair"))
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        pair, pf = best[0]["pair"], int(best[0]["pair_freq"])
+        lhs, rhs = pair.split("|", 1)
+        merged = lhs + rhs
+        merges.append((rank, lhs, rhs, merged, pf))
+        symed = symed.withColumn(
+            "sym",
+            F.replace(
+                F.col("sym"),
+                F.lit(f" {lhs} {rhs} "),
+                F.lit(f" {merged} "),
+            ),
+        ).localCheckpoint(eager=False)
+    return spark.createDataFrame(
+        merges, "rank long, lhs string, rhs string, merged string, pair_freq long"
+    )

@@ -966,3 +966,72 @@ def docs_pps_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_chars").cast("long").alias("weight"),
         F.col("cum").cast("long").alias("cum"),
     )
+
+
+# --------------------------------------------------------------------------
+# Q: docs_bpe_merges — learn the first k BPE merge rules from the corpus
+# (operators/bpe.py: corpus → word-type vocab once, then k vocab-sized
+# explode→groupBy rounds with a 1-row argmax collect each — the driver
+# holds only the merge table). The oracle REPLAYS the identical
+# iterative algorithm as k unrolled CTE stages (pair count → argmax with
+# the same (freq DESC, pair ASC) tie-break → literal boundary-delimited
+# REPLACE), so the learned merge table is engine-exact end-to-end —
+# an iterative algorithm with a FULL value oracle, not a rows-only check.
+# --------------------------------------------------------------------------
+_BPE_K = 8
+
+
+def _bpe_oracle() -> str:
+    chars = "LIST_TRANSFORM(GENERATE_SERIES(1, LENGTH(word)), i -> SUBSTRING(word, i, 1))"
+    stages = [
+        f"""vocab AS MATERIALIZED (
+        SELECT t AS word, COUNT(*) AS freq
+        FROM (SELECT UNNEST({_DUCK_TOKENS}) AS t FROM documents)
+        GROUP BY t
+    ), v0 AS MATERIALIZED (
+        SELECT word, freq, ' ' || ARRAY_TO_STRING({chars}, ' ') || ' ' AS sym
+        FROM vocab
+    )"""
+    ]
+    for i in range(1, _BPE_K + 1):
+        prev = f"v{i - 1}"
+        stages.append(
+            f"""p{i} AS MATERIALIZED (
+        SELECT pair, SUM(freq) AS f FROM (
+            SELECT UNNEST(LIST_TRANSFORM(
+                       GENERATE_SERIES(1, LEN(toks) - 1),
+                       j -> toks[j] || '|' || toks[j + 1])) AS pair,
+                   freq
+            FROM (SELECT freq,
+                         LIST_FILTER(STRING_SPLIT(TRIM(sym), ' '), x -> x <> '') AS toks
+                  FROM {prev})
+            WHERE LEN(toks) >= 2
+        ) GROUP BY pair
+    ), b{i} AS MATERIALIZED (
+        SELECT pair, f FROM p{i} ORDER BY f DESC, pair ASC LIMIT 1
+    ), v{i} AS MATERIALIZED (
+        SELECT word, freq,
+               REPLACE(sym,
+                       (SELECT ' ' || REPLACE(pair, '|', ' ') || ' ' FROM b{i}),
+                       (SELECT ' ' || REPLACE(pair, '|', '') || ' ' FROM b{i})) AS sym
+        FROM {prev}
+    )"""
+        )
+    finals = "\n    UNION ALL\n    ".join(
+        f"""SELECT CAST({i} AS BIGINT) AS rank,
+           SPLIT_PART(pair, '|', 1) AS lhs,
+           SPLIT_PART(pair, '|', 2) AS rhs,
+           REPLACE(pair, '|', '') AS merged,
+           CAST(f AS BIGINT) AS pair_freq
+    FROM b{i}"""
+        for i in range(1, _BPE_K + 1)
+    )
+    return "WITH " + ",\n    ".join(stages) + "\n    " + finals
+
+
+@query("docs_bpe_merges", _bpe_oracle)
+def docs_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pmp_analytics_spark.operators.bpe import bpe_learn_merges
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_learn_merges(docs, "text", _BPE_K)

@@ -260,3 +260,58 @@ class TestDedupKeepBest:
         for r in rows:
             assert r["keep_chars"] == chars[r["keep_id"]]
             assert r["keep_chars"] >= chars[r["component"]]
+
+
+class TestBpeLearnMerges:
+    def _python_bpe(self, word_freqs, k):
+        """Reference implementation: Sennrich-style merges over a
+        type-frequency vocab, ties broken by pair tuple ascending."""
+        vocab = {tuple(w): f for w, f in word_freqs.items()}
+        out = []
+        for rank in range(1, k + 1):
+            counts = {}
+            for sym, f in vocab.items():
+                for a, b in zip(sym, sym[1:]):
+                    counts[(a, b)] = counts.get((a, b), 0) + f
+            if not counts:
+                break
+            (a, b), f = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+            out.append((rank, a, b, a + b, f))
+            merged = {}
+            for sym, fq in vocab.items():
+                new, i = [], 0
+                while i < len(sym):
+                    if i + 1 < len(sym) and sym[i] == a and sym[i + 1] == b:
+                        new.append(a + b)
+                        i += 2
+                    else:
+                        new.append(sym[i])
+                        i += 1
+                merged[tuple(new)] = merged.get(tuple(new), 0) + fq
+            vocab = merged
+        return out
+
+    def test_matches_reference_bpe(self, spark, tmp_path):
+        import random
+
+        from pmp_analytics_spark.operators.bpe import bpe_learn_merges
+
+        rng = random.Random(7)
+        words = ["".join(rng.choices("abcd", k=rng.randint(3, 8))) for _ in range(60)]
+        text = " ".join(rng.choices(words, k=400))
+        df = spark.createDataFrame([(text,)], "text string")
+        got = [tuple(r) for r in bpe_learn_merges(df, "text", 6).collect()]
+
+        freqs = {}
+        for w in text.split():
+            freqs[w] = freqs.get(w, 0) + 1
+        want = self._python_bpe(freqs, 6)
+        assert got == want
+
+    def test_early_stop_on_exhausted_pairs(self, spark):
+        from pmp_analytics_spark.operators.bpe import bpe_learn_merges
+
+        df = spark.createDataFrame([("ab ab",)], "text string")
+        got = [tuple(r) for r in bpe_learn_merges(df, "text", 5).collect()]
+        # only one mergeable pair exists; the loop must stop after it
+        assert got == [(1, "a", "b", "ab", 2)]
