@@ -249,3 +249,37 @@ def test_semantic_neardup_no_cartesian(spark, queries):
     cartesian all-pairs (the whole point of the SemDeDup shape)."""
     df = queries["embedding_semantic_neardup"](spark, SF)
     assert_no_cartesian_product(df)
+
+
+def test_adaptive_quality_thresholds_broadcast(spark, queries):
+    # per-source P25 thresholds join back map-side; the corpus never
+    # shuffles for the filter
+    df = queries["docs_adaptive_quality_filter"](spark, SF)
+    assert has_broadcast_hash_join(df)
+    assert_no_cartesian_product(df)
+
+
+def test_pps_sample_bounded_exchanges(spark, queries):
+    # prefix-sum machinery: range exchange (x2 — running_total evaluates
+    # its input twice, documented there), the n_partitions-row offsets
+    # agg, and the 1-row total agg; the offsets/total sides join back as
+    # broadcasts. Pin the static exchange count so a rewrite that starts
+    # shuffling the corpus per-row shows up here.
+    df = queries["docs_pps_sample"](spark, SF)
+    assert_no_cartesian_product(df)
+    assert count_exchanges(df) <= 10
+
+
+def test_dup_span_pipeline_no_cartesian(spark, queries):
+    # positions join the corpus-wide dup-gram set on the uniform hash;
+    # islands run per-doc — never all-pairs, never a single partition
+    for name in ("docs_dup_ngram_ratio", "docs_dup_spans"):
+        df = queries[name](spark, SF)
+        assert_no_cartesian_product(df)
+        plan = physical_plan(df)
+        assert "PartitionBy: []" not in plan
+
+
+def test_dedup_keep_best_no_cartesian(spark, queries):
+    df = queries["docs_dedup_keep_best"](spark, SF)
+    assert_no_cartesian_product(df)
