@@ -811,10 +811,9 @@ def docs_dup_ngram_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 # set arriving via an equi-join on the uniform 60-bit hash — never a
 # driver-side membership list.
 # --------------------------------------------------------------------------
-@query(
-    "docs_dup_spans",
-    f"""
-    WITH tk AS (SELECT doc_id, {_DUCK_TOKENS} AS toks FROM documents),
+# Shared CTE chain for the span queries: positions -> corpus-wide dup
+# grams -> merged maximal intervals (running-max islands per doc).
+_DUCK_SPAN_CTES = f"""WITH tk AS (SELECT doc_id, {_DUCK_TOKENS} AS toks FROM documents),
     pos AS (
         SELECT doc_id, CAST(LEN(toks) AS BIGINT) AS n_tokens,
                UNNEST(GENERATE_SERIES(1, LEN(toks) - {_DUPK - 1})) AS i,
@@ -845,26 +844,26 @@ def docs_dup_ngram_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id, n_tokens, span_id,
                MIN(i) AS s, MAX(e) AS e
         FROM numbered GROUP BY 1, 2, 3
-    )
-    SELECT doc_id,
-           CAST(COUNT(*) AS BIGINT) AS n_spans,
-           CAST(MAX(e - s + 1) AS BIGINT) AS max_span_tokens,
-           CAST(SUM(e - s + 1) AS BIGINT) AS dup_tokens,
-           ROUND(SUM(e - s + 1) * 1.0 / n_tokens, 6) AS dup_token_frac
-    FROM spans
-    GROUP BY doc_id, n_tokens
-    """,
-)
-def docs_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    )"""
+
+
+def _dup_span_frames(spark: SparkSession, sf_dir: str):
+    """Shared front half of the span queries: (toked, spans) — toked is
+    (doc_id, toks, n_tokens) for docs above the 8-token floor; spans are
+    the MERGED maximal duplicated-token intervals (doc_id, n_tokens,
+    span_id, s, e). Mirrors _DUCK_SPAN_CTES exactly."""
     from pmp_analytics_spark.functions.text import shingle_hash
 
     docs = load_table(spark, sf_dir, "documents")
-    toked = docs.select("doc_id", tokens(F.col("text")).alias("toks")).where(
-        F.size("toks") >= _DUPK
+    toked = docs.select(
+        "doc_id",
+        tokens(F.col("text")).alias("toks"),
+    ).where(F.size("toks") >= _DUPK).withColumn(
+        "n_tokens", F.size("toks").cast("long")
     )
     pos = toked.select(
         "doc_id",
-        F.size("toks").cast("long").alias("n_tokens"),
+        "n_tokens",
         "toks",
         F.explode(F.sequence(F.lit(1), F.size("toks") - (_DUPK - 1))).alias("i"),
     ).select(
@@ -897,6 +896,25 @@ def docs_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     spans = numbered.groupBy("doc_id", "n_tokens", "span_id").agg(
         F.min("i").alias("s"), F.max("e").alias("e")
     )
+    return toked, spans
+
+
+@query(
+    "docs_dup_spans",
+    f"""
+    {_DUCK_SPAN_CTES}
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_spans,
+           CAST(MAX(e - s + 1) AS BIGINT) AS max_span_tokens,
+           CAST(SUM(e - s + 1) AS BIGINT) AS dup_tokens,
+           ROUND(SUM(e - s + 1) * 1.0 / n_tokens, 6) AS dup_token_frac
+    FROM spans
+    GROUP BY doc_id, n_tokens
+    """,
+)
+
+def docs_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, spans = _dup_span_frames(spark, sf_dir)
     span_len = F.col("e") - F.col("s") + 1
     return (
         spans.groupBy("doc_id", "n_tokens")
@@ -1035,3 +1053,81 @@ def docs_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return bpe_learn_merges(docs, "text", _BPE_K)
+
+
+# --------------------------------------------------------------------------
+# Q: docs_dup_span_removal — the removal half of substring-level dedup
+# (Lee et al. 2022): rebuild each document's TOKEN STREAM with every
+# duplicated maximal span cut out. Output contract: the cleaned
+# space-joined token stream (normalization is the tokenizer's — casing
+# and punctuation are already gone at this stage of a pipeline), with
+# kept/removed counts; docs whose every token sits in a dup span come
+# back with empty text, not silently dropped. Movement: token positions
+# anti-join the (tiny, per-doc) span intervals on doc_id + range, the
+# per-doc rebuild is one sorted-collect aggregation — the same per-doc
+# partitioning the span extraction already used, no new corpus shuffle.
+# --------------------------------------------------------------------------
+@query(
+    "docs_dup_span_removal",
+    f"""
+    {_DUCK_SPAN_CTES},
+    pos_all AS (
+        SELECT doc_id, UNNEST(GENERATE_SERIES(1, LEN(toks))) AS p,
+               UNNEST(toks) AS tok
+        FROM tk WHERE LEN(toks) >= {_DUPK}
+    ),
+    kept AS (
+        SELECT pa.doc_id, pa.p, pa.tok FROM pos_all pa ANTI JOIN spans s
+          ON pa.doc_id = s.doc_id AND pa.p BETWEEN s.s AND s.e
+    ),
+    ka AS (
+        SELECT doc_id,
+               ARRAY_TO_STRING(LIST(tok ORDER BY p), ' ') AS clean_text,
+               CAST(COUNT(*) AS BIGINT) AS n_kept
+        FROM kept GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           COALESCE(ka.clean_text, '') AS clean_text,
+           CAST(COALESCE(ka.n_kept, 0) AS BIGINT) AS n_kept,
+           CAST(LEN(t.toks) - COALESCE(ka.n_kept, 0) AS BIGINT) AS n_removed
+    FROM (SELECT doc_id, toks FROM tk WHERE LEN(toks) >= {_DUPK}) t
+    LEFT JOIN ka ON t.doc_id = ka.doc_id
+    """,
+)
+def docs_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toked, spans = _dup_span_frames(spark, sf_dir)
+    pos_all = toked.select(
+        "doc_id", "n_tokens", F.posexplode("toks").alias("p0", "tok")
+    ).select("doc_id", "n_tokens", (F.col("p0") + 1).alias("p"), "tok")
+    sp = spans.select(
+        F.col("doc_id").alias("s_doc"), F.col("s"), F.col("e")
+    )
+    kept = pos_all.join(
+        sp,
+        (F.col("doc_id") == F.col("s_doc"))
+        & (F.col("p") >= F.col("s"))
+        & (F.col("p") <= F.col("e")),
+        "left_anti",
+    )
+    ka = kept.groupBy("doc_id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("p", "tok"))),
+                lambda st: st.tok,
+            ),
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    return (
+        toked.select("doc_id", "n_tokens")
+        .join(ka, on="doc_id", how="left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+            (F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+        )
+    )

@@ -315,3 +315,33 @@ class TestBpeLearnMerges:
         got = [tuple(r) for r in bpe_learn_merges(df, "text", 5).collect()]
         # only one mergeable pair exists; the loop must stop after it
         assert got == [(1, "a", "b", "ab", 2)]
+
+
+class TestDupSpanRemoval:
+    def test_removal_exact(self, spark, tmp_path):
+        base = "a b c d e f g h i j"
+        uniq = " ".join(f"z{i}" for i in range(20))
+        embed = "x1 x2 a b c d e f g h y1"
+        two = "a b c d e f g h " + " ".join(f"u{i}" for i in range(5)) + " a b c d e f g h"
+        rows = [(0, base), (1, base), (2, uniq), (3, embed), (4, two)]
+        df = spark.createDataFrame(
+            [(i, t, "en", "fix", len(t)) for i, t in rows],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+        df.coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+
+        from pmp_analytics_spark.queries.pretrain import docs_dup_span_removal
+
+        got = {
+            r["doc_id"]: (r["clean_text"], r["n_kept"], r["n_removed"])
+            for r in docs_dup_span_removal(spark, str(tmp_path)).collect()
+        }
+        # whole-doc duplicates: everything cut, doc still present
+        assert got[0] == ("", 0, 10)
+        assert got[1] == ("", 0, 10)
+        # untouched doc round-trips its token stream
+        assert got[2] == (uniq, 20, 0)
+        # embedded copy: the copied 8-gram window [3,10] is cut
+        assert got[3] == ("x1 x2 y1", 3, 8)
+        # two non-adjacent spans cut; the unique middle survives
+        assert got[4] == ("u0 u1 u2 u3 u4", 5, 16)
