@@ -123,3 +123,28 @@ def test_foreach_batch_sink_idempotent(spark, tmp_path):
     # appends nothing — the exactly-once property under replay.
     write_batches_idempotent(stream, out, ckpt)
     assert spark.read.parquet(out).count() == events.count()
+
+
+def test_checkpoint_resume_processes_only_new_files(spark, tmp_path):
+    """Restart semantics under GROWTH: a stream that already drained files
+    A must, on restart with the same checkpoint, process ONLY newly-arrived
+    files — no reprocessing, no loss. This is the recovery contract a
+    24/7 ingest job leans on after every deploy/crash."""
+    from pmp_analytics_spark.streaming.sinks import write_batches_idempotent
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "landed")
+    ckpt = str(tmp_path / "ckpt")
+
+    spark.range(0, 10).selectExpr("id", "'a' AS tag").write.mode("append").parquet(src)
+    stream = spark.readStream.schema("id long, tag string").parquet(src)
+    write_batches_idempotent(stream, out, ckpt)
+    assert spark.read.parquet(out).count() == 10
+
+    spark.range(100, 115).selectExpr("id", "'b' AS tag").write.mode("append").parquet(src)
+    write_batches_idempotent(stream, out, ckpt)
+    landed = spark.read.parquet(out)
+    assert landed.count() == 25  # 10 old (once) + 15 new
+    assert landed.where("tag = 'a'").count() == 10
+    assert landed.where("tag = 'b'").count() == 15
+    assert landed.select("id").distinct().count() == 25
