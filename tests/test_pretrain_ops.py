@@ -345,3 +345,30 @@ class TestDupSpanRemoval:
         assert got[3] == ("x1 x2 y1", 3, 8)
         # two non-adjacent spans cut; the unique middle survives
         assert got[4] == ("u0 u1 u2 u3 u4", 5, 16)
+
+
+class TestSpanQueryCoherence:
+    def test_removal_counts_match_span_stats(self, spark):
+        """The two halves of substring-level dedup must agree on every
+        document: tokens the stats query reports as duplicated-span
+        coverage are exactly the tokens the removal query cuts."""
+        from pmp_analytics_spark.queries.pretrain import (
+            docs_dup_span_removal,
+            docs_dup_spans,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        stats = {
+            r["doc_id"]: r["dup_tokens"] for r in docs_dup_spans(spark, sf).collect()
+        }
+        removal = {
+            r["doc_id"]: r["n_removed"]
+            for r in docs_dup_span_removal(spark, sf).collect()
+        }
+        assert stats  # the corpus has duplicated spans at this sf
+        for doc_id, dup_tokens in stats.items():
+            assert removal[doc_id] == dup_tokens, doc_id
+        # every doc absent from the stats (no dup span) must lose nothing
+        for doc_id, n_removed in removal.items():
+            if doc_id not in stats:
+                assert n_removed == 0, doc_id
