@@ -855,12 +855,18 @@ def _dup_span_frames(spark: SparkSession, sf_dir: str):
     from pmp_analytics_spark.functions.text import shingle_hash
 
     docs = load_table(spark, sf_dir, "documents")
+    # Cached: the tokenized frame feeds three consumers (gram positions,
+    # the removal query's position stream, and the final doc-length join)
+    # and the position stream two (df totals + the dup filter) — without
+    # the caches each consumer re-runs tokenize+hash from the scan, the
+    # dominant cost of the front half. Same discipline as the jaccard
+    # pipeline's cached exploded stream (operators/dedup.py).
     toked = docs.select(
         "doc_id",
         tokens(F.col("text")).alias("toks"),
     ).where(F.size("toks") >= _DUPK).withColumn(
         "n_tokens", F.size("toks").cast("long")
-    )
+    ).cache()
     pos = toked.select(
         "doc_id",
         "n_tokens",
@@ -871,7 +877,7 @@ def _dup_span_frames(spark: SparkSession, sf_dir: str):
         "n_tokens",
         "i",
         shingle_hash(F.concat_ws(" ", F.expr(f"slice(toks, i, {_DUPK})"))).alias("g"),
-    )
+    ).cache()
     tot = pos.groupBy("g").agg(F.count(F.lit(1)).alias("total"))
     dup = (
         pos.join(tot.where(F.col("total") >= 2), on="g")
