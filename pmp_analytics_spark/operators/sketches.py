@@ -1,0 +1,284 @@
+"""Mergeable probabilistic sketches: HyperLogLog cardinality and
+count-min frequency, built DETERMINISTICALLY on the repo's md5 hash
+family so the full sketch state — registers and counters, not just the
+final estimate — is replayable in ANSI SQL and hash-checkable against
+the DuckDB oracle.
+
+Why sketches at 100 TB: ``COUNT(DISTINCT key)`` shuffles every distinct
+key to its reducer — at billions of keys that is the dominant exchange
+of the whole job. An HLL register array is ``m`` small integers per
+group REGARDLESS of input size: the map side folds every row into a
+(register, rho) pair, partial-MAX combines locally, and the shuffle
+carries at most ``m`` rows per group per partition. A count-min sketch
+likewise bounds frequency state to ``d*w`` counters with map-side
+partial SUM. Both are MERGEABLE (cell-wise max / sum), which is what
+makes them partition-, micro-batch-, and day-rollup-friendly: partials
+combine associatively, so the same sketch serves a 1000-executor batch
+job and an incremental daily pipeline.
+
+Determinism contract (what makes the oracle exact):
+- the value hash is the repo-wide 60-bit md5 idiom
+  (``conv(substring(md5(x), 1, 15), 16, 10)``), identical in DuckDB as
+  ``CAST(('0x' || SUBSTRING(MD5(x), 1, 15)) AS BIGINT)``;
+- HLL register math stays in exact BIGINT arithmetic: the harmonic-mean
+  denominator is kept as the integer ``S = sum(2^(maxrho - M[j]))``
+  (each term a dyadic integer, sum < 2^63), so cross-engine float
+  summation order never enters; the only float ops are one literal
+  division and (small-range branch) one ``ln`` — both deterministic to
+  well below the harness's 9-decimal rounding;
+- CMS is pure integer counting.
+
+Published basis: Flajolet, Fusy, Gandouet, Meunier, "HyperLogLog: the
+analysis of a near-optimal cardinality estimation algorithm" (AofA
+2007), including the small-range linear-counting correction; Cormode &
+Muthukrishnan, "An improved data stream summary: the count-min sketch
+and its applications" (J. Algorithms 2005). Reference-repo parity
+anchor: the scripts' exact ``n_unique`` / ``value_counts`` sanity
+counts (e.g. /root/reference/awarxe_cleanup.py's distinct-count
+checks) — the operators here are their bounded-state form at scales
+where exact distinct is the bottleneck.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+HASH_BITS = 60  # the md5-substring idiom yields a uniform 60-bit int
+
+
+def _hash60(col) -> F.Column:
+    """Uniform 60-bit integer hash of a column's string form — the same
+    md5 family every dedup/sampling operator in this repo uses, chosen
+    because DuckDB reproduces it bit-for-bit."""
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10).cast("long")
+
+
+def hll_alpha(m: int) -> float:
+    """Bias-correction constant from the HLL paper (m >= 128 form)."""
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def hll_registers(
+    df: DataFrame, key_col: str, group_cols: list[str], p: int = 8
+) -> DataFrame:
+    """Per-group HLL register array as rows ``group_cols + (j, reg)``.
+
+    ``j`` is the low ``p`` hash bits (register index); ``reg`` is the
+    register value ``max(rho)`` where ``rho`` = 1 + leading zeros of the
+    remaining ``HASH_BITS - p`` bits. Only OBSERVED registers appear;
+    absent registers are implicitly 0 (``hll_cardinality`` accounts for
+    them exactly). The groupBy partial-MAX combines map-side, so the
+    shuffle is bounded by ``m = 2**p`` rows per group per partition —
+    the whole point of the sketch at 100 TB.
+
+    Register frames are MERGEABLE: union two of them and re-run
+    ``max(reg)`` per (group, j) to combine days / sources / streams.
+    """
+    m = 1 << p
+    width = HASH_BITS - p
+    h = _hash60(F.col(key_col))
+    w = F.shiftright(h, p)
+    # bit_length via bin(): bin(0) = '0' (length 1), so w = 0 is its own
+    # branch (all `width` bits are zero -> rho = width + 1).
+    rho = F.when(w == 0, F.lit(width + 1)).otherwise(
+        F.lit(width + 1) - F.length(F.bin(w))
+    )
+    return (
+        df.where(F.col(key_col).isNotNull())
+        .select(*group_cols, (h % m).alias("j"), rho.alias("rho"))
+        .groupBy(*group_cols, "j")
+        .agg(F.max("rho").alias("reg"))
+    )
+
+
+def hll_cardinality(
+    df: DataFrame,
+    key_col: str,
+    group_cols: list[str],
+    p: int = 8,
+    est_col: str = "est_distinct",
+) -> DataFrame:
+    """Per-group cardinality estimate ``group_cols + (est_col, <est_col>_s,
+    <est_col>_v)``.
+
+    The harmonic denominator is carried as the EXACT integer
+    ``S = sum_j 2^(maxrho - M[j])`` (empty registers contribute
+    ``2^maxrho``): every term is a power of two <= 2^(width+1) and the
+    sum of ``m`` of them stays under 2^63, so no float enters until the
+    single final division ``C / S`` with the precomputed literal
+    ``C = alpha * m^2 * 2^maxrho``. Small-range correction per the HLL
+    paper: if ``E_raw <= 2.5 m`` and some register is empty, fall back
+    to linear counting ``m * ln(m / V)``. The raw/linear branch choice
+    is a comparison of deterministic values, so both engines take the
+    same branch on the same data.
+
+    ``_s`` (the integer denominator) and ``_v`` (empty-register count)
+    are exposed so a checker can hash-match the sketch STATE, not just
+    the rounded estimate.
+    """
+    m = 1 << p
+    maxrho = HASH_BITS - p + 1
+    c_lit = hll_alpha(m) * m * m * float(1 << maxrho)
+    regs = hll_registers(df, key_col, group_cols, p)
+    agg = regs.groupBy(*group_cols).agg(
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {maxrho} - reg)")).alias("__s_obs"),
+        F.count(F.lit(1)).alias("__n_obs"),
+    )
+    s = (F.col("__s_obs") + (F.lit(m) - F.col("__n_obs")) * F.lit(1 << maxrho)).alias(
+        f"{est_col}_s"
+    )
+    v = (F.lit(m) - F.col("__n_obs")).alias(f"{est_col}_v")
+    raw = F.lit(c_lit) / F.col(f"{est_col}_s").cast("double")
+    linear = F.lit(float(m)) * F.log(F.lit(float(m)) / F.col(f"{est_col}_v"))
+    est = F.round(
+        F.when((raw <= F.lit(2.5 * m)) & (F.col(f"{est_col}_v") > 0), linear).otherwise(
+            raw
+        ),
+        2,
+    ).alias(est_col)
+    return agg.select(*group_cols, s, v).select(*group_cols, est, f"{est_col}_s", f"{est_col}_v")
+
+
+def hll_oracle_sql(
+    key_expr: str,
+    group_cols: list[str],
+    table_sql: str,
+    p: int = 8,
+    est_col: str = "est_distinct",
+) -> str:
+    """DuckDB replay of ``hll_cardinality`` — same hash, same integer
+    register math, same literals, same branch predicate. ``key_expr``
+    must already be the VARCHAR form of the key (mirroring the
+    cast-to-string inside ``_hash60``)."""
+    m = 1 << p
+    maxrho = HASH_BITS - p + 1
+    c_lit = repr(hll_alpha(m) * m * m * float(1 << maxrho))
+    g = ", ".join(group_cols)
+    g_pref = f"{g}, " if g else ""
+    return f"""
+    WITH __h AS (
+        SELECT {g_pref}
+               CAST(('0x' || SUBSTRING(MD5({key_expr}), 1, 15)) AS BIGINT) AS hv
+        FROM {table_sql}
+        WHERE {key_expr} IS NOT NULL
+    ), __regs AS (
+        SELECT {g_pref} hv % {m} AS j,
+               MAX(CASE WHEN (hv >> {p}) = 0 THEN {maxrho}
+                        ELSE {maxrho} - LENGTH(BIN(hv >> {p})) END) AS reg
+        FROM __h GROUP BY {g_pref} j
+    ), __agg AS (
+        SELECT {g_pref}
+               CAST(SUM(1::BIGINT << ({maxrho} - reg)) AS BIGINT) AS s_obs,
+               COUNT(*) AS n_obs
+        FROM __regs GROUP BY {g if g else "ALL"}
+    ), __fin AS (
+        SELECT {g_pref}
+               s_obs + ({m} - n_obs) * (1::BIGINT << {maxrho}) AS {est_col}_s,
+               {m} - n_obs AS {est_col}_v
+        FROM __agg
+    )
+    SELECT {g_pref}
+           ROUND(CASE WHEN {c_lit} / CAST({est_col}_s AS DOUBLE) <= {2.5 * m}
+                       AND {est_col}_v > 0
+                      THEN {float(m)} * LN({float(m)} / {est_col}_v)
+                      ELSE {c_lit} / CAST({est_col}_s AS DOUBLE) END,
+                 2) AS {est_col},
+           {est_col}_s, {est_col}_v
+    FROM __fin
+    """
+
+
+def cms_sketch(df: DataFrame, key_col: str, d: int = 4, w: int = 512) -> DataFrame:
+    """Count-min sketch of ``key_col``'s frequencies as rows
+    ``(i, bucket, cnt)`` — ``d`` hash rows of ``w`` counters.
+
+    The per-row fan-out to ``d`` (row, bucket) pairs is MAP-LOCAL
+    (``explode`` of a literal array, no shuffle); the groupBy's partial
+    SUM collapses each partition to at most ``d*w`` cells before the
+    exchange, so shuffle volume is bounded by sketch size — not input
+    size. Sketches merge by unioning and re-summing per cell.
+    """
+    pairs = df.where(F.col(key_col).isNotNull()).select(
+        F.col(key_col).cast("string").alias("__k"),
+        F.explode(F.array(*[F.lit(i) for i in range(d)])).alias("i"),
+    )
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat_ws("|", F.col("i"), F.col("__k"))), 1, 15),
+            16,
+            10,
+        ).cast("long")
+        % w
+    )
+    return (
+        pairs.select("i", bucket.alias("bucket"))
+        .groupBy("i", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    candidates: DataFrame,
+    key_col: str,
+    d: int = 4,
+    w: int = 512,
+    est_col: str = "est_count",
+) -> DataFrame:
+    """Point-query the sketch for each candidate key: the classic
+    ``min_i sketch[i][h_i(key)]`` upper bound (never under-counts).
+
+    The sketch side is at most ``d*w`` rows — explicitly broadcast, so
+    the estimate is a map-side join however large the candidate set is.
+    """
+    cand = candidates.select(
+        F.col(key_col),
+        F.col(key_col).cast("string").alias("__k"),
+        F.explode(F.array(*[F.lit(i) for i in range(d)])).alias("i"),
+    )
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat_ws("|", F.col("i"), F.col("__k"))), 1, 15),
+            16,
+            10,
+        ).cast("long")
+        % w
+    )
+    return (
+        cand.select(key_col, "i", bucket.alias("bucket"))
+        .join(F.broadcast(sketch), ["i", "bucket"], "inner")
+        .groupBy(key_col)
+        .agg(F.min("cnt").alias(est_col))
+    )
+
+
+def cms_oracle_sql(
+    key_expr: str, table_sql: str, d: int = 4, w: int = 512, est_col: str = "est_count"
+) -> str:
+    """DuckDB replay of sketch-build + point-query for every distinct
+    key of the input (pure integer arithmetic — exact hash match)."""
+    return f"""
+    WITH __pairs AS (
+        SELECT CAST({key_expr} AS VARCHAR) AS k, i
+        FROM {table_sql} CROSS JOIN GENERATE_SERIES(0, {d - 1}) AS __g(i)
+        WHERE {key_expr} IS NOT NULL
+    ), __cells AS (
+        SELECT i,
+               CAST(('0x' || SUBSTRING(MD5(CAST(i AS VARCHAR) || '|' || k), 1, 15))
+                    AS BIGINT) % {w} AS bucket,
+               COUNT(*) AS cnt
+        FROM __pairs GROUP BY 1, 2
+    ), __cand AS (
+        SELECT DISTINCT CAST({key_expr} AS VARCHAR) AS k FROM {table_sql}
+        WHERE {key_expr} IS NOT NULL
+    ), __probe AS (
+        SELECT k, i,
+               CAST(('0x' || SUBSTRING(MD5(CAST(i AS VARCHAR) || '|' || k), 1, 15))
+                    AS BIGINT) % {w} AS bucket
+        FROM __cand CROSS JOIN GENERATE_SERIES(0, {d - 1}) AS __g(i)
+    )
+    SELECT p.k, CAST(MIN(c.cnt) AS BIGINT) AS {est_col}
+    FROM __probe p JOIN __cells c ON p.i = c.i AND p.bucket = c.bucket
+    GROUP BY p.k
+    """

@@ -18,7 +18,15 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from pmp_analytics_spark.queries import analytic, corpus, extended, llm, parity, pretrain
+from pmp_analytics_spark.queries import (
+    analytic,
+    corpus,
+    extended,
+    llm,
+    parity,
+    pretrain,
+    sketches,
+)
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -31,6 +39,7 @@ def all_queries() -> dict[str, QueryFn]:
     out.update(corpus.QUERIES)
     out.update(pretrain.QUERIES)
     out.update(analytic.QUERIES)
+    out.update(sketches.QUERIES)
     return out
 
 
@@ -52,6 +61,7 @@ def all_oracles(names: set[str] | None = None) -> dict[str, str]:
     out.update(corpus.ORACLE)
     out.update(pretrain.ORACLE)
     out.update(analytic.ORACLE)
+    out.update(sketches.ORACLE)
     resolved: dict[str, str] = {}
     for name, sql in out.items():
         if names is not None and name not in names:

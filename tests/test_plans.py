@@ -283,3 +283,30 @@ def test_dup_span_pipeline_no_cartesian(spark, queries):
 def test_dedup_keep_best_no_cartesian(spark, queries):
     df = queries["docs_dedup_keep_best"](spark, SF)
     assert_no_cartesian_product(df)
+
+
+def test_hll_query_bounded_exchanges(spark, queries):
+    # Sketch aggregation: every exchange carries register rows (<= m per
+    # group per partition) or per-type finals — never the key universe.
+    # 6 static exchanges: 2 register builds + 2 finalizes + exact-count
+    # agg + join alignment; the joins themselves broadcast (5 type rows).
+    df = queries["event_cardinality_hll"](spark, SF)
+    assert_no_cartesian_product(df)
+    assert has_broadcast_hash_join(df)
+    assert count_exchanges(df) <= 6
+
+
+def test_cms_query_broadcasts_sketch(spark, queries):
+    # The d*w-cell sketch and the 1-row totals must broadcast; the only
+    # shuffles key on (i, bucket) cells and the candidate ids.
+    df = queries["event_heavy_hitters_cms"](spark, SF)
+    assert has_broadcast_hash_join(df)
+    assert count_exchanges(df) <= 5
+
+
+def test_rollup_cascade_two_level_tree(spark, queries):
+    # Partial-reaggregation shape: exactly the hourly exchange and the
+    # daily exchange — a rewrite that re-reads raw rows for the daily
+    # layer would add a third.
+    df = queries["event_rollup_cascade"](spark, SF)
+    assert count_exchanges(df) <= 2

@@ -1,0 +1,112 @@
+"""Sketch operators (operators/sketches.py): accuracy, the one-sided CMS
+guarantee, mergeability (the property that makes sketches partition- and
+day-rollup-friendly), duplicate-insensitivity, and the bounded-shuffle /
+broadcast plan shapes."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pmp_analytics_spark.operators.sketches import (
+    cms_estimate,
+    cms_sketch,
+    hll_cardinality,
+    hll_registers,
+)
+from pmp_analytics_spark.plans import count_exchanges, has_broadcast_hash_join
+
+
+def _keys(spark, n, copies=1):
+    df = spark.range(n).select(F.concat(F.lit("key-"), F.col("id")).alias("k"))
+    for _ in range(copies - 1):
+        df = df.unionAll(df.limit(n))
+    return df
+
+
+def test_hll_accuracy_across_cardinalities(spark):
+    # m=256 -> ~6.5% typical relative error; assert a 3-sigma-ish 20%.
+    # Covers both estimator branches: 60 keys resolve via the
+    # linear-counting small-range correction, 6000 via the raw
+    # harmonic-mean path.
+    for n in (60, 600, 6000):
+        est = hll_cardinality(_keys(spark, n), "k", [], p=8).collect()[0]
+        assert abs(est["est_distinct"] - n) / n < 0.20, (n, est["est_distinct"])
+
+
+def test_hll_duplicate_insensitive(spark):
+    # Cardinality estimation must see THE SET, not the multiset: 5 copies
+    # of every key leave every register — and so the estimate — unchanged.
+    once = hll_cardinality(_keys(spark, 500), "k", [], p=8).collect()[0]
+    five = hll_cardinality(_keys(spark, 500, copies=5), "k", [], p=8).collect()[0]
+    assert once["est_distinct"] == five["est_distinct"]
+    assert once["est_distinct_s"] == five["est_distinct_s"]
+
+
+def test_hll_registers_merge(spark):
+    # Register arrays merge by cell-wise MAX: two disjoint halves' merged
+    # registers must equal the whole corpus's registers — the associativity
+    # that lets partials combine across executors / days / streams.
+    whole = _keys(spark, 1000)
+    h1 = whole.where(F.col("k") < "key-5")  # lexicographic split, disjoint
+    h2 = whole.where(~(F.col("k") < "key-5"))
+    merged = (
+        hll_registers(h1, "k", [], p=8)
+        .unionByName(hll_registers(h2, "k", [], p=8))
+        .groupBy("j")
+        .agg(F.max("reg").alias("reg"))
+    )
+    direct = hll_registers(whole, "k", [], p=8)
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, direct.collect()))
+
+
+def test_hll_bounded_shuffles(spark):
+    # Sketch's reason to exist: the plan shuffles register rows (<= m per
+    # group per partition), never the key universe. Two exchanges total:
+    # (group, j) register build + per-group finalize.
+    df = hll_cardinality(_keys(spark, 1000), "k", [], p=8)
+    assert count_exchanges(df) <= 2
+
+
+def test_cms_one_sided_and_tight(spark):
+    # key-i appears i times, i in 1..60 (1830 increments). CMS never
+    # under-counts; with d=4 rows of w=512 counters the deterministic
+    # md5-family layout keeps the worst overcount within the e/w bound's
+    # ballpark (assert <= 2 * e/w * N ~ 19 here).
+    n, total = 60, sum(range(1, 61))
+    base = spark.range(1, n + 1).select(
+        F.col("id"), F.explode(F.sequence(F.lit(1), F.col("id"))).alias("rep")
+    )
+    sketch = cms_sketch(base, "id", d=4, w=512)
+    est = cms_estimate(sketch, base.select("id").distinct(), "id", d=4, w=512)
+    rows = {
+        r["id"]: r["est_count"]
+        for r in est.collect()
+    }
+    bound = 2 * 2.718281828 / 512 * total
+    for i in range(1, n + 1):
+        assert rows[i] >= i, (i, rows[i])
+        assert rows[i] - i <= bound, (i, rows[i], bound)
+
+
+def test_cms_sketch_merge(spark):
+    # Counter grids merge by cell-wise SUM: sketches of two disjoint
+    # halves, summed, equal the whole input's sketch.
+    base = spark.range(200).select((F.col("id") % 40).alias("k"))
+    h1 = base.where(F.col("k") < 20)
+    h2 = base.where(F.col("k") >= 20)
+    merged = (
+        cms_sketch(h1, "k", d=4, w=64)
+        .unionByName(cms_sketch(h2, "k", d=4, w=64))
+        .groupBy("i", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    direct = cms_sketch(base, "k", d=4, w=64)
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, direct.collect()))
+
+
+def test_cms_estimate_broadcasts_sketch(spark):
+    # The point-query join must broadcast the <= d*w-cell sketch, keeping
+    # the candidate side shuffle-free however large it is.
+    base = spark.range(500).select((F.col("id") % 100).alias("k"))
+    est = cms_estimate(cms_sketch(base, "k"), base.distinct(), "k")
+    assert has_broadcast_hash_join(est)
