@@ -41,7 +41,7 @@ where exact distinct is the bottleneck.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 HASH_BITS = 60  # the md5-substring idiom yields a uniform 60-bit int
@@ -187,6 +187,79 @@ def hll_oracle_sql(
            {est_col}_s, {est_col}_v
     FROM __fin
     """
+
+
+def kmv_sketch(
+    df: DataFrame, key_col: str, group_cols: list[str], k: int = 256
+) -> DataFrame:
+    """Per-group KMV (bottom-k / k-minimum-values) distinct sketch as
+    rows ``group_cols + (hv, r)`` — the ``k`` SMALLEST distinct 60-bit
+    hashes of the key, rank ``r`` in ascending hash order.
+
+    What KMV adds over HLL: the sketch is a uniform SAMPLE of the key
+    set's hash space, so two groups' sketches support SET-OPERATION
+    estimates (union via merged bottom-k, intersection via the matching
+    fraction inside the merged sketch — Beyer et al., "On synopses for
+    distinct-value estimation under multiset operations", SIGMOD 2007).
+    HLL registers can only union.
+
+    Scale shape: one shuffle on the uniform (group, hash) key whose
+    map-side partial dedupe bounds it to per-partition-distinct rows,
+    then the repo's two-window exact bottom-k cut (the
+    similarity_search pre-cut pattern): a (partition, group) local rank
+    bounds the global per-group window to O(partitions·k) rows, so no
+    reducer ever sorts a group's full distinct-hash stream. Sketches
+    MERGE by unioning rows, re-deduping on hv, and re-ranking to k.
+    """
+    h = _hash60(F.col(key_col))
+    distinct = (
+        df.where(F.col(key_col).isNotNull())
+        .select(*group_cols, h.alias("hv"))
+        .groupBy(*group_cols, "hv")
+        .agg(F.lit(1).alias("__one"))
+        .drop("__one")
+    )
+    w_local = Window.partitionBy("__pid", *group_cols).orderBy(F.asc("hv"))
+    pre = (
+        distinct.withColumn("__pid", F.spark_partition_id())
+        .withColumn("__lr", F.row_number().over(w_local))
+        .where(F.col("__lr") <= k)
+        .drop("__pid", "__lr")
+    )
+    w_glob = Window.partitionBy(*group_cols).orderBy(F.asc("hv"))
+    return pre.withColumn("r", F.row_number().over(w_glob)).where(F.col("r") <= k)
+
+
+def kmv_cardinality(
+    sketch: DataFrame,
+    group_cols: list[str],
+    k: int,
+    est_col: str = "est_distinct",
+) -> DataFrame:
+    """Distinct-count estimate per group from a ``kmv_sketch`` frame:
+    ``(k-1) * 2^HASH_BITS / h_(k)`` when the group filled its sketch
+    (Bar-Yossef et al.'s unbiased form), EXACT count when it holds fewer
+    than ``k`` hashes (the sketch then IS the distinct hash set). Both
+    engines take the same branch: the predicate compares exact integers.
+    Emits ``n_seen`` (sketch fill) and ``hv_k`` (the k-th hash, 0 when
+    unfilled) so the oracle pins sketch state, not just the estimate."""
+    num = float(k - 1) * float(1 << HASH_BITS)
+    agg = sketch.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_seen"),
+        F.max(F.when(F.col("r") == k, F.col("hv"))).alias("__hk"),
+    )
+    est = F.round(
+        F.when(F.col("n_seen") < k, F.col("n_seen").cast("double")).otherwise(
+            F.lit(num) / F.col("__hk").cast("double")
+        ),
+        2,
+    )
+    return agg.select(
+        *group_cols,
+        est.alias(est_col),
+        "n_seen",
+        F.coalesce(F.col("__hk"), F.lit(0)).alias("hv_k"),
+    )
 
 
 def cms_sketch(df: DataFrame, key_col: str, d: int = 4, w: int = 512) -> DataFrame:

@@ -18,11 +18,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pmp_analytics_spark.operators.sketches import (
+    HASH_BITS,
     cms_estimate,
     cms_oracle_sql,
     cms_sketch,
     hll_cardinality,
     hll_oracle_sql,
+    kmv_sketch,
 )
 from pmp_analytics_spark.sources.reader import load_table
 
@@ -159,6 +161,182 @@ def event_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
             "est_count",
             "true_count",
             (F.col("est_count") - F.col("true_count")).alias("overcount"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q: event_audience_overlap_kmv — KMV (bottom-k) sketch SET-OPERATION
+# estimates: for every pair of event types, the union / intersection of
+# their "active user-day" audiences estimated from two 256-hash
+# sketches, next to the exact values. This is the sketch HLL cannot be:
+# the bottom-k hash set is a uniform sample of the key space, so the
+# merged sketch estimates the union ((k-1)*2^60/h_(k)) and the matching
+# fraction inside it estimates the intersection (Beyer et al., SIGMOD
+# 2007). At 100 TB the exact side of this query is the one that dies
+# (it shuffles every distinct key); the sketch side moves <= k rows per
+# group. Integer sketch state (union_seen, inter_in_sketch) rides along
+# so the oracle pins the sketches, not just the rounded estimates.
+# --------------------------------------------------------------------------
+_KMV_K = 256
+_KMV_NUM = repr(float(_KMV_K - 1) * float(1 << HASH_BITS))
+_DUCK_UDAY = (
+    "CAST(user_id AS VARCHAR) || '|' || CAST(CAST(ts AS DATE) AS VARCHAR)"
+)
+
+
+@query(
+    "event_audience_overlap_kmv",
+    f"""
+    WITH __base AS (
+        SELECT DISTINCT event_type, {_DUCK_UDAY} AS uday
+        FROM events WHERE user_id IS NOT NULL
+    ), __dh AS (
+        SELECT DISTINCT event_type,
+               CAST(('0x' || SUBSTRING(MD5(uday), 1, 15)) AS BIGINT) AS hv
+        FROM __base
+    ), __sk AS (
+        SELECT event_type, hv,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hv) AS r
+        FROM __dh QUALIFY r <= {_KMV_K}
+    ), __pairs AS (
+        SELECT a.event_type AS et_a, b.event_type AS et_b
+        FROM (SELECT DISTINCT event_type FROM __base) a
+        JOIN (SELECT DISTINCT event_type FROM __base) b
+          ON a.event_type < b.event_type
+    ), __u AS (
+        SELECT DISTINCT et_a, et_b, hv FROM (
+            SELECT p.et_a, p.et_b, s.hv FROM __pairs p
+            JOIN __sk s ON s.event_type = p.et_a
+            UNION ALL
+            SELECT p.et_a, p.et_b, s.hv FROM __pairs p
+            JOIN __sk s ON s.event_type = p.et_b
+        )
+    ), __merged AS (
+        SELECT et_a, et_b, hv,
+               ROW_NUMBER() OVER (PARTITION BY et_a, et_b ORDER BY hv) AS r
+        FROM __u QUALIFY r <= {_KMV_K}
+    ), __flagged AS (
+        SELECT m.et_a, m.et_b, m.hv, m.r,
+               CASE WHEN sa.hv IS NOT NULL AND sb.hv IS NOT NULL THEN 1 ELSE 0 END AS in_both
+        FROM __merged m
+        LEFT JOIN __sk sa ON sa.event_type = m.et_a AND sa.hv = m.hv
+        LEFT JOIN __sk sb ON sb.event_type = m.et_b AND sb.hv = m.hv
+    ), __skagg AS (
+        SELECT et_a, et_b,
+               COUNT(*) AS union_seen,
+               CAST(SUM(in_both) AS BIGINT) AS inter_in_sketch,
+               MAX(CASE WHEN r = {_KMV_K} THEN hv END) AS hk
+        FROM __flagged GROUP BY 1, 2
+    ), __exact_n AS (
+        SELECT event_type, COUNT(*) AS n FROM __base GROUP BY 1
+    ), __exact_i AS (
+        SELECT a.event_type AS et_a, b.event_type AS et_b, COUNT(*) AS exact_inter
+        FROM __base a JOIN __base b
+          ON a.uday = b.uday AND a.event_type < b.event_type
+        GROUP BY 1, 2
+    ), __est AS (
+        SELECT et_a, et_b, union_seen, inter_in_sketch,
+               CASE WHEN union_seen < {_KMV_K} THEN CAST(union_seen AS DOUBLE)
+                    ELSE {_KMV_NUM} / CAST(hk AS DOUBLE) END AS eu
+        FROM __skagg
+    )
+    SELECT e.et_a, e.et_b,
+           na.n + nb.n - i.exact_inter AS exact_union,
+           i.exact_inter,
+           e.union_seen, e.inter_in_sketch,
+           ROUND(e.eu, 2) AS est_union,
+           ROUND((CAST(e.inter_in_sketch AS DOUBLE) / e.union_seen) * e.eu, 2)
+               AS est_inter
+    FROM __est e
+    JOIN __exact_i i ON e.et_a = i.et_a AND e.et_b = i.et_b
+    JOIN __exact_n na ON na.event_type = e.et_a
+    JOIN __exact_n nb ON nb.event_type = e.et_b
+    """,
+)
+def event_audience_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    # `base` feeds the sketch build AND both exact sides; `sk` feeds the
+    # merged-union arm and both membership probes — cache each so the
+    # events scan + distinct runs once, not per join arm.
+    base = ev.select(
+        "event_type",
+        F.concat_ws("|", F.col("user_id"), F.to_date("ts")).alias("uday"),
+    ).distinct().cache()
+    sk = kmv_sketch(base, "uday", ["event_type"], k=_KMV_K).cache()
+    types = base.select("event_type").distinct()
+    pairs = (
+        types.select(F.col("event_type").alias("et_a"))
+        .crossJoin(types.select(F.col("event_type").alias("et_b")))
+        .where(F.col("et_a") < F.col("et_b"))
+    )
+    ska = sk.select(F.col("event_type").alias("et_a"), "hv")
+    skb = sk.select(F.col("event_type").alias("et_b"), "hv")
+    merged_raw = (
+        pairs.join(ska, "et_a").select("et_a", "et_b", "hv")
+        .unionByName(pairs.join(skb, "et_b").select("et_a", "et_b", "hv"))
+        .distinct()
+    )
+    w_m = Window.partitionBy("et_a", "et_b").orderBy(F.asc("hv"))
+    merged = merged_raw.withColumn("r", F.row_number().over(w_m)).where(
+        F.col("r") <= _KMV_K
+    )
+    flagged = (
+        merged.join(ska.withColumn("__ina", F.lit(1)), ["et_a", "hv"], "left")
+        .join(skb.withColumn("__inb", F.lit(1)), ["et_b", "hv"], "left")
+        .select(
+            "et_a",
+            "et_b",
+            "hv",
+            "r",
+            (
+                (F.col("__ina").isNotNull() & F.col("__inb").isNotNull()).cast("int")
+            ).alias("in_both"),
+        )
+    )
+    skagg = flagged.groupBy("et_a", "et_b").agg(
+        F.count(F.lit(1)).alias("union_seen"),
+        F.sum("in_both").alias("inter_in_sketch"),
+        F.max(F.when(F.col("r") == _KMV_K, F.col("hv"))).alias("__hk"),
+    )
+    eu = F.when(
+        F.col("union_seen") < _KMV_K, F.col("union_seen").cast("double")
+    ).otherwise(F.lit(float(_KMV_NUM)) / F.col("__hk").cast("double"))
+    exact_n = base.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    a = base.select(F.col("event_type").alias("et_a"), "uday")
+    b = base.select(F.col("event_type").alias("et_b"), "uday")
+    exact_i = (
+        a.join(b, "uday")
+        .where(F.col("et_a") < F.col("et_b"))
+        .groupBy("et_a", "et_b")
+        .agg(F.count(F.lit(1)).alias("exact_inter"))
+    )
+    return (
+        skagg.withColumn("__eu", eu)
+        .join(exact_i, ["et_a", "et_b"])
+        .join(
+            F.broadcast(exact_n.select(F.col("event_type").alias("et_a"), F.col("n").alias("__na"))),
+            "et_a",
+        )
+        .join(
+            F.broadcast(exact_n.select(F.col("event_type").alias("et_b"), F.col("n").alias("__nb"))),
+            "et_b",
+        )
+        .select(
+            "et_a",
+            "et_b",
+            (F.col("__na") + F.col("__nb") - F.col("exact_inter")).alias("exact_union"),
+            "exact_inter",
+            "union_seen",
+            "inter_in_sketch",
+            F.round(F.col("__eu"), 2).alias("est_union"),
+            F.round(
+                (F.col("inter_in_sketch").cast("double") / F.col("union_seen"))
+                * F.col("__eu"),
+                2,
+            ).alias("est_inter"),
         )
     )
 

@@ -310,3 +310,12 @@ def test_rollup_cascade_two_level_tree(spark, queries):
     # layer would add a third.
     df = queries["event_rollup_cascade"](spark, SF)
     assert count_exchanges(df) <= 2
+
+
+def test_kmv_overlap_no_cartesian_on_data(spark, queries):
+    # The only nested-loop join is the 5x5 type-pair frame; every
+    # data-bearing join is hash-keyed, and the sketch/base subtrees are
+    # cached so the events scan runs once across the join arms.
+    df = queries["event_audience_overlap_kmv"](spark, SF)
+    assert "CartesianProduct" not in physical_plan(df)
+    assert has_broadcast_hash_join(df)

@@ -110,3 +110,44 @@ def test_cms_estimate_broadcasts_sketch(spark):
     base = spark.range(500).select((F.col("id") % 100).alias("k"))
     est = cms_estimate(cms_sketch(base, "k"), base.distinct(), "k")
     assert has_broadcast_hash_join(est)
+
+
+def test_kmv_exact_below_k(spark):
+    from pmp_analytics_spark.operators.sketches import kmv_cardinality, kmv_sketch
+
+    sk = kmv_sketch(_keys(spark, 100), "k", [], k=256)
+    row = kmv_cardinality(sk, [], k=256).collect()[0]
+    assert row["est_distinct"] == 100.0 and row["n_seen"] == 100
+
+
+def test_kmv_accuracy(spark):
+    # k=256 -> ~1/sqrt(k-2) ~ 6% typical relative error; assert 20%.
+    from pmp_analytics_spark.operators.sketches import kmv_cardinality, kmv_sketch
+
+    for n in (2000, 20000):
+        sk = kmv_sketch(_keys(spark, n), "k", [], k=256)
+        row = kmv_cardinality(sk, [], k=256).collect()[0]
+        assert row["n_seen"] == 256
+        assert abs(row["est_distinct"] - n) / n < 0.20, (n, row["est_distinct"])
+
+
+def test_kmv_merge(spark):
+    # Bottom-k sketches merge by union + dedupe + re-rank: merging two
+    # disjoint halves' sketches must reproduce the whole input's sketch.
+    from pyspark.sql import Window
+
+    from pmp_analytics_spark.operators.sketches import kmv_sketch
+
+    whole = _keys(spark, 3000)
+    h1 = whole.where(F.col("k") < "key-2")
+    h2 = whole.where(~(F.col("k") < "key-2"))
+    w = Window.partitionBy().orderBy(F.asc("hv"))
+    merged = (
+        kmv_sketch(h1, "k", [], k=128).select("hv")
+        .unionByName(kmv_sketch(h2, "k", [], k=128).select("hv"))
+        .distinct()
+        .withColumn("r", F.row_number().over(w))
+        .where(F.col("r") <= 128)
+    )
+    direct = kmv_sketch(whole, "k", [], k=128)
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, direct.collect()))
