@@ -100,7 +100,20 @@ def hll_cardinality(
     est_col: str = "est_distinct",
 ) -> DataFrame:
     """Per-group cardinality estimate ``group_cols + (est_col, <est_col>_s,
-    <est_col>_v)``.
+    <est_col>_v)`` — ``hll_finalize(hll_registers(...))``."""
+    return hll_finalize(hll_registers(df, key_col, group_cols, p), group_cols, p, est_col)
+
+
+def hll_finalize(
+    regs: DataFrame,
+    group_cols: list[str],
+    p: int = 8,
+    est_col: str = "est_distinct",
+) -> DataFrame:
+    """Estimate from a REGISTER frame (``hll_registers`` output, or any
+    merge/union of such frames — e.g. a streaming query's register state
+    table: register max is the streaming aggregation, this finalize runs
+    batch-side over the drained state).
 
     The harmonic denominator is carried as the EXACT integer
     ``S = sum_j 2^(maxrho - M[j])`` (empty registers contribute
@@ -120,7 +133,6 @@ def hll_cardinality(
     m = 1 << p
     maxrho = HASH_BITS - p + 1
     c_lit = hll_alpha(m) * m * m * float(1 << maxrho)
-    regs = hll_registers(df, key_col, group_cols, p)
     agg = regs.groupBy(*group_cols).agg(
         F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {maxrho} - reg)")).alias("__s_obs"),
         F.count(F.lit(1)).alias("__n_obs"),

@@ -23,6 +23,7 @@ from pmp_analytics_spark.operators.sketches import (
     cms_oracle_sql,
     cms_sketch,
     hll_cardinality,
+    hll_finalize,
     hll_oracle_sql,
     kmv_sketch,
 )
@@ -163,6 +164,37 @@ def event_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("est_count") - F.col("true_count")).alias("overcount"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Q: streaming_user_cardinality_hll — the HLL register array AS STREAMING
+# STATE: the register build (groupBy type+register, max rho) is the
+# stream's one stateful aggregation, drained per micro-batch into the
+# sink; the estimate finalizes BATCH-SIDE over the drained registers.
+# Because register max is associative/commutative, any micro-batch
+# split of the input yields byte-identical registers — so the oracle is
+# simply the BATCH HLL replay, and a pytest forces a multi-batch run to
+# pin the equivalence. This is the production shape for streaming
+# distinct counts: per-key dedup state (dropDuplicates) grows with the
+# keyspace; register state is fixed at m rows per group forever.
+# --------------------------------------------------------------------------
+@query(
+    "streaming_user_cardinality_hll",
+    hll_oracle_sql("CAST(user_id AS VARCHAR)", ["event_type"], "events", _HLL_P, "users_hll"),
+)
+def streaming_user_cardinality_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from pmp_analytics_spark.operators.sketches import hll_registers
+    from pmp_analytics_spark.streaming import read_event_stream, run_to_memory
+
+    name = f"stream_hll_{uuid.uuid4().hex[:12]}"
+    stream = read_event_stream(spark, sf_dir)
+    regs = hll_registers(
+        stream.select("event_type", "user_id"), "user_id", ["event_type"], p=_HLL_P
+    )
+    run_to_memory(regs, name, state_partitions=8)
+    return hll_finalize(spark.table(name), ["event_type"], p=_HLL_P, est_col="users_hll")
 
 
 # --------------------------------------------------------------------------

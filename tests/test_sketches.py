@@ -151,3 +151,46 @@ def test_kmv_merge(spark):
     )
     direct = kmv_sketch(whole, "k", [], k=128)
     assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, direct.collect()))
+
+
+def test_streaming_hll_registers_match_batch_across_batches(spark, tmp_path):
+    """Register max is associative, so ANY micro-batch split must yield
+    byte-identical registers to the batch build — pinned here with a
+    3-file drop consumed one file per trigger."""
+    import time
+
+    from pmp_analytics_spark.operators.sketches import hll_registers
+    from pmp_analytics_spark.sources.reader import load_table
+    from pmp_analytics_spark.streaming import run_to_memory
+
+    batch = load_table(spark, "/root/testdata/sf0.001", "events")
+    expected = sorted(
+        map(tuple, hll_registers(batch, "user_id", ["event_type"], p=8).collect())
+    )
+
+    src = tmp_path / "drops"
+    src.mkdir()
+    rows = batch.collect()
+    third = (len(rows) + 2) // 3
+    for i in range(3):
+        chunk = rows[i * third : (i + 1) * third]
+        spark.createDataFrame(chunk, batch.schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(src / f"drop_{i}"))
+        time.sleep(1.1)
+
+    sdf = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "*.parquet")
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    q = run_to_memory(
+        hll_registers(sdf, "user_id", ["event_type"], p=8),
+        "t_hll_regs_mb",
+        state_partitions=8,
+    )
+    assert len([p for p in q.recentProgress if p["numInputRows"] > 0]) >= 2
+    got = sorted(map(tuple, spark.table("t_hll_regs_mb").collect()))
+    assert got == expected and len(got) > 0
