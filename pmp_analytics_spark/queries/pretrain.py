@@ -1137,3 +1137,137 @@ def docs_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_removed"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Q: docs_perplexity_buckets — CCNet-style corpus partitioning (Wenzek et
+# al., "CCNet: Extracting High Quality Monolingual Datasets from Web
+# Crawl Data", LREC 2020): score every document's cross-entropy under a
+# corpus-trained smoothed bigram LM, convert to perplexity, and split
+# the corpus into head / middle / tail terciles (low perplexity = head =
+# cleanest text — the slice CCNet keeps for pretraining).
+#
+# Scale shape: the bigram stream is built JVM-side (zip_with over two
+# array slices, no Python) and CACHED — it feeds LM training and
+# per-doc scoring; LM counts map-side-combine; the score join keys on
+# the uniform (w1, w2); the tercile thresholds are a 1-row aggregate
+# broadcast back. Nothing funnels to a single partition except the
+# 1-row threshold frame.
+#
+# Determinism contract: smoothed probability arithmetic uses one shared
+# op order, per-doc cross-entropy rounds to 6 decimals BEFORE the
+# 2^h/percentile steps, perplexity rounds to 4 — so the tercile
+# thresholds interpolate identical inputs on both engines and the
+# bucket comparisons are engine-exact (the adaptive-quality-filter
+# quantization pattern).
+# --------------------------------------------------------------------------
+_PPL_T1 = 1.0 / 3.0
+_PPL_T2 = 2.0 / 3.0
+
+
+@query(
+    "docs_perplexity_buckets",
+    f"""
+    WITH tk AS (
+        SELECT doc_id, {_DUCK_TOKENS} AS toks FROM documents
+    ), bg AS (
+        SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+        FROM (
+            SELECT doc_id, toks, UNNEST(GENERATE_SERIES(1, LEN(toks) - 1)) AS i
+            FROM tk WHERE LEN(toks) >= 2
+        )
+    ), c12 AS (
+        SELECT w1, w2, COUNT(*) AS n12 FROM bg GROUP BY 1, 2
+    ), c1 AS (
+        SELECT w1, COUNT(*) AS n1 FROM bg GROUP BY 1
+    ), v AS (
+        SELECT COUNT(*) AS nv FROM c1
+    ), lm AS (
+        SELECT c12.w1, c12.w2,
+               -LOG2((CAST(n12 AS DOUBLE) + 0.5) /
+                     (CAST(n1 AS DOUBLE) + 0.5 * nv)) AS nll
+        FROM c12 JOIN c1 ON c12.w1 = c1.w1 CROSS JOIN v
+    ), scored AS (
+        SELECT bg.doc_id,
+               COUNT(*) AS n_bigrams,
+               ROUND(SUM(nll) / COUNT(*), 6) AS h
+        FROM bg JOIN lm ON bg.w1 = lm.w1 AND bg.w2 = lm.w2
+        GROUP BY 1
+    ), pp AS (
+        SELECT doc_id, n_bigrams, h, ROUND(POW(2.0, h), 4) AS ppl FROM scored
+    ), thr AS (
+        SELECT QUANTILE_CONT(ppl, {_PPL_T1!r}) AS t1,
+               QUANTILE_CONT(ppl, {_PPL_T2!r}) AS t2
+        FROM pp
+    )
+    SELECT doc_id, n_bigrams, h, ppl,
+           CASE WHEN ppl <= t1 THEN 'head'
+                WHEN ppl <= t2 THEN 'middle'
+                ELSE 'tail' END AS bucket,
+           ROUND(t1, 6) AS ppl_t1, ROUND(t2, 6) AS ppl_t2
+    FROM pp CROSS JOIN thr
+    """,
+)
+def docs_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.select("doc_id", tokens(F.col("text")).alias("toks")).where(
+        F.size("toks") >= 2
+    )
+    # one bigram stream feeds BOTH LM training and per-doc scoring
+    bg = toked.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("toks"), F.lit(1), F.size("toks") - 1),
+                F.slice(F.col("toks"), F.lit(2), F.size("toks") - 1),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("bg"),
+    ).select("doc_id", "bg.w1", "bg.w2").cache()
+    c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n12"))
+    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("n1"))
+    v = c1.agg(F.count(F.lit(1)).alias("nv"))
+    lm = (
+        c12.join(c1, "w1")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "w1",
+            "w2",
+            (
+                -F.log2(
+                    (F.col("n12").cast("double") + F.lit(0.5))
+                    / (F.col("n1").cast("double") + F.lit(0.5) * F.col("nv"))
+                )
+            ).alias("nll"),
+        )
+    )
+    scored = (
+        bg.join(lm, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.sum("nll") / F.count(F.lit(1)), 6).alias("h"),
+        )
+    )
+    pp = scored.select(
+        "doc_id",
+        "n_bigrams",
+        "h",
+        F.round(F.pow(F.lit(2.0), F.col("h")), 4).alias("ppl"),
+    )
+    thr = pp.agg(
+        F.percentile("ppl", F.lit(_PPL_T1)).alias("t1"),
+        F.percentile("ppl", F.lit(_PPL_T2)).alias("t2"),
+    )
+    return pp.crossJoin(F.broadcast(thr)).select(
+        "doc_id",
+        "n_bigrams",
+        "h",
+        "ppl",
+        F.when(F.col("ppl") <= F.col("t1"), F.lit("head"))
+        .when(F.col("ppl") <= F.col("t2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+        F.round("t1", 6).alias("ppl_t1"),
+        F.round("t2", 6).alias("ppl_t2"),
+    )

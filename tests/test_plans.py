@@ -319,3 +319,10 @@ def test_kmv_overlap_no_cartesian_on_data(spark, queries):
     df = queries["event_audience_overlap_kmv"](spark, SF)
     assert "CartesianProduct" not in physical_plan(df)
     assert has_broadcast_hash_join(df)
+
+
+def test_perplexity_buckets_plan(spark, queries):
+    # LM-score join keys on (w1, w2); thresholds ride a broadcast 1-row
+    # frame; the bigram stream is cached, not re-derived per consumer.
+    df = queries["docs_perplexity_buckets"](spark, SF)
+    assert "CartesianProduct" not in physical_plan(df)
