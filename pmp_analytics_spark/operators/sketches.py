@@ -338,6 +338,66 @@ def cms_estimate(
     )
 
 
+def bloom_build(
+    df: DataFrame, key_col: str, mbits: int = 1 << 16, d: int = 6
+) -> DataFrame:
+    """Bloom-filter membership sketch as a DISTINCT set-bit-position
+    frame (at most ``mbits`` rows regardless of input size): each key
+    sets ``d`` md5-family positions. The classic ingest pre-filter at
+    100 TB — probe a new batch against the corpus filter CHEAPLY (a
+    broadcast join), pay the exact dedup join only for bloom hits.
+    One-sided like CMS: false positives possible, false negatives never.
+    Filters MERGE by unioning position frames and re-distincting
+    (day-over-day corpus growth never rebuilds from scratch).
+    (Bloom, CACM 1970; the position-list rendering keeps the structure
+    relational and the oracle replay exact.)"""
+    keys = df.where(F.col(key_col).isNotNull()).select(
+        F.col(key_col).cast("string").alias("__k"),
+        F.explode(F.array(*[F.lit(i) for i in range(d)])).alias("i"),
+    )
+    pos = (
+        F.conv(
+            F.substring(F.md5(F.concat_ws("|", F.col("i"), F.col("__k"))), 1, 15),
+            16,
+            10,
+        ).cast("long")
+        % mbits
+    )
+    return keys.select(pos.alias("pos")).distinct()
+
+
+def bloom_probe(
+    positions: DataFrame,
+    candidates: DataFrame,
+    key_col: str,
+    mbits: int = 1 << 16,
+    d: int = 6,
+    hit_col: str = "bloom_hit",
+) -> DataFrame:
+    """Membership probe: a candidate is a bloom hit iff ALL ``d`` of its
+    positions are set. The position frame (<= ``mbits`` rows) broadcasts;
+    the candidate side never shuffles for the probe."""
+    cand = candidates.select(
+        F.col(key_col),
+        F.col(key_col).cast("string").alias("__k"),
+        F.explode(F.array(*[F.lit(i) for i in range(d)])).alias("i"),
+    )
+    pos = (
+        F.conv(
+            F.substring(F.md5(F.concat_ws("|", F.col("i"), F.col("__k"))), 1, 15),
+            16,
+            10,
+        ).cast("long")
+        % mbits
+    )
+    return (
+        cand.select(key_col, pos.alias("pos"))
+        .join(F.broadcast(positions.withColumn("__set", F.lit(1))), "pos", "left")
+        .groupBy(key_col)
+        .agg((F.count("__set") == d).cast("int").alias(hit_col))
+    )
+
+
 def cms_oracle_sql(
     key_expr: str, table_sql: str, d: int = 4, w: int = 512, est_col: str = "est_count"
 ) -> str:

@@ -1,6 +1,8 @@
 """Sketch + partial-reaggregation query pack: deterministic HyperLogLog
-cardinality, count-min heavy hitters, and a continuous-aggregate-style
-cascaded rollup. These are the bounded-state forms of the exact
+cardinality (batch AND as streaming state), count-min heavy hitters,
+KMV set-operation overlap, Bloom-filter ingest pre-filtering, and a
+continuous-aggregate-style cascaded rollup. These are the
+bounded-state forms of the exact
 distinct/frequency/rollup queries the rest of the registry runs — the
 operators a 100 TB deployment swaps in when ``COUNT(DISTINCT)`` and
 per-key counting become the dominant shuffle (see operators/sketches.py
@@ -425,4 +427,85 @@ def event_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("vsum"), 2).alias("total_value"),
         F.round(F.min("vmin"), 6).alias("min_value"),
         F.round(F.max("vmax"), 6).alias("max_value"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Q: docs_bloom_prefilter — Bloom-filter ingest pre-filter: the corpus
+# side's text fingerprints set a 2^16-bit / 6-hash filter (a <= mbits-row
+# DISTINCT position frame, mergeable day-over-day by union+distinct);
+# the incoming batch (docs_incremental_ingest's src15..19 split) probes
+# it with a broadcast join and reports each doc's bloom verdict next to
+# the exact membership truth — bloom_hit >= is_dup on every row (no
+# false negatives, the one-sided Bloom guarantee; a false POSITIVE shows
+# up as bloom_hit=1, is_dup=0). At 100 TB this is the shape that makes
+# incremental dedup cheap: the exact fp anti-join runs only on bloom
+# hits, and the filter is fixed-size state however large the corpus.
+# --------------------------------------------------------------------------
+_BLOOM_MBITS = 1 << 16
+_BLOOM_D = 6
+_BLOOM_BATCH = "('src15', 'src16', 'src17', 'src18', 'src19')"
+_BLOOM_POS = (
+    "CAST(('0x' || SUBSTRING(MD5(CAST(i AS VARCHAR) || '|' || fp), 1, 15)) "
+    f"AS BIGINT) % {_BLOOM_MBITS}"
+)
+
+
+@query(
+    "docs_bloom_prefilter",
+    f"""
+    WITH __batch AS (
+        SELECT doc_id, MD5(text) AS fp FROM documents
+        WHERE source IN {_BLOOM_BATCH}
+    ), __corpus AS (
+        SELECT DISTINCT MD5(text) AS fp FROM documents
+        WHERE source NOT IN {_BLOOM_BATCH}
+    ), __bpos AS (
+        SELECT DISTINCT {_BLOOM_POS} AS pos
+        FROM __corpus CROSS JOIN GENERATE_SERIES(0, {_BLOOM_D - 1}) AS __g(i)
+    ), __bfp AS (
+        SELECT DISTINCT fp FROM __batch
+    ), __probe AS (
+        SELECT fp, {_BLOOM_POS} AS pos
+        FROM __bfp CROSS JOIN GENERATE_SERIES(0, {_BLOOM_D - 1}) AS __g(i)
+    ), __hits AS (
+        SELECT p.fp,
+               CAST(CASE WHEN COUNT(b.pos) = {_BLOOM_D} THEN 1 ELSE 0 END AS INT)
+                   AS bloom_hit
+        FROM __probe p LEFT JOIN __bpos b ON p.pos = b.pos
+        GROUP BY 1
+    ), __dup AS (
+        SELECT f.fp, CAST(CASE WHEN c.fp IS NOT NULL THEN 1 ELSE 0 END AS INT)
+                   AS is_dup
+        FROM __bfp f LEFT JOIN __corpus c ON f.fp = c.fp
+    )
+    SELECT t.doc_id, t.fp, h.bloom_hit, d.is_dup
+    FROM __batch t
+    JOIN __hits h ON t.fp = h.fp
+    JOIN __dup d ON t.fp = d.fp
+    """,
+)
+def docs_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pmp_analytics_spark.operators.sketches import bloom_build, bloom_probe
+
+    docs = load_table(spark, sf_dir, "documents")
+    batch_sources = ["src15", "src16", "src17", "src18", "src19"]
+    batch = docs.where(F.col("source").isin(batch_sources)).select(
+        "doc_id", F.md5("text").alias("fp")
+    )
+    corpus = (
+        docs.where(~F.col("source").isin(batch_sources))
+        .select(F.md5("text").alias("fp"))
+        .distinct()
+    )
+    bpos = bloom_build(corpus, "fp", mbits=_BLOOM_MBITS, d=_BLOOM_D)
+    bfp = batch.select("fp").distinct()
+    hits = bloom_probe(bpos, bfp, "fp", mbits=_BLOOM_MBITS, d=_BLOOM_D)
+    dup = bfp.join(
+        corpus.withColumn("__c", F.lit(1)), "fp", "left"
+    ).select("fp", F.col("__c").isNotNull().cast("int").alias("is_dup"))
+    return (
+        batch.join(hits, "fp")
+        .join(dup, "fp")
+        .select("doc_id", "fp", "bloom_hit", "is_dup")
     )

@@ -194,3 +194,41 @@ def test_streaming_hll_registers_match_batch_across_batches(spark, tmp_path):
     assert len([p for p in q.recentProgress if p["numInputRows"] > 0]) >= 2
     got = sorted(map(tuple, spark.table("t_hll_regs_mb").collect()))
     assert got == expected and len(got) > 0
+
+
+def test_bloom_no_false_negatives_and_merge(spark):
+    from pmp_analytics_spark.operators.sketches import bloom_build, bloom_probe
+
+    members = spark.range(300).select(F.concat(F.lit("m-"), F.col("id")).alias("k"))
+    others = spark.range(300).select(F.concat(F.lit("x-"), F.col("id")).alias("k"))
+    f = bloom_build(members, "k", mbits=1 << 14, d=6)
+    got = {
+        r["k"]: r["bloom_hit"]
+        for r in bloom_probe(
+            f, members.unionByName(others), "k", mbits=1 << 14, d=6
+        ).collect()
+    }
+    # one-sided guarantee: every member hits
+    assert all(got[f"m-{i}"] == 1 for i in range(300))
+    # fp rate sanity at this load (300*6/16384 bits): non-members mostly miss
+    assert sum(got[f"x-{i}"] for i in range(300)) <= 15
+
+    # merge = union + distinct of position frames
+    h1 = members.where(F.col("k") < "m-2")
+    h2 = members.where(~(F.col("k") < "m-2"))
+    merged = (
+        bloom_build(h1, "k", mbits=1 << 14, d=6)
+        .unionByName(bloom_build(h2, "k", mbits=1 << 14, d=6))
+        .distinct()
+    )
+    assert sorted(r["pos"] for r in merged.collect()) == sorted(
+        r["pos"] for r in f.collect()
+    )
+
+
+def test_bloom_probe_broadcasts_filter(spark):
+    from pmp_analytics_spark.operators.sketches import bloom_build, bloom_probe
+
+    base = spark.range(500).select(F.col("id").cast("string").alias("k"))
+    probe = bloom_probe(bloom_build(base, "k"), base, "k")
+    assert has_broadcast_hash_join(probe)
