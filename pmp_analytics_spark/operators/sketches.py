@@ -338,6 +338,94 @@ def cms_estimate(
     )
 
 
+def histogram_bins(
+    df: DataFrame, value_col: str, bins: int = 128
+) -> tuple[DataFrame, DataFrame]:
+    """Equi-width histogram of ``value_col``: returns ``(bin_counts,
+    bounds)`` where bin_counts is ``(bin, cnt)`` (at most ``bins`` rows —
+    the mergeable quantile state: bin counts SUM across partitions /
+    days / sources) and bounds is the 1-row ``(mn, mx, n)`` frame the
+    binning derives from.
+
+    Two narrow passes: a scalar min/max/count agg (broadcast back), then
+    the bin groupBy whose map-side partial collapses each partition to
+    <= bins rows before the exchange. The quantile estimate this feeds
+    (``histogram_quantiles``) replaces a full sort / exact percentile's
+    per-group value shuffle with ``bins`` integers — the classic
+    DB-statistics histogram, deterministic by construction (identical
+    float ops both engines, no rounding games needed).
+    """
+    vals = df.where(F.col(value_col).isNotNull()).select(
+        F.col(value_col).cast("double").alias("v")
+    )
+    bounds = vals.agg(
+        F.min("v").alias("mn"), F.max("v").alias("mx"), F.count(F.lit(1)).alias("n")
+    )
+    binned = vals.crossJoin(F.broadcast(bounds)).select(
+        F.when(F.col("mx") == F.col("mn"), F.lit(0))  # degenerate: one bin
+        .otherwise(
+            F.least(
+                F.floor(
+                    (F.col("v") - F.col("mn")) / (F.col("mx") - F.col("mn")) * bins
+                ),
+                F.lit(bins - 1),
+            )
+        )
+        .cast("long")
+        .alias("bin")
+    )
+    return binned.groupBy("bin").agg(F.count(F.lit(1)).alias("cnt")), bounds
+
+
+def histogram_quantiles(
+    bin_counts: DataFrame,
+    bounds: DataFrame,
+    qs: list[float],
+    bins: int = 128,
+) -> DataFrame:
+    """Interpolated quantile estimates from histogram state: rows
+    ``(q, est_value)``. The cumulative count uses a bounded
+    triangle self-join over the <= ``bins``-row frame (broadcast, no
+    single-partition window, no warning-path WindowExec); the estimate
+    linearly interpolates inside the first bin whose cumulative count
+    reaches ``q*n``: ``mn + (bin + (q*n - prev_cum)/cnt) * width`` with
+    one shared op order so an oracle replays it bit-for-bit."""
+    spark = bin_counts.sparkSession
+    a = bin_counts.select(F.col("bin"), F.col("cnt"))
+    b = bin_counts.select(F.col("bin").alias("b2"), F.col("cnt").alias("c2"))
+    cum = (
+        a.join(F.broadcast(b), F.col("b2") <= F.col("bin"))
+        .groupBy("bin", "cnt")
+        .agg(F.sum("c2").alias("cum"))
+    )
+    qdf = spark.range(1).select(
+        F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("q")
+    )
+    targets = qdf.crossJoin(F.broadcast(bounds)).select(
+        "q", "mn", "mx", "n", (F.col("q") * F.col("n").cast("double")).alias("target")
+    )
+    pick = (
+        targets.join(
+            F.broadcast(cum), F.col("cum") >= F.col("target"), "inner"
+        )
+        .groupBy("q", "mn", "mx", "n", "target")
+        .agg(F.min("bin").alias("bin"))
+    )
+    width = (F.col("mx") - F.col("mn")) / bins
+    frac = (F.col("target") - (F.col("cum") - F.col("cnt")).cast("double")) / F.col(
+        "cnt"
+    ).cast("double")
+    return (
+        pick.join(F.broadcast(cum), "bin")
+        .select(
+            "q",
+            (F.col("mn") + (F.col("bin").cast("double") + frac) * width).alias(
+                "est_value"
+            ),
+        )
+    )
+
+
 def bloom_build(
     df: DataFrame, key_col: str, mbits: int = 1 << 16, d: int = 6
 ) -> DataFrame:

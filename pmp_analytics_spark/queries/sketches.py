@@ -509,3 +509,151 @@ def docs_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(dup, "fp")
         .select("doc_id", "fp", "bloom_hit", "is_dup")
     )
+
+
+# --------------------------------------------------------------------------
+# Q: order_price_quantile_histogram — mergeable histogram quantiles (the
+# DB-statistics histogram as an operator): o_totalprice binned into 128
+# equi-width buckets (bin counts SUM across partitions/days — the
+# mergeable state), P50/P90/P99 linearly interpolated inside the first
+# bucket whose cumulative count reaches q*n, reported next to the exact
+# interpolated percentiles. At 100 TB the exact percentile shuffles the
+# value stream; the histogram shuffles 128 integers. The cumulative
+# step is a bounded triangle join over the 128-row frame (no
+# single-partition window). Deterministic by construction: identical
+# float ops both engines, so est_value hash-matches unrounded-then-
+# rounded; est error vs exact is bounded by one bucket width.
+# --------------------------------------------------------------------------
+_HQ_BINS = 128
+_HQ_QS = (0.5, 0.9, 0.99)
+
+
+@query(
+    "order_price_quantile_histogram",
+    f"""
+    WITH __bounds AS (
+        SELECT MIN(v) AS mn, MAX(v) AS mx, COUNT(*) AS n
+        FROM (SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders
+              WHERE o_totalprice IS NOT NULL)
+    ), __bins AS (
+        SELECT CASE WHEN mx = mn THEN 0
+                    ELSE LEAST(CAST(FLOOR((v - mn) / (mx - mn) * {_HQ_BINS})
+                                    AS BIGINT), {_HQ_BINS - 1}) END AS bin,
+               COUNT(*) AS cnt
+        FROM (SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders
+              WHERE o_totalprice IS NOT NULL) CROSS JOIN __bounds
+        GROUP BY 1
+    ), __cum AS (
+        SELECT a.bin, a.cnt, CAST(SUM(b.cnt) AS BIGINT) AS cum
+        FROM __bins a JOIN __bins b ON b.bin <= a.bin
+        GROUP BY a.bin, a.cnt
+    ), __qs AS (
+        SELECT UNNEST([{", ".join(repr(q) for q in _HQ_QS)}]::DOUBLE[]) AS q
+    ), __targets AS (
+        SELECT q, mn, mx, n, q * CAST(n AS DOUBLE) AS target
+        FROM __qs CROSS JOIN __bounds
+    ), __pick AS (
+        SELECT t.q, t.mn, t.mx, t.n, t.target, MIN(c.bin) AS bin
+        FROM __targets t JOIN __cum c ON c.cum >= t.target
+        GROUP BY 1, 2, 3, 4, 5
+    ), __est AS (
+        SELECT p.q, p.n,
+               p.mn + (CAST(p.bin AS DOUBLE) +
+                       (p.target - CAST(c.cum - c.cnt AS DOUBLE))
+                           / CAST(c.cnt AS DOUBLE))
+                      * ((p.mx - p.mn) / {_HQ_BINS}) AS est_value
+        FROM __pick p JOIN __cum c ON p.bin = c.bin
+    ), __exact AS (
+        SELECT QUANTILE_CONT(CAST(o_totalprice AS DOUBLE), 0.5) AS e50,
+               QUANTILE_CONT(CAST(o_totalprice AS DOUBLE), 0.9) AS e90,
+               QUANTILE_CONT(CAST(o_totalprice AS DOUBLE), 0.99) AS e99
+        FROM orders WHERE o_totalprice IS NOT NULL
+    )
+    SELECT q, n AS n_values,
+           ROUND(est_value, 4) AS est_value,
+           ROUND(CASE q WHEN 0.5 THEN e50 WHEN 0.9 THEN e90 ELSE e99 END, 4)
+               AS exact_value
+    FROM __est CROSS JOIN __exact
+    """,
+)
+def order_price_quantile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pmp_analytics_spark.operators.sketches import (
+        histogram_bins,
+        histogram_quantiles,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    bin_counts, bounds = histogram_bins(orders, "o_totalprice", bins=_HQ_BINS)
+    est = histogram_quantiles(bin_counts, bounds, list(_HQ_QS), bins=_HQ_BINS)
+    exact = orders.where(F.col("o_totalprice").isNotNull()).agg(
+        F.percentile(F.col("o_totalprice").cast("double"), F.lit(0.5)).alias("e50"),
+        F.percentile(F.col("o_totalprice").cast("double"), F.lit(0.9)).alias("e90"),
+        F.percentile(F.col("o_totalprice").cast("double"), F.lit(0.99)).alias("e99"),
+    )
+    n = bounds.select(F.col("n").alias("n_values"))
+    return (
+        est.crossJoin(F.broadcast(exact))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "q",
+            "n_values",
+            F.round("est_value", 4).alias("est_value"),
+            F.round(
+                F.when(F.col("q") == 0.5, F.col("e50"))
+                .when(F.col("q") == 0.9, F.col("e90"))
+                .otherwise(F.col("e99")),
+                4,
+            ).alias("exact_value"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q: event_daily_users_hll_cascade — the rollup EXACT COUNTS CANNOT DO:
+# daily distinct users reaggregated from HOURLY register partials.
+# Distinct counts don't sum across hours (a user active in 5 hours is
+# not 5 users), so an exact hourly rollup is useless for daily distinct
+# — but HLL registers merge by cell-wise max, so the hourly register
+# layer rolls up to days (weeks, months...) without ever re-reading raw
+# events. The Spark side builds (day, hour, register) partials and
+# MAX-merges them per day; the oracle computes per-day registers
+# directly — associativity of max makes the two byte-identical, which
+# is exactly the property the hash check pins. Exact daily distinct
+# rides along for the error comparison.
+# --------------------------------------------------------------------------
+@query(
+    "event_daily_users_hll_cascade",
+    f"""
+    WITH __d AS (
+        SELECT CAST(EPOCH(DATE_TRUNC('day', ts)) AS BIGINT) AS day_s,
+               user_id
+        FROM events WHERE user_id IS NOT NULL
+    ), __h AS (
+        {hll_oracle_sql("CAST(user_id AS VARCHAR)", ["day_s"], "__d", _HLL_P, "users_hll")}
+    ), __x AS (
+        SELECT day_s, COUNT(DISTINCT user_id) AS users_exact FROM __d GROUP BY 1
+    )
+    SELECT x.day_s, x.users_exact,
+           h.users_hll, h.users_hll_s, h.users_hll_v
+    FROM __x x JOIN __h h ON x.day_s = h.day_s
+    """,
+)
+def event_daily_users_hll_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pmp_analytics_spark.operators.sketches import hll_registers
+
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    keyed = ev.select(
+        F.unix_timestamp(F.date_trunc("day", "ts")).alias("day_s"),
+        F.unix_timestamp(F.date_trunc("hour", "ts")).alias("hour_s"),
+        "user_id",
+    )
+    # hourly partial layer (what a micro-batch pipeline would maintain)...
+    hourly = hll_registers(keyed, "user_id", ["day_s", "hour_s"], p=_HLL_P)
+    # ...MAX-merged up to days: no raw-event re-read, pure register math
+    daily = hourly.groupBy("day_s", "j").agg(F.max("reg").alias("reg"))
+    est = hll_finalize(daily, ["day_s"], p=_HLL_P, est_col="users_hll")
+    exact = keyed.groupBy("day_s").agg(F.countDistinct("user_id").alias("users_exact"))
+    return (
+        exact.join(est, "day_s")
+        .select("day_s", "users_exact", "users_hll", "users_hll_s", "users_hll_v")
+    )

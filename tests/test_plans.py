@@ -326,3 +326,18 @@ def test_perplexity_buckets_plan(spark, queries):
     # frame; the bigram stream is cached, not re-derived per consumer.
     df = queries["docs_perplexity_buckets"](spark, SF)
     assert "CartesianProduct" not in physical_plan(df)
+
+
+def test_histogram_quantile_bounded_plan(spark, queries):
+    # everything after the two narrow passes is <= bins rows; no
+    # CartesianProduct on data (the 1/3-row est/exact frames broadcast)
+    df = queries["order_price_quantile_histogram"](spark, SF)
+    assert "CartesianProduct" not in physical_plan(df)
+
+
+def test_hll_cascade_bounded_exchanges(spark, queries):
+    # hourly register build, daily max-merge, finalize, exact side +
+    # join alignment — register-row exchanges only, never raw re-reads
+    df = queries["event_daily_users_hll_cascade"](spark, SF)
+    assert_no_cartesian_product(df)
+    assert count_exchanges(df) <= 6

@@ -232,3 +232,69 @@ def test_bloom_probe_broadcasts_filter(spark):
     base = spark.range(500).select(F.col("id").cast("string").alias("k"))
     probe = bloom_probe(bloom_build(base, "k"), base, "k")
     assert has_broadcast_hash_join(probe)
+
+
+def test_histogram_quantiles_within_one_bucket(spark):
+    from pmp_analytics_spark.operators.sketches import (
+        histogram_bins,
+        histogram_quantiles,
+    )
+
+    # skewed-ish distribution: id^1.5 over 5000 rows
+    df = spark.range(1, 5001).select((F.pow(F.col("id"), 1.5)).alias("v"))
+    bins, bounds = histogram_bins(df, "v", bins=128)
+    est = {r["q"]: r["est_value"] for r in histogram_quantiles(bins, bounds, [0.5, 0.9, 0.99], bins=128).collect()}
+    exact = df.agg(
+        *[F.percentile("v", F.lit(q)).alias(f"e{q}") for q in (0.5, 0.9, 0.99)]
+    ).collect()[0]
+    b = bounds.collect()[0]
+    width = (b["mx"] - b["mn"]) / 128
+    for q in (0.5, 0.9, 0.99):
+        assert abs(est[q] - exact[f"e{q}"]) <= width, (q, est[q], exact[f"e{q}"], width)
+
+
+def test_histogram_bins_merge(spark):
+    from pmp_analytics_spark.operators.sketches import histogram_bins
+
+    df = spark.range(2000).select(F.col("id").cast("double").alias("v"))
+    whole, bounds = histogram_bins(df, "v", bins=64)
+    # halves binned against the WHOLE input's bounds (the merge contract:
+    # partials share the bound frame), summed cell-wise == whole
+    h1 = df.where(F.col("v") < 1000)
+    h2 = df.where(F.col("v") >= 1000)
+    import pyspark.sql.functions as FF
+
+    def bins_with(frame):
+        return (
+            frame.crossJoin(FF.broadcast(bounds))
+            .select(
+                FF.least(
+                    FF.floor((FF.col("v") - FF.col("mn")) / (FF.col("mx") - FF.col("mn")) * 64),
+                    FF.lit(63),
+                ).cast("long").alias("bin")
+            )
+            .groupBy("bin")
+            .agg(FF.count(FF.lit(1)).alias("cnt"))
+        )
+
+    merged = (
+        bins_with(h1).unionByName(bins_with(h2)).groupBy("bin").agg(FF.sum("cnt").alias("cnt"))
+    )
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, whole.collect()))
+
+
+def test_hll_cascade_equals_direct(spark):
+    # max-merge associativity on real data: hourly registers rolled up to
+    # days == registers built per day directly.
+    from pmp_analytics_spark.operators.sketches import hll_registers
+    from pmp_analytics_spark.sources.reader import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        F.unix_timestamp(F.date_trunc("day", "ts")).alias("day_s"),
+        F.unix_timestamp(F.date_trunc("hour", "ts")).alias("hour_s"),
+        "user_id",
+    )
+    hourly = hll_registers(ev, "user_id", ["day_s", "hour_s"], p=8)
+    cascaded = hourly.groupBy("day_s", "j").agg(F.max("reg").alias("reg"))
+    direct = hll_registers(ev, "user_id", ["day_s"], p=8)
+    assert sorted(map(tuple, cascaded.collect())) == sorted(map(tuple, direct.collect()))
