@@ -1016,3 +1016,54 @@ def streaming_custom_source_rollup(spark: SparkSession, sf_dir: str) -> DataFram
     name = f"pyds_rollup_{uuid.uuid4().hex[:12]}"
     run_to_memory(agg, name, output_mode="complete", state_partitions=8)
     return spark.table(name)
+
+
+# --------------------------------------------------------------------------
+# Q: nation_price_trend — per-group linear-regression aggregates (the
+# SQL:2003 REGR_* family, absent from the reference's Polars surface):
+# per nation, the OLS trend of order totalprice over order date —
+# regr_count/slope/intercept/r2 plus Pearson corr, all single-pass
+# co-moment aggregates (map-side partials, one shuffle on the 25-key
+# group). Both engines implement the standard definitions; results
+# round to absorb co-moment summation-order ulp noise.
+# --------------------------------------------------------------------------
+@query(
+    "nation_price_trend",
+    """
+    SELECT n.n_name AS nation,
+           CAST(REGR_COUNT(o.o_totalprice, x.d) AS BIGINT) AS n_orders,
+           ROUND(REGR_SLOPE(o.o_totalprice, x.d), 4) AS slope,
+           ROUND(REGR_INTERCEPT(o.o_totalprice, x.d), 2) AS intercept,
+           ROUND(REGR_R2(o.o_totalprice, x.d), 6) AS r2,
+           ROUND(CORR(o.o_totalprice, x.d), 6) AS pearson_r
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    CROSS JOIN LATERAL (SELECT CAST(DATE_DIFF('day', DATE '1970-01-01', CAST(o.o_orderdate AS DATE)) AS DOUBLE) AS d) x
+    GROUP BY 1
+    """,
+)
+def nation_price_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    joined = (
+        orders.join(
+            customer, orders["o_custkey"] == customer["c_custkey"]
+        )
+        .join(F.broadcast(nation), customer["c_nationkey"] == nation["n_nationkey"])
+        .select(
+            F.col("n_name").alias("nation"),
+            F.col("o_totalprice").alias("y"),
+            F.datediff("o_orderdate", F.lit("1970-01-01").cast("date"))
+            .cast("double")
+            .alias("d"),
+        )
+    )
+    return joined.groupBy("nation").agg(
+        F.regr_count("y", "d").alias("n_orders"),
+        F.round(F.regr_slope("y", "d"), 4).alias("slope"),
+        F.round(F.regr_intercept("y", "d"), 2).alias("intercept"),
+        F.round(F.regr_r2("y", "d"), 6).alias("r2"),
+        F.round(F.corr("y", "d"), 6).alias("pearson_r"),
+    )
