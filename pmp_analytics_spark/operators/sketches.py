@@ -54,6 +54,18 @@ def _hash60(col) -> F.Column:
     return F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10).cast("long")
 
 
+def _hash60_salted(i_col, key_col) -> F.Column:
+    """Seed-salted variant: hash of ``"<i>|<key>"``. The i-th hash row of
+    CMS and Bloom on BOTH the build and probe sides — one definition so
+    the sides cannot drift (a probe hashing differently from its build
+    would silently misalign buckets with no type error). Mirrored in SQL
+    as ``MD5(CAST(i AS VARCHAR) || '|' || key)`` (cms_oracle_sql,
+    queries/sketches.py's _BLOOM_POS)."""
+    return F.conv(
+        F.substring(F.md5(F.concat_ws("|", i_col, key_col)), 1, 15), 16, 10
+    ).cast("long")
+
+
 def hll_alpha(m: int) -> float:
     """Bias-correction constant from the HLL paper (m >= 128 form)."""
     return 0.7213 / (1.0 + 1.079 / m)
@@ -227,9 +239,7 @@ def kmv_sketch(
     distinct = (
         df.where(F.col(key_col).isNotNull())
         .select(*group_cols, h.alias("hv"))
-        .groupBy(*group_cols, "hv")
-        .agg(F.lit(1).alias("__one"))
-        .drop("__one")
+        .distinct()
     )
     w_local = Window.partitionBy("__pid", *group_cols).orderBy(F.asc("hv"))
     pre = (
@@ -288,14 +298,7 @@ def cms_sketch(df: DataFrame, key_col: str, d: int = 4, w: int = 512) -> DataFra
         F.col(key_col).cast("string").alias("__k"),
         F.explode(F.array(*[F.lit(i) for i in range(d)])).alias("i"),
     )
-    bucket = (
-        F.conv(
-            F.substring(F.md5(F.concat_ws("|", F.col("i"), F.col("__k"))), 1, 15),
-            16,
-            10,
-        ).cast("long")
-        % w
-    )
+    bucket = _hash60_salted(F.col("i"), F.col("__k")) % w
     return (
         pairs.select("i", bucket.alias("bucket"))
         .groupBy("i", "bucket")
@@ -316,25 +319,23 @@ def cms_estimate(
 
     The sketch side is at most ``d*w`` rows — explicitly broadcast, so
     the estimate is a map-side join however large the candidate set is.
+    Empty cells are not materialized as sketch rows, so the probe LEFT
+    joins and coalesces a missing cell to 0 — a key the sketch never saw
+    correctly estimates 0 instead of vanishing (all cells empty) or
+    over-reporting (some cells empty). NULL candidate keys are excluded,
+    matching the build side.
     """
-    cand = candidates.select(
+    cand = candidates.where(F.col(key_col).isNotNull()).select(
         F.col(key_col),
         F.col(key_col).cast("string").alias("__k"),
         F.explode(F.array(*[F.lit(i) for i in range(d)])).alias("i"),
     )
-    bucket = (
-        F.conv(
-            F.substring(F.md5(F.concat_ws("|", F.col("i"), F.col("__k"))), 1, 15),
-            16,
-            10,
-        ).cast("long")
-        % w
-    )
+    bucket = _hash60_salted(F.col("i"), F.col("__k")) % w
     return (
         cand.select(key_col, "i", bucket.alias("bucket"))
-        .join(F.broadcast(sketch), ["i", "bucket"], "inner")
+        .join(F.broadcast(sketch), ["i", "bucket"], "left")
         .groupBy(key_col)
-        .agg(F.min("cnt").alias(est_col))
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias(est_col))
     )
 
 
@@ -443,14 +444,7 @@ def bloom_build(
         F.col(key_col).cast("string").alias("__k"),
         F.explode(F.array(*[F.lit(i) for i in range(d)])).alias("i"),
     )
-    pos = (
-        F.conv(
-            F.substring(F.md5(F.concat_ws("|", F.col("i"), F.col("__k"))), 1, 15),
-            16,
-            10,
-        ).cast("long")
-        % mbits
-    )
+    pos = _hash60_salted(F.col("i"), F.col("__k")) % mbits
     return keys.select(pos.alias("pos")).distinct()
 
 
@@ -464,23 +458,33 @@ def bloom_probe(
 ) -> DataFrame:
     """Membership probe: a candidate is a bloom hit iff ALL ``d`` of its
     positions are set. The position frame (<= ``mbits`` rows) broadcasts;
-    the candidate side never shuffles for the probe."""
-    cand = candidates.select(
-        F.col(key_col),
-        F.col(key_col).cast("string").alias("__k"),
-        F.explode(F.array(*[F.lit(i) for i in range(d)])).alias("i"),
+    the candidate side never shuffles for the probe.
+
+    Candidates are de-duplicated (and NULLs dropped, matching the build
+    side) BEFORE the d-way explode: the hit criterion counts matched
+    rows against ``d``, so a duplicated candidate key — exactly the
+    ingest-batch-with-repeated-text case this pre-filter exists for —
+    would otherwise contribute 2d rows and report a FALSE NEGATIVE,
+    breaking the filter's one-sided guarantee. (Two distinct probe
+    positions colliding on one set bit still count twice — correct,
+    since each of the d hashes matched.) The positions frame is
+    re-distincted for the same reason: a merged-by-union filter must
+    not double-match."""
+    cand = (
+        candidates.where(F.col(key_col).isNotNull())
+        .select(key_col)
+        .distinct()
+        .select(
+            F.col(key_col),
+            F.col(key_col).cast("string").alias("__k"),
+            F.explode(F.array(*[F.lit(i) for i in range(d)])).alias("i"),
+        )
     )
-    pos = (
-        F.conv(
-            F.substring(F.md5(F.concat_ws("|", F.col("i"), F.col("__k"))), 1, 15),
-            16,
-            10,
-        ).cast("long")
-        % mbits
-    )
+    pos = _hash60_salted(F.col("i"), F.col("__k")) % mbits
+    bits = positions.select("pos").distinct().withColumn("__set", F.lit(1))
     return (
         cand.select(key_col, pos.alias("pos"))
-        .join(F.broadcast(positions.withColumn("__set", F.lit(1))), "pos", "left")
+        .join(F.broadcast(bits), "pos", "left")
         .groupBy(key_col)
         .agg((F.count("__set") == d).cast("int").alias(hit_col))
     )

@@ -298,3 +298,28 @@ def test_hll_cascade_equals_direct(spark):
     cascaded = hourly.groupBy("day_s", "j").agg(F.max("reg").alias("reg"))
     direct = hll_registers(ev, "user_id", ["day_s"], p=8)
     assert sorted(map(tuple, cascaded.collect())) == sorted(map(tuple, direct.collect()))
+
+
+def test_cms_estimate_absent_key_is_zero(spark):
+    # a key the sketch never saw must estimate 0 (empty cells coalesce),
+    # not vanish from the output or over-report from partial cell hits
+    base = spark.range(100).select(F.concat(F.lit("in-"), F.col("id")).alias("k"))
+    absent = spark.range(5).select(F.concat(F.lit("out-"), F.col("id")).alias("k"))
+    est = cms_estimate(cms_sketch(base, "k"), base.unionByName(absent), "k")
+    rows = {r["k"]: r["est_count"] for r in est.collect()}
+    assert len(rows) == 105  # every candidate gets a verdict
+    assert all(rows[f"in-{i}"] >= 1 for i in range(100))
+    # d=4/w=512 at 100 keys: odds of ALL FOUR cells colliding are nil
+    assert all(rows[f"out-{i}"] == 0 for i in range(5))
+
+
+def test_bloom_probe_duplicate_candidates_no_false_negative(spark):
+    # the ingest-batch case: the same key appears twice among candidates
+    # (two docs, identical text) — the probe must still report a hit
+    from pmp_analytics_spark.operators.sketches import bloom_build, bloom_probe
+
+    members = spark.range(50).select(F.concat(F.lit("m-"), F.col("id")).alias("k"))
+    dup_cands = members.unionByName(members)  # every key twice
+    f = bloom_build(members, "k")
+    got = {r["k"]: r["bloom_hit"] for r in bloom_probe(f, dup_cands, "k").collect()}
+    assert all(got[f"m-{i}"] == 1 for i in range(50))
