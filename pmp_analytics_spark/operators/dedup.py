@@ -737,6 +737,116 @@ def jaccard_prefix_join(
     )
 
 
+def containment_prefix_join(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_k: int = 5,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """EXACT asymmetric CONTAINMENT join: directional pairs (id_a, id_b)
+    with C(A,B) = |A∩B| / |A| ≥ t — "A's shingles are (mostly) inside
+    B". The case symmetric Jaccard structurally misses: a paragraph
+    quoted inside a much longer document has high containment but
+    Jaccard ≈ |A|/|B| → 0, yet it is exactly what contamination audits
+    and quote/inclusion detection need.
+
+    Prefix theory (the ProbeCount/prefix-filter shape of set joins —
+    same family as ``jaccard_prefix_join``, Bayardo et al. WWW 2007):
+    C ≥ t needs overlap o ≥ ⌈t·|A|⌉; if the intersection avoided A's
+    first |A| − ⌈t·|A|⌉ + 1 tokens (ascending-df order), it would fit in
+    a suffix of ⌈t·|A|⌉ − 1 < o tokens. So only the CONTAINED side (A)
+    prunes to a prefix; the containing side (B) is indexed in full —
+    containment puts no upper bound on |B|, so the only size prune is
+    the one-sided ``|B| ≥ ⌈t·|A|⌉``. Join keys stay rare because A's
+    prefix holds its rarest shingles (the measured df-ascending order
+    argument in ``jaccard_prefix_join``). Verify is candidate-sized:
+    full hash sets built only for candidate-involved docs (semi-join
+    first), intersection compared UNROUNDED against t·|A|.
+    """
+    ex = exploded_shingle_hashes(df, text_col, id_col, shingle_k)
+    toks = ex.distinct().cache()  # (id, __h): prefix source + verify sets
+    sizes = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n"))
+    df_tok = toks.groupBy("__h").agg(F.count(F.lit(1)).alias("__df"))
+    w_doc = Window.partitionBy(id_col).orderBy("__df", "__h")
+    # one ranked frame feeds BOTH sides (A's prefix filter, B's full
+    # index with positions) — the df join and per-doc rank window run
+    # once
+    ranked = (
+        toks.join(df_tok, on="__h")
+        .withColumn("__rn", F.row_number().over(w_doc))
+        .join(sizes, on=id_col)
+    )
+    pref_a = ranked.where(
+        F.col("__rn") <= F.col("__n") - F.ceil(F.lit(threshold) * F.col("__n")) + 1
+    ).select(
+        F.col(id_col).alias("id_a"),
+        F.col("__h").alias("__tok"),
+        F.col("__n").alias("__na"),
+        F.col("__rn").alias("__ra"),
+    )
+    index_b = ranked.select(
+        F.col(id_col).alias("id_b"),
+        F.col("__h").alias("__tok"),
+        F.col("__n").alias("__nb"),
+        F.col("__rn").alias("__rb"),
+    )
+    # positional bound (PPJoin adapted to containment): through a
+    # collision at ranks (ra, rb), overlap <= 1 + min(|A|-ra, |B|-rb);
+    # both sides share ONE global token order, so every other shared
+    # token follows the first shared token in both docs — keeping pairs
+    # where any collision meets ceil(t·|A|) is lossless, and the bound
+    # is pure integer math (no float slack needed).
+    need = F.ceil(F.lit(threshold) * F.col("__na"))
+    cand = (
+        pref_a.join(index_b, on="__tok")
+        .where(
+            (F.col("id_a") != F.col("id_b"))
+            # one-sided lossless size prune: |B| >= ceil(t·|A|)
+            & (F.col("__nb") >= need)
+            & (
+                F.lit(1)
+                + F.least(
+                    F.col("__na") - F.col("__ra"), F.col("__nb") - F.col("__rb")
+                )
+                >= need
+            )
+        )
+        .select("id_a", "id_b")
+        .distinct()
+        .cache()  # two consumers: id semi-join + pair join
+    )
+    cand_ids = _candidate_ids(cand, id_col)
+    sets = (
+        toks.join(F.broadcast(cand_ids), on=id_col, how="left_semi")
+        .groupBy(id_col)
+        .agg(F.collect_set("__h").alias("__sh"))
+        .withColumn("__n", F.size("__sh"))
+    )
+    return (
+        cand.join(
+            sets.select(
+                F.col(id_col).alias("id_a"),
+                F.col("__sh").alias("__sh_a"),
+                F.col("__n").alias("__n_a"),
+            ),
+            on="id_a",
+        )
+        .join(
+            sets.select(
+                F.col(id_col).alias("id_b"), F.col("__sh").alias("__sh_b")
+            ),
+            on="id_b",
+        )
+        .withColumn("__inter", F.size(F.array_intersect("__sh_a", "__sh_b")))
+        .withColumn(
+            "__c", F.col("__inter").cast("double") / F.col("__n_a")
+        )
+        .where(F.col("__c") >= threshold)
+        .select("id_a", "id_b", F.round("__c", 6).alias("containment"))
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",

@@ -484,6 +484,51 @@ def docs_jaccard_exact_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Q: docs_containment_pairs — EXACT asymmetric CONTAINMENT pairs:
+# directional (id_a, id_b) with |A∩B|/|A| >= t — "A quoted inside B",
+# the relation symmetric Jaccard structurally misses for size-mismatched
+# docs (J ≈ |A|/|B| → 0 while containment → 1). Prefix filtering prunes
+# only the contained side (see operators.dedup.containment_prefix_join);
+# the oracle is brute-force directional containment over the same hashed
+# shingle sets with the one-sided size prune. Same bounded slice and
+# framing as docs_jaccard_exact_pairs (the data's 2k-token universe
+# degenerates any exact set join; the operator is the scale-correct
+# formulation and is property-tested unbounded at small n).
+# --------------------------------------------------------------------------
+_CT_T = 0.8
+
+
+@query(
+    "docs_containment_pairs",
+    f"""
+    WITH sh AS (
+        SELECT doc_id, {_DUCK_SHINGLES} AS sh FROM documents
+        WHERE LENGTH(text) >= 5 AND doc_id < {_PJ_MAX_ID}
+    ), d AS (
+        SELECT doc_id, LIST_DISTINCT({_DUCK_SHINGLE_HASH}) AS s FROM sh
+    ), scored AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               LEN(LIST_INTERSECT(a.s, b.s)) * 1.0 / LEN(a.s) AS c
+        FROM d a JOIN d b
+          ON a.doc_id <> b.doc_id
+         AND LEN(b.s) >= CEIL({_CT_T} * LEN(a.s))
+    )
+    SELECT id_a, id_b, ROUND(c, 6) AS containment
+    FROM scored WHERE c >= {_CT_T}
+    """,
+)
+def docs_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pmp_analytics_spark.operators.dedup import containment_prefix_join
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") < _PJ_MAX_ID
+    )
+    return containment_prefix_join(
+        docs, text_col="text", id_col="doc_id", shingle_k=_SHINGLE_K, threshold=_CT_T
+    )
+
+
+# --------------------------------------------------------------------------
 # Q: embedding_topk — brute-force cosine top-k similarity search; the exact
 # baseline (queries broadcast, corpus scanned once, two-window top-k cut
 # — partition-local pre-cut, then a bounded per-query window).

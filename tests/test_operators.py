@@ -740,3 +740,49 @@ def test_semantic_neardup_cluster_bucketed_subset(spark):
     assert got == same_cell
     assert set(got) <= set(brute)
     assert len(got) > 0
+
+
+def test_containment_prefix_join_is_lossless(spark):
+    """The asymmetric containment join must return EXACTLY the
+    brute-force directional pair set — including the quote-in-document
+    case Jaccard misses (small A inside big B scores C ~= 1, J ~= |A|/|B|)."""
+    from pyspark.sql import functions as F
+
+    from pmp_analytics_spark.operators.dedup import (
+        containment_prefix_join,
+        hashed_shingle_frame,
+    )
+
+    quote = "the quick brown fox jumps over the lazy dog"
+    rows = [
+        (1, quote),
+        (2, "long document starts here " + quote + " and then continues with many other words about spark"),
+        (3, quote.replace("dog", "cat")),
+        (4, "entirely unrelated text about query optimization and shuffles"),
+        (5, quote),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    t = 0.8
+
+    sets = hashed_shingle_frame(df, "text", "doc_id").select(
+        "doc_id", F.array_distinct("__hs").alias("s")
+    )
+    a = sets.select(F.col("doc_id").alias("id_a"), F.col("s").alias("sa"))
+    b = sets.select(F.col("doc_id").alias("id_b"), F.col("s").alias("sb"))
+    brute = {
+        (r["id_a"], r["id_b"]): r["c"]
+        for r in a.join(b, F.col("id_a") != F.col("id_b"))
+        .withColumn("__i", F.size(F.array_intersect("sa", "sb")))
+        .withColumn("c", F.round(F.col("__i") / F.size("sa"), 6))
+        .where(F.col("c") >= t)
+        .collect()
+    }
+    got = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in containment_prefix_join(df, "text", "doc_id", threshold=t).collect()
+    }
+    assert got == brute
+    # the asymmetry is present: 1-contained-in-2 holds, 2-in-1 does not
+    assert (1, 2) in got and (2, 1) not in got
+    # and identical docs contain each other both ways
+    assert (1, 5) in got and (5, 1) in got

@@ -341,3 +341,10 @@ def test_hll_cascade_bounded_exchanges(spark, queries):
     df = queries["event_daily_users_hll_cascade"](spark, SF)
     assert_no_cartesian_product(df)
     assert count_exchanges(df) <= 6
+
+
+def test_containment_join_never_cartesian(spark, queries):
+    # asymmetric prefix join: A-prefix tokens equi-join B's full index —
+    # never a corpus x corpus product
+    df = queries["docs_containment_pairs"](spark, SF)
+    assert_no_cartesian_product(df)
