@@ -495,7 +495,7 @@ def docs_jaccard_exact_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # degenerates any exact set join; the operator is the scale-correct
 # formulation and is property-tested unbounded at small n).
 # --------------------------------------------------------------------------
-_CT_T = 0.8
+_CT_T = 0.9
 
 
 @query(
