@@ -583,6 +583,57 @@ def neardup_probe(
     return jaccard_pairs_from_exploded(cand, ex_b.union(history_ex), id_col, threshold)
 
 
+def _ranked_tokens(toks: DataFrame, id_col: str) -> DataFrame:
+    """Shared front half of the exact set-similarity joins: the distinct
+    (id, __h) stream annotated with the global ascending-df token rank
+    ``__rn`` within each doc and the doc's set size ``__n``. One df
+    shuffle + one per-doc rank window, reused by the Jaccard and
+    containment prefix joins (their prefix CONDITIONS differ; the order
+    must not — the positional filters' losslessness argument needs one
+    shared global token order)."""
+    sizes = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n"))
+    df_tok = toks.groupBy("__h").agg(F.count(F.lit(1)).alias("__df"))
+    w_doc = Window.partitionBy(id_col).orderBy("__df", "__h")
+    return (
+        toks.join(df_tok, on="__h")
+        .withColumn("__rn", F.row_number().over(w_doc))
+        .join(sizes, on=id_col)  # corpus-sized (one row per doc): plain join
+    )
+
+
+def _candidate_pair_sets(cand: DataFrame, toks: DataFrame, id_col: str) -> DataFrame:
+    """Shared verify plumbing: attach each candidate pair's full hash
+    sets and sizes — built ONLY for candidate-involved docs (semi-join
+    first) — plus the intersection size ``__inter``. Callers apply their
+    own score (Jaccard / containment) on top."""
+    cand_ids = _candidate_ids(cand, id_col)
+    sets = (
+        toks.join(F.broadcast(cand_ids), on=id_col, how="left_semi")
+        .groupBy(id_col)
+        .agg(F.collect_set("__h").alias("__sh"))
+        .withColumn("__n", F.size("__sh"))
+    )
+    return (
+        cand.join(
+            sets.select(
+                F.col(id_col).alias("id_a"),
+                F.col("__sh").alias("__sh_a"),
+                F.col("__n").alias("__n_a"),
+            ),
+            on="id_a",
+        )
+        .join(
+            sets.select(
+                F.col(id_col).alias("id_b"),
+                F.col("__sh").alias("__sh_b"),
+                F.col("__n").alias("__n_b"),
+            ),
+            on="id_b",
+        )
+        .withColumn("__inter", F.size(F.array_intersect("__sh_a", "__sh_b")))
+    )
+
+
 def jaccard_prefix_candidates(
     toks: DataFrame,
     id_col: str,
@@ -595,13 +646,8 @@ def jaccard_prefix_candidates(
     filter. Public so candidate-volume telemetry can A/B the filters —
     see ``jaccard_prefix_join`` for the full semantics and citations.
     """
-    sizes = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n"))
-    df_tok = toks.groupBy("__h").agg(F.count(F.lit(1)).alias("__df"))
-    w_doc = Window.partitionBy(id_col).orderBy("__df", "__h")
     pref = (
-        toks.join(df_tok, on="__h")
-        .withColumn("__rn", F.row_number().over(w_doc))
-        .join(sizes, on=id_col)  # corpus-sized (one row per doc): plain join
+        _ranked_tokens(toks, id_col)
         .where(
             F.col("__rn")
             <= F.col("__n") - F.ceil(F.lit(threshold) * F.col("__n")) + 1
@@ -705,28 +751,8 @@ def jaccard_prefix_join(
     toks = ex.distinct().cache()  # (id, __h): prefix source + verify sets
     cand = jaccard_prefix_candidates(toks, id_col, threshold).cache()
     # cached: two consumers (id semi-join + pair join)
-    cand_ids = _candidate_ids(cand, id_col)
-    sets = (
-        toks.join(F.broadcast(cand_ids), on=id_col, how="left_semi")
-        .groupBy(id_col)
-        .agg(F.collect_set("__h").alias("__sh"))
-        .withColumn("__n", F.size("__sh"))
-    )
-    sized = sets.select(F.col(id_col), "__sh", "__n")
     return (
-        cand.join(
-            sized.withColumnsRenamed(
-                {id_col: "id_a", "__sh": "__sh_a", "__n": "__n_a"}
-            ),
-            on="id_a",
-        )
-        .join(
-            sized.withColumnsRenamed(
-                {id_col: "id_b", "__sh": "__sh_b", "__n": "__n_b"}
-            ),
-            on="id_b",
-        )
-        .withColumn("__inter", F.size(F.array_intersect("__sh_a", "__sh_b")))
+        _candidate_pair_sets(cand, toks, id_col)
         .withColumn(
             "__j",
             F.col("__inter").cast("double")
@@ -766,17 +792,10 @@ def containment_prefix_join(
     """
     ex = exploded_shingle_hashes(df, text_col, id_col, shingle_k)
     toks = ex.distinct().cache()  # (id, __h): prefix source + verify sets
-    sizes = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n"))
-    df_tok = toks.groupBy("__h").agg(F.count(F.lit(1)).alias("__df"))
-    w_doc = Window.partitionBy(id_col).orderBy("__df", "__h")
     # one ranked frame feeds BOTH sides (A's prefix filter, B's full
     # index with positions) — the df join and per-doc rank window run
     # once
-    ranked = (
-        toks.join(df_tok, on="__h")
-        .withColumn("__rn", F.row_number().over(w_doc))
-        .join(sizes, on=id_col)
-    )
+    ranked = _ranked_tokens(toks, id_col)
     pref_a = ranked.where(
         F.col("__rn") <= F.col("__n") - F.ceil(F.lit(threshold) * F.col("__n")) + 1
     ).select(
@@ -816,29 +835,8 @@ def containment_prefix_join(
         .distinct()
         .cache()  # two consumers: id semi-join + pair join
     )
-    cand_ids = _candidate_ids(cand, id_col)
-    sets = (
-        toks.join(F.broadcast(cand_ids), on=id_col, how="left_semi")
-        .groupBy(id_col)
-        .agg(F.collect_set("__h").alias("__sh"))
-        .withColumn("__n", F.size("__sh"))
-    )
     return (
-        cand.join(
-            sets.select(
-                F.col(id_col).alias("id_a"),
-                F.col("__sh").alias("__sh_a"),
-                F.col("__n").alias("__n_a"),
-            ),
-            on="id_a",
-        )
-        .join(
-            sets.select(
-                F.col(id_col).alias("id_b"), F.col("__sh").alias("__sh_b")
-            ),
-            on="id_b",
-        )
-        .withColumn("__inter", F.size(F.array_intersect("__sh_a", "__sh_b")))
+        _candidate_pair_sets(cand, toks, id_col)
         .withColumn(
             "__c", F.col("__inter").cast("double") / F.col("__n_a")
         )

@@ -515,7 +515,7 @@ def cms_oracle_sql(
                     AS BIGINT) % {w} AS bucket
         FROM __cand CROSS JOIN GENERATE_SERIES(0, {d - 1}) AS __g(i)
     )
-    SELECT p.k, CAST(MIN(c.cnt) AS BIGINT) AS {est_col}
-    FROM __probe p JOIN __cells c ON p.i = c.i AND p.bucket = c.bucket
+    SELECT p.k, CAST(MIN(COALESCE(c.cnt, 0)) AS BIGINT) AS {est_col}
+    FROM __probe p LEFT JOIN __cells c ON p.i = c.i AND p.bucket = c.bucket
     GROUP BY p.k
     """

@@ -490,16 +490,20 @@ def docs_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     batch_sources = ["src15", "src16", "src17", "src18", "src19"]
+    # batch/corpus/bfp each feed two consumers (probe + exact-membership
+    # join) — cache so the documents scan + md5 + distinct run once per
+    # frame, not per consumer
     batch = docs.where(F.col("source").isin(batch_sources)).select(
         "doc_id", F.md5("text").alias("fp")
-    )
+    ).cache()
     corpus = (
         docs.where(~F.col("source").isin(batch_sources))
         .select(F.md5("text").alias("fp"))
         .distinct()
+        .cache()
     )
     bpos = bloom_build(corpus, "fp", mbits=_BLOOM_MBITS, d=_BLOOM_D)
-    bfp = batch.select("fp").distinct()
+    bfp = batch.select("fp").distinct().cache()
     hits = bloom_probe(bpos, bfp, "fp", mbits=_BLOOM_MBITS, d=_BLOOM_D)
     dup = bfp.join(
         corpus.withColumn("__c", F.lit(1)), "fp", "left"
@@ -584,6 +588,9 @@ def order_price_quantile_histogram(spark: SparkSession, sf_dir: str) -> DataFram
 
     orders = load_table(spark, sf_dir, "orders")
     bin_counts, bounds = histogram_bins(orders, "o_totalprice", bins=_HQ_BINS)
+    bounds = bounds.cache()  # 1-row frame, three consumers (binning,
+    # quantile targets, n_values) — without the cache each re-runs the
+    # full orders min/max/count aggregate
     est = histogram_quantiles(bin_counts, bounds, list(_HQ_QS), bins=_HQ_BINS)
     exact = orders.where(F.col("o_totalprice").isNotNull()).agg(
         F.percentile(F.col("o_totalprice").cast("double"), F.lit(0.5)).alias("e50"),
