@@ -1271,3 +1271,135 @@ def docs_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("t1", 6).alias("ppl_t1"),
         F.round("t2", 6).alias("ppl_t2"),
     )
+
+
+# --------------------------------------------------------------------------
+# Q: docs_pretrain_pipeline — the END-TO-END preprocessing funnel as ONE
+# DataFrame program: C4-style quality gate → exact dedup (keep-first on
+# the normalized-token fingerprint) → GPT-style sequence packing of the
+# survivors, with the funnel's attrition counters (n_input → n_quality →
+# n_unique) riding every output row. This is the composition check the
+# per-stage queries can't give: stage outputs feed stage inputs lazily
+# in one plan (one corpus scan for the gate+fingerprint, one uniform
+# fp shuffle, the two-phase prefix sum — no driver materialization
+# between stages), and the oracle replays the identical three-stage
+# funnel as chained CTEs built from the per-stage oracles' own idioms.
+# --------------------------------------------------------------------------
+@query(
+    "docs_pretrain_pipeline",
+    f"""
+    WITH feats AS (
+        SELECT doc_id,
+               {_DUCK_TOKENS} AS toks,
+               LENGTH(text) AS n,
+               LENGTH(REGEXP_REPLACE(text, '[A-Za-z0-9\\s]', '', 'g')) AS n_sym
+        FROM documents
+    ), scored AS (
+        SELECT doc_id, toks,
+               CAST(LEN(toks) AS BIGINT) AS n_tok,
+               CASE WHEN LEN(toks) > 0
+                    THEN LIST_SUM(LIST_TRANSFORM(toks, t -> LENGTH(t))) * 1.0 / LEN(toks)
+                    ELSE 0.0 END AS mwl,
+               CASE WHEN n > 0 THEN n_sym * 1.0 / n ELSE 0.0 END AS sym_ratio,
+               CASE WHEN LEN(toks) > 0
+                    THEN LEN(LIST_FILTER(toks, t -> LIST_CONTAINS(
+                        ['the','and','of','to','in','is','that','for','with','as'], t))) * 1.0 / LEN(toks)
+                    ELSE 0.0 END AS stop_ratio
+        FROM feats
+    ), kept AS (
+        SELECT doc_id, n_tok, MD5(ARRAY_TO_STRING(toks, ' ')) AS fp
+        FROM scored
+        WHERE n_tok >= 50 AND mwl >= 3 AND mwl <= 10
+          AND sym_ratio < 0.1 AND stop_ratio >= 0.05
+    ), uniq AS (
+        SELECT doc_id, n_tok FROM (
+            SELECT doc_id, n_tok,
+                   ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+            FROM kept
+        ) WHERE rn = 1
+    ), o AS (
+        SELECT doc_id, n_tok,
+               CAST(COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS off
+        FROM uniq
+    ), bins AS (
+        SELECT CAST(FLOOR(off / 512) AS BIGINT) AS bin_id,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+               MIN(doc_id) AS first_doc,
+               MAX(doc_id) AS last_doc
+        FROM o GROUP BY 1
+    ), funnel AS (
+        SELECT (SELECT COUNT(*) FROM documents) AS n_input,
+               (SELECT COUNT(*) FROM kept) AS n_quality,
+               (SELECT COUNT(*) FROM uniq) AS n_unique
+    )
+    SELECT bin_id, n_docs, n_tokens, first_doc, last_doc,
+           n_input, n_quality, n_unique
+    FROM bins CROSS JOIN funnel
+    """,
+)
+def docs_pretrain_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pmp_analytics_spark.functions.text import (
+        fingerprint,
+        mean_token_len,
+        punct_ratio,
+        stopword_ratio,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        F.col("text"),
+        token_count("text").cast("long").alias("n_tok"),
+        mean_token_len("text").alias("mwl"),
+        punct_ratio("text").alias("sym_ratio"),
+        stopword_ratio("text").alias("stop_ratio"),
+    )
+    # stage 1: C4-style quality gate (map-side predicate, no shuffle);
+    # the fingerprint is computed in the same projection so the corpus
+    # scan runs once for gate + dedup key. Cached: three consumers
+    # (dedup, the n_quality counter, and through uniq the packer).
+    kept = (
+        scored.where(
+            (F.col("n_tok") >= 50)
+            & (F.col("mwl") >= 3)
+            & (F.col("mwl") <= 10)
+            & (F.col("sym_ratio") < 0.1)
+            & (F.col("stop_ratio") >= 0.05)
+        )
+        .select("doc_id", "n_tok", fingerprint("text").alias("fp"))
+        .cache()
+    )
+    # stage 2: exact dedup keep-first — one shuffle on the uniform fp
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    uniq = (
+        kept.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select("doc_id", "n_tok")
+        .cache()
+    )
+    # stage 3: pack survivors — two-phase distributed prefix sum
+    packed = pack_sequences(uniq, id_col="doc_id", n_tokens_col="n_tok", budget=512)
+    bins = packed.groupBy("bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("n_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+    funnel = (
+        docs.agg(F.count(F.lit(1)).alias("n_input"))
+        .crossJoin(kept.agg(F.count(F.lit(1)).alias("n_quality")))
+        .crossJoin(uniq.agg(F.count(F.lit(1)).alias("n_unique")))
+    )
+    return bins.crossJoin(F.broadcast(funnel)).select(
+        "bin_id",
+        "n_docs",
+        "n_tokens",
+        "first_doc",
+        "last_doc",
+        "n_input",
+        "n_quality",
+        "n_unique",
+    )

@@ -664,3 +664,46 @@ def event_daily_users_hll_cascade(spark: SparkSession, sf_dir: str) -> DataFrame
         exact.join(est, "day_s")
         .select("day_s", "users_exact", "users_hll", "users_hll_s", "users_hll_v")
     )
+
+
+# --------------------------------------------------------------------------
+# Q: streaming_daily_users_hll_rollup — the full production distinct-count
+# shape: the STREAM maintains the finest-grained register layer (hourly
+# HLL registers — the one stateful agg, state = m rows per hour forever),
+# and ANY coarser granularity derives batch-side from the drained
+# registers by max-merge (here: daily). Combines the streaming-state
+# property of streaming_user_cardinality_hll with the cascade property
+# of event_daily_users_hll_cascade; the oracle is the direct per-day
+# batch replay, which max-associativity makes byte-identical to
+# stream-hourly-then-merge.
+# --------------------------------------------------------------------------
+@query(
+    "streaming_daily_users_hll_rollup",
+    f"""
+    WITH __d AS (
+        SELECT CAST(EPOCH(DATE_TRUNC('day', ts)) AS BIGINT) AS day_s,
+               user_id
+        FROM events WHERE user_id IS NOT NULL
+    ){hll_oracle_sql("CAST(user_id AS VARCHAR)", ["day_s"], "__d", _HLL_P, "users_hll").replace("WITH __h AS", ", __h AS", 1)}
+    """,
+)
+def streaming_daily_users_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from pmp_analytics_spark.operators.sketches import hll_registers
+    from pmp_analytics_spark.streaming import read_event_stream, run_to_memory
+
+    name = f"stream_hll_hr_{uuid.uuid4().hex[:12]}"
+    stream = read_event_stream(spark, sf_dir).where(F.col("user_id").isNotNull())
+    keyed = stream.select(
+        F.unix_timestamp(F.date_trunc("hour", "ts")).alias("hour_s"), "user_id"
+    )
+    hourly = hll_registers(keyed, "user_id", ["hour_s"], p=_HLL_P)
+    run_to_memory(hourly, name, state_partitions=8)
+    daily = (
+        spark.table(name)
+        .withColumn("day_s", F.col("hour_s") - F.col("hour_s") % 86400)
+        .groupBy("day_s", "j")
+        .agg(F.max("reg").alias("reg"))
+    )
+    return hll_finalize(daily, ["day_s"], p=_HLL_P, est_col="users_hll")

@@ -183,3 +183,15 @@ def test_view_purchase_pairs_multibatch_no_dropped_pairs(spark, tmp_path):
         (r.view_id, r.purchase_id) for r in spark.table("t_conv_pairs_mb").collect()
     )
     assert got == expected and len(got) > 0
+
+
+def test_pretrain_pipeline_funnel_invariants(spark):
+    """The funnel only narrows, and every surviving doc lands in exactly
+    one bin: n_input >= n_quality >= n_unique == sum(bins.n_docs)."""
+    from pmp_analytics_spark.queries.pretrain import docs_pretrain_pipeline
+
+    rows = docs_pretrain_pipeline(spark, SF).collect()
+    assert rows
+    r0 = rows[0]
+    assert r0["n_input"] >= r0["n_quality"] >= r0["n_unique"] > 0
+    assert sum(r["n_docs"] for r in rows) == r0["n_unique"]

@@ -348,3 +348,11 @@ def test_containment_join_never_cartesian(spark, queries):
     # never a corpus x corpus product
     df = queries["docs_containment_pairs"](spark, SF)
     assert_no_cartesian_product(df)
+
+
+def test_pretrain_pipeline_funnel_plan(spark, queries):
+    # stages chain lazily in ONE plan: map-side gate + fingerprint, one
+    # fp shuffle, prefix-sum packing; counters ride a broadcast 1-row
+    # frame
+    df = queries["docs_pretrain_pipeline"](spark, SF)
+    assert "CartesianProduct" not in physical_plan(df)
