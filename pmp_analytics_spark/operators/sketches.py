@@ -149,9 +149,14 @@ def hll_finalize(
         F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {maxrho} - reg)")).alias("__s_obs"),
         F.count(F.lit(1)).alias("__n_obs"),
     )
-    s = (F.col("__s_obs") + (F.lit(m) - F.col("__n_obs")) * F.lit(1 << maxrho)).alias(
-        f"{est_col}_s"
-    )
+    # coalesce: a global (no-group) aggregate over an EMPTY register
+    # frame still emits one row with a NULL sum — the empty set's S is
+    # all-registers-empty, and the linear-counting branch then yields
+    # exactly 0.
+    s = (
+        F.coalesce(F.col("__s_obs"), F.lit(0))
+        + (F.lit(m) - F.col("__n_obs")) * F.lit(1 << maxrho)
+    ).alias(f"{est_col}_s")
     v = (F.lit(m) - F.col("__n_obs")).alias(f"{est_col}_v")
     raw = F.lit(c_lit) / F.col(f"{est_col}_s").cast("double")
     linear = F.lit(float(m)) * F.log(F.lit(float(m)) / F.col(f"{est_col}_v"))
@@ -193,7 +198,7 @@ def hll_oracle_sql(
         FROM __h GROUP BY {g_pref} j
     ), __agg AS (
         SELECT {g_pref}
-               CAST(SUM(1::BIGINT << ({maxrho} - reg)) AS BIGINT) AS s_obs,
+               CAST(COALESCE(SUM(1::BIGINT << ({maxrho} - reg)), 0) AS BIGINT) AS s_obs,
                COUNT(*) AS n_obs
         FROM __regs GROUP BY {g if g else "ALL"}
     ), __fin AS (

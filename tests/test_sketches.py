@@ -323,3 +323,41 @@ def test_bloom_probe_duplicate_candidates_no_false_negative(spark):
     f = bloom_build(members, "k")
     got = {r["k"]: r["bloom_hit"] for r in bloom_probe(f, dup_cands, "k").collect()}
     assert all(got[f"m-{i}"] == 1 for i in range(50))
+
+
+def test_sketches_empty_and_degenerate_inputs(spark):
+    from pmp_analytics_spark.operators.sketches import (
+        bloom_build,
+        bloom_probe,
+        histogram_bins,
+        histogram_quantiles,
+        kmv_cardinality,
+        kmv_sketch,
+    )
+
+    empty = spark.range(0).select(F.col("id").cast("string").alias("k"))
+    # empty input: global (no-group) estimators emit ONE row — the
+    # correct estimate 0 (all registers empty -> linear counting; an
+    # unfilled KMV sketch IS the exact empty set)
+    hll_row = hll_cardinality(empty, "k", [], p=8).collect()
+    assert len(hll_row) == 1 and hll_row[0]["est_distinct"] == 0.0
+    kmv_row = kmv_cardinality(kmv_sketch(empty, "k", [], k=8), [], k=8).collect()
+    assert len(kmv_row) == 1 and kmv_row[0]["est_distinct"] == 0.0
+    assert cms_sketch(empty, "k").count() == 0
+    assert bloom_build(empty, "k").count() == 0
+    bins, bounds = histogram_bins(empty.select(F.col("k").cast("double").alias("v")), "v")
+    assert bins.count() == 0
+    assert histogram_quantiles(bins, bounds, [0.5]).count() == 0
+
+    # degenerate histogram: every value identical -> single bin 0, and
+    # every quantile estimate collapses to that value exactly
+    const = spark.range(100).select(F.lit(42.0).alias("v"))
+    bins, bounds = histogram_bins(const, "v", bins=64)
+    assert [tuple(r) for r in bins.collect()] == [(0, 100)]
+    ests = histogram_quantiles(bins, bounds, [0.5, 0.99], bins=64).collect()
+    assert all(r["est_value"] == 42.0 for r in ests)
+
+    # probing an empty bloom filter: every candidate misses, none error
+    some = spark.range(3).select(F.col("id").cast("string").alias("k"))
+    got = bloom_probe(bloom_build(empty, "k"), some, "k").collect()
+    assert len(got) == 3 and all(r["bloom_hit"] == 0 for r in got)
