@@ -133,18 +133,27 @@ def docs_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # is a pure-JVM expression over integer counts + one division, so the
 # booleans are bit-identical across engines (no float-boundary risk).
 # The keep decision is the conjunction — the corpus pre-filter shape.
+# The thresholds and the scored-features SQL fragment are module
+# constants: docs_pretrain_pipeline composes the SAME gate, so tuning a
+# threshold here cannot silently diverge the funnel from this stage.
 # --------------------------------------------------------------------------
-@query(
-    "docs_c4_filters",
-    f"""
-    WITH feats AS (
+C4_MIN_WORDS = 50
+C4_MWL_LO = 3
+C4_MWL_HI = 10
+C4_SYM_MAX = 0.1
+C4_STOP_MIN = 0.05
+
+# CTE fragment: `c4_scored` = (doc_id, toks, n_words, mwl, sym_ratio,
+# stop_ratio) over the documents table — shared by this query's oracle
+# and the pretraining funnel's.
+DUCK_C4_SCORED = f"""__c4_feats AS (
         SELECT doc_id,
                {_DUCK_TOKENS} AS toks,
                LENGTH(text) AS n,
                LENGTH(REGEXP_REPLACE(text, '[A-Za-z0-9\\s]', '', 'g')) AS n_sym
         FROM documents
-    ), r AS (
-        SELECT doc_id,
+    ), c4_scored AS (
+        SELECT doc_id, toks,
                CAST(LEN(toks) AS BIGINT) AS n_words,
                CASE WHEN LEN(toks) > 0
                     THEN LIST_SUM(LIST_TRANSFORM(toks, t -> LENGTH(t))) * 1.0 / LEN(toks)
@@ -154,19 +163,29 @@ def docs_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                     THEN LEN(LIST_FILTER(toks, t -> LIST_CONTAINS(
                         ['the','and','of','to','in','is','that','for','with','as'], t))) * 1.0 / LEN(toks)
                     ELSE 0.0 END AS stop_ratio
-        FROM feats
-    )
+        FROM __c4_feats
+    )"""
+
+DUCK_C4_KEEP = (
+    f"n_words >= {C4_MIN_WORDS} AND mwl >= {C4_MWL_LO} AND mwl <= {C4_MWL_HI} "
+    f"AND sym_ratio < {C4_SYM_MAX} AND stop_ratio >= {C4_STOP_MIN}"
+)
+
+
+@query(
+    "docs_c4_filters",
+    f"""
+    WITH {DUCK_C4_SCORED}
     SELECT doc_id, n_words,
            ROUND(mwl, 4) AS mean_word_len,
            ROUND(sym_ratio, 6) AS symbol_ratio,
            ROUND(stop_ratio, 6) AS stop_ratio,
-           n_words >= 50 AS flag_min_words,
-           mwl >= 3 AND mwl <= 10 AS flag_word_len,
-           sym_ratio < 0.1 AS flag_symbols,
-           stop_ratio >= 0.05 AS flag_stopwords,
-           (n_words >= 50 AND mwl >= 3 AND mwl <= 10
-            AND sym_ratio < 0.1 AND stop_ratio >= 0.05) AS keep
-    FROM r
+           n_words >= {C4_MIN_WORDS} AS flag_min_words,
+           mwl >= {C4_MWL_LO} AND mwl <= {C4_MWL_HI} AS flag_word_len,
+           sym_ratio < {C4_SYM_MAX} AS flag_symbols,
+           stop_ratio >= {C4_STOP_MIN} AS flag_stopwords,
+           ({DUCK_C4_KEEP}) AS keep
+    FROM c4_scored
     """,
 )
 def docs_c4_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -178,10 +197,10 @@ def docs_c4_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
         punct_ratio("text").alias("sym_ratio"),
         stopword_ratio("text").alias("stop_ratio"),
     )
-    flag_min_words = F.col("n_words") >= 50
-    flag_word_len = (F.col("mwl") >= 3) & (F.col("mwl") <= 10)
-    flag_symbols = F.col("sym_ratio") < 0.1
-    flag_stopwords = F.col("stop_ratio") >= 0.05
+    flag_min_words = F.col("n_words") >= C4_MIN_WORDS
+    flag_word_len = (F.col("mwl") >= C4_MWL_LO) & (F.col("mwl") <= C4_MWL_HI)
+    flag_symbols = F.col("sym_ratio") < C4_SYM_MAX
+    flag_stopwords = F.col("stop_ratio") >= C4_STOP_MIN
     return base.select(
         "doc_id",
         "n_words",

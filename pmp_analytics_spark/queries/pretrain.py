@@ -1273,6 +1273,17 @@ def docs_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from pmp_analytics_spark.queries.corpus import (  # noqa: E402 — shared C4 gate
+    C4_MIN_WORDS,
+    C4_MWL_LO,
+    C4_MWL_HI,
+    C4_SYM_MAX,
+    C4_STOP_MIN,
+    DUCK_C4_KEEP,
+    DUCK_C4_SCORED,
+)
+
+
 # --------------------------------------------------------------------------
 # Q: docs_pretrain_pipeline — the END-TO-END preprocessing funnel as ONE
 # DataFrame program: C4-style quality gate → exact dedup (keep-first on
@@ -1288,29 +1299,10 @@ def docs_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "docs_pretrain_pipeline",
     f"""
-    WITH feats AS (
-        SELECT doc_id,
-               {_DUCK_TOKENS} AS toks,
-               LENGTH(text) AS n,
-               LENGTH(REGEXP_REPLACE(text, '[A-Za-z0-9\\s]', '', 'g')) AS n_sym
-        FROM documents
-    ), scored AS (
-        SELECT doc_id, toks,
-               CAST(LEN(toks) AS BIGINT) AS n_tok,
-               CASE WHEN LEN(toks) > 0
-                    THEN LIST_SUM(LIST_TRANSFORM(toks, t -> LENGTH(t))) * 1.0 / LEN(toks)
-                    ELSE 0.0 END AS mwl,
-               CASE WHEN n > 0 THEN n_sym * 1.0 / n ELSE 0.0 END AS sym_ratio,
-               CASE WHEN LEN(toks) > 0
-                    THEN LEN(LIST_FILTER(toks, t -> LIST_CONTAINS(
-                        ['the','and','of','to','in','is','that','for','with','as'], t))) * 1.0 / LEN(toks)
-                    ELSE 0.0 END AS stop_ratio
-        FROM feats
-    ), kept AS (
-        SELECT doc_id, n_tok, MD5(ARRAY_TO_STRING(toks, ' ')) AS fp
-        FROM scored
-        WHERE n_tok >= 50 AND mwl >= 3 AND mwl <= 10
-          AND sym_ratio < 0.1 AND stop_ratio >= 0.05
+    WITH {DUCK_C4_SCORED}, kept AS (
+        SELECT doc_id, n_words AS n_tok, MD5(ARRAY_TO_STRING(toks, ' ')) AS fp
+        FROM c4_scored
+        WHERE {DUCK_C4_KEEP}
     ), uniq AS (
         SELECT doc_id, n_tok FROM (
             SELECT doc_id, n_tok,
@@ -1363,11 +1355,11 @@ def docs_pretrain_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (dedup, the n_quality counter, and through uniq the packer).
     kept = (
         scored.where(
-            (F.col("n_tok") >= 50)
-            & (F.col("mwl") >= 3)
-            & (F.col("mwl") <= 10)
-            & (F.col("sym_ratio") < 0.1)
-            & (F.col("stop_ratio") >= 0.05)
+            (F.col("n_tok") >= C4_MIN_WORDS)
+            & (F.col("mwl") >= C4_MWL_LO)
+            & (F.col("mwl") <= C4_MWL_HI)
+            & (F.col("sym_ratio") < C4_SYM_MAX)
+            & (F.col("stop_ratio") >= C4_STOP_MIN)
         )
         .select("doc_id", "n_tok", fingerprint("text").alias("fp"))
         .cache()

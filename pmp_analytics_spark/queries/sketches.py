@@ -684,7 +684,10 @@ def event_daily_users_hll_cascade(spark: SparkSession, sf_dir: str) -> DataFrame
         SELECT CAST(EPOCH(DATE_TRUNC('day', ts)) AS BIGINT) AS day_s,
                user_id
         FROM events WHERE user_id IS NOT NULL
-    ){hll_oracle_sql("CAST(user_id AS VARCHAR)", ["day_s"], "__d", _HLL_P, "users_hll").replace("WITH __h AS", ", __h AS", 1)}
+    ), __h AS (
+        {hll_oracle_sql("CAST(user_id AS VARCHAR)", ["day_s"], "__d", _HLL_P, "users_hll")}
+    )
+    SELECT day_s, users_hll, users_hll_s, users_hll_v FROM __h
     """,
 )
 def streaming_daily_users_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
