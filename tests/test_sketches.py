@@ -361,3 +361,49 @@ def test_sketches_empty_and_degenerate_inputs(spark):
     some = spark.range(3).select(F.col("id").cast("string").alias("k"))
     got = bloom_probe(bloom_build(empty, "k"), some, "k").collect()
     assert len(got) == 3 and all(r["bloom_hit"] == 0 for r in got)
+
+
+def test_streaming_hll_state_survives_restart(spark, tmp_path):
+    """Recovery contract for register state: drain half the corpus, STOP,
+    add the rest, restart on the SAME checkpoint — the recovered state
+    must max-merge the new half on top of the old, landing exactly on
+    the whole-corpus batch registers (no loss, no double-count ... though
+    max is idempotent, a LOST state partition would undercount)."""
+    from pmp_analytics_spark.operators.sketches import hll_registers
+    from pmp_analytics_spark.sources.reader import load_table
+
+    batch = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_type", "user_id"
+    )
+    expected = sorted(
+        map(tuple, hll_registers(batch, "user_id", ["event_type"], p=8).collect())
+    )
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    rows = batch.collect()
+    half = len(rows) // 2
+    spark.createDataFrame(rows[:half], batch.schema).write.mode("append").parquet(src)
+
+    def drain(qname):
+        sdf = spark.readStream.schema(batch.schema).parquet(src)
+        q = (
+            hll_registers(sdf, "user_id", ["event_type"], p=8)
+            .writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return sorted(map(tuple, spark.table(qname).collect()))
+
+    first = drain("t_hll_restart_1")
+    assert first  # phase 1 saw data
+    spark.createDataFrame(rows[half:], batch.schema).write.mode("append").parquet(src)
+    second = drain("t_hll_restart_2")
+    assert second == expected
+    # monotonicity: restarting only ever raises registers (max-merge)
+    exp_map = {(t, j): r for t, j, r in expected}
+    assert all(r <= exp_map[(t, j)] for t, j, r in first)
