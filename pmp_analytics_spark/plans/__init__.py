@@ -5,6 +5,7 @@ from pmp_analytics_spark.plans.audit import (
     has_pushed_filters,
     has_take_ordered,
     physical_plan,
+    unpartitioned_window_count,
 )
 
 __all__ = [
@@ -14,4 +15,5 @@ __all__ = [
     "has_pushed_filters",
     "has_take_ordered",
     "physical_plan",
+    "unpartitioned_window_count",
 ]

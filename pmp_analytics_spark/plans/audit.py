@@ -85,3 +85,31 @@ def assert_no_cartesian_product(df: DataFrame) -> None:
     plan = physical_plan(df)
     if "CartesianProduct" in plan:
         raise AssertionError("plan contains a CartesianProduct:\n" + plan)
+
+
+def unpartitioned_window_count(df: DataFrame) -> int:
+    """Number of window operators whose partition spec is EMPTY — the
+    plan shape that funnels every row into one reducer ("No Partition
+    Defined for Window operation" at runtime), a 100 TB incident that
+    looks fine at test scale.
+
+    Counted by traversing the pre-AQE physical plan JVM-side and asking
+    each Window node for ``partitionSpec().isEmpty()`` — the formatted
+    EXPLAIN text has no reliable marker (an unpartitioned window prints
+    the same node header, and ``SinglePartition`` exchanges also serve
+    legitimate global aggregates)."""
+    stack = [df._jdf.queryExecution().sparkPlan()]
+    count = 0
+    while stack:
+        node = stack.pop()
+        name = node.getClass().getSimpleName()
+        if name in ("WindowExec", "WindowInPandasExec", "WindowGroupLimitExec"):
+            if node.partitionSpec().isEmpty():
+                count += 1
+        children = node.children()
+        for i in range(children.length()):
+            stack.append(children.apply(i))
+        inner = node.innerChildren()
+        for i in range(inner.length()):
+            stack.append(inner.apply(i))
+    return count

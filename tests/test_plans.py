@@ -273,11 +273,12 @@ def test_pps_sample_bounded_exchanges(spark, queries):
 def test_dup_span_pipeline_no_cartesian(spark, queries):
     # positions join the corpus-wide dup-gram set on the uniform hash;
     # islands run per-doc — never all-pairs, never a single partition
+    from pmp_analytics_spark.plans import unpartitioned_window_count
+
     for name in ("docs_dup_ngram_ratio", "docs_dup_spans"):
         df = queries[name](spark, SF)
         assert_no_cartesian_product(df)
-        plan = physical_plan(df)
-        assert "PartitionBy: []" not in plan
+        assert unpartitioned_window_count(df) == 0
 
 
 def test_dedup_keep_best_no_cartesian(spark, queries):
@@ -356,3 +357,28 @@ def test_pretrain_pipeline_funnel_plan(spark, queries):
     # frame
     df = queries["docs_pretrain_pipeline"](spark, SF)
     assert "CartesianProduct" not in physical_plan(df)
+
+
+def test_global_gate_no_cartesian_no_unpartitioned_window(spark, queries):
+    """EVERY batch query, one gate: no CartesianProduct anywhere, and no
+    window funnelling all rows to a single reducer. The two plan shapes
+    that pass silently at test scale and melt at 100 TB — individually
+    pinned queries cover their own risks; this sweep catches the query
+    someone adds next year without a pin. (Streaming queries execute at
+    build time and are covered by their own oracle + multi-batch tests.)
+    Checked JVM-side via WindowExec.partitionSpec() — the formatted plan
+    text has no reliable unpartitioned-window marker."""
+    from pmp_analytics_spark.plans import unpartitioned_window_count
+
+    offenders = []
+    for name, fn in sorted(queries.items()):
+        if name.startswith("streaming_"):
+            continue
+        df = fn(spark, SF)
+        plan = physical_plan(df)
+        if "CartesianProduct" in plan:
+            offenders.append((name, "cartesian"))
+        n = unpartitioned_window_count(df)
+        if n:
+            offenders.append((name, f"{n} unpartitioned window(s)"))
+    assert not offenders, offenders
