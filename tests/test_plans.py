@@ -382,3 +382,20 @@ def test_global_gate_no_cartesian_no_unpartitioned_window(spark, queries):
         if n:
             offenders.append((name, f"{n} unpartitioned window(s)"))
     assert not offenders, offenders
+
+
+def test_global_gate_no_rowwise_python_udf(spark, queries):
+    """Python in plans must be Arrow-vectorized (ArrowEvalPython /
+    MapInPandas / FlatMapGroupsInPandas) — a row-at-a-time
+    BatchEvalPython in a hot path is a 10-100x tax at scale. The single
+    allowed exception is docs_chunk_udtf: Python UDTFs execute through
+    the BatchEvalPythonUDTF node by design, and that query exists
+    precisely to exercise the UDTF lateral-join surface (cross-checked
+    row-for-row against the pure-JVM chunker in its oracle)."""
+    offenders = []
+    for name, fn in sorted(queries.items()):
+        if name.startswith("streaming_") or name == "docs_chunk_udtf":
+            continue
+        if "BatchEvalPython" in physical_plan(fn(spark, SF)):
+            offenders.append(name)
+    assert not offenders, offenders
