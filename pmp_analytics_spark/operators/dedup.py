@@ -798,9 +798,11 @@ def containment_prefix_join(
     ex = exploded_shingle_hashes(df, text_col, id_col, shingle_k)
     toks = ex.distinct().cache()  # (id, __h): prefix source + verify sets
     # one ranked frame feeds BOTH sides (A's prefix filter, B's full
-    # index with positions) — the df join and per-doc rank window run
-    # once
-    ranked = _ranked_tokens(toks, id_col)
+    # index with positions) — cached so the df join and per-doc rank
+    # window run once, not per side (measured ~10% on the declared
+    # query; the Jaccard path consumes its ranked frame once and stays
+    # uncached)
+    ranked = _ranked_tokens(toks, id_col).cache()
     pref_a = ranked.where(
         F.col("__rn") <= F.col("__n") - F.ceil(F.lit(threshold) * F.col("__n")) + 1
     ).select(

@@ -44,14 +44,17 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-HASH_BITS = 60  # the md5-substring idiom yields a uniform 60-bit int
+from pmp_analytics_spark.functions.text import shingle_hash60
+
+HASH_BITS = 60  # shingle_hash60's md5-substring idiom: uniform 60-bit int
 
 
 def _hash60(col) -> F.Column:
-    """Uniform 60-bit integer hash of a column's string form — the same
-    md5 family every dedup/sampling operator in this repo uses, chosen
-    because DuckDB reproduces it bit-for-bit."""
-    return F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10).cast("long")
+    """Uniform 60-bit integer hash of a column's string form — the repo's
+    one md5 idiom (``functions.text.shingle_hash60``), reused rather
+    than re-stated so every sketch stays bit-compatible with the dedup
+    and sampling operators (and with the DuckDB oracles)."""
+    return shingle_hash60(col.cast("string"))
 
 
 def _hash60_salted(i_col, key_col) -> F.Column:
@@ -61,9 +64,7 @@ def _hash60_salted(i_col, key_col) -> F.Column:
     would silently misalign buckets with no type error). Mirrored in SQL
     as ``MD5(CAST(i AS VARCHAR) || '|' || key)`` (cms_oracle_sql,
     queries/sketches.py's _BLOOM_POS)."""
-    return F.conv(
-        F.substring(F.md5(F.concat_ws("|", i_col, key_col)), 1, 15), 16, 10
-    ).cast("long")
+    return shingle_hash60(F.concat_ws("|", i_col, key_col))
 
 
 def hll_alpha(m: int) -> float:

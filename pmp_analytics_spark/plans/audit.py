@@ -106,6 +106,15 @@ def unpartitioned_window_count(df: DataFrame) -> int:
         if name in ("WindowExec", "WindowInPandasExec", "WindowGroupLimitExec"):
             if node.partitionSpec().isEmpty():
                 count += 1
+        if name == "InMemoryTableScanExec":
+            # descend INTO the cached plan: a .cache() boundary hides its
+            # subtree from children() — without this, any offending
+            # window upstream of a cache passes the gate unseen
+            stack.append(node.relation().cachedPlan())
+        if name == "AdaptiveSparkPlanExec":
+            # cached plans arrive AQE-wrapped with no children(); the
+            # pre-adaptive plan carries the full static subtree
+            stack.append(node.inputPlan())
         children = node.children()
         for i in range(children.length()):
             stack.append(children.apply(i))

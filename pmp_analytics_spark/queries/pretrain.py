@@ -1249,12 +1249,16 @@ def docs_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("nll") / F.count(F.lit(1)), 6).alias("h"),
         )
     )
+    # cached: the tercile-threshold agg AND the final projection both
+    # consume pp — uncached, the whole LM subtree (c12/c1 counts, the
+    # lm join, the per-doc score agg) executes twice; bg's cache only
+    # covers the tokenize/explode below it
     pp = scored.select(
         "doc_id",
         "n_bigrams",
         "h",
         F.round(F.pow(F.lit(2.0), F.col("h")), 4).alias("ppl"),
-    )
+    ).cache()
     thr = pp.agg(
         F.percentile("ppl", F.lit(_PPL_T1)).alias("t1"),
         F.percentile("ppl", F.lit(_PPL_T2)).alias("t2"),

@@ -27,6 +27,7 @@ from pmp_analytics_spark.operators.sketches import (
     hll_cardinality,
     hll_finalize,
     hll_oracle_sql,
+    kmv_cardinality,
     kmv_sketch,
 )
 from pmp_analytics_spark.sources.reader import load_table
@@ -271,16 +272,16 @@ _DUCK_UDAY = (
         GROUP BY 1, 2
     ), __est AS (
         SELECT et_a, et_b, union_seen, inter_in_sketch,
-               CASE WHEN union_seen < {_KMV_K} THEN CAST(union_seen AS DOUBLE)
-                    ELSE {_KMV_NUM} / CAST(hk AS DOUBLE) END AS eu
+               ROUND(CASE WHEN union_seen < {_KMV_K} THEN CAST(union_seen AS DOUBLE)
+                          ELSE {_KMV_NUM} / CAST(hk AS DOUBLE) END, 2) AS est_union
         FROM __skagg
     )
     SELECT e.et_a, e.et_b,
            na.n + nb.n - i.exact_inter AS exact_union,
            i.exact_inter,
            e.union_seen, e.inter_in_sketch,
-           ROUND(e.eu, 2) AS est_union,
-           ROUND((CAST(e.inter_in_sketch AS DOUBLE) / e.union_seen) * e.eu, 2)
+           e.est_union,
+           ROUND((CAST(e.inter_in_sketch AS DOUBLE) / e.union_seen) * e.est_union, 2)
                AS est_inter
     FROM __est e
     JOIN __exact_i i ON e.et_a = i.et_a AND e.et_b = i.et_b
@@ -330,14 +331,16 @@ def event_audience_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("in_both"),
         )
     )
-    skagg = flagged.groupBy("et_a", "et_b").agg(
-        F.count(F.lit(1)).alias("union_seen"),
-        F.sum("in_both").alias("inter_in_sketch"),
-        F.max(F.when(F.col("r") == _KMV_K, F.col("hv"))).alias("__hk"),
+    # the merged frame IS a kmv_sketch-shaped frame keyed by the pair —
+    # the union estimate comes from the OPERATOR's estimator, not an
+    # inline re-statement that could drift from it
+    card = kmv_cardinality(merged, ["et_a", "et_b"], k=_KMV_K, est_col="est_union")
+    inter = flagged.groupBy("et_a", "et_b").agg(
+        F.sum("in_both").alias("inter_in_sketch")
     )
-    eu = F.when(
-        F.col("union_seen") < _KMV_K, F.col("union_seen").cast("double")
-    ).otherwise(F.lit(float(_KMV_NUM)) / F.col("__hk").cast("double"))
+    skagg = card.select(
+        "et_a", "et_b", "est_union", F.col("n_seen").alias("union_seen")
+    ).join(inter, ["et_a", "et_b"])
     exact_n = base.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
     a = base.select(F.col("event_type").alias("et_a"), "uday")
     b = base.select(F.col("event_type").alias("et_b"), "uday")
@@ -348,8 +351,7 @@ def event_audience_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("exact_inter"))
     )
     return (
-        skagg.withColumn("__eu", eu)
-        .join(exact_i, ["et_a", "et_b"])
+        skagg.join(exact_i, ["et_a", "et_b"])
         .join(
             F.broadcast(exact_n.select(F.col("event_type").alias("et_a"), F.col("n").alias("__na"))),
             "et_a",
@@ -365,10 +367,13 @@ def event_audience_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
             "exact_inter",
             "union_seen",
             "inter_in_sketch",
-            F.round(F.col("__eu"), 2).alias("est_union"),
+            "est_union",
+            # intersection = matching fraction of the merged sketch times
+            # the PUBLISHED union estimate (the operator's rounded value,
+            # so query and operator cannot disagree about the union)
             F.round(
                 (F.col("inter_in_sketch").cast("double") / F.col("union_seen"))
-                * F.col("__eu"),
+                * F.col("est_union"),
                 2,
             ).alias("est_inter"),
         )
