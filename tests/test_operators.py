@@ -786,3 +786,73 @@ def test_containment_prefix_join_is_lossless(spark):
     assert (1, 2) in got and (2, 1) not in got
     # and identical docs contain each other both ways
     assert (1, 5) in got and (5, 1) in got
+
+
+def test_exact_set_joins_lossless_on_randomized_corpus(spark):
+    """Seeded randomized sweep: 40 template-mutated docs (high shingle
+    overlap — the adversarial regime for prefix filtering), both exact
+    set-similarity joins vs brute force at two thresholds each. The
+    fixed fixtures pin known-tricky shapes; this sweep covers the
+    combinatorics no hand fixture anticipates."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from pmp_analytics_spark.operators.dedup import (
+        containment_prefix_join,
+        hashed_shingle_frame,
+        jaccard_prefix_join,
+    )
+
+    rng = random.Random(20260814)
+    words = [f"w{i}" for i in range(30)]
+    base = [rng.choice(words) for _ in range(40)]
+    docs = []
+    for i in range(40):
+        t = list(base)
+        for _ in range(rng.randrange(0, 12)):  # mutate 0-11 positions
+            t[rng.randrange(len(t))] = rng.choice(words)
+        if i % 7 == 0:
+            t = t[: rng.randrange(8, 30)]  # some short docs -> containment
+        docs.append((i, " ".join(t)))
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+
+    sets = hashed_shingle_frame(df, "text", "doc_id").select(
+        "doc_id", F.array_distinct("__hs").alias("s")
+    ).cache()
+    a = sets.select(F.col("doc_id").alias("id_a"), F.col("s").alias("sa"))
+    b = sets.select(F.col("doc_id").alias("id_b"), F.col("s").alias("sb"))
+    pairs = a.join(b, F.col("id_a") != F.col("id_b")).withColumn(
+        "__i", F.size(F.array_intersect("sa", "sb"))
+    ).cache()
+
+    for t in (0.5, 0.8):
+        brute_j = {
+            (r["id_a"], r["id_b"]): r["v"]
+            for r in pairs.where(F.col("id_a") < F.col("id_b"))
+            .withColumn(
+                "v",
+                F.round(F.col("__i") / (F.size("sa") + F.size("sb") - F.col("__i")), 6),
+            )
+            .where(F.col("v") >= t)
+            .collect()
+        }
+        got_j = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in jaccard_prefix_join(df, "text", "doc_id", threshold=t).collect()
+        }
+        assert got_j == brute_j, f"jaccard t={t}"
+
+    for t in (0.7, 0.9):
+        brute_c = {
+            (r["id_a"], r["id_b"]): r["v"]
+            for r in pairs.withColumn("v", F.round(F.col("__i") / F.size("sa"), 6))
+            .where(F.col("v") >= t)
+            .collect()
+        }
+        got_c = {
+            (r["id_a"], r["id_b"]): r["containment"]
+            for r in containment_prefix_join(df, "text", "doc_id", threshold=t).collect()
+        }
+        assert got_c == brute_c, f"containment t={t}"
+    assert len(got_c) > 0  # the corpus actually produced pairs
