@@ -106,14 +106,13 @@ def unpartitioned_window_count(df: DataFrame) -> int:
         if name in ("WindowExec", "WindowInPandasExec", "WindowGroupLimitExec"):
             if node.partitionSpec().isEmpty():
                 count += 1
-        if name == "InMemoryTableScanExec":
-            # descend INTO the cached plan: a .cache() boundary hides its
-            # subtree from children() — without this, any offending
-            # window upstream of a cache passes the gate unseen
-            stack.append(node.relation().cachedPlan())
         if name == "AdaptiveSparkPlanExec":
-            # cached plans arrive AQE-wrapped with no children(); the
-            # pre-adaptive plan carries the full static subtree
+            # A cached subtree is reachable through innerChildren()
+            # (InMemoryTableScan -> relation -> cachedPlan) but arrives
+            # wrapped in a childless AdaptiveSparkPlanExec — unwrap to
+            # the pre-adaptive plan or everything behind a .cache()
+            # escapes the audit. (No separate cachedPlan() push: that
+            # would traverse the cached subtree twice and double-count.)
             stack.append(node.inputPlan())
         children = node.children()
         for i in range(children.length()):

@@ -315,8 +315,13 @@ def event_audience_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     w_m = Window.partitionBy("et_a", "et_b").orderBy(F.asc("hv"))
-    merged = merged_raw.withColumn("r", F.row_number().over(w_m)).where(
-        F.col("r") <= _KMV_K
+    # cached: the union estimator (kmv_cardinality) and the membership
+    # flags both consume the merged sketch — uncached, the pair-union
+    # distinct + bottom-k window recompute per consumer
+    merged = (
+        merged_raw.withColumn("r", F.row_number().over(w_m))
+        .where(F.col("r") <= _KMV_K)
+        .cache()
     )
     flagged = (
         merged.join(ska.withColumn("__ina", F.lit(1)), ["et_a", "hv"], "left")

@@ -837,6 +837,7 @@ def test_exact_set_joins_lossless_on_randomized_corpus(spark):
             .where(F.col("v") >= t)
             .collect()
         }
+        assert brute_j, f"corpus produced no jaccard pairs at t={t}"
         got_j = {
             (r["id_a"], r["id_b"]): r["jaccard"]
             for r in jaccard_prefix_join(df, "text", "doc_id", threshold=t).collect()
@@ -850,9 +851,9 @@ def test_exact_set_joins_lossless_on_randomized_corpus(spark):
             .where(F.col("v") >= t)
             .collect()
         }
+        assert brute_c, f"corpus produced no containment pairs at t={t}"
         got_c = {
             (r["id_a"], r["id_b"]): r["containment"]
             for r in containment_prefix_join(df, "text", "doc_id", threshold=t).collect()
         }
         assert got_c == brute_c, f"containment t={t}"
-    assert len(got_c) > 0  # the corpus actually produced pairs
