@@ -720,3 +720,54 @@ def streaming_daily_users_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFr
         .agg(F.max("reg").alias("reg"))
     )
     return hll_finalize(daily, ["day_s"], p=_HLL_P, est_col="users_hll")
+
+
+# --------------------------------------------------------------------------
+# Q: streaming_heavy_hitters_cms — the CMS counter grid AS STREAMING
+# STATE, completing the streaming sketch pair (HLL registers merge by
+# MAX; CMS cells merge by SUM — both associative, so any micro-batch
+# split of the stream yields the same state as the batch build, which
+# is exactly what the oracle checks). The stream maintains the d×w
+# grid (fixed-size state regardless of traffic); the point-query +
+# threshold finalize runs batch-side over the drained cells, reusing
+# cms_estimate's broadcast probe. Same scale-relative threshold and
+# output shape as event_heavy_hitters_cms.
+# --------------------------------------------------------------------------
+@query(
+    "streaming_heavy_hitters_cms",
+    ORACLE["event_heavy_hitters_cms"],
+)
+def streaming_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from pmp_analytics_spark.streaming import read_event_stream, run_to_memory
+
+    name = f"stream_cms_{uuid.uuid4().hex[:12]}"
+    stream = read_event_stream(spark, sf_dir).where(F.col("user_id").isNotNull())
+    cells = cms_sketch(stream, "user_id", d=_CMS_D, w=_CMS_W)
+    run_to_memory(cells, name, state_partitions=8)
+    sketch = spark.table(name)
+
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    true_counts = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("true_count"))
+    est = cms_estimate(
+        sketch, true_counts.select("user_id"), "user_id", d=_CMS_D, w=_CMS_W
+    )
+    totals = ev.agg(
+        F.count(F.lit(1)).alias("__total"),
+        F.countDistinct("user_id").alias("__ncand"),
+    )
+    return (
+        est.join(true_counts, "user_id")
+        .crossJoin(F.broadcast(totals))
+        .where(
+            F.col("est_count")
+            >= F.lit(1.2) * (F.col("__total").cast("double") / F.col("__ncand"))
+        )
+        .select(
+            "user_id",
+            "est_count",
+            "true_count",
+            (F.col("est_count") - F.col("true_count")).alias("overcount"),
+        )
+    )

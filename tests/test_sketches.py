@@ -407,3 +407,40 @@ def test_streaming_hll_state_survives_restart(spark, tmp_path):
     # monotonicity: restarting only ever raises registers (max-merge)
     exp_map = {(t, j): r for t, j, r in expected}
     assert all(r <= exp_map[(t, j)] for t, j, r in first)
+
+
+def test_streaming_cms_cells_match_batch_across_batches(spark, tmp_path):
+    """Cell sums are associative: any micro-batch split must reproduce
+    the batch sketch exactly — pinned with a 3-file drop consumed one
+    file per trigger (the CMS twin of the HLL register test)."""
+    import time
+
+    from pmp_analytics_spark.sources.reader import load_table
+    from pmp_analytics_spark.streaming import run_to_memory
+
+    batch = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "user_id"
+    ).where(F.col("user_id").isNotNull())
+    expected = sorted(map(tuple, cms_sketch(batch, "user_id", d=4, w=128).collect()))
+
+    src = tmp_path / "drops"
+    src.mkdir()
+    rows = batch.collect()
+    third = (len(rows) + 2) // 3
+    for i in range(3):
+        spark.createDataFrame(rows[i * third : (i + 1) * third], batch.schema).coalesce(
+            1
+        ).write.mode("overwrite").parquet(str(src / f"drop_{i}"))
+        time.sleep(1.1)
+
+    sdf = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "*.parquet")
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    q = run_to_memory(cms_sketch(sdf, "user_id", d=4, w=128), "t_cms_mb", state_partitions=8)
+    assert len([p for p in q.recentProgress if p["numInputRows"] > 0]) >= 2
+    got = sorted(map(tuple, spark.table("t_cms_mb").collect()))
+    assert got == expected and len(got) > 0
