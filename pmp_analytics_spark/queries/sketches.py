@@ -204,14 +204,17 @@ def streaming_user_cardinality_hll(spark: SparkSession, sf_dir: str) -> DataFram
 # Q: event_audience_overlap_kmv — KMV (bottom-k) sketch SET-OPERATION
 # estimates: for every pair of event types, the union / intersection of
 # their "active user-day" audiences estimated from two 256-hash
-# sketches, next to the exact values. This is the sketch HLL cannot be:
-# the bottom-k hash set is a uniform sample of the key space, so the
-# merged sketch estimates the union ((k-1)*2^60/h_(k)) and the matching
-# fraction inside it estimates the intersection (Beyer et al., SIGMOD
-# 2007). At 100 TB the exact side of this query is the one that dies
-# (it shuffles every distinct key); the sketch side moves <= k rows per
-# group. Integer sketch state (union_seen, inter_in_sketch) rides along
-# so the oracle pins the sketches, not just the rounded estimates.
+# sketches. This is the sketch HLL cannot be: the bottom-k hash set is
+# a uniform sample of the key space, so the merged sketch estimates the
+# union ((k-1)*2^60/h_(k)) and the matching fraction inside it
+# estimates the intersection (Beyer et al., SIGMOD 2007). The query is
+# deliberately SKETCH-ONLY: at 100 TB an exact arm would self-join the
+# full distinct user-day universe — the precise shuffle the sketch
+# exists to avoid — so exact-vs-estimate validation lives in
+# tests/test_sketches.py (test_kmv_overlap_estimates_near_exact), not
+# in the production shape. Integer sketch state (union_seen,
+# inter_in_sketch) rides along so the oracle pins the sketches, not
+# just the rounded estimates.
 # --------------------------------------------------------------------------
 _KMV_K = 256
 _KMV_NUM = repr(float(_KMV_K - 1) * float(1 << HASH_BITS))
@@ -263,39 +266,25 @@ _DUCK_UDAY = (
                CAST(SUM(in_both) AS BIGINT) AS inter_in_sketch,
                MAX(CASE WHEN r = {_KMV_K} THEN hv END) AS hk
         FROM __flagged GROUP BY 1, 2
-    ), __exact_n AS (
-        SELECT event_type, COUNT(*) AS n FROM __base GROUP BY 1
-    ), __exact_i AS (
-        SELECT a.event_type AS et_a, b.event_type AS et_b, COUNT(*) AS exact_inter
-        FROM __base a JOIN __base b
-          ON a.uday = b.uday AND a.event_type < b.event_type
-        GROUP BY 1, 2
     ), __est AS (
         SELECT et_a, et_b, union_seen, inter_in_sketch,
                ROUND(CASE WHEN union_seen < {_KMV_K} THEN CAST(union_seen AS DOUBLE)
                           ELSE {_KMV_NUM} / CAST(hk AS DOUBLE) END, 2) AS est_union
         FROM __skagg
     )
-    SELECT e.et_a, e.et_b,
-           na.n + nb.n - i.exact_inter AS exact_union,
-           i.exact_inter,
-           e.union_seen, e.inter_in_sketch,
-           e.est_union,
-           ROUND((CAST(e.inter_in_sketch AS DOUBLE) / e.union_seen) * e.est_union, 2)
+    SELECT et_a, et_b, union_seen, inter_in_sketch, est_union,
+           ROUND((CAST(inter_in_sketch AS DOUBLE) / union_seen) * est_union, 2)
                AS est_inter
-    FROM __est e
-    JOIN __exact_i i ON e.et_a = i.et_a AND e.et_b = i.et_b
-    JOIN __exact_n na ON na.event_type = e.et_a
-    JOIN __exact_n nb ON nb.event_type = e.et_b
+    FROM __est
     """,
 )
 def event_audience_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     ev = load_table(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
-    # `base` feeds the sketch build AND both exact sides; `sk` feeds the
-    # merged-union arm and both membership probes — cache each so the
-    # events scan + distinct runs once, not per join arm.
+    # `base` feeds the sketch build and the type inventory; `sk` feeds
+    # the merged-union arm and both membership probes — cache each so
+    # the events scan + distinct runs once, not per join arm.
     base = ev.select(
         "event_type",
         F.concat_ws("|", F.col("user_id"), F.to_date("ts")).alias("uday"),
@@ -346,42 +335,20 @@ def event_audience_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     skagg = card.select(
         "et_a", "et_b", "est_union", F.col("n_seen").alias("union_seen")
     ).join(inter, ["et_a", "et_b"])
-    exact_n = base.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
-    a = base.select(F.col("event_type").alias("et_a"), "uday")
-    b = base.select(F.col("event_type").alias("et_b"), "uday")
-    exact_i = (
-        a.join(b, "uday")
-        .where(F.col("et_a") < F.col("et_b"))
-        .groupBy("et_a", "et_b")
-        .agg(F.count(F.lit(1)).alias("exact_inter"))
-    )
-    return (
-        skagg.join(exact_i, ["et_a", "et_b"])
-        .join(
-            F.broadcast(exact_n.select(F.col("event_type").alias("et_a"), F.col("n").alias("__na"))),
-            "et_a",
-        )
-        .join(
-            F.broadcast(exact_n.select(F.col("event_type").alias("et_b"), F.col("n").alias("__nb"))),
-            "et_b",
-        )
-        .select(
-            "et_a",
-            "et_b",
-            (F.col("__na") + F.col("__nb") - F.col("exact_inter")).alias("exact_union"),
-            "exact_inter",
-            "union_seen",
-            "inter_in_sketch",
-            "est_union",
-            # intersection = matching fraction of the merged sketch times
-            # the PUBLISHED union estimate (the operator's rounded value,
-            # so query and operator cannot disagree about the union)
-            F.round(
-                (F.col("inter_in_sketch").cast("double") / F.col("union_seen"))
-                * F.col("est_union"),
-                2,
-            ).alias("est_inter"),
-        )
+    return skagg.select(
+        "et_a",
+        "et_b",
+        "union_seen",
+        "inter_in_sketch",
+        "est_union",
+        # intersection = matching fraction of the merged sketch times
+        # the PUBLISHED union estimate (the operator's rounded value,
+        # so query and operator cannot disagree about the union)
+        F.round(
+            (F.col("inter_in_sketch").cast("double") / F.col("union_seen"))
+            * F.col("est_union"),
+            2,
+        ).alias("est_inter"),
     )
 
 

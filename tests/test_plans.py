@@ -318,8 +318,15 @@ def test_kmv_overlap_no_cartesian_on_data(spark, queries):
     # data-bearing join is hash-keyed, and the sketch/base subtrees are
     # cached so the events scan runs once across the join arms.
     df = queries["event_audience_overlap_kmv"](spark, SF)
-    assert "CartesianProduct" not in physical_plan(df)
-    assert has_broadcast_hash_join(df)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    # sketch-only contract (r4 verdict #1): the exact arm's user-day
+    # self-join must never reappear in the production plan — `uday`
+    # may feed scans/aggregates but no join may key on it (formatted
+    # explain lists join keys on "Left/Right keys [n]:" detail lines)
+    for line in plan.splitlines():
+        if "keys [" in line or "Join condition:" in line:
+            assert "uday" not in line, line
 
 
 def test_perplexity_buckets_plan(spark, queries):

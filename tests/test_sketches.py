@@ -444,3 +444,66 @@ def test_streaming_cms_cells_match_batch_across_batches(spark, tmp_path):
     assert len([p for p in q.recentProgress if p["numInputRows"] > 0]) >= 2
     got = sorted(map(tuple, spark.table("t_cms_mb").collect()))
     assert got == expected and len(got) > 0
+
+
+def test_kmv_overlap_estimates_near_exact(spark):
+    # Exact-vs-estimate validation for event_audience_overlap_kmv.
+    # Deliberately a TEST, not part of the declared query: the exact arm
+    # self-joins the full distinct user-day universe — precisely the
+    # shuffle the KMV sketch exists to avoid at 100 TB — so the
+    # production query publishes sketch columns only and the exact
+    # comparison lives here, at a scale where the self-join is cheap.
+    from pmp_analytics_spark.queries.sketches import event_audience_overlap_kmv
+    from pmp_analytics_spark.sources.reader import load_table
+
+    sf_dir = "/root/testdata/sf0.001"
+    est = {
+        (r["et_a"], r["et_b"]): r
+        for r in event_audience_overlap_kmv(spark, sf_dir).collect()
+    }
+    assert est, "overlap query returned no pairs"
+
+    base = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("user_id").isNotNull())
+        .select(
+            "event_type",
+            F.concat_ws("|", F.col("user_id"), F.to_date("ts")).alias("uday"),
+        )
+        .distinct()
+        .cache()
+    )
+    try:
+        n_by_type = {
+            r["event_type"]: r["n"]
+            for r in base.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        a = base.select(F.col("event_type").alias("et_a"), "uday")
+        b = base.select(F.col("event_type").alias("et_b"), "uday")
+        exact_inter = {
+            (r["et_a"], r["et_b"]): r["x"]
+            for r in a.join(b, "uday")
+            .where(F.col("et_a") < F.col("et_b"))
+            .groupBy("et_a", "et_b")
+            .agg(F.count(F.lit(1)).alias("x"))
+            .collect()
+        }
+    finally:
+        base.unpersist()
+
+    types = sorted(n_by_type)
+    expected_pairs = {
+        (x, y) for i, x in enumerate(types) for y in types[i + 1 :]
+    }
+    assert set(est) == expected_pairs
+
+    for (ta, tb), row in est.items():
+        xi = exact_inter.get((ta, tb), 0)
+        xu = n_by_type[ta] + n_by_type[tb] - xi
+        # k=256 bottom-k: union rel-err ~1/sqrt(k)=6.25%; 3-sigma ~20%.
+        assert abs(row["est_union"] - xu) <= max(0.20 * xu, 3), (ta, tb, row, xu)
+        # intersection = ratio estimator on the merged sketch — noisier;
+        # allow 35% relative plus small absolute slack for tiny overlaps
+        assert abs(row["est_inter"] - xi) <= max(0.35 * xi, 10), (ta, tb, row, xi)
