@@ -34,17 +34,33 @@ from pmp_analytics_spark.functions.text import (
 from pmp_analytics_spark.operators.partitioning import ensure_parallelism
 
 
-def _bucket_pairs(keyed: DataFrame, id_col: str, key_cols: list[str], max_bucket: int | None = None) -> DataFrame:
+def _bucket_pairs(
+    keyed: DataFrame,
+    id_col: str,
+    key_cols: list[str],
+    max_bucket: int | None = None,
+    drop_obs: "Observation | None" = None,
+) -> DataFrame:
     """Distinct (id_a, id_b) pairs of ids sharing a bucket key: groupBy the
     key, expand in-bucket pairs with array HOFs (sorted → id_a < id_b).
     One shuffle, never a corpus×corpus self-join (which would evaluate the
-    upstream subtree once per join branch)."""
+    upstream subtree once per join branch).
+
+    When ``max_bucket`` trims over-common buckets, pass ``drop_obs`` (a
+    fresh ``pyspark.sql.observation.Observation``) to count what the cap
+    dropped — ``drop_obs.get`` yields ``dropped_buckets``/``dropped_pairs``
+    after any action on the result, at zero extra scans. No silent caps.
+    """
     buckets = (
         keyed.groupBy(*key_cols)
         .agg(F.sort_array(F.collect_set(id_col)).alias("__ids"))
         .where(F.size("__ids") >= 2)
     )
     if max_bucket is not None:
+        if drop_obs is not None:
+            from pmp_analytics_spark.operators.observe import observe_bucket_drops
+
+            buckets = observe_bucket_drops(buckets, "__ids", max_bucket, drop_obs)
         buckets = buckets.where(F.size("__ids") <= max_bucket)
     pairs = F.flatten(
         F.transform(
@@ -96,6 +112,7 @@ def minhash_lsh_candidates(
     bands: int = 4,
     shingle_k: int = 5,
     max_bucket: int | None = None,
+    drop_obs: "Observation | None" = None,
 ) -> DataFrame:
     """Near-duplicate candidate pairs via MinHash + LSH banding.
 
@@ -114,7 +131,7 @@ def minhash_lsh_candidates(
     """
     ex = exploded_shingle_hashes(df, text_col, id_col, shingle_k)
     sig = minhash_signatures(ex, id_col, num_hashes)
-    return lsh_candidates_from_sig(sig, id_col, num_hashes, bands, max_bucket)
+    return lsh_candidates_from_sig(sig, id_col, num_hashes, bands, max_bucket, drop_obs)
 
 
 def shingle_frame(df: DataFrame, text_col: str, id_col: str, shingle_k: int = 5) -> DataFrame:
@@ -232,13 +249,14 @@ def lsh_candidates_from_shingles(
     num_hashes: int = 16,
     bands: int = 4,
     max_bucket: int | None = None,
+    drop_obs: "Observation | None" = None,
 ) -> DataFrame:
     """LSH banding over a precomputed ``hashed_shingle_frame`` (see
     minhash_lsh_candidates for the algorithm & scale notes). Prefer
     ``lsh_candidates_from_sig`` fed by ``minhash_signatures`` — it skips
     the interpreted per-array HOF transforms entirely."""
     sig = sh.select(F.col(id_col), minhash_signature_from_hashes(F.col("__hs"), num_hashes).alias("__sig"))
-    return lsh_candidates_from_sig(sig, id_col, num_hashes, bands, max_bucket)
+    return lsh_candidates_from_sig(sig, id_col, num_hashes, bands, max_bucket, drop_obs)
 
 
 def lsh_candidates_from_sig(
@@ -247,6 +265,7 @@ def lsh_candidates_from_sig(
     num_hashes: int = 16,
     bands: int = 4,
     max_bucket: int | None = None,
+    drop_obs: "Observation | None" = None,
 ) -> DataFrame:
     """LSH banding over a precomputed (id, __sig) signature frame: slice
     the signature into ``bands`` equal bands, hash each band to a bucket
@@ -254,7 +273,7 @@ def lsh_candidates_from_sig(
     historical formulation (md5 of the '|'-joined component longs), so
     the DuckDB oracles reproduce bucket assignment exactly."""
     banded = band_key_frame(sig, id_col, num_hashes, bands)
-    return _bucket_pairs(banded, id_col, ["band_id", "band_key"], max_bucket)
+    return _bucket_pairs(banded, id_col, ["band_id", "band_key"], max_bucket, drop_obs)
 
 
 def band_key_frame(
@@ -300,6 +319,7 @@ def simhash_pairs(
     max_hamming: int = 6,
     bands: int = 4,
     max_bucket: int | None = None,
+    drop_obs: "Observation | None" = None,
 ) -> DataFrame:
     """SimHash near-duplicate pairs: 60-bit md5-family signature →
     Hamming-LSH banding (``bands`` equal bit-slices as bucket keys) →
@@ -337,7 +357,7 @@ def simhash_pairs(
             )
         ).alias("band"),
     ).select(id_col, "band.band_id", "band.band_key")
-    cand = _bucket_pairs(banded, id_col, ["band_id", "band_key"], max_bucket)
+    cand = _bucket_pairs(banded, id_col, ["band_id", "band_key"], max_bucket, drop_obs)
     a = sigs.select(F.col(id_col).alias("id_a"), F.col("__sim").alias("__sim_a"))
     b = sigs.select(F.col(id_col).alias("id_b"), F.col("__sim").alias("__sim_b"))
     return (

@@ -857,3 +857,41 @@ def test_exact_set_joins_lossless_on_randomized_corpus(spark):
             for r in containment_prefix_join(df, "text", "doc_id", threshold=t).collect()
         }
         assert got_c == brute_c, f"containment t={t}"
+
+
+def test_max_bucket_drop_counts_observed(spark):
+    """The max_bucket recall cap must not trim silently (r4 verdict #2):
+    an Observation passed via drop_obs counts dropped buckets and the
+    candidate pairs inside them, exactly, as a side effect of the same
+    action that consumes the pairs."""
+    from pyspark.sql.observation import Observation
+
+    from pmp_analytics_spark.operators.dedup import lsh_candidates_from_sig
+
+    # 6 docs share one signature (one oversized bucket per band); docs
+    # 7/8 share a different signature (an in-cap bucket per band).
+    sig_a = [float(i) for i in range(16)]
+    sig_b = [float(100 + i) for i in range(16)]
+    rows = [(i, sig_a) for i in range(1, 7)] + [(7, sig_b), (8, sig_b)]
+    sig = spark.createDataFrame(rows, ["doc_id", "__sig"])
+
+    obs = Observation()
+    cand = lsh_candidates_from_sig(
+        sig, "doc_id", num_hashes=16, bands=4, max_bucket=5, drop_obs=obs
+    )
+    pairs = {(r["id_a"], r["id_b"]) for r in cand.collect()}
+    # the oversized bucket's 15 pairs are gone; the in-cap pair survives
+    assert pairs == {(7, 8)}
+    got = obs.get
+    # 4 bands x one size-6 bucket each; 6*5/2 = 15 pairs per bucket
+    assert got["dropped_buckets"] == 4
+    assert got["dropped_pairs"] == 60
+
+    # cap disengaged -> a fresh observation reports zero drops
+    obs2 = Observation()
+    cand2 = lsh_candidates_from_sig(
+        sig, "doc_id", num_hashes=16, bands=4, max_bucket=6, drop_obs=obs2
+    )
+    assert {(r["id_a"], r["id_b"]) for r in cand2.collect()} >= {(7, 8), (1, 2)}
+    got2 = obs2.get
+    assert got2["dropped_buckets"] == 0 and got2["dropped_pairs"] == 0
