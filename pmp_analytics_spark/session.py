@@ -45,9 +45,16 @@ def get_spark(
     the rest of these configs are scale-independent.
     """
     par = default_parallelism()
+    # In local mode the driver JVM IS the executor: the 1g default heap
+    # starves 32 concurrent task threads (GC pressure, cache eviction,
+    # shuffle spill). Size it to the machine unless the caller pinned it;
+    # on a real cluster this knob is inert (executors are sized by the
+    # deploy config, and SPARK_GRAFT_DRIVER_MEM can re-pin the driver).
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g")
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master or f"local[{par}]")
+        .config("spark.driver.memory", driver_mem)
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -38,6 +38,7 @@ def neardup_ingest_stream(
     threshold: float = 0.7,
     num_hashes: int = 16,
     bands: int = 4,
+    own_cache: bool = True,
 ) -> None:
     """Drain ``batch_stream`` (availableNow) through the batch
     ``neardup_probe`` operator per micro-batch; (id_a = new doc,
@@ -51,14 +52,17 @@ def neardup_ingest_stream(
     corpus-ingest time, a persisted table pair at scale) and is cached
     across micro-batches here; re-deriving the corpus per micro-batch
     would be the O(corpus × batches) version of the round-2
-    stream-reader bug."""
+    stream-reader bug. Callers whose store outlives this drain (e.g.
+    the memoized session store in ``queries/llm``) pass
+    ``own_cache=False`` — the frames are already cached and must NOT be
+    unpersisted on exit."""
     from pmp_analytics_spark.operators.dedup import (
         exploded_shingle_hashes,
         neardup_probe,
     )
 
-    ex_h = history_ex.cache()
-    keys_h = history_keys.cache()
+    ex_h = history_ex.cache() if own_cache else history_ex
+    keys_h = history_keys.cache() if own_cache else history_keys
 
     def probe_batch(batch_df: DataFrame, batch_id: int) -> None:
         # The micro-batch's exploded stream has two consumers (band keys
@@ -95,5 +99,6 @@ def neardup_ingest_stream(
         )
         q.awaitTermination()
     finally:
-        ex_h.unpersist()
-        keys_h.unpersist()
+        if own_cache:
+            ex_h.unpersist()
+            keys_h.unpersist()
