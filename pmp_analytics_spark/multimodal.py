@@ -8,11 +8,15 @@ Arrow-batched Python since media codecs are not JVM-side).
 The Spark-side plumbing here is REAL and tested: payload schema, batch
 iteration shape (``mapInPandas`` — one Arrow batch in, one out, never a
 per-row Python hop), partitioning (``ensure_parallelism`` before the
-Python stage), and deterministic byte-level features. The actual codec
-calls are STUBS: ``decode_image``/``decode_audio`` raise
-``NotImplementedError`` (pillow/ffmpeg are not in this container), and
-``fake_frame_sample`` is the deterministic stand-in used by tests.
-"""
+Python stage), and deterministic byte-level features. Codecs are
+three-tier: pillow/ffmpeg when installed (any format); a REAL
+stdlib-only path for header+raster formats (uncompressed 24-bit BMP
+decode/resize/re-encode, PCM WAV decode — ``_bmp_decode``/
+``_bmp_resize``/``_wav_decode``, pure ``struct``); and an honest
+``NotImplementedError`` for compressed formats in codec-less
+environments. ``fake_frame_sample`` remains the deterministic
+video-frame stand-in (no stdlib video container parser is worth hand-
+rolling)."""
 
 from __future__ import annotations
 
@@ -77,16 +81,144 @@ def attach_payload(docs: DataFrame, text_col: str = "text", id_col: str = "doc_i
     )
 
 
+# ---------------------------------------------------------------------------
+# Real codec paths, stdlib-only: uncompressed BMP (images) and PCM WAV
+# (audio) are header+raster formats parseable with ``struct`` alone, so
+# decode/resize/re-encode runs for real in codec-less containers.
+# Compressed formats (JPEG/PNG/MP3/...) still require pillow/ffmpeg and
+# raise honestly when absent.
+# ---------------------------------------------------------------------------
+
+
+def _bmp_decode(payload: bytes) -> tuple[int, int, list[bytes]]:
+    """Decode an uncompressed 24-bit BMP (BITMAPINFOHEADER) to
+    ``(width, height, rows)`` where ``rows[y]`` is the y-th row TOP-DOWN
+    as packed BGR bytes (3*width). Raises ValueError on anything that is
+    not a plain 24bpp/BI_RGB bottom-up-or-top-down BMP."""
+    import struct
+
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (pix_off,) = struct.unpack_from("<I", payload, 10)
+    (hdr_size, width, height_raw) = struct.unpack_from("<Iii", payload, 14)
+    (planes, bpp) = struct.unpack_from("<HH", payload, 26)
+    (compression,) = struct.unpack_from("<I", payload, 30)
+    if hdr_size < 40 or planes != 1 or bpp != 24 or compression != 0:
+        raise ValueError("only uncompressed 24-bit BI_RGB BMPs are stdlib-decodable")
+    top_down = height_raw < 0
+    height = -height_raw if top_down else height_raw
+    if width <= 0 or height <= 0:
+        raise ValueError("degenerate BMP dimensions")
+    stride = (width * 3 + 3) & ~3  # rows pad to 4-byte boundaries
+    if pix_off + stride * height > len(payload):
+        raise ValueError("truncated BMP pixel data")
+    raw = [
+        bytes(payload[pix_off + y * stride : pix_off + y * stride + width * 3])
+        for y in range(height)
+    ]
+    rows = raw if top_down else raw[::-1]
+    return width, height, rows
+
+
+def _bmp_encode(width: int, height: int, rows: list[bytes]) -> bytes:
+    """Encode top-down BGR rows back to a bottom-up 24-bit BMP."""
+    import struct
+
+    stride = (width * 3 + 3) & ~3
+    pad = b"\x00" * (stride - width * 3)
+    pixels = b"".join(r + pad for r in rows[::-1])
+    header = struct.pack(
+        "<2sIHHI", b"BM", 14 + 40 + len(pixels), 0, 0, 14 + 40
+    ) + struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(pixels), 2835, 2835, 0, 0)
+    return header + pixels
+
+
+def _bmp_resize(payload: bytes, max_side: int = 64) -> bytes:
+    """Nearest-neighbor thumbnail of an uncompressed BMP, re-encoded as
+    BMP — the full decode→resize→encode loop with zero third-party
+    dependencies (aspect-preserving, never upscales)."""
+    w, h, rows = _bmp_decode(payload)
+    scale = min(1.0, max_side / max(w, h))
+    ow, oh = max(1, int(w * scale)), max(1, int(h * scale))
+    out_rows = []
+    for oy in range(oh):
+        src = rows[oy * h // oh]
+        out_rows.append(
+            b"".join(src[(ox * w // ow) * 3 : (ox * w // ow) * 3 + 3] for ox in range(ow))
+        )
+    return _bmp_encode(ow, oh, out_rows)
+
+
+def _wav_decode(payload: bytes) -> dict:
+    """Decode a PCM RIFF/WAV payload to
+    ``{channels, sample_rate, bits, n_frames, samples}`` (``samples`` =
+    interleaved ints for 8/16-bit PCM) by walking the RIFF chunks with
+    ``struct`` — no wave-module file objects, no ffmpeg."""
+    import struct
+
+    if len(payload) < 44 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid, csize = payload[pos : pos + 4], struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8 : pos + 8 + csize]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + csize + (csize & 1)  # chunks pad to even offsets
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_fmt, channels, rate, _, block_align, bits = fmt
+    if audio_fmt != 1 or bits not in (8, 16):
+        raise ValueError("only 8/16-bit PCM WAV is stdlib-decodable")
+    n_frames = len(data) // block_align if block_align else 0
+    if bits == 16:
+        samples = list(struct.unpack(f"<{len(data) // 2}h", data[: (len(data) // 2) * 2]))
+    else:
+        samples = [b - 128 for b in data]  # 8-bit WAV is unsigned
+    return {
+        "channels": channels,
+        "sample_rate": rate,
+        "bits": bits,
+        "n_frames": n_frames,
+        "samples": samples,
+    }
+
+
 def decode_image(payload: bytes) -> object:
-    """Decode an image payload to pixels. STUB — media codecs are not
-    available in this environment; wire pillow/torchvision here at
-    deployment."""
-    raise NotImplementedError("image decoding requires pillow; not available in this environment")
+    """Decode an image payload. Pillow when installed (any format);
+    otherwise the stdlib BMP path (uncompressed 24-bit) — returns
+    ``(width, height, rows)``. Compressed formats without pillow raise
+    honestly."""
+    try:  # pragma: no cover - pillow absent in this container
+        import io
+
+        from PIL import Image
+
+        return Image.open(io.BytesIO(payload))
+    except ImportError:
+        pass
+    try:
+        return _bmp_decode(payload)
+    except ValueError as e:
+        raise NotImplementedError(
+            f"non-BMP image decoding requires pillow ({e}); only uncompressed "
+            "24-bit BMP decodes stdlib-side"
+        ) from e
 
 
 def decode_audio(payload: bytes) -> object:
-    """Decode an audio payload to samples. STUB — see decode_image."""
-    raise NotImplementedError("audio decoding requires ffmpeg; not available in this environment")
+    """Decode an audio payload. PCM WAV decodes stdlib-side (see
+    ``_wav_decode``); compressed codecs require ffmpeg and raise
+    honestly."""
+    try:
+        return _wav_decode(payload)
+    except ValueError as e:
+        raise NotImplementedError(
+            f"non-WAV audio decoding requires ffmpeg ({e}); only PCM WAV "
+            "decodes stdlib-side"
+        ) from e
 
 
 def fake_frame_sample(payload: bytes, n_frames: int = 4) -> list[bytes]:
@@ -100,16 +232,36 @@ def fake_frame_sample(payload: bytes, n_frames: int = 4) -> list[bytes]:
 
 
 def resize_image(payload: bytes, width: int, height: int) -> bytes:
-    """Resize an image payload. STUB — decode→resize→re-encode requires
-    pillow; wire it here at deployment. The distributed shape is identical
-    to extract_payload_features: mapInPandas batch in, batch out."""
-    raise NotImplementedError("image resize requires pillow; not available in this environment")
+    """Resize an image payload (decode→resize→re-encode). Pillow when
+    installed; the stdlib BMP path otherwise. The distributed shape is
+    identical to extract_payload_features: mapInPandas batch in, batch
+    out."""
+    try:  # pragma: no cover - pillow absent in this container
+        import io
+
+        from PIL import Image
+
+        img = Image.open(io.BytesIO(payload))
+        img.thumbnail((width, height))
+        buf = io.BytesIO()
+        img.save(buf, format=img.format or "PNG")
+        return buf.getvalue()
+    except ImportError:
+        pass
+    try:
+        return _bmp_resize(payload, max(width, height))
+    except ValueError as e:
+        raise NotImplementedError(
+            f"non-BMP image resize requires pillow ({e})"
+        ) from e
 
 
 def _resize_backend():
-    """Import-gated codec selection: real pillow resize when the library
-    exists, the deterministic byte-truncation fake otherwise (keeps the
-    distributed plumbing testable in codec-less environments)."""
+    """Import-gated codec selection: pillow when the library exists;
+    otherwise the stdlib path — a REAL decode→resize→re-encode for
+    uncompressed BMP payloads, the deterministic byte-truncation fake
+    for payloads no stdlib codec can read (keeps the distributed
+    plumbing testable, and oracle-stable, in codec-less environments)."""
     try:  # pragma: no cover - pillow absent in this container
         from PIL import Image  # noqa: F401
 
@@ -124,7 +276,15 @@ def _resize_backend():
 
         return real
     except ImportError:
-        return lambda payload, cap: payload[:cap]
+        def stdlib_or_fake(payload: bytes, cap: int) -> bytes:
+            if payload[:2] == b"BM":
+                try:
+                    return _bmp_resize(payload, 64)
+                except ValueError:
+                    pass
+            return payload[:cap]
+
+        return stdlib_or_fake
 
 
 RESIZED_SCHEMA = StructType(

@@ -34,11 +34,12 @@ def test_payload_schema_and_features(spark):
     assert rows[some]["content_type"] in ("image/fake", "audio/fake")
 
 
-def test_decode_stubs_raise():
+def test_decode_compressed_formats_raise_honestly():
+    # compressed formats still need pillow/ffmpeg — absent here
     with pytest.raises(NotImplementedError):
-        decode_image(b"\x89PNG")
+        decode_image(b"\x89PNG" + b"\x00" * 64)
     with pytest.raises(NotImplementedError):
-        decode_audio(b"RIFF")
+        decode_audio(b"RIFF" + b"\x00" * 64)  # RIFF but not WAVE/PCM
 
 
 def test_fake_frame_sample_deterministic():
@@ -50,11 +51,11 @@ def test_fake_frame_sample_deterministic():
     assert fake_frame_sample(b"", 4) == []
 
 
-def test_resize_stub_raises():
+def test_resize_compressed_raises():
     from pmp_analytics_spark.multimodal import resize_image
 
     with pytest.raises(NotImplementedError):
-        resize_image(b"\x89PNG", 64, 64)
+        resize_image(b"\x89PNG" + b"\x00" * 64, 64, 64)
 
 
 def test_sample_frames_fanout(spark):
@@ -77,3 +78,90 @@ def test_sample_frames_fanout(spark):
     assert len(by_doc[2]) == 4
     assert sorted(r["frame_bytes"] for r in by_doc[2]) == [0, 1, 1, 1]
     assert 3 not in by_doc
+
+
+def _make_bmp(width, height, seed=7):
+    """Deterministic uncompressed 24-bit BMP via the module's own encoder
+    (the decoder is exercised against it round-trip below)."""
+    from pmp_analytics_spark.multimodal import _bmp_encode
+
+    rows = [
+        bytes(((x * 31 + y * 17 + seed) % 256) for x in range(width * 3))
+        for y in range(height)
+    ]
+    return _bmp_encode(width, height, rows), rows
+
+
+def test_bmp_decode_roundtrip_and_padding():
+    from pmp_analytics_spark.multimodal import _bmp_decode, decode_image
+
+    # width 5 -> 15-byte rows pad to 16: exercises the stride logic
+    payload, rows = _make_bmp(5, 3)
+    w, h, got = _bmp_decode(payload)
+    assert (w, h) == (5, 3)
+    assert got == rows
+    # decode_image routes BMPs through the stdlib path
+    assert decode_image(payload) == (5, 3, rows)
+
+
+def test_bmp_resize_real_decode_path():
+    from pmp_analytics_spark.multimodal import _bmp_decode, resize_image
+
+    payload, _ = _make_bmp(128, 96)
+    thumb = resize_image(payload, 64, 64)
+    w, h, rows = _bmp_decode(thumb)
+    # aspect-preserving, bounded by 64, never upscaled
+    assert (w, h) == (64, 48)
+    assert len(rows) == 48 and all(len(r) == 64 * 3 for r in rows)
+    # tiny images pass through without upscale
+    small, small_rows = _make_bmp(4, 2)
+    sw, sh, srows = _bmp_decode(resize_image(small, 64, 64))
+    assert (sw, sh) == (4, 2) and srows == small_rows
+
+
+def test_wav_decode_pcm16():
+    import math
+    import struct
+
+    from pmp_analytics_spark.multimodal import decode_audio
+
+    rate, n = 8000, 200
+    samples = [int(1000 * math.sin(2 * math.pi * 440 * i / rate)) for i in range(n)]
+    data = struct.pack(f"<{n}h", *samples)
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    payload = (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    got = decode_audio(payload)
+    assert got["channels"] == 1 and got["sample_rate"] == rate
+    assert got["bits"] == 16 and got["n_frames"] == n
+    assert got["samples"] == samples
+
+
+def test_thumbnails_use_real_bmp_decode_in_spark(spark):
+    """docs_payload_thumbnails machinery (resize_thumbnails) over real BMP
+    payloads: the mapInPandas batch must take the stdlib decode→resize→
+    re-encode branch — thumb md5 equals the local _bmp_resize output, and
+    the thumb itself is a valid BMP at the downscaled dimensions."""
+    import hashlib as _hl
+
+    from pmp_analytics_spark.multimodal import _bmp_decode, _bmp_resize, resize_thumbnails
+
+    payloads = {1: _make_bmp(100, 80, seed=1)[0], 2: _make_bmp(30, 64, seed=2)[0]}
+    df = spark.createDataFrame(
+        [
+            (i, p, ("image/bmp", 100 if i == 1 else 30, 80 if i == 1 else 64, len(p)))
+            for i, p in payloads.items()
+        ],
+        "doc_id long, payload binary, meta struct<content_type:string,width:int,height:int,n_bytes:bigint>",
+    )
+    rows = {r["doc_id"]: r for r in resize_thumbnails(df).collect()}
+    for i, p in payloads.items():
+        expect = _bmp_resize(p, 64)
+        assert rows[i]["thumb_md5"] == _hl.md5(expect).hexdigest()
+        assert rows[i]["thumb_bytes"] == len(expect)
+    # the doc-1 thumbnail really is a 64x51 BMP (100x80 capped at 64)
+    w, h, _ = _bmp_decode(_bmp_resize(payloads[1], 64))
+    assert (w, h) == (64, 51)
