@@ -603,19 +603,39 @@ def neardup_probe(
     return jaccard_pairs_from_exploded(cand, ex_b.union(history_ex), id_col, threshold)
 
 
+_DF_SALT = 16
+"""Salt fan-out for the token-df attach join in ``_ranked_tokens``."""
+
+
 def _ranked_tokens(toks: DataFrame, id_col: str) -> DataFrame:
     """Shared front half of the exact set-similarity joins: the distinct
     (id, __h) stream annotated with the global ascending-df token rank
-    ``__rn`` within each doc and the doc's set size ``__n``. One df
-    shuffle + one per-doc rank window, reused by the Jaccard and
-    containment prefix joins (their prefix CONDITIONS differ; the order
-    must not — the positional filters' losslessness argument needs one
-    shared global token order)."""
+    ``__rn`` within each doc and the doc's set size ``__n``. Reused by
+    the Jaccard and containment prefix joins (their prefix CONDITIONS
+    differ; the order must not — the positional filters' losslessness
+    argument needs one shared global token order).
+
+    Skew posture: the df counts themselves are safe at any skew
+    (partial/map-side combine bounds each reducer at one row per
+    distinct token), but ATTACHING df back to the token stream is a join
+    keyed on the token — on a natural corpus a stop-word-grade token
+    puts its entire postings list on one reducer. The attach is
+    therefore SALTED two-phase: count per (token, salt-of-doc-id),
+    total per token over the salt partials (tiny — ``_DF_SALT`` rows per
+    token), and join the stream on (token, salt) so a hot token's rows
+    spread across ``_DF_SALT`` reducers. Same pattern as
+    event_value_salted_rollup; AQE's skew-join remains as backstop."""
     sizes = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n"))
-    df_tok = toks.groupBy("__h").agg(F.count(F.lit(1)).alias("__df"))
+    salted = toks.withColumn(
+        "__salt", F.pmod(F.hash(F.col(id_col)), F.lit(_DF_SALT))
+    )
+    part = salted.groupBy("__h", "__salt").agg(F.count(F.lit(1)).alias("__c"))
+    tot = part.groupBy("__h").agg(F.sum("__c").alias("__df"))
+    df_tok = part.join(tot, on="__h").select("__h", "__salt", "__df")
     w_doc = Window.partitionBy(id_col).orderBy("__df", "__h")
     return (
-        toks.join(df_tok, on="__h")
+        salted.join(df_tok, on=["__h", "__salt"])
+        .drop("__salt")
         .withColumn("__rn", F.row_number().over(w_doc))
         .join(sizes, on=id_col)  # corpus-sized (one row per doc): plain join
     )

@@ -231,6 +231,17 @@ def test_jaccard_prefix_join_never_cartesian(spark, queries):
     assert_no_cartesian_product(df)
 
 
+def test_ranked_tokens_df_attach_is_salted(spark, queries):
+    """The token-df attach join in _ranked_tokens must key on
+    (__h, __salt), not bare __h — a stop-word-grade token would
+    otherwise put its whole postings list on one reducer (r4 verdict
+    #5). The salt column appearing in the plan's hash-partitioning /
+    join keys pins the salted tree for both prefix-join queries."""
+    for name in ("docs_jaccard_exact_pairs", "docs_containment_pairs"):
+        plan = physical_plan(queries[name](spark, SF))
+        assert "__salt" in plan, name
+
+
 def test_incremental_neardup_probe_is_all_broadcast(spark, queries):
     """The ingest probe must never shuffle-join: batch band keys
     broadcast into the bucket store, candidate ids broadcast into the
