@@ -16,6 +16,15 @@ Jaccard verification. All shuffle-aware:
   shuffles on (band_id, band_hash) — uniform by construction, and the
   self-join per bucket touches only colliding docs, never |D|²;
 - Jaccard verification runs only on candidate pairs.
+
+Cache lifecycle: operator-local ``.cache()`` calls (shared subtrees with
+two+ consumers inside one returned plan) are deliberately NOT unpersisted
+before return — the cache exists precisely so the consumers inside the
+returned DataFrame share one evaluation, and that evaluation happens
+after the operator returns. Lifetime is therefore registry-session:
+entries are evicted LRU under memory pressure (the session factory sizes
+the heap to the machine), and long multi-query harnesses bound
+accumulation by clearing between queries (tools/check_oracle.py).
 """
 
 from __future__ import annotations

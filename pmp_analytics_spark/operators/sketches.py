@@ -219,6 +219,16 @@ def hll_oracle_sql(
     """
 
 
+def kmv_hash_frame(df: DataFrame, key_col: str, group_cols: list[str]) -> DataFrame:
+    """``(group_cols..., hv)`` stream of 60-bit key hashes — the JVM-side
+    front half shared by batch ``kmv_sketch`` and the streaming bottom-k
+    state operator (``streaming.stateful.kmv_bottomk_stream``): one hash
+    definition, so batch and streaming sketches stay bit-compatible."""
+    return df.where(F.col(key_col).isNotNull()).select(
+        *group_cols, _hash60(F.col(key_col)).alias("hv")
+    )
+
+
 def kmv_sketch(
     df: DataFrame, key_col: str, group_cols: list[str], k: int = 256
 ) -> DataFrame:
@@ -241,12 +251,7 @@ def kmv_sketch(
     reducer ever sorts a group's full distinct-hash stream. Sketches
     MERGE by unioning rows, re-deduping on hv, and re-ranking to k.
     """
-    h = _hash60(F.col(key_col))
-    distinct = (
-        df.where(F.col(key_col).isNotNull())
-        .select(*group_cols, h.alias("hv"))
-        .distinct()
-    )
+    distinct = kmv_hash_frame(df, key_col, group_cols).distinct()
     w_local = Window.partitionBy("__pid", *group_cols).orderBy(F.asc("hv"))
     pre = (
         distinct.withColumn("__pid", F.spark_partition_id())

@@ -682,7 +682,13 @@ def streaming_daily_users_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFr
     run_to_memory(hourly, name, state_partitions=8)
     daily = (
         spark.table(name)
-        .withColumn("day_s", F.col("hour_s") - F.col("hour_s") % 86400)
+        # floor-division, NOT `hour_s - hour_s % 86400`: Spark's % keeps
+        # the dividend's sign, so the subtraction form rounds pre-1970
+        # epochs toward zero (up), diverging from the oracle's
+        # DATE_TRUNC('day') for any historical backfill. floor() rounds
+        # toward -inf for all epochs, matching date_trunc exactly, and
+        # stays pure integer arithmetic on the rollup key.
+        .withColumn("day_s", F.floor(F.col("hour_s") / 86400) * 86400)
         .groupBy("day_s", "j")
         .agg(F.max("reg").alias("reg"))
     )

@@ -102,3 +102,27 @@ def test_cms_matches_pure_python(spark):
     for x in set(keys):
         expect = min(cells.get((i, _h60(f"{i}|{x}") % w), 0) for i in range(d))
         assert got[x] == expect, x
+
+
+def test_empty_keys_match_pure_python_global(spark):
+    """The 'empty' case of the battery: a group with zero rows can never
+    emit a grouped row, so empty keys cross-check through the GLOBAL
+    (no-group) estimator shape — all three implementations must agree
+    that an empty key set estimates exactly 0 (HLL via the all-zero
+    linear-counting branch, KMV via the unfilled-sketch exact branch)."""
+    empty = spark.range(0).select(F.col("id").cast("string").alias("k"))
+
+    py_est, py_s, py_v = _py_hll([], 8)
+    assert py_est == 0.0 and py_v == (1 << 8)
+    hll_row = hll_cardinality(empty, "k", [], p=8).collect()
+    assert len(hll_row) == 1
+    got = hll_row[0]
+    assert (got["est_distinct"], got["est_distinct_s"], got["est_distinct_v"]) == (
+        py_est, py_s, py_v,
+    )
+
+    kmv_row = kmv_cardinality(kmv_sketch(empty, "k", [], k=16), [], k=16).collect()
+    assert len(kmv_row) == 1
+    assert (kmv_row[0]["est_distinct"], kmv_row[0]["n_seen"], kmv_row[0]["hv_k"]) == (
+        0.0, 0, 0,
+    )

@@ -507,3 +507,113 @@ def test_kmv_overlap_estimates_near_exact(spark):
         # intersection = ratio estimator on the merged sketch — noisier;
         # allow 35% relative plus small absolute slack for tiny overlaps
         assert abs(row["est_inter"] - xi) <= max(0.35 * xi, 10), (ta, tb, row, xi)
+
+
+def test_streaming_cms_state_survives_restart(spark, tmp_path):
+    """The CMS counter grid's recovery contract (the CMS twin of
+    test_streaming_hll_state_survives_restart): drain half the corpus,
+    STOP, add the rest, restart on the SAME checkpoint — recovered cell
+    sums must accumulate the second half on top of the first, landing
+    exactly on the whole-corpus batch grid. Cell sums are NOT idempotent
+    (unlike HLL's max-merge), so a replayed or lost batch would show up
+    as an exact count mismatch — the strictest form of the check."""
+    from pmp_analytics_spark.sources.reader import load_table
+
+    batch = (
+        load_table(spark, "/root/testdata/sf0.001", "events")
+        .select("user_id")
+        .where(F.col("user_id").isNotNull())
+    )
+    expected = sorted(map(tuple, cms_sketch(batch, "user_id", d=4, w=128).collect()))
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    rows = batch.collect()
+    half = len(rows) // 2
+    spark.createDataFrame(rows[:half], batch.schema).write.mode("append").parquet(src)
+
+    def drain(qname):
+        sdf = spark.readStream.schema(batch.schema).parquet(src)
+        q = (
+            cms_sketch(sdf, "user_id", d=4, w=128)
+            .writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return sorted(map(tuple, spark.table(qname).collect()))
+
+    first = drain("t_cms_restart_1")
+    assert first
+    spark.createDataFrame(rows[half:], batch.schema).write.mode("append").parquet(src)
+    second = drain("t_cms_restart_2")
+    assert second == expected
+    # monotonicity: cell counts only ever grow across the restart
+    first_map = {(i, b): c for i, b, c in first}
+    exp_map = {(i, b): c for i, b, c in expected}
+    assert all(c <= exp_map[(i, b)] for (i, b), c in first_map.items())
+
+
+def test_streaming_kmv_state_survives_restart(spark, tmp_path):
+    """Bottom-k state recovery (the KMV leg of the restart battery):
+    drain half, STOP, add the rest, restart on the same checkpoint. The
+    recovered bottom-k must merge the new hashes on top of the old,
+    landing on the batch kmv_sketch's hash set per group. Consumers keep
+    the max-version update per group (groups untouched after the restart
+    re-emit nothing — their phase-1 state IS final)."""
+    from pmp_analytics_spark.operators.sketches import kmv_hash_frame, kmv_sketch
+    from pmp_analytics_spark.sources.reader import load_table
+    from pmp_analytics_spark.streaming.stateful import kmv_bottomk_stream
+
+    K = 32
+    batch = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_type", "user_id"
+    )
+    exp = {}
+    for r in kmv_sketch(batch, "user_id", ["event_type"], k=K).collect():
+        exp.setdefault(r["event_type"], []).append(r["hv"])
+    expected = {t: sorted(h) for t, h in exp.items()}
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    rows = batch.collect()
+    half = len(rows) // 2
+    spark.createDataFrame(rows[:half], batch.schema).write.mode("append").parquet(src)
+
+    out = str(tmp_path / "updates")
+
+    def drain():
+        # foreachBatch parquet-append sink: the memory sink refuses
+        # checkpoint recovery in update mode, and recovery is the point
+        sdf = spark.readStream.schema(batch.schema).parquet(src)
+        q = (
+            kmv_bottomk_stream(kmv_hash_frame(sdf, "user_id", ["event_type"]), ["event_type"], k=K)
+            .writeStream.foreachBatch(
+                lambda bdf, bid: bdf.write.mode("append").parquet(out)
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.parquet(out).collect()
+
+    first = drain()
+    assert first
+    spark.createDataFrame(rows[half:], batch.schema).write.mode("append").parquet(src)
+    updates = drain()
+    latest: dict = {}
+    for r in updates:
+        if r["event_type"] not in latest or r["version"] > latest[r["event_type"]]["version"]:
+            latest[r["event_type"]] = r
+    got = {t: sorted(r["hvs"]) for t, r in latest.items()}
+    assert got == expected
+    # phase-1 state is always a superset-prefix: its bottom-k comes from
+    # half the data, so every phase-1 hash >= the group's final floor
+    for r in first:
+        t = r["event_type"]
+        assert sorted(r["hvs"])[0] >= expected[t][0]

@@ -169,6 +169,12 @@ def main() -> int:
         if only and name not in only:
             continue
         t0 = time.time()
+        # Operator-local .cache() calls assume a registry-session
+        # lifecycle (consumed within the query, evicted by LRU). A full
+        # 142-query gate run accumulates them; clearing between queries
+        # bounds memory without touching any correctness contract (the
+        # memoized stores just lazily rebuild if re-used).
+        spark.catalog.clearCache()
         try:
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
