@@ -27,7 +27,14 @@ def main() -> int:
     import __spark_entry__ as ent
 
     spark = get_spark("bench")
-    qs = ent.queries()
+    # Execution order is a performance artifact decoupled from the
+    # registry's record-sampling order — see queries/__init__.py
+    # (_PACKS_BENCH): terminated streaming queries leave state-store
+    # maps in executor memory, so the stream-heavy pack runs last.
+    from pmp_analytics_spark.queries import all_queries
+
+    qs = all_queries(order="bench")
+    assert set(qs) == set(ent.queries()), "bench order must cover the registry"
 
     # Warm the JVM + parquet footer caches once so per-query numbers measure
     # steady-state execution, not first-touch classloading.

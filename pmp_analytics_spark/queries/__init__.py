@@ -31,22 +31,33 @@ from pmp_analytics_spark.queries import (
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 
-def all_queries() -> dict[str, QueryFn]:
-    # Registration order is deliberate: the driver's per-round
-    # correctness record samples a fixed-size prefix of this dict, so
-    # packs rotate to the front each round until every pack has appeared
-    # in an official record (rounds 1-4 led with parity+llm; round 5
-    # leads with the sketch/pretrain/corpus/extended packs those records
-    # never sampled). The full 142-query gate (tools/check_oracle.py)
-    # covers everything regardless of order.
+# Two deliberate pack orders:
+#
+# - "record": what the driver's per-round correctness record samples (a
+#   fixed-size prefix of the dict) — packs rotate to the front each
+#   round until every pack has appeared in an official record (rounds
+#   1-4 led with parity+llm; round 5 leads with the sketch/pretrain/
+#   corpus/extended packs those records never sampled). The full
+#   142-query gate (tools/check_oracle.py) covers everything regardless.
+#
+# - "bench": the measured-fastest EXECUTION order (bench.py) — streaming
+#   state-store providers keep per-checkpoint state maps in executor
+#   memory after their queries terminate, so the stream-heavy sketches
+#   pack runs LAST; running it first measured ~14% slower TOTAL on the
+#   same code (the residual state pressures every later query).
+_PACKS_RECORD = ("sketches", "pretrain", "corpus", "extended", "analytic", "llm", "parity")
+_PACKS_BENCH = ("parity", "llm", "extended", "corpus", "pretrain", "analytic", "sketches")
+_PACK_MODULES = {
+    "parity": parity, "llm": llm, "extended": extended, "corpus": corpus,
+    "pretrain": pretrain, "analytic": analytic, "sketches": sketches,
+}
+
+
+def all_queries(order: str = "record") -> dict[str, QueryFn]:
+    packs = _PACKS_BENCH if order == "bench" else _PACKS_RECORD
     out: dict[str, QueryFn] = {}
-    out.update(sketches.QUERIES)
-    out.update(pretrain.QUERIES)
-    out.update(corpus.QUERIES)
-    out.update(extended.QUERIES)
-    out.update(analytic.QUERIES)
-    out.update(llm.QUERIES)
-    out.update(parity.QUERIES)
+    for p in packs:
+        out.update(_PACK_MODULES[p].QUERIES)
     return out
 
 
