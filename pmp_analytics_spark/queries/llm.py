@@ -1186,6 +1186,133 @@ def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Q: embedding_pq_topk — product-quantization ANN (Jégou et al., TPAMI
+# 2011): per-subspace k-means codebooks, m-byte codes per vector, and
+# Asymmetric Distance Computation — each query builds an exact
+# (m x k_codes) subspace-distance table and every corpus vector is
+# scored with m table LOOKUPS instead of D multiplies. The compression
+# story at 100 TB: a 256 B float vector becomes m=8 codes, so the code
+# table of a trillion-vector corpus fits in memory tiers the raw
+# vectors never could. The oracle replays the deterministic fit the
+# same way embedding_ivf_topk's does — per-subspace codebooks from the
+# identical seeded k-means as SQL literals, argmin encoding with the
+# same (dist, code) tie-break, the same left-to-right ADC fold order —
+# resolved lazily against the gate's own sf_dir.
+# --------------------------------------------------------------------------
+_PQ_M = 8
+_PQ_K = 16
+
+
+def _pq_oracle() -> str | None:
+    """Snapshot the gate-SF PQ codebooks and emit the full SQL replay
+    (encoding + ADC + ranking). Same lazy/downgrade contract as
+    ``_ivf_oracle``."""
+    import hashlib
+    import os
+    import warnings
+
+    try:
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from pmp_analytics_spark.operators.similarity_search import _kmeans_fit
+
+        sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+        tbl = pq.read_table(
+            os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+        )
+        rows = sorted(
+            zip(tbl["vec_id"].to_pylist(), tbl["embedding"].to_pylist()),
+            key=lambda r: hashlib.md5(str(r[0]).encode()).hexdigest(),
+        )[: max(2000, 20 * _PQ_K)]
+        train = np.array([r[1] for r in rows], dtype=np.float64)
+        d = train.shape[1]
+        sub = d // _PQ_M
+        books = [
+            _kmeans_fit(train[:, j * sub : (j + 1) * sub], _PQ_K, 42 + j)
+            for j in range(_PQ_M)
+        ]
+    except (ImportError, OSError, KeyError) as e:  # tables/deps unavailable here
+        warnings.warn(
+            f"embedding_pq_topk oracle downgraded to rows-only check: {e!r}",
+            stacklevel=2,
+        )
+        return None
+
+    cb_rows = ", ".join(
+        f"({j}, {c}, [{', '.join(repr(float(x)) for x in books[j][c])}]::DOUBLE[])"
+        for j in range(_PQ_M)
+        for c in range(_PQ_K)
+    )
+    return f"""
+    WITH c AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), cb(j, code, cv) AS (
+        VALUES {cb_rows}
+    ), subdist AS (
+        -- squared L2 of doc subvector j vs codebook entry (j, code);
+        -- ascending-i fold matches the Spark HOF's left-to-right sum
+        SELECT c.vec_id, cb.j, cb.code,
+               LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, {sub}), i ->
+                   (v[cb.j * {sub} + i] - cv[i]) * (v[cb.j * {sub} + i] - cv[i]))) AS d2
+        FROM c CROSS JOIN cb
+    ), enc AS (
+        SELECT vec_id, j, code,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d2, code) AS rn
+        FROM subdist
+    ), codes AS (
+        SELECT vec_id, LIST(code ORDER BY j) AS codes
+        FROM enc WHERE rn = 1 GROUP BY vec_id
+    ), q AS (
+        SELECT vec_id AS query_id, v AS qv FROM c WHERE vec_id < {_NQ}
+    ), qtab0 AS (
+        SELECT q.query_id, cb.j, cb.code,
+               LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, {sub}), i ->
+                   (qv[cb.j * {sub} + i] - cv[i]) * (qv[cb.j * {sub} + i] - cv[i]))) AS t
+        FROM q CROSS JOIN cb
+    ), qtab1 AS (
+        SELECT query_id, j, LIST(t ORDER BY code) AS trow
+        FROM qtab0 GROUP BY query_id, j
+    ), qtab AS (
+        SELECT query_id, LIST(trow ORDER BY j) AS tbl
+        FROM qtab1 GROUP BY query_id
+    ), adc AS (
+        -- ascending-j fold, code+1 into the 1-based (j+1)-th table row —
+        -- exactly the Spark zip_with/element_at/aggregate shape
+        SELECT qtab.query_id, codes.vec_id,
+               ROUND(LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, {_PQ_M}), j ->
+                   tbl[j][codes.codes[j] + 1])), 6) AS adc_dist
+        FROM codes CROSS JOIN qtab
+    ), ranked AS (
+        SELECT query_id, vec_id, adc_dist,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY adc_dist ASC, vec_id) AS rank
+        FROM adc
+    )
+    SELECT query_id, vec_id, adc_dist, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= {_TOPK}
+    """
+
+
+@query("embedding_pq_topk", _pq_oracle)
+def embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pmp_analytics_spark.operators.similarity_search import (
+        pq_encode,
+        pq_topk,
+        pq_train,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = pq_train(emb, m=_PQ_M, k_codes=_PQ_K)
+    codes = pq_encode(emb, books)
+    queries_df = emb.where(F.col("vec_id") < _NQ).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = pq_topk(codes, books, queries_df, k=_TOPK)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+# --------------------------------------------------------------------------
 # Q: embedding_semantic_neardup — SemDeDup-shaped semantic dedup: k-means
 # cluster the embedding space, exact cosine over pairs WITHIN a cluster
 # only — the 100 TB scale path next to embedding_neardup_exact's bounded
