@@ -744,3 +744,85 @@ def streaming_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("est_count") - F.col("true_count")).alias("overcount"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Q: streaming_user_bottomk_kmv — the KMV bottom-k sketch AS STREAMING
+# STATE, completing the streaming sketch trio (HLL merges by MAX, CMS by
+# SUM; bottom-k merges by merge-and-recut, which no built-in streaming
+# aggregation expresses — this is the applyInPandasWithState custom
+# operator, `streaming.stateful.kmv_bottomk_stream`). State is O(k) per
+# group forever; hashing happens JVM-side (`kmv_hash_frame`) BEFORE the
+# stateful hop, so the drained state is bit-identical to the batch
+# `kmv_sketch` and the oracle is simply the batch KMV replay. `n_rows`
+# (the operator's monotone version counter) rides along pinned to the
+# SQL COUNT, proving the state saw every row exactly once. Restart
+# recovery is pinned separately in tests/test_sketches.py.
+# --------------------------------------------------------------------------
+_KMV_STREAM_K = 64
+
+
+@query(
+    "streaming_user_bottomk_kmv",
+    f"""
+    WITH __base AS (
+        SELECT event_type, user_id FROM events WHERE user_id IS NOT NULL
+    ), __dh AS (
+        SELECT DISTINCT event_type,
+               CAST(('0x' || SUBSTRING(MD5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+        FROM __base
+    ), __sk AS (
+        SELECT event_type, hv,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hv) AS r
+        FROM __dh QUALIFY r <= {_KMV_STREAM_K}
+    ), __agg AS (
+        SELECT event_type,
+               COUNT(*) AS n_seen,
+               MAX(CASE WHEN r = {_KMV_STREAM_K} THEN hv END) AS hk
+        FROM __sk GROUP BY 1
+    ), __n AS (
+        SELECT event_type, COUNT(*) AS n_rows FROM __base GROUP BY 1
+    )
+    SELECT a.event_type,
+           ROUND(CASE WHEN a.n_seen < {_KMV_STREAM_K} THEN CAST(a.n_seen AS DOUBLE)
+                      ELSE {repr(float(_KMV_STREAM_K - 1) * float(1 << HASH_BITS))}
+                           / CAST(a.hk AS DOUBLE) END, 2) AS users_kmv,
+           a.n_seen,
+           COALESCE(a.hk, 0) AS hv_k,
+           n.n_rows
+    FROM __agg a JOIN __n n ON a.event_type = n.event_type
+    """,
+)
+def streaming_user_bottomk_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from pyspark.sql import Window
+
+    from pmp_analytics_spark.operators.sketches import kmv_cardinality, kmv_hash_frame
+    from pmp_analytics_spark.streaming import read_event_stream, run_to_memory
+    from pmp_analytics_spark.streaming.stateful import kmv_bottomk_stream
+
+    name = f"stream_kmv_{uuid.uuid4().hex[:12]}"
+    stream = read_event_stream(spark, sf_dir).where(F.col("user_id").isNotNull())
+    updates = kmv_bottomk_stream(
+        kmv_hash_frame(stream, "user_id", ["event_type"]), ["event_type"], k=_KMV_STREAM_K
+    )
+    # update-mode drain: the sink holds one update row per (group, batch
+    # that touched it); the max-version row per group IS the final state
+    run_to_memory(updates, name, output_mode="update", state_partitions=8)
+    w = Window.partitionBy("event_type").orderBy(F.desc("version"))
+    latest = (
+        spark.table(name)
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select("event_type", "hvs", F.col("version").alias("n_rows"))
+    )
+    # n_rows is functionally dependent on the group, so it rides through
+    # kmv_cardinality as an extra group column — no self-join back onto
+    # the drained state, and the estimator math stays the OPERATOR's.
+    sk = latest.select(
+        "event_type", "n_rows", F.posexplode("hvs").alias("__r0", "hv")
+    ).select("event_type", "n_rows", "hv", (F.col("__r0") + 1).alias("r"))
+    return kmv_cardinality(
+        sk, ["event_type", "n_rows"], k=_KMV_STREAM_K, est_col="users_kmv"
+    ).select("event_type", "users_kmv", "n_seen", "hv_k", "n_rows")
