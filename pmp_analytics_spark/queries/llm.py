@@ -1203,10 +1203,13 @@ _PQ_M = 8
 _PQ_K = 16
 
 
-def _pq_oracle() -> str | None:
-    """Snapshot the gate-SF PQ codebooks and emit the full SQL replay
-    (encoding + ADC + ranking). Same lazy/downgrade contract as
-    ``_ivf_oracle``."""
+def _pq_fit_snapshot(query_name: str):
+    """Refit the gate-SF PQ codebooks exactly as ``pq_train`` does (same
+    md5-ordered sample, same seeds) without Spark, and return
+    ``(cb_rows, sub)`` — the VALUES literal for the codebook CTE and the
+    subspace width. Returns None (with a visible warning naming
+    ``query_name``) when the gate tables/deps are unavailable, which
+    downgrades only that query to a rows-only check."""
     import hashlib
     import os
     import warnings
@@ -1234,7 +1237,7 @@ def _pq_oracle() -> str | None:
         ]
     except (ImportError, OSError, KeyError) as e:  # tables/deps unavailable here
         warnings.warn(
-            f"embedding_pq_topk oracle downgraded to rows-only check: {e!r}",
+            f"{query_name} oracle downgraded to rows-only check: {e!r}",
             stacklevel=2,
         )
         return None
@@ -1244,6 +1247,14 @@ def _pq_oracle() -> str | None:
         for j in range(_PQ_M)
         for c in range(_PQ_K)
     )
+    return cb_rows, sub
+
+
+def _pq_replay_ctes(cb_rows: str, sub: int) -> str:
+    """The shared CTE chain of the PQ oracles: codebook VALUES, argmin
+    encoding with the (dist, code) tie-break, per-query ADC tables, and
+    the ADC score — everything up to (and including) the ranked ADC
+    relation ``ranked``."""
     return f"""
     WITH c AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
@@ -1288,7 +1299,17 @@ def _pq_oracle() -> str | None:
                ROW_NUMBER() OVER (PARTITION BY query_id
                                   ORDER BY adc_dist ASC, vec_id) AS rank
         FROM adc
-    )
+    )"""
+
+
+def _pq_oracle() -> str | None:
+    """Full SQL replay for embedding_pq_topk (encoding + ADC + ranking).
+    Same lazy/downgrade contract as ``_ivf_oracle``."""
+    snap = _pq_fit_snapshot("embedding_pq_topk")
+    if snap is None:
+        return None
+    cb_rows, sub = snap
+    return _pq_replay_ctes(cb_rows, sub) + f"""
     SELECT query_id, vec_id, adc_dist, CAST(rank AS BIGINT) AS rank
     FROM ranked WHERE rank <= {_TOPK}
     """
@@ -1310,6 +1331,80 @@ def embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = pq_topk(codes, books, queries_df, k=_TOPK)
     return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+# --------------------------------------------------------------------------
+# Q: embedding_pq_rerank — the production ANN shape: PQ/ADC retrieves a
+# cheap shortlist (5x over-retrieval), exact cosine rescoring reranks it
+# to the final top-k. This two-stage split is why PQ's coarse
+# within-cluster ties don't matter in deployment — ADC only needs the
+# true neighbors IN the shortlist; the exact metric orders them. The
+# shortlist join touches _NQ x shortlist rows (bounded), never the
+# corpus. Oracle = the shared PQ replay CTEs + cosine rescoring.
+# --------------------------------------------------------------------------
+_PQ_SHORTLIST = 5 * _TOPK
+
+
+def _pq_rerank_oracle() -> str | None:
+    snap = _pq_fit_snapshot("embedding_pq_rerank")
+    if snap is None:
+        return None
+    cb_rows, sub = snap
+    return _pq_replay_ctes(cb_rows, sub) + f"""
+    , shortlist AS (
+        SELECT query_id, vec_id FROM ranked WHERE rank <= {_PQ_SHORTLIST}
+    ), rescored AS (
+        SELECT s.query_id, s.vec_id,
+               ROUND(LIST_COSINE_SIMILARITY(cv.v, qv.v), 6) AS cosine_sim
+        FROM shortlist s
+        JOIN c cv ON cv.vec_id = s.vec_id
+        JOIN c qv ON qv.vec_id = s.query_id
+    ), rr AS (
+        SELECT query_id, vec_id, cosine_sim,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cosine_sim DESC, vec_id) AS rank
+        FROM rescored
+    )
+    SELECT query_id, vec_id, cosine_sim, CAST(rank AS BIGINT) AS rank
+    FROM rr WHERE rank <= {_TOPK}
+    """
+
+
+@query("embedding_pq_rerank", _pq_rerank_oracle)
+def embedding_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pmp_analytics_spark.operators.similarity_search import (
+        cosine,
+        pq_encode,
+        pq_topk,
+        pq_train,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = pq_train(emb, m=_PQ_M, k_codes=_PQ_K)
+    codes = pq_encode(emb, books)
+    queries_df = emb.where(F.col("vec_id") < _NQ).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    ).cache()  # two consumers: the ADC table build and the rescore join
+    shortlist = pq_topk(codes, books, queries_df, k=_PQ_SHORTLIST).select(
+        "query_id", "vec_id"
+    )
+    rescored = (
+        shortlist.join(emb.select("vec_id", "embedding"), "vec_id")
+        .join(F.broadcast(queries_df), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine(F.col("embedding"), F.col("query_vec")), 6).alias(
+                "cosine_sim"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
+    return (
+        rescored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= _TOPK)
+        .select("query_id", "vec_id", "cosine_sim", F.col("rank").cast("long").alias("rank"))
+    )
 
 
 # --------------------------------------------------------------------------

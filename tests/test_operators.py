@@ -967,3 +967,44 @@ def test_pq_topk_adc_ranking(spark):
     d2 = ((vecs.astype("float64") - vecs[30].astype("float64")) ** 2).sum(axis=1)
     exact = set(np.argsort(d2, kind="stable")[:5])
     assert len(got & exact) >= 2
+
+
+def test_pq_rerank_recovers_exact_order_within_shortlist(spark):
+    """Two-stage PQ: over-retrieve by ADC, rescore exactly — every final
+    hit must carry its TRUE cosine (so the rerank ordering equals exact
+    ordering restricted to the shortlist), and recall@k must be at least
+    plain-ADC recall (rescoring can only fix in-shortlist order)."""
+    import numpy as np
+
+    from pmp_analytics_spark.queries.llm import embedding_pq_rerank, embedding_pq_topk
+
+    sf = "/root/testdata/sf0.001"
+    emb = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+           for r in spark.read.parquet(f"{sf}/embeddings.parquet").collect()}
+    ids = sorted(emb)
+    mat = np.stack([emb[i] for i in ids])
+    norms = np.linalg.norm(mat, axis=1)
+
+    rer = embedding_pq_rerank(spark, sf).collect()
+    assert rer
+    by_q: dict = {}
+    for r in rer:
+        by_q.setdefault(r["query_id"], []).append(r)
+        # published score is the TRUE cosine, rounded as the query does
+        q, v = emb[r["query_id"]], emb[r["vec_id"]]
+        true_cos = float(q @ v / (np.linalg.norm(q) * np.linalg.norm(v)))
+        assert abs(r["cosine_sim"] - round(true_cos, 6)) <= 1e-6
+
+    adc = {}
+    for r in embedding_pq_topk(spark, sf).collect():
+        adc.setdefault(r["query_id"], set()).add(r["vec_id"])
+    total_rr = total_adc = total = 0
+    for qid, rows in by_q.items():
+        sims = mat @ emb[qid] / (norms * np.linalg.norm(emb[qid]))
+        exact = {ids[i] for i in np.argsort(np.round(-sims, 6), kind="stable")[:len(rows)]}
+        got = {r["vec_id"] for r in rows}
+        total += len(exact)
+        total_rr += len(got & exact)
+        total_adc += len(adc.get(qid, set()) & exact)
+    assert total_rr >= total_adc
+    assert total_rr / total >= 0.5  # 5x over-retrieval recovers most of top-k
