@@ -417,3 +417,19 @@ def test_global_gate_no_rowwise_python_udf(spark, queries):
         if "BatchEvalPython" in physical_plan(fn(spark, SF)):
             offenders.append(name)
     assert not offenders, offenders
+
+
+def test_pq_queries_plan_shape(spark, queries):
+    """PQ/ADC plans: the per-query distance tables ride a broadcast
+    (corpus codes never shuffle for scoring), nothing degenerates into a
+    CartesianProduct, and the ascending top-k keeps the two-window
+    pre-cut (SPARK_PARTITION_ID present) so no per-query reducer
+    hotspot."""
+    for name in ("embedding_pq_topk", "embedding_pq_rerank"):
+        df = queries[name](spark, SF)
+        plan = physical_plan(df)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, name
+    assert "SPARK_PARTITION_ID" in physical_plan(
+        queries["embedding_pq_topk"](spark, SF)
+    ).upper()
