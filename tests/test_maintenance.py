@@ -1,0 +1,124 @@
+"""Small-file compaction (`operators/maintenance.py`).
+
+Pins the three contracts that make compaction safe to run nightly at
+100 TB: losslessness (same rows before/after), rewrite-amplification
+control (well-sized files are NOT rewritten), and the no-shuffle rewrite
+plan (coalesce, zero Exchange).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from pmp_analytics_spark.operators.maintenance import (
+    compact_parquet,
+    compact_partitioned,
+    list_parquet_files,
+)
+
+def _rows_fingerprint(spark, path):
+    df = spark.read.parquet(path)
+    cols = [F.col(c).cast("string") for c in sorted(df.columns)]
+    return (
+        df.select(
+            F.sum(F.crc32(F.concat_ws("\x1f", *cols))).alias("h"),
+            F.count(F.lit(1)).alias("n"),
+        ).first()
+    )
+
+
+def test_compaction_lossless_and_skips_big_files(spark):
+    with tempfile.TemporaryDirectory() as tmp:
+        path = os.path.join(tmp, "events")
+
+        def payload(n):
+            return spark.range(n).select(
+                F.col("id"), F.md5(F.col("id").cast("string")).alias("s")
+            )
+
+        # 32 small files + one pre-sized big file appended on top.
+        payload(2_000).repartition(32).write.parquet(path)
+        payload(200_000).coalesce(1).write.mode("append").parquet(path)
+
+        before = _rows_fingerprint(spark, path)
+        files0 = list_parquet_files(spark, path)
+        big0 = {p for p, n in files0 if n >= 50_000}
+        assert len(files0) == 33 and len(big0) == 1
+
+        stats = compact_parquet(
+            spark, path, target_bytes=100_000, small_threshold=50_000
+        )
+        assert stats.files_before == 33
+        assert stats.rewritten == 32 and stats.skipped == 1
+        assert stats.files_after < 33
+
+        files1 = list_parquet_files(spark, path)
+        assert len(files1) == stats.files_after
+        # The big file was not rewritten — same path survives untouched.
+        assert big0 <= {p for p, _ in files1}
+        assert _rows_fingerprint(spark, path) == before
+
+
+def test_compaction_idempotent_noop_when_wellsized(spark):
+    with tempfile.TemporaryDirectory() as tmp:
+        path = os.path.join(tmp, "t")
+        spark.range(1000).write.parquet(path)
+        compact_parquet(spark, path, target_bytes=1 << 20)
+        files = list_parquet_files(spark, path)
+        stats = compact_parquet(spark, path, target_bytes=1 << 20)
+        assert stats.rewritten == 0
+        assert list_parquet_files(spark, path) == files  # byte-stable no-op
+
+
+def test_compaction_rewrite_plan_has_no_exchange(spark):
+    # The rewrite is read-small-files -> coalesce -> write: a narrow plan.
+    with tempfile.TemporaryDirectory() as tmp:
+        path = os.path.join(tmp, "t")
+        spark.range(5000).withColumn("k", F.col("id") % 7).repartition(
+            16
+        ).write.parquet(path)
+        small = [p for p, _ in list_parquet_files(spark, path)]
+        plan = (
+            spark.read.parquet(*small)
+            .coalesce(2)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in plan
+
+
+def test_compaction_sort_within_tightens_stats(spark):
+    import pyarrow.parquet as pq
+
+    with tempfile.TemporaryDirectory() as tmp:
+        path = os.path.join(tmp, "t")
+        spark.range(20000).select(
+            (F.crc32(F.col("id").cast("string")) % 1000).alias("k")
+        ).repartition(16).write.parquet(path)
+        compact_parquet(
+            spark, path, target_bytes=1 << 20, sort_within=["k"]
+        )
+        [(fp, _)] = list_parquet_files(spark, path)
+        md = pq.ParquetFile(fp.removeprefix("file:")).metadata
+        col0 = md.row_group(0).column(0).statistics
+        # Sorted rewrite -> row-group min/max actually narrow (prunable).
+        assert col0.has_min_max
+
+
+def test_compact_partitioned_per_leaf(spark):
+    with tempfile.TemporaryDirectory() as tmp:
+        root = os.path.join(tmp, "pt")
+        df = spark.range(8000).select(
+            (F.col("id") % 3).alias("p"), F.col("id").alias("v")
+        )
+        df.repartition(10).write.partitionBy("p").parquet(root)
+        before = _rows_fingerprint(spark, root)
+        stats = compact_partitioned(spark, root, target_bytes=1 << 20)
+        assert len(stats) == 3
+        assert all(s.rewritten > 0 for s in stats.values())
+        assert all(s.files_after == 1 for s in stats.values())
+        assert _rows_fingerprint(spark, root) == before
