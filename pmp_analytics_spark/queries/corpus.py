@@ -488,6 +488,51 @@ def streaming_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Q: streaming_source_quota — per-source admission caps on the document
+# ingest stream: admit each source's first _QUOTA_N docs (doc_id order)
+# and refuse the rest, with the admitted count carried as operator state
+# ACROSS micro-batches — a per-batch row_number cannot enforce a
+# cross-batch cap. Runs on the Spark 4 transformWithStateInPandas API
+# (StatefulProcessor + named ValueState) where its protobuf dependency
+# exists, else the applyInPandasWithState form of the same state machine
+# (streaming/quota.py; identical _admit step, cross-checked in tests).
+# The cap binds at every SF (15 < 25 docs/source at sf0.01). Oracle = the
+# batch row_number form; multi-batch ≡ one-batch is pinned in
+# tests/test_streaming.py.
+# --------------------------------------------------------------------------
+_QUOTA_N = 15
+
+
+@query(
+    "streaming_source_quota",
+    f"""
+    SELECT doc_id, source, rn AS admit_rank
+    FROM (
+        SELECT doc_id, source,
+               ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        FROM documents
+    )
+    WHERE rn <= {_QUOTA_N}
+    """,
+)
+def streaming_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from pmp_analytics_spark.streaming.quota import source_quota_stream_auto
+    from pmp_analytics_spark.streaming.sessions import (
+        read_doc_stream,
+        run_to_memory,
+    )
+
+    name = f"stream_quota_{uuid.uuid4().hex[:12]}"
+    admitted = source_quota_stream_auto(
+        read_doc_stream(spark, sf_dir).select("doc_id", "source"), _QUOTA_N
+    )
+    run_to_memory(admitted, name, output_mode="append", state_partitions=8)
+    return spark.table(name)
+
+
+# --------------------------------------------------------------------------
 # Q: docs_adaptive_quality_filter — per-SOURCE adaptive quality gate: keep
 # each source's top 75% of documents by the composite quality score
 # (exact interpolated P25 per source, not one global threshold — a fixed

@@ -50,6 +50,22 @@ def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return normalize_event_ts(raw)
 
 
+def read_doc_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the documents parquet (same shape as
+    ``read_event_stream``: schema peeked from the footer, one file per
+    micro-batch under ``availableNow``). Parquet row order preserves the
+    writer's doc_id order, so per-source doc_id order is nondecreasing
+    across the stream — the property ``streaming/quota.py`` requires."""
+    import os
+
+    schema = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+
+
 def streaming_event_type_counts(
     events: DataFrame,
     window: str = "1 hour",
