@@ -33,10 +33,12 @@ from dataclasses import dataclass
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
     DataSourceStreamReader,
     EqualTo,
     InputPartition,
+    WriterCommitMessage,
 )
 
 _SPARK_TYPES = {
@@ -244,6 +246,131 @@ class _ShardStreamReader(DataSourceStreamReader):
         pass
 
 
+# --------------------------------------------------------------------------
+# Custom Python DataSource WRITER — the sink half of the connector API.
+#
+# The concrete sink ("jsonlshard") writes JSONL shards — the interchange
+# format trainer data-loaders consume — with the two-phase task-commit
+# protocol a real sink needs under speculative execution and task retry:
+#
+# - ``write()`` runs once per task and streams its Arrow batches into a
+#   UNIQUELY-NAMED temp file under ``<path>/_tmp/`` (never the final
+#   name: two speculative attempts of one task must not collide), then
+#   returns a commit message (temp path, row count).
+# - ``commit()`` runs on the driver only after EVERY task succeeded: it
+#   renames each temp to its final ``part-NNNNN-<rows>.jsonl`` name and
+#   writes ``_MANIFEST.json`` LAST — the manifest is the commit point;
+#   readers trust only manifest-listed shards, so a crash mid-rename
+#   publishes nothing. ``mode("append")`` extends the existing manifest;
+#   overwrite replaces it (single-writer-per-directory contract, as with
+#   operators/maintenance.py).
+# - ``abort()`` deletes the temps of whatever tasks did run.
+#
+# JSONL encoding is row-oriented by definition, but the hop stays
+# Arrow-batched end-to-end: each RecordBatch is rendered by pandas
+# ``to_json(lines=True)`` in one vectorized call, not a Python loop.
+#
+# Tasks open ``path`` directly from the executors, so the directory must
+# be on a filesystem every executor shares (local mode / NFS / a fuse
+# mount); an object-store variant would swap open/rename for
+# multipart-upload + complete, keeping the same commit protocol.
+# --------------------------------------------------------------------------
+
+
+@dataclass
+class _ShardCommit(WriterCommitMessage):
+    tmp_path: str
+    rows: int
+
+
+class JsonlShardDataSource(DataSource):
+    """df.write.format("jsonlshard").option("path", ...).mode("append"|
+    "overwrite").save() — the Python DataSource write path supports only
+    those two save modes (Spark raises on ErrorIfExists/Ignore)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "jsonlshard"
+
+    def writer(self, schema, overwrite: bool):
+        return _JsonlShardWriter(self.options["path"], overwrite)
+
+
+class _JsonlShardWriter(DataSourceArrowWriter):
+    def __init__(self, path: str, overwrite: bool) -> None:
+        self.path = path
+        self.overwrite = overwrite
+
+    def write(self, iterator):
+        import os
+        import uuid
+
+        tmp_dir = os.path.join(self.path, "_tmp")
+        os.makedirs(tmp_dir, exist_ok=True)
+        tmp = os.path.join(tmp_dir, f"task-{uuid.uuid4().hex}.jsonl")
+        rows = 0
+        with open(tmp, "a", encoding="utf-8") as fh:
+            for batch in iterator:
+                pdf = batch.to_pandas()
+                rows += len(pdf)
+                pdf.to_json(fh, orient="records", lines=True, force_ascii=False)
+                fh.write("\n")
+        return _ShardCommit(tmp_path=tmp, rows=rows)
+
+    def commit(self, messages) -> None:
+        import json
+        import os
+        import shutil
+
+        manifest_path = os.path.join(self.path, "_MANIFEST.json")
+        shards: list[dict] = []
+        if not self.overwrite and os.path.exists(manifest_path):
+            with open(manifest_path, encoding="utf-8") as fh:
+                shards = json.load(fh)["shards"]
+        elif self.overwrite:
+            for old in os.listdir(self.path):
+                if old.startswith("part-") and old.endswith(".jsonl"):
+                    os.remove(os.path.join(self.path, old))
+        start = len(shards)
+        for i, m in enumerate(sorted(messages, key=lambda m: m.tmp_path)):
+            name = f"part-{start + i:05d}-{m.rows}.jsonl"
+            os.replace(m.tmp_path, os.path.join(self.path, name))
+            shards.append({"name": name, "rows": m.rows})
+        # The manifest write IS the commit point — written last, atomically
+        # (tmp + rename), so readers never see a half-published job.
+        tmp_manifest = manifest_path + ".tmp"
+        with open(tmp_manifest, "w", encoding="utf-8") as fh:
+            json.dump(
+                {"shards": shards, "total_rows": sum(s["rows"] for s in shards)},
+                fh,
+            )
+        os.replace(tmp_manifest, manifest_path)
+        shutil.rmtree(os.path.join(self.path, "_tmp"), ignore_errors=True)
+
+    def abort(self, messages) -> None:
+        import os
+
+        for m in messages:
+            if m is not None and os.path.exists(m.tmp_path):
+                os.remove(m.tmp_path)
+
+
+def read_jsonl_shards(spark, path: str, schema=None):
+    """Read back ONLY the committed shards (manifest-listed); stray temp
+    or orphaned part files from failed/aborted jobs are invisible —
+    that is the point of the manifest protocol."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_MANIFEST.json"), encoding="utf-8") as fh:
+        manifest = json.load(fh)
+    files = [os.path.join(path, s["name"]) for s in manifest["shards"]]
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(files)
+
+
 def register(spark) -> None:
     """Idempotent connector registration (called once per session from
     ``session.get_spark``; repeat calls from queries are no-ops — a
@@ -260,4 +387,5 @@ def register(spark) -> None:
     # pushFilters() implementation without it).
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(ParquetShardDataSource)
+    spark.dataSource.register(JsonlShardDataSource)
     spark.conf.set(key, "1")
