@@ -35,6 +35,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
     DataSourceStreamReader,
     EqualTo,
     InputPartition,
@@ -295,6 +296,9 @@ class JsonlShardDataSource(DataSource):
     def writer(self, schema, overwrite: bool):
         return _JsonlShardWriter(self.options["path"], overwrite)
 
+    def streamWriter(self, schema, overwrite: bool):
+        return _JsonlShardStreamWriter(self.options["path"])
+
 
 class _JsonlShardWriter(DataSourceArrowWriter):
     def __init__(self, path: str, overwrite: bool) -> None:
@@ -348,6 +352,60 @@ class _JsonlShardWriter(DataSourceArrowWriter):
         shutil.rmtree(os.path.join(self.path, "_tmp"), ignore_errors=True)
 
     def abort(self, messages) -> None:
+        import os
+
+        for m in messages:
+            if m is not None and os.path.exists(m.tmp_path):
+                os.remove(m.tmp_path)
+
+
+class _JsonlShardStreamWriter(DataSourceStreamArrowWriter):
+    """Streaming sink: the same shard/manifest machinery, committed once
+    per micro-batch with the batch id recorded in the manifest. Replayed
+    batches (restart after a commit the engine didn't see acknowledged)
+    are dropped at commit time — the idempotent-sink contract — so
+    end-to-end the sink is exactly-once for deterministic batches."""
+
+    def __init__(self, path: str) -> None:
+        self.path = path
+
+    write = _JsonlShardWriter.write  # identical per-task temp protocol
+
+    def commit(self, messages, batchId: int) -> None:
+        import json
+        import os
+        import shutil
+
+        manifest_path = os.path.join(self.path, "_MANIFEST.json")
+        shards: list[dict] = []
+        batches: list[int] = []
+        if os.path.exists(manifest_path):
+            with open(manifest_path, encoding="utf-8") as fh:
+                m = json.load(fh)
+            shards, batches = m["shards"], m.get("batches", [])
+        if batchId in batches:  # replay of an already-committed batch
+            self.abort(messages, batchId)
+            return
+        start = len(shards)
+        for i, msg in enumerate(sorted(messages, key=lambda m: m.tmp_path)):
+            name = f"part-{start + i:05d}-b{batchId}-{msg.rows}.jsonl"
+            os.replace(msg.tmp_path, os.path.join(self.path, name))
+            shards.append({"name": name, "rows": msg.rows, "batch": batchId})
+        batches.append(batchId)
+        tmp_manifest = manifest_path + ".tmp"
+        with open(tmp_manifest, "w", encoding="utf-8") as fh:
+            json.dump(
+                {
+                    "shards": shards,
+                    "batches": batches,
+                    "total_rows": sum(s["rows"] for s in shards),
+                },
+                fh,
+            )
+        os.replace(tmp_manifest, manifest_path)
+        shutil.rmtree(os.path.join(self.path, "_tmp"), ignore_errors=True)
+
+    def abort(self, messages, batchId: int) -> None:
         import os
 
         for m in messages:

@@ -385,3 +385,54 @@ def test_jsonl_shard_writer_abort_removes_temps(tmp_path):
     w.abort([msg, None])  # None = a task that never ran
     assert not os.path.exists(msg.tmp_path)
     assert not os.path.exists(os.path.join(out, "_MANIFEST.json"))
+
+
+def test_jsonl_shard_stream_writer_batches_and_replay(spark, tmp_path):
+    """Streaming half of the custom sink: per-micro-batch manifest commit,
+    and a replayed batch id commits nothing twice."""
+    import json
+
+    import pyarrow as pa
+
+    from pmp_analytics_spark.sources.pydatasource import (
+        _JsonlShardStreamWriter,
+        read_jsonl_shards,
+    )
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id", "user_id", "event_type"
+    )
+    src = str(tmp_path / "src")
+    events.where("event_id % 2 = 0").coalesce(1).write.parquet(src)
+    events.where("event_id % 2 = 1").coalesce(1).write.mode("append").parquet(src)
+
+    out = str(tmp_path / "sink")
+    schema = spark.read.parquet(src).schema
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.format("jsonlshard")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    manifest = json.load(open(os.path.join(out, "_MANIFEST.json")))
+    assert len(manifest["batches"]) >= 2
+    back = read_jsonl_shards(spark, out, schema=events.schema)
+    assert sorted(r["event_id"] for r in back.collect()) == sorted(
+        r["event_id"] for r in events.collect()
+    )
+
+    # Replay: committing an already-recorded batch id is a no-op that
+    # cleans its temps instead of double-publishing.
+    w = _JsonlShardStreamWriter(out)
+    msg = w.write(iter([pa.RecordBatch.from_pydict({"event_id": [99]})]))
+    replayed = manifest["batches"][0]
+    w.commit([msg], replayed)
+    after = json.load(open(os.path.join(out, "_MANIFEST.json")))
+    assert after["total_rows"] == manifest["total_rows"]
+    assert not os.path.exists(msg.tmp_path)
