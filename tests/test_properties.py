@@ -47,3 +47,42 @@ def test_dea_property_sweep(spark):
     got = {r["s"]: r["ok"] for r in df.select("s", dea_is_valid("s").alias("ok")).collect()}
     for v in values:
         assert got[v] == py_dea_valid(v), v
+
+
+# --------------------------------------------------------------------------
+# Quota admission state machine (streaming/quota.py::_admit): for ANY
+# slicing of a doc_id-ordered stream into micro-batches, the admitted set
+# must be exactly the first-N doc_ids and ranks must be 1..N in order.
+# Pure pandas-level property — the Spark harness equivalence is pinned in
+# tests/test_streaming.py; this sweeps the slicings Spark can't enumerate.
+# --------------------------------------------------------------------------
+@given(
+    n_docs=st.integers(min_value=0, max_value=60),
+    cap=st.integers(min_value=0, max_value=20),
+    cuts=st.sets(st.integers(min_value=1, max_value=59), max_size=8),
+)
+@settings(max_examples=200, deadline=None)
+def test_quota_admit_slicing_invariant(n_docs, cap, cuts):
+    import pandas as pd
+
+    from pmp_analytics_spark.streaming.quota import _admit
+
+    doc_ids = list(range(0, n_docs * 3, 3))  # sorted, gappy
+    bounds = sorted({0, n_docs, *(c for c in cuts if c < n_docs)})
+    batches = [doc_ids[a:b] for a, b in zip(bounds, bounds[1:])]
+
+    n_state, out = 0, []
+    for b in batches:
+        pdf = pd.DataFrame({"doc_id": b})
+        n_state, emitted = _admit("s", n_state, cap, iter([pdf]))
+        if emitted is not None:
+            out.append(emitted)
+    got = (
+        pd.concat(out, ignore_index=True)
+        if out
+        else pd.DataFrame(columns=["doc_id", "source", "admit_rank"])
+    )
+    expect = doc_ids[:cap]
+    assert list(got["doc_id"]) == expect
+    assert list(got["admit_rank"]) == list(range(1, len(expect) + 1))
+    assert n_state == min(cap, n_docs)
