@@ -533,6 +533,59 @@ def streaming_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Q: docs_export_shards — the corpus-export step through the CUSTOM
+# Python DataSource WRITER (sources/pydatasource.py::JsonlShardDataSource):
+# documents round-trip Spark → manifest-committed JSONL shards → Spark,
+# then aggregate per source. The oracle computes the same aggregate from
+# the parquet directly, so a pass proves the sink+reader pair is lossless
+# (row counts, text char lengths, metadata) under the manifest commit
+# protocol. Export is memoized per sf_dir like partitioned_events_path.
+# --------------------------------------------------------------------------
+def jsonl_export_path(spark: SparkSession, sf_dir: str) -> str:
+    import hashlib
+    import os
+    import tempfile
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    path = os.path.join(tempfile.gettempdir(), f"pmp_docs_jsonl_{tag}")
+    if not os.path.exists(os.path.join(path, "_MANIFEST.json")):
+        docs = load_table(spark, sf_dir, "documents")
+        (
+            docs.repartition(8)
+            .write.format("jsonlshard")
+            .option("path", path)
+            .mode("overwrite")
+            .save()
+        )
+    return path
+
+
+@query(
+    "docs_export_shards",
+    """
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(LENGTH(text)) AS BIGINT) AS text_chars,
+           CAST(SUM(n_chars) AS BIGINT) AS meta_chars,
+           COUNT(DISTINCT lang) AS n_langs
+    FROM documents
+    GROUP BY source
+    """,
+)
+def docs_export_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pmp_analytics_spark.sources.pydatasource import read_jsonl_shards
+
+    schema = load_table(spark, sf_dir, "documents").schema
+    back = read_jsonl_shards(spark, jsonl_export_path(spark, sf_dir), schema)
+    return back.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("text")).alias("text_chars"),
+        F.sum("n_chars").alias("meta_chars"),
+        F.countDistinct("lang").alias("n_langs"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Q: docs_adaptive_quality_filter — per-SOURCE adaptive quality gate: keep
 # each source's top 75% of documents by the composite quality score
 # (exact interpolated P25 per source, not one global threshold — a fixed
