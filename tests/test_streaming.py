@@ -230,3 +230,53 @@ def test_source_quota_new_api_matches_legacy(spark):
         run_to_memory(admitted, name, output_mode="append", state_partitions=8)
         out[tag] = _rows(spark.table(name), ["doc_id", "source", "admit_rank"])
     assert out["new"] == out["legacy"]
+
+
+def test_source_quota_state_survives_restart(spark, tmp_path):
+    """Quota state recovery: drain half the corpus, STOP, add the rest,
+    restart on the same checkpoint. The recovered admitted-counts must
+    continue the cap where the first run left it — each source ends at
+    exactly the first-N docs of the FULL stream, no re-admission and no
+    over-admission. (Cap 18 > docs-per-source in the first half, so the
+    second run MUST admit more — the recovery is load-bearing.)"""
+    from pyspark.sql import Window
+
+    from pmp_analytics_spark.streaming.quota import source_quota_stream_legacy
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "source")
+    n_cap = 18
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "admitted")
+
+    expected = _rows(
+        docs.withColumn(
+            "admit_rank",
+            F.row_number().over(Window.partitionBy("source").orderBy("doc_id")),
+        ).where(F.col("admit_rank") <= n_cap),
+        ["doc_id", "source", "admit_rank"],
+    )
+
+    def drain():
+        sdf = spark.readStream.schema(docs.schema).parquet(src)
+        q = (
+            source_quota_stream_legacy(sdf, n_cap)
+            .writeStream.foreachBatch(
+                lambda bdf, bid: bdf.write.mode("append").parquet(out)
+            )
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    docs.where("doc_id < 250").coalesce(1).write.mode("append").parquet(src)
+    drain()
+    n_first = spark.read.parquet(out).count()
+    assert 0 < n_first < len(expected)  # cap not yet reached anywhere
+
+    docs.where("doc_id >= 250").coalesce(1).write.mode("append").parquet(src)
+    drain()
+    got = _rows(spark.read.parquet(out), ["doc_id", "source", "admit_rank"])
+    assert got == expected
