@@ -14,8 +14,10 @@ rewrite. Spark-first equivalents:
   write — no read-modify-write cycle, safe under concurrent runs
   (each batch adds files; readers see a consistent snapshot per query).
 
-Excel formatting / Google Sheets / clipboard sinks are presentation-layer
-storage integrations, out of scope per BASELINE.json.
+Excel round-trips live in ``bridges.py``; the clipboard sink (K5) is
+``clipboard_tsv`` below — the TSV text is the artifact, the OS-clipboard
+hop best-effort. Google Sheets API transport stays out of scope per
+BASELINE.json (its append semantics = ``append_log``).
 """
 
 from __future__ import annotations
@@ -53,3 +55,52 @@ def append_log(new_rows: DataFrame, log_path: str) -> None:
     """Append-only log maintenance (replaces concat-and-rewrite,
     delinquent_data_submitters.py:224-244)."""
     new_rows.write.mode("append").parquet(log_path)
+
+
+def clipboard_tsv(
+    df: DataFrame, max_rows: int = 10_000, include_header: bool = True
+) -> str:
+    """K5: the reference's ``write_clipboard`` (exclude_ndcs.py:37,
+    unreg_presc.py:167) renders a frame as the TSV text the OS clipboard
+    carries. The TSV string is the portable artifact and the return
+    value; the actual clipboard hop is a desktop-session affordance
+    attempted only if a mechanism exists (headless executors have no
+    clipboard — by design this NEVER fails the pipeline).
+
+    Bounded collect: clipboard payloads are human-paste-sized, so the
+    collect is capped (same guard discipline as the Excel sink)."""
+    n = df.limit(max_rows + 1).count()
+    if n > max_rows:
+        raise ValueError(
+            f"clipboard_tsv is for small outputs: got >{max_rows} rows; "
+            "aggregate or raise max_rows deliberately"
+        )
+    rows = df.collect()
+    cols = df.columns
+
+    def cell(v) -> str:
+        if v is None:
+            return ""
+        return str(v).replace("\t", " ").replace("\n", " ")
+
+    lines = (["\t".join(cols)] if include_header else []) + [
+        "\t".join(cell(v) for v in r) for r in rows
+    ]
+    text = "\n".join(lines)
+    _try_system_clipboard(text)
+    return text
+
+
+def _try_system_clipboard(text: str) -> bool:  # pragma: no cover - headless CI
+    """Best-effort OS clipboard write via whatever utility exists."""
+    import shutil as _shutil
+    import subprocess
+
+    for cmd in (["xclip", "-selection", "clipboard"], ["pbcopy"], ["wl-copy"]):
+        if _shutil.which(cmd[0]):
+            try:
+                subprocess.run(cmd, input=text.encode(), check=True, timeout=5)
+                return True
+            except Exception:
+                return False
+    return False
