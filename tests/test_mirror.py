@@ -76,3 +76,59 @@ def test_clipboard_tsv_shape_and_guard(spark):
 
     with pytest.raises(ValueError, match="small outputs"):
         clipboard_tsv(spark.range(100), max_rows=10)
+
+
+def test_sheet_append_range_math_and_serialization(spark):
+    import datetime
+
+    from pmp_analytics_spark.sources.sheets import (
+        SheetsTransport,
+        _col_letter,
+        sheet_append,
+    )
+
+    calls = []
+    store = {"colA": [["hdr"], ["r2"], ["r3"]]}  # 3 used rows
+    t = SheetsTransport(
+        get_values=lambda sid, rng: store["colA"],
+        update_values=lambda sid, rng, vals: calls.append((sid, rng, vals)),
+    )
+    df = spark.createDataFrame(
+        [(1, "a", None, datetime.date(2026, 1, 2)), (2, "b", 3.5, None)],
+        ["id", "s", "v", "d"],
+    )
+    rng = sheet_append(df.orderBy("id"), "SID", "3x3", t)
+    assert rng == "3x3!A4:D5"  # below the 3 used rows, 4 cols, 2 rows
+    (sid, got_rng, vals), = calls
+    assert sid == "SID" and got_rng == rng
+    assert vals == [[1, "a", "", "2026-01-02"], [2, "b", 3.5, ""]]
+
+    # Empty sheet: reference quirk — probe says last_row=1, append at A2.
+    store["colA"] = []
+    calls.clear()
+    assert sheet_append(df.limit(1), "SID", "s", t) == "s!A2:D2"
+
+    # Column letters past Z.
+    assert _col_letter(1) == "A" and _col_letter(26) == "Z"
+    assert _col_letter(27) == "AA" and _col_letter(52) == "AZ"
+
+    # Empty frame: nothing written.
+    calls.clear()
+    sheet_append(df.where("id < 0"), "SID", "s", t)
+    assert not calls
+
+
+def test_sheet_append_guard_and_gated_transport(spark):
+    import pytest as _pytest
+
+    from pmp_analytics_spark.sources.sheets import (
+        SheetsTransport,
+        googleapi_transport,
+        sheet_append,
+    )
+
+    t = SheetsTransport(get_values=lambda *a: [], update_values=lambda *a: None)
+    with _pytest.raises(ValueError, match="small outputs"):
+        sheet_append(spark.range(50), "SID", "s", t, max_rows=10)
+    with _pytest.raises(NotImplementedError, match="google-api-python-client"):
+        googleapi_transport(creds=None)
