@@ -1,0 +1,149 @@
+"""Deequ-shaped data-quality constraint suite.
+
+A training-data pipeline gates every table it consumes behind declarative
+constraints (completeness, uniqueness, ranges, value domains, referential
+integrity) — the Deequ / Great Expectations role. The scale design rule
+is the same one Deequ follows: N constraints must NOT mean N scans.
+
+- All row-local and aggregate constraints compile into ONE ``agg`` pass
+  over the table (each check is a JVM-side aggregate expression; adding a
+  check adds a column to the same pass, not a job). Uniqueness uses
+  ``count_distinct`` — multiple distinct aggregates in one pass go
+  through Spark's Expand (one extra row per distinct spec map-side),
+  which is the documented cost of exact uniqueness; swap in
+  ``approx_count_distinct`` via ``approx=True`` for the
+  hundreds-of-checks regime.
+- Referential integrity is the one constraint that inherently needs the
+  other table: one broadcast-able anti-join count per foreign key.
+
+The report comes back as a long-format DataFrame (check, metric, passed)
+— the 1-row wide aggregate is unpivoted driver-free via a literal
+explode, so the whole report is still a single job.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class Check:
+    """One constraint: ``metric_expr`` evaluates on the single agg pass;
+    ``passed`` is metric >= ``at_least`` (completeness-style ratios use
+    1.0 for "always")."""
+
+    name: str
+    metric_expr: Column
+    at_least: float
+
+
+def completeness(col: str) -> Check:
+    return Check(
+        f"completeness({col})",
+        F.avg(F.col(col).isNotNull().cast("double")),
+        1.0,
+    )
+
+
+def uniqueness(col: str, approx: bool = False) -> Check:
+    distinct = (
+        F.approx_count_distinct(col) if approx else F.count_distinct(F.col(col))
+    )
+    return Check(
+        f"uniqueness({col})",
+        distinct.cast("double") / F.count(F.lit(1)),
+        1.0,
+    )
+
+
+def _compliance(ok: Column) -> Column:
+    """Fraction of rows satisfying ``ok``, with NULL predicate results
+    (null inputs) counted as NON-compliant — a bare avg would silently
+    drop them from the denominator."""
+    return F.avg(F.coalesce(ok.cast("double"), F.lit(0.0)))
+
+
+def in_range(col: str, lo: float, hi: float) -> Check:
+    return Check(
+        f"in_range({col})",
+        _compliance((F.col(col) >= lo) & (F.col(col) <= hi)),
+        1.0,
+    )
+
+
+def accepted_values(col: str, values: list[str]) -> Check:
+    return Check(
+        f"accepted_values({col})",
+        _compliance(F.col(col).isin(values)),
+        1.0,
+    )
+
+
+def matches(col: str, pattern: str) -> Check:
+    return Check(
+        f"matches({col})",
+        _compliance(F.col(col).rlike(pattern)),
+        1.0,
+    )
+
+
+def min_size(n: int) -> Check:
+    return Check("min_size", F.count(F.lit(1)).cast("double"), float(n))
+
+
+def check_report(
+    df: DataFrame,
+    checks: list[Check],
+    foreign_keys: dict[str, tuple[DataFrame, str]] | None = None,
+) -> DataFrame:
+    """Evaluate ``checks`` in one aggregate pass (plus one anti-join count
+    per entry of ``foreign_keys``: fact col → (dim frame, dim col)) and
+    return (check_name, metric, passed) rows, metric rounded to 6 decimals."""
+    agg = df.agg(
+        *[F.round(c.metric_expr, 6).alias(f"m{i}") for i, c in enumerate(checks)]
+    )
+    # One row -> long format via a literal explode ON the agg row: a
+    # union of N selects over the agg would plant N copies of the
+    # aggregate subtree (Catalyst does not CSE across union branches) —
+    # N table scans for N checks, the exact thing this operator exists
+    # to avoid.
+    wide = agg.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c.name).alias("check_name"),
+                        F.col(f"m{i}").alias("metric"),
+                        (F.col(f"m{i}") >= F.lit(c.at_least)).alias("passed"),
+                    )
+                    for i, c in enumerate(checks)
+                ]
+            )
+        ).alias("r")
+    ).select("r.*")
+    reports = [wide]
+    for col, (dim, dim_col) in (foreign_keys or {}).items():
+        orphans = (
+            df.select(F.col(col).alias("__fk"))
+            .where(F.col("__fk").isNotNull())
+            .join(
+                F.broadcast(dim.select(F.col(dim_col).alias("__fk")).distinct()),
+                "__fk",
+                "left_anti",
+            )
+            .agg(F.count(F.lit(1)).cast("double").alias("m"))
+        )
+        reports.append(
+            orphans.select(
+                F.lit(f"referential_integrity({col})").alias("check_name"),
+                F.col("m").alias("metric"),
+                (F.col("m") == 0).alias("passed"),
+            )
+        )
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out

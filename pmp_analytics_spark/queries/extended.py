@@ -672,3 +672,67 @@ def streaming_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     run_to_memory(deduped, name, state_partitions=8)
     return spark.table(name)
+
+
+# --------------------------------------------------------------------------
+# Q: orders_quality_report — Deequ-shaped data-quality gate over orders
+# (operators/quality.py): completeness, exact uniqueness, range/domain/
+# pattern compliance (null counted as NON-compliant), table min-size,
+# and o_custkey referential integrity against customer. All non-FK
+# checks ride ONE aggregate pass (long format via a literal explode on
+# the 1-row agg — a union of selects would replant the agg subtree per
+# check, N scans for N checks); the FK check is one broadcast anti-join
+# count. The oracle replays each metric as plain SQL.
+# --------------------------------------------------------------------------
+@query(
+    "orders_quality_report",
+    """
+    WITH m AS (
+        SELECT
+            ROUND(AVG(CASE WHEN o_orderkey IS NOT NULL THEN 1.0 ELSE 0.0 END), 6) AS m0,
+            ROUND(CAST(COUNT(DISTINCT o_orderkey) AS DOUBLE) / COUNT(*), 6) AS m1,
+            ROUND(AVG(CASE WHEN o_totalprice BETWEEN 0 AND 1000000 THEN 1.0 ELSE 0.0 END), 6) AS m2,
+            ROUND(AVG(CASE WHEN o_orderstatus IN ('O','F','P') THEN 1.0 ELSE 0.0 END), 6) AS m3,
+            ROUND(AVG(CASE WHEN REGEXP_MATCHES(o_orderpriority, '^[1-5]-') THEN 1.0 ELSE 0.0 END), 6) AS m4,
+            ROUND(CAST(COUNT(*) AS DOUBLE), 6) AS m5
+        FROM orders
+    ), fk AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS m
+        FROM orders o
+        WHERE o.o_custkey IS NOT NULL
+          AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+    )
+    SELECT 'completeness(o_orderkey)' AS check_name, m0 AS metric, m0 >= 1.0 AS passed FROM m
+    UNION ALL SELECT 'uniqueness(o_orderkey)', m1, m1 >= 1.0 FROM m
+    UNION ALL SELECT 'in_range(o_totalprice)', m2, m2 >= 1.0 FROM m
+    UNION ALL SELECT 'accepted_values(o_orderstatus)', m3, m3 >= 1.0 FROM m
+    UNION ALL SELECT 'matches(o_orderpriority)', m4, m4 >= 1.0 FROM m
+    UNION ALL SELECT 'min_size', m5, m5 >= 1000.0 FROM m
+    UNION ALL SELECT 'referential_integrity(o_custkey)', m, m = 0 FROM fk
+    """,
+)
+def orders_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pmp_analytics_spark.operators.quality import (
+        accepted_values,
+        check_report,
+        completeness,
+        in_range,
+        matches,
+        min_size,
+        uniqueness,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    return check_report(
+        orders,
+        [
+            completeness("o_orderkey"),
+            uniqueness("o_orderkey"),
+            in_range("o_totalprice", 0, 1_000_000),
+            accepted_values("o_orderstatus", ["O", "F", "P"]),
+            matches("o_orderpriority", "^[1-5]-"),
+            min_size(1000),
+        ],
+        foreign_keys={"o_custkey": (customer, "c_custkey")},
+    )

@@ -1008,3 +1008,75 @@ def test_pq_rerank_recovers_exact_order_within_shortlist(spark):
         total_adc += len(adc.get(qid, set()) & exact)
     assert total_rr >= total_adc
     assert total_rr / total >= 0.5  # 5x over-retrieval recovers most of top-k
+
+
+def test_quality_check_report_metrics_and_nulls(spark):
+    """Dirty fixture: nulls count as NON-compliant in compliance ratios
+    (a bare avg would drop them), dup keys dent uniqueness, FK orphans
+    fail referential integrity with an exact orphan count."""
+    from pmp_analytics_spark.operators.quality import (
+        accepted_values,
+        check_report,
+        completeness,
+        in_range,
+        min_size,
+        uniqueness,
+    )
+
+    rows = [
+        (1, "O", 10.0),
+        (2, "F", -5.0),   # out of range
+        (2, "X", None),   # dup key, bad status, null value
+        (None, "P", 20.0),  # null key
+    ]
+    df = spark.createDataFrame(rows, ["k", "status", "v"])
+    dim = spark.createDataFrame([(1,), (2,)], ["id"])
+
+    got = {
+        r["check_name"]: (r["metric"], r["passed"])
+        for r in check_report(
+            df,
+            [
+                completeness("k"),
+                uniqueness("k"),
+                in_range("v", 0, 100),
+                accepted_values("status", ["O", "F", "P"]),
+                min_size(3),
+            ],
+            foreign_keys={"k": (dim, "id")},
+        ).collect()
+    }
+    assert got["completeness(k)"] == (0.75, False)
+    assert got["uniqueness(k)"] == (0.5, False)  # 2 distinct / 4 rows
+    # v: ok=1 of 4 (null and -5 non-compliant, 20 ok, 10 ok -> 2 of 4)
+    assert got["in_range(v)"] == (0.5, False)
+    assert got["accepted_values(status)"] == (0.75, False)
+    assert got["min_size"] == (4.0, True)
+    assert got["referential_integrity(k)"] == (0.0, True)  # nulls skipped
+
+    dim2 = spark.createDataFrame([(1,)], ["id"])
+    got2 = {
+        r["check_name"]: (r["metric"], r["passed"])
+        for r in check_report(df, [min_size(1)], foreign_keys={"k": (dim2, "id")}).collect()
+    }
+    assert got2["referential_integrity(k)"] == (2.0, False)  # both k=2 rows orphaned
+
+
+def test_quality_checks_single_scan(spark):
+    """N non-FK checks must compile to ONE pass over the table — the
+    long-format explode must not replant the aggregate per check."""
+    from pmp_analytics_spark.operators.quality import (
+        check_report,
+        completeness,
+        in_range,
+        min_size,
+    )
+    from pmp_analytics_spark.sources.reader import load_table
+
+    orders = load_table(spark, "/root/testdata/sf0.001", "orders")
+    rep = check_report(
+        orders,
+        [completeness("o_orderkey"), in_range("o_totalprice", 0, 1e9), min_size(1)],
+    )
+    plan = rep._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1, plan
