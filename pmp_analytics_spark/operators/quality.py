@@ -32,12 +32,22 @@ from pyspark.sql import functions as F
 @dataclass(frozen=True)
 class Check:
     """One constraint: ``metric_expr`` evaluates on the single agg pass;
-    ``passed`` is metric >= ``at_least`` (completeness-style ratios use
-    1.0 for "always")."""
+    ``passed`` is ``at_least <= metric <= at_most`` over whichever bounds
+    are set (completeness-style ratios use at_least=1.0; freshness-style
+    lags use at_most)."""
 
     name: str
     metric_expr: Column
-    at_least: float
+    at_least: float | None = None
+    at_most: float | None = None
+
+    def passed_expr(self, metric: Column) -> Column:
+        ok = F.lit(True)
+        if self.at_least is not None:
+            ok = ok & (metric >= F.lit(self.at_least))
+        if self.at_most is not None:
+            ok = ok & (metric <= F.lit(self.at_most))
+        return ok
 
 
 def completeness(col: str) -> Check:
@@ -94,6 +104,20 @@ def min_size(n: int) -> Check:
     return Check("min_size", F.count(F.lit(1)).cast("double"), float(n))
 
 
+def freshness(col: str, max_age_hours: float, as_of: str) -> Check:
+    """The reference's input-freshness gate (files.warn_file_age at
+    delinquent_data_submitters.py:481-487 et al.) as a DATA check: hours
+    between ``as_of`` (an ISO timestamp pinned by the caller — injected,
+    never wall-clock, so runs are reproducible) and the newest value of
+    ``col`` must not exceed ``max_age_hours``. An empty/all-null column
+    yields a NULL metric → fails (never silently passes)."""
+    lag_h = (
+        F.unix_timestamp(F.lit(as_of).cast("timestamp"))
+        - F.unix_timestamp(F.max(F.col(col)))
+    ) / 3600.0
+    return Check(f"freshness({col})", lag_h, at_most=max_age_hours)
+
+
 def check_report(
     df: DataFrame,
     checks: list[Check],
@@ -117,7 +141,9 @@ def check_report(
                     F.struct(
                         F.lit(c.name).alias("check_name"),
                         F.col(f"m{i}").alias("metric"),
-                        (F.col(f"m{i}") >= F.lit(c.at_least)).alias("passed"),
+                        F.coalesce(
+                            c.passed_expr(F.col(f"m{i}")), F.lit(False)
+                        ).alias("passed"),
                     )
                     for i, c in enumerate(checks)
                 ]

@@ -694,7 +694,8 @@ def streaming_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             ROUND(AVG(CASE WHEN o_totalprice BETWEEN 0 AND 1000000 THEN 1.0 ELSE 0.0 END), 6) AS m2,
             ROUND(AVG(CASE WHEN o_orderstatus IN ('O','F','P') THEN 1.0 ELSE 0.0 END), 6) AS m3,
             ROUND(AVG(CASE WHEN REGEXP_MATCHES(o_orderpriority, '^[1-5]-') THEN 1.0 ELSE 0.0 END), 6) AS m4,
-            ROUND(CAST(COUNT(*) AS DOUBLE), 6) AS m5
+            ROUND(CAST(COUNT(*) AS DOUBLE), 6) AS m5,
+            ROUND((EPOCH(TIMESTAMP '1998-08-15 00:00:00') - EPOCH(CAST(MAX(o_orderdate) AS TIMESTAMP))) / 3600.0, 6) AS m6
         FROM orders
     ), fk AS (
         SELECT CAST(COUNT(*) AS DOUBLE) AS m
@@ -708,6 +709,7 @@ def streaming_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNION ALL SELECT 'accepted_values(o_orderstatus)', m3, m3 >= 1.0 FROM m
     UNION ALL SELECT 'matches(o_orderpriority)', m4, m4 >= 1.0 FROM m
     UNION ALL SELECT 'min_size', m5, m5 >= 1000.0 FROM m
+    UNION ALL SELECT 'freshness(o_orderdate)', m6, m6 <= 1440.0 FROM m
     UNION ALL SELECT 'referential_integrity(o_custkey)', m, m = 0 FROM fk
     """,
 )
@@ -716,6 +718,7 @@ def orders_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         accepted_values,
         check_report,
         completeness,
+        freshness,
         in_range,
         matches,
         min_size,
@@ -733,6 +736,9 @@ def orders_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             accepted_values("o_orderstatus", ["O", "F", "P"]),
             matches("o_orderpriority", "^[1-5]-"),
             min_size(1000),
+            # as_of pinned (TPC-H o_orderdate tops out 1998-08-02):
+            # injected, never wall-clock, so the check is reproducible
+            freshness("o_orderdate", 1440, "1998-08-15 00:00:00"),
         ],
         foreign_keys={"o_custkey": (customer, "c_custkey")},
     )

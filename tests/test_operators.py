@@ -1080,3 +1080,28 @@ def test_quality_checks_single_scan(spark):
     )
     plan = rep._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Scan parquet") == 1, plan
+
+
+def test_quality_freshness_bounds_and_empty(spark):
+    """Freshness is an at_most bound (lag hours <= max_age); an all-null
+    timestamp column yields a NULL metric which must FAIL, not pass."""
+    import datetime
+
+    from pmp_analytics_spark.operators.quality import check_report, freshness
+
+    ts = datetime.datetime(2026, 1, 10, 0, 0, 0)
+    df = spark.createDataFrame([(ts,), (ts.replace(day=8),)], ["t"])
+    rows = check_report(
+        df,
+        [
+            freshness("t", 48, "2026-01-11 00:00:00"),   # 24h lag: pass
+            freshness("t", 12, "2026-01-11 00:00:00"),   # 24h lag: fail
+        ],
+    ).collect()
+    assert [(r["metric"], r["passed"]) for r in rows] == [
+        (24.0, True),
+        (24.0, False),
+    ]
+    df2 = spark.createDataFrame([(None,)], "t timestamp")
+    rep = check_report(df2, [freshness("t", 1e9, "2026-01-11 00:00:00")]).collect()
+    assert rep[0]["metric"] is None and rep[0]["passed"] is False
