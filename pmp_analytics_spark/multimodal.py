@@ -12,7 +12,9 @@ Python stage), and deterministic byte-level features. Codecs are
 three-tier: pillow/ffmpeg when installed (any format); a REAL
 stdlib-only path for header+raster formats (uncompressed 24-bit BMP
 decode/resize/re-encode, PCM WAV decode — ``_bmp_decode``/
-``_bmp_resize``/``_wav_decode``, pure ``struct``); and an honest
+``_bmp_resize``/``_wav_decode``, pure ``struct``) plus a real
+COMPRESSED format (8-bit RGB/RGBA PNG decode/encode via stdlib zlib +
+scanline unfiltering, ``_png_decode``/``_png_encode``); and an honest
 ``NotImplementedError`` for compressed formats in codec-less
 environments. ``fake_frame_sample`` remains the deterministic
 video-frame stand-in (no stdlib video container parser is worth hand-
@@ -85,8 +87,9 @@ def attach_payload(docs: DataFrame, text_col: str = "text", id_col: str = "doc_i
 # Real codec paths, stdlib-only: uncompressed BMP (images) and PCM WAV
 # (audio) are header+raster formats parseable with ``struct`` alone, so
 # decode/resize/re-encode runs for real in codec-less containers.
-# Compressed formats (JPEG/PNG/MP3/...) still require pillow/ffmpeg and
-# raise honestly when absent.
+# PNG adds a real compressed format on stdlib zlib (8-bit RGB/RGBA,
+# non-interlaced, all five scanline filters). JPEG/MP3/... still require
+# pillow/ffmpeg and raise honestly when absent.
 # ---------------------------------------------------------------------------
 
 
@@ -118,6 +121,125 @@ def _bmp_decode(payload: bytes) -> tuple[int, int, list[bytes]]:
     ]
     rows = raw if top_down else raw[::-1]
     return width, height, rows
+
+
+def _png_decode(payload: bytes) -> tuple[int, int, list[bytes]]:
+    """Decode an 8-bit non-interlaced truecolor PNG (color type 2 RGB or
+    6 RGBA — alpha dropped) to the same ``(width, height, rows)`` shape
+    as ``_bmp_decode`` (top-down packed BGR). PNG is a genuinely
+    COMPRESSED format and still needs zero third-party code: the DEFLATE
+    stream is stdlib ``zlib``; the per-scanline predictors (Sub/Up/
+    Average/Paeth) are unfiltered here. Palette/gray/16-bit/interlaced
+    variants raise ValueError (pillow's job where installed).
+
+    The unfilter loop is per-byte Python — fine for the thumbnail-sized
+    payloads this pipeline ships between Arrow batches; a pixel-heavy
+    deployment installs pillow and never enters this path."""
+    import struct
+    import zlib
+
+    if len(payload) < 8 or payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload")
+    pos, idat = 8, b""
+    w = h = ctype = None
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        tag = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+        if tag == b"IHDR":
+            w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if depth != 8 or ctype not in (2, 6) or interlace != 0:
+                raise ValueError(
+                    "only 8-bit non-interlaced RGB/RGBA PNGs are stdlib-decodable"
+                )
+        elif tag == b"IDAT":
+            idat += data
+        elif tag == b"IEND":
+            break
+    if w is None or not idat or w <= 0 or h <= 0:
+        raise ValueError("malformed PNG (missing IHDR/IDAT)")
+    nch = 3 if ctype == 2 else 4
+    stride = w * nch
+    raw = zlib.decompress(idat)
+    if len(raw) != (stride + 1) * h:
+        raise ValueError("PNG scanline payload length mismatch")
+
+    rows: list[bytes] = []
+    prev = bytearray(stride)
+    for y in range(h):
+        f = raw[y * (stride + 1)]
+        line = bytearray(raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)])
+        if f == 1:  # Sub
+            for i in range(nch, stride):
+                line[i] = (line[i] + line[i - nch]) & 0xFF
+        elif f == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif f == 3:  # Average
+            for i in range(stride):
+                a = line[i - nch] if i >= nch else 0
+                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - nch] if i >= nch else 0
+                c = prev[i - nch] if i >= nch else 0
+                b = prev[i]
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                line[i] = (line[i] + pred) & 0xFF
+        elif f != 0:
+            raise ValueError(f"unknown PNG filter type {f}")
+        prev = line
+        # RGB(A) -> packed BGR, matching the BMP decode contract
+        rows.append(
+            bytes(
+                b
+                for px in range(w)
+                for b in (
+                    line[px * nch + 2],
+                    line[px * nch + 1],
+                    line[px * nch + 0],
+                )
+            )
+        )
+    return w, h, rows
+
+
+def _png_encode(width: int, height: int, rows: list[bytes]) -> bytes:
+    """Encode top-down packed-BGR rows as an 8-bit RGB PNG (filter 0 on
+    every scanline, one zlib stream) — the round-trip partner of
+    ``_png_decode`` and a second real encoder next to ``_bmp_encode``."""
+    import struct
+    import zlib
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    scan = b"".join(
+        b"\x00"
+        + bytes(
+            b
+            for px in range(width)
+            for b in (row[px * 3 + 2], row[px * 3 + 1], row[px * 3 + 0])
+        )
+        for row in rows
+    )
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(scan, 6))
+        + chunk(b"IEND", b"")
+    )
 
 
 def _bmp_encode(width: int, height: int, rows: list[bytes]) -> bytes:
@@ -199,13 +321,16 @@ def decode_image(payload: bytes) -> object:
         return Image.open(io.BytesIO(payload))
     except ImportError:
         pass
-    try:
-        return _bmp_decode(payload)
-    except ValueError as e:
-        raise NotImplementedError(
-            f"non-BMP image decoding requires pillow ({e}); only uncompressed "
-            "24-bit BMP decodes stdlib-side"
-        ) from e
+    errs = []
+    for codec in (_bmp_decode, _png_decode):
+        try:
+            return codec(payload)
+        except ValueError as e:
+            errs.append(str(e))
+    raise NotImplementedError(
+        "image decoding beyond uncompressed 24-bit BMP and 8-bit RGB/RGBA "
+        f"PNG requires pillow ({'; '.join(errs)})"
+    )
 
 
 def decode_audio(payload: bytes) -> object:

@@ -165,3 +165,127 @@ def test_thumbnails_use_real_bmp_decode_in_spark(spark):
     # the doc-1 thumbnail really is a 64x51 BMP (100x80 capped at 64)
     w, h, _ = _bmp_decode(_bmp_resize(payloads[1], 64))
     assert (w, h) == (64, 51)
+
+
+def _png_ref_filter(ftype, line, prev, nch):
+    """Reference FORWARD filter (encoder side) for building test vectors."""
+    out = bytearray()
+    for i in range(len(line)):
+        a = line[i - nch] if i >= nch else 0
+        b = prev[i]
+        c = prev[i - nch] if i >= nch else 0
+        if ftype == 0:
+            pred = 0
+        elif ftype == 1:
+            pred = a
+        elif ftype == 2:
+            pred = b
+        elif ftype == 3:
+            pred = (a + b) >> 1
+        else:
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+        out.append((line[i] - pred) & 0xFF)
+    return out
+
+
+def test_png_encode_decode_roundtrip():
+    from pmp_analytics_spark.multimodal import _png_decode, _png_encode, decode_image
+
+    w, h = 5, 4
+    rows = [
+        bytes((x * 37 + y * 11) % 256 for x in range(w * 3))
+        for y in range(h)
+    ]
+    payload = _png_encode(w, h, rows)
+    assert payload[:8] == b"\x89PNG\r\n\x1a\n"
+    got_w, got_h, got_rows = _png_decode(payload)
+    assert (got_w, got_h) == (w, h)
+    assert got_rows == rows
+    # decode_image dispatches to the PNG path without pillow
+    assert decode_image(payload) == (w, h, rows)
+
+
+def test_png_all_filter_types_unfilter():
+    """Hand-build a PNG whose 5 scanlines use filters 0..4; the decoder
+    must reconstruct the original raster for every predictor."""
+    import struct
+    import zlib
+
+    from pmp_analytics_spark.multimodal import _png_decode
+
+    w, h, nch = 4, 5, 3
+    rgb_rows = [
+        bytes((x * 29 + y * 53) % 256 for x in range(w * nch)) for y in range(h)
+    ]
+    scan = bytearray()
+    prev = bytearray(w * nch)
+    for y, row in enumerate(rgb_rows):
+        scan.append(y)  # filter type = row index: covers 0..4
+        scan += _png_ref_filter(y, bytearray(row), prev, nch)
+        prev = bytearray(row)
+
+    def chunk(tag, data):
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    payload = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(bytes(scan)))
+        + chunk(b"IEND", b"")
+    )
+    got_w, got_h, got_rows = _png_decode(payload)
+    assert (got_w, got_h) == (w, h)
+    # decoder returns BGR; the raster above is raw RGB triplets
+    expect = [
+        bytes(
+            b
+            for px in range(w)
+            for b in (row[px * 3 + 2], row[px * 3 + 1], row[px * 3 + 0])
+        )
+        for row in rgb_rows
+    ]
+    assert got_rows == expect
+
+
+def test_png_rgba_alpha_dropped_and_rejects():
+    import struct
+    import zlib
+
+    import pytest
+
+    from pmp_analytics_spark.multimodal import _png_decode
+
+    def chunk(tag, data):
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    # 2x1 RGBA: pixels (R,G,B,A) = (1,2,3,9) and (4,5,6,9)
+    scan = b"\x00" + bytes([1, 2, 3, 9, 4, 5, 6, 9])
+    payload = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 1, 8, 6, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(scan))
+        + chunk(b"IEND", b"")
+    )
+    assert _png_decode(payload) == (2, 1, [bytes([3, 2, 1, 6, 5, 4])])
+
+    with pytest.raises(ValueError, match="not a PNG"):
+        _png_decode(b"JUNK")
+    # 16-bit depth rejected honestly
+    bad = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 1, 16, 2, 0, 0, 0))
+    )
+    with pytest.raises(ValueError, match="stdlib-decodable"):
+        _png_decode(bad)
