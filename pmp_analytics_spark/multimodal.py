@@ -142,28 +142,34 @@ def _png_decode(payload: bytes) -> tuple[int, int, list[bytes]]:
         raise ValueError("not a PNG payload")
     pos, idat = 8, b""
     w = h = ctype = None
-    while pos + 8 <= len(payload):
-        (length,) = struct.unpack_from(">I", payload, pos)
-        tag = payload[pos + 4 : pos + 8]
-        data = payload[pos + 8 : pos + 8 + length]
-        pos += 12 + length
-        if tag == b"IHDR":
-            w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(
-                ">IIBBBBB", data
-            )
-            if depth != 8 or ctype not in (2, 6) or interlace != 0:
-                raise ValueError(
-                    "only 8-bit non-interlaced RGB/RGBA PNGs are stdlib-decodable"
+    # struct/zlib failures on truncated or corrupt chunks normalize to
+    # ValueError so decode_image's honest-error contract holds for ANY
+    # malformed payload, not just well-formed-but-unsupported ones.
+    try:
+        while pos + 8 <= len(payload):
+            (length,) = struct.unpack_from(">I", payload, pos)
+            tag = payload[pos + 4 : pos + 8]
+            data = payload[pos + 8 : pos + 8 + length]
+            pos += 12 + length
+            if tag == b"IHDR":
+                w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(
+                    ">IIBBBBB", data
                 )
-        elif tag == b"IDAT":
-            idat += data
-        elif tag == b"IEND":
-            break
-    if w is None or not idat or w <= 0 or h <= 0:
-        raise ValueError("malformed PNG (missing IHDR/IDAT)")
-    nch = 3 if ctype == 2 else 4
-    stride = w * nch
-    raw = zlib.decompress(idat)
+                if depth != 8 or ctype not in (2, 6) or interlace != 0:
+                    raise ValueError(
+                        "only 8-bit non-interlaced RGB/RGBA PNGs are stdlib-decodable"
+                    )
+            elif tag == b"IDAT":
+                idat += data
+            elif tag == b"IEND":
+                break
+        if w is None or not idat or w <= 0 or h <= 0:
+            raise ValueError("malformed PNG (missing IHDR/IDAT)")
+        nch = 3 if ctype == 2 else 4
+        stride = w * nch
+        raw = zlib.decompress(idat)
+    except (struct.error, zlib.error) as e:
+        raise ValueError(f"corrupt PNG payload: {e}") from e
     if len(raw) != (stride + 1) * h:
         raise ValueError("PNG scanline payload length mismatch")
 

@@ -54,11 +54,11 @@ class CompactionStats:
 
 
 def _fs_for(spark: SparkSession, path: str):
-    """Hadoop FileSystem + Path for ``path`` via the JVM gateway."""
-    jvm = spark.sparkContext._jvm
-    jpath = jvm.org.apache.hadoop.fs.Path(path)
-    conf = spark.sparkContext._jsc.hadoopConfiguration()
-    return jpath.getFileSystem(conf), jpath, jvm
+    """Hadoop FileSystem + Path for ``path`` (shared gateway helper)."""
+    from pmp_analytics_spark.sources.hadoopfs import fs_for
+
+    fs, jpath, jvm, _ = fs_for(spark, path)
+    return fs, jpath, jvm
 
 
 def list_parquet_files(spark: SparkSession, path: str) -> list[tuple[str, int]]:
@@ -99,7 +99,14 @@ def compact_parquet(
     n_out = max(1, math.ceil(small_bytes / target_bytes))
 
     fs, jroot, jvm = _fs_for(spark, path)
-    scratch = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "._compact_tmp")
+    # Scratch lives INSIDE the directory under an underscore name: Spark's
+    # readers and partition discovery ignore _-prefixed entries, and
+    # compact_partitioned's walk skips it — so a crash mid-compaction
+    # leaves the table readable and the rerun converges (stale scratch is
+    # deleted and rebuilt below). A SIBLING scratch (old shape:
+    # "<leaf>._compact_tmp") would partition-parse as a bogus partition
+    # value and double-count rows after a crash.
+    scratch = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "/_compact_tmp")
     if fs.exists(scratch):  # debris from a crashed run: stale, rebuildable
         fs.delete(scratch, True)
 
@@ -152,7 +159,9 @@ def compact_partitioned(
         subdirs = [
             st.getPath()
             for st in fs.listStatus(jdir)
-            if st.isDirectory() and "=" in st.getPath().getName()
+            if st.isDirectory()
+            and "=" in st.getPath().getName()
+            and not st.getPath().getName().startswith(("_", "."))
         ]
         if not subdirs:
             leaves.append(jdir.toString())

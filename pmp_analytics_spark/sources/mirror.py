@@ -34,10 +34,9 @@ class MirrorStats:
 
 
 def _fs(spark, path: str):
-    jvm = spark.sparkContext._jvm
-    jpath = jvm.org.apache.hadoop.fs.Path(path)
-    conf = spark.sparkContext._jsc.hadoopConfiguration()
-    return jpath.getFileSystem(conf), jpath, jvm, conf
+    from pmp_analytics_spark.sources.hadoopfs import fs_for
+
+    return fs_for(spark, path)
 
 
 def mirror_directory(

@@ -312,12 +312,26 @@ class _JsonlShardWriter(DataSourceArrowWriter):
         tmp_dir = os.path.join(self.path, "_tmp")
         os.makedirs(tmp_dir, exist_ok=True)
         tmp = os.path.join(tmp_dir, f"task-{uuid.uuid4().hex}.jsonl")
+        import pandas as pd
+
         rows = 0
         with open(tmp, "a", encoding="utf-8") as fh:
             for batch in iterator:
-                pdf = batch.to_pandas()
+                # ArrowDtype keeps type fidelity pandas defaults destroy:
+                # int64-with-nulls stays integer (numpy to_pandas floats it
+                # -> "1.0" -> NULL on schema'd read-back), and timestamps
+                # serialize as ISO-microsecond strings (default epoch-ms
+                # numbers read back as epoch-SECONDS, a silent 1000x shift).
+                pdf = batch.to_pandas(types_mapper=pd.ArrowDtype)
                 rows += len(pdf)
-                pdf.to_json(fh, orient="records", lines=True, force_ascii=False)
+                pdf.to_json(
+                    fh,
+                    orient="records",
+                    lines=True,
+                    force_ascii=False,
+                    date_format="iso",
+                    date_unit="us",
+                )
                 fh.write("\n")
         return _ShardCommit(tmp_path=tmp, rows=rows)
 

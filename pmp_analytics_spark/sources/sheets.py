@@ -65,13 +65,13 @@ def sheet_append(
     column A, the reference's method — including its quirk that an EMPTY
     sheet probes as last_row=1, so the first append starts at row 2,
     threshold.py:92). Returns the A1 range written."""
-    n = df.limit(max_rows + 1).count()
-    if n > max_rows:
+    head = df.limit(max_rows + 1).collect()  # one job, one snapshot
+    if len(head) > max_rows:
         raise ValueError(
             f"sheet_append is for small outputs: got >{max_rows} rows; "
             "aggregate or raise max_rows deliberately"
         )
-    rows = [[_cell(v) for v in r] for r in df.collect()]
+    rows = [[_cell(v) for v in r] for r in head]
     if not rows:
         return f"{sheet_name}!A1:A0"
 

@@ -69,13 +69,12 @@ def clipboard_tsv(
 
     Bounded collect: clipboard payloads are human-paste-sized, so the
     collect is capped (same guard discipline as the Excel sink)."""
-    n = df.limit(max_rows + 1).count()
-    if n > max_rows:
+    rows = df.limit(max_rows + 1).collect()  # one job, one snapshot
+    if len(rows) > max_rows:
         raise ValueError(
             f"clipboard_tsv is for small outputs: got >{max_rows} rows; "
             "aggregate or raise max_rows deliberately"
         )
-    rows = df.collect()
     cols = df.columns
 
     def cell(v) -> str:

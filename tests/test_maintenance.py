@@ -122,3 +122,34 @@ def test_compact_partitioned_per_leaf(spark):
         assert all(s.rewritten > 0 for s in stats.values())
         assert all(s.files_after == 1 for s in stats.values())
         assert _rows_fingerprint(spark, root) == before
+
+
+def test_compaction_crash_debris_invisible_and_rerun_converges(spark):
+    """A scratch dir left by a crashed run must be invisible to Spark
+    readers of the partitioned table (underscore-prefixed, INSIDE the
+    leaf) and must not break or double-count the rerun."""
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as tmp:
+        root = os.path.join(tmp, "pt")
+        df = spark.range(3000).select(
+            (F.col("id") % 2).alias("p"), F.col("id").alias("v")
+        )
+        df.repartition(6).write.partitionBy("p").parquet(root)
+        before = _rows_fingerprint(spark, root)
+
+        # Simulate a crash: stale scratch with data inside one leaf.
+        leaf = os.path.join(root, "p=0")
+        spark.range(500).write.parquet(os.path.join(leaf, "_compact_tmp"))
+
+        # Readers do not see the debris (row set unchanged)...
+        assert _rows_fingerprint(spark, root) == before
+        # ...and the rerun converges: debris rebuilt, table intact.
+        stats = compact_partitioned(spark, root, target_bytes=1 << 20)
+        # Hadoop reports leaves as file: URIs; debris dir is NOT a leaf.
+        assert {k.removeprefix("file:") for k in stats} == {
+            leaf,
+            os.path.join(root, "p=1"),
+        }
+        assert _rows_fingerprint(spark, root) == before
+        assert not os.path.exists(os.path.join(leaf, "_compact_tmp"))

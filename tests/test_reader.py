@@ -436,3 +436,33 @@ def test_jsonl_shard_stream_writer_batches_and_replay(spark, tmp_path):
     after = json.load(open(os.path.join(out, "_MANIFEST.json")))
     assert after["total_rows"] == manifest["total_rows"]
     assert not os.path.exists(msg.tmp_path)
+
+
+def test_jsonl_shard_writer_type_fidelity(spark, tmp_path):
+    """Timestamps and nullable integer columns must survive the JSONL hop
+    exactly: pandas-default serialization floats null-bearing int64s
+    ("1.0" -> NULL on schema'd read-back) and writes epoch-millis that
+    Spark parses as epoch-SECONDS — the Arrow-typed writer avoids both."""
+    from pyspark.sql import Row, functions as F
+
+    from pmp_analytics_spark.sources.pydatasource import read_jsonl_shards
+
+    import datetime
+
+    df = spark.createDataFrame(
+        [
+            Row(id=1, n=10, ts=datetime.datetime(2026, 1, 2, 3, 4, 5, 123456)),
+            Row(id=2, n=None, ts=None),
+            Row(id=3, n=30, ts=datetime.datetime(1999, 12, 31, 23, 59, 59)),
+        ],
+        "id bigint, n bigint, ts timestamp",
+    )
+    out = str(tmp_path / "typed")
+    df.coalesce(1).write.format("jsonlshard").option("path", out).mode(
+        "append"
+    ).save()
+    back = read_jsonl_shards(spark, out, schema=df.schema)
+    got = {r["id"]: (r["n"], r["ts"]) for r in back.collect()}
+    assert got[1] == (10, datetime.datetime(2026, 1, 2, 3, 4, 5, 123456))
+    assert got[2] == (None, None)
+    assert got[3] == (30, datetime.datetime(1999, 12, 31, 23, 59, 59))
