@@ -314,6 +314,32 @@ def _wav_decode(payload: bytes) -> dict:
     }
 
 
+def _wav_encode(
+    samples: list[int], channels: int = 1, sample_rate: int = 16_000, bits: int = 16
+) -> bytes:
+    """Encode interleaved PCM ints back to a RIFF/WAV payload — the
+    round-trip partner of ``_wav_decode`` (8-bit samples are the decode
+    contract's signed values, re-biased to unsigned on write)."""
+    import struct
+
+    if bits == 16:
+        data = struct.pack(f"<{len(samples)}h", *samples)
+    elif bits == 8:
+        data = bytes((s + 128) & 0xFF for s in samples)
+    else:
+        raise ValueError("only 8/16-bit PCM WAV is stdlib-encodable")
+    block_align = channels * (bits // 8)
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, sample_rate, sample_rate * block_align, block_align, bits
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data + (b"\x00" if len(data) & 1 else b"")
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
 def decode_image(payload: bytes) -> object:
     """Decode an image payload. Pillow when installed (any format);
     otherwise the stdlib BMP path (uncompressed 24-bit) — returns

@@ -289,3 +289,20 @@ def test_png_rgba_alpha_dropped_and_rejects():
     )
     with pytest.raises(ValueError, match="stdlib-decodable"):
         _png_decode(bad)
+
+
+def test_wav_encode_decode_roundtrip():
+    from pmp_analytics_spark.multimodal import _wav_decode, _wav_encode, decode_audio
+
+    samples = [0, 100, -100, 32767, -32768, 7] * 2  # stereo frames
+    payload = _wav_encode(samples, channels=2, sample_rate=8000, bits=16)
+    got = _wav_decode(payload)
+    assert got["samples"] == samples
+    assert (got["channels"], got["sample_rate"], got["bits"]) == (2, 8000, 16)
+    assert got["n_frames"] == len(samples) // 2
+    assert decode_audio(payload)["samples"] == samples
+
+    # 8-bit: decode returns signed values; encode re-biases, odd length pads
+    s8 = [0, -128, 127, 5, -1]
+    got8 = _wav_decode(_wav_encode(s8, channels=1, sample_rate=4000, bits=8))
+    assert got8["samples"] == s8 and got8["bits"] == 8
