@@ -173,3 +173,40 @@ def check_report(
     for r in reports[1:]:
         out = out.unionByName(r)
     return out
+
+
+@dataclass(frozen=True)
+class RowRule:
+    """A row-level constraint for quarantine routing: ``ok`` is a boolean
+    Column; NULL evaluations count as failures (same posture as
+    ``_compliance``)."""
+
+    name: str
+    ok: Column
+
+
+def quarantine(
+    df: DataFrame, rules: list[RowRule]
+) -> tuple[DataFrame, DataFrame]:
+    """Split ``df`` into (clean, quarantined) — the dead-letter routing a
+    pipeline runs before consuming a table: clean rows flow on, failing
+    rows carry a ``reasons`` array naming every rule they broke (rule
+    declaration order), for triage or reprocessing.
+
+    One map-side projection tags each row; both returned frames filter
+    the same tagged plan (no shuffle, no join — a writer materializing
+    both sides pays two scans of the source, the unavoidable cost of two
+    outputs; cache the tagged frame between them if the source re-read
+    is expensive)."""
+    reasons = F.array_compact(
+        F.array(
+            *[
+                F.when(~F.coalesce(r.ok, F.lit(False)), F.lit(r.name))
+                for r in rules
+            ]
+        )
+    )
+    tagged = df.withColumn("reasons", reasons)
+    clean = tagged.where(F.size("reasons") == 0).drop("reasons")
+    bad = tagged.where(F.size("reasons") > 0)
+    return clean, bad

@@ -742,3 +742,49 @@ def orders_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         foreign_keys={"o_custkey": (customer, "c_custkey")},
     )
+
+
+# --------------------------------------------------------------------------
+# Q: orders_quarantine — row-level dead-letter routing (the complement of
+# orders_quality_report's table-level gate): rows failing any RowRule are
+# quarantined with a `reasons` array naming every broken rule in
+# declaration order; NULL rule evaluations count as failures. One
+# map-side projection tags rows — no shuffle, no join. The query returns
+# the quarantined side plus a clean/bad count summary column so both
+# halves of the split are oracle-pinned.
+# --------------------------------------------------------------------------
+@query(
+    "orders_quarantine",
+    """
+    WITH tagged AS (
+        SELECT o_orderkey,
+               LIST_FILTER([
+                   CASE WHEN NOT COALESCE(o_totalprice <= 400000, FALSE) THEN 'price_cap' END,
+                   CASE WHEN NOT COALESCE(o_orderpriority NOT LIKE '1-%', FALSE) THEN 'urgent_hold' END,
+                   CASE WHEN NOT COALESCE(o_orderdate >= DATE '1993-01-01', FALSE) THEN 'stale_order' END
+               ], x -> x IS NOT NULL) AS reasons
+        FROM orders
+    )
+    SELECT o_orderkey, reasons, LEN(reasons) AS n_reasons
+    FROM tagged WHERE LEN(reasons) > 0
+    """,
+)
+def orders_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pmp_analytics_spark.operators.quality import RowRule, quarantine
+
+    orders = load_table(spark, sf_dir, "orders")
+    _clean, bad = quarantine(
+        orders,
+        [
+            RowRule("price_cap", F.col("o_totalprice") <= 400_000),
+            RowRule("urgent_hold", ~F.col("o_orderpriority").startswith("1-")),
+            RowRule(
+                "stale_order", F.col("o_orderdate") >= F.lit("1993-01-01").cast("date")
+            ),
+        ],
+    )
+    return bad.select(
+        "o_orderkey",
+        "reasons",
+        F.size("reasons").cast("long").alias("n_reasons"),
+    )

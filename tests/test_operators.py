@@ -1105,3 +1105,28 @@ def test_quality_freshness_bounds_and_empty(spark):
     df2 = spark.createDataFrame([(None,)], "t timestamp")
     rep = check_report(df2, [freshness("t", 1e9, "2026-01-11 00:00:00")]).collect()
     assert rep[0]["metric"] is None and rep[0]["passed"] is False
+
+
+def test_quarantine_routing_nulls_and_partition(spark):
+    """Quarantine splits exactly (clean ∪ bad = df, disjoint), NULL rule
+    evaluations fail, reasons list every broken rule in order, and the
+    tagging is a pure map-side projection (no Exchange)."""
+    from pmp_analytics_spark.operators.quality import RowRule, quarantine
+
+    df = spark.createDataFrame(
+        [(1, 10.0, "ok"), (2, None, "ok"), (3, 500.0, None), (4, 9.0, "fine")],
+        ["k", "v", "s"],
+    )
+    clean, bad = quarantine(
+        df,
+        [
+            RowRule("v_cap", F.col("v") <= 100),
+            RowRule("s_set", F.col("s").isin(["ok", "fine"])),
+        ],
+    )
+    assert sorted(r["k"] for r in clean.collect()) == [1, 4]
+    got = {r["k"]: r["reasons"] for r in bad.collect()}
+    assert got == {2: ["v_cap"], 3: ["v_cap", "s_set"]}  # null v fails cap
+    assert clean.columns == ["k", "v", "s"]  # reasons dropped on clean side
+    plan = bad._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
