@@ -210,3 +210,53 @@ def quarantine(
     clean = tagged.where(F.size("reasons") == 0).drop("reasons")
     bad = tagged.where(F.size("reasons") > 0)
     return clean, bad
+
+
+def record_metrics(report: DataFrame, run_id: str, history_path: str) -> None:
+    """Append a run's check_report rows to the metric history log (the
+    Deequ metrics-repository role) — plain ``append_log`` semantics, one
+    small file per run, compactable with ``operators.maintenance``."""
+    from pmp_analytics_spark.sources.writers import append_log
+
+    append_log(report.withColumn("run_id", F.lit(run_id)), history_path)
+
+
+def metric_anomalies(
+    history: DataFrame, current_run: str, n_sigma: float = 3.0
+) -> DataFrame:
+    """Flag checks whose CURRENT metric deviates more than ``n_sigma``
+    sample standard deviations from that check's PRIOR runs — the
+    anomaly gate that catches a feed going quietly wrong (completeness
+    drifting 1.0 → 0.97) even while absolute thresholds still pass.
+
+    One aggregate over prior runs (grouped by check, O(#checks) rows)
+    broadcast-joined to the current run's rows. Checks with fewer than 2
+    prior runs, or zero prior variance and an exactly-equal current
+    value, are not flagged; zero variance with a differing value is
+    ALWAYS flagged (any change from a historically constant metric is
+    signal, and n_sigma cannot scale a zero stddev)."""
+    prior = (
+        history.where(F.col("run_id") != F.lit(current_run))
+        .groupBy("check_name")
+        .agg(
+            F.avg("metric").alias("mu"),
+            F.stddev_samp("metric").alias("sigma"),
+            F.count(F.lit(1)).alias("n_prior"),
+        )
+    )
+    cur = history.where(F.col("run_id") == F.lit(current_run))
+    joined = cur.join(F.broadcast(prior), "check_name", "inner").where(
+        F.col("n_prior") >= 2
+    )
+    dev = F.abs(F.col("metric") - F.col("mu"))
+    return joined.where(
+        F.when(F.col("sigma") == 0, dev > 0).otherwise(
+            dev > F.lit(n_sigma) * F.col("sigma")
+        )
+    ).select(
+        "check_name",
+        "metric",
+        F.round("mu", 6).alias("prior_mean"),
+        F.round("sigma", 6).alias("prior_stddev"),
+        "n_prior",
+    )

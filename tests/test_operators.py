@@ -1130,3 +1130,42 @@ def test_quarantine_routing_nulls_and_partition(spark):
     assert clean.columns == ["k", "v", "s"]  # reasons dropped on clean side
     plan = bad._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_metric_history_anomaly_detection(spark, tmp_path):
+    """Record 4 runs of a drifting completeness metric; the anomaly gate
+    must flag the collapsed run (>3 sigma), stay quiet on a normal run,
+    and always flag a change from a historically CONSTANT metric."""
+    from pmp_analytics_spark.operators.quality import (
+        metric_anomalies,
+        record_metrics,
+    )
+
+    hist = str(tmp_path / "metrics")
+    runs = {
+        "r1": [("completeness(x)", 0.99), ("min_size", 100.0)],
+        "r2": [("completeness(x)", 1.00), ("min_size", 100.0)],
+        "r3": [("completeness(x)", 0.995), ("min_size", 100.0)],
+        "r4": [("completeness(x)", 0.80), ("min_size", 100.0)],  # collapse
+    }
+    for rid, rows in runs.items():
+        rep = spark.createDataFrame(
+            [(c, m, True) for c, m in rows], ["check_name", "metric", "passed"]
+        )
+        record_metrics(rep, rid, hist)
+    history = spark.read.parquet(hist)
+
+    flagged = metric_anomalies(history, "r4", n_sigma=3.0).collect()
+    assert [r["check_name"] for r in flagged] == ["completeness(x)"]
+    assert flagged[0]["n_prior"] == 3
+
+    assert metric_anomalies(history, "r3", n_sigma=3.0).count() == 0
+
+    # constant-metric change: min_size flips in a new run -> flagged even
+    # though sigma over priors is zero
+    rep5 = spark.createDataFrame(
+        [("min_size", 90.0, True)], ["check_name", "metric", "passed"]
+    )
+    record_metrics(rep5, "r5", hist)
+    flagged5 = metric_anomalies(spark.read.parquet(hist), "r5").collect()
+    assert [r["check_name"] for r in flagged5] == ["min_size"]
