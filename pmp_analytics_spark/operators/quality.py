@@ -260,3 +260,59 @@ def metric_anomalies(
         F.round("sigma", 6).alias("prior_stddev"),
         "n_prior",
     )
+
+
+def suggest_checks(
+    df: DataFrame, domain_max_distinct: int = 10
+) -> list[Check]:
+    """Profile ``df`` once and propose the constraints its CURRENT state
+    satisfies (the Deequ constraint-suggestion role — a starting point a
+    human reviews, since observed invariants are not always intended
+    ones): completeness for null-free columns, uniqueness for key-like
+    columns, observed min/max ranges for numerics, and accepted_values
+    for low-cardinality string columns.
+
+    Cost: ONE aggregate pass over all columns (null counts, approx
+    distinct, min/max), plus one tiny distinct-collect per string column
+    whose approx cardinality is already known to be <= the domain cap —
+    never a blind distinct over a high-cardinality column."""
+    num_types = {"int", "bigint", "smallint", "tinyint", "double", "float"}
+    aggs, total = [], F.count(F.lit(1)).alias("__n")
+    for f in df.schema.fields:
+        c = f.name
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
+            F.approx_count_distinct(c, 0.01).alias(f"{c}__adist"),
+        ]
+        if f.dataType.simpleString() in num_types:
+            aggs += [F.min(c).alias(f"{c}__min"), F.max(c).alias(f"{c}__max")]
+    prof = df.agg(total, *aggs).first()
+
+    out: list[Check] = []
+    n = prof["__n"]
+    for f in df.schema.fields:
+        c = f.name
+        if n and prof[f"{c}__nulls"] == 0:
+            out.append(completeness(c))
+        # approx_count_distinct at rsd=0.01: treat >=98% as key-like
+        if n and prof[f"{c}__adist"] >= 0.98 * n:
+            out.append(uniqueness(c))
+        if f.dataType.simpleString() in num_types and n:
+            lo, hi = prof[f"{c}__min"], prof[f"{c}__max"]
+            if lo is not None:
+                out.append(in_range(c, float(lo), float(hi)))
+        elif (
+            f.dataType.simpleString() == "string"
+            and n
+            and prof[f"{c}__adist"] <= domain_max_distinct
+            # accepted_values counts NULL as non-compliant, so only a
+            # null-free column can be promised its observed domain
+            and prof[f"{c}__nulls"] == 0
+        ):
+            vals = [
+                r[c]
+                for r in df.select(c).where(F.col(c).isNotNull()).distinct().collect()
+            ]
+            if 0 < len(vals) <= domain_max_distinct:
+                out.append(accepted_values(c, sorted(vals)))
+    return out

@@ -1169,3 +1169,24 @@ def test_metric_history_anomaly_detection(spark, tmp_path):
     record_metrics(rep5, "r5", hist)
     flagged5 = metric_anomalies(spark.read.parquet(hist), "r5").collect()
     assert [r["check_name"] for r in flagged5] == ["min_size"]
+
+
+def test_suggest_checks_profile_then_pass(spark):
+    """Suggested constraints must (a) match the column shapes — key-like
+    -> uniqueness, null-free -> completeness, numeric -> observed range,
+    low-cardinality string -> accepted_values — and (b) all PASS when
+    evaluated on the very data they were profiled from."""
+    from pmp_analytics_spark.operators.quality import check_report, suggest_checks
+
+    df = spark.createDataFrame(
+        [(i, float(i % 50), "A" if i % 2 else "B", None if i % 3 else "x") for i in range(200)],
+        "k bigint, v double, cat string, sparse string",
+    )
+    checks = suggest_checks(df)
+    names = {c.name for c in checks}
+    assert "uniqueness(k)" in names and "completeness(k)" in names
+    assert "in_range(v)" in names and "accepted_values(cat)" in names
+    assert "completeness(sparse)" not in names  # has nulls
+    report = check_report(df, checks)
+    failed = [r["check_name"] for r in report.collect() if not r["passed"]]
+    assert failed == []
