@@ -86,3 +86,59 @@ def test_quota_admit_slicing_invariant(n_docs, cap, cuts):
     assert list(got["doc_id"]) == expect
     assert list(got["admit_rank"]) == list(range(1, len(expect) + 1))
     assert n_state == min(cap, n_docs)
+
+
+# --------------------------------------------------------------------------
+# Codec round-trips (multimodal.py): any raster/PCM payload must survive
+# encode→decode bit-exactly — the property that makes the stdlib codecs
+# trustworthy as real pipeline stages rather than demo shims.
+# --------------------------------------------------------------------------
+@given(
+    w=st.integers(min_value=1, max_value=12),
+    h=st.integers(min_value=1, max_value=12),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+@settings(max_examples=60, deadline=None)
+def test_png_roundtrip_property(w, h, seed):
+    import random
+
+    from pmp_analytics_spark.multimodal import _png_decode, _png_encode
+
+    rng = random.Random(seed)
+    rows = [bytes(rng.randrange(256) for _ in range(w * 3)) for _ in range(h)]
+    assert _png_decode(_png_encode(w, h, rows)) == (w, h, rows)
+
+
+@given(
+    w=st.integers(min_value=1, max_value=12),
+    h=st.integers(min_value=1, max_value=12),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+@settings(max_examples=60, deadline=None)
+def test_bmp_roundtrip_property(w, h, seed):
+    import random
+
+    from pmp_analytics_spark.multimodal import _bmp_decode, _bmp_encode
+
+    rng = random.Random(seed)
+    rows = [bytes(rng.randrange(256) for _ in range(w * 3)) for _ in range(h)]
+    assert _bmp_decode(_bmp_encode(w, h, rows)) == (w, h, rows)
+
+
+@given(
+    n=st.integers(min_value=0, max_value=64),
+    bits=st.sampled_from([8, 16]),
+    channels=st.integers(min_value=1, max_value=2),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+@settings(max_examples=60, deadline=None)
+def test_wav_roundtrip_property(n, bits, channels, seed):
+    import random
+
+    from pmp_analytics_spark.multimodal import _wav_decode, _wav_encode
+
+    rng = random.Random(seed)
+    lo, hi = (-128, 127) if bits == 8 else (-32768, 32767)
+    samples = [rng.randint(lo, hi) for _ in range(n * channels)]
+    got = _wav_decode(_wav_encode(samples, channels=channels, bits=bits))
+    assert got["samples"] == samples and got["bits"] == bits
