@@ -103,3 +103,77 @@ def _try_system_clipboard(text: str) -> bool:  # pragma: no cover - headless CI
             except Exception:
                 return False
     return False
+
+
+def publish_versioned(df: DataFrame, root: str, keep_last: int = 3) -> str:
+    """Publish ``df`` as a NEW immutable version under ``root`` and flip
+    the ``_LATEST`` pointer to it atomically — the snapshot-publish
+    pattern batch pipelines use so readers never observe a half-written
+    or half-deleted table (the poor man's snapshot isolation; the full
+    answer is a transactional table format):
+
+    - data lands in ``root/v{n:08d}/`` (never touched again),
+    - ``_LATEST`` (a one-line pointer file) is written via tmp + atomic
+      rename LAST, so a crash mid-publish leaves the previous version
+      live and a rerun simply takes the next version number,
+    - versions older than ``keep_last`` behind the pointer are pruned
+      AFTER the flip (readers that resolved the old pointer during the
+      swap still have ``keep_last - 1`` versions of grace).
+
+    Returns the published version directory."""
+    from pmp_analytics_spark.sources.hadoopfs import fs_for
+
+    spark = df.sparkSession
+    fs, jroot, jvm, _ = fs_for(spark, root)
+    if not fs.exists(jroot):
+        fs.mkdirs(jroot)
+    versions = sorted(
+        int(st.getPath().getName()[1:])
+        for st in fs.listStatus(jroot)
+        if st.isDirectory() and st.getPath().getName().startswith("v")
+    )
+    n = (versions[-1] + 1) if versions else 0
+    vdir = f"{root.rstrip('/')}/v{n:08d}"
+    df.write.parquet(vdir)
+
+    pointer = jvm.org.apache.hadoop.fs.Path(jroot, "_LATEST")
+    tmp = jvm.org.apache.hadoop.fs.Path(jroot, f"_LATEST.tmp{n}")
+    out = fs.create(tmp, True)
+    out.write(f"v{n:08d}".encode())
+    out.close()
+    # Rename-first: POSIX/local rename overwrites in place (zero
+    # pointer-less window); filesystems that refuse to overwrite (HDFS
+    # default) fall back to delete+rename, whose window is bounded by
+    # the two metadata ops and recoverable (version dirs still exist).
+    if not fs.rename(tmp, pointer):
+        if fs.exists(pointer):
+            fs.delete(pointer, False)
+        if not fs.rename(tmp, pointer):
+            raise OSError(f"pointer flip failed for {vdir}")
+
+    for old in versions[: max(0, len(versions) + 1 - keep_last)]:
+        fs.delete(jvm.org.apache.hadoop.fs.Path(jroot, f"v{old:08d}"), True)
+    return vdir
+
+
+def read_latest(spark, root: str) -> DataFrame:
+    """Resolve ``_LATEST`` and read that immutable version."""
+    from pmp_analytics_spark.sources.hadoopfs import fs_for
+
+    fs, jroot, jvm, _ = fs_for(spark, root)
+    pointer = jvm.org.apache.hadoop.fs.Path(jroot, "_LATEST")
+    stream = fs.open(pointer)
+    try:
+        version = bytes(
+            stream.readAllBytes() if hasattr(stream, "readAllBytes") else b""
+        ).decode()
+        if not version:  # Hadoop FSDataInputStream pre-readAllBytes
+            buf = bytearray()
+            b = stream.read()
+            while b >= 0:
+                buf.append(b)
+                b = stream.read()
+            version = bytes(buf).decode()
+    finally:
+        stream.close()
+    return spark.read.parquet(f"{root.rstrip('/')}/{version.strip()}")

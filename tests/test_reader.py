@@ -466,3 +466,26 @@ def test_jsonl_shard_writer_type_fidelity(spark, tmp_path):
     assert got[1] == (10, datetime.datetime(2026, 1, 2, 3, 4, 5, 123456))
     assert got[2] == (None, None)
     assert got[3] == (30, datetime.datetime(1999, 12, 31, 23, 59, 59))
+
+
+def test_publish_versioned_pointer_flip_and_prune(spark, tmp_path):
+    """Versioned publish: immutable version dirs, atomic _LATEST flip,
+    prune keeps the newest keep_last versions; a reader holding an older
+    resolved version still finds its files during the grace window."""
+    from pyspark.sql import functions as F
+
+    from pmp_analytics_spark.sources.writers import publish_versioned, read_latest
+
+    root = str(tmp_path / "tbl")
+    for i in range(4):
+        vdir = publish_versioned(
+            spark.range(10).withColumn("ver", F.lit(i)), root, keep_last=2
+        )
+        assert vdir.endswith(f"v{i:08d}")
+        latest = read_latest(spark, root)
+        assert latest.select("ver").distinct().collect()[0][0] == i
+
+    names = sorted(os.listdir(root))
+    # keep_last=2 -> only v2, v3 survive (plus the pointer)
+    assert [n for n in names if n.startswith("v")] == ["v00000002", "v00000003"]
+    assert open(os.path.join(root, "_LATEST")).read().strip() == "v00000003"
