@@ -1190,3 +1190,44 @@ def test_suggest_checks_profile_then_pass(spark):
     report = check_report(df, checks)
     failed = [r["check_name"] for r in report.collect() if not r["passed"]]
     assert failed == []
+
+
+def test_run_stages_resume_and_force(spark, tmp_path):
+    """Stage-materialized pipeline: first run computes all stages; rerun
+    computes none (checkpoints read back); deleting a mid checkpoint
+    recomputes only from there; force_from recomputes the suffix."""
+    import shutil
+
+    from pmp_analytics_spark.operators.pipeline import run_stages
+
+    wd = str(tmp_path / "wd")
+    calls = []
+
+    def mk(name, fn):
+        def stage(prev):
+            calls.append(name)
+            return fn(prev)
+
+        return (name, stage)
+
+    stages = [
+        mk("seed", lambda _p: spark.range(100).withColumnRenamed("id", "v")),
+        mk("double", lambda p: p.selectExpr("v * 2 AS v")),
+        mk("tail", lambda p: p.where("v >= 100")),
+    ]
+
+    out, computed = run_stages(spark, stages, wd)
+    assert computed == ["seed", "double", "tail"] and out.count() == 50
+
+    calls.clear()
+    out2, computed2 = run_stages(spark, stages, wd)
+    assert computed2 == [] and calls == [] and out2.count() == 50  # full resume
+
+    shutil.rmtree(f"{wd}/01-double")  # crash debris: stage 2 lost
+    out3, computed3 = run_stages(spark, stages, wd)
+    # seed reused; double recomputes, and tail MUST too — its surviving
+    # checkpoint was built from the old double output (stale input)
+    assert computed3 == ["double", "tail"] and out3.count() == 50
+
+    _out4, computed4 = run_stages(spark, stages, wd, force_from="double")
+    assert computed4 == ["double", "tail"]  # suffix recomputed
