@@ -1231,3 +1231,37 @@ def test_run_stages_resume_and_force(spark, tmp_path):
 
     _out4, computed4 = run_stages(spark, stages, wd, force_from="double")
     assert computed4 == ["double", "tail"]  # suffix recomputed
+
+
+def test_cli_list_run_oracle(spark, tmp_path):
+    """__main__ CLI: list covers the registry, run executes + optional
+    single-file CSV export, oracle prints the SQL; errors exit 2."""
+    import io
+    from contextlib import redirect_stdout
+
+    from pmp_analytics_spark.__main__ import main
+    from pmp_analytics_spark.queries import all_queries
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        assert main(["list"]) == 0
+    assert set(buf.getvalue().split()) == set(all_queries())
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        assert main(["oracle", "event_type_counts"]) == 0
+    assert "GROUP BY event_type" in buf.getvalue()
+
+    csv = str(tmp_path / "out.csv")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = main(
+            ["run", "event_type_counts", "--sf-dir", "/root/testdata/sf0.001",
+             "--limit", "3", "--csv", csv]
+        )
+    assert rc == 0
+    body = open(csv).read().splitlines()
+    assert body[0] == "event_type,count" and len(body) == 6
+
+    assert main(["oracle", "nope"]) == 2
+    assert main(["run", "nope"]) == 2
