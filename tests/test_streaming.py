@@ -280,3 +280,43 @@ def test_source_quota_state_survives_restart(spark, tmp_path):
     drain()
     got = _rows(spark.read.parquet(out), ["doc_id", "source", "admit_rank"])
     assert got == expected
+
+
+def test_streaming_per_batch_quality_metrics(spark, tmp_path):
+    """Composition: check_report runs per micro-batch inside foreachBatch
+    and record_metrics appends each batch's metrics to the history log —
+    continuous data-quality monitoring from existing parts."""
+    from pmp_analytics_spark.operators.quality import (
+        check_report,
+        completeness,
+        in_range,
+        record_metrics,
+    )
+
+    events = load_table(spark, SF_DIR, "events").select("event_id", "value")
+    src = str(tmp_path / "src")
+    events.where("event_id % 2 = 0").coalesce(1).write.parquet(src)
+    events.where("event_id % 2 = 1").coalesce(1).write.mode("append").parquet(src)
+
+    hist = str(tmp_path / "metrics")
+    checks = [completeness("event_id"), in_range("value", -1e6, 1e6)]
+
+    def audit(bdf, bid):
+        record_metrics(check_report(bdf, checks), f"batch-{bid}", hist)
+
+    q = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(audit)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    history = spark.read.parquet(hist)
+    runs = {r["run_id"] for r in history.select("run_id").distinct().collect()}
+    assert len(runs) >= 2  # one metrics row-set per micro-batch
+    per_run = history.groupBy("run_id").count().collect()
+    assert all(r["count"] == len(checks) for r in per_run)
+    assert history.where("check_name = 'completeness(event_id)' AND NOT passed").count() == 0
