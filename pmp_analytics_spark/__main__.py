@@ -47,7 +47,7 @@ def main(argv: list[str] | None = None) -> int:
             print(name)
         return 0
     if args.cmd == "oracle":
-        sql = all_oracles().get(args.query)
+        sql = all_oracles({args.query}).get(args.query)
         if sql is None:
             print(f"unknown or oracle-less query: {args.query}", file=sys.stderr)
             return 2

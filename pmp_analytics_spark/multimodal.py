@@ -322,6 +322,11 @@ def _wav_encode(
     contract's signed values, re-biased to unsigned on write)."""
     import struct
 
+    if channels < 1 or len(samples) % channels:
+        raise ValueError(
+            f"{len(samples)} samples do not form whole frames of "
+            f"{channels} channel(s)"
+        )
     if bits == 16:
         data = struct.pack(f"<{len(samples)}h", *samples)
     elif bits == 8:

@@ -45,6 +45,11 @@ def run_stages(
     its input changed)."""
     from pmp_analytics_spark.sources.hadoopfs import fs_for
 
+    if force_from is not None and force_from not in {n for n, _ in stages}:
+        raise ValueError(
+            f"force_from={force_from!r} names no stage — refusing to resume "
+            "checkpoints the caller asked to invalidate"
+        )
     fs, _, jvm, _ = fs_for(spark, workdir)
     computed: list[str] = []
     prev: DataFrame | None = None

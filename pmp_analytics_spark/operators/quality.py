@@ -186,7 +186,7 @@ class RowRule:
 
 
 def quarantine(
-    df: DataFrame, rules: list[RowRule]
+    df: DataFrame, rules: list[RowRule], reason_col: str = "reasons"
 ) -> tuple[DataFrame, DataFrame]:
     """Split ``df`` into (clean, quarantined) — the dead-letter routing a
     pipeline runs before consuming a table: clean rows flow on, failing
@@ -198,6 +198,12 @@ def quarantine(
     both sides pays two scans of the source, the unavoidable cost of two
     outputs; cache the tagged frame between them if the source re-read
     is expensive)."""
+    if reason_col in df.columns:
+        raise ValueError(
+            f"input already has a {reason_col!r} column — pass reason_col= "
+            "to avoid silently overwriting it (quarantined rows fed back "
+            "through a pipeline are exactly when this collision happens)"
+        )
     reasons = F.array_compact(
         F.array(
             *[
@@ -206,19 +212,24 @@ def quarantine(
             ]
         )
     )
-    tagged = df.withColumn("reasons", reasons)
-    clean = tagged.where(F.size("reasons") == 0).drop("reasons")
-    bad = tagged.where(F.size("reasons") > 0)
+    tagged = df.withColumn(reason_col, reasons)
+    clean = tagged.where(F.size(reason_col) == 0).drop(reason_col)
+    bad = tagged.where(F.size(reason_col) > 0)
     return clean, bad
 
 
 def record_metrics(report: DataFrame, run_id: str, history_path: str) -> None:
     """Append a run's check_report rows to the metric history log (the
     Deequ metrics-repository role) — plain ``append_log`` semantics, one
-    small file per run, compactable with ``operators.maintenance``."""
+    small file per run, compactable with ``operators.maintenance``. Rows
+    carry ``recorded_at`` so the anomaly gate can scope its baseline to
+    runs recorded BEFORE the one under test."""
     from pmp_analytics_spark.sources.writers import append_log
 
-    append_log(report.withColumn("run_id", F.lit(run_id)), history_path)
+    stamped = report.withColumn("run_id", F.lit(run_id)).withColumn(
+        "recorded_at", F.current_timestamp()
+    )
+    append_log(stamped, history_path)
 
 
 def metric_anomalies(
@@ -229,14 +240,28 @@ def metric_anomalies(
     anomaly gate that catches a feed going quietly wrong (completeness
     drifting 1.0 → 0.97) even while absolute thresholds still pass.
 
-    One aggregate over prior runs (grouped by check, O(#checks) rows)
-    broadcast-joined to the current run's rows. Checks with fewer than 2
-    prior runs, or zero prior variance and an exactly-equal current
-    value, are not flagged; zero variance with a differing value is
-    ALWAYS flagged (any change from a historically constant metric is
-    signal, and n_sigma cannot scale a zero stddev)."""
+    "Prior" means runs whose ``recorded_at`` precedes the current run's —
+    NOT merely every other run: re-checking an old run (backfill, audit)
+    must not let later runs contaminate its baseline (a later collapse
+    inflates sigma and silently un-flags a genuine anomaly in the run
+    under test). One aggregate over prior runs (grouped by check,
+    O(#checks) rows) broadcast-joined to the current run's rows. Checks
+    with fewer than 2 prior runs, or zero prior variance and an
+    exactly-equal current value, are not flagged; zero variance with a
+    differing value is ALWAYS flagged (any change from a historically
+    constant metric is signal, and n_sigma cannot scale a zero stddev)."""
+    cur_start = (
+        history.where(F.col("run_id") == F.lit(current_run))
+        .agg(F.min("recorded_at"))
+        .first()[0]
+    )
+    if cur_start is None:
+        raise ValueError(f"run {current_run!r} not present in the history")
     prior = (
-        history.where(F.col("run_id") != F.lit(current_run))
+        history.where(
+            (F.col("run_id") != F.lit(current_run))
+            & (F.col("recorded_at") < F.lit(cur_start))
+        )
         .groupBy("check_name")
         .agg(
             F.avg("metric").alias("mu"),
@@ -265,17 +290,22 @@ def metric_anomalies(
 def suggest_checks(
     df: DataFrame, domain_max_distinct: int = 10
 ) -> list[Check]:
-    """Profile ``df`` once and propose the constraints its CURRENT state
-    satisfies (the Deequ constraint-suggestion role — a starting point a
-    human reviews, since observed invariants are not always intended
-    ones): completeness for null-free columns, uniqueness for key-like
-    columns, observed min/max ranges for numerics, and accepted_values
-    for low-cardinality string columns.
+    """Profile ``df`` and propose constraints its CURRENT state satisfies
+    (the Deequ constraint-suggestion role — a starting point a human
+    reviews, since observed invariants are not always intended ones):
+    completeness for null-free columns, uniqueness for EXACTLY-unique
+    null-free columns, observed min/max ranges for numerics, and
+    accepted_values domains for null-free low-cardinality strings.
 
-    Cost: ONE aggregate pass over all columns (null counts, approx
-    distinct, min/max), plus one tiny distinct-collect per string column
-    whose approx cardinality is already known to be <= the domain cap —
-    never a blind distinct over a high-cardinality column."""
+    Cost: TWO aggregate passes total, regardless of column count. Pass 1
+    profiles every column (null counts, rsd-0.01 approx distinct,
+    min/max). Pass 2 verifies only the sketch-shortlisted candidates —
+    EXACT count_distinct for key-like columns (the approx sketch alone
+    would suggest uniqueness a near-unique column then fails) and one
+    bounded collect_set per low-cardinality domain column — so every
+    suggested check passes on the data it was profiled from."""
+    import math
+
     num_types = {"int", "bigint", "smallint", "tinyint", "double", "float"}
     aggs, total = [], F.count(F.lit(1)).alias("__n")
     for f in df.schema.fields:
@@ -287,32 +317,57 @@ def suggest_checks(
         if f.dataType.simpleString() in num_types:
             aggs += [F.min(c).alias(f"{c}__min"), F.max(c).alias(f"{c}__max")]
     prof = df.agg(total, *aggs).first()
+    n = prof["__n"]
+
+    def null_free(c):
+        return n and prof[f"{c}__nulls"] == 0
+
+    key_candidates = [
+        f.name
+        for f in df.schema.fields
+        if null_free(f.name) and prof[f"{f.name}__adist"] >= 0.98 * n
+    ]
+    domain_candidates = [
+        f.name
+        for f in df.schema.fields
+        if f.dataType.simpleString() == "string"
+        # accepted_values counts NULL as non-compliant, so only a
+        # null-free column can be promised its observed domain
+        and null_free(f.name)
+        and prof[f"{f.name}__adist"] <= domain_max_distinct
+    ]
+    verify = {}
+    if key_candidates or domain_candidates:
+        verify = df.agg(
+            *[F.count_distinct(F.col(c)).alias(f"{c}__xdist") for c in key_candidates],
+            *[F.collect_set(c).alias(f"{c}__vals") for c in domain_candidates],
+        ).first().asDict()
+
+    def float_bounds(lo, hi):
+        # float() of an int64 beyond 2^53 can round INWARD, producing a
+        # range the profiled data itself violates — pad outward.
+        flo, fhi = float(lo), float(hi)
+        if flo > lo:
+            flo = math.nextafter(flo, -math.inf)
+        if fhi < hi:
+            fhi = math.nextafter(fhi, math.inf)
+        return flo, fhi
 
     out: list[Check] = []
-    n = prof["__n"]
     for f in df.schema.fields:
         c = f.name
-        if n and prof[f"{c}__nulls"] == 0:
+        if null_free(c):
             out.append(completeness(c))
-        # approx_count_distinct at rsd=0.01: treat >=98% as key-like
-        if n and prof[f"{c}__adist"] >= 0.98 * n:
+        if c in key_candidates and verify.get(f"{c}__xdist") == n:
             out.append(uniqueness(c))
-        if f.dataType.simpleString() in num_types and n:
+        # in_range (like accepted_values) counts NULL as non-compliant,
+        # so a null-bearing column could never pass its own suggestion
+        if f.dataType.simpleString() in num_types and null_free(c):
             lo, hi = prof[f"{c}__min"], prof[f"{c}__max"]
             if lo is not None:
-                out.append(in_range(c, float(lo), float(hi)))
-        elif (
-            f.dataType.simpleString() == "string"
-            and n
-            and prof[f"{c}__adist"] <= domain_max_distinct
-            # accepted_values counts NULL as non-compliant, so only a
-            # null-free column can be promised its observed domain
-            and prof[f"{c}__nulls"] == 0
-        ):
-            vals = [
-                r[c]
-                for r in df.select(c).where(F.col(c).isNotNull()).distinct().collect()
-            ]
+                out.append(in_range(c, *float_bounds(lo, hi)))
+        elif c in domain_candidates:
+            vals = verify.get(f"{c}__vals") or []
             if 0 < len(vals) <= domain_max_distinct:
                 out.append(accepted_values(c, sorted(vals)))
     return out

@@ -16,8 +16,9 @@ rewrite. Spark-first equivalents:
 
 Excel round-trips live in ``bridges.py``; the clipboard sink (K5) is
 ``clipboard_tsv`` below — the TSV text is the artifact, the OS-clipboard
-hop best-effort. Google Sheets API transport stays out of scope per
-BASELINE.json (its append semantics = ``append_log``).
+hop best-effort; Sheets append (K4) is ``sources/sheets.py`` against an
+injectable transport. ``publish_versioned`` adds atomic snapshot
+publication over plain parquet.
 """
 
 from __future__ import annotations
@@ -123,15 +124,22 @@ def publish_versioned(df: DataFrame, root: str, keep_last: int = 3) -> str:
     Returns the published version directory."""
     from pmp_analytics_spark.sources.hadoopfs import fs_for
 
+    import re
+
     spark = df.sparkSession
     fs, jroot, jvm, _ = fs_for(spark, root)
     if not fs.exists(jroot):
         fs.mkdirs(jroot)
-    versions = sorted(
-        int(st.getPath().getName()[1:])
-        for st in fs.listStatus(jroot)
-        if st.isDirectory() and st.getPath().getName().startswith("v")
-    )
+    versions = []
+    for st in fs.listStatus(jroot):
+        name = st.getPath().getName()
+        # strict v{8 digits}: co-located dirs ('views', 'v2-backup') are
+        # not ours to parse or prune
+        if st.isDirectory() and re.fullmatch(r"v\d{8}", name):
+            versions.append(int(name[1:]))
+        elif st.isFile() and name.startswith("_LATEST.tmp"):
+            fs.delete(st.getPath(), False)  # crashed-flip debris
+    versions.sort()
     n = (versions[-1] + 1) if versions else 0
     vdir = f"{root.rstrip('/')}/v{n:08d}"
     df.write.parquet(vdir)
@@ -164,10 +172,11 @@ def read_latest(spark, root: str) -> DataFrame:
     pointer = jvm.org.apache.hadoop.fs.Path(jroot, "_LATEST")
     stream = fs.open(pointer)
     try:
-        version = bytes(
-            stream.readAllBytes() if hasattr(stream, "readAllBytes") else b""
-        ).decode()
-        if not version:  # Hadoop FSDataInputStream pre-readAllBytes
+        # hasattr on a py4j object is always True (no reflection), so
+        # feature-detect by calling: readAllBytes is Java 9+.
+        try:
+            version = bytes(stream.readAllBytes()).decode()
+        except Exception:  # pragma: no cover - Java 8 fallback
             buf = bytearray()
             b = stream.read()
             while b >= 0:

@@ -1128,6 +1128,11 @@ def test_quarantine_routing_nulls_and_partition(spark):
     got = {r["k"]: r["reasons"] for r in bad.collect()}
     assert got == {2: ["v_cap"], 3: ["v_cap", "s_set"]}  # null v fails cap
     assert clean.columns == ["k", "v", "s"]  # reasons dropped on clean side
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="already has"):
+        quarantine(df.withColumn("reasons", F.lit("x")), [])
     plan = bad._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
 
@@ -1170,6 +1175,16 @@ def test_metric_history_anomaly_detection(spark, tmp_path):
     flagged5 = metric_anomalies(spark.read.parquet(hist), "r5").collect()
     assert [r["check_name"] for r in flagged5] == ["min_size"]
 
+    # Backfill audit: re-checking r3 must NOT let the later collapsed r4
+    # (or r5) contaminate its baseline — r3 stays unflagged with only
+    # r1/r2 as priors, and its prior_mean reflects those two alone.
+    again = metric_anomalies(spark.read.parquet(hist), "r3", n_sigma=3.0)
+    assert again.count() == 0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not present"):
+        metric_anomalies(spark.read.parquet(hist), "never-ran")
+
 
 def test_suggest_checks_profile_then_pass(spark):
     """Suggested constraints must (a) match the column shapes — key-like
@@ -1190,6 +1205,18 @@ def test_suggest_checks_profile_then_pass(spark):
     report = check_report(df, checks)
     failed = [r["check_name"] for r in report.collect() if not r["passed"]]
     assert failed == []
+
+    # Near-unique (one dup) and unique-but-nullable columns must NOT get
+    # a uniqueness suggestion the data would immediately fail.
+    tricky = spark.createDataFrame(
+        [(i if i else 0, i if i < 199 else None) for i in range(200)],
+        "dup bigint, holey bigint",
+    ).union(spark.createDataFrame([(0, 777)], "dup bigint, holey bigint"))
+    names2 = {c.name for c in suggest_checks(tricky)}
+    assert "uniqueness(dup)" not in names2      # 201 rows, 200 distinct
+    assert "uniqueness(holey)" not in names2    # has a NULL
+    rep2 = check_report(tricky, suggest_checks(tricky))
+    assert all(r["passed"] for r in rep2.collect())
 
 
 def test_run_stages_resume_and_force(spark, tmp_path):
@@ -1231,6 +1258,11 @@ def test_run_stages_resume_and_force(spark, tmp_path):
 
     _out4, computed4 = run_stages(spark, stages, wd, force_from="double")
     assert computed4 == ["double", "tail"]  # suffix recomputed
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="names no stage"):
+        run_stages(spark, stages, wd, force_from="duble")
 
 
 def test_cli_list_run_oracle(spark, tmp_path):

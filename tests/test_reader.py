@@ -489,3 +489,8 @@ def test_publish_versioned_pointer_flip_and_prune(spark, tmp_path):
     # keep_last=2 -> only v2, v3 survive (plus the pointer)
     assert [n for n in names if n.startswith("v")] == ["v00000002", "v00000003"]
     assert open(os.path.join(root, "_LATEST")).read().strip() == "v00000003"
+
+    # Co-located non-version dirs are neither parsed nor pruned.
+    os.makedirs(os.path.join(root, "views"))
+    vdir = publish_versioned(spark.range(1).withColumn("ver", F.lit(9)), root, keep_last=2)
+    assert vdir.endswith("v00000004") and os.path.isdir(os.path.join(root, "views"))
