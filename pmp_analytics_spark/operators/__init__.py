@@ -2,7 +2,10 @@ from pmp_analytics_spark.operators import (
     agg,
     dedup,
     joins,
+    maintenance,
     partitioning,
+    pipeline,
+    quality,
     sample,
     sessionize,
     setops,
@@ -13,7 +16,10 @@ __all__ = [
     "agg",
     "dedup",
     "joins",
+    "maintenance",
     "partitioning",
+    "pipeline",
+    "quality",
     "sample",
     "sessionize",
     "setops",
