@@ -541,12 +541,21 @@ def streaming_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (row counts, text char lengths, metadata) under the manifest commit
 # protocol. Export is memoized per sf_dir like partitioned_events_path.
 # --------------------------------------------------------------------------
+_JSONL_EXPORT_VERSION = 2
+"""Bump when the jsonlshard writer's serialization changes (v2: ISO-us
+timestamps + ArrowDtype int fidelity) — the memoized export below is
+keyed on it, so a writer change can never serve a stale export to the
+oracle gate."""
+
+
 def jsonl_export_path(spark: SparkSession, sf_dir: str) -> str:
     import hashlib
     import os
     import tempfile
 
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    tag = hashlib.md5(
+        f"{sf_dir}:v{_JSONL_EXPORT_VERSION}".encode()
+    ).hexdigest()[:10]
     path = os.path.join(tempfile.gettempdir(), f"pmp_docs_jsonl_{tag}")
     if not os.path.exists(os.path.join(path, "_MANIFEST.json")):
         docs = load_table(spark, sf_dir, "documents")
