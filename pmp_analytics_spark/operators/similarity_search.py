@@ -82,8 +82,12 @@ def brute_force_topk(
     query_id: str = "query_id",
     query_vec: str = "query_vec",
     sim_name: str = "cosine_sim",
+    exclude_self: bool = False,
 ) -> DataFrame:
     """Exact top-k neighbors per query by cosine similarity.
+    ``exclude_self`` drops corpus_id == query_id rows BEFORE ranking
+    (retrieval evaluation shape — the trivial self-match neither fills a
+    rank slot nor shifts the others).
 
     ``queries`` is broadcast; scoring is map-side over the corpus scan.
     The top-k cut happens in TWO windows so no reducer ever sees the
@@ -107,6 +111,8 @@ def brute_force_topk(
         F.col(corpus_id),
         F.round(cosine(F.col(corpus_vec), F.col(query_vec)), 6).alias(sim_name),
     )
+    if exclude_self:
+        scored = scored.where(F.col(corpus_id) != F.col(query_id))
     return _topk_per_query(scored, k, query_id, corpus_id, sim_name)
 
 

@@ -1559,3 +1559,172 @@ def embedding_label_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return label_affinity(emb)
+
+
+# --------------------------------------------------------------------------
+# Q: docs_bm25_retrieval — the LEXICAL retrieval baseline next to the ANN
+# family: BM25(k1=1.2, b=0.75) top-5 per query doc (query terms = the
+# doc's distinct tokens, the more-like-this shape), self-match excluded
+# before ranking. Scale shape in operators/retrieval.py: tf/dl/df are
+# one-shuffle aggregate trees, df computed only over the query-term
+# universe, query terms broadcast into the posting-list join, two-window
+# top-k cut. Oracle replays the exact formula (natural log both engines).
+# --------------------------------------------------------------------------
+_BM25_NQ = 10
+_BM25_K = 5
+
+
+@query(
+    "docs_bm25_retrieval",
+    f"""
+    WITH tk AS (SELECT doc_id, {_DUCK_TOKENS} AS toks FROM documents),
+    occ AS (SELECT doc_id, UNNEST(toks) AS token FROM tk),
+    tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM occ GROUP BY 1, 2),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM occ GROUP BY 1),
+    corp AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+    qt AS (SELECT DISTINCT doc_id AS query_id, token FROM occ WHERE doc_id < {_BM25_NQ}),
+    dft AS (
+        SELECT token, COUNT(*) AS df FROM tf
+        WHERE token IN (SELECT DISTINCT token FROM qt) GROUP BY token
+    ),
+    scored AS (
+        SELECT qt.query_id, tf.doc_id,
+               ROUND(SUM(
+                   LN((corp.n_docs - dft.df + 0.5) / (dft.df + 0.5) + 1.0)
+                   * tf.tf * (1.2 + 1.0)
+                   / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / corp.avgdl))
+               ), 6) AS bm25
+        FROM qt
+        JOIN tf USING (token)
+        JOIN dft USING (token)
+        JOIN dl ON dl.doc_id = tf.doc_id
+        CROSS JOIN corp
+        WHERE tf.doc_id <> qt.query_id
+        GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT query_id, doc_id, bm25,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY bm25 DESC, doc_id) AS rank
+        FROM scored
+    )
+    SELECT query_id, doc_id, bm25, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= {_BM25_K}
+    """,
+)
+def docs_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pmp_analytics_spark.operators.retrieval import bm25_topk
+
+    occ = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(tokens("text")).alias("token")
+    )
+    qterms = (
+        occ.where(F.col("doc_id") < _BM25_NQ)
+        .select(F.col("doc_id").alias("query_id"), "token")
+        .distinct()
+    )
+    out = bm25_topk(occ, qterms, k=_BM25_K)
+    return out.select(
+        "query_id", "doc_id", "bm25", F.col("rank").cast("long").alias("rank")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q: docs_hybrid_rrf — hybrid retrieval: reciprocal-rank fusion of the
+# BM25 lexical list and the dense cosine list (vec_id ≡ doc_id in the
+# synthetic tables), top-20 each side, fused 1/(60+rank) top-5. RRF is
+# the calibration-free fusion standard — an unbounded BM25 and a [-1,1]
+# cosine combine through ranks alone. Fusion touches only the bounded
+# per-query lists, never corpus-sized data.
+# --------------------------------------------------------------------------
+_RRF_EACH = 20
+
+
+@query(
+    "docs_hybrid_rrf",
+    f"""
+    WITH tk AS (SELECT doc_id, {_DUCK_TOKENS} AS toks FROM documents),
+    occ AS (SELECT doc_id, UNNEST(toks) AS token FROM tk),
+    tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM occ GROUP BY 1, 2),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM occ GROUP BY 1),
+    corp AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+    qt AS (SELECT DISTINCT doc_id AS query_id, token FROM occ WHERE doc_id < {_BM25_NQ}),
+    dft AS (
+        SELECT token, COUNT(*) AS df FROM tf
+        WHERE token IN (SELECT DISTINCT token FROM qt) GROUP BY token
+    ),
+    bm_scored AS (
+        SELECT qt.query_id, tf.doc_id,
+               ROUND(SUM(
+                   LN((corp.n_docs - dft.df + 0.5) / (dft.df + 0.5) + 1.0)
+                   * tf.tf * (1.2 + 1.0)
+                   / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / corp.avgdl))
+               ), 6) AS s
+        FROM qt JOIN tf USING (token) JOIN dft USING (token)
+        JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN corp
+        WHERE tf.doc_id <> qt.query_id GROUP BY 1, 2
+    ),
+    bm_ranked AS (
+        SELECT query_id, doc_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY s DESC, doc_id) AS r
+        FROM bm_scored
+    ),
+    cos_scored AS (
+        SELECT q.vec_id AS query_id, e.vec_id AS doc_id,
+               ROUND(LIST_COSINE_SIMILARITY(
+                   CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])), 6) AS s
+        FROM embeddings e
+        CROSS JOIN (SELECT vec_id, embedding FROM embeddings WHERE vec_id < {_BM25_NQ}) q
+        WHERE e.vec_id <> q.vec_id
+    ),
+    cos_ranked AS (
+        SELECT query_id, doc_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY s DESC, doc_id) AS r
+        FROM cos_scored
+    ),
+    contrib AS (
+        SELECT query_id, doc_id, 1.0 / (60 + r) AS c
+        FROM bm_ranked WHERE r <= {_RRF_EACH}
+        UNION ALL
+        SELECT query_id, doc_id, 1.0 / (60 + r) AS c
+        FROM cos_ranked WHERE r <= {_RRF_EACH}
+    ),
+    fused AS (
+        SELECT query_id, doc_id, ROUND(SUM(c), 6) AS rrf_score
+        FROM contrib GROUP BY 1, 2
+    ),
+    final AS (
+        SELECT query_id, doc_id, rrf_score,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY rrf_score DESC, doc_id) AS rank
+        FROM fused
+    )
+    SELECT query_id, doc_id, rrf_score, CAST(rank AS BIGINT) AS rank
+    FROM final WHERE rank <= {_BM25_K}
+    """,
+)
+def docs_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pmp_analytics_spark.operators.retrieval import bm25_topk, rrf_fuse
+
+    occ = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(tokens("text")).alias("token")
+    )
+    qterms = (
+        occ.where(F.col("doc_id") < _BM25_NQ)
+        .select(F.col("doc_id").alias("query_id"), "token")
+        .distinct()
+    )
+    bm = bm25_topk(occ, qterms, k=_RRF_EACH)
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.where(F.col("vec_id") < _BM25_NQ).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    cos = brute_force_topk(emb, queries_df, k=_RRF_EACH, exclude_self=True)
+
+    fused = rrf_fuse(
+        [bm, cos.withColumnRenamed("vec_id", "doc_id")], k=_BM25_K
+    )
+    return fused.select(
+        "query_id", "doc_id", "rrf_score", F.col("rank").cast("long").alias("rank")
+    )

@@ -1297,3 +1297,51 @@ def test_cli_list_run_oracle(spark, tmp_path):
 
     assert main(["oracle", "nope"]) == 2
     assert main(["run", "nope"]) == 2
+
+
+def test_bm25_hand_computed_and_rrf(spark):
+    """BM25 on a 3-doc corpus against the hand formula; RRF fuses two
+    rank lists with absent-list candidates contributing zero."""
+    import math
+
+    from pmp_analytics_spark.operators.retrieval import bm25_topk, rrf_fuse
+
+    # d0: "a a b", d1: "a c", d2: "b b b c"
+    occ = spark.createDataFrame(
+        [(0, "a"), (0, "a"), (0, "b"), (1, "a"), (1, "c"),
+         (2, "b"), (2, "b"), (2, "b"), (2, "c")],
+        ["doc_id", "token"],
+    )
+    q = spark.createDataFrame([(9, "b"), (9, "c")], ["query_id", "token"])
+    got = {
+        r["doc_id"]: (r["bm25"], r["rank"])
+        for r in bm25_topk(occ, q, k=3, exclude_self=False).collect()
+    }
+
+    def idf(df, n=3):
+        return math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+
+    def term(tf, dl, avgdl=3.0, k1=1.2, b=0.75):
+        return tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+
+    exp = {
+        0: idf(2) * term(1, 3),                      # b only
+        1: idf(2) * term(1, 2),                      # c only
+        2: idf(2) * term(3, 4) + idf(2) * term(1, 4),  # b + c
+    }
+    for d, (score, _rank) in got.items():
+        assert abs(score - exp[d]) < 1e-5, (d, score, exp[d])
+    # length normalization boosts the shorter d1 (dl=2) over d0 (dl=3)
+    assert [d for d, (_s, r) in sorted(got.items(), key=lambda x: x[1][1])] == [
+        2, 1, 0,
+    ]
+
+    la = spark.createDataFrame(
+        [(9, 100, 1), (9, 200, 2)], ["query_id", "doc_id", "rank"]
+    )
+    lb = spark.createDataFrame(
+        [(9, 200, 1), (9, 300, 2)], ["query_id", "doc_id", "rank"]
+    )
+    fused = {r["doc_id"]: r["rank"] for r in rrf_fuse([la, lb], k=3).collect()}
+    assert fused[200] == 1            # in both lists -> wins
+    assert fused[100] == 2 and fused[300] == 3  # 1/61 > 1/62; id tie-break n/a
