@@ -103,3 +103,42 @@ def bpe_learn_merges(
     return spark.createDataFrame(
         merges, "rank long, lhs string, rhs string, merged string, pair_freq long"
     )
+
+
+def bpe_apply(vocab: DataFrame, merges: list[tuple[str, str]]) -> DataFrame:
+    """Apply learned merge rules to the word-type vocabulary: returns
+    (word, freq, sym) where ``sym`` is the space-delimited subword
+    segmentation after every merge has been applied in rank order.
+
+    ``merges`` is the [(lhs, rhs), ...] rule list in rank order — the
+    OUTPUT of ``bpe_learn_merges`` (k rows, bounded by n_merges — a
+    tokenizer's merge table is driver-small by definition; at deployment
+    it is a broadcast artifact, not corpus state). Each rule is one
+    literal boundary-delimited replace, the exact rewrite the learner
+    used, so learn-then-apply round-trips bit-identically. All k
+    replaces fold into ONE map-side projection: no shuffle, no
+    per-round lineage — encoding is embarrassingly parallel over word
+    types (and the corpus encode is a broadcast join of corpus words
+    against this vocab-sized frame)."""
+    sym = F.col("sym")
+    for lhs, rhs in merges:
+        sym = F.replace(sym, F.lit(f" {lhs} {rhs} "), F.lit(f" {lhs}{rhs} "))
+    return _symbolized(vocab).select("word", "freq", sym.alias("sym"))
+
+
+def bpe_token_stats(applied: DataFrame) -> DataFrame:
+    """Subword-token statistics over an encoded vocabulary (the output
+    of ``bpe_apply``): (token, token_freq, n_word_types) — corpus-wide
+    occurrence count (word freq summed into each of its subword slots)
+    and the number of distinct word types containing the token. One
+    vocab-sized explode→groupBy; the frequency table IS the artifact a
+    tokenizer trainer ships (vocab file + ranks)."""
+    toks = F.split(F.trim(F.col("sym")), " ")
+    return (
+        applied.select("word", F.explode(toks).alias("token"), "freq")
+        .groupBy("token")
+        .agg(
+            F.sum("freq").alias("token_freq"),
+            F.countDistinct("word").alias("n_word_types"),
+        )
+    )

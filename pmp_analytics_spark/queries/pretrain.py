@@ -1005,7 +1005,10 @@ def docs_pps_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BPE_K = 8
 
 
-def _bpe_oracle() -> str:
+def _bpe_stage_sql() -> str:
+    """The shared WITH-clause prefix of both BPE oracles: vocab build,
+    symbolization, and the k unrolled (pair-count → argmax → replace)
+    stages ending at v{_BPE_K} — the fully-merged vocabulary."""
     chars = "LIST_TRANSFORM(GENERATE_SERIES(1, LENGTH(word)), i -> SUBSTRING(word, i, 1))"
     stages = [
         f"""vocab AS MATERIALIZED (
@@ -1041,6 +1044,10 @@ def _bpe_oracle() -> str:
         FROM {prev}
     )"""
         )
+    return "WITH " + ",\n    ".join(stages)
+
+
+def _bpe_oracle() -> str:
     finals = "\n    UNION ALL\n    ".join(
         f"""SELECT CAST({i} AS BIGINT) AS rank,
            SPLIT_PART(pair, '|', 1) AS lhs,
@@ -1050,7 +1057,7 @@ def _bpe_oracle() -> str:
     FROM b{i}"""
         for i in range(1, _BPE_K + 1)
     )
-    return "WITH " + ",\n    ".join(stages) + "\n    " + finals
+    return _bpe_stage_sql() + "\n    " + finals
 
 
 @query("docs_bpe_merges", _bpe_oracle)
@@ -1059,6 +1066,53 @@ def docs_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return bpe_learn_merges(docs, "text", _BPE_K)
+
+
+# --------------------------------------------------------------------------
+# Q: docs_bpe_encode — the APPLY half of the tokenizer surface: encode
+# the corpus vocabulary with the merge table docs_bpe_merges learns, and
+# publish the subword frequency table (token, corpus occurrence count,
+# number of word types containing it) — the artifact a tokenizer trainer
+# ships. Movement: learning is the k argmax rounds (shared algorithm);
+# ENCODING is one map-side projection folding all k literal replaces
+# (operators/bpe.py::bpe_apply — no shuffle, no per-round lineage) plus
+# one vocab-sized explode→groupBy. The oracle replays the identical
+# unrolled merge stages and aggregates the same v{k} frame — learn →
+# apply → count is engine-exact end-to-end.
+# --------------------------------------------------------------------------
+def _bpe_encode_oracle() -> str:
+    return (
+        _bpe_stage_sql()
+        + f"""
+    SELECT tok AS token,
+           CAST(SUM(freq) AS BIGINT) AS token_freq,
+           CAST(COUNT(DISTINCT word) AS BIGINT) AS n_word_types
+    FROM (
+        SELECT word, freq,
+               UNNEST(LIST_FILTER(STRING_SPLIT(TRIM(sym), ' '), x -> x <> '')) AS tok
+        FROM v{_BPE_K}
+    )
+    GROUP BY tok
+    """
+    )
+
+
+@query("docs_bpe_encode", _bpe_encode_oracle)
+def docs_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pmp_analytics_spark.operators.bpe import (
+        bpe_apply,
+        bpe_learn_merges,
+        bpe_token_stats,
+        word_vocab,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    rules = [
+        (r["lhs"], r["rhs"])
+        for r in bpe_learn_merges(docs, "text", _BPE_K).orderBy("rank").collect()
+    ]
+    applied = bpe_apply(word_vocab(docs, "text"), rules)
+    return bpe_token_stats(applied)
 
 
 # --------------------------------------------------------------------------

@@ -317,6 +317,78 @@ class TestBpeLearnMerges:
         assert got == [(1, "a", "b", "ab", 2)]
 
 
+class TestBpeApply:
+    def test_zero_merges_is_char_frequencies(self, spark):
+        from pmp_analytics_spark.operators.bpe import (
+            bpe_apply,
+            bpe_token_stats,
+            word_vocab,
+        )
+
+        df = spark.createDataFrame([("aba cc aba",)], "text string")
+        stats = bpe_token_stats(bpe_apply(word_vocab(df, "text"), []))
+        got = {r["token"]: (r["token_freq"], r["n_word_types"]) for r in stats.collect()}
+        # char occurrences weighted by word freq: aba x2 -> a:4 b:2; cc -> c:2
+        assert got == {"a": (4, 1), "b": (2, 1), "c": (2, 1)}
+
+    def test_learn_then_apply_round_trip(self, spark):
+        from pmp_analytics_spark.operators.bpe import (
+            bpe_apply,
+            bpe_learn_merges,
+            bpe_token_stats,
+            word_vocab,
+        )
+
+        df = spark.createDataFrame([("ab ab abc",)], "text string")
+        merges = bpe_learn_merges(df, "text", 3).orderBy("rank").collect()
+        rules = [(r["lhs"], r["rhs"]) for r in merges]
+        # (a,b) wins with freq 3, then (ab,c) with freq 1
+        assert rules == [("a", "b"), ("ab", "c")]
+        applied = {
+            r["word"]: r["sym"]
+            for r in bpe_apply(word_vocab(df, "text"), rules).collect()
+        }
+        assert applied == {"ab": " ab ", "abc": " abc "}
+        stats = bpe_token_stats(bpe_apply(word_vocab(df, "text"), rules))
+        got = {r["token"]: (r["token_freq"], r["n_word_types"]) for r in stats.collect()}
+        assert got == {"ab": (2, 1), "abc": (1, 1)}
+
+    def test_char_mass_conserved_under_merges(self, spark):
+        """Merging never creates or destroys characters: the token
+        frequency table weighted by token length equals the vocab's
+        freq-weighted character mass for ANY merge table."""
+        import random
+
+        from pyspark.sql import functions as F
+
+        from pmp_analytics_spark.operators.bpe import (
+            bpe_apply,
+            bpe_learn_merges,
+            bpe_token_stats,
+            word_vocab,
+        )
+
+        rng = random.Random(11)
+        words = ["".join(rng.choices("ab", k=rng.randint(2, 6))) for _ in range(30)]
+        text = " ".join(rng.choices(words, k=200))
+        df = spark.createDataFrame([(text,)], "text string")
+        rules = [
+            (r["lhs"], r["rhs"])
+            for r in bpe_learn_merges(df, "text", 5).orderBy("rank").collect()
+        ]
+        assert rules, "fixture must learn at least one merge"
+        vocab = word_vocab(df, "text")
+        mass = vocab.agg(
+            F.sum(F.col("freq") * F.length("word")).alias("m")
+        ).collect()[0]["m"]
+        tok_mass = (
+            bpe_token_stats(bpe_apply(vocab, rules))
+            .agg(F.sum(F.col("token_freq") * F.length("token")).alias("m"))
+            .collect()[0]["m"]
+        )
+        assert tok_mass == mass
+
+
 class TestDupSpanRemoval:
     def test_removal_exact(self, spark, tmp_path):
         base = "a b c d e f g h i j"
