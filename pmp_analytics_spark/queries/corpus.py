@@ -651,3 +651,271 @@ def _adaptive_quality_oracle() -> str:
 
 
 ORACLE["docs_adaptive_quality_filter"] = _adaptive_quality_oracle
+
+
+# --------------------------------------------------------------------------
+# Q: docs_gopher_filters — Gopher-style quality rules (Rae et al. 2021,
+# App. A), the standard complement to docs_c4_filters: word-count bounds,
+# mean word length, symbol-to-word ratio (# and ellipses), the fraction
+# of words containing an alphabetic character, stopword PRESENCE (>= 2
+# distinct from the Gopher list — a different signal from C4's stopword
+# RATIO), and the line-level bullet / ellipsis-ending ratios. Every
+# feature is integer counts + one division (bit-identical across
+# engines); the whole query is a single map-side projection — the 100 TB
+# shape is this expression as a scan-time filter, no shuffle at all.
+# Words are WHITESPACE-split (not punct-stripped) per Gopher, so the
+# alphabetic-character and symbol rules see real punctuation.
+# --------------------------------------------------------------------------
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MWL_LO = 3
+GOPHER_MWL_HI = 10
+GOPHER_SYM_MAX = 0.1
+GOPHER_ALPHA_MIN = 0.8
+GOPHER_STOP_MIN = 2
+GOPHER_BULLET_MAX = 0.9
+GOPHER_ELLIPSIS_MAX = 0.3
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+_DUCK_GOPHER_STOPS = "[" + ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS) + "]"
+
+_DUCK_GOPHER_KEEP = (
+    f"n_words >= {GOPHER_MIN_WORDS} AND n_words <= {GOPHER_MAX_WORDS} "
+    f"AND mwl >= {GOPHER_MWL_LO} AND mwl <= {GOPHER_MWL_HI} "
+    f"AND sym_ratio <= {GOPHER_SYM_MAX} AND alpha_frac >= {GOPHER_ALPHA_MIN} "
+    f"AND n_stop >= {GOPHER_STOP_MIN} AND bullet_frac <= {GOPHER_BULLET_MAX} "
+    f"AND ellipsis_frac <= {GOPHER_ELLIPSIS_MAX}"
+)
+
+
+@query(
+    "docs_gopher_filters",
+    f"""
+    WITH w AS (
+        SELECT doc_id,
+               LIST_FILTER(STRING_SPLIT_REGEX(text, '\\s+'), x -> x <> '') AS words,
+               STRING_SPLIT(text, CHR(10)) AS lines,
+               (LENGTH(text) - LENGTH(REPLACE(text, '#', '')))
+                 + (LENGTH(text) - LENGTH(REPLACE(text, '...', ''))) // 3
+                 + (LENGTH(text) - LENGTH(REPLACE(text, '…', ''))) AS n_sym
+        FROM documents
+    ), feats AS (
+        SELECT doc_id,
+               CAST(LEN(words) AS BIGINT) AS n_words,
+               CASE WHEN LEN(words) > 0
+                    THEN LIST_SUM(LIST_TRANSFORM(words, x -> LENGTH(x))) * 1.0 / LEN(words)
+                    ELSE 0.0 END AS mwl,
+               CASE WHEN LEN(words) > 0 THEN n_sym * 1.0 / LEN(words) ELSE 0.0 END AS sym_ratio,
+               CASE WHEN LEN(words) > 0
+                    THEN LEN(LIST_FILTER(words, x -> REGEXP_MATCHES(x, '[a-zA-Z]'))) * 1.0 / LEN(words)
+                    ELSE 0.0 END AS alpha_frac,
+               CAST(LEN(LIST_INTERSECT(LIST_TRANSFORM(words, x -> LOWER(x)),
+                                       {_DUCK_GOPHER_STOPS})) AS BIGINT) AS n_stop,
+               LEN(LIST_FILTER(lines, l -> REGEXP_MATCHES(l, '^\\s*[-*•]'))) * 1.0 / LEN(lines) AS bullet_frac,
+               LEN(LIST_FILTER(lines, l -> REGEXP_MATCHES(l, '(\\.\\.\\.|…)\\s*$'))) * 1.0 / LEN(lines) AS ellipsis_frac
+        FROM w
+    )
+    SELECT doc_id, n_words,
+           ROUND(mwl, 4) AS mean_word_len,
+           ROUND(sym_ratio, 6) AS symbol_ratio,
+           ROUND(alpha_frac, 6) AS alpha_word_frac,
+           n_stop AS n_stopwords_present,
+           ROUND(bullet_frac, 6) AS bullet_line_frac,
+           ROUND(ellipsis_frac, 6) AS ellipsis_line_frac,
+           ({_DUCK_GOPHER_KEEP}) AS keep
+    FROM feats
+    """,
+)
+def docs_gopher_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != "")
+    lines = F.split(F.col("text"), "\n")
+    n_sym = (
+        (F.length("text") - F.length(F.replace(F.col("text"), F.lit("#"), F.lit(""))))
+        + (
+            (F.length("text") - F.length(F.replace(F.col("text"), F.lit("..."), F.lit(""))))
+            / F.lit(3)
+        ).cast("long")
+        + (F.length("text") - F.length(F.replace(F.col("text"), F.lit("…"), F.lit(""))))
+    )
+    base = docs.select(
+        "doc_id",
+        words.alias("words"),
+        lines.alias("lines"),
+        n_sym.alias("n_sym"),
+    )
+    n = F.size("words")
+    sum_len = F.aggregate(
+        F.col("words"), F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+    )
+    n_alpha = F.size(F.filter(F.col("words"), lambda x: x.rlike("[a-zA-Z]")))
+    n_stop = F.size(
+        F.array_intersect(
+            F.transform(F.col("words"), F.lower),
+            F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
+        )
+    )
+    n_lines = F.size("lines")
+    n_bullet = F.size(F.filter(F.col("lines"), lambda l: l.rlike(r"^\s*[-*•]")))
+    n_ell = F.size(F.filter(F.col("lines"), lambda l: l.rlike(r"(\.\.\.|…)\s*$")))
+    feats = base.select(
+        "doc_id",
+        n.cast("long").alias("n_words"),
+        F.when(n > 0, sum_len * 1.0 / n).otherwise(0.0).alias("mwl"),
+        F.when(n > 0, F.col("n_sym") * 1.0 / n).otherwise(0.0).alias("sym_ratio"),
+        F.when(n > 0, n_alpha * 1.0 / n).otherwise(0.0).alias("alpha_frac"),
+        n_stop.cast("long").alias("n_stop"),
+        (n_bullet * 1.0 / n_lines).alias("bullet_frac"),
+        (n_ell * 1.0 / n_lines).alias("ellipsis_frac"),
+    )
+    keep = (
+        (F.col("n_words") >= GOPHER_MIN_WORDS)
+        & (F.col("n_words") <= GOPHER_MAX_WORDS)
+        & (F.col("mwl") >= GOPHER_MWL_LO)
+        & (F.col("mwl") <= GOPHER_MWL_HI)
+        & (F.col("sym_ratio") <= GOPHER_SYM_MAX)
+        & (F.col("alpha_frac") >= GOPHER_ALPHA_MIN)
+        & (F.col("n_stop") >= GOPHER_STOP_MIN)
+        & (F.col("bullet_frac") <= GOPHER_BULLET_MAX)
+        & (F.col("ellipsis_frac") <= GOPHER_ELLIPSIS_MAX)
+    )
+    return feats.select(
+        "doc_id",
+        "n_words",
+        F.round("mwl", 4).alias("mean_word_len"),
+        F.round("sym_ratio", 6).alias("symbol_ratio"),
+        F.round("alpha_frac", 6).alias("alpha_word_frac"),
+        F.col("n_stop").alias("n_stopwords_present"),
+        F.round("bullet_frac", 6).alias("bullet_line_frac"),
+        F.round("ellipsis_frac", 6).alias("ellipsis_line_frac"),
+        keep.alias("keep"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Q: docs_dsir_sample — DSIR-shaped data selection (Xie et al., "Data
+# Selection for Language Models via Importance Resampling", NeurIPS
+# 2023): score every document by how target-like its hashed-n-gram
+# profile is, then draw a without-replacement sample proportional to the
+# importance weights via the Gumbel-top-k trick with a deterministic
+# md5-uniform (engine-reproducible — rand() is not).
+#
+# Movement (the 100 TB story): features are hashed unigrams+bigrams into
+# B=256 buckets, so BOTH distributions (target = lang='en' slice, raw =
+# full corpus) collapse to one B-row table in a single shuffle — the
+# feature space is fixed-size no matter the corpus. The per-bucket
+# log-ratio table broadcasts into the per-doc score join (B rows), doc
+# scores are one more explode→groupBy, and selection is a global top-k
+# (TakeOrderedAndProject — never a full sort). Published doubles are
+# rounded (log/summation order differs at the ulp level across engines);
+# the add-1-smoothed ratio formula is stated identically on both sides.
+# --------------------------------------------------------------------------
+_DSIR_B = 256
+_DSIR_N = 64
+_TWO60 = float(1 << 60)
+
+
+@query(
+    "docs_dsir_sample",
+    f"""
+    WITH tk AS (
+        SELECT doc_id, lang, {_DUCK_TOKENS} AS toks FROM documents
+    ), f AS (
+        SELECT doc_id, is_tgt,
+               CAST(('0x' || SUBSTRING(MD5(feat), 1, 15)) AS BIGINT) % {_DSIR_B} AS b
+        FROM (
+            SELECT doc_id, lang = 'en' AS is_tgt,
+                   UNNEST(toks || {_DUCK_2GRAMS}) AS feat
+            FROM tk
+        )
+    ), bc AS (
+        SELECT b, COUNT(*) AS raw_c, COUNT(*) FILTER (WHERE is_tgt) AS tgt_c
+        FROM f GROUP BY b
+    ), tot AS (
+        SELECT SUM(raw_c) AS rtot, SUM(tgt_c) AS ttot FROM bc
+    ), lr AS (
+        SELECT b,
+               LN((tgt_c + 1.0) / (ttot + {_DSIR_B}.0))
+                 - LN((raw_c + 1.0) / (rtot + {_DSIR_B}.0)) AS lw
+        FROM bc, tot
+    ), dc AS (
+        SELECT doc_id, b, COUNT(*) AS c FROM f GROUP BY doc_id, b
+    ), score AS (
+        SELECT dc.doc_id, SUM(dc.c * lr.lw) AS logw
+        FROM dc JOIN lr ON dc.b = lr.b GROUP BY dc.doc_id
+    ), g AS (
+        SELECT d.doc_id,
+               COALESCE(s.logw, 0.0) AS logw,
+               COALESCE(s.logw, 0.0) - LN(-LN(
+                   (CAST(('0x' || SUBSTRING(MD5('dsir|' || CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT) + 0.5)
+                   / {_TWO60!r}
+               )) AS gk
+        FROM documents d LEFT JOIN score s ON d.doc_id = s.doc_id
+    )
+    SELECT doc_id, ROUND(logw, 4) AS log_weight, ROUND(gk, 4) AS gumbel_key
+    FROM g ORDER BY gk DESC, doc_id LIMIT {_DSIR_N}
+    """,
+)
+def docs_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pmp_analytics_spark.functions.text import shingle_hash60, word_ngrams
+    from pmp_analytics_spark.operators.agg import with_global_agg
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", tokens("text").alias("toks")
+    )
+    f = docs.select(
+        "doc_id",
+        (F.col("lang") == "en").alias("is_tgt"),
+        F.explode(
+            F.concat(F.col("toks"), word_ngrams(F.col("toks"), 2))
+        ).alias("feat"),
+    ).select(
+        "doc_id",
+        "is_tgt",
+        (shingle_hash60(F.col("feat")) % _DSIR_B).alias("b"),
+    )
+    bc = f.groupBy("b").agg(
+        F.count(F.lit(1)).alias("raw_c"),
+        F.sum(F.col("is_tgt").cast("long")).alias("tgt_c"),
+    )
+    tot = with_global_agg(
+        bc, {"rtot": F.sum("raw_c"), "ttot": F.sum("tgt_c")}
+    )
+    lr = tot.select(
+        "b",
+        (
+            F.log((F.col("tgt_c") + 1.0) / (F.col("ttot") + float(_DSIR_B)))
+            - F.log((F.col("raw_c") + 1.0) / (F.col("rtot") + float(_DSIR_B)))
+        ).alias("lw"),
+    )
+    dc = f.groupBy("doc_id", "b").agg(F.count(F.lit(1)).alias("c"))
+    score = (
+        dc.join(F.broadcast(lr), "b")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("c") * F.col("lw")).alias("logw"))
+    )
+    u = (
+        shingle_hash60(F.concat(F.lit("dsir|"), F.col("doc_id").cast("string")))
+        + F.lit(0.5)
+    ) / F.lit(_TWO60)
+    g = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .join(score, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("logw"), F.lit(0.0)).alias("logw"),
+            (
+                F.coalesce(F.col("logw"), F.lit(0.0)) - F.log(-F.log(u))
+            ).alias("gk"),
+        )
+    )
+    return (
+        g.orderBy(F.desc("gk"), F.asc("doc_id"))
+        .limit(_DSIR_N)
+        .select(
+            "doc_id",
+            F.round("logw", 4).alias("log_weight"),
+            F.round("gk", 4).alias("gumbel_key"),
+        )
+    )

@@ -195,3 +195,84 @@ def test_pretrain_pipeline_funnel_invariants(spark):
     r0 = rows[0]
     assert r0["n_input"] >= r0["n_quality"] >= r0["n_unique"] > 0
     assert sum(r["n_docs"] for r in rows) == r0["n_unique"]
+
+
+class TestGopherFilters:
+    def test_line_rules_and_stop_presence(self, spark, tmp_path):
+        import pmp_analytics_spark.queries.corpus as C
+
+        bullet_text = "\n".join(["- item one"] * 9 + ["tail line"])
+        ell_text = "\n".join(["keeps going..."] * 4 + ["plain"] * 6)
+        stop_text = "the cat sat with all of that"
+        rows = [
+            (1, bullet_text),
+            (2, ell_text),
+            (3, stop_text),
+            (4, ""),
+        ]
+        spark.createDataFrame(
+            rows, "doc_id long, text string"
+        ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+        out = {
+            r["doc_id"]: r
+            for r in C.docs_gopher_filters(spark, str(tmp_path)).collect()
+        }
+        assert abs(out[1]["bullet_line_frac"] - 0.9) < 1e-9
+        assert abs(out[2]["ellipsis_line_frac"] - 0.4) < 1e-9
+        # 'the', 'with', 'of', 'that' present -> 4 distinct Gopher stops
+        assert out[3]["n_stopwords_present"] == 4
+        # empty doc: zero words, ratios zeroed, never kept
+        assert out[4]["n_words"] == 0 and not out[4]["keep"]
+
+    def test_alpha_and_symbol_ratios(self, spark, tmp_path):
+        import pmp_analytics_spark.queries.corpus as C
+
+        rows = [
+            (1, "alpha beta 123 456"),          # 2/4 words alphabetic
+            (2, "x # y ... z …"),               # 3 symbol hits / 6 words
+        ]
+        spark.createDataFrame(
+            rows, "doc_id long, text string"
+        ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+        out = {
+            r["doc_id"]: r
+            for r in C.docs_gopher_filters(spark, str(tmp_path)).collect()
+        }
+        assert abs(out[1]["alpha_word_frac"] - 0.5) < 1e-9
+        assert abs(out[2]["symbol_ratio"] - 0.5) < 1e-9
+
+
+class TestDsirSample:
+    def test_target_like_docs_score_higher(self, spark, tmp_path):
+        import pmp_analytics_spark.queries.corpus as C
+
+        # target (en) docs are all about 'spark'; raw background (zh)
+        # docs are about 'flink'; two probes: one spark-ish, one
+        # flink-ish. The spark-ish probe must carry the higher log
+        # importance weight.
+        rows = (
+            [(i, "spark spark shuffle broadcast", "en") for i in range(10)]
+            + [(100 + i, "flink flink watermark operator", "zh") for i in range(10)]
+            + [(900, "spark shuffle spark broadcast", "zh"),
+               (901, "flink watermark flink operator", "zh")]
+        )
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string"
+        ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+        out = C.docs_dsir_sample(spark, str(tmp_path))
+        got = {r["doc_id"]: r["log_weight"] for r in out.collect()}
+        assert got[900] > got[901]
+
+    def test_deterministic_across_runs(self, spark, tmp_path):
+        import pmp_analytics_spark.queries.corpus as C
+
+        rows = [
+            (i, f"tok{i % 7} tok{i % 3} common word", "en" if i % 2 else "zh")
+            for i in range(80)
+        ]
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string"
+        ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+        a = sorted(map(tuple, C.docs_dsir_sample(spark, str(tmp_path)).collect()))
+        b = sorted(map(tuple, C.docs_dsir_sample(spark, str(tmp_path)).collect()))
+        assert a == b and len(a) == C._DSIR_N

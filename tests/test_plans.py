@@ -433,3 +433,21 @@ def test_pq_queries_plan_shape(spark, queries):
     assert "SPARK_PARTITION_ID" in physical_plan(
         queries["embedding_pq_topk"](spark, SF)
     ).upper()
+
+
+def test_gopher_filters_is_map_side_only(spark, queries):
+    # pure per-row projection: no exchange at all — the 100 TB shape is
+    # this expression as a scan-time filter
+    df = queries["docs_gopher_filters"](spark, SF)
+    assert count_exchanges(df) == 0
+    assert_no_cartesian_product(df)
+
+
+def test_dsir_plan_broadcast_and_topk(spark, queries):
+    # the B-row log-ratio table must broadcast into the doc-score join,
+    # selection must be a heap top-k (never a full global sort), and the
+    # only nested-loop is the 1-row global-totals attach
+    df = queries["docs_dsir_sample"](spark, SF)
+    assert has_broadcast_hash_join(df)
+    assert has_take_ordered(df)
+    assert "CartesianProduct" not in physical_plan(df)
