@@ -1728,3 +1728,90 @@ def docs_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fused.select(
         "query_id", "doc_id", "rrf_score", F.col("rank").cast("long").alias("rank")
     )
+
+
+# --------------------------------------------------------------------------
+# Q: embedding_pca_project — PCA dimensionality reduction over the
+# embedding column (operators/pca.py): fit the top-r principal
+# components on the bounded md5-ordered driver sample (the pq_train /
+# kmeans_assign training protocol — O(sample * d^2) regardless of corpus
+# size), then project EVERY vector map-side: the (d x r) component
+# matrix and mean ride the plan as literals, each coordinate is one
+# left-to-right aggregate fold, the r rows per vector come from a
+# single stack — zero shuffle, zero Python. The oracle replays the
+# identical fold on the identical snapshot literals (same numpy fit via
+# the shared _pca_fit_arrays), so every coordinate is engine-exact.
+# --------------------------------------------------------------------------
+_PCA_R = 4
+_PCA_SAMPLE = 2000
+
+
+def _pca_snapshot(query_name: str):
+    """Refit the gate-SF components exactly as ``pca_fit`` does (same
+    md5-ordered sample, shared numpy fit) without Spark. Same
+    lazy/downgrade contract as ``_pq_fit_snapshot``."""
+    import hashlib
+    import os
+    import warnings
+
+    try:
+        import pyarrow.parquet as pq
+
+        from pmp_analytics_spark.operators.pca import _pca_fit_arrays
+
+        sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+        tbl = pq.read_table(
+            os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+        )
+        rows = sorted(
+            zip(tbl["vec_id"].to_pylist(), tbl["embedding"].to_pylist()),
+            key=lambda r: hashlib.md5(str(r[0]).encode()).hexdigest(),
+        )[:_PCA_SAMPLE]
+        return _pca_fit_arrays([r[1] for r in rows], _PCA_R)
+    except (ImportError, OSError, KeyError) as e:
+        warnings.warn(
+            f"{query_name} oracle downgraded to rows-only check: {e!r}",
+            stacklevel=2,
+        )
+        return None
+
+
+def _pca_oracle() -> str | None:
+    snap = _pca_snapshot("embedding_pca_project")
+    if snap is None:
+        return None
+    mu, W, lam, tot = snap
+    d, r = len(mu), W.shape[1]
+    mu_lit = "[" + ", ".join(repr(float(x)) for x in mu) + "]::DOUBLE[]"
+    w_rows = ", ".join(
+        f"({c + 1}, CAST({lam[c]!r} AS DOUBLE), CAST({lam[c] / tot!r} AS DOUBLE), "
+        f"[{', '.join(repr(float(x)) for x in W[:, c])}]::DOUBLE[])"
+        for c in range(r)
+    )
+    return f"""
+    WITH c AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), w(comp, lam, vr, wv) AS (VALUES {w_rows})
+    SELECT c.vec_id, CAST(comp AS BIGINT) AS comp,
+           ROUND(lam, 6) AS eigenvalue,
+           ROUND(vr, 6) AS var_ratio,
+           ROUND(LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, {d}), i ->
+               (v[i] - ({mu_lit})[i]) * wv[i])), 6) AS coord
+    FROM c CROSS JOIN w
+    """
+
+
+@query("embedding_pca_project", _pca_oracle)
+def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pmp_analytics_spark.operators.pca import pca_fit, pca_project_long
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    mu, W, lam, tot = pca_fit(emb, r=_PCA_R, sample_n=_PCA_SAMPLE)
+    out = pca_project_long(emb, mu, W, lam, tot)
+    return out.select(
+        "vec_id",
+        "comp",
+        F.round("eigenvalue", 6).alias("eigenvalue"),
+        F.round("var_ratio", 6).alias("var_ratio"),
+        F.round("coord", 6).alias("coord"),
+    )

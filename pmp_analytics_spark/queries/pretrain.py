@@ -1453,3 +1453,109 @@ def docs_pretrain_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_quality",
         "n_unique",
     )
+
+
+# --------------------------------------------------------------------------
+# Q: docs_tokenize_ids — run the learned tokenizer over the CORPUS: every
+# document becomes its subword-id stream (doc_id, word_pos, sub_pos,
+# token, token_id) — the production encode step that turns cleaned text
+# into model input. Movement: the merge table is driver-small (k rules);
+# the subword-id table is BOUNDED BY CONSTRUCTION (<= alphabet + k merge
+# products, independent of corpus size) so it ships as a broadcast
+# artifact with ranks assigned by (corpus frequency desc, token) —
+# exactly how a tokenizer's vocab file is ordered. The corpus side is
+# posexplode(words) -> equi-join word->segmentation (vocab-sized right
+# side: a standard shuffle join at web scale, AQE broadcasts it here) ->
+# posexplode(subwords) -> broadcast id attach. No windows, no Python.
+# The oracle replays the learner's unrolled merge stages, re-derives the
+# same id table with SQL ROW_NUMBER, and walks the same two explodes.
+# --------------------------------------------------------------------------
+def _tokenize_ids_oracle() -> str:
+    pos_pairs = (
+        "LIST_TRANSFORM(GENERATE_SERIES(1, LEN({arr})), i -> {{'i': i, 'w': {arr}[i]}})"
+    )
+    return (
+        _bpe_stage_sql()
+        + f"""
+    , __ts AS (
+        SELECT tok AS token, SUM(freq) AS token_freq
+        FROM (
+            SELECT freq,
+                   UNNEST(LIST_FILTER(STRING_SPLIT(TRIM(sym), ' '), x -> x <> '')) AS tok
+            FROM v{_BPE_K}
+        ) GROUP BY tok
+    ), __ids AS (
+        SELECT token,
+               CAST(ROW_NUMBER() OVER (ORDER BY token_freq DESC, token) AS BIGINT) AS token_id
+        FROM __ts
+    ), __seg AS (
+        SELECT word, LIST_FILTER(STRING_SPLIT(TRIM(sym), ' '), x -> x <> '') AS subs
+        FROM v{_BPE_K}
+    ), __dw AS (
+        SELECT doc_id, p.i - 1 AS word_pos, p.w AS word
+        FROM (
+            SELECT doc_id, UNNEST({pos_pairs.format(arr="toks")}) AS p
+            FROM (SELECT doc_id, {_DUCK_TOKENS} AS toks FROM documents)
+        )
+    ), __sub AS (
+        SELECT doc_id, word_pos, q.i - 1 AS sub_pos, q.w AS token
+        FROM (
+            SELECT dw.doc_id, dw.word_pos, UNNEST({pos_pairs.format(arr="seg.subs")}) AS q
+            FROM __dw dw JOIN __seg seg ON dw.word = seg.word
+        )
+    )
+    SELECT s.doc_id,
+           CAST(s.word_pos AS BIGINT) AS word_pos,
+           CAST(s.sub_pos AS BIGINT) AS sub_pos,
+           s.token,
+           i.token_id
+    FROM __sub s JOIN __ids i ON s.token = i.token
+    """
+    )
+
+
+@query("docs_tokenize_ids", _tokenize_ids_oracle)
+def docs_tokenize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pmp_analytics_spark.operators.bpe import (
+        bpe_apply,
+        bpe_learn_merges,
+        bpe_token_stats,
+        word_vocab,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    rules = [
+        (r["lhs"], r["rhs"])
+        for r in bpe_learn_merges(docs, "text", _BPE_K).orderBy("rank").collect()
+    ]
+    vocab_sym = bpe_apply(word_vocab(docs, "text"), rules)
+    # id table: bounded by construction (alphabet + k merges), ordered
+    # like a vocab file — (corpus frequency desc, token); built driver-
+    # side to keep the global plan window-free, then broadcast.
+    stat_rows = sorted(
+        bpe_token_stats(vocab_sym).collect(),
+        key=lambda r: (-r["token_freq"], r["token"]),
+    )
+    ids = docs.sparkSession.createDataFrame(
+        [(r["token"], i + 1) for i, r in enumerate(stat_rows)],
+        "token string, token_id long",
+    )
+    seg = vocab_sym.select(
+        "word",
+        F.filter(F.split(F.trim(F.col("sym")), " "), lambda x: x != "").alias("subs"),
+    )
+    dw = docs.select(
+        "doc_id", F.posexplode(tokens("text")).alias("word_pos", "word")
+    )
+    sub = dw.join(seg, "word").select(
+        "doc_id",
+        "word_pos",
+        F.posexplode("subs").alias("sub_pos", "token"),
+    )
+    return sub.join(F.broadcast(ids), "token").select(
+        "doc_id",
+        F.col("word_pos").cast("long").alias("word_pos"),
+        F.col("sub_pos").cast("long").alias("sub_pos"),
+        "token",
+        "token_id",
+    )

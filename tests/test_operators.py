@@ -1345,3 +1345,83 @@ def test_bm25_hand_computed_and_rrf(spark):
     fused = {r["doc_id"]: r["rank"] for r in rrf_fuse([la, lb], k=3).collect()}
     assert fused[200] == 1            # in both lists -> wins
     assert fused[100] == 2 and fused[300] == 3  # 1/61 > 1/62; id tie-break n/a
+
+
+def test_pca_fit_and_project_match_numpy(spark, tmp_path):
+    """The distributed projection must equal the numpy projection of the
+    same fitted components, and the fit must be sign-canonical with
+    descending eigenvalues."""
+    import numpy as np
+
+    from pmp_analytics_spark.operators.pca import (
+        _pca_fit_arrays,
+        pca_fit,
+        pca_project_long,
+    )
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(120, 6))
+    base[:, 0] *= 5.0  # dominant direction
+    rows = [(i, [float(x) for x in base[i]]) for i in range(120)]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+    emb = spark.read.parquet(str(tmp_path / "embeddings.parquet"))
+
+    mu, W, lam, tot = pca_fit(emb, r=3, sample_n=1000)
+    assert lam[0] >= lam[1] >= lam[2] >= 0
+    for c in range(3):  # canonical sign: largest-|entry| positive
+        assert W[np.argmax(np.abs(W[:, c])), c] > 0
+    # orthonormal components
+    assert np.allclose(W.T @ W, np.eye(3), atol=1e-10)
+
+    got = {
+        (r["vec_id"], r["comp"]): r["coord"]
+        for r in pca_project_long(emb, mu, W, lam, tot).collect()
+    }
+    # Spark used float32 inputs upcast to double; replicate that here
+    X32 = np.array([r[1] for r in rows], dtype=np.float32).astype(np.float64)
+    want = (X32 - mu) @ W
+    for i in range(120):
+        for c in range(3):
+            assert abs(got[(i, c + 1)] - want[i, c]) < 1e-9
+
+    # determinism of the shared fit entry points: the oracle snapshot
+    # reads the same float32 parquet, so feed the float32-rounded values
+    rows32 = [(i, [float(x) for x in X32[i]]) for i in range(120)]
+    mu2, W2, lam2, tot2 = _pca_fit_arrays([r[1] for r in sorted(
+        rows32, key=lambda t: __import__("hashlib").md5(str(t[0]).encode()).hexdigest()
+    )][:1000], 3)
+    assert np.array_equal(W, W2) and np.array_equal(mu, mu2)
+
+
+def test_tokenize_ids_reassembles_words(spark, tmp_path):
+    """Concatenating each word's subword stream in (word_pos, sub_pos)
+    order must reproduce the original token stream, and ids must be the
+    contiguous frequency-ranked vocab."""
+    from pmp_analytics_spark.queries.pretrain import docs_tokenize_ids
+
+    rows = [(1, "ab ab abc xy"), (2, "abc xy xy")]
+    spark.createDataFrame(
+        rows, "doc_id long, text string"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = docs_tokenize_ids(spark, str(tmp_path)).collect()
+
+    # ids contiguous from 1, one id per distinct token
+    toks = {r["token"]: r["token_id"] for r in out}
+    assert sorted(toks.values()) == list(range(1, len(toks) + 1))
+
+    # reassembly: group subwords by (doc, word_pos), concatenation in
+    # sub_pos order must equal the original word
+    from collections import defaultdict
+
+    words = defaultdict(list)
+    for r in out:
+        words[(r["doc_id"], r["word_pos"])].append((r["sub_pos"], r["token"]))
+    originals = {}
+    for doc_id, text in rows:
+        for p, w in enumerate(text.split()):
+            originals[(doc_id, p)] = w
+    assert set(words) == set(originals)
+    for key, parts in words.items():
+        assert "".join(t for _, t in sorted(parts)) == originals[key]

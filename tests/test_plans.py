@@ -451,3 +451,19 @@ def test_dsir_plan_broadcast_and_topk(spark, queries):
     assert has_broadcast_hash_join(df)
     assert has_take_ordered(df)
     assert "CartesianProduct" not in physical_plan(df)
+
+
+def test_pca_project_is_map_side_only(spark, queries):
+    # fit is a bounded driver sample; the projection itself must stay a
+    # pure scan+project (components ride the plan as literals)
+    df = queries["embedding_pca_project"](spark, SF)
+    assert count_exchanges(df) == 0
+    assert_no_cartesian_product(df)
+
+
+def test_tokenize_ids_broadcasts_vocab(spark, queries):
+    # the bounded subword-id table must broadcast into the corpus-side
+    # join; nothing may degenerate into a cartesian product
+    df = queries["docs_tokenize_ids"](spark, SF)
+    assert has_broadcast_hash_join(df)
+    assert_no_cartesian_product(df)
