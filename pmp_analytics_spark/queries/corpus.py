@@ -688,10 +688,11 @@ _DUCK_GOPHER_KEEP = (
 )
 
 
-@query(
-    "docs_gopher_filters",
-    f"""
-    WITH w AS (
+# CTE fragment: `gopher_scored` = (doc_id, n_words, mwl, sym_ratio,
+# alpha_frac, n_stop, bullet_frac, ellipsis_frac) over the documents
+# table — shared by this query's oracle and the corpus datasheet's
+# (the DUCK_C4_SCORED pattern: one definition, no drift).
+DUCK_GOPHER_SCORED = f"""__gopher_words AS (
         SELECT doc_id,
                LIST_FILTER(STRING_SPLIT_REGEX(text, '\\s+'), x -> x <> '') AS words,
                STRING_SPLIT(text, CHR(10)) AS lines,
@@ -699,7 +700,7 @@ _DUCK_GOPHER_KEEP = (
                  + (LENGTH(text) - LENGTH(REPLACE(text, '...', ''))) // 3
                  + (LENGTH(text) - LENGTH(REPLACE(text, '…', ''))) AS n_sym
         FROM documents
-    ), feats AS (
+    ), gopher_scored AS (
         SELECT doc_id,
                CAST(LEN(words) AS BIGINT) AS n_words,
                CASE WHEN LEN(words) > 0
@@ -713,8 +714,14 @@ _DUCK_GOPHER_KEEP = (
                                        {_DUCK_GOPHER_STOPS})) AS BIGINT) AS n_stop,
                LEN(LIST_FILTER(lines, l -> REGEXP_MATCHES(l, '^\\s*[-*•]'))) * 1.0 / LEN(lines) AS bullet_frac,
                LEN(LIST_FILTER(lines, l -> REGEXP_MATCHES(l, '(\\.\\.\\.|…)\\s*$'))) * 1.0 / LEN(lines) AS ellipsis_frac
-        FROM w
-    )
+        FROM __gopher_words
+    )"""
+
+
+@query(
+    "docs_gopher_filters",
+    f"""
+    WITH {DUCK_GOPHER_SCORED}
     SELECT doc_id, n_words,
            ROUND(mwl, 4) AS mean_word_len,
            ROUND(sym_ratio, 6) AS symbol_ratio,
@@ -723,11 +730,30 @@ _DUCK_GOPHER_KEEP = (
            ROUND(bullet_frac, 6) AS bullet_line_frac,
            ROUND(ellipsis_frac, 6) AS ellipsis_line_frac,
            ({_DUCK_GOPHER_KEEP}) AS keep
-    FROM feats
+    FROM gopher_scored
     """,
 )
 def docs_gopher_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
+    feats = _gopher_scored(docs)
+    return feats.select(
+        "doc_id",
+        "n_words",
+        F.round("mwl", 4).alias("mean_word_len"),
+        F.round("sym_ratio", 6).alias("symbol_ratio"),
+        F.round("alpha_frac", 6).alias("alpha_word_frac"),
+        F.col("n_stop").alias("n_stopwords_present"),
+        F.round("bullet_frac", 6).alias("bullet_line_frac"),
+        F.round("ellipsis_frac", 6).alias("ellipsis_line_frac"),
+        _gopher_keep().alias("keep"),
+    )
+
+
+def _gopher_scored(docs: DataFrame) -> DataFrame:
+    """Map-side Gopher feature frame (doc_id, n_words, mwl, sym_ratio,
+    alpha_frac, n_stop, bullet_frac, ellipsis_frac) — the Spark twin of
+    DUCK_GOPHER_SCORED, shared by docs_gopher_filters and the corpus
+    datasheet."""
     words = F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != "")
     lines = F.split(F.col("text"), "\n")
     n_sym = (
@@ -758,7 +784,7 @@ def docs_gopher_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_lines = F.size("lines")
     n_bullet = F.size(F.filter(F.col("lines"), lambda l: l.rlike(r"^\s*[-*•]")))
     n_ell = F.size(F.filter(F.col("lines"), lambda l: l.rlike(r"(\.\.\.|…)\s*$")))
-    feats = base.select(
+    return base.select(
         "doc_id",
         n.cast("long").alias("n_words"),
         F.when(n > 0, sum_len * 1.0 / n).otherwise(0.0).alias("mwl"),
@@ -768,7 +794,12 @@ def docs_gopher_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
         (n_bullet * 1.0 / n_lines).alias("bullet_frac"),
         (n_ell * 1.0 / n_lines).alias("ellipsis_frac"),
     )
-    keep = (
+
+
+def _gopher_keep() -> F.Column:
+    """The Gopher keep conjunction over ``_gopher_scored`` aliases — the
+    Spark twin of _DUCK_GOPHER_KEEP."""
+    return (
         (F.col("n_words") >= GOPHER_MIN_WORDS)
         & (F.col("n_words") <= GOPHER_MAX_WORDS)
         & (F.col("mwl") >= GOPHER_MWL_LO)
@@ -778,17 +809,6 @@ def docs_gopher_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("n_stop") >= GOPHER_STOP_MIN)
         & (F.col("bullet_frac") <= GOPHER_BULLET_MAX)
         & (F.col("ellipsis_frac") <= GOPHER_ELLIPSIS_MAX)
-    )
-    return feats.select(
-        "doc_id",
-        "n_words",
-        F.round("mwl", 4).alias("mean_word_len"),
-        F.round("sym_ratio", 6).alias("symbol_ratio"),
-        F.round("alpha_frac", 6).alias("alpha_word_frac"),
-        F.col("n_stop").alias("n_stopwords_present"),
-        F.round("bullet_frac", 6).alias("bullet_line_frac"),
-        F.round("ellipsis_frac", 6).alias("ellipsis_line_frac"),
-        keep.alias("keep"),
     )
 
 
@@ -918,4 +938,95 @@ def docs_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("logw", 4).alias("log_weight"),
             F.round("gk", 4).alias("gumbel_key"),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q: docs_corpus_datasheet — the per-source "datasheet for the dataset"
+# (Gebru et al., CACM 2021): one row per source with volume (docs,
+# tokens, chars), both quality-gate pass rates (C4 and Gopher — the
+# SHARED module constants/fragments, so the datasheet can never drift
+# from the stage queries), the exact-duplicate rate, and language
+# spread. Movement: every per-doc feature is map-side (both quality
+# gates are pure projections); the only corpus-sized shuffles are the
+# fingerprint groupBy for the dup flag and the doc_id-keyed feature
+# joins; the final per-source aggregate is tiny. This is the artifact a
+# data curator reads before a training run.
+# --------------------------------------------------------------------------
+@query(
+    "docs_corpus_datasheet",
+    f"""
+    WITH {DUCK_C4_SCORED}, {DUCK_GOPHER_SCORED},
+    __c4k AS (
+        SELECT doc_id, n_words, ({DUCK_C4_KEEP}) AS c4_keep FROM c4_scored
+    ), __gk AS (
+        SELECT doc_id, ({_DUCK_GOPHER_KEEP}) AS g_keep FROM gopher_scored
+    ), __fp AS (
+        SELECT doc_id, MD5(ARRAY_TO_STRING({_DUCK_TOKENS}, ' ')) AS fp
+        FROM documents
+    ), __fpc AS (
+        SELECT fp, COUNT(*) AS c FROM __fp GROUP BY fp
+    ), __dup AS (
+        SELECT f.doc_id, (c.c > 1) AS is_dup FROM __fp f JOIN __fpc c USING (fp)
+    )
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(k.n_words) AS BIGINT) AS n_tokens,
+           ROUND(AVG(d.n_chars), 2) AS avg_chars,
+           ROUND(AVG(CASE WHEN k.c4_keep THEN 1.0 ELSE 0.0 END), 4) AS c4_keep_rate,
+           ROUND(AVG(CASE WHEN g.g_keep THEN 1.0 ELSE 0.0 END), 4) AS gopher_keep_rate,
+           ROUND(AVG(CASE WHEN u.is_dup THEN 1.0 ELSE 0.0 END), 4) AS dup_rate,
+           CAST(COUNT(DISTINCT d.lang) AS BIGINT) AS n_langs
+    FROM documents d
+    JOIN __c4k k USING (doc_id)
+    JOIN __gk g USING (doc_id)
+    JOIN __dup u USING (doc_id)
+    GROUP BY d.source
+    """,
+)
+def docs_corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pmp_analytics_spark.functions.text import fingerprint
+
+    docs = load_table(spark, sf_dir, "documents")
+    c4k = docs.select(
+        "doc_id",
+        token_count("text").cast("long").alias("n_words"),
+        mean_token_len("text").alias("mwl"),
+        punct_ratio("text").alias("sym_ratio"),
+        stopword_ratio("text").alias("stop_ratio"),
+    ).select(
+        "doc_id",
+        "n_words",
+        (
+            (F.col("n_words") >= C4_MIN_WORDS)
+            & (F.col("mwl") >= C4_MWL_LO)
+            & (F.col("mwl") <= C4_MWL_HI)
+            & (F.col("sym_ratio") < C4_SYM_MAX)
+            & (F.col("stop_ratio") >= C4_STOP_MIN)
+        ).alias("c4_keep"),
+    )
+    gk = _gopher_scored(docs).select("doc_id", _gopher_keep().alias("g_keep"))
+    fp = docs.select("doc_id", fingerprint("text").alias("fp"))
+    fpc = fp.groupBy("fp").agg(F.count(F.lit(1)).alias("c"))
+    dup = fp.join(fpc, "fp").select("doc_id", (F.col("c") > 1).alias("is_dup"))
+    j = (
+        docs.select("doc_id", "source", "lang", "n_chars")
+        .join(c4k, "doc_id")
+        .join(gk, "doc_id")
+        .join(dup, "doc_id")
+    )
+    return j.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_words").alias("n_tokens"),
+        F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+        F.round(F.avg(F.when(F.col("c4_keep"), 1.0).otherwise(0.0)), 4).alias(
+            "c4_keep_rate"
+        ),
+        F.round(F.avg(F.when(F.col("g_keep"), 1.0).otherwise(0.0)), 4).alias(
+            "gopher_keep_rate"
+        ),
+        F.round(F.avg(F.when(F.col("is_dup"), 1.0).otherwise(0.0)), 4).alias(
+            "dup_rate"
+        ),
+        F.countDistinct("lang").alias("n_langs"),
     )

@@ -467,3 +467,11 @@ def test_tokenize_ids_broadcasts_vocab(spark, queries):
     df = queries["docs_tokenize_ids"](spark, SF)
     assert has_broadcast_hash_join(df)
     assert_no_cartesian_product(df)
+
+
+def test_corpus_datasheet_plan(spark, queries):
+    # both quality gates stay map-side; the only corpus-sized shuffles
+    # are the fingerprint groupBy and the doc_id-keyed joins feeding the
+    # tiny per-source aggregate — and never a cartesian product
+    df = queries["docs_corpus_datasheet"](spark, SF)
+    assert_no_cartesian_product(df)
