@@ -24,7 +24,7 @@ Execution shape (the 100 TB story):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -85,7 +85,7 @@ def pca_project_long(
     total_var: float,
     corpus_id: str = "vec_id",
     corpus_vec: str = "embedding",
-) -> Column | DataFrame:
+) -> DataFrame:
     """Long-format projection: (id, comp, eigenvalue, var_ratio, coord)
     with comp 1-based. One map-side selectExpr — the component matrix
     rides the plan as literals (d*r doubles), each coordinate is a
@@ -104,9 +104,11 @@ def pca_project_long(
             f"acc + (element_at(__v, i) - element_at({mu_sql}, i)) "
             f"* element_at({wc}, i))"
         )
+    # float(...) before repr: numpy 2.x scalars repr as 'np.float64(x)',
+    # which would not parse as SQL
     stack_args = ", ".join(
-        f"cast({c + 1} as bigint), cast({lam[c]!r} as double), "
-        f"cast({lam[c] / total_var!r} as double), ({coords[c]})"
+        f"cast({c + 1} as bigint), cast({float(lam[c])!r} as double), "
+        f"cast({float(lam[c] / total_var)!r} as double), ({coords[c]})"
         for c in range(r)
     )
     return corpus.select(

@@ -190,13 +190,7 @@ DUCK_C4_KEEP = (
 )
 def docs_c4_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    base = docs.select(
-        "doc_id",
-        token_count("text").cast("long").alias("n_words"),
-        mean_token_len("text").alias("mwl"),
-        punct_ratio("text").alias("sym_ratio"),
-        stopword_ratio("text").alias("stop_ratio"),
-    )
+    base = _c4_scored(docs)
     flag_min_words = F.col("n_words") >= C4_MIN_WORDS
     flag_word_len = (F.col("mwl") >= C4_MWL_LO) & (F.col("mwl") <= C4_MWL_HI)
     flag_symbols = F.col("sym_ratio") < C4_SYM_MAX
@@ -211,7 +205,34 @@ def docs_c4_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
         flag_word_len.alias("flag_word_len"),
         flag_symbols.alias("flag_symbols"),
         flag_stopwords.alias("flag_stopwords"),
-        (flag_min_words & flag_word_len & flag_symbols & flag_stopwords).alias("keep"),
+        _c4_keep().alias("keep"),
+    )
+
+
+def _c4_scored(docs: DataFrame, extra: tuple[str, ...] = ()) -> DataFrame:
+    """Map-side C4 feature frame (doc_id [, *extra], n_words, mwl,
+    sym_ratio, stop_ratio) — the Spark twin of DUCK_C4_SCORED, shared by
+    docs_c4_filters and the corpus datasheet (one definition, no
+    drift). ``extra`` columns pass through untouched."""
+    return docs.select(
+        "doc_id",
+        *extra,
+        token_count("text").cast("long").alias("n_words"),
+        mean_token_len("text").alias("mwl"),
+        punct_ratio("text").alias("sym_ratio"),
+        stopword_ratio("text").alias("stop_ratio"),
+    )
+
+
+def _c4_keep() -> F.Column:
+    """The C4 keep conjunction over ``_c4_scored`` aliases — the Spark
+    twin of DUCK_C4_KEEP."""
+    return (
+        (F.col("n_words") >= C4_MIN_WORDS)
+        & (F.col("mwl") >= C4_MWL_LO)
+        & (F.col("mwl") <= C4_MWL_HI)
+        & (F.col("sym_ratio") < C4_SYM_MAX)
+        & (F.col("stop_ratio") >= C4_STOP_MIN)
     )
 
 
@@ -677,6 +698,12 @@ GOPHER_BULLET_MAX = 0.9
 GOPHER_ELLIPSIS_MAX = 0.3
 GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
 
+# Explicit whitespace class for every Gopher regex: Java's \s includes
+# \x0B (vertical tab) while RE2's does not — an implicit \s would make
+# Spark and the DuckDB oracle split words differently on adversarial
+# input. One class, spelled out, used verbatim on both sides.
+GOPHER_WS = r"[ \t\n\r\f\x0B]"
+
 _DUCK_GOPHER_STOPS = "[" + ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS) + "]"
 
 _DUCK_GOPHER_KEEP = (
@@ -694,7 +721,7 @@ _DUCK_GOPHER_KEEP = (
 # (the DUCK_C4_SCORED pattern: one definition, no drift).
 DUCK_GOPHER_SCORED = f"""__gopher_words AS (
         SELECT doc_id,
-               LIST_FILTER(STRING_SPLIT_REGEX(text, '\\s+'), x -> x <> '') AS words,
+               LIST_FILTER(STRING_SPLIT_REGEX(text, '{GOPHER_WS}+'), x -> x <> '') AS words,
                STRING_SPLIT(text, CHR(10)) AS lines,
                (LENGTH(text) - LENGTH(REPLACE(text, '#', '')))
                  + (LENGTH(text) - LENGTH(REPLACE(text, '...', ''))) // 3
@@ -712,8 +739,8 @@ DUCK_GOPHER_SCORED = f"""__gopher_words AS (
                     ELSE 0.0 END AS alpha_frac,
                CAST(LEN(LIST_INTERSECT(LIST_TRANSFORM(words, x -> LOWER(x)),
                                        {_DUCK_GOPHER_STOPS})) AS BIGINT) AS n_stop,
-               LEN(LIST_FILTER(lines, l -> REGEXP_MATCHES(l, '^\\s*[-*•]'))) * 1.0 / LEN(lines) AS bullet_frac,
-               LEN(LIST_FILTER(lines, l -> REGEXP_MATCHES(l, '(\\.\\.\\.|…)\\s*$'))) * 1.0 / LEN(lines) AS ellipsis_frac
+               LEN(LIST_FILTER(lines, l -> REGEXP_MATCHES(l, '^{GOPHER_WS}*[-*•]'))) * 1.0 / LEN(lines) AS bullet_frac,
+               LEN(LIST_FILTER(lines, l -> REGEXP_MATCHES(l, '(\\.\\.\\.|…){GOPHER_WS}*$'))) * 1.0 / LEN(lines) AS ellipsis_frac
         FROM __gopher_words
     )"""
 
@@ -749,12 +776,12 @@ def docs_gopher_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _gopher_scored(docs: DataFrame) -> DataFrame:
-    """Map-side Gopher feature frame (doc_id, n_words, mwl, sym_ratio,
-    alpha_frac, n_stop, bullet_frac, ellipsis_frac) — the Spark twin of
-    DUCK_GOPHER_SCORED, shared by docs_gopher_filters and the corpus
-    datasheet."""
-    words = F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != "")
+def _gopher_scored(docs: DataFrame, extra: tuple[str, ...] = ()) -> DataFrame:
+    """Map-side Gopher feature frame (doc_id [, *extra], n_words, mwl,
+    sym_ratio, alpha_frac, n_stop, bullet_frac, ellipsis_frac) — the
+    Spark twin of DUCK_GOPHER_SCORED, shared by docs_gopher_filters and
+    the corpus datasheet. ``extra`` columns pass through untouched."""
+    words = F.filter(F.split(F.col("text"), GOPHER_WS + "+"), lambda x: x != "")
     lines = F.split(F.col("text"), "\n")
     n_sym = (
         (F.length("text") - F.length(F.replace(F.col("text"), F.lit("#"), F.lit(""))))
@@ -766,6 +793,7 @@ def _gopher_scored(docs: DataFrame) -> DataFrame:
     )
     base = docs.select(
         "doc_id",
+        *extra,
         words.alias("words"),
         lines.alias("lines"),
         n_sym.alias("n_sym"),
@@ -782,10 +810,11 @@ def _gopher_scored(docs: DataFrame) -> DataFrame:
         )
     )
     n_lines = F.size("lines")
-    n_bullet = F.size(F.filter(F.col("lines"), lambda l: l.rlike(r"^\s*[-*•]")))
-    n_ell = F.size(F.filter(F.col("lines"), lambda l: l.rlike(r"(\.\.\.|…)\s*$")))
+    n_bullet = F.size(F.filter(F.col("lines"), lambda l: l.rlike("^" + GOPHER_WS + "*[-*•]")))
+    n_ell = F.size(F.filter(F.col("lines"), lambda l: l.rlike(r"(\.\.\.|…)" + GOPHER_WS + "*$")))
     return base.select(
         "doc_id",
+        *extra,
         n.cast("long").alias("n_words"),
         F.when(n > 0, sum_len * 1.0 / n).otherwise(0.0).alias("mwl"),
         F.when(n > 0, F.col("n_sym") * 1.0 / n).otherwise(0.0).alias("sym_ratio"),
@@ -848,9 +877,11 @@ _TWO60 = float(1 << 60)
                    UNNEST(toks || {_DUCK_2GRAMS}) AS feat
             FROM tk
         )
+    ), dc AS (
+        SELECT doc_id, is_tgt, b, COUNT(*) AS c FROM f GROUP BY doc_id, is_tgt, b
     ), bc AS (
-        SELECT b, COUNT(*) AS raw_c, COUNT(*) FILTER (WHERE is_tgt) AS tgt_c
-        FROM f GROUP BY b
+        SELECT b, SUM(c) AS raw_c, COALESCE(SUM(c) FILTER (WHERE is_tgt), 0) AS tgt_c
+        FROM dc GROUP BY b
     ), tot AS (
         SELECT SUM(raw_c) AS rtot, SUM(tgt_c) AS ttot FROM bc
     ), lr AS (
@@ -858,8 +889,6 @@ _TWO60 = float(1 << 60)
                LN((tgt_c + 1.0) / (ttot + {_DSIR_B}.0))
                  - LN((raw_c + 1.0) / (rtot + {_DSIR_B}.0)) AS lw
         FROM bc, tot
-    ), dc AS (
-        SELECT doc_id, b, COUNT(*) AS c FROM f GROUP BY doc_id, b
     ), score AS (
         SELECT dc.doc_id, SUM(dc.c * lr.lw) AS logw
         FROM dc JOIN lr ON dc.b = lr.b GROUP BY dc.doc_id
@@ -873,7 +902,7 @@ _TWO60 = float(1 << 60)
         FROM documents d LEFT JOIN score s ON d.doc_id = s.doc_id
     )
     SELECT doc_id, ROUND(logw, 4) AS log_weight, ROUND(gk, 4) AS gumbel_key
-    FROM g ORDER BY gk DESC, doc_id LIMIT {_DSIR_N}
+    FROM g ORDER BY ROUND(gk, 4) DESC, doc_id LIMIT {_DSIR_N}
     """,
 )
 def docs_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -894,9 +923,18 @@ def docs_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "is_tgt",
         (shingle_hash60(F.col("feat")) % _DSIR_B).alias("b"),
     )
-    bc = f.groupBy("b").agg(
-        F.count(F.lit(1)).alias("raw_c"),
-        F.sum(F.col("is_tgt").cast("long")).alias("tgt_c"),
+    # dc is the shared base of BOTH branches: the bucket distribution
+    # (bc) re-aggregates dc's partials and the per-doc score consumes dc
+    # directly, so the one corpus-sized explode+exchange is planned once
+    # and reused (ReusedExchange) instead of the explode running twice —
+    # is_tgt rides in the grouping key (it is functionally determined by
+    # doc_id) so bc can split target counts without a second pass.
+    dc = f.groupBy("doc_id", "is_tgt", "b").agg(F.count(F.lit(1)).alias("c"))
+    bc = dc.groupBy("b").agg(
+        F.sum("c").alias("raw_c"),
+        F.coalesce(
+            F.sum(F.when(F.col("is_tgt"), F.col("c"))), F.lit(0)
+        ).alias("tgt_c"),
     )
     tot = with_global_agg(
         bc, {"rtot": F.sum("raw_c"), "ttot": F.sum("tgt_c")}
@@ -908,7 +946,13 @@ def docs_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.log((F.col("raw_c") + 1.0) / (F.col("rtot") + float(_DSIR_B)))
         ).alias("lw"),
     )
-    dc = f.groupBy("doc_id", "b").agg(F.count(F.lit(1)).alias("c"))
+    # Materialize the B-row ratio table: this pins the query to exactly
+    # TWO corpus passes — a fit pass (dc→bc→totals→lr, bc's two
+    # consumers share one exchange via ReuseExchange) and a score pass —
+    # instead of the lr broadcast subtree replaying the corpus explode a
+    # third time inside the score join. 256 rows; the natural fit+score
+    # split of any importance-weighting pipeline.
+    lr = lr.localCheckpoint(eager=True)
     score = (
         dc.join(F.broadcast(lr), "b")
         .groupBy("doc_id")
@@ -930,8 +974,12 @@ def docs_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("gk"),
         )
     )
+    # selection orders on the ROUNDED key (the published value): the
+    # unrounded float sum differs at the ulp level across engines and
+    # partition merge orders, so an unrounded cutoff could swap rank-64
+    # membership between engines; doc_id breaks rounded ties exactly
     return (
-        g.orderBy(F.desc("gk"), F.asc("doc_id"))
+        g.orderBy(F.desc(F.round("gk", 4)), F.asc("doc_id"))
         .limit(_DSIR_N)
         .select(
             "doc_id",
@@ -988,36 +1036,43 @@ def docs_corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pmp_analytics_spark.functions.text import fingerprint
 
     docs = load_table(spark, sf_dir, "documents")
-    c4k = docs.select(
+    # ONE stacked map-side projection chain carries every per-doc
+    # feature (C4 scored → C4 keep + fingerprint → Gopher scored →
+    # Gopher keep) — the per-doc features are all pure projections of
+    # the same scan, so joining separately-derived frames back on
+    # doc_id would shuffle the corpus three extra times for nothing.
+    # The only corpus-sized exchange is the fingerprint hash (count +
+    # co-partitioned join, one exchange reused) before the tiny
+    # per-source aggregate.
+    s1 = _c4_scored(docs, extra=("source", "lang", "n_chars", "text"))
+    s2 = s1.select(
         "doc_id",
-        token_count("text").cast("long").alias("n_words"),
-        mean_token_len("text").alias("mwl"),
-        punct_ratio("text").alias("sym_ratio"),
-        stopword_ratio("text").alias("stop_ratio"),
-    ).select(
+        "source",
+        "lang",
+        "n_chars",
+        "text",
+        F.col("n_words").alias("c4_n_words"),
+        _c4_keep().alias("c4_keep"),
+        fingerprint("text").alias("fp"),
+    )
+    s3 = _gopher_scored(
+        s2, extra=("source", "lang", "n_chars", "c4_n_words", "c4_keep", "fp")
+    )
+    per_doc = s3.select(
         "doc_id",
-        "n_words",
-        (
-            (F.col("n_words") >= C4_MIN_WORDS)
-            & (F.col("mwl") >= C4_MWL_LO)
-            & (F.col("mwl") <= C4_MWL_HI)
-            & (F.col("sym_ratio") < C4_SYM_MAX)
-            & (F.col("stop_ratio") >= C4_STOP_MIN)
-        ).alias("c4_keep"),
+        "source",
+        "lang",
+        "n_chars",
+        "c4_n_words",
+        "c4_keep",
+        "fp",
+        _gopher_keep().alias("g_keep"),
     )
-    gk = _gopher_scored(docs).select("doc_id", _gopher_keep().alias("g_keep"))
-    fp = docs.select("doc_id", fingerprint("text").alias("fp"))
-    fpc = fp.groupBy("fp").agg(F.count(F.lit(1)).alias("c"))
-    dup = fp.join(fpc, "fp").select("doc_id", (F.col("c") > 1).alias("is_dup"))
-    j = (
-        docs.select("doc_id", "source", "lang", "n_chars")
-        .join(c4k, "doc_id")
-        .join(gk, "doc_id")
-        .join(dup, "doc_id")
-    )
+    fpc = per_doc.groupBy("fp").agg(F.count(F.lit(1)).alias("c"))
+    j = per_doc.join(fpc, "fp").withColumn("is_dup", F.col("c") > 1)
     return j.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.sum("n_words").alias("n_tokens"),
+        F.sum("c4_n_words").alias("n_tokens"),
         F.round(F.avg("n_chars"), 2).alias("avg_chars"),
         F.round(F.avg(F.when(F.col("c4_keep"), 1.0).otherwise(0.0)), 4).alias(
             "c4_keep_rate"

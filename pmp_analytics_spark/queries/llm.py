@@ -1784,7 +1784,7 @@ def _pca_oracle() -> str | None:
     d, r = len(mu), W.shape[1]
     mu_lit = "[" + ", ".join(repr(float(x)) for x in mu) + "]::DOUBLE[]"
     w_rows = ", ".join(
-        f"({c + 1}, CAST({lam[c]!r} AS DOUBLE), CAST({lam[c] / tot!r} AS DOUBLE), "
+        f"({c + 1}, CAST({float(lam[c])!r} AS DOUBLE), CAST({float(lam[c] / tot)!r} AS DOUBLE), "
         f"[{', '.join(repr(float(x)) for x in W[:, c])}]::DOUBLE[])"
         for c in range(r)
     )

@@ -446,11 +446,14 @@ def test_gopher_filters_is_map_side_only(spark, queries):
 def test_dsir_plan_broadcast_and_topk(spark, queries):
     # the B-row log-ratio table must broadcast into the doc-score join,
     # selection must be a heap top-k (never a full global sort), and the
-    # only nested-loop is the 1-row global-totals attach
+    # score pass must stay at a bounded exchange budget (the fit pass is
+    # materialized at build — the two-pass fit+score shape, so the
+    # corpus explode can never replay inside the broadcast subtree)
     df = queries["docs_dsir_sample"](spark, SF)
     assert has_broadcast_hash_join(df)
     assert has_take_ordered(df)
     assert "CartesianProduct" not in physical_plan(df)
+    assert count_exchanges(df) <= 4
 
 
 def test_pca_project_is_map_side_only(spark, queries):
@@ -470,8 +473,10 @@ def test_tokenize_ids_broadcasts_vocab(spark, queries):
 
 
 def test_corpus_datasheet_plan(spark, queries):
-    # both quality gates stay map-side; the only corpus-sized shuffles
-    # are the fingerprint groupBy and the doc_id-keyed joins feeding the
+    # every per-doc feature rides ONE stacked map-side projection chain
+    # (no doc_id self-joins of the scan): the only corpus-sized
+    # exchanges are the fingerprint count + co-partitioned join and the
     # tiny per-source aggregate — and never a cartesian product
     df = queries["docs_corpus_datasheet"](spark, SF)
     assert_no_cartesian_product(df)
+    assert count_exchanges(df) <= 3
