@@ -276,3 +276,84 @@ class TestDsirSample:
         a = sorted(map(tuple, C.docs_dsir_sample(spark, str(tmp_path)).collect()))
         b = sorted(map(tuple, C.docs_dsir_sample(spark, str(tmp_path)).collect()))
         assert a == b and len(a) == C._DSIR_N
+
+
+def test_gopher_features_match_pure_python_reference(spark, tmp_path):
+    """Cross-check the Spark Gopher features against an independent
+    pure-Python implementation on adversarial strings: vertical tab
+    (the Java-vs-RE2 \\s divergence the explicit class exists for),
+    bullets, unicode ellipsis, hashes, and empty text."""
+    import re
+
+    from pmp_analytics_spark.queries import corpus as C
+
+    texts = [
+        "foo\x0bbar baz",              # \x0B must NOT split words
+        "alpha # beta ... gamma …",
+        "- bullet one\n* bullet two\nplain tail...",
+        "the of and that have with be to",
+        "",
+        "   ",
+        "ab\tcd\nef\rgh",
+    ]
+    rows = [(i, t) for i, t in enumerate(texts)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        r["doc_id"]: r for r in C.docs_gopher_filters(spark, str(tmp_path)).collect()
+    }
+
+    ws = re.compile(r"[ \t\n\r\f\x0b]+")
+    for i, t in enumerate(texts):
+        words = [w for w in ws.split(t) if w]
+        lines = t.split("\n")
+        n = len(words)
+        assert got[i]["n_words"] == n, (i, t)
+        if n:
+            mwl = sum(len(w) for w in words) / n
+            n_sym = t.count("#") + t.count("...") + t.count("…")
+            # non-overlapping left-to-right '...' count, replace-style
+            n_sym = (
+                t.count("#")
+                + (len(t) - len(t.replace("...", ""))) // 3
+                + (len(t) - len(t.replace("…", "")))
+            )
+            alpha = sum(1 for w in words if re.search("[a-zA-Z]", w)) / n
+            assert abs(got[i]["mean_word_len"] - round(mwl, 4)) < 1e-9, (i, t)
+            assert abs(got[i]["symbol_ratio"] - round(n_sym / n, 6)) < 1e-9, (i, t)
+            assert abs(got[i]["alpha_word_frac"] - round(alpha, 6)) < 1e-9, (i, t)
+        stops = {"the", "be", "to", "of", "and", "that", "have", "with"}
+        assert got[i]["n_stopwords_present"] == len(
+            {w.lower() for w in words} & stops
+        ), (i, t)
+        bullet = sum(
+            1 for l in lines if re.match(r"[ \t\n\r\f\x0b]*[-*•]", l)
+        ) / len(lines)
+        assert abs(got[i]["bullet_line_frac"] - round(bullet, 6)) < 1e-9, (i, t)
+
+
+def test_bpe_encode_consistent_with_tokenize_ids(spark, tmp_path):
+    """Two declared queries, one tokenizer: the corpus-wide token
+    frequency from docs_bpe_encode must equal the per-occurrence counts
+    docs_tokenize_ids produces when summed over the corpus stream."""
+    from collections import Counter
+
+    from pmp_analytics_spark.queries.pretrain import (
+        docs_bpe_encode,
+        docs_tokenize_ids,
+    )
+
+    rows = [(1, "ab ab abc xy xy"), (2, "abc abc xy q"), (3, "q q ab")]
+    spark.createDataFrame(
+        rows, "doc_id long, text string"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    freq = {
+        r["token"]: r["token_freq"]
+        for r in docs_bpe_encode(spark, str(tmp_path)).collect()
+    }
+    stream = Counter(
+        r["token"] for r in docs_tokenize_ids(spark, str(tmp_path)).collect()
+    )
+    assert freq == dict(stream)
