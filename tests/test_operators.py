@@ -1425,3 +1425,47 @@ def test_tokenize_ids_reassembles_words(spark, tmp_path):
     assert set(words) == set(originals)
     for key, parts in words.items():
         assert "".join(t for _, t in sorted(parts)) == originals[key]
+
+
+def test_neardup_bucket_store_persists_through_parquet(spark, tmp_path):
+    """The '100 TB' claim behind incremental ingest is that the band
+    bucket store is PERSISTED per-corpus state, not a per-session
+    derivation — so a store written to parquet and read back by a fresh
+    reader must probe bit-identically to the in-memory frame."""
+    from pmp_analytics_spark.operators.dedup import (
+        band_key_frame,
+        exploded_shingle_hashes,
+        minhash_signatures,
+        neardup_probe,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog and keeps running far away"
+    history = spark.createDataFrame(
+        [(1, base), (2, "colorless green ideas sleep furiously tonight"),
+         (3, "entirely unrelated text about spark shuffle planning")],
+        ["doc_id", "text"],
+    )
+    batch = spark.createDataFrame(
+        [(10, base.replace("dog", "cat")), (11, "nothing like the others at all")],
+        ["doc_id", "text"],
+    )
+    ex_h = exploded_shingle_hashes(history, "text", "doc_id", 5)
+    keys_h = band_key_frame(minhash_signatures(ex_h, "doc_id", 16), "doc_id", 16, 4)
+    ex_b = exploded_shingle_hashes(batch, "text", "doc_id", 5)
+
+    live = sorted(
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in neardup_probe(ex_h, keys_h, ex_b, "doc_id", threshold=0.5).collect()
+    )
+    assert {(a, b) for a, b, _ in live} == {(10, 1)}
+
+    # persist BOTH store tables, read back cold, probe again
+    ex_h.write.mode("overwrite").parquet(str(tmp_path / "store_ex"))
+    keys_h.write.mode("overwrite").parquet(str(tmp_path / "store_keys"))
+    ex_h2 = spark.read.parquet(str(tmp_path / "store_ex"))
+    keys_h2 = spark.read.parquet(str(tmp_path / "store_keys"))
+    cold = sorted(
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in neardup_probe(ex_h2, keys_h2, ex_b, "doc_id", threshold=0.5).collect()
+    )
+    assert cold == live
