@@ -44,6 +44,11 @@ def _pca_fit_arrays(vecs, r: int):
     Xc = X - mu
     C = (Xc.T @ Xc) / X.shape[0]
     w, V = np.linalg.eigh(C)  # ascending eigenvalues
+    if w.sum() <= 0.0:
+        # all sampled vectors identical: no principal directions, and a
+        # 0/0 var_ratio would otherwise render as a `nan` SQL literal
+        # that fails far from the cause
+        raise ValueError("PCA fit sample has zero variance")
     order = np.argsort(w)[::-1][:r]
     lam = w[order]
     W = V[:, order]
@@ -95,14 +100,12 @@ def pca_project_long(
     py4j costs seconds of round-trips per query build (see PERFORMANCE.md
     on the PQ table build); ``expr`` is milliseconds and plan-identical."""
     d, r = len(mu), W.shape[1]
-    mu_sql = _arr_sql(mu)
     coords = []
     for c in range(r):
         wc = _arr_sql(W[:, c])
         coords.append(
             f"aggregate(sequence(1, {d}), cast(0.0 as double), (acc, i) -> "
-            f"acc + (element_at(__v, i) - element_at({mu_sql}, i)) "
-            f"* element_at({wc}, i))"
+            f"acc + element_at(__vc, i) * element_at({wc}, i))"
         )
     # float(...) before repr: numpy 2.x scalars repr as 'np.float64(x)',
     # which would not parse as SQL
@@ -111,9 +114,17 @@ def pca_project_long(
         f"cast({float(lam[c] / total_var)!r} as double), ({coords[c]})"
         for c in range(r)
     )
+    # center ONCE (zip_with against a single mean literal), then fold
+    # only the component arrays — inlining the mean into each of the r
+    # folds would re-subtract it per component, r-plying both the plan
+    # text and the per-row work; (v[i]-mu[i]) then *w is the identical
+    # double sequence, so the oracle mirrors the same two-step shape
     return corpus.select(
         F.col(corpus_id),
         F.col(corpus_vec).cast("array<double>").alias("__v"),
+    ).selectExpr(
+        corpus_id,
+        f"zip_with(__v, {_arr_sql(mu)}, (a, b) -> a - b) AS __vc",
     ).selectExpr(
         corpus_id,
         f"stack({r}, {stack_args}) AS (comp, eigenvalue, var_ratio, coord)",

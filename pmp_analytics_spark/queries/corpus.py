@@ -205,7 +205,12 @@ def docs_c4_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
         flag_word_len.alias("flag_word_len"),
         flag_symbols.alias("flag_symbols"),
         flag_stopwords.alias("flag_stopwords"),
-        _c4_keep().alias("keep"),
+        # keep = conjunction of the PUBLISHED flag expressions (they are
+        # the same predicates _c4_keep() states) so keep can never
+        # desynchronize from the flags this query prints
+        (flag_min_words & flag_word_len & flag_symbols & flag_stopwords).alias(
+            "keep"
+        ),
     )
 
 
@@ -1068,7 +1073,16 @@ def docs_corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
         "fp",
         _gopher_keep().alias("g_keep"),
     )
-    fpc = per_doc.groupBy("fp").agg(F.count(F.lit(1)).alias("c"))
+    # the count branch derives from a NARROW fingerprint projection, not
+    # from per_doc: the exchanges' children differ so ReusedExchange
+    # cannot fold them, and hanging the count off per_doc would run the
+    # whole C4+Gopher feature chain twice — this way the second pass
+    # recomputes only the md5
+    fpc = (
+        docs.select(fingerprint("text").alias("fp"))
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
     j = per_doc.join(fpc, "fp").withColumn("is_dup", F.col("c") > 1)
     return j.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),

@@ -1790,13 +1790,16 @@ def _pca_oracle() -> str | None:
     )
     return f"""
     WITH c AS (
-        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        SELECT vec_id,
+               LIST_TRANSFORM(GENERATE_SERIES(1, {d}), i ->
+                   CAST(embedding[i] AS DOUBLE) - ({mu_lit})[i]) AS vc
+        FROM embeddings
     ), w(comp, lam, vr, wv) AS (VALUES {w_rows})
     SELECT c.vec_id, CAST(comp AS BIGINT) AS comp,
            ROUND(lam, 6) AS eigenvalue,
            ROUND(vr, 6) AS var_ratio,
            ROUND(LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, {d}), i ->
-               (v[i] - ({mu_lit})[i]) * wv[i])), 6) AS coord
+               vc[i] * wv[i])), 6) AS coord
     FROM c CROSS JOIN w
     """
 

@@ -1084,6 +1084,15 @@ def _bpe_fit(spark: SparkSession, sf_dir: str):
     return hit
 
 
+def clear_bpe_fit() -> None:
+    """Drop every memoized BPE fit (see ``_BPE_FIT_MEMO``). Callers that
+    REWRITE documents at an sf_dir within one session must call this, or
+    the three tokenizer queries keep encoding with the stale merge table
+    while their oracles refit from the new data — the same invalidation
+    contract as ``llm.clear_neardup_ingest_store``."""
+    _BPE_FIT_MEMO.clear()
+
+
 @query("docs_bpe_merges", _bpe_oracle)
 def docs_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows, _ = _bpe_fit(spark, sf_dir)
@@ -1542,7 +1551,12 @@ def docs_tokenize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     _, rules = _bpe_fit(spark, sf_dir)
-    vocab_sym = bpe_apply(word_vocab(docs, "text"), rules)
+    # localCheckpoint: the encoded vocab feeds the driver-side id build
+    # (collected below) AND the seg join branch — uncheckpointed, the
+    # corpus-wide word_vocab aggregation would run twice per execution
+    vocab_sym = bpe_apply(word_vocab(docs, "text"), rules).localCheckpoint(
+        eager=False
+    )
     # id table: bounded by construction (alphabet + k merges), ordered
     # like a vocab file — (corpus frequency desc, token); built driver-
     # side to keep the global plan window-free, then broadcast.

@@ -288,7 +288,7 @@ def test_gopher_features_match_pure_python_reference(spark, tmp_path):
     from pmp_analytics_spark.queries import corpus as C
 
     texts = [
-        "foo\x0bbar baz",              # \x0B must NOT split words
+        "foo\x0bbar baz",              # \x0B splits words (Java \s semantics) on BOTH engines
         "alpha # beta ... gamma …",
         "- bullet one\n* bullet two\nplain tail...",
         "the of and that have with be to",
@@ -312,7 +312,6 @@ def test_gopher_features_match_pure_python_reference(spark, tmp_path):
         assert got[i]["n_words"] == n, (i, t)
         if n:
             mwl = sum(len(w) for w in words) / n
-            n_sym = t.count("#") + t.count("...") + t.count("…")
             # non-overlapping left-to-right '...' count, replace-style
             n_sym = (
                 t.count("#")
