@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
+    DoubleType,
     IntegerType,
     LongType,
     StringType,
@@ -586,3 +587,68 @@ def extract_payload_features(with_payload: DataFrame) -> DataFrame:
             )
 
     return ensure_parallelism(with_payload).mapInPandas(batches, FEATURES_SCHEMA)
+
+
+AUDIO_FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("chunk_idx", IntegerType()),
+        StructField("offset", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("rms", DoubleType()),
+        StructField("zcr", DoubleType()),
+    ]
+)
+
+#: centering offset for byte-stream "samples": printable-ASCII payloads
+#: sit in [32, 126], so 96 splits them into signed excursions the way a
+#: DC-removal pass would — stated here once, replicated in the oracle.
+AUDIO_CENTER = 96
+
+
+def audio_chunk_features(
+    with_payload: DataFrame, chunk_bytes: int = 400, stride: int = 300
+) -> DataFrame:
+    """Per-chunk signal features over the sample stream: RMS energy and
+    zero-crossing rate on the same window/stride grid as ``chunk_audio``
+    — the actual DSP pre-pass (VAD gating, silence trimming, energy
+    normalization) an audio pipeline runs between decode and the model.
+    Samples are the payload bytes centered at ``AUDIO_CENTER`` (a real
+    deployment decodes PCM in the same loop — int16 instead of int8,
+    identical math). numpy-vectorized inside Arrow batches, purely
+    map-side; every number is integer-exact before the final division /
+    sqrt, so the whole Python round-trip replays in SQL."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: dict[str, list] = {
+                "doc_id": [], "chunk_idx": [], "offset": [],
+                "n_samples": [], "rms": [], "zcr": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = np.frombuffer(bytes(payload), dtype=np.uint8).astype(np.int64)
+                b = b - AUDIO_CENTER
+                idx = 0
+                for off in range(0, max(len(b), 1), stride):
+                    s = b[off : off + chunk_bytes]
+                    n = len(s)
+                    if n == 0:
+                        break
+                    rms = float(np.sqrt(float((s * s).sum()) / n))
+                    if n > 1:
+                        sgn = np.sign(s)
+                        zc = int(((sgn[1:] * sgn[:-1]) < 0).sum())
+                        zcr = zc / (n - 1)
+                    else:
+                        zcr = 0.0
+                    out["doc_id"].append(doc_id)
+                    out["chunk_idx"].append(idx)
+                    out["offset"].append(off)
+                    out["n_samples"].append(n)
+                    out["rms"].append(round(rms, 6))
+                    out["zcr"].append(round(zcr, 6))
+                    idx += 1
+            yield pd.DataFrame(out)
+
+    return ensure_parallelism(with_payload).mapInPandas(batches, AUDIO_FEATURE_SCHEMA)

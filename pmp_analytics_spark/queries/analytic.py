@@ -731,6 +731,52 @@ def docs_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Q: docs_audio_features — per-chunk SIGNAL features over the audio
+# payloads: RMS energy and zero-crossing rate on the same window/stride
+# grid as docs_audio_chunks — the DSP pre-pass (VAD gating, silence
+# trimming, energy normalization) between decode and the model. Bytes
+# centered at AUDIO_CENTER stand in for PCM samples (a real deployment
+# decodes int16 in the same numpy loop — identical math). Every number
+# is integer-exact until the final division/sqrt, so the whole
+# Arrow/numpy round-trip replays in SQL byte-for-byte.
+# --------------------------------------------------------------------------
+@query(
+    "docs_audio_features",
+    """
+    WITH a AS (
+        SELECT doc_id, text, LENGTH(text) AS len
+        FROM documents WHERE doc_id % 2 = 1 AND LENGTH(text) > 0
+    ), c AS (
+        SELECT doc_id, text, len, off, LEAST(400, len - off) AS n
+        FROM a, LATERAL UNNEST(GENERATE_SERIES(0, GREATEST(len - 1, 0), 300)) AS t(off)
+    ), s AS (
+        SELECT doc_id, off, n,
+               LIST_TRANSFORM(GENERATE_SERIES(1, CAST(n AS BIGINT)),
+                   i -> UNICODE(SUBSTRING(text, CAST(off + i AS INT), 1)) - 96) AS b
+        FROM c
+    )
+    SELECT doc_id,
+           CAST(off // 300 AS INTEGER) AS chunk_idx,
+           CAST(off AS BIGINT) AS "offset",
+           CAST(n AS BIGINT) AS n_samples,
+           ROUND(SQRT(LIST_SUM(LIST_TRANSFORM(b, x -> CAST(x * x AS DOUBLE))) / n), 6) AS rms,
+           CASE WHEN n > 1 THEN ROUND(LIST_SUM(LIST_TRANSFORM(
+                    GENERATE_SERIES(2, CAST(n AS BIGINT)),
+                    i -> CASE WHEN SIGN(b[i - 1]) * SIGN(b[i]) < 0 THEN 1 ELSE 0 END
+                )) * 1.0 / (n - 1), 6)
+                ELSE 0.0 END AS zcr
+    FROM s
+    """,
+)
+def docs_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pmp_analytics_spark.multimodal import attach_payload, audio_chunk_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    audio = attach_payload(docs).where(F.col("meta.content_type") == "audio/fake")
+    return audio_chunk_features(audio)
+
+
+# --------------------------------------------------------------------------
 # Q: big_quantity_orders — the TPC-H Q18 shape: HAVING on an aggregated
 # subquery, then joined back to the fact + dim. Catalyst pushes the
 # HAVING into the aggregate (no post-join filter on the big side) and

@@ -306,3 +306,39 @@ def test_wav_encode_decode_roundtrip():
     s8 = [0, -128, 127, 5, -1]
     got8 = _wav_decode(_wav_encode(s8, channels=1, sample_rate=4000, bits=8))
     assert got8["samples"] == s8 and got8["bits"] == 8
+
+
+def test_audio_chunk_features_hand_computed(spark):
+    """RMS and zero-crossing rate against hand-computed values on a tiny
+    synthetic sample stream, incl. the single-sample and empty edges."""
+    import math
+
+    from pmp_analytics_spark.multimodal import (
+        AUDIO_CENTER,
+        audio_chunk_features,
+    )
+
+    # bytes 'a'(97) -> +1, '_'(95) -> -1, '`'(96) -> 0 around the center
+    wave = "a_a_a_"          # alternating +1/-1: 5 sign changes in 6 samples
+    flat = "``````"          # all zeros: rms 0, zcr 0
+    rows = [(1, wave.encode()), (3, flat.encode()), (5, b"a")]
+    df = spark.createDataFrame(
+        [(i, bytearray(p)) for i, p in rows], "doc_id long, payload binary"
+    )
+    got = {
+        (r["doc_id"], r["chunk_idx"]): r
+        for r in audio_chunk_features(df, chunk_bytes=4, stride=3).collect()
+    }
+    # doc 1 chunk 0: samples +1,-1,+1,-1 -> rms 1.0, zcr 3/3
+    r = got[(1, 0)]
+    assert r["n_samples"] == 4 and abs(r["rms"] - 1.0) < 1e-9 and abs(r["zcr"] - 1.0) < 1e-9
+    # doc 1 chunk 1: offset 3 -> samples -1,+1,-1 -> rms 1.0, zcr 2/2
+    r = got[(1, 1)]
+    assert r["offset"] == 3 and r["n_samples"] == 3 and abs(r["zcr"] - 1.0) < 1e-9
+    # flat doc: zero energy, zero crossings
+    r = got[(3, 0)]
+    assert r["rms"] == 0.0 and r["zcr"] == 0.0
+    # single sample: zcr defined as 0
+    r = got[(5, 0)]
+    assert r["n_samples"] == 1 and abs(r["rms"] - 1.0) < 1e-9 and r["zcr"] == 0.0
+    assert AUDIO_CENTER == 96
