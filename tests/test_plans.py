@@ -480,3 +480,13 @@ def test_corpus_datasheet_plan(spark, queries):
     df = queries["docs_corpus_datasheet"](spark, SF)
     assert_no_cartesian_product(df)
     assert count_exchanges(df) <= 3
+
+
+def test_audio_features_map_side_only(spark, queries):
+    # the DSP pass must stay a scan -> (at most one parallelism
+    # repartition) -> MapInPandas chain: no joins, no aggregates
+    df = queries["docs_audio_features"](spark, SF)
+    plan = physical_plan(df)
+    assert "MapInPandas" in plan
+    assert_no_cartesian_product(df)
+    assert count_exchanges(df) <= 1
