@@ -356,3 +356,26 @@ def test_bpe_encode_consistent_with_tokenize_ids(spark, tmp_path):
         r["token"] for r in docs_tokenize_ids(spark, str(tmp_path)).collect()
     )
     assert freq == dict(stream)
+
+
+def test_dsir_sample_invariant_to_input_file_layout(spark, tmp_path):
+    """The published DSIR selection must not depend on how the input
+    parquet is laid out: float sums accumulate in partition order, so
+    rounded outputs + rounded-key selection are the invariance contract.
+    Same rows written as 1 file and as 7 files must select identically."""
+    from pmp_analytics_spark.queries import corpus as C
+
+    rows = [
+        (i, f"tok{i % 11} tok{i % 5} shared words here", "en" if i % 3 else "zh")
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+    one = tmp_path / "one"
+    many = tmp_path / "many"
+    df.coalesce(1).write.parquet(str(one / "documents.parquet"))
+    df.repartition(7).write.parquet(str(many / "documents.parquet"))
+
+    a = sorted(map(tuple, C.docs_dsir_sample(spark, str(one)).collect()))
+    b = sorted(map(tuple, C.docs_dsir_sample(spark, str(many)).collect()))
+    assert a == b and len(a) == C._DSIR_N
