@@ -321,7 +321,7 @@ def test_audio_chunk_features_hand_computed(spark):
     # bytes 'a'(97) -> +1, '_'(95) -> -1, '`'(96) -> 0 around the center
     wave = "a_a_a_"          # alternating +1/-1: 5 sign changes in 6 samples
     flat = "``````"          # all zeros: rms 0, zcr 0
-    rows = [(1, wave.encode()), (3, flat.encode()), (5, b"a")]
+    rows = [(1, wave.encode()), (3, flat.encode()), (5, b"a"), (7, b"")]
     df = spark.createDataFrame(
         [(i, bytearray(p)) for i, p in rows], "doc_id long, payload binary"
     )
@@ -341,4 +341,7 @@ def test_audio_chunk_features_hand_computed(spark):
     # single sample: zcr defined as 0
     r = got[(5, 0)]
     assert r["n_samples"] == 1 and abs(r["rms"] - 1.0) < 1e-9 and r["zcr"] == 0.0
+    # empty payload: no chunk rows, never a crash (matches the oracle's
+    # LENGTH(text) > 0 filter)
+    assert not any(doc == 7 for doc, _ in got)
     assert AUDIO_CENTER == 96
