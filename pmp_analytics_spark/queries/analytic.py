@@ -911,6 +911,109 @@ def customer_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Q: streaming_merge_upsert — the MERGE-maintained lakehouse table in
+# STREAMING form (the Delta/Iceberg "MERGE INTO current_state" pattern
+# on plain parquet): each micro-batch reduces to one row per key (argmax
+# by (ts, event_id) — event_id makes ties airtight), full-outer merges
+# into the current state with last-write-wins, and publishes through
+# writers.publish_versioned — readers always see a complete version via
+# the atomic _LATEST pointer flip. The merge is an ASSOCIATIVE argmax,
+# so the final table is independent of micro-batch boundaries and the
+# oracle is the plain batch argmax over all events — the strongest check
+# a streaming maintenance loop can get. Movement per batch: batch-sized
+# agg + full-outer join against a keys-sized state table; the corpus of
+# raw events is never re-read.
+# --------------------------------------------------------------------------
+@query(
+    "streaming_merge_upsert",
+    """
+    WITH ranked AS (
+        SELECT user_id, ts, event_id, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE user_id IS NOT NULL
+    )
+    SELECT user_id,
+           -- FLOOR: raw ts carries sub-second micros and CAST(double)
+           -- rounds-to-nearest in DuckDB while Spark unix_timestamp floors
+           CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS last_ts_s,
+           CAST(event_id AS BIGINT) AS last_event_id,
+           ROUND(value, 6) AS last_value
+    FROM ranked WHERE rn = 1
+    """,
+)
+def streaming_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from pmp_analytics_spark.sources.writers import publish_versioned, read_latest
+    from pmp_analytics_spark.streaming import read_event_stream
+
+    stream = read_event_stream(spark, sf_dir).where(F.col("user_id").isNotNull())
+    parent = os.path.join(tempfile.gettempdir(), "pmp_merge_upsert")
+    if os.path.isdir(parent):  # stale-dir backstop for crashed runs
+        shutil.rmtree(parent, ignore_errors=True)
+    os.makedirs(parent, exist_ok=True)
+    work = tempfile.mkdtemp(dir=parent)
+    root = os.path.join(work, "state")
+
+    def merge(batch_df, batch_id: int) -> None:
+        upd = (
+            batch_df.groupBy("user_id")
+            .agg(F.max(F.struct("ts", "event_id", "value")).alias("s"))
+            .select(
+                "user_id",
+                F.col("s.ts").alias("ts"),
+                F.col("s.event_id").alias("event_id"),
+                F.col("s.value").alias("value"),
+            )
+        )
+        try:
+            cur = read_latest(spark, root)
+        except Exception:  # first batch: no published version yet
+            publish_versioned(upd, root)
+            return
+        j = cur.alias("c").join(upd.alias("u"), "user_id", "full_outer")
+        cs = F.struct(F.col("c.ts"), F.col("c.event_id"), F.col("c.value"))
+        us = F.struct(F.col("u.ts"), F.col("u.event_id"), F.col("u.value"))
+        # last-write-wins: the update side replaces the current row only
+        # when present AND strictly greater by (ts, event_id)
+        pick_u = F.col("c.ts").isNull() | (F.col("u.ts").isNotNull() & (us > cs))
+        winner = F.when(pick_u, us).otherwise(cs)
+        new = j.select(
+            "user_id",
+            winner.getField("ts").alias("ts"),
+            winner.getField("event_id").alias("event_id"),
+            winner.getField("value").alias("value"),
+        )
+        # the lazy read of the CURRENT version feeds the write of the
+        # NEXT version dir; the old dir is immutable during the write
+        # and survives keep_last pruning long past the read
+        publish_versioned(new, root)
+
+    (
+        stream.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    out = (
+        read_latest(spark, root)
+        .select(
+            "user_id",
+            F.unix_timestamp("ts").cast("long").alias("last_ts_s"),
+            F.col("event_id").cast("long").alias("last_event_id"),
+            F.round("value", 6).alias("last_value"),
+        )
+        .localCheckpoint(eager=True)  # detach before deleting the sink
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
+# --------------------------------------------------------------------------
 # Q: docs_json_roundtrip — JSON codec identity under load: each row is
 # serialized to a JSON document (to_json over a struct) and parsed back
 # with a declared schema (from_json), then aggregated from the PARSED

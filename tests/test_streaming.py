@@ -320,3 +320,98 @@ def test_streaming_per_batch_quality_metrics(spark, tmp_path):
     per_run = history.groupBy("run_id").count().collect()
     assert all(r["count"] == len(checks) for r in per_run)
     assert history.where("check_name = 'completeness(event_id)' AND NOT passed").count() == 0
+
+
+def test_streaming_merge_upsert_multibatch_equals_batch(spark, tmp_path):
+    """The per-batch MERGE must converge to the same state table no
+    matter how the stream splits into micro-batches (the merge is an
+    associative argmax): four time-ordered drops consumed one per
+    trigger vs the plain batch argmax over all events. Also pins that
+    pruning left at most keep_last version dirs plus the pointer."""
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from pmp_analytics_spark.sources.reader import load_table
+    from pmp_analytics_spark.sources.writers import publish_versioned, read_latest
+
+    SF = "/root/testdata/sf0.001"
+    batch = load_table(spark, SF, "events").where(F.col("user_id").isNotNull())
+    expected = sorted(
+        (r["user_id"], r["ts"], r["event_id"])
+        for r in batch.groupBy("user_id")
+        .agg(F.max(F.struct("ts", "event_id", "value")).alias("s"))
+        .select("user_id", F.col("s.ts").alias("ts"), F.col("s.event_id").alias("event_id"))
+        .collect()
+    )
+
+    src = tmp_path / "drops"
+    src.mkdir()
+    rows = batch.orderBy("ts", "event_id").collect()
+    quarter = (len(rows) + 3) // 4
+    for i in range(4):
+        chunk = rows[i * quarter : (i + 1) * quarter]
+        spark.createDataFrame(chunk, batch.schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(src / f"drop_{i}"))
+        time.sleep(1.1)
+
+    root = str(tmp_path / "state")
+
+    def merge(batch_df, batch_id):
+        upd = (
+            batch_df.groupBy("user_id")
+            .agg(F.max(F.struct("ts", "event_id", "value")).alias("s"))
+            .select(
+                "user_id",
+                F.col("s.ts").alias("ts"),
+                F.col("s.event_id").alias("event_id"),
+                F.col("s.value").alias("value"),
+            )
+        )
+        try:
+            cur = read_latest(spark, root)
+        except Exception:
+            publish_versioned(upd, root)
+            return
+        j = cur.alias("c").join(upd.alias("u"), "user_id", "full_outer")
+        cs = F.struct(F.col("c.ts"), F.col("c.event_id"), F.col("c.value"))
+        us = F.struct(F.col("u.ts"), F.col("u.event_id"), F.col("u.value"))
+        pick_u = F.col("c.ts").isNull() | (F.col("u.ts").isNotNull() & (us > cs))
+        winner = F.when(pick_u, us).otherwise(cs)
+        publish_versioned(
+            j.select(
+                "user_id",
+                winner.getField("ts").alias("ts"),
+                winner.getField("event_id").alias("event_id"),
+                winner.getField("value").alias("value"),
+            ),
+            root,
+        )
+
+    sdf = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "*.parquet")
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+        .where(F.col("user_id").isNotNull())
+    )
+    q = (
+        sdf.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    data_batches = [p for p in q.recentProgress if p["numInputRows"] > 0]
+    assert len(data_batches) >= 2, "stream must span multiple micro-batches"
+
+    got = sorted(
+        (r["user_id"], r["ts"], r["event_id"])
+        for r in read_latest(spark, root).collect()
+    )
+    assert got == expected and len(got) > 0
+    vdirs = [d for d in os.listdir(root) if d.startswith("v")]
+    assert len(vdirs) <= 3  # keep_last default
