@@ -20,10 +20,14 @@ plain parquet directory:
   dependency, zero exchange (pinned by ``tests/test_maintenance.py``).
   Optional ``sort_within`` applies ``sortWithinPartitions`` so the new
   files carry tight min/max stats for pruning — still shuffle-free.
-- **Write-then-delete swap**: new files are written to a scratch dir,
-  moved in under a distinct name prefix, and only then are the old small
-  files deleted. A crash between the two steps leaves duplicates, never
-  data loss; rerunning compaction converges. (Serving tables under
+- **Journaled write-then-delete swap**: once the scratch rewrite is
+  durable, the to-delete list is recorded in ``_compact_journal.json``
+  (atomic tmp+rename) BEFORE any rename; only then are compacted files
+  moved in and the old small files deleted. A crash in the swap window
+  leaves the journal behind, and the next ``compact_parquet`` call
+  finishes the interrupted swap first (re-moves any files still in
+  scratch, deletes the journaled old files) — so reruns converge to the
+  exact row count, not just structurally. (Serving tables under
   concurrent readers needs a transactional log — Delta/Iceberg — which is
   exactly the gap those formats exist to fill; this operator targets
   pipeline-internal directories owned by one writer, e.g. the append logs
@@ -73,6 +77,69 @@ def list_parquet_files(spark: SparkSession, path: str) -> list[tuple[str, int]]:
     return sorted(out)
 
 
+_JOURNAL = "_compact_journal.json"
+
+
+def _write_journal(fs, jvm, jroot, to_delete: list[str]) -> None:
+    """Atomically (tmp + rename) record the swap's to-delete list inside
+    the table directory (underscore name: invisible to readers)."""
+    import json
+
+    tmp = jvm.org.apache.hadoop.fs.Path(jroot, _JOURNAL + ".tmp")
+    final = jvm.org.apache.hadoop.fs.Path(jroot, _JOURNAL)
+    out = fs.create(tmp, True)
+    out.write(json.dumps({"to_delete": to_delete}).encode())
+    out.close()
+    if not fs.rename(tmp, final):
+        if fs.exists(final):
+            fs.delete(final, False)
+        if not fs.rename(tmp, final):
+            raise OSError(f"compaction journal write failed in {jroot}")
+
+
+def _recover_interrupted_swap(spark: SparkSession, path: str) -> bool:
+    """Finish a swap a previous run journaled but did not complete: move
+    any compacted files still in scratch into the table, delete the
+    journaled old small files, drop scratch + journal. No journal (the
+    common case, or a crash BEFORE the journal write — scratch debris is
+    then stale and rebuilt by the caller) → no-op. Returns whether a
+    recovery ran."""
+    import json
+
+    fs, jroot, jvm = _fs_for(spark, path)
+    journal = jvm.org.apache.hadoop.fs.Path(jroot, _JOURNAL)
+    if not fs.exists(journal):
+        return False
+    stream = fs.open(journal)
+    try:
+        to_delete = json.loads(bytes(stream.readAllBytes()).decode())[
+            "to_delete"
+        ]
+    finally:
+        stream.close()
+    scratch = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "/_compact_tmp")
+    if fs.exists(scratch):
+        moved = 0
+        for st in fs.listStatus(scratch):
+            p = st.getPath()
+            # Scratch part names carry Spark's per-task UUID, so the
+            # recovery prefix cannot collide with already-moved files.
+            if st.isFile() and p.getName().endswith(".parquet"):
+                dest = jvm.org.apache.hadoop.fs.Path(
+                    jroot, f"compacted-r{moved:05d}-{p.getName()}"
+                )
+                if not fs.rename(p, dest):
+                    raise OSError(f"recovery rename failed: {p} -> {dest}")
+                moved += 1
+        fs.delete(scratch, True)
+    for p in to_delete:
+        jp = jvm.org.apache.hadoop.fs.Path(p)
+        if fs.exists(jp):
+            fs.delete(jp, False)
+    fs.delete(journal, False)
+    return True
+
+
 def compact_parquet(
     spark: SparkSession,
     path: str,
@@ -90,6 +157,7 @@ def compact_parquet(
     small_threshold = (
         target_bytes // 2 if small_threshold is None else small_threshold
     )
+    _recover_interrupted_swap(spark, path)
     files = list_parquet_files(spark, path)
     small = [(p, n) for p, n in files if n < small_threshold]
     if len(small) <= 1:
@@ -115,9 +183,14 @@ def compact_parquet(
         df = df.sortWithinPartitions(*sort_within)
     df.write.mode("overwrite").parquet(scratch.toString())
 
-    # Swap: move new data files in under a distinct prefix, then delete the
-    # replaced small files. Crash-safe in the duplicate direction only —
-    # rerunning converges (new files are >= threshold, so skipped).
+    # Journal the swap BEFORE touching any live file: the scratch rewrite
+    # is durable at this point, so recording the to-delete list makes the
+    # whole swap resumable — a crash anywhere below leaves the journal,
+    # and the next run's _recover_interrupted_swap finishes the moves and
+    # deletes instead of re-compacting the (still present) small files
+    # alongside their already-moved copies, which would duplicate rows.
+    _write_journal(fs, jvm, jroot, [p for p, _ in small])
+
     moved = 0
     for st in fs.listStatus(scratch):
         p = st.getPath()
@@ -131,6 +204,7 @@ def compact_parquet(
     for p, _ in small:
         fs.delete(jvm.org.apache.hadoop.fs.Path(p), False)
     fs.delete(scratch, True)
+    fs.delete(jvm.org.apache.hadoop.fs.Path(jroot, _JOURNAL), False)
 
     return CompactionStats(
         files_before=len(files),

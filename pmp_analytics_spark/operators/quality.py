@@ -58,13 +58,23 @@ def completeness(col: str) -> Check:
     )
 
 
-def uniqueness(col: str, approx: bool = False) -> Check:
-    distinct = (
-        F.approx_count_distinct(col) if approx else F.count_distinct(F.col(col))
-    )
+def uniqueness(col: str, approx: bool = False, rsd: float = 0.05) -> Check:
+    """Exact mode demands metric == 1.0. Approx mode (the
+    hundreds-of-checks regime) uses an HLL++ sketch whose estimate
+    carries ``rsd`` relative standard deviation, so a genuinely unique
+    column can legitimately report below 1.0 — the bound is therefore
+    relaxed to ``1.0 - 3*rsd`` (three sigmas: ~0.3% false-alarm rate)
+    instead of flapping nondeterministically at the exact bound."""
+    if approx:
+        return Check(
+            f"uniqueness({col})",
+            F.approx_count_distinct(col, rsd).cast("double")
+            / F.count(F.lit(1)),
+            1.0 - 3.0 * rsd,
+        )
     return Check(
         f"uniqueness({col})",
-        distinct.cast("double") / F.count(F.lit(1)),
+        F.count_distinct(F.col(col)).cast("double") / F.count(F.lit(1)),
         1.0,
     )
 
@@ -125,32 +135,43 @@ def check_report(
 ) -> DataFrame:
     """Evaluate ``checks`` in one aggregate pass (plus one anti-join count
     per entry of ``foreign_keys``: fact col → (dim frame, dim col)) and
-    return (check_name, metric, passed) rows, metric rounded to 6 decimals."""
-    agg = df.agg(
-        *[F.round(c.metric_expr, 6).alias(f"m{i}") for i, c in enumerate(checks)]
-    )
-    # One row -> long format via a literal explode ON the agg row: a
-    # union of N selects over the agg would plant N copies of the
-    # aggregate subtree (Catalyst does not CSE across union branches) —
-    # N table scans for N checks, the exact thing this operator exists
-    # to avoid.
-    wide = agg.select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(c.name).alias("check_name"),
-                        F.col(f"m{i}").alias("metric"),
-                        F.coalesce(
-                            c.passed_expr(F.col(f"m{i}")), F.lit(False)
-                        ).alias("passed"),
-                    )
-                    for i, c in enumerate(checks)
-                ]
-            )
-        ).alias("r")
-    ).select("r.*")
-    reports = [wide]
+    return (check_name, metric, passed) rows, metric rounded to 6 decimals.
+
+    A foreign-keys-only report (``checks == []``) is supported — the agg
+    pass is skipped and the report is just the anti-join rows. Both
+    empty is a caller error (a no-op "report" would read as all-green)."""
+    if not checks and not foreign_keys:
+        raise ValueError("check_report needs at least one check or foreign key")
+    reports: list[DataFrame] = []
+    if checks:
+        agg = df.agg(
+            *[
+                F.round(c.metric_expr, 6).alias(f"m{i}")
+                for i, c in enumerate(checks)
+            ]
+        )
+        # One row -> long format via a literal explode ON the agg row: a
+        # union of N selects over the agg would plant N copies of the
+        # aggregate subtree (Catalyst does not CSE across union branches)
+        # — N table scans for N checks, the exact thing this operator
+        # exists to avoid.
+        wide = agg.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(c.name).alias("check_name"),
+                            F.col(f"m{i}").alias("metric"),
+                            F.coalesce(
+                                c.passed_expr(F.col(f"m{i}")), F.lit(False)
+                            ).alias("passed"),
+                        )
+                        for i, c in enumerate(checks)
+                    ]
+                )
+            ).alias("r")
+        ).select("r.*")
+        reports.append(wide)
     for col, (dim, dim_col) in (foreign_keys or {}).items():
         orphans = (
             df.select(F.col(col).alias("__fk"))

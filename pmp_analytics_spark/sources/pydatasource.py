@@ -340,22 +340,29 @@ class _JsonlShardWriter(DataSourceArrowWriter):
         import os
         import shutil
 
+        import uuid
+
         manifest_path = os.path.join(self.path, "_MANIFEST.json")
         shards: list[dict] = []
         if not self.overwrite and os.path.exists(manifest_path):
             with open(manifest_path, encoding="utf-8") as fh:
                 shards = json.load(fh)["shards"]
-        elif self.overwrite:
-            for old in os.listdir(self.path):
-                if old.startswith("part-") and old.endswith(".jsonl"):
-                    os.remove(os.path.join(self.path, old))
         start = len(shards)
+        # Job token in every final shard name: an overwrite's new shards
+        # can never collide with the files they replace, so the old data
+        # stays fully intact until the manifest flip below.
+        token = uuid.uuid4().hex[:8]
         for i, m in enumerate(sorted(messages, key=lambda m: m.tmp_path)):
-            name = f"part-{start + i:05d}-{m.rows}.jsonl"
+            name = f"part-{start + i:05d}-{m.rows}-{token}.jsonl"
             os.replace(m.tmp_path, os.path.join(self.path, name))
             shards.append({"name": name, "rows": m.rows})
         # The manifest write IS the commit point — written last, atomically
-        # (tmp + rename), so readers never see a half-published job.
+        # (tmp + rename), so readers never see a half-published job. In
+        # overwrite mode the replaced shards are deleted only AFTER the
+        # flip: a crash anywhere before it leaves the old manifest with
+        # every file it lists still present, a crash after it leaves
+        # unreferenced orphans (invisible to readers, reaped by the next
+        # overwrite) — never a manifest naming missing files.
         tmp_manifest = manifest_path + ".tmp"
         with open(tmp_manifest, "w", encoding="utf-8") as fh:
             json.dump(
@@ -363,6 +370,15 @@ class _JsonlShardWriter(DataSourceArrowWriter):
                 fh,
             )
         os.replace(tmp_manifest, manifest_path)
+        if self.overwrite:
+            keep = {s["name"] for s in shards}
+            for old in os.listdir(self.path):
+                if (
+                    old.startswith("part-")
+                    and old.endswith(".jsonl")
+                    and old not in keep
+                ):
+                    os.remove(os.path.join(self.path, old))
         shutil.rmtree(os.path.join(self.path, "_tmp"), ignore_errors=True)
 
     def abort(self, messages) -> None:

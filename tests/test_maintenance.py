@@ -153,3 +153,73 @@ def test_compaction_crash_debris_invisible_and_rerun_converges(spark):
         }
         assert _rows_fingerprint(spark, root) == before
         assert not os.path.exists(os.path.join(leaf, "_compact_tmp"))
+
+
+def test_compaction_journal_recovery_no_duplicate_rows(spark):
+    """A crash in the swap window (scratch durable + journal written, but
+    renames/deletes incomplete) must NOT duplicate rows on rerun: the next
+    compact_parquet finishes the journaled swap first — moves scratch
+    files in, deletes the journaled old small files — instead of
+    re-compacting the still-present old files next to their copies."""
+    import json
+
+    with tempfile.TemporaryDirectory() as tmp:
+        path = os.path.join(tmp, "t")
+        spark.range(2000).selectExpr("id", "id * 2 AS v").repartition(
+            8
+        ).write.parquet(path)
+        before = _rows_fingerprint(spark, path)
+        files = list_parquet_files(spark, path)
+
+        # Crash point 1: scratch rewrite complete, journal written, zero
+        # renames done, old small files all still present.
+        scratch = os.path.join(path, "_compact_tmp")
+        spark.read.parquet(*[p for p, _ in files]).coalesce(2).write.parquet(
+            scratch
+        )
+        with open(os.path.join(path, "_compact_journal.json"), "w") as fh:
+            json.dump({"to_delete": [p for p, _ in files]}, fh)
+
+        stats = compact_parquet(spark, path, target_bytes=1 << 26)
+        assert _rows_fingerprint(spark, path) == before
+        assert not os.path.exists(os.path.join(path, "_compact_journal.json"))
+        assert not os.path.exists(scratch)
+        # Recovery produced exactly the scratch's 2 files; nothing left
+        # small enough to rewrite twice.
+        assert stats.files_before == 2
+
+
+def test_compaction_journal_recovery_partial_renames(spark):
+    """Crash point 2: some compacted files already renamed in, the rest
+    still in scratch, journal present. Recovery must move the remainder
+    and delete the old files exactly once — byte-identical row set."""
+    import json
+    import shutil
+
+    with tempfile.TemporaryDirectory() as tmp:
+        path = os.path.join(tmp, "t")
+        spark.range(3000).selectExpr("id", "id * 3 AS v").repartition(
+            6
+        ).write.parquet(path)
+        before = _rows_fingerprint(spark, path)
+        files = list_parquet_files(spark, path)
+
+        scratch = os.path.join(path, "_compact_tmp")
+        spark.read.parquet(*[p for p, _ in files]).coalesce(3).write.parquet(
+            scratch
+        )
+        with open(os.path.join(path, "_compact_journal.json"), "w") as fh:
+            json.dump({"to_delete": [p for p, _ in files]}, fh)
+        # Simulate one completed rename before the crash.
+        parts = sorted(
+            f for f in os.listdir(scratch) if f.endswith(".parquet")
+        )
+        shutil.move(
+            os.path.join(scratch, parts[0]),
+            os.path.join(path, f"compacted-00000-{parts[0]}"),
+        )
+
+        compact_parquet(spark, path, target_bytes=1 << 26)
+        assert _rows_fingerprint(spark, path) == before
+        assert not os.path.exists(os.path.join(path, "_compact_journal.json"))
+        assert not os.path.exists(scratch)

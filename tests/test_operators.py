@@ -1469,3 +1469,37 @@ def test_neardup_bucket_store_persists_through_parquet(spark, tmp_path):
         for r in neardup_probe(ex_h2, keys_h2, ex_b, "doc_id", threshold=0.5).collect()
     )
     assert cold == live
+
+
+def test_quality_fk_only_report_and_empty_raises(spark):
+    """checks == [] with foreign keys is a legal report (the agg pass is
+    skipped, not exploded over an untyped empty array); both empty is a
+    ValueError, since an empty report would read as all-green."""
+    import pytest
+
+    from pmp_analytics_spark.operators.quality import check_report
+
+    fact = spark.createDataFrame([(1,), (2,), (9,)], ["k"])
+    dim = spark.createDataFrame([(1,), (2,)], ["id"])
+    rows = check_report(fact, [], foreign_keys={"k": (dim, "id")}).collect()
+    assert [(r["check_name"], r["metric"], r["passed"]) for r in rows] == [
+        ("referential_integrity(k)", 1.0, False)
+    ]
+    with pytest.raises(ValueError):
+        check_report(fact, [])
+
+
+def test_quality_uniqueness_approx_tolerates_sketch_error(spark):
+    """approx=True swaps in an HLL++ sketch with ~rsd relative error; the
+    pass bound must be 1.0 - 3*rsd, not the exact 1.0 (which flaps on a
+    genuinely unique column)."""
+    from pmp_analytics_spark.operators.quality import check_report, uniqueness
+
+    df = spark.range(50_000).selectExpr("CAST(id AS STRING) AS u")
+    all_rows = check_report(
+        df, [uniqueness("u", approx=True, rsd=0.02), uniqueness("u")]
+    ).collect()
+    approx_row, exact_row = all_rows[0], all_rows[1]
+    assert approx_row["passed"], approx_row  # within 3-sigma band
+    assert abs(approx_row["metric"] - 1.0) < 0.06
+    assert exact_row["metric"] == 1.0 and exact_row["passed"]

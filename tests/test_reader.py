@@ -494,3 +494,76 @@ def test_publish_versioned_pointer_flip_and_prune(spark, tmp_path):
     os.makedirs(os.path.join(root, "views"))
     vdir = publish_versioned(spark.range(1).withColumn("ver", F.lit(9)), root, keep_last=2)
     assert vdir.endswith("v00000004") and os.path.isdir(os.path.join(root, "views"))
+
+
+def _jsonl_commit_one(writer_cls, out, ids, overwrite):
+    """Drive one unit-level write+commit of [ids] through the shard
+    writer protocol (no Spark job — the protocol itself is under test)."""
+    import pyarrow as pa
+
+    w = writer_cls(out, overwrite=overwrite)
+    msg = w.write(iter([pa.RecordBatch.from_pydict({"id": ids})]))
+    w.commit([msg])
+
+
+def test_jsonl_overwrite_crash_windows_never_orphan_manifest(
+    tmp_path, monkeypatch
+):
+    """The manifest must never reference missing files, no matter where an
+    overwrite commit crashes. Two crash points: (a) before the manifest
+    flip — the OLD manifest and all its shards must survive untouched;
+    (b) during post-flip orphan cleanup — the NEW manifest is already
+    live and complete. (Round-5 code deleted old shards first, so a
+    crash at (a) left the old manifest naming deleted files.)"""
+    import json
+
+    from pmp_analytics_spark.sources.pydatasource import _JsonlShardWriter
+
+    out = str(tmp_path / "shards")
+    os.makedirs(out)
+    _jsonl_commit_one(_JsonlShardWriter, out, [1, 2, 3], overwrite=False)
+
+    def manifest_files_exist():
+        m = json.load(open(os.path.join(out, "_MANIFEST.json")))
+        return all(
+            os.path.exists(os.path.join(out, s["name"])) for s in m["shards"]
+        ), m
+
+    # Crash (a): fail the atomic manifest rename itself.
+    real_replace = os.replace
+
+    def crash_on_manifest(src, dst):
+        if str(dst).endswith("_MANIFEST.json"):
+            raise RuntimeError("crash before manifest flip")
+        return real_replace(src, dst)
+
+    monkeypatch.setattr(os, "replace", crash_on_manifest)
+    try:
+        _jsonl_commit_one(_JsonlShardWriter, out, [10, 11], overwrite=True)
+    except RuntimeError:
+        pass
+    monkeypatch.setattr(os, "replace", real_replace)
+    ok, m = manifest_files_exist()
+    assert ok and m["total_rows"] == 3  # old publish fully intact
+
+    # Crash (b): manifest flips, then cleanup of old shards dies.
+    real_remove = os.remove
+
+    def crash_on_remove(p):
+        raise RuntimeError("crash during orphan cleanup")
+
+    monkeypatch.setattr(os, "remove", crash_on_remove)
+    try:
+        _jsonl_commit_one(_JsonlShardWriter, out, [20, 21, 22, 23], overwrite=True)
+    except RuntimeError:
+        pass
+    monkeypatch.setattr(os, "remove", real_remove)
+    ok, m = manifest_files_exist()
+    assert ok and m["total_rows"] == 4  # new publish live and complete
+
+    # And a later clean overwrite reaps every unreferenced orphan.
+    _jsonl_commit_one(_JsonlShardWriter, out, [30], overwrite=True)
+    ok, m = manifest_files_exist()
+    assert ok and m["total_rows"] == 1
+    on_disk = {f for f in os.listdir(out) if f.endswith(".jsonl")}
+    assert on_disk == {s["name"] for s in m["shards"]}
