@@ -2,7 +2,9 @@
 
 Prints ONE JSON line:
     {"metric": "total_query_time", "value": N, "unit": "sec",
-     "queries": {name: sec, ...}, "sf": 0.1}
+     "queries": {name: sec, ...}, "sf": 0.1,
+     "runs": 2, "run_totals": [...], "queries_best": {...},
+     "best_total": N, "load_avg": [1m,5m,15m at start, then at end]}
 
 Execution is forced with the noop sink (full pipeline materialization on
 executors, zero driver transfer) so the timing measures the Spark plan, not
@@ -26,6 +28,10 @@ def main() -> int:
     sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
     import __spark_entry__ as ent
 
+    try:
+        load0 = os.getloadavg()
+    except OSError:  # pragma: no cover - not a POSIX host
+        load0 = ()
     spark = get_spark("bench")
     # Execution order is a performance artifact decoupled from the
     # registry's record-sampling order — see queries/__init__.py
@@ -62,25 +68,48 @@ def main() -> int:
         "queries": timings,
         "sf": sf,
     }
-    # Optional SECOND pass (SPARK_GRAFT_BENCH_WARM=1): per-query warm
-    # times de-noise cross-round comparisons — the single cold pass
-    # charges first-touch costs (Python worker spawns, codegen, shuffle
-    # file allocation) to whichever sub-second query hits them first,
-    # producing phantom 2-3× "regressions" between otherwise identical
-    # rounds. The driver contract (cold single pass, `value` = cold
-    # total) is unchanged when the env var is unset.
-    if os.environ.get("SPARK_GRAFT_BENCH_WARM") == "1":
-        warm: dict[str, float] = {}
+    # Best-of-N protocol (round-6 artifact hardening): the bench host is
+    # multi-tenant, and identical code has measured 147-208 s across a
+    # day purely from external load (PERFORMANCE.md note 8). So the
+    # artifact now carries the evidence needed to compare rounds without
+    # footnotes: the 1/5/15-min load averages bracketing the run, the
+    # run count, every run's total, and the per-query minima across runs
+    # (`queries_best` — run 2+ is additionally warm, which is itself the
+    # steadier signal: caches shared exactly as a live multi-query
+    # session shares them). `value` REMAINS the cold first-pass total —
+    # the driver contract and the only number comparable to r1-r5.
+    # SPARK_GRAFT_BENCH_RUNS=1 restores the single cold pass.
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    if os.environ.get("SPARK_GRAFT_BENCH_WARM") == "1" and runs < 2:
+        runs = 2  # back-compat spelling of "add a warm pass"
+    best = dict(timings)
+    run_totals = [total]
+    for _ in range(runs - 1):
+        rerun: dict[str, float] = {}
         for name, fn in qs.items():
             t0 = time.perf_counter()
             try:
                 fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-                warm[name] = round(time.perf_counter() - t0, 3)
+                rerun[name] = round(time.perf_counter() - t0, 3)
             except Exception as e:  # noqa: BLE001
-                print(f"ERROR warm {name}: {e}", file=sys.stderr)
-                warm[name] = -1.0
-        record["queries_warm"] = warm
-        record["warm_total"] = round(sum(t for t in warm.values() if t >= 0), 3)
+                print(f"ERROR rerun {name}: {e}", file=sys.stderr)
+                rerun[name] = -1.0
+            if rerun[name] >= 0 and (best[name] < 0 or rerun[name] < best[name]):
+                best[name] = rerun[name]
+        run_totals.append(round(sum(t for t in rerun.values() if t >= 0), 3))
+    record["runs"] = runs
+    record["run_totals"] = run_totals
+    if runs > 1:
+        record["queries_best"] = best
+        record["best_total"] = round(
+            sum(t for t in best.values() if t >= 0), 3
+        )
+    try:
+        record["load_avg"] = [round(x, 2) for x in load0] + [
+            round(x, 2) for x in os.getloadavg()
+        ]
+    except OSError:  # pragma: no cover - not a POSIX host
+        pass
     line = json.dumps(record)
     print(line)
     # Also persist in-repo: the driver's captured stdout tail has been

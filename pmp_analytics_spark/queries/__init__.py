@@ -36,9 +36,11 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # - "record": what the driver's per-round correctness record samples (a
 #   fixed-size prefix of the dict) — packs rotate to the front each
 #   round until every pack has appeared in an official record (rounds
-#   1-4 led with parity+llm; round 5 leads with the sketch/pretrain/
-#   corpus/extended packs those records never sampled). The full
-#   142-query gate (tools/check_oracle.py) covers everything regardless.
+#   1-4 led with parity+llm; round 5 led with sketch/pretrain/corpus;
+#   round 6 promotes _RECORD_FRONT — the 54 queries no official record
+#   r01-r05 ever sampled, derived by diffing the records against the
+#   registry). The full-query gate (tools/check_oracle.py) covers
+#   everything regardless.
 #
 # - "bench": the measured-fastest EXECUTION order (bench.py) — streaming
 #   state-store providers keep per-checkpoint state maps in executor
@@ -53,11 +55,49 @@ _PACK_MODULES = {
 }
 
 
+# Round-6 record rotation: every query absent from all of
+# CORRECTNESS_r01-r05 (analytic 27 + extended 16 + llm 11), promoted to
+# the front of the record order so the driver's prefix sample finally
+# covers them. Names that fall out of the registry are skipped silently.
+_RECORD_FRONT = (
+    # analytic (all 27 were never sampled)
+    "customer_order_subqueries", "supplier_discount_exists",
+    "nation_presence_setops", "customer_order_gaps",
+    "priority_order_extremes", "event_funnel", "docs_source_mixture",
+    "docs_zipf_curve", "embedding_range_neighbors", "embedding_topk_arrow",
+    "docs_length_histogram", "streaming_segment_counts",
+    "customer_priority_islands", "docs_curriculum_order",
+    "event_cohort_retention", "docs_payload_thumbnails",
+    "docs_audio_chunks", "docs_audio_features", "big_quantity_orders",
+    "customer_order_bookends", "customer_merge_upsert",
+    "streaming_merge_upsert", "docs_json_roundtrip", "events_zorder_layout",
+    "docs_custom_source_scan", "streaming_custom_source_rollup",
+    "nation_price_trend",
+    # extended (16 of 17)
+    "signup_followup_activity", "quantity_quartiles", "revenue_cube",
+    "event_user_cardinality", "event_value_salted_rollup", "docs_chunks",
+    "embedding_dim_stats", "docs_vocab_df", "daily_revenue_ma7",
+    "events_partition_pruning", "priority_pivot", "nation_balance_melt",
+    "docs_contamination", "streaming_distinct_users",
+    "orders_quality_report", "orders_quarantine",
+    # llm (11 of 30)
+    "docs_dedup_canonical", "docs_dedup_keep_best", "embedding_ivf_topk",
+    "embedding_pq_topk", "embedding_pq_rerank",
+    "embedding_semantic_neardup", "docs_bpe_token_stats",
+    "embedding_label_affinity", "docs_bm25_retrieval", "docs_hybrid_rrf",
+    "embedding_pca_project",
+)
+
+
 def all_queries(order: str = "record") -> dict[str, QueryFn]:
     packs = _PACKS_BENCH if order == "bench" else _PACKS_RECORD
     out: dict[str, QueryFn] = {}
     for p in packs:
         out.update(_PACK_MODULES[p].QUERIES)
+    if order == "record":
+        front = {n: out[n] for n in _RECORD_FRONT if n in out}
+        front.update(out)  # remaining queries keep their pack order
+        return front
     return out
 
 
