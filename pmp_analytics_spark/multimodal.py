@@ -12,11 +12,13 @@ Python stage), and deterministic byte-level features. Codecs are
 three-tier: pillow/ffmpeg when installed (any format); a REAL
 stdlib-only path for header+raster formats (uncompressed 24-bit BMP
 decode/resize/re-encode, PCM WAV decode — ``_bmp_decode``/
-``_bmp_resize``/``_wav_decode``, pure ``struct``) plus a real
-COMPRESSED format (8-bit RGB/RGBA PNG decode/encode via stdlib zlib +
-scanline unfiltering, ``_png_decode``/``_png_encode``); and an honest
-``NotImplementedError`` for compressed formats in codec-less
-environments. ``fake_frame_sample`` remains the deterministic
+``_bmp_resize``/``_wav_decode``, pure ``struct``) plus real
+COMPRESSED formats — 8-bit RGB/RGBA PNG via stdlib zlib + scanline
+unfiltering (``_png_decode``/``_png_encode``) and baseline-Huffman
+JPEG via the from-the-spec DCT/Huffman codec in ``jpeg.py``
+(``jpeg_decode``/``jpeg_encode``: 4:4:4/4:2:2/4:2:0, restart markers,
+file-supplied tables); and an honest ``NotImplementedError`` for the
+rest (progressive JPEG, MP3, ...) in codec-less environments. ``fake_frame_sample`` remains the deterministic
 video-frame stand-in (no stdlib video container parser is worth hand-
 rolling)."""
 
@@ -89,8 +91,10 @@ def attach_payload(docs: DataFrame, text_col: str = "text", id_col: str = "doc_i
 # (audio) are header+raster formats parseable with ``struct`` alone, so
 # decode/resize/re-encode runs for real in codec-less containers.
 # PNG adds a real compressed format on stdlib zlib (8-bit RGB/RGBA,
-# non-interlaced, all five scanline filters). JPEG/MP3/... still require
-# pillow/ffmpeg and raise honestly when absent.
+# non-interlaced, all five scanline filters), and baseline-Huffman JPEG
+# decodes/encodes via the from-the-spec codec in ``jpeg.py`` (the format
+# training corpora actually contain). Progressive JPEG / MP3 / ... still
+# require pillow/ffmpeg and raise honestly when absent.
 # ---------------------------------------------------------------------------
 
 
@@ -262,11 +266,11 @@ def _bmp_encode(width: int, height: int, rows: list[bytes]) -> bytes:
     return header + pixels
 
 
-def _bmp_resize(payload: bytes, max_side: int = 64) -> bytes:
-    """Nearest-neighbor thumbnail of an uncompressed BMP, re-encoded as
-    BMP — the full decode→resize→encode loop with zero third-party
-    dependencies (aspect-preserving, never upscales)."""
-    w, h, rows = _bmp_decode(payload)
+def _nn_resize(
+    w: int, h: int, rows: list[bytes], max_side: int
+) -> tuple[int, int, list[bytes]]:
+    """Nearest-neighbor downscale of top-down BGR rows (aspect-preserving,
+    never upscales) — the shared raster core of every stdlib thumbnail."""
     scale = min(1.0, max_side / max(w, h))
     ow, oh = max(1, int(w * scale)), max(1, int(h * scale))
     out_rows = []
@@ -275,7 +279,31 @@ def _bmp_resize(payload: bytes, max_side: int = 64) -> bytes:
         out_rows.append(
             b"".join(src[(ox * w // ow) * 3 : (ox * w // ow) * 3 + 3] for ox in range(ow))
         )
-    return _bmp_encode(ow, oh, out_rows)
+    return ow, oh, out_rows
+
+
+def _bmp_resize(payload: bytes, max_side: int = 64) -> bytes:
+    """Nearest-neighbor thumbnail of an uncompressed BMP, re-encoded as
+    BMP — the full decode→resize→encode loop with zero third-party
+    dependencies."""
+    w, h, rows = _bmp_decode(payload)
+    return _bmp_encode(*_nn_resize(w, h, rows, max_side))
+
+
+def _stdlib_resize(payload: bytes, max_side: int = 64) -> bytes:
+    """Format-preserving stdlib thumbnail: sniff BMP/PNG/JPEG by magic,
+    decode → nearest-neighbor resize → re-encode in the SAME format (a
+    thumbnail pipeline must not silently transcode its corpus).
+    ValueError for payloads no stdlib codec reads."""
+    from pmp_analytics_spark.jpeg import jpeg_decode, jpeg_encode
+
+    if payload[:2] == b"BM":
+        return _bmp_resize(payload, max_side)
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return _png_encode(*_nn_resize(*_png_decode(payload), max_side))
+    if payload[:2] == b"\xff\xd8":
+        return jpeg_encode(*_nn_resize(*jpeg_decode(payload), max_side))
+    raise ValueError("no stdlib codec for this image format")
 
 
 def _wav_decode(payload: bytes) -> dict:
@@ -359,15 +387,18 @@ def decode_image(payload: bytes) -> object:
         return Image.open(io.BytesIO(payload))
     except ImportError:
         pass
+    from pmp_analytics_spark.jpeg import jpeg_decode
+
     errs = []
-    for codec in (_bmp_decode, _png_decode):
+    for codec in (_bmp_decode, _png_decode, jpeg_decode):
         try:
             return codec(payload)
         except ValueError as e:
             errs.append(str(e))
     raise NotImplementedError(
-        "image decoding beyond uncompressed 24-bit BMP and 8-bit RGB/RGBA "
-        f"PNG requires pillow ({'; '.join(errs)})"
+        "image decoding beyond uncompressed 24-bit BMP, 8-bit RGB/RGBA "
+        "PNG, and baseline-Huffman JPEG requires pillow "
+        f"({'; '.join(errs)})"
     )
 
 
@@ -412,10 +443,10 @@ def resize_image(payload: bytes, width: int, height: int) -> bytes:
     except ImportError:
         pass
     try:
-        return _bmp_resize(payload, max(width, height))
+        return _stdlib_resize(payload, max(width, height))
     except ValueError as e:
         raise NotImplementedError(
-            f"non-BMP image resize requires pillow ({e})"
+            f"image resize beyond BMP/PNG/JPEG requires pillow ({e})"
         ) from e
 
 
@@ -440,9 +471,9 @@ def _resize_backend():
         return real
     except ImportError:
         def stdlib_or_fake(payload: bytes, cap: int) -> bytes:
-            if payload[:2] == b"BM":
+            if payload[:2] in (b"BM", b"\x89P", b"\xff\xd8"):
                 try:
-                    return _bmp_resize(payload, 64)
+                    return _stdlib_resize(payload, 64)
                 except ValueError:
                     pass
             return payload[:cap]

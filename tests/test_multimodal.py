@@ -345,3 +345,121 @@ def test_audio_chunk_features_hand_computed(spark):
     # LENGTH(text) > 0 filter)
     assert not any(doc == 7 for doc, _ in got)
     assert AUDIO_CENTER == 96
+
+
+def _make_jpeg(width, height, seed=0, **kwargs):
+    """Deterministic smooth-gradient JPEG via the stdlib encoder."""
+    from pmp_analytics_spark.jpeg import jpeg_encode
+
+    rows = [
+        bytes(
+            ((x * 3 + y * 2 + seed) % 256, (x + y * 4 + 2 * seed) % 256, (x * 5 + seed) % 256)[c]
+            for x in range(width)
+            for c in range(3)
+        )
+        for y in range(height)
+    ]
+    return jpeg_encode(width, height, rows, **kwargs), rows
+
+
+def test_jpeg_roundtrip_444_420_restarts():
+    """Encode→decode round-trips within JPEG's lossy tolerance across
+    the decoder's three hard paths: 4:4:4, 4:2:0 interleaved MCUs with
+    chroma upsampling, and restart-marker resync (fresh DC predictors
+    per segment)."""
+    from pmp_analytics_spark.jpeg import jpeg_decode
+
+    for kwargs, tol in [
+        ({}, 8),
+        ({"subsample": True}, 16),
+        ({"restart_interval": 2}, 8),
+        ({"subsample": True, "restart_interval": 1}, 16),
+    ]:
+        payload, rows = _make_jpeg(37, 23, seed=3, **kwargs)
+        w, h, back = jpeg_decode(payload)
+        assert (w, h) == (37, 23)
+        maxerr = max(
+            abs(a - b) for ra, rb in zip(rows, back) for a, b in zip(ra, rb)
+        )
+        assert maxerr <= tol, (kwargs, maxerr)
+
+
+def test_jpeg_solid_color_near_exact_and_odd_sizes():
+    """A solid block has only DC energy — quantization must not move it
+    by more than rounding; non-multiple-of-8 dims crop correctly."""
+    from pmp_analytics_spark.jpeg import jpeg_decode, jpeg_encode
+
+    for w, h in [(16, 16), (9, 7), (1, 1), (17, 8)]:
+        rows = [bytes([90, 160, 220] * w) for _ in range(h)]
+        w2, h2, back = jpeg_decode(jpeg_encode(w, h, rows, quality=90))
+        assert (w2, h2) == (w, h)
+        maxerr = max(
+            abs(a - b) for ra, rb in zip(rows, back) for a, b in zip(ra, rb)
+        )
+        assert maxerr <= 2, (w, h, maxerr)
+
+
+def test_jpeg_rejects_unsupported_honestly():
+    """Progressive SOF2, non-JPEG, and truncated payloads raise
+    ValueError (normalized by decode_image to the honest
+    NotImplementedError when no codec matches)."""
+    import pytest
+
+    from pmp_analytics_spark.jpeg import jpeg_decode
+
+    payload, _ = _make_jpeg(16, 16)
+    # Rewrite the SOF0 marker to SOF2 (progressive).
+    prog = payload.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with pytest.raises(ValueError, match="progressive|baseline"):
+        jpeg_decode(prog)
+    with pytest.raises(ValueError, match="not a JPEG"):
+        jpeg_decode(b"\x00\x01\x02\x03")
+    with pytest.raises(ValueError):
+        jpeg_decode(payload[: len(payload) // 2])
+
+
+def test_jpeg_decode_image_chain_and_format_preserving_resize():
+    """decode_image reaches the JPEG codec after BMP/PNG decline, and
+    _stdlib_resize thumbnails a JPEG back into a JPEG."""
+    from pmp_analytics_spark.jpeg import jpeg_decode
+    from pmp_analytics_spark.multimodal import _stdlib_resize, decode_image
+
+    payload, _ = _make_jpeg(100, 80, seed=5)
+    w, h, _rows = decode_image(payload)
+    assert (w, h) == (100, 80)
+    thumb = _stdlib_resize(payload, 64)
+    assert thumb[:2] == b"\xff\xd8"  # still a JPEG
+    tw, th, _ = jpeg_decode(thumb)
+    assert (tw, th) == (64, 51)
+
+
+def test_thumbnails_use_real_jpeg_decode_in_spark(spark):
+    """docs_payload_thumbnails machinery (resize_thumbnails) over real
+    JPEG payloads: the mapInPandas batch takes the stdlib JPEG
+    decode→resize→re-encode branch — thumb md5 equals the local
+    _stdlib_resize output and the thumb decodes as a JPEG at the
+    downscaled dimensions (the round-5 BMP/PNG precedent, on the format
+    training corpora actually contain)."""
+    import hashlib as _hl
+
+    from pmp_analytics_spark.jpeg import jpeg_decode
+    from pmp_analytics_spark.multimodal import _stdlib_resize, resize_thumbnails
+
+    payloads = {
+        1: _make_jpeg(100, 80, seed=1)[0],
+        2: _make_jpeg(30, 64, seed=2, subsample=True)[0],
+    }
+    df = spark.createDataFrame(
+        [
+            (i, p, ("image/jpeg", 100 if i == 1 else 30, 80 if i == 1 else 64, len(p)))
+            for i, p in payloads.items()
+        ],
+        "doc_id long, payload binary, meta struct<content_type:string,width:int,height:int,n_bytes:bigint>",
+    )
+    rows = {r["doc_id"]: r for r in resize_thumbnails(df).collect()}
+    for i, p in payloads.items():
+        expect = _stdlib_resize(p, 64)
+        assert rows[i]["thumb_md5"] == _hl.md5(expect).hexdigest()
+        assert rows[i]["thumb_bytes"] == len(expect)
+    w, h, _ = jpeg_decode(_stdlib_resize(payloads[1], 64))
+    assert (w, h) == (64, 51)

@@ -142,3 +142,35 @@ def test_wav_roundtrip_property(n, bits, channels, seed):
     samples = [rng.randint(lo, hi) for _ in range(n * channels)]
     got = _wav_decode(_wav_encode(samples, channels=channels, bits=bits))
     assert got["samples"] == samples and got["bits"] == bits
+
+
+@given(
+    w=st.integers(min_value=1, max_value=20),
+    h=st.integers(min_value=1, max_value=20),
+    seed=st.integers(min_value=0, max_value=2**31),
+    subsample=st.booleans(),
+    restart=st.integers(min_value=0, max_value=3),
+)
+@settings(max_examples=40, deadline=None)
+def test_jpeg_roundtrip_property(w, h, seed, subsample, restart):
+    """JPEG is lossy, so the property is: geometry round-trips exactly,
+    decode is deterministic, and a SOLID image (DC-only energy) survives
+    quantization to within rounding — for every (dims, subsampling,
+    restart-interval) combination, not just the hand-picked unit cases."""
+    import random
+
+    from pmp_analytics_spark.jpeg import jpeg_decode, jpeg_encode
+
+    rng = random.Random(seed)
+    solid = bytes([rng.randrange(256) for _ in range(3)])
+    rows = [solid * w for _ in range(h)]
+    payload = jpeg_encode(
+        w, h, rows, quality=92, subsample=subsample, restart_interval=restart
+    )
+    w2, h2, back = jpeg_decode(payload)
+    assert (w2, h2) == (w, h)
+    assert jpeg_decode(payload) == (w2, h2, back)  # deterministic
+    maxerr = max(
+        abs(a - b) for ra, rb in zip(rows, back) for a, b in zip(ra, rb)
+    )
+    assert maxerr <= 3, maxerr

@@ -1,0 +1,270 @@
+"""Scale soak: measure how the heavy dedup/ANN/DSIR queries scale.
+
+The 100 TB posture of the heavy family (docs_neardup_pairs,
+docs_jaccard_exact_pairs, docs_containment_pairs, docs_incremental_neardup,
+docs_dsir_sample, embedding_pq_topk) has so far rested on plan shape at
+sf0.1. This tool converts those design claims into measured scaling slopes:
+
+    python tools/scale_soak.py gen 3           # build /tmp/.../sfx3
+    python tools/scale_soak.py gen 10          # build /tmp/.../sfx10
+    python tools/scale_soak.py run 1 3 10      # measure; writes SOAK.json
+
+For each scale it records, per query: wall seconds, shuffle write/read
+bytes, input bytes, and output rows — the shuffle volume is the number
+that matters at cluster scale (PERFORMANCE.md note 12): wall-clock on one
+32-thread host hides the network cost that dominates at 1000 executors,
+but shuffle bytes scale the same way there.
+
+## How the scaled corpora are built (gen)
+
+Replication with a per-replica BIJECTIVE token relabeling, derived only
+from sf0.1 inputs (deterministic — no RNG):
+
+- documents: replica ``r`` maps ~35% of the token VOCABULARY (chosen by
+  ``crc32(token || r) % 100``) to fresh tokens ``tok·r``. A vocabulary
+  bijection preserves every within-replica shingle set relation EXACTLY
+  — the implanted near-dup families replicate, so true pair count scales
+  linearly — while cross-replica 5-shingle Jaccard collapses to
+  ~0.65^5 ≈ 0.12 raw (≈0.06 as a Jaccard), far under every declared
+  threshold (PPJoin 0.5, MinHash 0.6, containment 0.9). No quadratic
+  cross-replica pair inflation: the scaled problem is honestly linear,
+  like ingesting k independent crawl snapshots with drifting vocab.
+- embeddings: replica vectors get deterministic per-(vec_id, rep, dim)
+  noise at 3x the vector's own scale — cosine to the source vector
+  ~0.3, below the semantic threshold (0.4), so replicas are new points,
+  not echoes. vec_ids offset by rep * (max_id + 1); replica 0 verbatim,
+  keeping the PQ/IVF query vectors identical across scales.
+- every other table is symlinked from sf0.1 (the heavy family never
+  reads them; the symlink keeps load_table working).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+import urllib.request
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+BASE = "/root/testdata/sf0.1"
+OUT_ROOT = "/tmp/sparkgraft_scale"
+HEAVY = [
+    "docs_neardup_pairs",
+    "docs_jaccard_exact_pairs",
+    "docs_containment_pairs",
+    "docs_incremental_neardup",
+    "docs_dsir_sample",
+    "embedding_pq_topk",
+]
+
+
+def _get_spark():
+    from pmp_analytics_spark.session import get_spark
+
+    # The status REST API is the shuffle-metrics source; the engine
+    # default disables the UI, so re-enable it for the soak process only.
+    return get_spark(
+        "scale-soak",
+        extra_conf={"spark.ui.enabled": "true", "spark.ui.port": "4049"},
+    )
+
+
+def gen(k: int) -> str:
+    """Materialize the x``k`` corpus under OUT_ROOT/sfx{k}."""
+    from pyspark.sql import functions as F
+
+    spark = _get_spark()
+    out = f"{OUT_ROOT}/sfx{k}"
+    os.makedirs(out, exist_ok=True)
+
+    docs = spark.read.parquet(f"{BASE}/documents.parquet")
+    n = docs.agg(F.max("doc_id")).first()[0] + 1
+    reps = spark.range(k).select(F.col("id").cast("int").alias("rep"))
+    # Vocabulary bijection: keyed on (token, rep) ONLY — every occurrence
+    # of a token maps the same way corpus-wide, so within-replica set
+    # relations are exactly preserved.
+    perturbed = F.array_join(
+        F.transform(
+            F.split(F.col("text"), " "),
+            lambda t: F.when(
+                F.crc32(F.concat(t, F.lit("|"), F.col("rep").cast("string")))
+                % 100
+                < 35,
+                F.concat(t, F.lit("·"), F.col("rep").cast("string")),
+            ).otherwise(t),
+        ),
+        " ",
+    )
+    (
+        docs.crossJoin(reps)
+        .select(
+            (F.col("doc_id") + F.col("rep").cast("bigint") * n).alias("doc_id"),
+            F.when(F.col("rep") == 0, F.col("text"))
+            .otherwise(perturbed)
+            .alias("text"),
+            "lang",
+            "source",
+        )
+        .withColumn("n_chars", F.length("text"))
+        .repartition(max(4, 4 * k))
+        .write.mode("overwrite")
+        .parquet(f"{out}/documents.parquet")
+    )
+
+    emb = spark.read.parquet(f"{BASE}/embeddings.parquet")
+    m = emb.agg(F.max("vec_id")).first()[0] + 1
+    noisy = F.transform(
+        F.col("embedding"),
+        lambda v, i: v
+        + (
+            (
+                F.crc32(
+                    F.concat_ws(
+                        "|",
+                        F.col("vec_id").cast("string"),
+                        F.col("rep").cast("string"),
+                        i.cast("string"),
+                    )
+                )
+                % 2000
+            ).cast("float")
+            / F.lit(1000.0)
+            - F.lit(1.0)
+        )
+        * F.lit(3.0)
+        * F.abs(v),
+    )
+    (
+        emb.crossJoin(reps)
+        .select(
+            (F.col("vec_id") + F.col("rep").cast("bigint") * m).alias("vec_id"),
+            F.when(F.col("rep") == 0, F.col("embedding"))
+            .otherwise(noisy.cast("array<float>"))
+            .alias("embedding"),
+            "label",
+        )
+        .repartition(max(4, 2 * k))
+        .write.mode("overwrite")
+        .parquet(f"{out}/embeddings.parquet")
+    )
+
+    for t in os.listdir(BASE):
+        dst = os.path.join(out, t)
+        if not os.path.exists(dst):
+            os.symlink(os.path.join(BASE, t), dst)
+    print(f"generated {out}")
+    return out
+
+
+def _stages(ui: str, app: str) -> dict[int, dict]:
+    with urllib.request.urlopen(
+        f"{ui}/api/v1/applications/{app}/stages?status=complete", timeout=30
+    ) as r:
+        return {s["stageId"]: s for s in json.load(r)}
+
+
+def _soak_queries():
+    """The measured callables. The two exact set-similarity queries are
+    DECLARED over a bounded slice (doc_id < 1000 — the synthetic token
+    universe degenerates exact set joins, queries/llm.py); replica ids
+    are offset by 5000, so the declared slice would stay CONSTANT across
+    scales. The soak instead slices ``doc_id % 5000 < 1000`` — 1000 docs
+    per replica, the same slice at x1 and linear growth after — so the
+    slope measures the operator, not the cap."""
+    from pyspark.sql import functions as F
+
+    from pmp_analytics_spark.operators.dedup import (
+        containment_prefix_join,
+        jaccard_prefix_join,
+    )
+    from pmp_analytics_spark.queries import all_queries
+    from pmp_analytics_spark.sources.reader import load_table
+
+    qs = all_queries()
+
+    def sliced(sp, sf_dir):
+        return load_table(sp, sf_dir, "documents").where(
+            F.col("doc_id") % 5000 < 1000
+        )
+
+    out = {n: qs[n] for n in HEAVY}
+    out["docs_jaccard_exact_pairs"] = lambda sp, d: jaccard_prefix_join(
+        sliced(sp, d), text_col="text", id_col="doc_id", shingle_k=5, threshold=0.5
+    )
+    out["docs_containment_pairs"] = lambda sp, d: containment_prefix_join(
+        sliced(sp, d), text_col="text", id_col="doc_id", shingle_k=5, threshold=0.9
+    )
+    return out
+
+
+def run_one(k: int) -> None:
+    """Measure ONE scale in a fresh process (equal JVM-cold bias per
+    scale; per-sf-dir memoized stores cold everywhere), after a generic
+    unmeasured warmup that exercises codegen / Arrow / Python workers."""
+    from pyspark.sql import functions as F
+
+    spark = _get_spark()
+    ui = spark.sparkContext.uiWebUrl
+    app = spark.sparkContext.applicationId
+    sf_dir = BASE if k == 1 else f"{OUT_ROOT}/sfx{k}"
+    if not os.path.isdir(sf_dir):
+        raise SystemExit(f"missing {sf_dir}; run `gen {k}` first")
+
+    # Warmup: touch the scan + shuffle + HOF + mapInPandas machinery on
+    # NON-soak work so first-measured-query numbers aren't JVM startup.
+    warm = (
+        spark.read.parquet(f"{BASE}/documents.parquet")
+        .select(F.explode(F.split("text", " ")).alias("t"))
+        .groupBy("t")
+        .count()
+    )
+    warm.write.format("noop").mode("overwrite").save()
+    spark.range(10_000).selectExpr("avg(id)").mapInPandas(
+        lambda it: it, "`avg(id)` double"
+    ).write.format("noop").mode("overwrite").save()
+
+    results: dict[str, dict] = {}
+    for name, fn in _soak_queries().items():
+        before = set(_stages(ui, app))
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        wall = time.perf_counter() - t0
+        new = [s for i, s in _stages(ui, app).items() if i not in before]
+        results[f"{name}@x{k}"] = {
+            "wall_s": round(wall, 2),
+            "shuffle_write_mb": round(
+                sum(s["shuffleWriteBytes"] for s in new) / 2**20, 2
+            ),
+            "shuffle_read_mb": round(
+                sum(s["shuffleReadBytes"] for s in new) / 2**20, 2
+            ),
+            "input_mb": round(sum(s["inputBytes"] for s in new) / 2**20, 2),
+            "output_rows": sum(s.get("outputRows", 0) for s in new),
+            "stages": len(new),
+        }
+        print(name, k, results[f"{name}@x{k}"], flush=True)
+
+    path = os.path.join(os.path.dirname(__file__), "..", "SOAK.json")
+    merged = {"results": {}}
+    if os.path.exists(path):
+        with open(path) as f:
+            merged = json.load(f)
+    merged.setdefault("results", {}).update(results)
+    merged.setdefault("scales", [])
+    if k not in merged["scales"]:
+        merged["scales"] = sorted(merged["scales"] + [k])
+    with open(path, "w") as f:
+        json.dump(merged, f, indent=1)
+    print(f"merged x{k} into SOAK.json")
+
+
+if __name__ == "__main__":
+    cmd = sys.argv[1]
+    if cmd == "gen":
+        gen(int(sys.argv[2]))
+    elif cmd == "run":
+        run_one(int(sys.argv[2]))
+    else:
+        raise SystemExit("usage: scale_soak.py gen K | run K")
