@@ -688,23 +688,50 @@ def _candidate_pair_sets(cand: DataFrame, toks: DataFrame, id_col: str) -> DataF
     )
 
 
+_PREFIX_Q = 4
+"""q-extension of the prefix filters: prefixes carry q−1 extra tokens
+and a candidate must collide on ≥ q of them (capped per pair at the
+minimum required overlap, so tiny sets still use q = 1).
+
+Lossless (the multi-prefix generalization of the AllPairs argument —
+Xiao et al.'s PPJoin era): list the common tokens of a qualifying pair
+in the global ascending-df order as c₁ < … < c_o. For i ≤ q, at least
+o − i common tokens follow c_i inside X, so c_i sits at rank
+≤ |X| − (o − i) ≤ |X| − ⌈t·|X|⌉ + q — inside the q-extended prefix of
+BOTH sides. Hence every true pair collides on at least min(q, o)
+extended-prefix tokens, and pairs with fewer collisions are safely
+dropped BEFORE the verify ever materializes their sets.
+
+Why it earns its +q−1 rows/doc of join input: boilerplate-grade shared
+shingles produce pair collisions quadratic in their posting length, and
+the size/positional filters cannot see how FEW tokens such a pair
+actually shares. The round-6 sf-x10 scale soak measured the containment
+join's candidate set growing ~2× super-linear purely from cross-snapshot
+common-shingle pairs sharing 1-3 tokens; the count filter kills exactly
+that class. The count runs on the same pair-keyed shuffle the old
+``distinct`` already paid (map-side combine either way)."""
+
+
 def jaccard_prefix_candidates(
     toks: DataFrame,
     id_col: str,
     threshold: float,
     positional: bool = True,
+    q: int = _PREFIX_Q,
 ) -> DataFrame:
     """Candidate (id_a, id_b) pairs for the exact Jaccard join, from a
-    distinct (id, __h) token stream: ascending-df prefix self-join with
-    the lossless size filter and (by default) PPJoin's positional
-    filter. Public so candidate-volume telemetry can A/B the filters —
-    see ``jaccard_prefix_join`` for the full semantics and citations.
+    distinct (id, __h) token stream: ascending-df q-extended prefix
+    self-join with the lossless size filter, (by default) PPJoin's
+    positional filter, and the ≥ q collision-count filter (see
+    ``_PREFIX_Q``). Public so candidate-volume telemetry can A/B the
+    filters — see ``jaccard_prefix_join`` for semantics and citations.
     """
+    q_doc = F.least(F.lit(q), F.ceil(F.lit(threshold) * F.col("__n")))
     pref = (
         _ranked_tokens(toks, id_col)
         .where(
             F.col("__rn")
-            <= F.col("__n") - F.ceil(F.lit(threshold) * F.col("__n")) + 1
+            <= F.col("__n") - F.ceil(F.lit(threshold) * F.col("__n")) + q_doc
         )
         .select(F.col(id_col), F.col("__h").alias("__tok"), "__n", "__rn")
         # cached: BOTH sides of the prefix self-join consume this frame;
@@ -738,7 +765,10 @@ def jaccard_prefix_candidates(
         # t·(|A|+|B|)/(1+t). Lossless via the first-shared-token
         # argument (see jaccard_prefix_join docstring); the 1e-6 slack
         # keeps float representation error from dropping an
-        # exact-boundary integer overlap (a hair loose ≠ lossy).
+        # exact-boundary integer overlap (a hair loose ≠ lossy). A
+        # boundary pair's LATER common tokens may fail this bound, so it
+        # is aggregated as any-row-passes below, never conjoined with
+        # the count requirement per row.
         ubound = F.lit(1) + F.least(
             F.col("__na") - F.col("__ra"), F.col("__nb") - F.col("__rb")
         )
@@ -747,8 +777,34 @@ def jaccard_prefix_candidates(
             * (F.col("__na") + F.col("__nb"))
             - F.lit(1e-6)
         )
-        keep = keep & (ubound >= alpha)
-    return joined.where(keep).select("id_a", "id_b").distinct()
+        pos_ok = ubound >= alpha
+        # Weakened per-row form (see containment_prefix_join): the i-th
+        # common token (i ≤ q) keeps bound ≥ alpha − (q−1), so this
+        # row-level prune can run BEFORE the pair-count shuffle without
+        # starving the count — only rows no witness set ever needs die.
+        keep = keep & (ubound >= alpha - F.lit(_PREFIX_Q - 1))
+    else:
+        pos_ok = F.lit(True)
+    # Pair-level aggregation replaces the old distinct (same pair-keyed
+    # shuffle, map-side combined): count extended-prefix collisions and
+    # keep pairs with ≥ min(q, required-overlap) of them AND at least
+    # one positional pass. q_pair caps at both sides' minimum overlap
+    # requirement so the filter never demands more commons than t does.
+    q_pair = F.least(
+        F.lit(q),
+        F.ceil(F.lit(threshold) * F.col("__min_n")),
+    )
+    return (
+        joined.where(keep)
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.count(F.lit(1)).alias("__cnt"),
+            F.max(pos_ok.cast("int")).alias("__pos"),
+            F.min(F.least("__na", "__nb")).alias("__min_n"),
+        )
+        .where((F.col("__cnt") >= q_pair) & (F.col("__pos") == 1))
+        .select("id_a", "id_b")
+    )
 
 
 def jaccard_prefix_join(
@@ -856,8 +912,10 @@ def containment_prefix_join(
     # query; the Jaccard path applies the same cache to its prefix
     # frame inside jaccard_prefix_candidates)
     ranked = _ranked_tokens(toks, id_col).cache()
+    q_doc = F.least(F.lit(_PREFIX_Q), F.ceil(F.lit(threshold) * F.col("__n")))
     pref_a = ranked.where(
-        F.col("__rn") <= F.col("__n") - F.ceil(F.lit(threshold) * F.col("__n")) + 1
+        F.col("__rn")
+        <= F.col("__n") - F.ceil(F.lit(threshold) * F.col("__n")) + q_doc
     ).select(
         F.col(id_col).alias("id_a"),
         F.col("__h").alias("__tok"),
@@ -874,25 +932,55 @@ def containment_prefix_join(
     # collision at ranks (ra, rb), overlap <= 1 + min(|A|-ra, |B|-rb);
     # both sides share ONE global token order, so every other shared
     # token follows the first shared token in both docs — keeping pairs
-    # where any collision meets ceil(t·|A|) is lossless, and the bound
-    # is pure integer math (no float slack needed).
+    # where ANY collision meets ceil(t·|A|) is lossless, and the bound
+    # is pure integer math (no float slack needed). Aggregated as
+    # any-row-passes (a boundary pair's later common tokens may fail).
     need = F.ceil(F.lit(threshold) * F.col("__na"))
+    pos_ok = (
+        F.lit(1)
+        + F.least(F.col("__na") - F.col("__ra"), F.col("__nb") - F.col("__rb"))
+        >= need
+    )
+    # q-extended prefix + collision-count filter (see _PREFIX_Q): the
+    # first min(q, ⌈t·|A|⌉) common tokens provably land in A's extended
+    # prefix, and B indexes everything — so a true pair collides ≥ that
+    # many times, and the common-boilerplate pairs sharing 1-3 shingles
+    # (the sf-x10 soak's quadratic class) die without a verify.
+    # Weakened per-row positional prune: for a true pair the i-th common
+    # token (i ≤ q) still has ≥ need − i + 1 commons after it, so ALL q
+    # witness rows satisfy bound ≥ need − (q−1) — rows failing even that
+    # can be dropped BEFORE the pair-count shuffle without ever starving
+    # the count. (The full-strength bound stays as the any-row flag.)
+    weak_pos = (
+        F.lit(1)
+        + F.least(F.col("__na") - F.col("__ra"), F.col("__nb") - F.col("__rb"))
+        >= need - F.lit(_PREFIX_Q - 1)
+    )
     cand = (
         pref_a.join(index_b, on="__tok")
         .where(
             (F.col("id_a") != F.col("id_b"))
             # one-sided lossless size prune: |B| >= ceil(t·|A|)
             & (F.col("__nb") >= need)
-            & (
-                F.lit(1)
-                + F.least(
-                    F.col("__na") - F.col("__ra"), F.col("__nb") - F.col("__rb")
+            & weak_pos
+        )
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.count(F.lit(1)).alias("__cnt"),
+            F.max(pos_ok.cast("int")).alias("__pos"),
+            F.min("__na").alias("__na"),
+        )
+        .where(
+            (
+                F.col("__cnt")
+                >= F.least(
+                    F.lit(_PREFIX_Q),
+                    F.ceil(F.lit(threshold) * F.col("__na")),
                 )
-                >= need
             )
+            & (F.col("__pos") == 1)
         )
         .select("id_a", "id_b")
-        .distinct()
         .cache()  # two consumers: id semi-join + pair join
     )
     return (

@@ -19,9 +19,28 @@ Scale shape of ``bm25_topk``:
   term (the posting-list join), aggregates per (query, doc), and
   top-k cuts with the same two-window pre-cut the ANN operators use
   (partition-local cut first, so no per-query single-reducer hotspot).
-  The principled next step at extreme scale is an impact-ordered index
-  with WAND-style early termination — out of scope here, noted for the
-  record.
+
+``bm25_topk_wand`` is the impact-ordered successor for extreme scale:
+per-term score upper bounds (the max-score/WAND family — Broder et al.
+2003, Turtle & Flood's max-score) turn top-k into a two-pass prune:
+
+1. a PROBE pass fully scores only the docs matching each query's
+   ``m_probe`` highest-impact terms — its k-th best score is a valid
+   lower bound θ on the final k-th best (probe docs ⊆ final candidates);
+2. terms are impact-ordered per query; a maximal low-impact suffix whose
+   upper bounds sum below θ is NON-ESSENTIAL — any doc matching only
+   non-essential terms is bounded by that sum and cannot enter the
+   top-k, so the scoring aggregation runs only over docs matching an
+   essential term.
+
+Output is bit-identical to ``bm25_topk`` (pruning uses a 1e-6 margin
+under θ so the 6-decimal rounding of the final score cannot resurrect a
+pruned doc into a tie). In this batch formulation the win is that the
+per-(query, doc) scoring aggregation and its shuffle see only surviving
+postings; on a term-partitioned impact-ordered index the same essential-
+term set prunes the SCAN too (partition pruning on term), which is the
+100 TB deployment shape. ``wand_posting_counts`` measures the pruning
+rate.
 """
 
 from __future__ import annotations
@@ -50,6 +69,24 @@ def bm25_topk(
     ordered by rounded score desc with id tie-break. ``exclude_self``
     drops the query_id == doc id row (self-retrieval) before ranking.
     """
+    *_, postings = _bm25_base(
+        doc_tokens, query_terms, k1, b, id_col, token_col, query_id
+    )
+    scored = postings.groupBy(query_id, id_col).agg(
+        F.round(F.sum("contrib"), 6).alias("bm25")
+    )
+    if exclude_self:
+        scored = scored.where(F.col(query_id) != F.col(id_col))
+    # Two-window top-k: partition-local pre-cut, then the bounded global
+    # window (same exactness argument as similarity_search.brute_force).
+    return _topk_cut(scored, k, query_id, id_col)
+
+
+def _bm25_base(doc_tokens, query_terms, k1, b, id_col, token_col, query_id):
+    """Shared BM25 machinery: (tf, dl, corpus, broadcast terms, df_t,
+    postings-with-contrib). ``contrib`` is the per-posting score term —
+    both the plain and the WAND ranker aggregate exactly this column, so
+    the two cannot drift."""
     tf = doc_tokens.groupBy(id_col, token_col).agg(
         F.count(F.lit(1)).alias("tf")
     )
@@ -57,34 +94,30 @@ def bm25_topk(
     corpus = dl.agg(
         F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
     )
-
     terms = F.broadcast(query_terms.select(query_id, token_col).distinct())
-    # df only over the query-term universe — never the whole vocabulary
     df_t = (
         tf.join(terms.select(token_col).distinct(), token_col, "left_semi")
         .groupBy(token_col)
         .agg(F.count(F.lit(1)).alias("df"))
     )
-
-    postings = (
-        tf.join(terms, token_col)  # the posting-list join, term-keyed
-        .join(F.broadcast(df_t), token_col)
-        .join(dl, id_col)
-        .crossJoin(F.broadcast(corpus))
-    )
     idf = F.log(
         (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
     )
     denom = F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
-    contrib = idf * F.col("tf") * (k1 + 1.0) / denom
-    scored = postings.groupBy(query_id, id_col).agg(
-        F.round(F.sum(contrib), 6).alias("bm25")
+    contrib = (idf * F.col("tf") * (k1 + 1.0) / denom).alias("contrib")
+    postings = (
+        tf.join(terms, token_col)
+        .join(F.broadcast(df_t), token_col)
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(corpus))
+        .select(query_id, id_col, token_col, contrib)
     )
-    if exclude_self:
-        scored = scored.where(F.col(query_id) != F.col(id_col))
+    return tf, dl, corpus, terms, df_t, postings
 
-    # Two-window top-k: partition-local pre-cut, then the bounded global
-    # window (same exactness argument as similarity_search.brute_force).
+
+def _topk_cut(scored, k, query_id, id_col):
+    """Two-window top-k (partition-local pre-cut, then the bounded global
+    window) on the rounded score — shared by both rankers."""
     pre = Window.partitionBy(F.spark_partition_id(), query_id).orderBy(
         F.desc("bm25"), F.asc(id_col)
     )
@@ -96,6 +129,151 @@ def bm25_topk(
         .withColumn("rank", F.row_number().over(final))
         .where(F.col("rank") <= k)
     )
+
+
+def bm25_topk_wand(
+    doc_tokens: DataFrame,
+    query_terms: DataFrame,
+    k: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    token_col: str = "token",
+    query_id: str = "query_id",
+    exclude_self: bool = True,
+    m_probe: int = 2,
+) -> DataFrame:
+    """``bm25_topk`` with max-score/WAND-style candidate pruning —
+    identical output (same schema, same scores, same tie-breaks), but
+    the scoring aggregation touches only docs that can still make the
+    top-k. See the module docstring for the two-pass scheme; the probe
+    pass and final pass both aggregate ``_bm25_base``'s contrib column,
+    so correctness does not depend on re-deriving the formula."""
+    postings, cand = _wand_candidates(
+        doc_tokens, query_terms, k, k1, b, id_col, token_col, query_id,
+        exclude_self, m_probe,
+    )
+    scored = (
+        postings.join(cand, [query_id, id_col], "left_semi")
+        .groupBy(query_id, id_col)
+        .agg(F.round(F.sum("contrib"), 6).alias("bm25"))
+    )
+    if exclude_self:
+        scored = scored.where(F.col(query_id) != F.col(id_col))
+    return _topk_cut(scored, k, query_id, id_col)
+
+
+def _wand_candidates(
+    doc_tokens, query_terms, k, k1, b, id_col, token_col, query_id,
+    exclude_self, m_probe,
+):
+    """(postings-with-contrib, surviving candidate (query, doc) set) —
+    the shared core of ``bm25_topk_wand`` and the pruning measurement."""
+    tf, dl, corpus, terms, df_t, postings = _bm25_base(
+        doc_tokens, query_terms, k1, b, id_col, token_col, query_id
+    )
+    # Per-term score upper bound over the corpus (query-term universe
+    # only): max contrib any single posting of the term can add.
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    denom = F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+    ub_t = (
+        tf.join(df_t.hint("broadcast"), token_col)
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(corpus))
+        .groupBy(token_col)
+        .agg(F.max(idf * F.col("tf") * (k1 + 1.0) / denom).alias("ub"))
+    )
+    # Impact-order each query's terms; suffix_from(i) = Σ ub from term i
+    # to the end — the best score a doc whose highest-impact match is
+    # term i could possibly reach.
+    wq = Window.partitionBy(query_id).orderBy(F.desc("ub"), F.asc(token_col))
+    qt = (
+        terms.join(F.broadcast(ub_t), token_col)
+        .withColumn("pos", F.row_number().over(wq))
+        .withColumn(
+            "cum",
+            F.sum("ub").over(wq.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .withColumn(
+            "total",
+            F.sum("ub").over(
+                Window.partitionBy(query_id).rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            ),
+        )
+        .withColumn("suffix_from", F.col("total") - F.col("cum") + F.col("ub"))
+    )
+
+    def _cands(term_set: DataFrame) -> DataFrame:
+        c = tf.join(
+            term_set.select(query_id, token_col).hint("broadcast"), token_col
+        ).select(query_id, id_col)
+        if exclude_self:
+            c = c.where(F.col(query_id) != F.col(id_col))
+        return c.distinct()
+
+    # Probe pass: full scores for docs matching the m highest-impact
+    # terms; the k-th best is θ (a subset's k-th best never exceeds the
+    # final set's, so θ is a valid pruning floor).
+    cand_probe = _cands(qt.where(F.col("pos") <= m_probe))
+    scored_probe = postings.join(
+        cand_probe, [query_id, id_col], "left_semi"
+    ).groupBy(query_id, id_col).agg(F.sum("contrib").alias("s"))
+    wkth = Window.partitionBy(query_id).orderBy(F.desc("s"), F.asc(id_col))
+    theta = (
+        scored_probe.withColumn("__r", F.row_number().over(wkth))
+        .where(F.col("__r") == k)
+        .select(query_id, F.col("s").alias("theta"))
+    )
+
+    # Essential terms: everything outside the maximal low-impact suffix
+    # that sums (strictly, with a 1e-6 rounding margin) below θ. Queries
+    # with fewer than k probe docs have no θ row → every term essential.
+    essential = (
+        qt.join(theta.hint("broadcast"), query_id, "left")
+        .where(
+            F.col("theta").isNull()
+            | (F.col("suffix_from") >= F.col("theta") - F.lit(1e-6))
+        )
+        .select(query_id, token_col)
+    )
+    return postings, _cands(essential)
+
+
+def wand_posting_counts(
+    doc_tokens: DataFrame,
+    query_terms: DataFrame,
+    k: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    token_col: str = "token",
+    query_id: str = "query_id",
+    m_probe: int = 2,
+) -> dict:
+    """Pruning-rate measurement: posting rows the plain ranker's scoring
+    aggregation processes (Σ over (query, term) of df) vs the rows the
+    WAND prune lets through to its aggregation (the surviving candidate
+    set's postings — the same set ``bm25_topk_wand`` scores). The full
+    count is an aggregate over the tiny df table, so no corpus scan is
+    spent measuring the savings."""
+    tf, dl, corpus, terms, df_t, _ = _bm25_base(
+        doc_tokens, query_terms, k1, b, id_col, token_col, query_id
+    )
+    full = (
+        terms.join(F.broadcast(df_t), token_col).agg(F.sum("df")).first()[0]
+    )
+    postings, cand = _wand_candidates(
+        doc_tokens, query_terms, k, k1, b, id_col, token_col, query_id,
+        True, m_probe,
+    )
+    survived = postings.join(
+        cand, [query_id, id_col], "left_semi"
+    ).count()
+    return {"full_postings": int(full), "surviving_postings": int(survived)}
 
 
 def rrf_fuse(

@@ -559,6 +559,87 @@ def streaming_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Q: streaming_quarantine — dead-letter routing AT the ingest door
+# (streaming/ingest.py::quarantine_ingest_stream): every micro-batch is
+# split by quality.quarantine before landing — clean rows into the
+# corpus sink, failing rows into the dead-letter sink with their
+# ``reasons`` array — so the corpus only ever contains admitted rows
+# (validate at the door, not after landing). The split is one map-side
+# projection per batch (stateless, row-local), hence deterministic under
+# ANY micro-batch slicing and oracle-checked by the full batch-replay
+# SQL. Both sinks are per-batch-id idempotent (dynamic partition
+# overwrite). Multi-batch ≡ batch pinned in tests/test_streaming.py.
+# Rules: docs shorter than 60 chars and the one unsupported language are
+# refused; both rule classes fire at every SF.
+# --------------------------------------------------------------------------
+@query(
+    "streaming_quarantine",
+    """
+    WITH tagged AS (
+        SELECT doc_id,
+               LIST_FILTER([
+                   CASE WHEN NOT COALESCE(n_chars >= 60, FALSE) THEN 'too_short' END,
+                   CASE WHEN NOT COALESCE(lang IN ('en', 'es', 'de', 'fr'), FALSE) THEN 'unsupported_lang' END
+               ], x -> x IS NOT NULL) AS reasons
+        FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN LEN(reasons) = 0 THEN 'clean' ELSE 'dead' END AS disposition,
+           COALESCE(ARRAY_TO_STRING(reasons, ','), '') AS reason_list
+    FROM tagged
+    """,
+)
+def streaming_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from pmp_analytics_spark.operators.quality import RowRule
+    from pmp_analytics_spark.streaming.ingest import quarantine_ingest_stream
+    from pmp_analytics_spark.streaming.sessions import read_doc_stream
+
+    rules = [
+        RowRule("too_short", F.col("n_chars") >= 60),
+        RowRule("unsupported_lang", F.col("lang").isin("en", "es", "de", "fr")),
+    ]
+    # Same working-dir lifecycle as streaming_neardup_ingest: one fixed
+    # parent, this run's dir removed on success, stale-dir purge as the
+    # crashed-run backstop.
+    parent = os.path.join(tempfile.gettempdir(), "pmp_quarantine_ingest")
+    if os.path.isdir(parent):
+        shutil.rmtree(parent, ignore_errors=True)
+    os.makedirs(parent, exist_ok=True)
+    work = tempfile.mkdtemp(dir=parent)
+    clean_p, dead_p = f"{work}/clean", f"{work}/dead"
+    quarantine_ingest_stream(
+        read_doc_stream(spark, sf_dir).select("doc_id", "n_chars", "lang"),
+        rules,
+        clean_p,
+        dead_p,
+        f"{work}/ckpt",
+    )
+    def side(path: str, disposition: str, reason_expr) -> DataFrame:
+        try:  # a side no batch wrote to has no files (all-clean corpus)
+            return spark.read.parquet(path).select(
+                "doc_id",
+                F.lit(disposition).alias("disposition"),
+                reason_expr.alias("reason_list"),
+            )
+        except Exception:
+            return spark.createDataFrame(
+                [], "doc_id long, disposition string, reason_list string"
+            )
+
+    out = (
+        side(clean_p, "clean", F.lit(""))
+        .unionByName(side(dead_p, "dead", F.array_join("reasons", ",")))
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
+# --------------------------------------------------------------------------
 # Q: docs_export_shards — the corpus-export step through the CUSTOM
 # Python DataSource WRITER (sources/pydatasource.py::JsonlShardDataSource):
 # documents round-trip Spark → manifest-committed JSONL shards → Spark,

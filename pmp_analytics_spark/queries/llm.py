@@ -1630,6 +1630,37 @@ def docs_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Q: docs_bm25_wand — the SAME retrieval task through the max-score/WAND
+# pruned ranker (operators/retrieval.bm25_topk_wand): per-term score
+# upper bounds → probe-pass threshold → essential-term candidate prune,
+# with the scoring aggregation touching only docs that can still reach
+# the top-k. Output is bit-identical to docs_bm25_retrieval by
+# construction (1e-6 pruning margin under the rounding quantum), so the
+# oracle IS that query's oracle — the strongest equivalence check the
+# gate can express. Pruning on this corpus is weak (uniform synthetic
+# vocabulary → flat idf spread; measured in PERFORMANCE.md) — the
+# operator exists for the Zipfian corpora real retrieval serves, where
+# max-score pruning is the standard way to not score every posting.
+# --------------------------------------------------------------------------
+@query("docs_bm25_wand", ORACLE["docs_bm25_retrieval"])
+def docs_bm25_wand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pmp_analytics_spark.operators.retrieval import bm25_topk_wand
+
+    occ = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(tokens("text")).alias("token")
+    )
+    qterms = (
+        occ.where(F.col("doc_id") < _BM25_NQ)
+        .select(F.col("doc_id").alias("query_id"), "token")
+        .distinct()
+    )
+    out = bm25_topk_wand(occ, qterms, k=_BM25_K)
+    return out.select(
+        "query_id", "doc_id", "bm25", F.col("rank").cast("long").alias("rank")
+    )
+
+
+# --------------------------------------------------------------------------
 # Q: docs_hybrid_rrf — hybrid retrieval: reciprocal-rank fusion of the
 # BM25 lexical list and the dense cosine list (vec_id ≡ doc_id in the
 # synthetic tables), top-20 each side, fused 1/(60+rank) top-5. RRF is

@@ -102,3 +102,55 @@ def neardup_ingest_stream(
         if own_cache:
             ex_h.unpersist()
             keys_h.unpersist()
+
+
+def quarantine_ingest_stream(
+    batch_stream: DataFrame,
+    rules,
+    clean_path: str,
+    dead_path: str,
+    checkpoint: str,
+    reason_col: str = "reasons",
+) -> None:
+    """Dead-letter routing AT the ingest door — the production shape:
+    every micro-batch is split by ``operators.quality.quarantine``
+    BEFORE landing, clean rows to ``clean_path``, failing rows (with
+    their ``reasons`` array) to ``dead_path``. Validating after landing
+    means a bad batch is already in the corpus and every downstream
+    consumer races the cleanup; validating per micro-batch means the
+    corpus only ever contains admitted rows.
+
+    Same exactly-once contract as ``neardup_ingest_stream``: both sinks
+    partition by ``__batch_id`` with dynamic partition overwrite, so a
+    replayed batch replaces exactly its own output on both sides. The
+    split itself is one map-side projection per batch (no shuffle, no
+    state) — deterministic under ANY micro-batch slicing, which is why
+    the full batch-replay SQL oracle applies to the streamed result."""
+    from pmp_analytics_spark.operators.quality import quarantine
+
+    def route(batch_df: DataFrame, batch_id: int) -> None:
+        # One tagging projection, two filtered writes. The micro-batch
+        # frame is cached for the batch's lifetime: without it each
+        # sink's write re-reads the micro-batch source (the same
+        # two-consumer rule as probe_batch above).
+        tagged = batch_df.cache()
+        try:
+            clean, bad = quarantine(tagged, rules, reason_col=reason_col)
+            for df, path in ((clean, clean_path), (bad, dead_path)):
+                (
+                    df.withColumn("__batch_id", F.lit(batch_id))
+                    .write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy("__batch_id")
+                    .parquet(path)
+                )
+        finally:
+            tagged.unpersist()
+
+    q = (
+        batch_stream.writeStream.foreachBatch(route)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

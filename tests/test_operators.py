@@ -1503,3 +1503,49 @@ def test_quality_uniqueness_approx_tolerates_sketch_error(spark):
     assert approx_row["passed"], approx_row  # within 3-sigma band
     assert abs(approx_row["metric"] - 1.0) < 0.06
     assert exact_row["metric"] == 1.0 and exact_row["passed"]
+
+
+def test_bm25_wand_equals_plain_and_prunes_zipf(spark):
+    """bm25_topk_wand must be bit-identical to bm25_topk, and on a
+    Zipf-shaped corpus (one stop-word-like term in every doc, rare terms
+    carrying the signal) the essential-term prune must drop the common
+    term's posting mass — the property the flat synthetic vocabulary
+    can't show (PERFORMANCE.md round-6 note)."""
+    from pyspark.sql import functions as F
+
+    from pmp_analytics_spark.operators.retrieval import (
+        bm25_topk,
+        bm25_topk_wand,
+        wand_posting_counts,
+    )
+
+    # 400 docs: every doc contains 'the' x3; doc d also contains rare
+    # term f"r{d % 40}" and f"s{d % 7}". Queries ask for one rare + the
+    # stop word — the stop word's ub is tiny, so it must fall out of the
+    # essential set once the probe threshold is known.
+    docs = spark.range(400).select(
+        F.col("id").alias("doc_id"),
+        F.array(
+            F.lit("the"), F.lit("the"), F.lit("the"),
+            F.concat(F.lit("r"), (F.col("id") % 40).cast("string")),
+            F.concat(F.lit("s"), (F.col("id") % 7).cast("string")),
+        ).alias("toks"),
+    )
+    occ = docs.select("doc_id", F.explode("toks").alias("token"))
+    qterms = spark.createDataFrame(
+        [(900, "the"), (900, "r3"), (901, "the"), (901, "r17")],
+        ["query_id", "token"],
+    )
+    a = sorted(map(tuple, bm25_topk(occ, qterms, k=5).collect()))
+    b = sorted(map(tuple, bm25_topk_wand(occ, qterms, k=5).collect()))
+    assert a == b and len(a) == 10
+    stats = wand_posting_counts(occ, qterms, k=5, m_probe=1)
+    # full = 2 queries x ('the' in 400 docs + rare in 10 docs) = 820;
+    # surviving = only docs holding the essential rare term (10/query).
+    assert stats["full_postings"] == 820
+    assert stats["surviving_postings"] <= 40, stats
+    # Self-exclusion + degenerate short corpus edge: fewer docs than k.
+    tiny = occ.where(F.col("doc_id") < 3)
+    ta = sorted(map(tuple, bm25_topk(tiny, qterms, k=5).collect()))
+    tb = sorted(map(tuple, bm25_topk_wand(tiny, qterms, k=5).collect()))
+    assert ta == tb

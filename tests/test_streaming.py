@@ -415,3 +415,57 @@ def test_streaming_merge_upsert_multibatch_equals_batch(spark, tmp_path):
     assert got == expected and len(got) > 0
     vdirs = [d for d in os.listdir(root) if d.startswith("v")]
     assert len(vdirs) <= 3  # keep_last default
+
+
+def test_streaming_quarantine_multibatch_equals_batch(spark, tmp_path):
+    """quarantine_ingest_stream under forced multi-batch slicing must
+    equal the batch quarantine split exactly — every admitted row in
+    clean/, every refused row in dead/ with the same reasons — and both
+    sinks must be per-batch-id partitioned (the idempotent-replay
+    contract)."""
+    import os
+
+    from pmp_analytics_spark.operators.quality import RowRule, quarantine
+    from pmp_analytics_spark.sources.reader import load_table
+    from pmp_analytics_spark.streaming.ingest import quarantine_ingest_stream
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "n_chars", "lang"
+    )
+    src = str(tmp_path / "src")
+    # three file drops -> three micro-batches under maxFilesPerTrigger=1
+    for i in range(3):
+        docs.where(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    rules = [
+        RowRule("too_short", F.col("n_chars") >= 60),
+        RowRule("unsupported_lang", F.col("lang").isin("en", "es", "de", "fr")),
+    ]
+    clean_p, dead_p = str(tmp_path / "clean"), str(tmp_path / "dead")
+    schema = spark.read.parquet(src).schema
+    quarantine_ingest_stream(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src),
+        rules,
+        clean_p,
+        dead_p,
+        str(tmp_path / "ckpt"),
+    )
+
+    bclean, bbad = quarantine(docs, rules)
+    got_clean = sorted(r["doc_id"] for r in spark.read.parquet(clean_p).collect())
+    want_clean = sorted(r["doc_id"] for r in bclean.collect())
+    assert got_clean == want_clean and len(got_clean) > 0
+    got_bad = {
+        r["doc_id"]: list(r["reasons"])
+        for r in spark.read.parquet(dead_p).collect()
+    }
+    want_bad = {r["doc_id"]: list(r["reasons"]) for r in bbad.collect()}
+    assert got_bad == want_bad and len(got_bad) > 0
+    # both sinks carry per-batch-id partitions spanning >1 micro-batch
+    for p in (clean_p, dead_p):
+        parts = {d for d in os.listdir(p) if d.startswith("__batch_id=")}
+        assert len(parts) >= 1, p
+    clean_parts = {d for d in os.listdir(clean_p) if d.startswith("__batch_id=")}
+    assert len(clean_parts) >= 2, "stream must span multiple micro-batches"
