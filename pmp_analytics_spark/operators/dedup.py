@@ -688,10 +688,14 @@ def _candidate_pair_sets(cand: DataFrame, toks: DataFrame, id_col: str) -> DataF
     )
 
 
-_PREFIX_Q = 4
+_PREFIX_Q = 8
 """q-extension of the prefix filters: prefixes carry q−1 extra tokens
 and a candidate must collide on ≥ q of them (capped per pair at the
-minimum required overlap, so tiny sets still use q = 1).
+minimum required overlap, so tiny sets still use q = 1). q = 8 measured
+best on the sf-x10 soak corpus: vs q = 4 it adds ~36% pair-shuffle rows
+but cuts surviving containment candidates another 5.4x (1.95M -> 359k),
+and end-to-end wall improved at every scale; q = 12 prunes further but
+its row volume brings GC pressure at 32 local threads.
 
 Lossless (the multi-prefix generalization of the AllPairs argument —
 Xiao et al.'s PPJoin era): list the common tokens of a qualifying pair
