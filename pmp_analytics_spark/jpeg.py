@@ -252,6 +252,10 @@ def jpeg_decode(payload: bytes) -> tuple[int, int, list[bytes]]:
         while pos + 4 <= len(payload):
             if payload[pos] != 0xFF:
                 raise ValueError("JPEG marker expected")
+            # T.81 B.1.1.2: any number of 0xFF fill bytes may pad before
+            # the marker code byte.
+            while pos + 2 < len(payload) and payload[pos + 1] == 0xFF:
+                pos += 1
             marker = payload[pos + 1]
             pos += 2
             if marker in (0x01, 0xD8) or 0xD0 <= marker <= 0xD7:
@@ -308,9 +312,18 @@ def jpeg_decode(payload: bytes) -> tuple[int, int, list[bytes]]:
                     cs, tdta = seg[1 + 2 * i], seg[2 + 2 * i]
                     comp = next(c for c in frame[2] if c["id"] == cs)
                     scan.append((comp, tdta >> 4, tdta & 0x0F))
+                if ns < len(frame[2]):
+                    # Non-interleaved baseline (one scan per component):
+                    # decoding only the first (Y) scan would silently
+                    # return a desaturated image, so reject honestly.
+                    raise ValueError(
+                        "non-interleaved multi-scan JPEG needs pillow"
+                    )
                 return _decode_scan(payload, pos, frame, scan, qts, dc_tabs, ac_tabs, restart)
         raise ValueError("JPEG has no SOS marker")
-    except (struct.error, IndexError, StopIteration) as e:
+    except (struct.error, IndexError, StopIteration, KeyError) as e:
+        # KeyError: a scan referencing a DQT/DHT table id that was never
+        # defined (stripped/truncated tables) — corrupt, not a crash.
         raise ValueError(f"corrupt JPEG payload: {e}") from e
 
 

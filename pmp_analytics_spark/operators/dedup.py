@@ -786,7 +786,7 @@ def jaccard_prefix_candidates(
         # common token (i ≤ q) keeps bound ≥ alpha − (q−1), so this
         # row-level prune can run BEFORE the pair-count shuffle without
         # starving the count — only rows no witness set ever needs die.
-        keep = keep & (ubound >= alpha - F.lit(_PREFIX_Q - 1))
+        keep = keep & (ubound >= alpha - F.lit(q - 1))
     else:
         pos_ok = F.lit(True)
     # Pair-level aggregation replaces the old distinct (same pair-keyed

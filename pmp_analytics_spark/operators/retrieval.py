@@ -149,7 +149,7 @@ def bm25_topk_wand(
     top-k. See the module docstring for the two-pass scheme; the probe
     pass and final pass both aggregate ``_bm25_base``'s contrib column,
     so correctness does not depend on re-deriving the formula."""
-    postings, cand = _wand_candidates(
+    postings, cand, _, _ = _wand_candidates(
         doc_tokens, query_terms, k, k1, b, id_col, token_col, query_id,
         exclude_self, m_probe,
     )
@@ -167,24 +167,20 @@ def _wand_candidates(
     doc_tokens, query_terms, k, k1, b, id_col, token_col, query_id,
     exclude_self, m_probe,
 ):
-    """(postings-with-contrib, surviving candidate (query, doc) set) —
-    the shared core of ``bm25_topk_wand`` and the pruning measurement."""
+    """(postings-with-contrib, surviving candidate (query, doc) set,
+    terms, df_t) — the shared core of ``bm25_topk_wand`` and the pruning
+    measurement."""
     tf, dl, corpus, terms, df_t, postings = _bm25_base(
         doc_tokens, query_terms, k1, b, id_col, token_col, query_id
     )
     # Per-term score upper bound over the corpus (query-term universe
-    # only): max contrib any single posting of the term can add.
-    idf = F.log(
-        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
-    )
-    denom = F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
-    ub_t = (
-        tf.join(df_t.hint("broadcast"), token_col)
-        .join(dl, id_col)
-        .crossJoin(F.broadcast(corpus))
-        .groupBy(token_col)
-        .agg(F.max(idf * F.col("tf") * (k1 + 1.0) / denom).alias("ub"))
-    )
+    # only): max contrib any single posting of the term can add —
+    # aggregated from the SAME contrib column both rankers score, so a
+    # future formula change cannot silently break the bound. contrib is
+    # query-independent (idf·tf·(k1+1)/denom has no query term), so
+    # grouping the per-(query, doc, token) postings by token alone still
+    # yields the corpus-wide per-term max.
+    ub_t = postings.groupBy(token_col).agg(F.max("contrib").alias("ub"))
     # Impact-order each query's terms; suffix_from(i) = Σ ub from term i
     # to the end — the best score a doc whose highest-impact match is
     # term i could possibly reach.
@@ -240,7 +236,7 @@ def _wand_candidates(
         )
         .select(query_id, token_col)
     )
-    return postings, _cands(essential)
+    return postings, _cands(essential), terms, df_t
 
 
 def wand_posting_counts(
@@ -260,20 +256,19 @@ def wand_posting_counts(
     set's postings — the same set ``bm25_topk_wand`` scores). The full
     count is an aggregate over the tiny df table, so no corpus scan is
     spent measuring the savings."""
-    tf, dl, corpus, terms, df_t, _ = _bm25_base(
-        doc_tokens, query_terms, k1, b, id_col, token_col, query_id
-    )
-    full = (
-        terms.join(F.broadcast(df_t), token_col).agg(F.sum("df")).first()[0]
-    )
-    postings, cand = _wand_candidates(
+    postings, cand, terms, df_t = _wand_candidates(
         doc_tokens, query_terms, k, k1, b, id_col, token_col, query_id,
         True, m_probe,
+    )
+    # sum('df') over an empty join (no query term in the corpus) is
+    # NULL, not 0 — coalesce before the int().
+    full = (
+        terms.join(F.broadcast(df_t), token_col).agg(F.sum("df")).first()[0]
     )
     survived = postings.join(
         cand, [query_id, id_col], "left_semi"
     ).count()
-    return {"full_postings": int(full), "surviving_postings": int(survived)}
+    return {"full_postings": int(full or 0), "surviving_postings": int(survived)}
 
 
 def rrf_fuse(

@@ -463,3 +463,67 @@ def test_thumbnails_use_real_jpeg_decode_in_spark(spark):
         assert rows[i]["thumb_bytes"] == len(expect)
     w, h, _ = jpeg_decode(_stdlib_resize(payloads[1], 64))
     assert (w, h) == (64, 51)
+
+
+def _strip_segments(payload: bytes, marker: int) -> bytes:
+    """Remove every header segment with the given marker code (header
+    segments only appear before SOS, so entropy data is never touched)."""
+    out = bytearray()
+    pos = 0
+    sig = bytes([0xFF, marker])
+    while True:
+        i = payload.find(sig, pos)
+        if i < 0:
+            out += payload[pos:]
+            return bytes(out)
+        seglen = int.from_bytes(payload[i + 2 : i + 4], "big")
+        out += payload[pos:i]
+        pos = i + 2 + seglen
+
+
+def test_jpeg_fill_bytes_and_missing_tables():
+    """T.81 B.1.1.2 allows any number of 0xFF fill bytes before a marker
+    (regression: misparsed as a bogus segment length). A scan whose
+    tables were stripped must raise ValueError, not leak KeyError into
+    the ValueError-only fallbacks of decode_image/_resize_backend."""
+    import pytest
+
+    from pmp_analytics_spark.jpeg import jpeg_decode
+
+    payload, _ = _make_jpeg(16, 16, seed=7)
+    padded = payload[:2] + b"\xff\xff\xff" + payload[2:]
+    w, h, rows = jpeg_decode(padded)
+    assert (w, h) == (16, 16) and rows == jpeg_decode(payload)[2]
+
+    for marker in (0xC4, 0xDB):  # DHT / DQT stripped
+        broken = _strip_segments(payload, marker)
+        with pytest.raises(ValueError, match="corrupt JPEG"):
+            jpeg_decode(broken)
+
+
+def test_jpeg_non_interleaved_rejected():
+    """A 3-component frame whose first scan covers one component
+    (non-interleaved baseline) must be rejected — decoding only the Y
+    scan would silently return a desaturated image."""
+    import pytest
+
+    from pmp_analytics_spark.jpeg import jpeg_decode
+
+    payload, _ = _make_jpeg(16, 16, seed=7)
+    i = payload.find(b"\xff\xda")
+    assert i > 0
+    seglen = int.from_bytes(payload[i + 2 : i + 4], "big")
+    ns = payload[i + 4]
+    assert ns == 3  # encoder writes one interleaved scan
+    spectral = payload[i + 2 + seglen - 3 : i + 2 + seglen]
+    one_comp = (
+        payload[:i]
+        + b"\xff\xda"
+        + (8).to_bytes(2, "big")
+        + b"\x01"
+        + payload[i + 5 : i + 7]  # first component's (cs, td/ta)
+        + spectral
+        + payload[i + 2 + seglen :]
+    )
+    with pytest.raises(ValueError, match="non-interleaved"):
+        jpeg_decode(one_comp)

@@ -1549,3 +1549,44 @@ def test_bm25_wand_equals_plain_and_prunes_zipf(spark):
     ta = sorted(map(tuple, bm25_topk(tiny, qterms, k=5).collect()))
     tb = sorted(map(tuple, bm25_topk_wand(tiny, qterms, k=5).collect()))
     assert ta == tb
+
+
+def test_wand_posting_counts_no_corpus_terms(spark):
+    """Query terms entirely absent from the corpus: sum('df') over the
+    empty join is NULL — the measurement must report zeros, not raise
+    (regression: int(None) TypeError)."""
+    from pyspark.sql import functions as F
+
+    from pmp_analytics_spark.operators.retrieval import wand_posting_counts
+
+    occ = spark.range(20).select(
+        F.col("id").alias("doc_id"), F.lit("present").alias("token")
+    )
+    qterms = spark.createDataFrame(
+        [(1, "absent"), (1, "also_absent")], ["query_id", "token"]
+    )
+    stats = wand_posting_counts(occ, qterms, k=3)
+    assert stats == {"full_postings": 0, "surviving_postings": 0}
+
+
+def test_jaccard_prefix_candidates_respects_caller_q(spark):
+    """Two 20-token docs sharing 19 HIGH-df boilerplate tokens
+    (J = 19/21 ~= 0.905 >= 0.9): at q=12 the count filter demands 12
+    extended-prefix collisions, so the weakened per-row positional bound
+    must keep all 12 witness rows — alpha - (q-1), with the CALLER's q.
+    Regression: the bound hardcoded _PREFIX_Q-1 = 7, which at q=12
+    starved the count to 8 rows and silently dropped the true pair."""
+    from pmp_analytics_spark.operators.dedup import jaccard_prefix_candidates
+
+    common = [f"c{i:02d}" for i in range(19)]
+    rows = [(1, t) for t in common + ["ua"]] + [
+        (2, t) for t in common + ["ub"]
+    ]
+    toks = spark.createDataFrame(rows, ["doc_id", "__h"])
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in jaccard_prefix_candidates(
+            toks, "doc_id", threshold=0.9, q=12
+        ).collect()
+    }
+    assert (1, 2) in got

@@ -241,7 +241,10 @@ def run_one(k: int) -> None:
                 sum(s["shuffleReadBytes"] for s in new) / 2**20, 2
             ),
             "input_mb": round(sum(s["inputBytes"] for s in new) / 2**20, 2),
-            "output_rows": sum(s.get("outputRows", 0) for s in new),
+            # A noop sink reports no stage-level output records, so the
+            # result cardinality comes from a second, untimed execution
+            # AFTER the stage capture (it shares no metrics with `new`).
+            "output_rows": fn(spark, sf_dir).count(),
             "stages": len(new),
         }
         print(name, k, results[f"{name}@x{k}"], flush=True)
