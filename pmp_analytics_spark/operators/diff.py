@@ -80,3 +80,70 @@ def assert_compatible(diff: DatasetDiff, max_pct_change: float = 25.0) -> None:
         problems.append(f"row count drifted {diff.pct_change}% ({diff.rows_old} -> {diff.rows_new})")
     if problems:
         raise AssertionError("; ".join(problems))
+
+
+def snapshot_delta(
+    old: DataFrame,
+    new: DataFrame,
+    keys: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Row-level CDC between two snapshot versions of a keyed dataset:
+    one row per key whose state changed, tagged ``added`` / ``removed``
+    / ``changed``, carrying ``old_<c>`` and ``new_<c>`` for each compared
+    column. Unchanged keys are dropped. The dataset-versioning primitive
+    the aggregate-level ``dataset_diff`` can't provide: WHICH rows moved
+    between last month's extract and this month's (reference analog:
+    check_masked.py eyeballs count drift; this materializes the delta).
+
+    Keys are assumed unique-per-snapshot and non-null (the snapshot
+    contract); column comparison is NULL-SAFE (``null -> value`` and
+    ``value -> null`` both count as changed, ``null -> null`` does not).
+
+    Scale: ONE full-outer shuffle join keyed on ``keys`` — both sides
+    hash-partition once, comparison is projection-only. Snapshots
+    bucketed on the key (the natural layout for repeated diffing)
+    co-locate and drop even that exchange; nothing here collects or
+    windows globally.
+    """
+    compare_cols = (
+        [c for c in new.columns if c not in keys]
+        if compare_cols is None
+        else list(compare_cols)
+    )
+    o = old.select(
+        *[F.col(k).alias(f"__ko_{k}") for k in keys],
+        *[F.col(c).alias(f"old_{c}") for c in compare_cols],
+        F.lit(1).alias("__in_old"),
+    )
+    n = new.select(
+        *[F.col(k).alias(f"__kn_{k}") for k in keys],
+        *[F.col(c).alias(f"new_{c}") for c in compare_cols],
+        F.lit(1).alias("__in_new"),
+    )
+    cond = None
+    for k in keys:
+        eq = F.col(f"__ko_{k}") == F.col(f"__kn_{k}")
+        cond = eq if cond is None else (cond & eq)
+    joined = o.join(n, cond, "full_outer")
+    differs = F.lit(False)
+    for c in compare_cols:
+        differs = differs | ~F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}"))
+    change = (
+        F.when(F.col("__in_old").isNull(), F.lit("added"))
+        .when(F.col("__in_new").isNull(), F.lit("removed"))
+        .when(differs, F.lit("changed"))
+    )
+    return (
+        joined.withColumn("change_type", change)
+        .where(F.col("change_type").isNotNull())
+        .select(
+            *[
+                F.coalesce(F.col(f"__kn_{k}"), F.col(f"__ko_{k}")).alias(k)
+                for k in keys
+            ],
+            "change_type",
+            *[f"old_{c}" for c in compare_cols],
+            *[f"new_{c}" for c in compare_cols],
+        )
+    )

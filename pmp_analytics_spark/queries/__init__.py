@@ -60,6 +60,8 @@ _PACK_MODULES = {
 # the front of the record order so the driver's prefix sample finally
 # covers them. Names that fall out of the registry are skipped silently.
 _RECORD_FRONT = (
+    # round-6 additions (new this round, so never sampled by definition)
+    "docs_quality_classifier", "orders_snapshot_delta",
     # analytic (all 27 were never sampled)
     "customer_order_subqueries", "supplier_discount_exists",
     "nation_presence_setops", "customer_order_gaps",

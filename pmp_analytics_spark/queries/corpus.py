@@ -1180,3 +1180,121 @@ def docs_corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.countDistinct("lang").alias("n_langs"),
     )
+
+
+# --------------------------------------------------------------------------
+# Q: docs_quality_classifier — model-BASED quality filtering (north-star
+# surface; no reference analog: the GPT-3 / CCNet / FineWeb pipelines all
+# gate the corpus with a tiny linear classifier over hashed features): a
+# hashing-trick logistic regression is fit by 8 full-batch GD iterations
+# on weak labels (doc contains the stop token), class-balanced so the
+# 382/118 label skew doesn't collapse the threshold into the majority
+# class, then scores the corpus; output is the confusion summary of
+# sign-of-margin predictions vs the weak labels (96.6%% accuracy at
+# sf0.01). The oracle unrolls the EXACT iterations as MATERIALIZED SQL
+# CTEs (inlined CTEs re-evaluate the w-chain exponentially); in-engine
+# gradient rounding (1e-8) pins the two engines' trajectories together
+# (operators/classifier.py module docstring). lr/iters chosen by A/B at
+# sf0.01: lr 3.0 x 8 separates cleanly; longer training at this fixed
+# step oscillates (documented full-batch-GD behavior, not a bug).
+# --------------------------------------------------------------------------
+_CLF_DIM = 64
+_CLF_LR = 3.0
+_CLF_ITERS = 8
+_CLF_GRAD_DP = 8
+
+
+def _clf_oracle() -> str:
+    b = f"CAST(CAST(('0x' || SUBSTRING(MD5(t), 1, 15)) AS BIGINT) % {_CLF_DIM} AS INT)"
+    M = "AS MATERIALIZED"
+    parts = [
+        f"WITH tk {M} (SELECT doc_id, {_DUCK_TOKENS} AS toks FROM documents)",
+        f"lab {M} (SELECT doc_id, CASE WHEN LIST_CONTAINS(toks, 'the')"
+        " THEN 1 ELSE 0 END AS y FROM tk)",
+        # class-balanced sample weight n/(2*n_y): a ratio of integers,
+        # exact-deterministic in every engine
+        f"cw {M} (SELECT l.doc_id, l.y, (SELECT COUNT(*) * 1.0 FROM lab)"
+        " / (2.0 * COUNT(*) OVER (PARTITION BY y)) AS sw FROM lab l)",
+        "tok AS (SELECT doc_id, UNNEST(toks) AS t FROM tk)",
+        f"feats {M} (SELECT DISTINCT doc_id, {b} AS bucket, 1.0 AS x FROM tok"
+        f" UNION ALL SELECT doc_id, {_CLF_DIM} AS bucket, 1.0 AS x"
+        " FROM documents)",
+        "nn AS (SELECT COUNT(*) * 1.0 AS n FROM documents)",
+        # iteration 1: w = 0 -> sigmoid(0) = 0.5 exactly
+        f"g1 {M} (SELECT f.bucket, ROUND(SUM(f.x * c.sw * (0.5 - c.y))"
+        f" / (SELECT n FROM nn), {_CLF_GRAD_DP}) AS g"
+        " FROM feats f JOIN cw c USING (doc_id) GROUP BY 1)",
+        f"w1 {M} (SELECT bucket, -{_CLF_LR} * g AS w FROM g1)",
+    ]
+    for t in range(2, _CLF_ITERS + 1):
+        parts += [
+            f"m{t} {M} (SELECT f.doc_id, SUM(f.x * w.w) AS m"
+            f" FROM feats f JOIN w{t-1} w USING (bucket) GROUP BY 1)",
+            f"e{t} {M} (SELECT c.doc_id,"
+            " c.sw * (1.0 / (1.0 + EXP(-m.m)) - c.y) AS e"
+            f" FROM cw c JOIN m{t} m USING (doc_id))",
+            f"g{t} {M} (SELECT f.bucket, ROUND(SUM(f.x * e.e)"
+            f" / (SELECT n FROM nn), {_CLF_GRAD_DP}) AS g"
+            f" FROM feats f JOIN e{t} e USING (doc_id) GROUP BY 1)",
+            f"w{t} {M} (SELECT w.bucket, w.w - {_CLF_LR} * g.g AS w"
+            f" FROM w{t-1} w JOIN g{t} g USING (bucket))",
+        ]
+    parts.append(
+        f"mf {M} (SELECT f.doc_id, SUM(f.x * w.w) AS m"
+        f" FROM feats f JOIN w{_CLF_ITERS} w USING (bucket) GROUP BY 1)"
+    )
+    return (
+        ",\n".join(parts)
+        + '''
+    SELECT l.y, CASE WHEN mf.m > 0 THEN 1 ELSE 0 END AS pred,
+           COUNT(*) AS n_docs, ROUND(AVG(mf.m), 4) AS avg_margin
+    FROM lab l JOIN mf USING (doc_id)
+    GROUP BY 1, 2
+    '''
+    )
+
+
+@query("docs_quality_classifier", _clf_oracle())
+def docs_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pmp_analytics_spark.operators.classifier import (
+        fit_logistic,
+        hashed_features,
+        score_logistic,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    labels = docs.select(
+        "doc_id",
+        F.array_contains(tokens("text"), "the").cast("int").alias("y"),
+    )
+    # class weights via the 1-row-agg broadcast-crossJoin pattern (A7),
+    # then broadcast the 2-row weight table back onto the labels
+    tot = labels.agg(F.count(F.lit(1)).alias("__n"))
+    cls_w = (
+        labels.groupBy("y")
+        .agg(F.count(F.lit(1)).alias("__ny"))
+        .crossJoin(F.broadcast(tot))
+        .select("y", (F.col("__n") / (2.0 * F.col("__ny"))).alias("sw"))
+    )
+    weighted = labels.join(F.broadcast(cls_w), "y").select("doc_id", "y", "sw")
+    # cached: consumed twice per GD iteration plus once for scoring
+    feats = hashed_features(docs, "text", "doc_id", _CLF_DIM, binary=True).cache()
+    w = fit_logistic(
+        spark,
+        feats,
+        weighted,
+        weight_col="sw",
+        dim=_CLF_DIM,
+        lr=_CLF_LR,
+        iters=_CLF_ITERS,
+        grad_dp=_CLF_GRAD_DP,
+    )
+    scored = score_logistic(feats, w)
+    return (
+        labels.join(scored, "doc_id")
+        .groupBy("y", (F.col("m") > 0).cast("int").alias("pred"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("m"), 4).alias("avg_margin"),
+        )
+    )

@@ -788,3 +788,59 @@ def orders_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
         "reasons",
         F.size("reasons").cast("long").alias("n_reasons"),
     )
+
+
+# --------------------------------------------------------------------------
+# Q: orders_snapshot_delta — row-level CDC between two snapshot versions
+# (operators/diff.py::snapshot_delta): which orders were added, removed,
+# or changed between last month's extract and this month's. The snapshots
+# are derived deterministically from the orders table (old drops
+# o_orderkey % 13 = 5, new drops % 17 = 3 and reprices % 9 = 0 by an EXACT double
+# addition — a multiply-and-round reprice hits engine-divergent .005
+# midpoints), so the
+# delta exercises all three change classes. One full-outer shuffle join
+# on the key; the oracle is the textbook FULL OUTER JOIN + IS DISTINCT
+# FROM rendering.
+# --------------------------------------------------------------------------
+@query(
+    "orders_snapshot_delta",
+    """
+    WITH old AS (
+        SELECT o_orderkey, o_totalprice, o_orderstatus
+        FROM orders WHERE o_orderkey % 13 <> 5
+    ), new AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 9 = 0
+                    THEN o_totalprice + 1000.0
+                    ELSE o_totalprice END AS o_totalprice,
+               o_orderstatus
+        FROM orders WHERE o_orderkey % 17 <> 3
+    )
+    SELECT COALESCE(n.o_orderkey, o.o_orderkey) AS o_orderkey,
+           CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                WHEN n.o_orderkey IS NULL THEN 'removed'
+                ELSE 'changed' END AS change_type,
+           o.o_totalprice AS old_o_totalprice,
+           o.o_orderstatus AS old_o_orderstatus,
+           n.o_totalprice AS new_o_totalprice,
+           n.o_orderstatus AS new_o_orderstatus
+    FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+    WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+       OR o.o_totalprice IS DISTINCT FROM n.o_totalprice
+       OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+    """,
+)
+def orders_snapshot_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pmp_analytics_spark.operators.diff import snapshot_delta
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    old = orders.where(F.col("o_orderkey") % 13 != 5)
+    new = orders.where(F.col("o_orderkey") % 17 != 3).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 9 == 0, F.col("o_totalprice") + 1000.0
+        ).otherwise(F.col("o_totalprice")),
+    )
+    return snapshot_delta(old, new, ["o_orderkey"])

@@ -1590,3 +1590,114 @@ def test_jaccard_prefix_candidates_respects_caller_q(spark):
         ).collect()
     }
     assert (1, 2) in got
+
+
+def test_snapshot_delta_classes_and_null_semantics(spark):
+    """added / removed / changed classification, unchanged rows dropped,
+    and NULL-SAFE comparison: value->null and null->value are changes,
+    null->null is not."""
+    from pmp_analytics_spark.operators.diff import snapshot_delta
+
+    old = spark.createDataFrame(
+        [(1, 10.0, "A"), (2, 20.0, None), (3, 30.0, "C"), (4, None, "D")],
+        ["k", "price", "status"],
+    )
+    new = spark.createDataFrame(
+        [(1, 10.0, "A"), (2, 20.0, None), (3, 31.0, "C"), (5, 50.0, "E")],
+        ["k", "price", "status"],
+    )
+    got = {r["k"]: r for r in snapshot_delta(old, new, ["k"]).collect()}
+    # 1 unchanged (dropped), 2 unchanged incl. null==null (dropped)
+    assert set(got) == {3, 4, 5}
+    assert got[3]["change_type"] == "changed"
+    assert (got[3]["old_price"], got[3]["new_price"]) == (30.0, 31.0)
+    assert got[4]["change_type"] == "removed" and got[4]["new_price"] is None
+    assert got[5]["change_type"] == "added" and got[5]["old_price"] is None
+    # null -> value on a surviving key counts as changed
+    old2 = spark.createDataFrame([(7, None)], "k int, v double")
+    new2 = spark.createDataFrame([(7, 1.0)], "k int, v double")
+    r = snapshot_delta(old2, new2, ["k"]).collect()
+    assert len(r) == 1 and r[0]["change_type"] == "changed"
+
+
+def test_snapshot_delta_composite_key_and_subset_cols(spark):
+    from pmp_analytics_spark.operators.diff import snapshot_delta
+
+    old = spark.createDataFrame(
+        [(1, "a", 5, "x"), (1, "b", 6, "y")], ["k1", "k2", "v", "ignored"]
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 5, "CHANGED-BUT-EXCLUDED"), (1, "b", 7, "y")],
+        ["k1", "k2", "v", "ignored"],
+    )
+    got = snapshot_delta(old, new, ["k1", "k2"], compare_cols=["v"]).collect()
+    assert [(r["k1"], r["k2"], r["change_type"]) for r in got] == [(1, "b", "changed")]
+
+
+def test_logistic_classifier_matches_numpy_reference(spark):
+    """fit_logistic's distributed GD must reproduce a numpy
+    implementation of the SAME protocol (binary hashed features, class
+    weights, in-engine gradient rounding) exactly, and separate a
+    corpus whose label is carried by one token."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from pmp_analytics_spark.functions.text import tokens as tok_fn
+    from pmp_analytics_spark.operators.classifier import (
+        fit_logistic,
+        hashed_features,
+        score_logistic,
+    )
+
+    DIM, LR, IT, DP = 16, 2.0, 5, 8
+    texts = []
+    for i in range(40):
+        base = f"alpha beta gamma{i % 3} delta{i % 5}"
+        texts.append((i, base + (" signal" if i % 2 == 0 else " noise")))
+    docs = spark.createDataFrame(texts, ["doc_id", "text"])
+    labels = docs.select(
+        "doc_id", F.array_contains(tok_fn("text"), "signal").cast("int").alias("y")
+    ).withColumn("sw", F.lit(1.0))
+
+    feats = hashed_features(docs, "text", "doc_id", DIM, binary=True).cache()
+    w = fit_logistic(
+        spark, feats, labels, weight_col="sw", dim=DIM, lr=LR, iters=IT, grad_dp=DP
+    )
+
+    # numpy twin over the identical feature matrix
+    rows = feats.collect()
+    ids = sorted({r["doc_id"] for r in rows})
+    X = np.zeros((len(ids), DIM + 1))
+    for r in rows:
+        X[ids.index(r["doc_id"]), r["bucket"]] = r["x"]
+    y = np.array([1 if i % 2 == 0 else 0 for i in ids], dtype=float)
+    wn = np.zeros(DIM + 1)
+    for _ in range(IT):
+        p = 1.0 / (1.0 + np.exp(-(X @ wn)))
+        g = np.round((X.T @ (p - y)) / len(ids), DP)
+        wn = wn - LR * g
+    assert np.allclose(w, wn, atol=1e-12), (w, wn.tolist())
+
+    m = {r["doc_id"]: r["m"] for r in score_logistic(feats, w).collect()}
+    preds = {i: int(m[i] > 0) for i in ids}
+    acc = sum(preds[i] == (1 if i % 2 == 0 else 0) for i in ids) / len(ids)
+    assert acc == 1.0, acc
+
+
+def test_hashed_features_bias_and_zero_token_docs(spark):
+    from pyspark.sql import functions as F
+
+    from pmp_analytics_spark.operators.classifier import hashed_features
+
+    docs = spark.createDataFrame(
+        [(1, "aa bb aa"), (2, "...")], ["doc_id", "text"]
+    )
+    tf = hashed_features(docs, "text", "doc_id", 8).collect()
+    # doc 2 tokenizes to nothing: only its bias row survives
+    d2 = [r for r in tf if r["doc_id"] == 2]
+    assert len(d2) == 1 and d2[0]["bucket"] == 8 and d2[0]["x"] == 1.0
+    # doc 1: tf features sum to 1 plus the bias 1.0
+    d1 = sorted(r["x"] for r in tf if r["doc_id"] == 1)
+    assert abs(sum(d1) - 2.0) < 1e-12
+    bi = hashed_features(docs, "text", "doc_id", 8, binary=True).collect()
+    assert all(r["x"] == 1.0 for r in bi)
