@@ -490,3 +490,35 @@ def test_audio_features_map_side_only(spark, queries):
     assert "MapInPandas" in plan
     assert_no_cartesian_product(df)
     assert count_exchanges(df) <= 1
+
+
+def test_snapshot_delta_two_exchange_full_outer(spark, queries):
+    """The CDC delta is one full-outer shuffle join: one exchange per
+    side, no broadcast of a snapshot (both sides are corpus-sized at
+    scale), no cartesian, and the key filters stay pushed to the scans."""
+    df = queries["orders_snapshot_delta"](spark, SF)
+    assert_no_cartesian_product(df)
+    plan = physical_plan(df)
+    assert "SortMergeJoin" in plan and "FullOuter" in plan
+    assert count_exchanges(df) <= 2
+    assert has_pushed_filters(df)
+
+
+def test_classifier_scoring_is_join_free(spark, queries):
+    """score_logistic folds the weight vector as a literal array: the
+    scoring pass over the feature frame must contain no join at all —
+    the deployment shape for streaming a 100 TB corpus through a fixed
+    model."""
+    from pyspark.sql import functions as F
+
+    from pmp_analytics_spark.operators.classifier import (
+        hashed_features,
+        score_logistic,
+    )
+    from pmp_analytics_spark.sources.reader import load_table
+
+    docs = load_table(spark, SF, "documents")
+    feats = hashed_features(docs, "text", "doc_id", 16, binary=True)
+    plan = physical_plan(score_logistic(feats, [0.1] * 17))
+    assert "Join" not in plan, plan
+    assert "BatchEvalPython" not in plan

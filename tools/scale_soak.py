@@ -165,7 +165,7 @@ def _stages(ui: str, app: str) -> dict[int, dict]:
         return {s["stageId"]: s for s in json.load(r)}
 
 
-def _soak_queries():
+def _soak_queries(names: list[str] | None = None):
     """The measured callables. The two exact set-similarity queries are
     DECLARED over a bounded slice (doc_id < 1000 — the synthetic token
     universe degenerates exact set joins, queries/llm.py); replica ids
@@ -189,17 +189,19 @@ def _soak_queries():
             F.col("doc_id") % 5000 < 1000
         )
 
-    out = {n: qs[n] for n in HEAVY}
-    out["docs_jaccard_exact_pairs"] = lambda sp, d: jaccard_prefix_join(
-        sliced(sp, d), text_col="text", id_col="doc_id", shingle_k=5, threshold=0.5
-    )
-    out["docs_containment_pairs"] = lambda sp, d: containment_prefix_join(
-        sliced(sp, d), text_col="text", id_col="doc_id", shingle_k=5, threshold=0.9
-    )
+    out = {n: qs[n] for n in (names or HEAVY) if n in qs}
+    if "docs_jaccard_exact_pairs" in out:
+        out["docs_jaccard_exact_pairs"] = lambda sp, d: jaccard_prefix_join(
+            sliced(sp, d), text_col="text", id_col="doc_id", shingle_k=5, threshold=0.5
+        )
+    if "docs_containment_pairs" in out:
+        out["docs_containment_pairs"] = lambda sp, d: containment_prefix_join(
+            sliced(sp, d), text_col="text", id_col="doc_id", shingle_k=5, threshold=0.9
+        )
     return out
 
 
-def run_one(k: int) -> None:
+def run_one(k: int, names: list[str] | None = None) -> None:
     """Measure ONE scale in a fresh process (equal JVM-cold bias per
     scale; per-sf-dir memoized stores cold everywhere), after a generic
     unmeasured warmup that exercises codegen / Arrow / Python workers."""
@@ -226,7 +228,7 @@ def run_one(k: int) -> None:
     ).write.format("noop").mode("overwrite").save()
 
     results: dict[str, dict] = {}
-    for name, fn in _soak_queries().items():
+    for name, fn in _soak_queries(names).items():
         before = set(_stages(ui, app))
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
@@ -268,6 +270,6 @@ if __name__ == "__main__":
     if cmd == "gen":
         gen(int(sys.argv[2]))
     elif cmd == "run":
-        run_one(int(sys.argv[2]))
+        run_one(int(sys.argv[2]), sys.argv[3:] or None)
     else:
-        raise SystemExit("usage: scale_soak.py gen K | run K")
+        raise SystemExit("usage: scale_soak.py gen K | run K [query ...]")
