@@ -692,10 +692,14 @@ _PREFIX_Q = 8
 """q-extension of the prefix filters: prefixes carry q−1 extra tokens
 and a candidate must collide on ≥ q of them (capped per pair at the
 minimum required overlap, so tiny sets still use q = 1). q = 8 measured
-best on the sf-x10 soak corpus: vs q = 4 it adds ~36% pair-shuffle rows
-but cuts surviving containment candidates another 5.4x (1.95M -> 359k),
-and end-to-end wall improved at every scale; q = 12 prunes further but
-its row volume brings GC pressure at 32 local threads.
+best on the ADVERSARIAL sf-x10 soak corpus (the round-6 suffix-relabel
+variant, PERFORMANCE.md round-6 soak notes — boilerplate-grade shared
+shingles across replicas, the worst case for prefix joins): vs q = 4 it
+adds ~36% pair-shuffle rows but cuts surviving containment candidates
+another 5.4x (1.95M -> 359k), and end-to-end wall improved at every
+scale; q = 12 prunes further but its row volume brings GC pressure at
+32 local threads. On the final cipher soak corpus (linear truth, no
+boilerplate class) the filter costs nothing measurable either way.
 
 Lossless (the multi-prefix generalization of the AllPairs argument —
 Xiao et al.'s PPJoin era): list the common tokens of a qualifying pair

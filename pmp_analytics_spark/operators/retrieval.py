@@ -84,9 +84,12 @@ def bm25_topk(
 
 def _bm25_base(doc_tokens, query_terms, k1, b, id_col, token_col, query_id):
     """Shared BM25 machinery: (tf, dl, corpus, broadcast terms, df_t,
-    postings-with-contrib). ``contrib`` is the per-posting score term —
-    both the plain and the WAND ranker aggregate exactly this column, so
-    the two cannot drift."""
+    scores, postings). ``scores`` is the QUERY-INDEPENDENT per-(doc,
+    token) contrib frame over the query-term universe — the single place
+    the BM25 formula exists; ``postings`` fans it out per query. Both
+    rankers aggregate exactly this contrib column, and the WAND upper
+    bounds aggregate ``scores`` (pre-fan-out, so the bound pass costs
+    df-bounded rows, not queries x df), so the three cannot drift."""
     tf = doc_tokens.groupBy(id_col, token_col).agg(
         F.count(F.lit(1)).alias("tf")
     )
@@ -105,14 +108,16 @@ def _bm25_base(doc_tokens, query_terms, k1, b, id_col, token_col, query_id):
     )
     denom = F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
     contrib = (idf * F.col("tf") * (k1 + 1.0) / denom).alias("contrib")
-    postings = (
-        tf.join(terms, token_col)
-        .join(F.broadcast(df_t), token_col)
+    scores = (
+        tf.join(F.broadcast(df_t), token_col)
         .join(dl, id_col)
         .crossJoin(F.broadcast(corpus))
-        .select(query_id, id_col, token_col, contrib)
+        .select(id_col, token_col, contrib)
     )
-    return tf, dl, corpus, terms, df_t, postings
+    postings = scores.join(terms, token_col).select(
+        query_id, id_col, token_col, "contrib"
+    )
+    return tf, dl, corpus, terms, df_t, scores, postings
 
 
 def _topk_cut(scored, k, query_id, id_col):
@@ -170,17 +175,17 @@ def _wand_candidates(
     """(postings-with-contrib, surviving candidate (query, doc) set,
     terms, df_t) — the shared core of ``bm25_topk_wand`` and the pruning
     measurement."""
-    tf, dl, corpus, terms, df_t, postings = _bm25_base(
+    tf, dl, corpus, terms, df_t, scores, postings = _bm25_base(
         doc_tokens, query_terms, k1, b, id_col, token_col, query_id
     )
     # Per-term score upper bound over the corpus (query-term universe
     # only): max contrib any single posting of the term can add —
-    # aggregated from the SAME contrib column both rankers score, so a
-    # future formula change cannot silently break the bound. contrib is
-    # query-independent (idf·tf·(k1+1)/denom has no query term), so
-    # grouping the per-(query, doc, token) postings by token alone still
-    # yields the corpus-wide per-term max.
-    ub_t = postings.groupBy(token_col).agg(F.max("contrib").alias("ub"))
+    # aggregated from the SAME query-independent contrib frame the
+    # rankers' postings fan out from, so a future formula change cannot
+    # silently break the bound, and the bound pass costs df-bounded
+    # rows (not queries x df: the x10 soak measured the fanned-out
+    # variant at ~3x the plain ranker's shuffle).
+    ub_t = scores.groupBy(token_col).agg(F.max("contrib").alias("ub"))
     # Impact-order each query's terms; suffix_from(i) = Σ ub from term i
     # to the end — the best score a doc whose highest-impact match is
     # term i could possibly reach.

@@ -17,18 +17,20 @@ but shuffle bytes scale the same way there.
 
 ## How the scaled corpora are built (gen)
 
-Replication with a per-replica BIJECTIVE token relabeling, derived only
-from sf0.1 inputs (deterministic — no RNG):
+Replication with a per-replica transformation, derived only from sf0.1
+inputs (deterministic — no RNG):
 
-- documents: replica ``r`` maps ~35% of the token VOCABULARY (chosen by
-  ``crc32(token || r) % 100``) to fresh tokens ``tok·r``. A vocabulary
-  bijection preserves every within-replica shingle set relation EXACTLY
-  — the implanted near-dup families replicate, so true pair count scales
-  linearly — while cross-replica 5-shingle Jaccard collapses to
-  ~0.65^5 ≈ 0.12 raw (≈0.06 as a Jaccard), far under every declared
-  threshold (PPJoin 0.5, MinHash 0.6, containment 0.9). No quadratic
+- documents: replica ``r`` applies a character-substitution CIPHER (a
+  deterministic permutation of [a-z0-9], applied with ``translate``).
+  A cipher is bijective and length-preserving, so every within-replica
+  relation — word sets, n-grams, character shingles, lengths — is
+  preserved EXACTLY: each replica's ground truth is replica 0's, true
+  pair count is exactly linear in k (the output_rows column witnesses
+  it), and cross-replica similarity collapses to ~0 at both the word
+  and the char-shingle level, far under every declared threshold
+  (PPJoin 0.5, MinHash 0.6, containment 0.9). No quadratic
   cross-replica pair inflation: the scaled problem is honestly linear,
-  like ingesting k independent crawl snapshots with drifting vocab.
+  like ingesting k crawl snapshots in k different languages.
 - embeddings: replica vectors get deterministic per-(vec_id, rep, dim)
   noise at 3x the vector's own scale — cosine to the source vector
   ~0.3, below the semantic threshold (0.4), so replicas are new points,
@@ -81,40 +83,60 @@ def gen(k: int) -> str:
 
     docs = spark.read.parquet(f"{BASE}/documents.parquet")
     n = docs.agg(F.max("doc_id")).first()[0] + 1
-    reps = spark.range(k).select(F.col("id").cast("int").alias("rep"))
-    # Vocabulary bijection: keyed on (token, rep) ONLY — every occurrence
-    # of a token maps the same way corpus-wide, so within-replica set
-    # relations are exactly preserved.
-    perturbed = F.array_join(
-        F.transform(
-            F.split(F.col("text"), " "),
-            lambda t: F.when(
-                F.crc32(F.concat(t, F.lit("|"), F.col("rep").cast("string")))
-                % 100
-                < 35,
-                F.concat(t, F.lit("·"), F.col("rep").cast("string")),
-            ).otherwise(t),
-        ),
-        " ",
-    )
-    (
-        docs.crossJoin(reps)
-        .select(
-            (F.col("doc_id") + F.col("rep").cast("bigint") * n).alias("doc_id"),
-            F.when(F.col("rep") == 0, F.col("text"))
-            .otherwise(perturbed)
-            .alias("text"),
-            "lang",
-            "source",
+    # Replica r applies a CHARACTER-SUBSTITUTION CIPHER: a deterministic
+    # per-replica permutation of [a-z0-9] via F.translate. A cipher is
+    # bijective on strings and length-preserving, so EVERY within-replica
+    # relation — word sets, word n-grams, character shingles, doc lengths
+    # — is preserved exactly: replica r's ground truth IS replica 0's,
+    # and the scaled corpus's true pair count is exactly linear (the
+    # output_rows column witnesses it). Cross-replica similarity
+    # collapses to ~0: two permutations agree on a 5-gram only with
+    # probability ~36^-|distinct chars|. Two earlier schemes failed in
+    # instructive ways the row counts exposed: token-suffix relabeling
+    # (tok -> tok·r) left char-5-gram Jaccard ~0.65 across replicas
+    # (quadratic replica-clique pairs: 7731 at x10 vs 2560 linear), and
+    # hash-token replacement changed WITHIN-replica char-gram similarity
+    # (substitution is not gram-invariant when token lengths change),
+    # inflating some replicas' truth 300x. The cipher has neither
+    # failure mode by construction.
+    import hashlib
+
+    alphabet = "abcdefghijklmnopqrstuvwxyz0123456789"
+
+    def _cipher(r: int) -> str:
+        if r == 0:
+            return alphabet
+        chars = list(alphabet)
+        # deterministic Fisher-Yates keyed on md5(rep, position)
+        for i in range(len(chars) - 1, 0, -1):
+            h = hashlib.md5(f"{r}|{i}".encode()).hexdigest()
+            j = int(h[:8], 16) % (i + 1)
+            chars[i], chars[j] = chars[j], chars[i]
+        return "".join(chars)
+
+    parts = []
+    for r in range(k):
+        parts.append(
+            docs.select(
+                (F.col("doc_id") + F.lit(r).cast("bigint") * n).alias("doc_id"),
+                F.translate(F.col("text"), alphabet, _cipher(r)).alias("text"),
+                "lang",
+                "source",
+                "n_chars",  # cipher is 1:1 per char: length unchanged
+            )
         )
-        .withColumn("n_chars", F.length("text"))
-        .repartition(max(4, 4 * k))
+    scaled = parts[0]
+    for p in parts[1:]:
+        scaled = scaled.unionByName(p)
+    (
+        scaled.repartition(max(4, 4 * k))
         .write.mode("overwrite")
         .parquet(f"{out}/documents.parquet")
     )
 
     emb = spark.read.parquet(f"{BASE}/embeddings.parquet")
     m = emb.agg(F.max("vec_id")).first()[0] + 1
+    reps = spark.range(k).select(F.col("id").cast("int").alias("rep"))
     noisy = F.transform(
         F.col("embedding"),
         lambda v, i: v
@@ -175,10 +197,12 @@ def _soak_queries(names: list[str] | None = None):
     slope measures the operator, not the cap."""
     from pyspark.sql import functions as F
 
+    from pmp_analytics_spark.functions.text import tokens as _tokens
     from pmp_analytics_spark.operators.dedup import (
         containment_prefix_join,
         jaccard_prefix_join,
     )
+    from pmp_analytics_spark.operators.retrieval import bm25_topk, bm25_topk_wand
     from pmp_analytics_spark.queries import all_queries
     from pmp_analytics_spark.sources.reader import load_table
 
@@ -189,7 +213,33 @@ def _soak_queries(names: list[str] | None = None):
             F.col("doc_id") % 5000 < 1000
         )
 
+    def _bm25(ranker):
+        def q(sp, sf_dir):
+            occ = load_table(sp, sf_dir, "documents").select(
+                "doc_id", F.explode(_tokens("text")).alias("token")
+            )
+            qt = (
+                occ.where(F.col("doc_id") % 5000 < 10)
+                .select(F.col("doc_id").alias("query_id"), "token")
+                .distinct()
+            )
+            return ranker(occ, qt, k=5)
+        return q
+
+    specials = {
+        # BM25 soak shape: 10 query docs PER replica (the declared
+        # doc_id < 10 set stays constant across scales and would measure
+        # scan growth only) — each replica's queries match only its own
+        # cipher-image postings, so total posting mass under the rankers
+        # grows linearly and the WAND pruning rate is comparable per
+        # scale.
+        "docs_bm25_retrieval": _bm25(bm25_topk),
+        "docs_bm25_wand": _bm25(bm25_topk_wand),
+    }
     out = {n: qs[n] for n in (names or HEAVY) if n in qs}
+    for n, fn in specials.items():
+        if names and n in names:
+            out[n] = fn
     if "docs_jaccard_exact_pairs" in out:
         out["docs_jaccard_exact_pairs"] = lambda sp, d: jaccard_prefix_join(
             sliced(sp, d), text_col="text", id_col="doc_id", shingle_k=5, threshold=0.5
