@@ -45,7 +45,12 @@ from pyspark.sql import functions as F
 
 from pmp_analytics_spark.functions.text import tokens
 
-__all__ = ["hashed_features", "fit_logistic", "score_logistic"]
+__all__ = [
+    "hashed_features",
+    "fit_logistic",
+    "score_logistic",
+    "margin_expression",
+]
 
 
 def _bucket(col, dim: int):
@@ -175,3 +180,23 @@ def score_logistic(
         .groupBy(id_col)
         .agg(F.sum(F.col("x") * F.col("__w")).alias("m"))
     )
+
+
+def margin_expression(w: list[float], text_col: str = "text", dim: int = 32):
+    """Row-local margin under a FIXED weight vector for BINARY presence
+    features: fold the distinct token buckets' weights plus the bias —
+    a pure projection expression (no explode, no aggregate operator, no
+    state), so it scores a STREAM under any micro-batch slicing and a
+    100 TB batch as a map-only pass. Exactly ``score_logistic`` over
+    ``hashed_features(binary=True)``: sum of w[bucket] over distinct
+    buckets + w[dim]; equivalence is pinned in tests."""
+    arr = F.array(*[F.lit(float(x)) for x in w])
+    bks = F.array_distinct(
+        F.transform(tokens(text_col), lambda t: _bucket(t, dim))
+    )
+    s = F.aggregate(
+        F.transform(bks, lambda b: F.element_at(arr, b + 1)),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    return s + F.lit(float(w[dim]))

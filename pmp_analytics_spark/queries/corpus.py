@@ -1204,7 +1204,7 @@ _CLF_ITERS = 8
 _CLF_GRAD_DP = 8
 
 
-def _clf_oracle() -> str:
+def _clf_oracle_prefix() -> str:
     b = f"CAST(CAST(('0x' || SUBSTRING(MD5(t), 1, 15)) AS BIGINT) % {_CLF_DIM} AS INT)"
     M = "AS MATERIALIZED"
     parts = [
@@ -1243,8 +1243,12 @@ def _clf_oracle() -> str:
         f"mf {M} (SELECT f.doc_id, SUM(f.x * w.w) AS m"
         f" FROM feats f JOIN w{_CLF_ITERS} w USING (bucket) GROUP BY 1)"
     )
+    return ",\n".join(parts)
+
+
+def _clf_oracle() -> str:
     return (
-        ",\n".join(parts)
+        _clf_oracle_prefix()
         + '''
     SELECT l.y, CASE WHEN mf.m > 0 THEN 1 ELSE 0 END AS pred,
            COUNT(*) AS n_docs, ROUND(AVG(mf.m), 4) AS avg_margin
@@ -1254,41 +1258,80 @@ def _clf_oracle() -> str:
     )
 
 
+_CLF_FIT_MEMO: dict = {}
+
+
+def _clf_labels(docs: DataFrame) -> DataFrame:
+    return docs.select(
+        "doc_id",
+        F.array_contains(tokens("text"), "the").cast("int").alias("y"),
+    )
+
+
+def _clf_fit(spark: SparkSession, sf_dir: str) -> list[float]:
+    """The trained weight vector, memoized per (session, sf_dir) — the
+    in-session model of the classifier artifact a deployment trains once
+    and ships (same contract as the memoized BPE fit): the batch
+    confusion query and the streaming scorer share ONE fit."""
+    from pmp_analytics_spark.operators.classifier import (
+        fit_logistic,
+        hashed_features,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _CLF_FIT_MEMO.get(key)
+    if hit is None:
+        docs = load_table(spark, sf_dir, "documents")
+        labels = _clf_labels(docs)
+        # class weights via the 1-row-agg broadcast-crossJoin pattern
+        # (A7), then broadcast the 2-row weight table onto the labels
+        tot = labels.agg(F.count(F.lit(1)).alias("__n"))
+        cls_w = (
+            labels.groupBy("y")
+            .agg(F.count(F.lit(1)).alias("__ny"))
+            .crossJoin(F.broadcast(tot))
+            .select("y", (F.col("__n") / (2.0 * F.col("__ny"))).alias("sw"))
+        )
+        weighted = labels.join(F.broadcast(cls_w), "y").select(
+            "doc_id", "y", "sw"
+        )
+        # cached only through the fit: consumed twice per GD iteration
+        feats = hashed_features(
+            docs, "text", "doc_id", _CLF_DIM, binary=True
+        ).cache()
+        hit = fit_logistic(
+            spark,
+            feats,
+            weighted,
+            weight_col="sw",
+            dim=_CLF_DIM,
+            lr=_CLF_LR,
+            iters=_CLF_ITERS,
+            grad_dp=_CLF_GRAD_DP,
+        )
+        feats.unpersist()
+        _CLF_FIT_MEMO[key] = hit
+    return hit
+
+
+def clear_clf_fit() -> None:
+    """Drop every memoized classifier fit (see ``_clf_fit``) — the same
+    invalidation contract as ``pretrain.clear_bpe_fit``: callers that
+    rewrite documents at an sf_dir within one session must call this."""
+    _CLF_FIT_MEMO.clear()
+
+
 @query("docs_quality_classifier", _clf_oracle())
 def docs_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pmp_analytics_spark.operators.classifier import (
-        fit_logistic,
         hashed_features,
         score_logistic,
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    labels = docs.select(
-        "doc_id",
-        F.array_contains(tokens("text"), "the").cast("int").alias("y"),
-    )
-    # class weights via the 1-row-agg broadcast-crossJoin pattern (A7),
-    # then broadcast the 2-row weight table back onto the labels
-    tot = labels.agg(F.count(F.lit(1)).alias("__n"))
-    cls_w = (
-        labels.groupBy("y")
-        .agg(F.count(F.lit(1)).alias("__ny"))
-        .crossJoin(F.broadcast(tot))
-        .select("y", (F.col("__n") / (2.0 * F.col("__ny"))).alias("sw"))
-    )
-    weighted = labels.join(F.broadcast(cls_w), "y").select("doc_id", "y", "sw")
-    # cached: consumed twice per GD iteration plus once for scoring
-    feats = hashed_features(docs, "text", "doc_id", _CLF_DIM, binary=True).cache()
-    w = fit_logistic(
-        spark,
-        feats,
-        weighted,
-        weight_col="sw",
-        dim=_CLF_DIM,
-        lr=_CLF_LR,
-        iters=_CLF_ITERS,
-        grad_dp=_CLF_GRAD_DP,
-    )
+    labels = _clf_labels(docs)
+    w = _clf_fit(spark, sf_dir)
+    feats = hashed_features(docs, "text", "doc_id", _CLF_DIM, binary=True)
     scored = score_logistic(feats, w)
     return (
         labels.join(scored, "doc_id")
@@ -1298,3 +1341,40 @@ def docs_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("m"), 4).alias("avg_margin"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Q: streaming_classifier_scores — the train-batch / score-stream split
+# every production quality filter ships: the memoized batch fit above is
+# the model artifact; the document STREAM is scored by a ROW-LOCAL
+# margin expression (operators/classifier.py::margin_expression — the
+# weight vector folded as a literal array, distinct-bucket weights
+# summed per row). No state, no shuffle, no join in the streaming plan,
+# so the result is deterministic under ANY micro-batch slicing and the
+# full batch-replay SQL (fit CTEs + per-doc margins) is the oracle.
+# --------------------------------------------------------------------------
+@query(
+    "streaming_classifier_scores",
+    lambda: _clf_oracle_prefix()
+    + """
+    SELECT doc_id, ROUND(m, 4) AS margin,
+           CASE WHEN m > 0 THEN 1 ELSE 0 END AS pred
+    FROM mf
+    """,
+)
+def streaming_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from pmp_analytics_spark.operators.classifier import margin_expression
+    from pmp_analytics_spark.streaming.sessions import read_doc_stream, run_to_memory
+
+    w = _clf_fit(spark, sf_dir)
+    m = margin_expression(w, "text", _CLF_DIM)
+    scored = read_doc_stream(spark, sf_dir).select(
+        "doc_id",
+        F.round(m, 4).alias("margin"),
+        (m > 0).cast("int").alias("pred"),
+    )
+    name = f"clf_scores_{uuid.uuid4().hex[:12]}"
+    run_to_memory(scored, name, output_mode="append")
+    return spark.table(name)

@@ -1701,3 +1701,40 @@ def test_hashed_features_bias_and_zero_token_docs(spark):
     assert abs(sum(d1) - 2.0) < 1e-12
     bi = hashed_features(docs, "text", "doc_id", 8, binary=True).collect()
     assert all(r["x"] == 1.0 for r in bi)
+
+
+def test_margin_expression_equals_score_logistic(spark):
+    """margin_expression (the row-local streaming scorer) must equal
+    score_logistic over binary hashed features for EVERY doc — including
+    a zero-token doc, whose margin is the bias alone — under an
+    arbitrary fixed weight vector. This is the contract that lets the
+    batch-trained model score a stream join-free."""
+    from pmp_analytics_spark.operators.classifier import (
+        hashed_features,
+        margin_expression,
+        score_logistic,
+    )
+
+    DIM = 16
+    w = [((-1) ** i) * (0.125 * i + 0.0625) for i in range(DIM + 1)]
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta alpha gamma"),
+            (2, "..."),  # zero tokens -> bias-only margin
+            (3, "the quick brown fox jumps over the lazy dog"),
+            (4, "alpha"),
+        ],
+        ["doc_id", "text"],
+    )
+    feats = hashed_features(docs, "text", "doc_id", DIM, binary=True)
+    want = {r["doc_id"]: r["m"] for r in score_logistic(feats, w).collect()}
+    got = {
+        r["doc_id"]: r["m"]
+        for r in docs.select(
+            "doc_id", margin_expression(w, "text", DIM).alias("m")
+        ).collect()
+    }
+    assert set(got) == set(want) == {1, 2, 3, 4}
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-12, (k, got[k], want[k])
+    assert abs(got[2] - w[DIM]) < 1e-12  # bias-only

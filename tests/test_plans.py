@@ -522,3 +522,18 @@ def test_classifier_scoring_is_join_free(spark, queries):
     plan = physical_plan(score_logistic(feats, [0.1] * 17))
     assert "Join" not in plan, plan
     assert "BatchEvalPython" not in plan
+
+
+def test_margin_expression_is_pure_projection(spark):
+    """The streaming scorer (margin_expression) folds the weight vector
+    into a literal-array projection: the plan must contain no Exchange,
+    no Join, no aggregate, and no Python eval — it is a map-only pass
+    that scores any micro-batch slicing or a 100 TB scan shuffle-free."""
+    from pmp_analytics_spark.operators.classifier import margin_expression
+    from pmp_analytics_spark.sources.reader import load_table
+
+    docs = load_table(spark, SF, "documents")
+    df = docs.select("doc_id", margin_expression([0.25] * 33, "text", 32).alias("m"))
+    plan = physical_plan(df)
+    for op in ("Exchange", "Join", "Aggregate", "BatchEvalPython", "ArrowEvalPython"):
+        assert op not in plan, (op, plan)

@@ -469,3 +469,47 @@ def test_streaming_quarantine_multibatch_equals_batch(spark, tmp_path):
         assert len(parts) >= 1, p
     clean_parts = {d for d in os.listdir(clean_p) if d.startswith("__batch_id=")}
     assert len(clean_parts) >= 2, "stream must span multiple micro-batches"
+
+
+def test_streaming_classifier_scores_multibatch_equals_batch(spark, tmp_path):
+    """Scoring a document stream with margin_expression under FORCED
+    multi-batch slicing (three file drops, maxFilesPerTrigger=1) must
+    equal the batch projection over the union exactly: the scorer is
+    stateless and row-local, so micro-batch boundaries cannot move any
+    margin. This pins the claim streaming_classifier_scores rests on."""
+    import uuid
+
+    from pmp_analytics_spark.operators.classifier import margin_expression
+    from pmp_analytics_spark.sources.reader import load_table
+    from pmp_analytics_spark.streaming.sessions import run_to_memory
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    src = str(tmp_path / "src")
+    for i in range(3):
+        docs.where(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    DIM = 16
+    w = [((-1) ** i) * 0.2 for i in range(DIM + 1)]
+    m = margin_expression(w, "text", DIM)
+    schema = spark.read.parquet(src).schema
+    scored = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .select("doc_id", F.round(m, 6).alias("margin"))
+    )
+    name = f"clf_mb_{uuid.uuid4().hex[:8]}"
+    q = run_to_memory(scored, name, output_mode="append")
+    data_batches = [p for p in q.recentProgress if p["numInputRows"] > 0]
+    assert len(data_batches) >= 3, "stream must span multiple micro-batches"
+
+    got = {r["doc_id"]: r["margin"] for r in spark.table(name).collect()}
+    want = {
+        r["doc_id"]: r["margin"]
+        for r in docs.select("doc_id", F.round(m, 6).alias("margin")).collect()
+    }
+    assert got == want and len(got) > 0
