@@ -147,3 +147,94 @@ def snapshot_delta(
             *[f"new_{c}" for c in compare_cols],
         )
     )
+
+
+def incremental_mv_refresh(
+    mv: DataFrame,
+    delta: DataFrame,
+    group_cols: list[str],
+    sum_cols: dict[str, str],
+    count_col: str = "n_rows",
+) -> DataFrame:
+    """Incrementally maintain a SUM/COUNT materialized view from a
+    ``snapshot_delta`` — the self-maintainable-aggregate refresh of the
+    view-maintenance literature (Gupta & Mumick, "Maintenance of
+    Materialized Views", IEEE DE Bulletin 1995): never rescan the base.
+
+    ``mv`` is the current view: ``group_cols`` + one column per key of
+    ``sum_cols`` (``out_name -> base_column``) + ``count_col``.
+    ``delta`` is ``snapshot_delta(old_base, new_base, keys)`` where the
+    compared columns include every base column referenced by
+    ``group_cols`` and ``sum_cols``. Each delta row contributes:
+
+    - ``removed``: subtract the OLD measure values from the group formed
+      by the OLD group-column values, count -1;
+    - ``added``: add the NEW values to the NEW group, count +1;
+    - ``changed``: both — which transparently handles rows that MOVE
+      between groups (the group column itself changed).
+
+    Groups whose refreshed count reaches 0 are dropped; groups born in
+    the delta appear. The group merge is NULL-SAFE (a NULL group value
+    is one group, matching GROUP BY), and the output column order/types
+    mirror ``mv`` so refresh output feeds the next refresh.
+
+    Assumes measure columns are NON-NULL in the base (sums are refreshed
+    additively with missing-side zeros; a base NULL measure would need a
+    per-measure non-null count to reproduce SUM's null-skipping). Use
+    exact types (decimal, integer) for measures: additive refresh
+    re-associates the sum, which is only order-independent for exact
+    arithmetic.
+
+    Scale: cost is O(|delta|) aggregate + ONE full-outer merge join with
+    the view — both sides view-cardinality, never base-cardinality. An
+    MV bucketed on ``group_cols`` (its natural layout) co-locates the
+    merge; nothing collects or windows globally. Reference analog: none
+    (the reference recomputes extracts monthly end-to-end); this is the
+    engine's production shape for keeping 100 TB rollups current from a
+    CDC feed.
+    """
+    out_names = list(sum_cols)
+    rem = delta.where(F.col("change_type").isin("removed", "changed")).select(
+        *[F.col(f"old_{g}").alias(g) for g in group_cols],
+        *[(-F.col(f"old_{c}")).alias(o) for o, c in sum_cols.items()],
+        F.lit(-1).cast("long").alias(count_col),
+    )
+    add = delta.where(F.col("change_type").isin("added", "changed")).select(
+        *[F.col(f"new_{g}").alias(g) for g in group_cols],
+        *[F.col(f"new_{c}").alias(o) for o, c in sum_cols.items()],
+        F.lit(1).cast("long").alias(count_col),
+    )
+    adj = (
+        rem.unionByName(add)
+        .groupBy(*group_cols)
+        .agg(
+            *[F.sum(o).alias(o) for o in out_names],
+            F.sum(count_col).alias(count_col),
+        )
+    )
+    m, a = mv.alias("__mv"), adj.alias("__adj")
+    cond = None
+    for g in group_cols:
+        eq = F.col(f"__mv.{g}").eqNullSafe(F.col(f"__adj.{g}"))
+        cond = eq if cond is None else (cond & eq)
+    merged = m.join(a, cond, "full_outer")
+    mv_types = dict(zip(mv.columns, [f.dataType for f in mv.schema.fields]))
+    new_count = F.coalesce(F.col(f"__mv.{count_col}"), F.lit(0)) + F.coalesce(
+        F.col(f"__adj.{count_col}"), F.lit(0)
+    )
+    return merged.select(
+        *[
+            F.coalesce(F.col(f"__mv.{g}"), F.col(f"__adj.{g}")).alias(g)
+            for g in group_cols
+        ],
+        *[
+            (
+                F.coalesce(F.col(f"__mv.{o}"), F.lit(0))
+                + F.coalesce(F.col(f"__adj.{o}"), F.lit(0))
+            )
+            .cast(mv_types[o])
+            .alias(o)
+            for o in out_names
+        ],
+        new_count.cast(mv_types[count_col]).alias(count_col),
+    ).where(new_count > 0)

@@ -62,6 +62,7 @@ _PACK_MODULES = {
 _RECORD_FRONT = (
     # round-6 additions (new this round, so never sampled by definition)
     "docs_quality_classifier", "orders_snapshot_delta",
+    "streaming_classifier_scores", "orders_mv_incremental",
     # analytic (all 27 were never sampled)
     "customer_order_subqueries", "supplier_discount_exists",
     "nation_presence_setops", "customer_order_gaps",

@@ -844,3 +844,72 @@ def orders_snapshot_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(F.col("o_totalprice")),
     )
     return snapshot_delta(old, new, ["o_orderkey"])
+
+
+# --------------------------------------------------------------------------
+# Q: orders_mv_incremental — incremental materialized-view maintenance
+# (operators/diff.py::incremental_mv_refresh): a revenue-by-priority
+# rollup kept current from the snapshot CDC feed WITHOUT rescanning the
+# base. The same old/new snapshot derivation as orders_snapshot_delta,
+# plus a group-MOVING mutation (o_orderkey % 23 = 0 reassigns the
+# priority), so the refresh exercises added/removed/changed rows AND
+# rows that migrate between groups. Measures are exact DECIMAL(18,2) —
+# additive refresh re-associates the sum, which only exact arithmetic
+# keeps order-independent. The oracle recomputes the view from the new
+# snapshot directly: incremental == full recompute is the entire claim.
+# --------------------------------------------------------------------------
+@query(
+    "orders_mv_incremental",
+    """
+    WITH new AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 23 = 0 THEN '9-MOVED'
+                    ELSE o_orderpriority END AS o_orderpriority,
+               CAST(CASE WHEN o_orderkey % 9 = 0
+                         THEN o_totalprice + 1000.0
+                         ELSE o_totalprice END AS DECIMAL(18,2)) AS price
+        FROM orders WHERE o_orderkey % 17 <> 3
+    )
+    SELECT o_orderpriority, SUM(price) AS revenue,
+           COUNT(*) AS n_orders
+    FROM new GROUP BY o_orderpriority
+    """,
+)
+def orders_mv_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pmp_analytics_spark.operators.diff import (
+        incremental_mv_refresh,
+        snapshot_delta,
+    )
+
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    old = base.where(F.col("o_orderkey") % 13 != 5).select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    new = (
+        base.where(F.col("o_orderkey") % 17 != 3)
+        .select(
+            "o_orderkey",
+            F.when(F.col("o_orderkey") % 23 == 0, F.lit("9-MOVED"))
+            .otherwise(F.col("o_orderpriority"))
+            .alias("o_orderpriority"),
+            F.when(F.col("o_orderkey") % 9 == 0, F.col("o_totalprice") + 1000.0)
+            .otherwise(F.col("o_totalprice"))
+            .cast("decimal(18,2)")
+            .alias("price"),
+        )
+    )
+    mv_old = old.groupBy("o_orderpriority").agg(
+        F.sum("price").alias("revenue"), F.count(F.lit(1)).alias("n_orders")
+    )
+    delta = snapshot_delta(old, new, ["o_orderkey"])
+    return incremental_mv_refresh(
+        mv_old,
+        delta,
+        ["o_orderpriority"],
+        {"revenue": "price"},
+        "n_orders",
+    )

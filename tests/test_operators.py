@@ -1738,3 +1738,84 @@ def test_margin_expression_equals_score_logistic(spark):
     for k in want:
         assert abs(got[k] - want[k]) < 1e-12, (k, got[k], want[k])
     assert abs(got[2] - w[DIM]) < 1e-12  # bias-only
+
+
+def test_incremental_mv_refresh_matches_full_recompute(spark):
+    """incremental_mv_refresh over a snapshot_delta must equal the full
+    recompute on the new snapshot for every change class at once:
+    removed rows, added rows, changed measures, a row MOVING between
+    groups, a group vanishing entirely (count -> 0 dropped), a group
+    born in the delta, and a NULL group key (one group, null-safe
+    merge). A second chained refresh proves output feeds input."""
+    from decimal import Decimal
+
+    from pmp_analytics_spark.operators.diff import (
+        incremental_mv_refresh,
+        snapshot_delta,
+    )
+
+    def frame(rows):
+        df = spark.createDataFrame(rows, ["k", "g", "v"])
+        return df.select("k", "g", F.col("v").cast("decimal(10,2)").alias("v"))
+
+    old = frame(
+        [
+            (1, "a", "10.00"),
+            (2, "a", "20.00"),
+            (3, "b", "5.00"),   # b vanishes: row 3 removed
+            (4, "c", "7.00"),   # c -> a: group move
+            (5, None, "1.00"),  # null group, unchanged
+            (6, None, "2.50"),  # null group, measure changes
+        ]
+    )
+    new = frame(
+        [
+            (1, "a", "10.00"),   # unchanged -> no delta row
+            (2, "a", "25.00"),   # measure change in place
+            (4, "a", "7.00"),    # moved c -> a
+            (5, None, "1.00"),
+            (6, None, "9.50"),
+            (7, "d", "4.00"),    # group d born
+        ]
+    )
+
+    def mv(df):
+        return df.groupBy("g").agg(
+            F.sum("v").alias("total"), F.count(F.lit(1)).alias("n_rows")
+        )
+
+    got = incremental_mv_refresh(
+        mv(old), snapshot_delta(old, new, ["k"]), ["g"], {"total": "v"}, "n_rows"
+    )
+    want = {r["g"]: (r["total"], r["n_rows"]) for r in mv(new).collect()}
+    have = {r["g"]: (r["total"], r["n_rows"]) for r in got.collect()}
+    assert have == want
+    assert "b" not in have and "d" in have  # vanished / born
+    assert have["a"] == (Decimal("42.00"), 3)
+    assert have[None] == (Decimal("10.50"), 2)
+    # schema parity: refresh output is a valid mv for the NEXT refresh
+    assert [f.dataType for f in got.schema.fields] == [
+        f.dataType for f in mv(old).schema.fields
+    ]
+    new2 = frame([(2, "a", "25.00"), (7, "e", "4.00"), (8, "d", "6.00")])
+    got2 = incremental_mv_refresh(
+        got, snapshot_delta(new, new2, ["k"]), ["g"], {"total": "v"}, "n_rows"
+    )
+    want2 = {r["g"]: (r["total"], r["n_rows"]) for r in mv(new2).collect()}
+    assert {r["g"]: (r["total"], r["n_rows"]) for r in got2.collect()} == want2
+
+
+def test_incremental_mv_refresh_empty_delta_is_identity(spark):
+    from pmp_analytics_spark.operators.diff import (
+        incremental_mv_refresh,
+        snapshot_delta,
+    )
+
+    df = spark.createDataFrame([(1, "a", 10), (2, "b", 3)], ["k", "g", "v"])
+    base_mv = df.groupBy("g").agg(
+        F.sum("v").alias("total"), F.count(F.lit(1)).alias("n_rows")
+    )
+    out = incremental_mv_refresh(
+        base_mv, snapshot_delta(df, df, ["k"]), ["g"], {"total": "v"}, "n_rows"
+    )
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, base_mv.collect()))

@@ -537,3 +537,16 @@ def test_margin_expression_is_pure_projection(spark):
     plan = physical_plan(df)
     for op in ("Exchange", "Join", "Aggregate", "BatchEvalPython", "ArrowEvalPython"):
         assert op not in plan, (op, plan)
+
+
+def test_incremental_mv_refresh_plan_is_delta_sized(spark, queries):
+    """The MV refresh must stay view/delta-sized: full-outer SortMergeJoins
+    (snapshot CDC + the mv merge), no cartesian, no broadcast nested
+    loop, and the snapshot key filters pushed to the scans. At scale the
+    merge inputs are the VIEW and the aggregated delta — never the base."""
+    df = queries["orders_mv_incremental"](spark, SF)
+    assert_no_cartesian_product(df)
+    plan = physical_plan(df)
+    assert plan.count("FullOuter") >= 2  # CDC join + mv merge
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert has_pushed_filters(df)
