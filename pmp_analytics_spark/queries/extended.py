@@ -858,9 +858,7 @@ def orders_snapshot_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
 # keeps order-independent. The oracle recomputes the view from the new
 # snapshot directly: incremental == full recompute is the entire claim.
 # --------------------------------------------------------------------------
-@query(
-    "orders_mv_incremental",
-    """
+_MV_ORACLE = """
     WITH new AS (
         SELECT o_orderkey,
                CASE WHEN o_orderkey % 23 = 0 THEN '9-MOVED'
@@ -873,14 +871,17 @@ def orders_snapshot_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderpriority, SUM(price) AS revenue,
            COUNT(*) AS n_orders
     FROM new GROUP BY o_orderpriority
-    """,
-)
-def orders_mv_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pmp_analytics_spark.operators.diff import (
-        incremental_mv_refresh,
-        snapshot_delta,
-    )
+    """
 
+
+def _mv_snapshot_frames(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """(old, new) snapshot pair for the MV-maintenance queries — the
+    orders_snapshot_delta derivation plus a group-MOVING mutation
+    (o_orderkey % 23 = 0 reassigns the priority). Prices are exact
+    DECIMAL(18,2): additive refresh re-associates the sum, which only
+    exact arithmetic keeps order-independent."""
     base = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderpriority", "o_totalprice"
     )
@@ -889,27 +890,92 @@ def orders_mv_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderpriority",
         F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
     )
-    new = (
-        base.where(F.col("o_orderkey") % 17 != 3)
-        .select(
-            "o_orderkey",
-            F.when(F.col("o_orderkey") % 23 == 0, F.lit("9-MOVED"))
-            .otherwise(F.col("o_orderpriority"))
-            .alias("o_orderpriority"),
-            F.when(F.col("o_orderkey") % 9 == 0, F.col("o_totalprice") + 1000.0)
-            .otherwise(F.col("o_totalprice"))
-            .cast("decimal(18,2)")
-            .alias("price"),
-        )
+    new = base.where(F.col("o_orderkey") % 17 != 3).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 23 == 0, F.lit("9-MOVED"))
+        .otherwise(F.col("o_orderpriority"))
+        .alias("o_orderpriority"),
+        F.when(F.col("o_orderkey") % 9 == 0, F.col("o_totalprice") + 1000.0)
+        .otherwise(F.col("o_totalprice"))
+        .cast("decimal(18,2)")
+        .alias("price"),
     )
-    mv_old = old.groupBy("o_orderpriority").agg(
+    return old, new
+
+
+def _mv_of(snapshot: DataFrame) -> DataFrame:
+    return snapshot.groupBy("o_orderpriority").agg(
         F.sum("price").alias("revenue"), F.count(F.lit(1)).alias("n_orders")
     )
-    delta = snapshot_delta(old, new, ["o_orderkey"])
+
+
+@query("orders_mv_incremental", _MV_ORACLE)
+def orders_mv_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pmp_analytics_spark.operators.diff import (
+        incremental_mv_refresh,
+        snapshot_delta,
+    )
+
+    old, new = _mv_snapshot_frames(spark, sf_dir)
     return incremental_mv_refresh(
-        mv_old,
-        delta,
+        _mv_of(old),
+        snapshot_delta(old, new, ["o_orderkey"]),
         ["o_orderpriority"],
         {"revenue": "price"},
         "n_orders",
     )
+
+
+# --------------------------------------------------------------------------
+# Q: streaming_mv_refresh — the SAME view maintained from a CDC STREAM
+# (streaming/mv.py::cdc_mv_refresh_stream): the snapshot delta arrives
+# as three micro-batches (file drops, maxFilesPerTrigger=1); each batch
+# is applied to the versioned view state via incremental_mv_refresh and
+# published through the atomic _LATEST flip, with the micro-batch id as
+# the commit marker (additive refresh is not idempotent — the marker is
+# what makes replays exact-once). Contributions are associative sums, so
+# the final view is independent of the slicing and the oracle is the
+# full recompute on the new snapshot — same as orders_mv_incremental,
+# reached through entirely different machinery.
+# --------------------------------------------------------------------------
+@query("streaming_mv_refresh", _MV_ORACLE)
+def streaming_mv_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from pmp_analytics_spark.operators.diff import snapshot_delta
+    from pmp_analytics_spark.sources.writers import publish_versioned, read_latest
+    from pmp_analytics_spark.streaming.mv import cdc_mv_refresh_stream
+
+    old, new = _mv_snapshot_frames(spark, sf_dir)
+    parent = os.path.join(tempfile.gettempdir(), "pmp_mv_refresh")
+    if os.path.isdir(parent):  # stale-dir backstop for crashed runs
+        shutil.rmtree(parent, ignore_errors=True)
+    os.makedirs(parent, exist_ok=True)
+    work = tempfile.mkdtemp(dir=parent)
+    root = os.path.join(work, "state")
+    feed = os.path.join(work, "cdc")
+
+    # three CDC drops -> three micro-batches under maxFilesPerTrigger=1
+    delta = snapshot_delta(old, new, ["o_orderkey"])
+    for i in range(3):
+        delta.where(F.col("o_orderkey") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(feed)
+
+    publish_versioned(_mv_of(old), root)  # seed the view state
+    schema = spark.read.parquet(feed).schema
+    cdc_mv_refresh_stream(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed),
+        root,
+        ["o_orderpriority"],
+        {"revenue": "price"},
+        "n_orders",
+        checkpoint_dir=os.path.join(work, "ckpt"),
+    )
+    out = read_latest(spark, root).localCheckpoint(eager=True)
+    shutil.rmtree(work, ignore_errors=True)
+    return out

@@ -106,7 +106,9 @@ def _try_system_clipboard(text: str) -> bool:  # pragma: no cover - headless CI
     return False
 
 
-def publish_versioned(df: DataFrame, root: str, keep_last: int = 3) -> str:
+def publish_versioned(
+    df: DataFrame, root: str, keep_last: int = 3, marker: str | None = None
+) -> str:
     """Publish ``df`` as a NEW immutable version under ``root`` and flip
     the ``_LATEST`` pointer to it atomically — the snapshot-publish
     pattern batch pipelines use so readers never observe a half-written
@@ -120,6 +122,14 @@ def publish_versioned(df: DataFrame, root: str, keep_last: int = 3) -> str:
     - versions older than ``keep_last`` behind the pointer are pruned
       AFTER the flip (readers that resolved the old pointer during the
       swap still have ``keep_last - 1`` versions of grace).
+
+    ``marker`` (optional) is a small commit token written as ``_MARKER``
+    INSIDE the version dir after the data but BEFORE the pointer flip, so
+    it becomes visible exactly when the version does (parquet readers
+    skip ``_``-prefixed files). ``latest_marker`` reads it back — the
+    idempotent-replay handle for NON-idempotent maintenance loops (e.g.
+    the additive CDC view refresh stores the micro-batch id: a replayed
+    batch sees its own id already committed and skips).
 
     Returns the published version directory."""
     from pmp_analytics_spark.sources.hadoopfs import fs_for
@@ -143,6 +153,13 @@ def publish_versioned(df: DataFrame, root: str, keep_last: int = 3) -> str:
     n = (versions[-1] + 1) if versions else 0
     vdir = f"{root.rstrip('/')}/v{n:08d}"
     df.write.parquet(vdir)
+    if marker is not None:
+        mpath = jvm.org.apache.hadoop.fs.Path(
+            jvm.org.apache.hadoop.fs.Path(vdir), "_MARKER"
+        )
+        mout = fs.create(mpath, True)
+        mout.write(str(marker).encode())
+        mout.close()
 
     pointer = jvm.org.apache.hadoop.fs.Path(jroot, "_LATEST")
     tmp = jvm.org.apache.hadoop.fs.Path(jroot, f"_LATEST.tmp{n}")
@@ -164,25 +181,49 @@ def publish_versioned(df: DataFrame, root: str, keep_last: int = 3) -> str:
     return vdir
 
 
-def read_latest(spark, root: str) -> DataFrame:
-    """Resolve ``_LATEST`` and read that immutable version."""
-    from pmp_analytics_spark.sources.hadoopfs import fs_for
-
-    fs, jroot, jvm, _ = fs_for(spark, root)
-    pointer = jvm.org.apache.hadoop.fs.Path(jroot, "_LATEST")
-    stream = fs.open(pointer)
+def _read_small_file(fs, path) -> str:
+    """Read a tiny FS file (pointer / marker) fully as text."""
+    stream = fs.open(path)
     try:
         # hasattr on a py4j object is always True (no reflection), so
         # feature-detect by calling: readAllBytes is Java 9+.
         try:
-            version = bytes(stream.readAllBytes()).decode()
+            return bytes(stream.readAllBytes()).decode()
         except Exception:  # pragma: no cover - Java 8 fallback
             buf = bytearray()
             b = stream.read()
             while b >= 0:
                 buf.append(b)
                 b = stream.read()
-            version = bytes(buf).decode()
+            return bytes(buf).decode()
     finally:
         stream.close()
+
+
+def read_latest(spark, root: str) -> DataFrame:
+    """Resolve ``_LATEST`` and read that immutable version."""
+    from pmp_analytics_spark.sources.hadoopfs import fs_for
+
+    fs, jroot, jvm, _ = fs_for(spark, root)
+    pointer = jvm.org.apache.hadoop.fs.Path(jroot, "_LATEST")
+    version = _read_small_file(fs, pointer)
     return spark.read.parquet(f"{root.rstrip('/')}/{version.strip()}")
+
+
+def latest_marker(spark, root: str) -> str | None:
+    """The commit ``marker`` the LIVE version was published with (see
+    ``publish_versioned``), or None when there is no published version
+    or it carries no marker. Reads two tiny pointer files — never data."""
+    from pmp_analytics_spark.sources.hadoopfs import fs_for
+
+    fs, jroot, jvm, _ = fs_for(spark, root)
+    pointer = jvm.org.apache.hadoop.fs.Path(jroot, "_LATEST")
+    if not fs.exists(pointer):
+        return None
+    version = _read_small_file(fs, pointer).strip()
+    mpath = jvm.org.apache.hadoop.fs.Path(
+        jvm.org.apache.hadoop.fs.Path(jroot, version), "_MARKER"
+    )
+    if not fs.exists(mpath):
+        return None
+    return _read_small_file(fs, mpath)

@@ -1,0 +1,76 @@
+"""Streaming materialized-view maintenance from a CDC feed.
+
+The streaming form of ``operators/diff.py::incremental_mv_refresh``: a
+change-data stream (``snapshot_delta`` rows — ``change_type`` +
+``old_*``/``new_*`` columns) keeps a SUM/COUNT rollup current, one
+micro-batch at a time, without ever rescanning the base table. Movement
+per batch is O(|batch delta|) + one view-sized merge — the production
+shape for keeping 100 TB rollups fresh off a changefeed.
+
+Exactly-once: additive refresh is NOT idempotent (replaying a batch
+double-applies it), so each publish carries the micro-batch id as the
+``publish_versioned`` commit marker, written inside the immutable
+version dir before the atomic ``_LATEST`` flip. A replayed batch finds
+its own id (or a later one) already committed and skips — the pointer
+flip is the transaction. The guard relies on Structured Streaming's
+nondecreasing batch ids per checkpoint, so one state ``root`` must be
+paired with ONE checkpoint lineage; resuming the same checkpoint (the
+normal continue-the-feed path) extends ids monotonically.
+
+Batch-boundary independence: refresh contributions are associative and
+commutative sums, so ANY slicing of the delta into micro-batches yields
+the same final view — pinned in tests against the single-shot batch
+refresh and the full recompute.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def cdc_mv_refresh_stream(
+    delta_stream: DataFrame,
+    root: str,
+    group_cols: list[str],
+    sum_cols: dict[str, str],
+    count_col: str = "n_rows",
+    checkpoint_dir: str | None = None,
+    keep_last: int = 3,
+):
+    """Drain ``delta_stream`` (availableNow) applying each micro-batch to
+    the versioned view state at ``root`` via ``incremental_mv_refresh``.
+
+    The caller seeds ``root`` with the initial view (one
+    ``publish_versioned(mv0, root)`` — no marker) before starting.
+    Returns the terminated StreamingQuery.
+    """
+    from pmp_analytics_spark.operators.diff import incremental_mv_refresh
+    from pmp_analytics_spark.sources.writers import (
+        latest_marker,
+        publish_versioned,
+        read_latest,
+    )
+
+    spark = delta_stream.sparkSession
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        mk = latest_marker(spark, root)
+        if mk is not None and int(mk) >= batch_id:
+            return  # replayed batch: its effect is already committed
+        cur = read_latest(spark, root)
+        new = incremental_mv_refresh(
+            cur, batch_df, group_cols, sum_cols, count_col
+        )
+        # the lazy read of the CURRENT version feeds the write of the
+        # NEXT one; the old dir is immutable during the write and
+        # survives keep_last pruning long past the read
+        publish_versioned(new, root, keep_last=keep_last, marker=str(batch_id))
+
+    writer = delta_stream.writeStream.foreachBatch(apply_batch).trigger(
+        availableNow=True
+    )
+    if checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    q = writer.start()
+    q.awaitTermination()
+    return q

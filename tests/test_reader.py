@@ -567,3 +567,22 @@ def test_jsonl_overwrite_crash_windows_never_orphan_manifest(
     assert ok and m["total_rows"] == 1
     on_disk = {f for f in os.listdir(out) if f.endswith(".jsonl")}
     assert on_disk == {s["name"] for s in m["shards"]}
+
+
+def test_publish_versioned_marker_roundtrip(spark, tmp_path):
+    """The optional commit marker is readable from the LIVE version only:
+    None before any publish, None for marker-less versions, the exact
+    string for marked ones — and a newer publish replaces it."""
+    from pmp_analytics_spark.sources.writers import latest_marker, publish_versioned
+
+    root = str(tmp_path / "mv")
+    assert latest_marker(spark, root) is None
+    df = spark.range(3).toDF("x")
+    publish_versioned(df, root)
+    assert latest_marker(spark, root) is None
+    publish_versioned(df, root, marker="7")
+    assert latest_marker(spark, root) == "7"
+    # the marker file must not pollute the data read
+    assert spark.read.parquet(root + "/v00000001").count() == 3
+    publish_versioned(df, root, marker="8")
+    assert latest_marker(spark, root) == "8"

@@ -513,3 +513,65 @@ def test_streaming_classifier_scores_multibatch_equals_batch(spark, tmp_path):
         for r in docs.select("doc_id", F.round(m, 6).alias("margin")).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_cdc_mv_refresh_exact_once_under_replay(spark, tmp_path):
+    """cdc_mv_refresh_stream must (a) converge to the full recompute over
+    any micro-batch slicing of the CDC feed, and (b) be EXACT-once under
+    replay: additive refresh is not idempotent, so a second full drain of
+    the same feed (fresh checkpoint — every batch replays with ids the
+    state has already committed) must publish nothing and change
+    nothing."""
+    import os
+
+    from pmp_analytics_spark.operators.diff import snapshot_delta
+    from pmp_analytics_spark.sources.writers import publish_versioned, read_latest
+    from pmp_analytics_spark.streaming.mv import cdc_mv_refresh_stream
+
+    def frame(rows):
+        df = spark.createDataFrame(rows, ["k", "g", "v"])
+        return df.select("k", "g", F.col("v").cast("decimal(10,2)").alias("v"))
+
+    old = frame([(1, "a", "10.00"), (2, "a", "20.00"), (3, "b", "5.00")])
+    new = frame([(1, "a", "10.00"), (2, "c", "25.00"), (4, "b", "7.00")])
+
+    def mv(df):
+        return df.groupBy("g").agg(
+            F.sum("v").alias("total"), F.count(F.lit(1)).alias("n_rows")
+        )
+
+    feed = str(tmp_path / "cdc")
+    delta = snapshot_delta(old, new, ["k"])
+    for i in range(2):  # two drops -> two micro-batches
+        delta.where(F.col("k") % 2 == i).coalesce(1).write.mode("append").parquet(feed)
+
+    root = str(tmp_path / "state")
+    publish_versioned(mv(old), root)
+    schema = spark.read.parquet(feed).schema
+
+    def drain(ckpt):
+        return cdc_mv_refresh_stream(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed),
+            root,
+            ["g"],
+            {"total": "v"},
+            "n_rows",
+            checkpoint_dir=str(tmp_path / ckpt),
+        )
+
+    q = drain("ckpt1")
+    assert len([p for p in q.recentProgress if p["numInputRows"] > 0]) >= 2
+    want = sorted(map(tuple, mv(new).collect()))
+    assert sorted(map(tuple, read_latest(spark, root).collect())) == want
+
+    versions_before = sorted(
+        d for d in os.listdir(root) if d.startswith("v") and d[1:].isdigit()
+    )
+    drain("ckpt2")  # full replay: every batch id already committed
+    versions_after = sorted(
+        d for d in os.listdir(root) if d.startswith("v") and d[1:].isdigit()
+    )
+    assert versions_after == versions_before  # nothing republished
+    assert sorted(map(tuple, read_latest(spark, root).collect())) == want
