@@ -957,14 +957,13 @@ def streaming_mv_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = os.path.join(work, "state")
     feed = os.path.join(work, "cdc")
 
-    # three CDC drops -> three micro-batches under maxFilesPerTrigger=1
-    delta = snapshot_delta(old, new, ["o_orderkey"])
-    for i in range(3):
-        delta.where(F.col("o_orderkey") % 3 == i).coalesce(1).write.mode(
-            "append"
-        ).parquet(feed)
+    # ONE delta computation written as three files -> three micro-batches
+    # under maxFilesPerTrigger=1 (the refresh is slicing-independent, so
+    # WHICH rows land in which file is irrelevant; the old per-drop
+    # filter recomputed the CDC join three times)
+    snapshot_delta(old, new, ["o_orderkey"]).repartition(3).write.parquet(feed)
 
-    publish_versioned(_mv_of(old), root)  # seed the view state
+    publish_versioned(_mv_of(old).coalesce(1), root)  # seed the view state
     schema = spark.read.parquet(feed).schema
     cdc_mv_refresh_stream(
         spark.readStream.schema(schema)

@@ -161,24 +161,30 @@ def publish_versioned(
         mout.write(str(marker).encode())
         mout.close()
 
-    pointer = jvm.org.apache.hadoop.fs.Path(jroot, "_LATEST")
-    tmp = jvm.org.apache.hadoop.fs.Path(jroot, f"_LATEST.tmp{n}")
-    out = fs.create(tmp, True)
-    out.write(f"v{n:08d}".encode())
-    out.close()
-    # Rename-first: POSIX/local rename overwrites in place (zero
-    # pointer-less window); filesystems that refuse to overwrite (HDFS
-    # default) fall back to delete+rename, whose window is bounded by
-    # the two metadata ops and recoverable (version dirs still exist).
-    if not fs.rename(tmp, pointer):
-        if fs.exists(pointer):
-            fs.delete(pointer, False)
-        if not fs.rename(tmp, pointer):
-            raise OSError(f"pointer flip failed for {vdir}")
+    _flip_pointer(fs, jroot, jvm, f"v{n:08d}")
 
     for old in versions[: max(0, len(versions) + 1 - keep_last)]:
         fs.delete(jvm.org.apache.hadoop.fs.Path(jroot, f"v{old:08d}"), True)
     return vdir
+
+
+def _flip_pointer(fs, jroot, jvm, version_name: str) -> None:
+    """Atomically point ``_LATEST`` at ``version_name`` via tmp + rename.
+
+    Rename-first: POSIX/local rename overwrites in place (zero
+    pointer-less window); filesystems that refuse to overwrite (HDFS
+    default) fall back to delete+rename, whose window is bounded by
+    the two metadata ops and recoverable (version dirs still exist)."""
+    pointer = jvm.org.apache.hadoop.fs.Path(jroot, "_LATEST")
+    tmp = jvm.org.apache.hadoop.fs.Path(jroot, f"_LATEST.tmp{int(version_name[1:])}")
+    out = fs.create(tmp, True)
+    out.write(version_name.encode())
+    out.close()
+    if not fs.rename(tmp, pointer):
+        if fs.exists(pointer):
+            fs.delete(pointer, False)
+        if not fs.rename(tmp, pointer):
+            raise OSError(f"pointer flip failed for {version_name}")
 
 
 def _read_small_file(fs, path) -> str:
@@ -208,6 +214,68 @@ def read_latest(spark, root: str) -> DataFrame:
     pointer = jvm.org.apache.hadoop.fs.Path(jroot, "_LATEST")
     version = _read_small_file(fs, pointer)
     return spark.read.parquet(f"{root.rstrip('/')}/{version.strip()}")
+
+
+def list_versions(spark, root: str) -> list[tuple[str, bool]]:
+    """Every version still on disk under ``root``, oldest first, as
+    (version_name, is_live). The time-travel catalog: versions within
+    ``keep_last`` of the pointer are readable via ``read_version``;
+    only the marked-live one is what ``read_latest`` resolves."""
+    import re
+
+    from pmp_analytics_spark.sources.hadoopfs import fs_for
+
+    fs, jroot, jvm, _ = fs_for(spark, root)
+    if not fs.exists(jroot):
+        return []
+    pointer = jvm.org.apache.hadoop.fs.Path(jroot, "_LATEST")
+    live = (
+        _read_small_file(fs, pointer).strip() if fs.exists(pointer) else None
+    )
+    names = sorted(
+        st.getPath().getName()
+        for st in fs.listStatus(jroot)
+        if st.isDirectory() and re.fullmatch(r"v\d{8}", st.getPath().getName())
+    )
+    return [(n, n == live) for n in names]
+
+
+def read_version(spark, root: str, version: int | str) -> DataFrame:
+    """Time-travel read: the IMMUTABLE version ``version`` (an int or a
+    ``v00000003``-style name), regardless of where ``_LATEST`` points —
+    the reproduce-this-training-run primitive. Raises FileNotFoundError
+    for versions already pruned by ``keep_last``."""
+    name = version if isinstance(version, str) else f"v{version:08d}"
+    import os
+
+    from pmp_analytics_spark.sources.hadoopfs import fs_for
+
+    fs, jroot, jvm, _ = fs_for(spark, root)
+    if not fs.exists(jvm.org.apache.hadoop.fs.Path(jroot, name)):
+        raise FileNotFoundError(
+            f"{os.path.join(root, name)}: version missing or pruned "
+            f"(on disk: {[n for n, _ in list_versions(spark, root)]})"
+        )
+    return spark.read.parquet(f"{root.rstrip('/')}/{name}")
+
+
+def rollback_latest(spark, root: str, version: int | str) -> None:
+    """Atomically point ``_LATEST`` back at a STILL-ON-DISK older
+    version (pointer flip only — no data is copied, the newer versions
+    stay on disk and remain readable via ``read_version``). The undo
+    button for a bad publish, valid as far back as ``keep_last`` kept.
+
+    NOTE for maintenance loops: the rolled-back version's ``_MARKER``
+    becomes the live marker again, so an exactly-once CDC refresh resumed
+    after a rollback will re-apply batches after that marker — which is
+    precisely the replay semantics a rollback asks for."""
+    name = version if isinstance(version, str) else f"v{version:08d}"
+    from pmp_analytics_spark.sources.hadoopfs import fs_for
+
+    fs, jroot, jvm, _ = fs_for(spark, root)
+    if not fs.exists(jvm.org.apache.hadoop.fs.Path(jroot, name)):
+        raise FileNotFoundError(f"cannot roll back to pruned/missing {name}")
+    _flip_pointer(fs, jroot, jvm, name)
 
 
 def latest_marker(spark, root: str) -> str | None:

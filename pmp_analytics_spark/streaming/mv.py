@@ -36,6 +36,7 @@ def cdc_mv_refresh_stream(
     count_col: str = "n_rows",
     checkpoint_dir: str | None = None,
     keep_last: int = 3,
+    publish_partitions: int = 1,
 ):
     """Drain ``delta_stream`` (availableNow) applying each micro-batch to
     the versioned view state at ``root`` via ``incremental_mv_refresh``.
@@ -43,6 +44,13 @@ def cdc_mv_refresh_stream(
     The caller seeds ``root`` with the initial view (one
     ``publish_versioned(mv0, root)`` — no marker) before starting.
     Returns the terminated StreamingQuery.
+
+    ``publish_partitions`` sizes each published version's file count: a
+    rollup view is small by construction, and writing it through the
+    session's full shuffle-partition count costs one file-create +
+    footer per partition PER BATCH (measured 32-partition publishes
+    dominated the demo query's wall). Raise it only for genuinely wide
+    views.
     """
     from pmp_analytics_spark.operators.diff import incremental_mv_refresh
     from pmp_analytics_spark.sources.writers import (
@@ -60,7 +68,7 @@ def cdc_mv_refresh_stream(
         cur = read_latest(spark, root)
         new = incremental_mv_refresh(
             cur, batch_df, group_cols, sum_cols, count_col
-        )
+        ).coalesce(publish_partitions)
         # the lazy read of the CURRENT version feeds the write of the
         # NEXT one; the old dir is immutable during the write and
         # survives keep_last pruning long past the read

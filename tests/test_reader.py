@@ -586,3 +586,49 @@ def test_publish_versioned_marker_roundtrip(spark, tmp_path):
     assert spark.read.parquet(root + "/v00000001").count() == 3
     publish_versioned(df, root, marker="8")
     assert latest_marker(spark, root) == "8"
+
+
+def test_versioned_time_travel_and_rollback(spark, tmp_path):
+    """list_versions / read_version / rollback_latest over a publish
+    history: every still-on-disk version is readable regardless of the
+    pointer; rollback is a pointer-only flip (newer versions stay
+    readable); pruned versions raise, not silently read."""
+    import pytest
+
+    from pmp_analytics_spark.sources.writers import (
+        latest_marker,
+        list_versions,
+        publish_versioned,
+        read_latest,
+        read_version,
+        rollback_latest,
+    )
+
+    root = str(tmp_path / "t")
+    for n in range(4):  # keep_last=3 prunes v0
+        publish_versioned(
+            spark.range(n + 1).toDF("x"), root, keep_last=3, marker=str(n)
+        )
+    vs = list_versions(spark, root)
+    assert [n for n, _ in vs] == ["v00000001", "v00000002", "v00000003"]
+    assert [live for _, live in vs] == [False, False, True]
+    assert read_version(spark, root, 2).count() == 3
+    assert read_version(spark, root, "v00000001").count() == 2
+    with pytest.raises(FileNotFoundError):
+        read_version(spark, root, 0)  # pruned
+
+    rollback_latest(spark, root, 2)
+    assert read_latest(spark, root).count() == 3
+    assert latest_marker(spark, root) == "2"  # marker travels with the flip
+    assert read_version(spark, root, 3).count() == 4  # newer stays readable
+    assert [live for _, live in list_versions(spark, root)] == [
+        False,
+        True,
+        False,
+    ]
+    with pytest.raises(FileNotFoundError):
+        rollback_latest(spark, root, 0)
+    # a publish after rollback takes the NEXT free number, never reuses
+    publish_versioned(spark.range(9).toDF("x"), root, keep_last=3)
+    assert read_latest(spark, root).count() == 9
+    assert [n for n, _ in list_versions(spark, root)][-1] == "v00000004"
