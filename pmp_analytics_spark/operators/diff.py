@@ -238,3 +238,67 @@ def incremental_mv_refresh(
         ],
         new_count.cast(mv_types[count_col]).alias(count_col),
     ).where(new_count > 0)
+
+
+def mv_refresh_minmax(
+    mv: DataFrame,
+    delta: DataFrame,
+    new_base: DataFrame,
+    group_cols: list[str],
+    agg_map: dict[str, tuple[str, str]],
+) -> DataFrame:
+    """Refresh a MIN/MAX materialized view from a ``snapshot_delta`` by
+    recomputing ONLY the touched groups — the partial-recompute fallback
+    for aggregates that are NOT self-maintainable under deletes (a
+    removed row may have BEEN the max; no adjustment arithmetic can know
+    the runner-up without the base). Gupta & Mumick's classification:
+    SUM/COUNT refresh additively (``incremental_mv_refresh``); MIN/MAX
+    need the base — but only where the delta touched.
+
+    ``agg_map`` is ``out_name -> (fn, base_column)`` with fn in
+    {"min", "max"}; ``mv`` has ``group_cols`` + the out columns;
+    ``new_base`` is the post-change snapshot. Touched groups = every
+    group value appearing on EITHER side of any delta row (old_* and
+    new_*, so group-moving rows touch both their groups). Output =
+    untouched mv rows carried verbatim + touched groups recomputed from
+    ``new_base`` (groups now empty disappear; groups born appear).
+
+    Scale: the touched-group set is delta-bounded and arrives as a
+    BROADCAST semi-/anti-join — the base scan is filtered before its
+    aggregate, so with the base partitioned or bucketed/z-ordered on the
+    group key the recompute prunes to the touched partitions instead of
+    scanning 100 TB. The untouched side never reads the base at all.
+    A delta touching most groups degrades gracefully into ~one full
+    recompute — the correct worst case.
+    """
+    # removed/changed rows carry old_* groups; added rows have them null.
+    # Null GROUP VALUES are legitimate, so membership is decided by
+    # change_type, not nullness:
+    old_g = delta.where(F.col("change_type").isin("removed", "changed")).select(
+        *[F.col(f"old_{g}").alias(g) for g in group_cols]
+    )
+    new_g = delta.where(F.col("change_type").isin("added", "changed")).select(
+        *[F.col(f"new_{g}").alias(g) for g in group_cols]
+    )
+    touched = old_g.unionByName(new_g).dropDuplicates(group_cols)
+
+    def null_safe_on(left, right):
+        cond = None
+        for g in group_cols:
+            eq = left[g].eqNullSafe(right[g])
+            cond = eq if cond is None else (cond & eq)
+        return cond
+
+    t = F.broadcast(touched)
+    kept = mv.join(t, null_safe_on(mv, touched), "left_anti")
+    recomputed = (
+        new_base.join(t, null_safe_on(new_base, touched), "left_semi")
+        .groupBy(*group_cols)
+        .agg(
+            *[
+                (F.min(c) if fn == "min" else F.max(c)).alias(o)
+                for o, (fn, c) in agg_map.items()
+            ]
+        )
+    )
+    return kept.unionByName(recomputed.select(*mv.columns))

@@ -63,7 +63,7 @@ _RECORD_FRONT = (
     # round-6 additions (new this round, so never sampled by definition)
     "docs_quality_classifier", "orders_snapshot_delta",
     "streaming_classifier_scores", "orders_mv_incremental",
-    "streaming_mv_refresh",
+    "streaming_mv_refresh", "orders_mv_minmax",
     # analytic (all 27 were never sampled)
     "customer_order_subqueries", "supplier_discount_exists",
     "nation_presence_setops", "customer_order_gaps",

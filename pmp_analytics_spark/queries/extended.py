@@ -858,7 +858,7 @@ def orders_snapshot_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
 # keeps order-independent. The oracle recomputes the view from the new
 # snapshot directly: incremental == full recompute is the entire claim.
 # --------------------------------------------------------------------------
-_MV_ORACLE = """
+_MV_NEW_CTE = """
     WITH new AS (
         SELECT o_orderkey,
                CASE WHEN o_orderkey % 23 = 0 THEN '9-MOVED'
@@ -868,10 +868,16 @@ _MV_ORACLE = """
                          ELSE o_totalprice END AS DECIMAL(18,2)) AS price
         FROM orders WHERE o_orderkey % 17 <> 3
     )
+    """
+
+_MV_ORACLE = (
+    _MV_NEW_CTE
+    + """
     SELECT o_orderpriority, SUM(price) AS revenue,
            COUNT(*) AS n_orders
     FROM new GROUP BY o_orderpriority
     """
+)
 
 
 def _mv_snapshot_frames(
@@ -978,3 +984,39 @@ def streaming_mv_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = read_latest(spark, root).localCheckpoint(eager=True)
     shutil.rmtree(work, ignore_errors=True)
     return out
+
+
+# --------------------------------------------------------------------------
+# Q: orders_mv_minmax — MIN/MAX view maintenance by touched-group partial
+# recompute (operators/diff.py::mv_refresh_minmax): extrema are not
+# self-maintainable under deletes (the removed row may have BEEN the
+# max), so touched groups — both sides of group-moving rows — recompute
+# from the new snapshot behind a broadcast semi-join while untouched
+# view rows are carried verbatim, never reading the base. Oracle: full
+# recompute on the new snapshot.
+# --------------------------------------------------------------------------
+@query(
+    "orders_mv_minmax",
+    _MV_NEW_CTE
+    + """
+    SELECT o_orderpriority, MIN(price) AS min_price, MAX(price) AS max_price
+    FROM new GROUP BY o_orderpriority
+    """,
+)
+def orders_mv_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pmp_analytics_spark.operators.diff import (
+        mv_refresh_minmax,
+        snapshot_delta,
+    )
+
+    old, new = _mv_snapshot_frames(spark, sf_dir)
+    mv_old = old.groupBy("o_orderpriority").agg(
+        F.min("price").alias("min_price"), F.max("price").alias("max_price")
+    )
+    return mv_refresh_minmax(
+        mv_old,
+        snapshot_delta(old, new, ["o_orderkey"]),
+        new,
+        ["o_orderpriority"],
+        {"min_price": ("min", "price"), "max_price": ("max", "price")},
+    )

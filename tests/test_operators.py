@@ -1819,3 +1819,56 @@ def test_incremental_mv_refresh_empty_delta_is_identity(spark):
         base_mv, snapshot_delta(df, df, ["k"]), ["g"], {"total": "v"}, "n_rows"
     )
     assert sorted(map(tuple, out.collect())) == sorted(map(tuple, base_mv.collect()))
+
+
+def test_mv_refresh_minmax_matches_full_recompute(spark):
+    """mv_refresh_minmax must equal the full recompute when the delta
+    removes a group's MAX carrier (the case additive refresh cannot
+    handle), moves a row between groups (both touched), births and
+    vanishes groups, and carries a NULL group key — while untouched
+    groups pass through verbatim."""
+    from pmp_analytics_spark.operators.diff import (
+        mv_refresh_minmax,
+        snapshot_delta,
+    )
+
+    old = spark.createDataFrame(
+        [
+            (1, "a", 10),
+            (2, "a", 99),   # the max of a — removed in new
+            (3, "b", 5),    # b vanishes
+            (4, "c", 7),    # moves c -> a
+            (5, None, 3),
+            (6, "z", 50),   # untouched group
+        ],
+        ["k", "g", "v"],
+    )
+    new = spark.createDataFrame(
+        [
+            (1, "a", 10),
+            (4, "a", 7),
+            (5, None, 4),   # null-group measure change
+            (6, "z", 50),
+            (7, "d", 2),    # born
+        ],
+        ["k", "g", "v"],
+    )
+
+    def mv(df):
+        return df.groupBy("g").agg(
+            F.min("v").alias("lo"), F.max("v").alias("hi")
+        )
+
+    got = mv_refresh_minmax(
+        mv(old),
+        snapshot_delta(old, new, ["k"]),
+        new,
+        ["g"],
+        {"lo": ("min", "v"), "hi": ("max", "v")},
+    )
+    want = sorted(map(tuple, mv(new).collect()), key=str)
+    assert sorted(map(tuple, got.collect()), key=str) == want
+    rows = {r["g"]: (r["lo"], r["hi"]) for r in got.collect()}
+    assert rows["a"] == (7, 10)  # 99 gone: recomputed, not adjusted
+    assert "b" not in rows and rows["d"] == (2, 2)
+    assert rows[None] == (4, 4) and rows["z"] == (50, 50)

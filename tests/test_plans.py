@@ -550,3 +550,16 @@ def test_incremental_mv_refresh_plan_is_delta_sized(spark, queries):
     assert plan.count("FullOuter") >= 2  # CDC join + mv merge
     assert "BroadcastNestedLoopJoin" not in plan
     assert has_pushed_filters(df)
+
+
+def test_mv_minmax_recompute_is_touched_group_pruned(spark, queries):
+    """The MIN/MAX partial recompute must reach the base through a
+    BROADCAST semi-join on the delta-bounded touched-group set (and the
+    untouched view side through a broadcast anti-join) — the shape that
+    lets a partitioned base prune to touched partitions at 100 TB."""
+    df = queries["orders_mv_minmax"](spark, SF)
+    assert_no_cartesian_product(df)
+    plan = physical_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert has_pushed_filters(df)
