@@ -128,12 +128,54 @@ def gen(k: int) -> str:
     scaled = parts[0]
     for p in parts[1:]:
         scaled = scaled.unionByName(p)
-    (
-        scaled.repartition(max(4, 4 * k))
-        .write.mode("overwrite")
-        .parquet(f"{out}/documents.parquet")
-    )
+    if not os.path.exists(f"{out}/documents.parquet"):
+        (
+            scaled.repartition(max(4, 4 * k))
+            .write.mode("overwrite")
+            .parquet(f"{out}/documents.parquet")
+        )
 
+    # orders: k replicas with o_orderkey offset by a multiple of
+    # 13*17*9*23 — the MV/CDC queries derive their snapshots and
+    # mutations from o_orderkey modulo those constants, so an offset
+    # that is 0 mod all of them makes every replica's delta EXACTLY
+    # replica 0's: the CDC delta is exactly linear in k while the view
+    # stays 6 groups (priorities collide across replicas) — precisely
+    # the O(delta)+O(view) regime the refresh claims. Other columns are
+    # carried verbatim (the MV queries read only key/priority/price).
+    if os.path.islink(f"{out}/orders.parquet"):
+        os.unlink(f"{out}/orders.parquet")  # pre-round-6 corpora symlinked it
+    if not os.path.exists(f"{out}/orders.parquet"):
+        orders = spark.read.parquet(f"{BASE}/orders.parquet")
+        on = orders.agg(F.max("o_orderkey")).first()[0] + 1
+        mod = 13 * 17 * 9 * 23
+        off = -(-on // mod) * mod
+        rest = [c for c in orders.columns if c != "o_orderkey"]
+        oparts = [
+            orders.select(
+                (F.col("o_orderkey") + F.lit(r * off).cast("bigint")).alias(
+                    "o_orderkey"
+                ),
+                *rest,
+            )
+            for r in range(k)
+        ]
+        oscaled = oparts[0]
+        for p in oparts[1:]:
+            oscaled = oscaled.unionByName(p)
+        (
+            oscaled.repartition(max(4, 2 * k))
+            .write.mode("overwrite")
+            .parquet(f"{out}/orders.parquet")
+        )
+
+    if os.path.exists(f"{out}/embeddings.parquet"):
+        for t in os.listdir(BASE):
+            dst = os.path.join(out, t)
+            if not os.path.exists(dst):
+                os.symlink(os.path.join(BASE, t), dst)
+        print(f"generated {out} (incremental)")
+        return out
     emb = spark.read.parquet(f"{BASE}/embeddings.parquet")
     m = emb.agg(F.max("vec_id")).first()[0] + 1
     reps = spark.range(k).select(F.col("id").cast("int").alias("rep"))
