@@ -1872,3 +1872,62 @@ def test_mv_refresh_minmax_matches_full_recompute(spark):
     assert rows["a"] == (7, 10)  # 99 gone: recomputed, not adjusted
     assert "b" not in rows and rows["d"] == (2, 2)
     assert rows[None] == (4, 4) and rows["z"] == (50, 50)
+
+
+def test_mv_refresh_trajectory_random_transitions(spark):
+    """Both MV refresh kinds must track the full recompute through a
+    CHAIN of seeded random snapshot transitions (insert/delete/update
+    measures AND group moves each step), the additive view feeding its
+    own next refresh — the regime a production CDC consumer lives in.
+    Deterministic: transitions derive from md5 of (seed, step, key)."""
+    import hashlib
+    from decimal import Decimal
+
+    from pmp_analytics_spark.operators.diff import (
+        incremental_mv_refresh,
+        mv_refresh_minmax,
+        snapshot_delta,
+    )
+
+    def h(step, key, salt):
+        return int(
+            hashlib.md5(f"7|{step}|{key}|{salt}".encode()).hexdigest()[:8], 16
+        )
+
+    def snapshot(step):
+        rows = []
+        for key in range(60):
+            if h(step, key, "alive") % 5 == 0:
+                continue  # deleted this step
+            grp = f"g{h(step, key, 'grp') % 7}" if h(step, key, "gn") % 9 else None
+            val = Decimal(h(step, key, "val") % 10_000) / 100
+            rows.append((key, grp, val))
+        df = spark.createDataFrame(rows, ["k", "g", "v"])
+        return df.select("k", "g", F.col("v").cast("decimal(10,2)").alias("v"))
+
+    def mv_sum(df):
+        return df.groupBy("g").agg(
+            F.sum("v").alias("total"), F.count(F.lit(1)).alias("n_rows")
+        )
+
+    def mv_mm(df):
+        return df.groupBy("g").agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()), key=str)
+
+    cur = snapshot(0)
+    add_view = mv_sum(cur)
+    for step in range(1, 4):
+        nxt = snapshot(step)
+        delta = snapshot_delta(cur, nxt, ["k"])
+        add_view = incremental_mv_refresh(
+            add_view, delta, ["g"], {"total": "v"}, "n_rows"
+        ).localCheckpoint(eager=True)  # cut the growing lineage, as a real
+        # consumer's parquet round-trip would
+        assert rows(add_view) == rows(mv_sum(nxt)), f"additive diverged @ {step}"
+        mm_view = mv_refresh_minmax(
+            mv_mm(cur), delta, nxt, ["g"], {"lo": ("min", "v"), "hi": ("max", "v")}
+        )
+        assert rows(mm_view) == rows(mv_mm(nxt)), f"minmax diverged @ {step}"
+        cur = nxt
