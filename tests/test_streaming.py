@@ -575,3 +575,65 @@ def test_cdc_mv_refresh_exact_once_under_replay(spark, tmp_path):
     )
     assert versions_after == versions_before  # nothing republished
     assert sorted(map(tuple, read_latest(spark, root).collect())) == want
+
+
+def test_cdc_mv_refresh_resume_same_checkpoint(spark, tmp_path):
+    """The continue-the-feed path: after a drain, MORE CDC files arrive
+    and the stream resumes from the SAME checkpoint — only the new
+    batches apply (with ids extending the committed marker), exactly
+    once, converging to the recompute over the full feed."""
+    from pmp_analytics_spark.operators.diff import snapshot_delta
+    from pmp_analytics_spark.sources.writers import (
+        latest_marker,
+        publish_versioned,
+        read_latest,
+    )
+    from pmp_analytics_spark.streaming.mv import cdc_mv_refresh_stream
+
+    def frame(rows):
+        df = spark.createDataFrame(rows, ["k", "g", "v"])
+        return df.select("k", "g", F.col("v").cast("decimal(10,2)").alias("v"))
+
+    s0 = frame([(1, "a", "10.00"), (2, "b", "20.00")])
+    s1 = frame([(1, "a", "15.00"), (2, "b", "20.00"), (3, "a", "1.00")])
+    s2 = frame([(1, "c", "15.00"), (3, "a", "2.00")])
+
+    def mv(df):
+        return df.groupBy("g").agg(
+            F.sum("v").alias("total"), F.count(F.lit(1)).alias("n_rows")
+        )
+
+    feed, root, ckpt = (
+        str(tmp_path / "cdc"),
+        str(tmp_path / "state"),
+        str(tmp_path / "ckpt"),
+    )
+    snapshot_delta(s0, s1, ["k"]).coalesce(1).write.mode("append").parquet(feed)
+    publish_versioned(mv(s0), root)
+    schema = spark.read.parquet(feed).schema
+
+    def drain():
+        return cdc_mv_refresh_stream(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed),
+            root,
+            ["g"],
+            {"total": "v"},
+            "n_rows",
+            checkpoint_dir=ckpt,
+        )
+
+    drain()
+    assert sorted(map(tuple, read_latest(spark, root).collect())) == sorted(
+        map(tuple, mv(s1).collect())
+    )
+    m1 = int(latest_marker(spark, root))
+
+    # the feed continues: the s1 -> s2 transition lands as a new file
+    snapshot_delta(s1, s2, ["k"]).coalesce(1).write.mode("append").parquet(feed)
+    drain()  # SAME checkpoint: only the new batch applies
+    assert sorted(map(tuple, read_latest(spark, root).collect())) == sorted(
+        map(tuple, mv(s2).collect())
+    )
+    assert int(latest_marker(spark, root)) > m1  # ids extended the lineage
