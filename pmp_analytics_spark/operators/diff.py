@@ -155,6 +155,7 @@ def incremental_mv_refresh(
     group_cols: list[str],
     sum_cols: dict[str, str],
     count_col: str = "n_rows",
+    null_safe_groups: bool = True,
 ) -> DataFrame:
     """Incrementally maintain a SUM/COUNT materialized view from a
     ``snapshot_delta`` — the self-maintainable-aggregate refresh of the
@@ -188,7 +189,12 @@ def incremental_mv_refresh(
     Scale: cost is O(|delta|) aggregate + ONE full-outer merge join with
     the view — both sides view-cardinality, never base-cardinality. An
     MV bucketed on ``group_cols`` (its natural layout) co-locates the
-    merge; nothing collects or windows globally. Reference analog: none
+    merge — but ONLY with ``null_safe_groups=False``: the default
+    null-safe key comparison wraps the join keys in an expression the
+    bucket layout no longer satisfies, reintroducing the view-side
+    exchange. Declare non-null group keys and pass False to keep the
+    bucketed view shuffle-free (pinned in tests/test_bucketing.py);
+    nothing collects or windows globally. Reference analog: none
     (the reference recomputes extracts monthly end-to-end); this is the
     engine's production shape for keeping 100 TB rollups current from a
     CDC feed.
@@ -215,7 +221,8 @@ def incremental_mv_refresh(
     m, a = mv.alias("__mv"), adj.alias("__adj")
     cond = None
     for g in group_cols:
-        eq = F.col(f"__mv.{g}").eqNullSafe(F.col(f"__adj.{g}"))
+        l, r = F.col(f"__mv.{g}"), F.col(f"__adj.{g}")
+        eq = l.eqNullSafe(r) if null_safe_groups else (l == r)
         cond = eq if cond is None else (cond & eq)
     merged = m.join(a, cond, "full_outer")
     mv_types = dict(zip(mv.columns, [f.dataType for f in mv.schema.fields]))
