@@ -1020,3 +1020,70 @@ def orders_mv_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["o_orderpriority"],
         {"min_price": ("min", "price"), "max_price": ("max", "price")},
     )
+
+
+# --------------------------------------------------------------------------
+# Q: streaming_event_dedup_watermark — effectively-once ingest from an
+# at-least-once feed: dropDuplicatesWithinWatermark bounds the dedup
+# state by event time (plain streaming dropDuplicates keeps EVERY key
+# forever — the state leak sketches.py:181 warns about). The staged feed
+# re-delivers every 10th event in a SEPARATE later micro-batch (the hard
+# case: duplicate arrives after its original's batch); the watermark is
+# generous relative to the corpus's time span, so the batch oracle is
+# plain DISTINCT — i.e. the base table itself. At production scale the
+# watermark is the knob trading re-delivery horizon for state size.
+# --------------------------------------------------------------------------
+@query(
+    "streaming_event_dedup_watermark",
+    """
+    SELECT event_id, user_id, event_type,
+           EPOCH_US(ts) AS ts_us, ROUND(value, 6) AS value
+    FROM events
+    """,
+)
+def streaming_event_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from pmp_analytics_spark.streaming import run_to_memory
+
+    # stage the at-least-once feed: full corpus, then every 10th event
+    # re-delivered as its own file -> its own micro-batch
+    parent = os.path.join(tempfile.gettempdir(), "pmp_dedup_wm")
+    if os.path.isdir(parent):
+        shutil.rmtree(parent, ignore_errors=True)
+    os.makedirs(parent, exist_ok=True)
+    work = tempfile.mkdtemp(dir=parent)
+    feed = os.path.join(work, "feed")
+    from pmp_analytics_spark.sources.reader import load_table, normalize_event_ts
+
+    events = normalize_event_ts(load_table(spark, sf_dir, "events")).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    events.coalesce(1).write.mode("append").parquet(feed)
+    events.where(F.col("event_id") % 10 == 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(feed)
+
+    schema = spark.read.parquet(feed).schema
+    deduped = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+        .withWatermark("ts", "720 hours")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.unix_micros("ts").alias("ts_us"),
+            F.round("value", 6).alias("value"),
+        )
+    )
+    name = f"dedup_wm_{uuid.uuid4().hex[:8]}"
+    run_to_memory(deduped, name, output_mode="append")
+    out = spark.table(name).localCheckpoint(eager=True)
+    shutil.rmtree(work, ignore_errors=True)
+    return out

@@ -637,3 +637,59 @@ def test_cdc_mv_refresh_resume_same_checkpoint(spark, tmp_path):
         map(tuple, mv(s2).collect())
     )
     assert int(latest_marker(spark, root)) > m1  # ids extended the lineage
+
+def test_dedup_within_watermark_late_and_duplicate_semantics(spark, tmp_path):
+    """dropDuplicatesWithinWatermark's contract across micro-batches:
+    (a) a duplicate re-delivered within the horizon in a LATER batch is
+    dropped; (b) once the watermark passes a row's event time, ANY
+    arrival with that timestamp — duplicate or first-time — is dropped
+    as late input (numRowsDroppedByWatermark), so duplicates can never
+    leak past the horizon and the price of a short horizon is
+    late-data LOSS; (c) in-horizon fresh rows pass. The late arrivals
+    are staged two batches after the watermark-advancing event because
+    the active watermark lags the data that raised it by one batch."""
+    import datetime
+    import uuid
+
+    from pmp_analytics_spark.streaming.sessions import run_to_memory
+
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+
+    def frame(rows):
+        return spark.createDataFrame(rows, ["event_id", "ts"])
+
+    feed = str(tmp_path / "feed")
+    # b0: events 1, 2. b1: in-horizon duplicate of 1 (dropped by state)
+    # + event 3 at t0+48h, which RAISES the watermark to t0+47h.
+    # b2: event 5 in horizon (passes). b3: duplicate of 2 AND first-time
+    # event 4, both at t0 — far older than the now-active watermark:
+    # both dropped as late input.
+    frame([(1, t0), (2, t0)]).coalesce(1).write.mode("append").parquet(feed)
+    frame(
+        [(1, t0), (3, t0 + datetime.timedelta(hours=48))]
+    ).coalesce(1).write.mode("append").parquet(feed)
+    frame(
+        [(5, t0 + datetime.timedelta(hours=47, minutes=30))]
+    ).coalesce(1).write.mode("append").parquet(feed)
+    frame([(2, t0), (4, t0)]).coalesce(1).write.mode("append").parquet(feed)
+
+    schema = spark.read.parquet(feed).schema
+    deduped = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    name = f"wm_{uuid.uuid4().hex[:8]}"
+    q = run_to_memory(deduped, name, output_mode="append")
+    data = [p for p in q.recentProgress if p["numInputRows"] > 0]
+    assert len(data) >= 4
+    late_dropped = sum(
+        p["stateOperators"][0]["numRowsDroppedByWatermark"]
+        for p in q.recentProgress
+        if p["stateOperators"]
+    )
+    assert late_dropped == 2  # the b3 duplicate AND the b3 first-time row
+    got = sorted(r["event_id"] for r in spark.table(name).collect())
+    assert got == [1, 2, 3, 5], got
