@@ -30,6 +30,11 @@ PORTABLE = [
     "customer_spend_deciles",
     "shipping_priority",
     "repeat_customers",
+    # MV maintenance: the oracle text is the FULL RECOMPUTE, the
+    # DataFrame pipeline is the incremental refresh — running both in
+    # Spark cross-checks the refresh against Spark's own SQL engine too
+    "orders_mv_incremental",
+    "orders_mv_minmax",
 ]
 
 
