@@ -184,7 +184,10 @@ def incremental_mv_refresh(
     per-measure non-null count to reproduce SUM's null-skipping). Use
     exact types (decimal, integer) for measures: additive refresh
     re-associates the sum, which is only order-independent for exact
-    arithmetic.
+    arithmetic — and size the decimal for the CORPUS total, not the row
+    (under non-ANSI Spark a decimal sum that overflows its +10-digit
+    headroom returns NULL silently; run with
+    ``spark.sql.ansi.enabled=true`` to fail loudly instead).
 
     Scale: cost is O(|delta|) aggregate + ONE full-outer merge join with
     the view — both sides view-cardinality, never base-cardinality. An
@@ -253,6 +256,7 @@ def mv_refresh_minmax(
     new_base: DataFrame,
     group_cols: list[str],
     agg_map: dict[str, tuple[str, str]],
+    broadcast_touched: bool = True,
 ) -> DataFrame:
     """Refresh a MIN/MAX materialized view from a ``snapshot_delta`` by
     recomputing ONLY the touched groups — the partial-recompute fallback
@@ -275,8 +279,11 @@ def mv_refresh_minmax(
     aggregate, so with the base partitioned or bucketed/z-ordered on the
     group key the recompute prunes to the touched partitions instead of
     scanning 100 TB. The untouched side never reads the base at all.
-    A delta touching most groups degrades gracefully into ~one full
-    recompute — the correct worst case.
+    A delta touching most groups degrades into ~one full recompute —
+    the correct worst case — but a touched set in the MILLIONS of
+    groups must not be broadcast: pass ``broadcast_touched=False``
+    there to let the planner (AQE) pick shuffle joins instead of
+    forcing a driver-sized build side.
     """
     # removed/changed rows carry old_* groups; added rows have them null.
     # Null GROUP VALUES are legitimate, so membership is decided by
@@ -296,7 +303,7 @@ def mv_refresh_minmax(
             cond = eq if cond is None else (cond & eq)
         return cond
 
-    t = F.broadcast(touched)
+    t = F.broadcast(touched) if broadcast_touched else touched
     kept = mv.join(t, null_safe_on(mv, touched), "left_anti")
     recomputed = (
         new_base.join(t, null_safe_on(new_base, touched), "left_semi")
