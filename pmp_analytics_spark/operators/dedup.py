@@ -1131,3 +1131,42 @@ def dedup_keep_canonical(
     comp = connected_components(pairs, id_a, id_b)
     losers = comp.where(F.col("id") != F.col("component")).select(F.col("id").alias(id_col))
     return df.join(F.broadcast(losers), on=id_col, how="left_anti")
+
+
+def lsh_index_refresh(
+    index: DataFrame,
+    delta: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 5,
+    broadcast_touched: bool = True,
+) -> DataFrame:
+    """Incrementally maintain the persistable LSH band-bucket store
+    (``band_key_frame``'s (id, band_id, band_key) table) from a
+    ``snapshot_delta`` of the corpus — the index-maintenance half of
+    production near-dup at 100 TB: when documents are deleted or
+    edited, their stale band rows must LEAVE the index or every future
+    ingest batch probes ghosts; re-shingling the whole corpus to get
+    there is the thing this avoids.
+
+    Movement: removed/changed ids evict their band rows via one
+    anti-join against the index (the touched-id set is delta-bounded —
+    broadcast by default, ``broadcast_touched=False`` for huge deltas);
+    added/changed docs re-shingle/sign/band ONLY their own new text.
+    The refreshed index is bit-identical to a fresh rebuild on the new
+    corpus (the declared query's oracle) because signatures are pure
+    per-document functions — no cross-document state to repair.
+    """
+    touched = delta.where(
+        F.col("change_type").isin("removed", "changed")
+    ).select(id_col)
+    t = F.broadcast(touched) if broadcast_touched else touched
+    kept = index.join(t, id_col, "left_anti")
+    fresh = delta.where(F.col("change_type").isin("added", "changed")).select(
+        F.col(id_col), F.col(f"new_{text_col}").alias(text_col)
+    )
+    ex = exploded_shingle_hashes(fresh, text_col, id_col, shingle_k)
+    sig = minhash_signatures(ex, id_col, num_hashes)
+    return kept.unionByName(band_key_frame(sig, id_col, num_hashes, bands))

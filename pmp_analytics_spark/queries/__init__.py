@@ -64,7 +64,7 @@ _RECORD_FRONT = (
     "docs_quality_classifier", "orders_snapshot_delta",
     "streaming_classifier_scores", "orders_mv_incremental",
     "streaming_mv_refresh", "orders_mv_minmax",
-    "streaming_event_dedup_watermark",
+    "streaming_event_dedup_watermark", "docs_neardup_index_cdc",
     # analytic (all 27 were never sampled)
     "customer_order_subqueries", "supplier_discount_exists",
     "nation_presence_setops", "customer_order_gaps",

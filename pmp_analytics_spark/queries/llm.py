@@ -1849,3 +1849,79 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("var_ratio", 6).alias("var_ratio"),
         F.round("coord", 6).alias("coord"),
     )
+
+
+# --------------------------------------------------------------------------
+# Q: docs_neardup_index_cdc — CDC maintenance of the persistable LSH
+# band-bucket store (operators/dedup.py::lsh_index_refresh): the corpus
+# moves old -> new (docs deleted, docs added, every doc_id % 17 = 2
+# EDITED by an appended marker phrase), and the index follows by
+# evicting touched ids and re-banding ONLY the changed docs' text —
+# never re-shingling the corpus. Signatures are pure per-document
+# functions, so the refreshed index must be BIT-IDENTICAL to a fresh
+# rebuild on the new corpus: the oracle is exactly that rebuild through
+# the same md5/minhash SQL chain as docs_neardup_pairs.
+# --------------------------------------------------------------------------
+_IDX_EDIT = " zz9xq zz9xq"
+
+
+@query(
+    "docs_neardup_index_cdc",
+    f"""
+    WITH newc AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 17 = 2 THEN text || '{_IDX_EDIT}'
+                    ELSE text END AS text
+        FROM documents WHERE doc_id % 13 <> 4
+    ), sh AS (
+        SELECT doc_id, {_DUCK_SHINGLES} AS sh FROM newc
+        WHERE LENGTH(text) >= 5
+    ), hashed AS (
+        SELECT doc_id, {_DUCK_SHINGLE_HASH} AS hs FROM sh
+    ), sig AS (
+        SELECT doc_id, {_DUCK_SIG} FROM hashed
+    ), banded AS (
+        {_DUCK_BAND_ROWS}
+    )
+    SELECT doc_id, band_id, band_key FROM banded
+    """,
+)
+def docs_neardup_index_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pmp_analytics_spark.operators.dedup import (
+        band_key_frame,
+        exploded_shingle_hashes,
+        lsh_index_refresh,
+        minhash_signatures,
+    )
+    from pmp_analytics_spark.operators.diff import snapshot_delta
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    old = docs.where(F.col("doc_id") % 11 != 7)
+    new = docs.where(F.col("doc_id") % 13 != 4).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 17 == 2, F.concat("text", F.lit(_IDX_EDIT))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    index0 = band_key_frame(
+        minhash_signatures(
+            exploded_shingle_hashes(old, "text", "doc_id", _SHINGLE_K),
+            "doc_id",
+            len(_SEEDS),
+        ),
+        "doc_id",
+        len(_SEEDS),
+        _BANDS,
+    )
+    delta = snapshot_delta(old, new, ["doc_id"])
+    return lsh_index_refresh(
+        index0,
+        delta,
+        "doc_id",
+        "text",
+        num_hashes=len(_SEEDS),
+        bands=_BANDS,
+        shingle_k=_SHINGLE_K,
+    )

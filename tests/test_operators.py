@@ -1931,3 +1931,52 @@ def test_mv_refresh_trajectory_random_transitions(spark):
         )
         assert rows(mm_view) == rows(mv_mm(nxt)), f"minmax diverged @ {step}"
         cur = nxt
+
+
+def test_lsh_index_refresh_matches_fresh_rebuild(spark):
+    """The CDC-refreshed LSH band store must equal a fresh rebuild on
+    the new corpus row-for-row: removed docs' band rows evicted, edited
+    docs re-banded under their new text, added docs present, untouched
+    docs' rows carried verbatim (same band keys)."""
+    from pmp_analytics_spark.operators.dedup import (
+        band_key_frame,
+        exploded_shingle_hashes,
+        lsh_index_refresh,
+        minhash_signatures,
+    )
+    from pmp_analytics_spark.operators.diff import snapshot_delta
+
+    def corpus(rows):
+        return spark.createDataFrame(rows, ["doc_id", "text"])
+
+    def fresh(df):
+        return band_key_frame(
+            minhash_signatures(
+                exploded_shingle_hashes(df, "text", "doc_id", 5), "doc_id", 16
+            ),
+            "doc_id",
+            16,
+            4,
+        )
+
+    old = corpus(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "pack my box with five dozen liquor jugs"),
+            (3, "how vexingly quick daft zebras jump"),
+        ]
+    )
+    new = corpus(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),  # unchanged
+            (3, "how vexingly quick daft zebras jump INDEED"),   # edited
+            (4, "sphinx of black quartz judge my vow"),          # added
+        ]  # 2 removed
+    )
+    got = lsh_index_refresh(
+        fresh(old), snapshot_delta(old, new, ["doc_id"]), "doc_id", "text"
+    )
+    want = sorted(map(tuple, fresh(new).collect()))
+    assert sorted(map(tuple, got.collect())) == want
+    ids = {r["doc_id"] for r in got.collect()}
+    assert ids == {1, 3, 4}
