@@ -355,7 +355,6 @@ def kmeans_assign(
     Arrow-batched argmin matmul per corpus batch, the only corpus-sized
     step, with the tiny centroid matrix broadcast."""
     import numpy as np
-    import pandas as pd
 
     from pmp_analytics_spark.operators.partitioning import ensure_parallelism
 
@@ -367,8 +366,27 @@ def kmeans_assign(
     )
     train = np.array([list(r[1]) for r in sample_rows], dtype=np.float64)
     cents = _kmeans_fit(train, n_centroids, seed)
+    return assign_cells(dense, cents, corpus_id, corpus_vec), cents
 
-    bc = corpus.sparkSession.sparkContext.broadcast(cents)
+
+def assign_cells(
+    df: DataFrame,
+    cents,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+) -> DataFrame:
+    """(id, vec, __cell) argmin-cell assignment of ``df``'s vectors to a
+    FIXED centroid ndarray — the back half of ``kmeans_assign``, exposed
+    for maintenance paths that must assign NEW vectors to an EXISTING
+    quantizer (the production ANN posture: the quantizer retrains
+    rarely; assignments stay continuously current). One Arrow-batched
+    argmin matmul per batch with the tiny centroid matrix broadcast;
+    ties break to the lowest cell (numpy argmin), the same convention
+    the SQL-replay oracles encode as ``ORDER BY distance, cell``."""
+    import numpy as np
+    import pandas as pd
+
+    bc = df.sparkSession.sparkContext.broadcast(np.asarray(cents, dtype=np.float64))
 
     def assign(batches):
         c = bc.value
@@ -386,15 +404,47 @@ def kmeans_assign(
                 }
             )
 
-    in_types = dict(dense.dtypes)
-    assigned = dense.mapInPandas(
+    in_types = dict(df.dtypes)
+    return df.mapInPandas(
         assign,
         schema=(
             f"`{corpus_id}` {in_types[corpus_id]}, "
             f"`{corpus_vec}` {in_types[corpus_vec]}, __cell long"
         ),
     )
-    return assigned, cents
+
+
+def ivf_index_refresh(
+    index: DataFrame,
+    delta: DataFrame,
+    cents,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    broadcast_touched: bool = True,
+) -> DataFrame:
+    """CDC maintenance of the IVF assignment table (id, cell) under a
+    FIXED quantizer: removed/changed ids evict their rows via one
+    delta-bounded anti-join; added/changed vectors are argmin-assigned
+    to the existing centroids — the corpus is never re-scored. The
+    embedding-side sibling of ``dedup.lsh_index_refresh``: cell
+    assignment is a pure per-vector function of (vector, centroids), so
+    the refreshed table is bit-identical to a fresh assignment pass
+    over the new corpus (the declared query's oracle). Quantizer DRIFT
+    (enough churn that the old centroids stop fitting) is a retrain —
+    by design a rare full rebuild, not this operator's job.
+    """
+    touched = delta.where(
+        F.col("change_type").isin("removed", "changed")
+    ).select(corpus_id)
+    t = F.broadcast(touched) if broadcast_touched else touched
+    kept = index.join(t, corpus_id, "left_anti")
+    fresh = delta.where(F.col("change_type").isin("added", "changed")).select(
+        F.col(corpus_id), F.col(f"new_{corpus_vec}").alias(corpus_vec)
+    )
+    assigned = assign_cells(fresh, cents, corpus_id, corpus_vec).select(
+        corpus_id, F.col("__cell").alias("cell")
+    )
+    return kept.unionByName(assigned)
 
 
 def semantic_neardup(

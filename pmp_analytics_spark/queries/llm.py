@@ -1925,3 +1925,97 @@ def docs_neardup_index_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         bands=_BANDS,
         shingle_k=_SHINGLE_K,
     )
+
+
+# --------------------------------------------------------------------------
+# Q: embedding_ivf_cdc — CDC maintenance of the IVF assignment table
+# under a FIXED quantizer (operators/similarity_search.py::
+# ivf_index_refresh): the corpus moves old -> new (vectors deleted,
+# added back, every vec_id % 17 = 2 NEGATED), the quantizer stays the
+# one fitted on the OLD corpus (production posture: retrain rarely,
+# maintain assignments continuously), and the refresh evicts touched
+# ids + argmin-assigns only the changed vectors. Cell assignment is a
+# pure per-vector function, so the refreshed table must equal a fresh
+# assignment pass over the new corpus — the oracle snapshots the
+# old-corpus centroids (lazy refit, same md5-ordered sample protocol as
+# embedding_ivf_topk's oracle) and replays that pass in SQL.
+# --------------------------------------------------------------------------
+def _ivf_cdc_oracle() -> str | None:
+    import hashlib
+    import os
+    import warnings
+
+    try:
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from pmp_analytics_spark.operators.similarity_search import _kmeans_fit
+
+        sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+        tbl = pq.read_table(
+            os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+        )
+        rows = sorted(
+            (
+                (i, v)
+                for i, v in zip(tbl["vec_id"].to_pylist(), tbl["embedding"].to_pylist())
+                if i % 11 != 7  # the OLD snapshot the quantizer is fitted on
+            ),
+            key=lambda r: hashlib.md5(str(r[0]).encode()).hexdigest(),
+        )[: max(2000, 20 * _IVF_N_CENTROIDS)]
+        train = np.array([r[1] for r in rows], dtype=np.float64)
+        cents = _kmeans_fit(train, _IVF_N_CENTROIDS, seed=42)
+    except (ImportError, OSError, KeyError) as e:
+        warnings.warn(
+            f"embedding_ivf_cdc oracle downgraded to rows-only check: {e!r}",
+            stacklevel=2,
+        )
+        return None
+
+    cent_rows = ", ".join(
+        f"({i}, [{', '.join(repr(float(x)) for x in c)}]::DOUBLE[])"
+        for i, c in enumerate(cents)
+    )
+    return f"""
+    WITH c AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), newc AS (
+        SELECT vec_id,
+               CASE WHEN vec_id % 17 = 2 THEN LIST_TRANSFORM(v, x -> -x)
+                    ELSE v END AS v
+        FROM c WHERE vec_id % 13 <> 4
+    ), cent(cell, cv) AS (
+        VALUES {cent_rows}
+    ), assign AS (
+        SELECT vec_id, cell,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY LIST_DISTANCE(v, cv), cell) AS rn
+        FROM newc CROSS JOIN cent
+    )
+    SELECT vec_id, CAST(cell AS BIGINT) AS cell FROM assign WHERE rn = 1
+    """
+
+
+@query("embedding_ivf_cdc", _ivf_cdc_oracle)
+def embedding_ivf_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pmp_analytics_spark.operators.diff import snapshot_delta
+    from pmp_analytics_spark.operators.similarity_search import (
+        ivf_index_refresh,
+        kmeans_assign,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    old = emb.where(F.col("vec_id") % 11 != 7)
+    new = emb.where(F.col("vec_id") % 13 != 4).select(
+        "vec_id",
+        F.when(
+            F.col("vec_id") % 17 == 2,
+            F.transform("embedding", lambda x: -x),
+        )
+        .otherwise(F.col("embedding"))
+        .alias("embedding"),
+    )
+    assigned0, cents = kmeans_assign(old, _IVF_N_CENTROIDS)
+    index0 = assigned0.select("vec_id", F.col("__cell").alias("cell"))
+    delta = snapshot_delta(old, new, ["vec_id"])
+    return ivf_index_refresh(index0, delta, cents)

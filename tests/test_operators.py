@@ -1980,3 +1980,43 @@ def test_lsh_index_refresh_matches_fresh_rebuild(spark):
     assert sorted(map(tuple, got.collect())) == want
     ids = {r["doc_id"] for r in got.collect()}
     assert ids == {1, 3, 4}
+
+
+def test_ivf_index_refresh_matches_fresh_assignment(spark):
+    """The CDC-refreshed IVF assignment table under a FIXED quantizer
+    must equal a fresh assignment pass over the new corpus: removed ids
+    evicted, a changed vector re-assigned (here it crosses cells),
+    added vectors assigned, untouched rows carried."""
+    import numpy as np
+
+    from pmp_analytics_spark.operators.diff import snapshot_delta
+    from pmp_analytics_spark.operators.similarity_search import (
+        assign_cells,
+        ivf_index_refresh,
+    )
+
+    cents = np.array([[0.0, 0.0], [10.0, 10.0]])
+
+    def corpus(rows):
+        return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    old = corpus(
+        [(1, [0.5, 0.1]), (2, [9.0, 9.5]), (3, [1.0, 0.0]), (4, [8.0, 11.0])]
+    )
+    new = corpus(
+        [(1, [0.5, 0.1]), (3, [9.9, 9.9]), (4, [8.0, 11.0]), (5, [0.2, 0.2])]
+    )  # 2 removed; 3 moves cell 0 -> 1; 5 added
+
+    def index_of(df):
+        return assign_cells(df, cents).select(
+            "vec_id", F.col("__cell").alias("cell")
+        )
+
+    got = ivf_index_refresh(
+        index_of(old), snapshot_delta(old, new, ["vec_id"]), cents
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, index_of(new).collect())
+    )
+    rows = dict(map(tuple, got.collect()))
+    assert rows == {1: 0, 3: 1, 4: 1, 5: 0}
