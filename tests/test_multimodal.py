@@ -527,3 +527,37 @@ def test_jpeg_non_interleaved_rejected():
     )
     with pytest.raises(ValueError, match="non-interleaved"):
         jpeg_decode(one_comp)
+
+
+def test_jpeg_decode_rejects_garbage_cleanly():
+    """Fuzz hygiene: jpeg_decode over random bytes, truncations of a
+    valid file at every offset, and seeded bit-flips must either decode
+    or raise ValueError — never hang, never leak struct.error /
+    IndexError / KeyError to the caller (a corrupt payload in a 100 TB
+    corpus must quarantine as a typed reject, not kill the executor)."""
+    import random
+
+    from pmp_analytics_spark.jpeg import jpeg_decode, jpeg_encode
+
+    rows = [
+        bytes((x * 7 + y * 13) % 256 for x in range(24) for _ in range(3))
+        for y in range(16)
+    ]
+    good = jpeg_encode(24, 16, rows, quality=80)
+    rng = random.Random(7)
+    cases = [b"", b"\xff", b"\xff\xd8"]
+    for _ in range(60):
+        cases.append(bytes(rng.randrange(256) for _ in range(rng.randrange(4, 300))))
+    for cut in range(1, len(good), max(1, len(good) // 40)):
+        cases.append(good[:cut])
+    for _ in range(60):
+        b = bytearray(good)
+        for _ in range(rng.randrange(1, 6)):
+            b[rng.randrange(len(b))] = rng.randrange(256)
+        cases.append(bytes(b))
+    for c in cases:
+        try:
+            w, h, out = jpeg_decode(c)
+            assert w == 24 and h == 16 and len(out) == 16  # bit-flip survivors
+        except ValueError:
+            pass  # the one allowed reject type
