@@ -561,3 +561,54 @@ def test_jpeg_decode_rejects_garbage_cleanly():
             assert w == 24 and h == 16 and len(out) == 16  # bit-flip survivors
         except ValueError:
             pass  # the one allowed reject type
+
+
+def test_stdlib_codecs_reject_garbage_cleanly():
+    """Same fuzz hygiene as the JPEG gate for the other stdlib codecs:
+    BMP, PNG, and WAV decodes over random bytes, every-offset
+    truncations, and seeded bit-flips must decode or raise ValueError —
+    the typed reject the quarantine path depends on."""
+    import random
+
+    from pmp_analytics_spark.multimodal import (
+        _bmp_decode,
+        _bmp_encode,
+        _png_decode,
+        _png_encode,
+        _wav_decode,
+        _wav_encode,
+    )
+
+    rng = random.Random(11)
+    rows = [
+        bytes((x * 5 + y * 3) % 256 for x in range(10) for _ in range(3))
+        for y in range(8)
+    ]
+    goods = {
+        "bmp": (_bmp_decode, _bmp_encode(10, 8, rows)),
+        "png": (_png_decode, _png_encode(10, 8, rows)),
+        "wav": (
+            _wav_decode,
+            _wav_encode(
+                [rng.randrange(-32768, 32767) for _ in range(128)], 1, 8000, 16
+            ),
+        ),
+    }
+    for name, (dec, good) in goods.items():
+        cases = [b"", b"x", bytes(rng.randrange(256) for _ in range(50))]
+        for _ in range(60):
+            cases.append(
+                bytes(rng.randrange(256) for _ in range(rng.randrange(4, 300)))
+            )
+        for cut in range(1, len(good), max(1, len(good) // 40)):
+            cases.append(good[:cut])
+        for _ in range(60):
+            b = bytearray(good)
+            for _ in range(rng.randrange(1, 5)):
+                b[rng.randrange(len(b))] = rng.randrange(256)
+            cases.append(bytes(b))
+        for c in cases:
+            try:
+                dec(c)
+            except ValueError:
+                pass  # the one allowed reject type
