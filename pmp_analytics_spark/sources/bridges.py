@@ -99,9 +99,26 @@ def _xlsx_sheet_part(zf: zipfile.ZipFile, sheet_name: str | None) -> str:
 
 
 def _xlsx_rows(path: str, sheet_name: str | None) -> list[list[str | None]]:
-    with zipfile.ZipFile(path) as zf:
-        shared = _xlsx_shared_strings(zf)
-        sheet_xml = zf.read(_xlsx_sheet_part(zf, sheet_name))
+    try:
+        with zipfile.ZipFile(path) as zf:
+            shared = _xlsx_shared_strings(zf)
+            sheet_xml = zf.read(_xlsx_sheet_part(zf, sheet_name))
+        return _xlsx_rows_from_xml(sheet_xml, shared)
+    except ValueError:
+        raise
+    except (
+        zipfile.BadZipFile,
+        KeyError,
+        IndexError,
+        ElementTree.ParseError,
+        OSError,
+    ) as e:
+        # typed reject: a corrupt upload must quarantine, not leak
+        # zip/XML internals to the caller
+        raise ValueError(f"not a readable xlsx: {path}: {e}") from e
+
+
+def _xlsx_rows_from_xml(sheet_xml, shared) -> list[list[str | None]]:
     rows: list[list[str | None]] = []
     for row in ElementTree.fromstring(sheet_xml).iter(f"{_NS}row"):
         cells: list[str | None] = []

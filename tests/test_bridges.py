@@ -222,3 +222,33 @@ def test_excel_write_mixed_numeric_lexical_contract(spark, tmp_path):
             ("-3", "1e-07", "0.5", "x"),
         ]
     )
+
+
+def test_excel_bridge_rejects_garbage_cleanly(tmp_path):
+    """A corrupt upload — random bytes, or a real zip wrapping garbage
+    XML / missing parts — must raise ValueError from the xlsx reader
+    (the typed reject the ingest quarantine depends on), never leak
+    BadZipFile / ParseError / KeyError internals."""
+    import io
+    import random
+    import zipfile
+
+    import pytest
+
+    from pmp_analytics_spark.sources.bridges import _xlsx_rows
+
+    rng = random.Random(3)
+    cases = [bytes(rng.randrange(256) for _ in range(rng.randrange(0, 400))) for _ in range(40)]
+    for i in range(12):
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w") as z:
+            z.writestr("xl/workbook.xml", bytes(rng.randrange(256) for _ in range(40)))
+            if i % 2:
+                z.writestr("xl/worksheets/sheet1.xml", b"<not xml")
+        cases.append(buf.getvalue())
+    for i, payload in enumerate(cases):
+        p = str(tmp_path / f"f{i}.xlsx")
+        with open(p, "wb") as f:
+            f.write(payload)
+        with pytest.raises(ValueError):
+            _xlsx_rows(p, None)
