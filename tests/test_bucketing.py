@@ -126,3 +126,42 @@ def test_bucketed_mv_merge_skips_view_side_shuffle(spark):
         spark.conf.set("spark.sql.shuffle.partitions", prev)
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
         spark.sql("DROP TABLE IF EXISTS mv_bucketed")
+
+
+def test_bucketed_snapshots_colocate_the_cdc_join(spark):
+    """snapshot_delta's scale claim, pinned: two snapshot versions
+    bucketed on the key full-outer join with ZERO exchange — repeated
+    diffing of a 100 TB keyed table pays the shuffle once at write
+    time."""
+    from pyspark.sql import functions as F
+
+    from pmp_analytics_spark.operators.diff import snapshot_delta
+
+    spark.sql("DROP TABLE IF EXISTS snap_old")
+    spark.sql("DROP TABLE IF EXISTS snap_new")
+    old = spark.createDataFrame(
+        [(k, f"s{k % 4}", k * 2) for k in range(50)], ["k", "status", "v"]
+    )
+    new = spark.createDataFrame(
+        [(k, f"s{k % 4}", k * 2 + (k % 9 == 0)) for k in range(2, 53)],
+        ["k", "status", "v"],
+    )
+    prev_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        old.write.bucketBy(8, "k").sortBy("k").mode("overwrite").saveAsTable("snap_old")
+        new.write.bucketBy(8, "k").sortBy("k").mode("overwrite").saveAsTable("snap_new")
+        delta = snapshot_delta(
+            spark.table("snap_old"), spark.table("snap_new"), ["k"]
+        )
+        plan = physical_plan(delta)
+        assert "SortMergeJoin" in plan and "FullOuter" in plan
+        assert len(re.findall(r"[+:]- Exchange \(", plan)) == 0, plan
+        want = sorted(
+            map(tuple, snapshot_delta(old, new, ["k"]).collect()), key=str
+        )
+        assert sorted(map(tuple, delta.collect()), key=str) == want
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
+        spark.sql("DROP TABLE IF EXISTS snap_old")
+        spark.sql("DROP TABLE IF EXISTS snap_new")
