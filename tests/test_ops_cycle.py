@@ -117,3 +117,107 @@ def test_nightly_ops_cycle(spark, tmp_path):
     assert not {
         r["check_name"]: r["passed"] for r in night2.collect()
     }["in_range(v)"]
+
+
+def test_cdc_maintenance_cycle(spark, tmp_path):
+    """Day-2 CDC loop, composed end-to-end: snapshot versions publish
+    through the versioned store; the delta between the previous and the
+    live version drives BOTH derived artifacts — the additive rollup
+    view and the LSH band index — and time travel / rollback keep every
+    earlier state reachable. Each piece is unit-tested alone; this pins
+    that the outputs of one are legal inputs of the next."""
+    from decimal import Decimal
+
+    from pmp_analytics_spark.operators.dedup import (
+        band_key_frame,
+        exploded_shingle_hashes,
+        lsh_index_refresh,
+        minhash_signatures,
+    )
+    from pmp_analytics_spark.operators.diff import (
+        incremental_mv_refresh,
+        snapshot_delta,
+    )
+    from pmp_analytics_spark.sources.writers import (
+        latest_marker,
+        read_latest,
+        read_version,
+        rollback_latest,
+    )
+
+    base, mv_root = str(tmp_path / "base"), str(tmp_path / "mv")
+
+    def snap(rows):
+        df = spark.createDataFrame(rows, ["k", "grp", "amount", "text"])
+        return df.select(
+            "k", "grp", F.col("amount").cast("decimal(10,2)").alias("amount"), "text"
+        )
+
+    day1 = snap(
+        [
+            (1, "a", "10.00", "the quick brown fox jumps over the dog"),
+            (2, "a", "20.00", "pack my box with five dozen liquor jugs"),
+            (3, "b", "5.00", "how vexingly quick daft zebras jump"),
+        ]
+    )
+    day2 = snap(
+        [
+            (1, "a", "10.00", "the quick brown fox jumps over the dog"),
+            (3, "c", "7.50", "how vexingly quick daft zebras jump NOW"),
+            (4, "b", "2.00", "sphinx of black quartz judge my vow"),
+        ]
+    )
+
+    def mv_of(df):
+        return df.groupBy("grp").agg(
+            F.sum("amount").alias("total"), F.count(F.lit(1)).alias("n_rows")
+        )
+
+    def index_of(df):
+        return band_key_frame(
+            minhash_signatures(
+                exploded_shingle_hashes(df, "text", "k", 5), "k", 16
+            ),
+            "k",
+            16,
+            4,
+        )
+
+    # day 1: publish snapshot v0 and the derived artifacts
+    publish_versioned(day1.coalesce(1), base)
+    publish_versioned(mv_of(day1).coalesce(1), mv_root, marker="0")
+    index = index_of(day1).localCheckpoint(eager=True)
+
+    # day 2: new snapshot lands; the delta between the two LIVE versions
+    # drives both refreshes
+    publish_versioned(day2.coalesce(1), base)
+    delta = snapshot_delta(
+        read_version(spark, base, 0), read_latest(spark, base), ["k"]
+    ).localCheckpoint(eager=True)
+    mv2 = incremental_mv_refresh(
+        read_latest(spark, mv_root), delta, ["grp"], {"total": "amount"}, "n_rows"
+    )
+    publish_versioned(mv2.coalesce(1), mv_root, marker="1")
+    index2 = lsh_index_refresh(index, delta, "k", "text")
+
+    got_mv = sorted(map(tuple, read_latest(spark, mv_root).collect()))
+    assert got_mv == sorted(map(tuple, mv_of(day2).collect()))
+    assert ("c", Decimal("7.50"), 1) in got_mv and ("b", Decimal("2.00"), 1) in got_mv
+    assert sorted(map(tuple, index2.collect())) == sorted(
+        map(tuple, index_of(day2).collect())
+    )
+    assert latest_marker(spark, mv_root) == "1"
+
+    # time travel: yesterday's view is still reachable; rollback makes
+    # it live again (marker travels), then the day-2 version remains on
+    # disk for roll-forward
+    assert sorted(map(tuple, read_version(spark, mv_root, 0).collect())) == sorted(
+        map(tuple, mv_of(day1).collect())
+    )
+    rollback_latest(spark, mv_root, 0)
+    assert latest_marker(spark, mv_root) == "0"
+    assert sorted(map(tuple, read_latest(spark, mv_root).collect())) == sorted(
+        map(tuple, mv_of(day1).collect())
+    )
+    rollback_latest(spark, mv_root, 1)
+    assert sorted(map(tuple, read_latest(spark, mv_root).collect())) == got_mv
