@@ -740,3 +740,33 @@ def pq_topk(
         .where(F.col("rank") <= k)
         .select(query_id, corpus_id, dist_name, "rank")
     )
+
+
+def pq_codes_refresh(
+    codes: DataFrame,
+    delta: DataFrame,
+    codebooks,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    broadcast_touched: bool = True,
+) -> DataFrame:
+    """CDC maintenance of the PQ code table (id, __codes) under FIXED
+    codebooks — the third index-maintenance sibling (LSH bands, IVF
+    cells, PQ codes): removed/changed ids evict their code rows via a
+    delta-bounded anti-join; added/changed vectors are re-encoded with
+    ``pq_encode`` against the existing codebooks — the compressed
+    corpus representation follows the corpus without ever re-encoding
+    it. Codes are pure per-vector functions of (vector, codebooks), so
+    the refreshed table is bit-identical to a fresh encode pass over
+    the new corpus. Codebook drift is a rare retrain + full re-encode,
+    by design outside this operator.
+    """
+    touched = delta.where(
+        F.col("change_type").isin("removed", "changed")
+    ).select(corpus_id)
+    t = F.broadcast(touched) if broadcast_touched else touched
+    kept = codes.join(t, corpus_id, "left_anti")
+    fresh = delta.where(F.col("change_type").isin("added", "changed")).select(
+        F.col(corpus_id), F.col(f"new_{corpus_vec}").alias(corpus_vec)
+    )
+    return kept.unionByName(pq_encode(fresh, codebooks, corpus_id, corpus_vec))

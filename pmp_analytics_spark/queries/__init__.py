@@ -65,7 +65,7 @@ _RECORD_FRONT = (
     "streaming_classifier_scores", "orders_mv_incremental",
     "streaming_mv_refresh", "orders_mv_minmax",
     "streaming_event_dedup_watermark", "docs_neardup_index_cdc",
-    "embedding_ivf_cdc",
+    "embedding_ivf_cdc", "embedding_pq_cdc",
     # analytic (all 27 were never sampled)
     "customer_order_subqueries", "supplier_discount_exists",
     "nation_presence_setops", "customer_order_gaps",

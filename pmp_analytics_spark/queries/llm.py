@@ -2019,3 +2019,109 @@ def embedding_ivf_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     index0 = assigned0.select("vec_id", F.col("__cell").alias("cell"))
     delta = snapshot_delta(old, new, ["vec_id"])
     return ivf_index_refresh(index0, delta, cents)
+
+
+# --------------------------------------------------------------------------
+# Q: embedding_pq_cdc — CDC maintenance of the PQ code table under FIXED
+# codebooks (operators/similarity_search.py::pq_codes_refresh), the
+# third index-maintenance sibling (LSH bands 169, IVF cells 170): the
+# same old -> new corpus move as embedding_ivf_cdc, codebooks fitted on
+# the OLD corpus, refresh evicts touched ids and re-encodes only the
+# changed vectors. PQ codes are pure per-vector functions, so the oracle
+# replays a fresh encode pass over the new corpus against the
+# snapshot-refit codebooks (same argmin/tie-break SQL as the PQ ANN
+# oracles).
+# --------------------------------------------------------------------------
+def _pq_cdc_oracle() -> str | None:
+    import hashlib
+    import os
+    import warnings
+
+    try:
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from pmp_analytics_spark.operators.similarity_search import _kmeans_fit
+
+        sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+        tbl = pq.read_table(
+            os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+        )
+        rows = sorted(
+            (
+                (i, v)
+                for i, v in zip(tbl["vec_id"].to_pylist(), tbl["embedding"].to_pylist())
+                if i % 11 != 7  # the OLD snapshot the codebooks are fitted on
+            ),
+            key=lambda r: hashlib.md5(str(r[0]).encode()).hexdigest(),
+        )[: max(2000, 20 * _PQ_K)]
+        train = np.array([r[1] for r in rows], dtype=np.float64)
+        d = train.shape[1]
+        sub = d // _PQ_M
+        books = [
+            _kmeans_fit(train[:, j * sub : (j + 1) * sub], _PQ_K, 42 + j)
+            for j in range(_PQ_M)
+        ]
+    except (ImportError, OSError, KeyError) as e:
+        warnings.warn(
+            f"embedding_pq_cdc oracle downgraded to rows-only check: {e!r}",
+            stacklevel=2,
+        )
+        return None
+
+    cb_rows = ", ".join(
+        f"({j}, {c}, [{', '.join(repr(float(x)) for x in books[j][c])}]::DOUBLE[])"
+        for j in range(_PQ_M)
+        for c in range(_PQ_K)
+    )
+    return f"""
+    WITH c AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), newc AS (
+        SELECT vec_id,
+               CASE WHEN vec_id % 17 = 2 THEN LIST_TRANSFORM(v, x -> -x)
+                    ELSE v END AS v
+        FROM c WHERE vec_id % 13 <> 4
+    ), cb(j, code, cv) AS (
+        VALUES {cb_rows}
+    ), subdist AS (
+        SELECT newc.vec_id, cb.j, cb.code,
+               LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, {sub}), i ->
+                   (v[cb.j * {sub} + i] - cv[i]) * (v[cb.j * {sub} + i] - cv[i]))) AS d2
+        FROM newc CROSS JOIN cb
+    ), enc AS (
+        SELECT vec_id, j, code,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d2, code) AS rn
+        FROM subdist
+    )
+    SELECT vec_id, LIST(code ORDER BY j) AS codes
+    FROM enc WHERE rn = 1 GROUP BY vec_id
+    """
+
+
+@query("embedding_pq_cdc", _pq_cdc_oracle)
+def embedding_pq_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pmp_analytics_spark.operators.diff import snapshot_delta
+    from pmp_analytics_spark.operators.similarity_search import (
+        pq_codes_refresh,
+        pq_encode,
+        pq_train,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    old = emb.where(F.col("vec_id") % 11 != 7)
+    new = emb.where(F.col("vec_id") % 13 != 4).select(
+        "vec_id",
+        F.when(
+            F.col("vec_id") % 17 == 2,
+            F.transform("embedding", lambda x: -x),
+        )
+        .otherwise(F.col("embedding"))
+        .alias("embedding"),
+    )
+    books = pq_train(old, m=_PQ_M, k_codes=_PQ_K)
+    codes0 = pq_encode(old, books)
+    delta = snapshot_delta(old, new, ["vec_id"])
+    return pq_codes_refresh(codes0, delta, books).withColumnRenamed(
+        "__codes", "codes"
+    )

@@ -2020,3 +2020,50 @@ def test_ivf_index_refresh_matches_fresh_assignment(spark):
     )
     rows = dict(map(tuple, got.collect()))
     assert rows == {1: 0, 3: 1, 4: 1, 5: 0}
+
+
+def test_pq_codes_refresh_matches_fresh_encode(spark):
+    """The CDC-refreshed PQ code table under FIXED codebooks must equal a
+    fresh encode pass over the new corpus: removed ids evicted, a
+    changed vector re-encoded (its subspace codes move), added vectors
+    encoded, untouched rows carried."""
+    import numpy as np
+
+    from pmp_analytics_spark.operators.diff import snapshot_delta
+    from pmp_analytics_spark.operators.similarity_search import (
+        pq_codes_refresh,
+        pq_encode,
+    )
+
+    # m=2 subspaces of width 2, k=2 codes each
+    books = np.array(
+        [
+            [[0.0, 0.0], [5.0, 5.0]],
+            [[0.0, 0.0], [-5.0, -5.0]],
+        ]
+    )
+
+    def corpus(rows):
+        return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    old = corpus(
+        [
+            (1, [0.1, 0.2, -4.0, -4.5]),
+            (2, [4.9, 5.2, 0.3, 0.0]),
+            (3, [0.0, 0.1, 0.1, 0.0]),
+        ]
+    )
+    new = corpus(
+        [
+            (1, [0.1, 0.2, -4.0, -4.5]),   # unchanged
+            (3, [5.0, 4.8, -5.1, -4.9]),   # changed: codes flip to [1, 1]
+            (4, [4.4, 4.4, 0.2, 0.2]),     # added
+        ]  # 2 removed
+    )
+    got = pq_codes_refresh(
+        pq_encode(old, books), snapshot_delta(old, new, ["vec_id"]), books
+    )
+    want = sorted((r["vec_id"], list(r["__codes"])) for r in pq_encode(new, books).collect())
+    have = sorted((r["vec_id"], list(r["__codes"])) for r in got.collect())
+    assert have == want
+    assert dict(have) == {1: [0, 1], 3: [1, 1], 4: [1, 0]}
