@@ -189,10 +189,16 @@ def margin_expression(w: list[float], text_col: str = "text", dim: int = 32):
     state), so it scores a STREAM under any micro-batch slicing and a
     100 TB batch as a map-only pass. Exactly ``score_logistic`` over
     ``hashed_features(binary=True)``: sum of w[bucket] over distinct
-    buckets + w[dim]; equivalence is pinned in tests."""
+    buckets + w[dim]; equivalence is pinned in tests. NULL text scores
+    like zero-token text — the bias-only margin — because
+    ``hashed_features`` keeps every doc's bias row regardless of text
+    (the coalesce below keeps the expression from propagating NULL)."""
     arr = F.array(*[F.lit(float(x)) for x in w])
     bks = F.array_distinct(
-        F.transform(tokens(text_col), lambda t: _bucket(t, dim))
+        F.transform(
+            F.coalesce(tokens(text_col), F.array().cast("array<string>")),
+            lambda t: _bucket(t, dim),
+        )
     )
     s = F.aggregate(
         F.transform(bks, lambda b: F.element_at(arr, b + 1)),

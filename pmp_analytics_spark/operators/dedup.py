@@ -1157,16 +1157,15 @@ def lsh_index_refresh(
     added/changed docs re-shingle/sign/band ONLY their own new text.
     The refreshed index is bit-identical to a fresh rebuild on the new
     corpus (the declared query's oracle) because signatures are pure
-    per-document functions — no cross-document state to repair.
+    per-document functions — no cross-document state to repair. The
+    evict/recompute skeleton is ``diff.cdc_index_refresh`` (shared with
+    the IVF-cell and PQ-code refreshes).
     """
-    touched = delta.where(
-        F.col("change_type").isin("removed", "changed")
-    ).select(id_col)
-    t = F.broadcast(touched) if broadcast_touched else touched
-    kept = index.join(t, id_col, "left_anti")
-    fresh = delta.where(F.col("change_type").isin("added", "changed")).select(
-        F.col(id_col), F.col(f"new_{text_col}").alias(text_col)
-    )
-    ex = exploded_shingle_hashes(fresh, text_col, id_col, shingle_k)
-    sig = minhash_signatures(ex, id_col, num_hashes)
-    return kept.unionByName(band_key_frame(sig, id_col, num_hashes, bands))
+    from pmp_analytics_spark.operators.diff import cdc_index_refresh
+
+    def band(fresh: DataFrame) -> DataFrame:
+        ex = exploded_shingle_hashes(fresh, text_col, id_col, shingle_k)
+        sig = minhash_signatures(ex, id_col, num_hashes)
+        return band_key_frame(sig, id_col, num_hashes, bands)
+
+    return cdc_index_refresh(index, delta, id_col, text_col, band, broadcast_touched)

@@ -316,3 +316,32 @@ def mv_refresh_minmax(
         )
     )
     return kept.unionByName(recomputed.select(*mv.columns))
+
+
+def cdc_index_refresh(
+    index: DataFrame,
+    delta: DataFrame,
+    id_col: str,
+    payload_col: str,
+    recompute_fn,
+    broadcast_touched: bool = True,
+) -> DataFrame:
+    """The shared evict-touched / recompute-fresh / union skeleton of
+    the derived-index maintenance operators (LSH bands, IVF cells, PQ
+    codes — each a pure per-row function of its payload): removed and
+    changed ids evict their index rows via one delta-bounded anti-join
+    (broadcast by default; ``broadcast_touched=False`` for deltas
+    touching a driver-hostile number of ids), and ``recompute_fn``
+    re-derives rows for ONLY the added/changed payloads — the indexed
+    corpus is never re-processed. Keeping the eviction semantics here
+    means a fix to touched-set handling lands in every index at once.
+    """
+    touched = delta.where(
+        F.col("change_type").isin("removed", "changed")
+    ).select(id_col)
+    t = F.broadcast(touched) if broadcast_touched else touched
+    kept = index.join(t, id_col, "left_anti")
+    fresh = delta.where(F.col("change_type").isin("added", "changed")).select(
+        F.col(id_col), F.col(f"new_{payload_col}").alias(payload_col)
+    )
+    return kept.unionByName(recompute_fn(fresh))

@@ -431,20 +431,20 @@ def ivf_index_refresh(
     the refreshed table is bit-identical to a fresh assignment pass
     over the new corpus (the declared query's oracle). Quantizer DRIFT
     (enough churn that the old centroids stop fitting) is a retrain —
-    by design a rare full rebuild, not this operator's job.
+    by design a rare full rebuild, not this operator's job. The
+    evict/recompute skeleton is ``diff.cdc_index_refresh`` (shared with
+    the LSH-band and PQ-code refreshes).
     """
-    touched = delta.where(
-        F.col("change_type").isin("removed", "changed")
-    ).select(corpus_id)
-    t = F.broadcast(touched) if broadcast_touched else touched
-    kept = index.join(t, corpus_id, "left_anti")
-    fresh = delta.where(F.col("change_type").isin("added", "changed")).select(
-        F.col(corpus_id), F.col(f"new_{corpus_vec}").alias(corpus_vec)
+    from pmp_analytics_spark.operators.diff import cdc_index_refresh
+
+    def assign(fresh: DataFrame) -> DataFrame:
+        return assign_cells(fresh, cents, corpus_id, corpus_vec).select(
+            corpus_id, F.col("__cell").alias("cell")
+        )
+
+    return cdc_index_refresh(
+        index, delta, corpus_id, corpus_vec, assign, broadcast_touched
     )
-    assigned = assign_cells(fresh, cents, corpus_id, corpus_vec).select(
-        corpus_id, F.col("__cell").alias("cell")
-    )
-    return kept.unionByName(assigned)
 
 
 def semantic_neardup(
@@ -759,14 +759,17 @@ def pq_codes_refresh(
     it. Codes are pure per-vector functions of (vector, codebooks), so
     the refreshed table is bit-identical to a fresh encode pass over
     the new corpus. Codebook drift is a rare retrain + full re-encode,
-    by design outside this operator.
+    by design outside this operator. The evict/recompute skeleton is
+    ``diff.cdc_index_refresh`` (shared with the LSH-band and IVF-cell
+    refreshes).
     """
-    touched = delta.where(
-        F.col("change_type").isin("removed", "changed")
-    ).select(corpus_id)
-    t = F.broadcast(touched) if broadcast_touched else touched
-    kept = codes.join(t, corpus_id, "left_anti")
-    fresh = delta.where(F.col("change_type").isin("added", "changed")).select(
-        F.col(corpus_id), F.col(f"new_{corpus_vec}").alias(corpus_vec)
+    from pmp_analytics_spark.operators.diff import cdc_index_refresh
+
+    return cdc_index_refresh(
+        codes,
+        delta,
+        corpus_id,
+        corpus_vec,
+        lambda fresh: pq_encode(fresh, codebooks, corpus_id, corpus_vec),
+        broadcast_touched,
     )
-    return kept.unionByName(pq_encode(fresh, codebooks, corpus_id, corpus_vec))

@@ -1323,16 +1323,18 @@ def clear_clf_fit() -> None:
 
 @query("docs_quality_classifier", _clf_oracle())
 def docs_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pmp_analytics_spark.operators.classifier import (
-        hashed_features,
-        score_logistic,
-    )
+    from pmp_analytics_spark.operators.classifier import margin_expression
 
     docs = load_table(spark, sf_dir, "documents")
     labels = _clf_labels(docs)
     w = _clf_fit(spark, sf_dir)
-    feats = hashed_features(docs, "text", "doc_id", _CLF_DIM, binary=True)
-    scored = score_logistic(feats, w)
+    # score via the row-local margin projection (exactly score_logistic
+    # over binary hashed features — equivalence pinned in tests): the
+    # scoring pass is map-only instead of a second tokenize + explode +
+    # per-doc aggregate over the corpus
+    scored = docs.select(
+        "doc_id", margin_expression(w, "text", _CLF_DIM).alias("m")
+    )
     return (
         labels.join(scored, "doc_id")
         .groupBy("y", (F.col("m") > 0).cast("int").alias("pred"))

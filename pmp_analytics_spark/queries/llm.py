@@ -1090,6 +1090,32 @@ _IVF_N_CENTROIDS = 16
 _IVF_NPROBE = 4
 
 
+def _oracle_embedding_rows(n: int, keep=None) -> list:
+    """The md5-ordered, truncated (vec_id, embedding) driver sample every
+    SQL-replay oracle refit uses — ONE implementation of the protocol
+    (same order and truncation as the Spark operators'
+    ``orderBy(md5(vec_id)).limit(n)``), so the sampling contract cannot
+    drift between the seven oracle builders that refit from it.
+    ``keep`` filters vec_ids first (the CDC oracles fit on the OLD
+    snapshot). Raises ImportError/OSError/KeyError upward: each oracle
+    keeps its own warn-and-downgrade to a rows-only check."""
+    import hashlib
+    import os
+
+    import pyarrow.parquet as pq
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    tbl = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    pairs = zip(tbl["vec_id"].to_pylist(), tbl["embedding"].to_pylist())
+    if keep is not None:
+        pairs = (p for p in pairs if keep(p[0]))
+    return sorted(
+        pairs, key=lambda r: hashlib.md5(str(r[0]).encode()).hexdigest()
+    )[:n]
+
+
 def _ivf_oracle() -> str | None:
     """Snapshot the gate-SF IVF centroids and emit the full SQL replay.
 
@@ -1107,24 +1133,14 @@ def _ivf_oracle() -> str | None:
     identical ``_kmeans_fit``. Returns None (→ rows-only driver check),
     WITH a visible warning, only when the gate tables are unavailable.
     """
-    import hashlib
-    import os
     import warnings
 
     try:
         import numpy as np
-        import pyarrow.parquet as pq
 
         from pmp_analytics_spark.operators.similarity_search import _kmeans_fit
 
-        sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
-        tbl = pq.read_table(
-            os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
-        )
-        rows = sorted(
-            zip(tbl["vec_id"].to_pylist(), tbl["embedding"].to_pylist()),
-            key=lambda r: hashlib.md5(str(r[0]).encode()).hexdigest(),
-        )[: max(2000, 20 * _IVF_N_CENTROIDS)]
+        rows = _oracle_embedding_rows(max(2000, 20 * _IVF_N_CENTROIDS))
         train = np.array([r[1] for r in rows], dtype=np.float64)
         cents = _kmeans_fit(train, _IVF_N_CENTROIDS, seed=42)
     except (ImportError, OSError, KeyError) as e:  # tables/deps unavailable here
@@ -1210,24 +1226,14 @@ def _pq_fit_snapshot(query_name: str):
     subspace width. Returns None (with a visible warning naming
     ``query_name``) when the gate tables/deps are unavailable, which
     downgrades only that query to a rows-only check."""
-    import hashlib
-    import os
     import warnings
 
     try:
         import numpy as np
-        import pyarrow.parquet as pq
 
         from pmp_analytics_spark.operators.similarity_search import _kmeans_fit
 
-        sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
-        tbl = pq.read_table(
-            os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
-        )
-        rows = sorted(
-            zip(tbl["vec_id"].to_pylist(), tbl["embedding"].to_pylist()),
-            key=lambda r: hashlib.md5(str(r[0]).encode()).hexdigest(),
-        )[: max(2000, 20 * _PQ_K)]
+        rows = _oracle_embedding_rows(max(2000, 20 * _PQ_K))
         train = np.array([r[1] for r in rows], dtype=np.float64)
         d = train.shape[1]
         sub = d // _PQ_M
@@ -1423,24 +1429,14 @@ _SEM_COS_T = 0.4
 
 
 def _semantic_oracle() -> str | None:
-    import hashlib
-    import os
     import warnings
 
     try:
         import numpy as np
-        import pyarrow.parquet as pq
 
         from pmp_analytics_spark.operators.similarity_search import _kmeans_fit
 
-        sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
-        tbl = pq.read_table(
-            os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
-        )
-        rows = sorted(
-            zip(tbl["vec_id"].to_pylist(), tbl["embedding"].to_pylist()),
-            key=lambda r: hashlib.md5(str(r[0]).encode()).hexdigest(),
-        )[: max(2000, 20 * _SEM_CLUSTERS)]
+        rows = _oracle_embedding_rows(max(2000, 20 * _SEM_CLUSTERS))
         train = np.array([r[1] for r in rows], dtype=np.float64)
         cents = _kmeans_fit(train, _SEM_CLUSTERS, seed=42)
     except (ImportError, OSError, KeyError) as e:  # tables/deps unavailable here
@@ -1781,23 +1777,12 @@ def _pca_snapshot(query_name: str):
     """Refit the gate-SF components exactly as ``pca_fit`` does (same
     md5-ordered sample, shared numpy fit) without Spark. Same
     lazy/downgrade contract as ``_pq_fit_snapshot``."""
-    import hashlib
-    import os
     import warnings
 
     try:
-        import pyarrow.parquet as pq
-
         from pmp_analytics_spark.operators.pca import _pca_fit_arrays
 
-        sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
-        tbl = pq.read_table(
-            os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
-        )
-        rows = sorted(
-            zip(tbl["vec_id"].to_pylist(), tbl["embedding"].to_pylist()),
-            key=lambda r: hashlib.md5(str(r[0]).encode()).hexdigest(),
-        )[:_PCA_SAMPLE]
+        rows = _oracle_embedding_rows(_PCA_SAMPLE)
         return _pca_fit_arrays([r[1] for r in rows], _PCA_R)
     except (ImportError, OSError, KeyError) as e:
         warnings.warn(
@@ -1941,28 +1926,17 @@ def docs_neardup_index_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
 # embedding_ivf_topk's oracle) and replays that pass in SQL.
 # --------------------------------------------------------------------------
 def _ivf_cdc_oracle() -> str | None:
-    import hashlib
-    import os
     import warnings
 
     try:
         import numpy as np
-        import pyarrow.parquet as pq
 
         from pmp_analytics_spark.operators.similarity_search import _kmeans_fit
 
-        sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
-        tbl = pq.read_table(
-            os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+        # the OLD snapshot the quantizer is fitted on
+        rows = _oracle_embedding_rows(
+            max(2000, 20 * _IVF_N_CENTROIDS), keep=lambda i: i % 11 != 7
         )
-        rows = sorted(
-            (
-                (i, v)
-                for i, v in zip(tbl["vec_id"].to_pylist(), tbl["embedding"].to_pylist())
-                if i % 11 != 7  # the OLD snapshot the quantizer is fitted on
-            ),
-            key=lambda r: hashlib.md5(str(r[0]).encode()).hexdigest(),
-        )[: max(2000, 20 * _IVF_N_CENTROIDS)]
         train = np.array([r[1] for r in rows], dtype=np.float64)
         cents = _kmeans_fit(train, _IVF_N_CENTROIDS, seed=42)
     except (ImportError, OSError, KeyError) as e:
@@ -2033,28 +2007,17 @@ def embedding_ivf_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
 # oracles).
 # --------------------------------------------------------------------------
 def _pq_cdc_oracle() -> str | None:
-    import hashlib
-    import os
     import warnings
 
     try:
         import numpy as np
-        import pyarrow.parquet as pq
 
         from pmp_analytics_spark.operators.similarity_search import _kmeans_fit
 
-        sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
-        tbl = pq.read_table(
-            os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+        # the OLD snapshot the codebooks are fitted on
+        rows = _oracle_embedding_rows(
+            max(2000, 20 * _PQ_K), keep=lambda i: i % 11 != 7
         )
-        rows = sorted(
-            (
-                (i, v)
-                for i, v in zip(tbl["vec_id"].to_pylist(), tbl["embedding"].to_pylist())
-                if i % 11 != 7  # the OLD snapshot the codebooks are fitted on
-            ),
-            key=lambda r: hashlib.md5(str(r[0]).encode()).hexdigest(),
-        )[: max(2000, 20 * _PQ_K)]
         train = np.array([r[1] for r in rows], dtype=np.float64)
         d = train.shape[1]
         sub = d // _PQ_M

@@ -65,6 +65,12 @@ def cdc_mv_refresh_stream(
         mk = latest_marker(spark, root)
         if mk is not None and int(mk) >= batch_id:
             return  # replayed batch: its effect is already committed
+        if batch_df.isEmpty():
+            # an empty delta is an identity refresh: publishing it would
+            # rewrite the whole view and burn one keep_last slot of the
+            # rollback horizon for nothing (its replay effect is nil, so
+            # skipping the marker advance is also safe)
+            return
         cur = read_latest(spark, root)
         new = incremental_mv_refresh(
             cur, batch_df, group_cols, sum_cols, count_col

@@ -1723,6 +1723,7 @@ def test_margin_expression_equals_score_logistic(spark):
             (2, "..."),  # zero tokens -> bias-only margin
             (3, "the quick brown fox jumps over the lazy dog"),
             (4, "alpha"),
+            (5, None),  # NULL text scores like zero tokens, not NULL
         ],
         ["doc_id", "text"],
     )
@@ -1734,10 +1735,11 @@ def test_margin_expression_equals_score_logistic(spark):
             "doc_id", margin_expression(w, "text", DIM).alias("m")
         ).collect()
     }
-    assert set(got) == set(want) == {1, 2, 3, 4}
+    assert set(got) == set(want) == {1, 2, 3, 4, 5}
     for k in want:
         assert abs(got[k] - want[k]) < 1e-12, (k, got[k], want[k])
     assert abs(got[2] - w[DIM]) < 1e-12  # bias-only
+    assert abs(got[5] - w[DIM]) < 1e-12  # NULL text: bias-only, never NULL
 
 
 def test_incremental_mv_refresh_matches_full_recompute(spark):
