@@ -221,6 +221,30 @@ def incremental_mv_refresh(
             F.sum(count_col).alias(count_col),
         )
     )
+    if not null_safe_groups:
+        # A NULL group value under plain-equality keys silently corrupts
+        # the view (the adjustment row can't reach the mv's NULL-group
+        # row, so the delta is dropped while the stale row is carried).
+        # Fail loudly at runtime instead: the guard rides on the measure
+        # column, NOT the join keys, so equi-key extraction (and the
+        # bucketed shuffle-free merge) is untouched.
+        def _guarded(df: DataFrame) -> DataFrame:
+            ok = None
+            for g in group_cols:
+                nn = F.col(g).isNotNull()
+                ok = nn if ok is None else (ok & nn)
+            return df.withColumn(
+                count_col,
+                F.when(ok, F.col(count_col)).otherwise(
+                    F.raise_error(
+                        "incremental_mv_refresh: NULL group value with "
+                        "null_safe_groups=False — pass null_safe_groups="
+                        "True or clean the keys"
+                    ).cast("long")
+                ),
+            )
+
+        mv, adj = _guarded(mv), _guarded(adj)
     m, a = mv.alias("__mv"), adj.alias("__adj")
     cond = None
     for g in group_cols:

@@ -110,13 +110,12 @@ def _recover_interrupted_swap(spark: SparkSession, path: str) -> bool:
     journal = jvm.org.apache.hadoop.fs.Path(jroot, _JOURNAL)
     if not fs.exists(journal):
         return False
-    stream = fs.open(journal)
-    try:
-        to_delete = json.loads(bytes(stream.readAllBytes()).decode())[
-            "to_delete"
-        ]
-    finally:
-        stream.close()
+    from pmp_analytics_spark.sources.writers import _read_small_file
+
+    # _read_small_file feature-detects readAllBytes (Java 9+) with a
+    # byte-loop fallback, so crash recovery itself works on a Java 8
+    # gateway too.
+    to_delete = json.loads(_read_small_file(fs, journal))["to_delete"]
     scratch = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "/_compact_tmp")
     if fs.exists(scratch):
         moved = 0

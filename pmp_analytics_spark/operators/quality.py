@@ -58,19 +58,32 @@ def completeness(col: str) -> Check:
     )
 
 
-def uniqueness(col: str, approx: bool = False, rsd: float = 0.05) -> Check:
+def uniqueness(
+    col: str,
+    approx: bool = False,
+    rsd: float = 0.01,
+    max_dup_ratio: float = 0.0,
+) -> Check:
     """Exact mode demands metric == 1.0. Approx mode (the
     hundreds-of-checks regime) uses an HLL++ sketch whose estimate
     carries ``rsd`` relative standard deviation, so a genuinely unique
     column can legitimately report below 1.0 — the bound is therefore
-    relaxed to ``1.0 - 3*rsd`` (three sigmas: ~0.3% false-alarm rate)
-    instead of flapping nondeterministically at the exact bound."""
+    relaxed by ``3*rsd`` (three sigmas: ~0.3% false-alarm rate) below
+    the caller's duplicate tolerance instead of flapping
+    nondeterministically at the exact bound. The two slacks are
+    SEPARATE knobs: ``max_dup_ratio`` is the genuine tolerance for
+    duplicate rows (default 0 — a uniqueness check should mean unique),
+    ``rsd`` is only the sketch's measurement error (default 0.01 →
+    effective bound 0.97, not the 0.85 a 0.05-rsd default would hide
+    behind a check named "uniqueness"). The effective bound is spelled
+    out in the check name so reports can't mislead."""
     if approx:
+        bound = (1.0 - max_dup_ratio) - 3.0 * rsd
         return Check(
-            f"uniqueness({col})",
+            f"uniqueness({col},approx>={bound:.4f})",
             F.approx_count_distinct(col, rsd).cast("double")
             / F.count(F.lit(1)),
-            1.0 - 3.0 * rsd,
+            bound,
         )
     return Check(
         f"uniqueness({col})",

@@ -765,7 +765,9 @@ def orders_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                ], x -> x IS NOT NULL) AS reasons
         FROM orders
     )
-    SELECT o_orderkey, reasons, LEN(reasons) AS n_reasons
+    SELECT o_orderkey,
+           LIST_AGGREGATE(reasons, 'string_agg', ',') AS reasons,
+           LEN(reasons) AS n_reasons
     FROM tagged WHERE LEN(reasons) > 0
     """,
 )
@@ -783,9 +785,13 @@ def orders_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ],
     )
+    # DECLARED output joins the reasons array to a CSV string (rule
+    # declaration order is deterministic): the driver's canonicalizer
+    # sorts result frames through pandas, where a top-level list column
+    # is unhashable — the operator itself keeps the native array.
     return bad.select(
         "o_orderkey",
-        "reasons",
+        F.array_join("reasons", ",").alias("reasons"),
         F.size("reasons").cast("long").alias("n_reasons"),
     )
 
@@ -870,14 +876,28 @@ _MV_NEW_CTE = """
     )
     """
 
+# The view is maintained in exact DECIMAL(18,2), but the DECLARED output
+# projects integer cents: the driver's value hash fetches DuckDB results
+# through pandas (decimal -> float64) while Spark decimals stay Decimal
+# objects, so a top-level decimal column can never hash-match (r06
+# lesson). BIGINT cents keep the comparison exact with no float anywhere.
 _MV_ORACLE = (
     _MV_NEW_CTE
     + """
-    SELECT o_orderpriority, SUM(price) AS revenue,
+    SELECT o_orderpriority,
+           CAST(SUM(price) * 100 AS BIGINT) AS revenue_cents,
            COUNT(*) AS n_orders
     FROM new GROUP BY o_orderpriority
     """
 )
+
+
+def _cents(df: DataFrame, pairs: dict[str, str]) -> DataFrame:
+    """Project decimal money columns as exact BIGINT cents (driver-hashable)."""
+    out = df
+    for src, dst in pairs.items():
+        out = out.withColumn(dst, (F.col(src) * 100).cast("long")).drop(src)
+    return out
 
 
 def _mv_snapshot_frames(
@@ -923,12 +943,15 @@ def orders_mv_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     old, new = _mv_snapshot_frames(spark, sf_dir)
-    return incremental_mv_refresh(
-        _mv_of(old),
-        snapshot_delta(old, new, ["o_orderkey"]),
-        ["o_orderpriority"],
-        {"revenue": "price"},
-        "n_orders",
+    return _cents(
+        incremental_mv_refresh(
+            _mv_of(old),
+            snapshot_delta(old, new, ["o_orderkey"]),
+            ["o_orderpriority"],
+            {"revenue": "price"},
+            "n_orders",
+        ),
+        {"revenue": "revenue_cents"},
     )
 
 
@@ -981,7 +1004,8 @@ def streaming_mv_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_orders",
         checkpoint_dir=os.path.join(work, "ckpt"),
     )
-    out = read_latest(spark, root).localCheckpoint(eager=True)
+    out = _cents(read_latest(spark, root), {"revenue": "revenue_cents"})
+    out = out.localCheckpoint(eager=True)
     shutil.rmtree(work, ignore_errors=True)
     return out
 
@@ -999,7 +1023,9 @@ def streaming_mv_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     "orders_mv_minmax",
     _MV_NEW_CTE
     + """
-    SELECT o_orderpriority, MIN(price) AS min_price, MAX(price) AS max_price
+    SELECT o_orderpriority,
+           CAST(MIN(price) * 100 AS BIGINT) AS min_price_cents,
+           CAST(MAX(price) * 100 AS BIGINT) AS max_price_cents
     FROM new GROUP BY o_orderpriority
     """,
 )
@@ -1013,13 +1039,214 @@ def orders_mv_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     mv_old = old.groupBy("o_orderpriority").agg(
         F.min("price").alias("min_price"), F.max("price").alias("max_price")
     )
-    return mv_refresh_minmax(
-        mv_old,
-        snapshot_delta(old, new, ["o_orderkey"]),
-        new,
-        ["o_orderpriority"],
-        {"min_price": ("min", "price"), "max_price": ("max", "price")},
+    return _cents(
+        mv_refresh_minmax(
+            mv_old,
+            snapshot_delta(old, new, ["o_orderkey"]),
+            new,
+            ["o_orderpriority"],
+            {"min_price": ("min", "price"), "max_price": ("max", "price")},
+        ),
+        {"min_price": "min_price_cents", "max_price": "max_price_cents"},
     )
+
+
+# --------------------------------------------------------------------------
+# Q: user_state_scd2 — Type-2 dimension BOOTSTRAP from an observation
+# log (operators/scd.py::scd2_compress): each user's event_type stream
+# collapses into maximal validity intervals [valid_from_us,
+# valid_to_us) — the run-length encoding that turns raw history into a
+# dimension an as-of/interval join can probe. One shuffle on user_id
+# feeds both windows (change-lag and closing-lead share partitioning);
+# the oracle replays the same two-window formulation in SQL with
+# IS DISTINCT FROM state comparison.
+# --------------------------------------------------------------------------
+@query(
+    "user_state_scd2",
+    """
+    WITH obs AS (
+        SELECT user_id, event_type, EPOCH_US(ts) AS ts_us, event_id
+        FROM events
+    ), flagged AS (
+        SELECT user_id, event_type, ts_us, event_id,
+               (ROW_NUMBER() OVER w = 1
+                OR LAG(event_type) OVER w IS DISTINCT FROM event_type)
+                   AS is_start
+        FROM obs WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+    ), runs AS (
+        SELECT user_id, event_type, ts_us AS valid_from_us, event_id
+        FROM flagged WHERE is_start
+    )
+    SELECT user_id, event_type, valid_from_us,
+           LEAD(valid_from_us) OVER (PARTITION BY user_id
+                                     ORDER BY valid_from_us, event_id)
+               AS valid_to_us
+    FROM runs
+    """,
+)
+def user_state_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pmp_analytics_spark.operators.scd import scd2_compress
+
+    obs = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_id",
+    )
+    out = scd2_compress(
+        obs, ["user_id"], ["event_type"], "ts_us", tiebreak="event_id"
+    )
+    return out.select(
+        "user_id",
+        "event_type",
+        F.col("valid_from").alias("valid_from_us"),
+        F.col("valid_to").alias("valid_to_us"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Q: customer_scd2_apply — Type-2 dimension MAINTENANCE from a CDC batch
+# (operators/scd.py::scd2_apply): the customer dimension's segment /
+# balance history under the snapshot-delta derivation (old drops
+# c_custkey % 13 = 5; new drops % 17 = 3, reassigns the segment at
+# % 23 = 0, reprices the balance at % 9 = 0 by an exact +100.0).
+# Changed/removed keys close their current interval at the effective
+# tick; changed/added keys open a new current one; history rows are
+# immutable. The delta is BROADCAST into one dimension-sized pass —
+# O(|delta|) movement, never a base rescan. Oracle: the closed/current/
+# inserted partition of the same full-outer CDC join, in SQL.
+# --------------------------------------------------------------------------
+_SCD2_EFFECTIVE_US = 1_000_000
+
+
+@query(
+    "customer_scd2_apply",
+    f"""
+    WITH old AS (
+        SELECT c_custkey, c_mktsegment, c_acctbal
+        FROM customer WHERE c_custkey % 13 <> 5
+    ), new AS (
+        SELECT c_custkey,
+               CASE WHEN c_custkey % 23 = 0 THEN 'MOVED'
+                    ELSE c_mktsegment END AS c_mktsegment,
+               CASE WHEN c_custkey % 9 = 0 THEN c_acctbal + 100.0
+                    ELSE c_acctbal END AS c_acctbal
+        FROM customer WHERE c_custkey % 17 <> 3
+    ), j AS (
+        SELECT o.c_custkey AS ok, n.c_custkey AS nk,
+               o.c_mktsegment AS om, o.c_acctbal AS oa,
+               n.c_mktsegment AS nm, n.c_acctbal AS na
+        FROM old o FULL OUTER JOIN new n ON o.c_custkey = n.c_custkey
+    )
+    SELECT ok AS c_custkey, om AS c_mktsegment, oa AS c_acctbal,
+           CAST(0 AS BIGINT) AS valid_from,
+           CAST(CASE WHEN nk IS NULL
+                       OR om IS DISTINCT FROM nm
+                       OR oa IS DISTINCT FROM na
+                     THEN {_SCD2_EFFECTIVE_US} END AS BIGINT) AS valid_to
+    FROM j WHERE ok IS NOT NULL
+    UNION ALL
+    SELECT nk, nm, na, CAST({_SCD2_EFFECTIVE_US} AS BIGINT),
+           CAST(NULL AS BIGINT)
+    FROM j
+    WHERE nk IS NOT NULL
+      AND (ok IS NULL OR om IS DISTINCT FROM nm OR oa IS DISTINCT FROM na)
+    """,
+)
+def customer_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pmp_analytics_spark.operators.diff import snapshot_delta
+    from pmp_analytics_spark.operators.scd import scd2_apply
+
+    old, new = _scd2_snapshot_frames(spark, sf_dir)
+    dim0 = old.select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        F.lit(0).cast("long").alias("valid_from"),
+        F.lit(None).cast("long").alias("valid_to"),
+    )
+    return scd2_apply(
+        dim0,
+        snapshot_delta(old, new, ["c_custkey"]),
+        ["c_custkey"],
+        ["c_mktsegment", "c_acctbal"],
+        F.lit(_SCD2_EFFECTIVE_US),
+    )
+
+
+def _scd2_snapshot_frames(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """(old, new) customer-dimension snapshots for the SCD2 queries —
+    same mutation grammar as the MV family: drop, segment reassignment
+    (a group-moving change), exact double reprice."""
+    base = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    old = base.where(F.col("c_custkey") % 13 != 5)
+    new = base.where(F.col("c_custkey") % 17 != 3).select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 23 == 0, F.lit("MOVED"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("c_mktsegment"),
+        F.when(F.col("c_custkey") % 9 == 0, F.col("c_acctbal") + 100.0)
+        .otherwise(F.col("c_acctbal"))
+        .alias("c_acctbal"),
+    )
+    return old, new
+
+
+# --------------------------------------------------------------------------
+# Q: streaming_scd2_apply — the SAME dimension maintained from a CDC
+# STREAM (streaming/scd.py::cdc_scd2_stream): the delta arrives as three
+# micro-batch file drops; each batch closes/opens intervals via
+# scd2_apply and publishes through the atomic _LATEST flip with the
+# batch id as the exact-once marker (re-inserting a replayed batch's
+# rows would duplicate history). snapshot_delta emits each key once, so
+# batches touch DISJOINT keys and the final dimension is independent of
+# the slicing — the oracle is customer_scd2_apply's.
+# --------------------------------------------------------------------------
+@query("streaming_scd2_apply", ORACLE.get("customer_scd2_apply"))
+def streaming_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from pmp_analytics_spark.operators.diff import snapshot_delta
+    from pmp_analytics_spark.sources.writers import publish_versioned, read_latest
+    from pmp_analytics_spark.streaming.scd import cdc_scd2_stream
+
+    old, new = _scd2_snapshot_frames(spark, sf_dir)
+    dim0 = old.select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        F.lit(0).cast("long").alias("valid_from"),
+        F.lit(None).cast("long").alias("valid_to"),
+    )
+    parent = os.path.join(tempfile.gettempdir(), "pmp_scd2_refresh")
+    if os.path.isdir(parent):  # stale-dir backstop for crashed runs
+        shutil.rmtree(parent, ignore_errors=True)
+    os.makedirs(parent, exist_ok=True)
+    work = tempfile.mkdtemp(dir=parent)
+    root = os.path.join(work, "state")
+    feed = os.path.join(work, "cdc")
+    snapshot_delta(old, new, ["c_custkey"]).repartition(3).write.parquet(feed)
+    publish_versioned(dim0.coalesce(1), root)
+    schema = spark.read.parquet(feed).schema
+    cdc_scd2_stream(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed),
+        root,
+        ["c_custkey"],
+        ["c_mktsegment", "c_acctbal"],
+        F.lit(_SCD2_EFFECTIVE_US),
+        checkpoint_dir=os.path.join(work, "ckpt"),
+    )
+    out = read_latest(spark, root).localCheckpoint(eager=True)
+    shutil.rmtree(work, ignore_errors=True)
+    return out
 
 
 # --------------------------------------------------------------------------

@@ -2057,7 +2057,8 @@ def _pq_cdc_oracle() -> str | None:
                ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d2, code) AS rn
         FROM subdist
     )
-    SELECT vec_id, LIST(code ORDER BY j) AS codes
+    SELECT vec_id,
+           STRING_AGG(CAST(code AS VARCHAR), ',' ORDER BY j) AS codes
     FROM enc WHERE rn = 1 GROUP BY vec_id
     """
 
@@ -2085,6 +2086,13 @@ def embedding_pq_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     books = pq_train(old, m=_PQ_M, k_codes=_PQ_K)
     codes0 = pq_encode(old, books)
     delta = snapshot_delta(old, new, ["vec_id"])
-    return pq_codes_refresh(codes0, delta, books).withColumnRenamed(
-        "__codes", "codes"
+    # DECLARED output serializes the code list to a CSV string: the
+    # driver's canonicalizer sorts result frames through pandas, where a
+    # top-level list column is unhashable (r06 crash) — scalar columns
+    # only at the query edge; the array stays the operator's native type.
+    return pq_codes_refresh(codes0, delta, books).select(
+        "vec_id",
+        F.array_join(F.col("__codes").cast("array<string>"), ",").alias(
+            "codes"
+        ),
     )

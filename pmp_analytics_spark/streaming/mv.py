@@ -63,7 +63,15 @@ def cdc_mv_refresh_stream(
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         mk = latest_marker(spark, root)
-        if mk is not None and int(mk) >= batch_id:
+        # publish_versioned accepts arbitrary marker strings; a root
+        # seeded or previously published with a non-numeric marker is
+        # simply not a batch-id commit, so treat it as "no guard" rather
+        # than raising inside every micro-batch.
+        try:
+            committed = int(mk) if mk is not None else None
+        except ValueError:
+            committed = None
+        if committed is not None and committed >= batch_id:
             return  # replayed batch: its effect is already committed
         if batch_df.isEmpty():
             # an empty delta is an identity refresh: publishing it would

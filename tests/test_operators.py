@@ -1503,6 +1503,14 @@ def test_quality_uniqueness_approx_tolerates_sketch_error(spark):
     assert approx_row["passed"], approx_row  # within 3-sigma band
     assert abs(approx_row["metric"] - 1.0) < 0.06
     assert exact_row["metric"] == 1.0 and exact_row["passed"]
+    # the sketch-error slack must NOT hide genuine duplicates: ~10%
+    # duplicate rows sit far below the default 0.97 bound and fail
+    dup = spark.range(50_000).selectExpr(
+        "CAST(IF(id % 10 = 0, id - 1, id) AS STRING) AS u"
+    )
+    dup_row = check_report(dup, [uniqueness("u", approx=True)]).collect()[0]
+    assert not dup_row["passed"], dup_row
+    assert ">=0.97" in dup_row["check_name"]
 
 
 def test_bm25_wand_equals_plain_and_prunes_zipf(spark):

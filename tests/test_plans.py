@@ -387,6 +387,7 @@ def test_global_gate_no_cartesian_no_unpartitioned_window(spark, queries):
     Checked JVM-side via WindowExec.partitionSpec() — the formatted plan
     text has no reliable unpartitioned-window marker."""
     from pmp_analytics_spark.plans import unpartitioned_window_count
+    from pmp_analytics_spark.queries import driver_unhashable_columns
 
     offenders = []
     for name, fn in sorted(queries.items()):
@@ -399,6 +400,16 @@ def test_global_gate_no_cartesian_no_unpartitioned_window(spark, queries):
         n = unpartitioned_window_count(df)
         if n:
             offenders.append((name, f"{n} unpartitioned window(s)"))
+        # third gate riding the same sweep: the driver's correctness
+        # harness canonicalizes results through pandas, where top-level
+        # array/map/struct columns are unsortable (r06: embedding_pq_cdc
+        # crashed its compare) and decimal columns can never hash-match
+        # (DuckDB fetches them as float64, Spark as Decimal — r06: the
+        # whole MV trio). Declared queries must project scalar,
+        # driver-hashable columns; operators keep their native types.
+        bad_cols = driver_unhashable_columns(df)
+        if bad_cols:
+            offenders.append((name, f"driver-unhashable columns {bad_cols}"))
     assert not offenders, offenders
 
 

@@ -184,6 +184,19 @@ def main() -> int:
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
             stypes = [f.dataType.simpleString() for f in sdf.schema.fields]
+            # the driver's pandas canonicalizer cannot hash array/map/
+            # struct cells and fetches DuckDB decimals as float64 — any
+            # such top-level column WILL fail its gate even when values
+            # match here (r06 lesson); flag it as a hard failure so this
+            # replica predicts the driver (covers streaming queries the
+            # pytest schema gate skips)
+            from pmp_analytics_spark.queries import driver_unhashable_columns
+
+            unhashable = driver_unhashable_columns(sdf)
+            if unhashable:
+                raise TypeError(
+                    f"driver-unhashable output columns: {unhashable}"
+                )
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: spark error: {e}")
