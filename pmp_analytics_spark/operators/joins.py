@@ -135,7 +135,7 @@ def asof_join(
         )
     for c in payload_cols:
         out = out.withColumn(c, F.col("__m").getField(c))
-    return out.drop("__asof_t", "__is_left", "__m")
+    return out.drop("__asof_t", "__is_left", "__m", "__asof_p")
 
 
 def range_join(

@@ -74,6 +74,9 @@ _RECORD_FRONT = (
     "embedding_semantic_neardup", "docs_bpe_token_stats",
     "embedding_label_affinity", "docs_bm25_retrieval", "docs_hybrid_rrf",
     "embedding_pca_project", "streaming_quarantine", "docs_bm25_wand",
+    # round-7 additions (new this round, so never sampled by definition)
+    "user_state_scd2", "customer_scd2_apply", "streaming_scd2_apply",
+    "purchase_state_pointintime",
 )
 
 

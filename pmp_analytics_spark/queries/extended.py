@@ -1105,6 +1105,72 @@ def user_state_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Q: purchase_state_pointintime — the SCD2 family's downstream payoff:
+# each purchase is enriched with the user's state (their most recent
+# NON-purchase activity) as of the purchase instant. The dimension is
+# scd2_compress over the non-purchase event stream; because its
+# intervals partition the timeline from the first observation, the
+# containing interval is exactly the as-of(backward) match on
+# valid_from — so the lookup is operators/joins.py::asof_join (one
+# key-shuffle union + ordered window, no interval explosion).
+# Purchases before a user's first observation keep NULL state
+# (left-join semantics). Oracle: DuckDB's NATIVE ASOF LEFT JOIN over
+# the same compressed runs — an independent formulation of both halves.
+# --------------------------------------------------------------------------
+@query(
+    "purchase_state_pointintime",
+    """
+    WITH obs AS (
+        SELECT user_id, event_type, EPOCH_US(ts) AS ts_us, event_id
+        FROM events WHERE event_type <> 'purchase'
+    ), flagged AS (
+        SELECT user_id, event_type, ts_us,
+               (ROW_NUMBER() OVER w = 1
+                OR LAG(event_type) OVER w IS DISTINCT FROM event_type)
+                   AS is_start
+        FROM obs WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+    ), runs AS (
+        SELECT user_id, event_type AS state, ts_us AS state_since_us
+        FROM flagged WHERE is_start
+    ), purchases AS (
+        SELECT event_id, user_id, EPOCH_US(ts) AS ts_us
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id, p.user_id, p.ts_us, r.state, r.state_since_us
+    FROM purchases p
+    ASOF LEFT JOIN runs r
+      ON p.user_id = r.user_id AND p.ts_us >= r.state_since_us
+    """,
+)
+def purchase_state_pointintime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pmp_analytics_spark.operators.scd import scd2_compress
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+    )
+    dim = scd2_compress(
+        ev.where(F.col("event_type") != "purchase"),
+        ["user_id"],
+        ["event_type"],
+        "ts_us",
+        tiebreak="event_id",
+    ).select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.col("valid_from").alias("state_since_us"),
+    )
+    probe = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts_us"
+    )
+    return asof_join(
+        probe, dim, ["user_id"], left_ts="ts_us", right_ts="state_since_us"
+    ).select("event_id", "user_id", "ts_us", "state", "state_since_us")
+
+
+# --------------------------------------------------------------------------
 # Q: customer_scd2_apply — Type-2 dimension MAINTENANCE from a CDC batch
 # (operators/scd.py::scd2_apply): the customer dimension's segment /
 # balance history under the snapshot-delta derivation (old drops

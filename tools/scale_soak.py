@@ -36,8 +36,15 @@ inputs (deterministic — no RNG):
   ~0.3, below the semantic threshold (0.4), so replicas are new points,
   not echoes. vec_ids offset by rep * (max_id + 1); replica 0 verbatim,
   keeping the PQ/IVF query vectors identical across scales.
-- every other table is symlinked from sf0.1 (the heavy family never
-  reads them; the symlink keeps load_table working).
+- orders / customer: k replicas with the key offset by a multiple of
+  13*17*9*23 — the MV/CDC/SCD2 queries derive snapshots and mutations
+  from the key modulo those constants, so every replica's delta is
+  exactly replica 0's (linear delta, linear dimension).
+- events: replicas add DISJOINT users (user_id/event_id offset), so
+  per-user state runs replicate exactly — the SCD2 compression's
+  interval count is exactly linear.
+- every other table is symlinked from sf0.1 (the soak queries never
+  read them; the symlink keeps load_table working).
 """
 
 from __future__ import annotations
@@ -167,6 +174,68 @@ def gen(k: int) -> str:
             oscaled.repartition(max(4, 2 * k))
             .write.mode("overwrite")
             .parquet(f"{out}/orders.parquet")
+        )
+
+    # customer: same modulo-preserving key-offset scheme as orders — the
+    # SCD2 queries derive snapshots/mutations from c_custkey % 13/17/23/9,
+    # so an offset ≡ 0 mod all of them makes each replica's CDC delta
+    # exactly replica 0's: dimension size and delta both exactly linear.
+    if os.path.islink(f"{out}/customer.parquet"):
+        os.unlink(f"{out}/customer.parquet")  # pre-round-7 corpora symlinked it
+    if not os.path.exists(f"{out}/customer.parquet"):
+        cust = spark.read.parquet(f"{BASE}/customer.parquet")
+        cn = cust.agg(F.max("c_custkey")).first()[0] + 1
+        cmod = 13 * 17 * 9 * 23
+        coff = -(-cn // cmod) * cmod
+        crest = [c for c in cust.columns if c != "c_custkey"]
+        cparts = [
+            cust.select(
+                (F.col("c_custkey") + F.lit(r * coff).cast("bigint")).alias(
+                    "c_custkey"
+                ),
+                *crest,
+            )
+            for r in range(k)
+        ]
+        cscaled = cparts[0]
+        for p in cparts[1:]:
+            cscaled = cscaled.unionByName(p)
+        (
+            cscaled.repartition(max(4, k))
+            .write.mode("overwrite")
+            .parquet(f"{out}/customer.parquet")
+        )
+
+    # events: replicas add DISJOINT users (user_id and event_id offset,
+    # everything else verbatim), so each replica's per-user state runs
+    # are exactly replica 0's — the SCD2 compression's interval count is
+    # exactly linear and no cross-replica window ever forms.
+    if os.path.islink(f"{out}/events.parquet"):
+        os.unlink(f"{out}/events.parquet")  # pre-round-7 corpora symlinked it
+    if not os.path.exists(f"{out}/events.parquet"):
+        ev = spark.read.parquet(f"{BASE}/events.parquet")
+        eu = ev.agg(F.max("user_id")).first()[0] + 1
+        ei = ev.agg(F.max("event_id")).first()[0] + 1
+        erest = [c for c in ev.columns if c not in ("user_id", "event_id")]
+        eparts = [
+            ev.select(
+                (F.col("event_id") + F.lit(r).cast("bigint") * ei).alias(
+                    "event_id"
+                ),
+                (F.col("user_id") + F.lit(r).cast("bigint") * eu).alias(
+                    "user_id"
+                ),
+                *erest,
+            )
+            for r in range(k)
+        ]
+        escaled = eparts[0]
+        for p in eparts[1:]:
+            escaled = escaled.unionByName(p)
+        (
+            escaled.repartition(max(4, k))
+            .write.mode("overwrite")
+            .parquet(f"{out}/events.parquet")
         )
 
     if os.path.exists(f"{out}/embeddings.parquet"):
