@@ -233,6 +233,9 @@ def incremental_mv_refresh(
             for g in group_cols:
                 nn = F.col(g).isNotNull()
                 ok = nn if ok is None else (ok & nn)
+            # cast the never-taken branch to the frame's OWN count dtype
+            # so the when() doesn't widen it (the output must mirror mv's
+            # column types exactly — the docstring contract)
             return df.withColumn(
                 count_col,
                 F.when(ok, F.col(count_col)).otherwise(
@@ -240,7 +243,7 @@ def incremental_mv_refresh(
                         "incremental_mv_refresh: NULL group value with "
                         "null_safe_groups=False — pass null_safe_groups="
                         "True or clean the keys"
-                    ).cast("long")
+                    ).cast(dict(df.dtypes)[count_col])
                 ),
             )
 

@@ -85,6 +85,15 @@ def uniqueness(
             / F.count(F.lit(1)),
             bound,
         )
+    # exact mode honors the same duplicate tolerance (no sketch slack);
+    # the plain name is kept for the zero-tolerance default so existing
+    # reports/oracles keyed on "uniqueness(col)" are unchanged
+    if max_dup_ratio:
+        return Check(
+            f"uniqueness({col},>={1.0 - max_dup_ratio:.4f})",
+            F.count_distinct(F.col(col)).cast("double") / F.count(F.lit(1)),
+            1.0 - max_dup_ratio,
+        )
     return Check(
         f"uniqueness({col})",
         F.count_distinct(F.col(col)).cast("double") / F.count(F.lit(1)),

@@ -1124,21 +1124,30 @@ def user_state_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT user_id, event_type, EPOCH_US(ts) AS ts_us, event_id
         FROM events WHERE event_type <> 'purchase'
     ), flagged AS (
-        SELECT user_id, event_type, ts_us,
+        SELECT user_id, event_type, ts_us, event_id,
                (ROW_NUMBER() OVER w = 1
                 OR LAG(event_type) OVER w IS DISTINCT FROM event_type)
                    AS is_start
         FROM obs WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
     ), runs AS (
-        SELECT user_id, event_type AS state, ts_us AS state_since_us
+        SELECT user_id, event_type AS state, ts_us AS state_since_us,
+               LEAD(ts_us) OVER (PARTITION BY user_id
+                                 ORDER BY ts_us, event_id) AS valid_to_us
         FROM flagged WHERE is_start
+    ), dim AS (
+        -- zero-length runs (two states at the same instant) can never
+        -- contain a probe instant; dropping them also makes
+        -- (user_id, state_since_us) UNIQUE, so the as-of pick is
+        -- deterministic on both engines
+        SELECT user_id, state, state_since_us FROM runs
+        WHERE valid_to_us IS NULL OR valid_to_us > state_since_us
     ), purchases AS (
         SELECT event_id, user_id, EPOCH_US(ts) AS ts_us
         FROM events WHERE event_type = 'purchase'
     )
     SELECT p.event_id, p.user_id, p.ts_us, r.state, r.state_since_us
     FROM purchases p
-    ASOF LEFT JOIN runs r
+    ASOF LEFT JOIN dim r
       ON p.user_id = r.user_id AND p.ts_us >= r.state_since_us
     """,
 )
@@ -1151,16 +1160,26 @@ def purchase_state_pointintime(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.unix_micros("ts").alias("ts_us"),
     )
-    dim = scd2_compress(
-        ev.where(F.col("event_type") != "purchase"),
-        ["user_id"],
-        ["event_type"],
-        "ts_us",
-        tiebreak="event_id",
-    ).select(
-        "user_id",
-        F.col("event_type").alias("state"),
-        F.col("valid_from").alias("state_since_us"),
+    # zero-length runs (two states at the same instant) contain no probe
+    # instant; dropping them makes (user_id, valid_from) unique, which
+    # asof_join's tie contract requires for a deterministic pick
+    dim = (
+        scd2_compress(
+            ev.where(F.col("event_type") != "purchase"),
+            ["user_id"],
+            ["event_type"],
+            "ts_us",
+            tiebreak="event_id",
+        )
+        .where(
+            F.col("valid_to").isNull()
+            | (F.col("valid_to") > F.col("valid_from"))
+        )
+        .select(
+            "user_id",
+            F.col("event_type").alias("state"),
+            F.col("valid_from").alias("state_since_us"),
+        )
     )
     probe = ev.where(F.col("event_type") == "purchase").select(
         "event_id", "user_id", "ts_us"
@@ -1272,7 +1291,7 @@ def _scd2_snapshot_frames(
 # batches touch DISJOINT keys and the final dimension is independent of
 # the slicing — the oracle is customer_scd2_apply's.
 # --------------------------------------------------------------------------
-@query("streaming_scd2_apply", ORACLE.get("customer_scd2_apply"))
+@query("streaming_scd2_apply", ORACLE["customer_scd2_apply"])
 def streaming_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import shutil

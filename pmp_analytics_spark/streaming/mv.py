@@ -27,6 +27,38 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
+_MARKER_PREFIX = "batch:"
+
+
+def batch_marker(batch_id: int) -> str:
+    """Namespaced commit marker the streaming refresh loops write."""
+    return f"{_MARKER_PREFIX}{batch_id}"
+
+
+def parse_batch_marker(mk: str | None) -> int | None:
+    """Committed batch id carried by a version marker, or None.
+
+    ``publish_versioned`` accepts arbitrary marker strings, so the
+    stream loops NAMESPACE theirs (``batch:<id>``) — a semantic marker
+    someone else published (``v2024-01``, ``repair-1``) is not a batch
+    commit and must neither crash the stream nor, worse, be MISREAD as
+    one: a numeric-looking marker like ``20240101`` parsed naively
+    would silently skip every batch ≤ 20240101. Plain integers are
+    still accepted for roots published by pre-namespace versions of
+    these loops (their lineage keeps its replay guard on resume).
+    """
+    if mk is None:
+        return None
+    if mk.startswith(_MARKER_PREFIX):
+        try:
+            return int(mk[len(_MARKER_PREFIX) :])
+        except ValueError:
+            return None
+    try:  # legacy plain-int markers from earlier stream publishes
+        return int(mk)
+    except ValueError:
+        return None  # someone else's semantic marker: not a commit
+
 
 def cdc_mv_refresh_stream(
     delta_stream: DataFrame,
@@ -62,15 +94,7 @@ def cdc_mv_refresh_stream(
     spark = delta_stream.sparkSession
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
-        mk = latest_marker(spark, root)
-        # publish_versioned accepts arbitrary marker strings; a root
-        # seeded or previously published with a non-numeric marker is
-        # simply not a batch-id commit, so treat it as "no guard" rather
-        # than raising inside every micro-batch.
-        try:
-            committed = int(mk) if mk is not None else None
-        except ValueError:
-            committed = None
+        committed = parse_batch_marker(latest_marker(spark, root))
         if committed is not None and committed >= batch_id:
             return  # replayed batch: its effect is already committed
         if batch_df.isEmpty():
@@ -86,7 +110,9 @@ def cdc_mv_refresh_stream(
         # the lazy read of the CURRENT version feeds the write of the
         # NEXT one; the old dir is immutable during the write and
         # survives keep_last pruning long past the read
-        publish_versioned(new, root, keep_last=keep_last, marker=str(batch_id))
+        publish_versioned(
+            new, root, keep_last=keep_last, marker=batch_marker(batch_id)
+        )
 
     writer = delta_stream.writeStream.foreachBatch(apply_batch).trigger(
         availableNow=True

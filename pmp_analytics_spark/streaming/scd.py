@@ -44,15 +44,12 @@ def cdc_scd2_stream(
         publish_versioned,
         read_latest,
     )
+    from pmp_analytics_spark.streaming.mv import batch_marker, parse_batch_marker
 
     spark = delta_stream.sparkSession
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
-        mk = latest_marker(spark, root)
-        try:  # non-numeric marker = seeded state, not a batch-id commit
-            committed = int(mk) if mk is not None else None
-        except ValueError:
-            committed = None
+        committed = parse_batch_marker(latest_marker(spark, root))
         if committed is not None and committed >= batch_id:
             return  # replayed batch: its effect is already committed
         if batch_df.isEmpty():
@@ -61,7 +58,9 @@ def cdc_scd2_stream(
         new = scd2_apply(
             cur, batch_df, keys, attr_cols, effective_ts
         ).coalesce(publish_partitions)
-        publish_versioned(new, root, keep_last=keep_last, marker=str(batch_id))
+        publish_versioned(
+            new, root, keep_last=keep_last, marker=batch_marker(batch_id)
+        )
 
     writer = delta_stream.writeStream.foreachBatch(apply_batch).trigger(
         availableNow=True

@@ -588,7 +588,10 @@ def test_cdc_mv_refresh_resume_same_checkpoint(spark, tmp_path):
         publish_versioned,
         read_latest,
     )
-    from pmp_analytics_spark.streaming.mv import cdc_mv_refresh_stream
+    from pmp_analytics_spark.streaming.mv import (
+        cdc_mv_refresh_stream,
+        parse_batch_marker,
+    )
 
     def frame(rows):
         df = spark.createDataFrame(rows, ["k", "g", "v"])
@@ -628,7 +631,8 @@ def test_cdc_mv_refresh_resume_same_checkpoint(spark, tmp_path):
     assert sorted(map(tuple, read_latest(spark, root).collect())) == sorted(
         map(tuple, mv(s1).collect())
     )
-    m1 = int(latest_marker(spark, root))
+    m1 = parse_batch_marker(latest_marker(spark, root))
+    assert m1 is not None  # namespaced batch:<id> commit marker
 
     # the feed continues: the s1 -> s2 transition lands as a new file
     snapshot_delta(s1, s2, ["k"]).coalesce(1).write.mode("append").parquet(feed)
@@ -636,7 +640,7 @@ def test_cdc_mv_refresh_resume_same_checkpoint(spark, tmp_path):
     assert sorted(map(tuple, read_latest(spark, root).collect())) == sorted(
         map(tuple, mv(s2).collect())
     )
-    assert int(latest_marker(spark, root)) > m1  # ids extended the lineage
+    assert parse_batch_marker(latest_marker(spark, root)) > m1  # ids extended
 
 def test_dedup_within_watermark_late_and_duplicate_semantics(spark, tmp_path):
     """dropDuplicatesWithinWatermark's contract across micro-batches:

@@ -80,6 +80,51 @@ def _get_spark():
     )
 
 
+def _replicate_keyed(
+    spark,
+    out: str,
+    table: str,
+    key_cols: list[str],
+    k: int,
+    offset_multiple_of: int = 1,
+    nparts: int = 4,
+) -> None:
+    """k replicas of BASE/``table``, each key column offset per replica
+    by (max_key+1) rounded up to ``offset_multiple_of`` (the
+    modulo-preserving scheme; 1 = plain disjoint offset). Non-key
+    columns are carried verbatim in their original positions.
+    Incremental: a pre-existing symlink is replaced, an existing
+    materialization is kept."""
+    from pyspark.sql import functions as F
+
+    path = f"{out}/{table}.parquet"
+    if os.path.islink(path):
+        os.unlink(path)  # earlier-round corpora symlinked this table
+    if os.path.exists(path):
+        return
+    df = spark.read.parquet(f"{BASE}/{table}.parquet")
+    maxes = df.agg(*[F.max(c) for c in key_cols]).first()  # ONE scan
+    offs = {
+        c: -(-(m + 1) // offset_multiple_of) * offset_multiple_of
+        for c, m in zip(key_cols, maxes)
+    }
+    parts = [
+        df.select(
+            *[
+                (F.col(c) + F.lit(r * offs[c]).cast("bigint")).alias(c)
+                if c in offs
+                else F.col(c)
+                for c in df.columns
+            ]
+        )
+        for r in range(k)
+    ]
+    scaled = parts[0]
+    for p in parts[1:]:
+        scaled = scaled.unionByName(p)
+    scaled.repartition(max(4, nparts)).write.mode("overwrite").parquet(path)
+
+
 def gen(k: int) -> str:
     """Materialize the x``k`` corpus under OUT_ROOT/sfx{k}."""
     from pyspark.sql import functions as F
@@ -142,101 +187,25 @@ def gen(k: int) -> str:
             .parquet(f"{out}/documents.parquet")
         )
 
-    # orders: k replicas with o_orderkey offset by a multiple of
-    # 13*17*9*23 — the MV/CDC queries derive their snapshots and
-    # mutations from o_orderkey modulo those constants, so an offset
-    # that is 0 mod all of them makes every replica's delta EXACTLY
-    # replica 0's: the CDC delta is exactly linear in k while the view
-    # stays 6 groups (priorities collide across replicas) — precisely
-    # the O(delta)+O(view) regime the refresh claims. Other columns are
-    # carried verbatim (the MV queries read only key/priority/price).
-    if os.path.islink(f"{out}/orders.parquet"):
-        os.unlink(f"{out}/orders.parquet")  # pre-round-6 corpora symlinked it
-    if not os.path.exists(f"{out}/orders.parquet"):
-        orders = spark.read.parquet(f"{BASE}/orders.parquet")
-        on = orders.agg(F.max("o_orderkey")).first()[0] + 1
-        mod = 13 * 17 * 9 * 23
-        off = -(-on // mod) * mod
-        rest = [c for c in orders.columns if c != "o_orderkey"]
-        oparts = [
-            orders.select(
-                (F.col("o_orderkey") + F.lit(r * off).cast("bigint")).alias(
-                    "o_orderkey"
-                ),
-                *rest,
-            )
-            for r in range(k)
-        ]
-        oscaled = oparts[0]
-        for p in oparts[1:]:
-            oscaled = oscaled.unionByName(p)
-        (
-            oscaled.repartition(max(4, 2 * k))
-            .write.mode("overwrite")
-            .parquet(f"{out}/orders.parquet")
-        )
-
-    # customer: same modulo-preserving key-offset scheme as orders — the
-    # SCD2 queries derive snapshots/mutations from c_custkey % 13/17/23/9,
-    # so an offset ≡ 0 mod all of them makes each replica's CDC delta
-    # exactly replica 0's: dimension size and delta both exactly linear.
-    if os.path.islink(f"{out}/customer.parquet"):
-        os.unlink(f"{out}/customer.parquet")  # pre-round-7 corpora symlinked it
-    if not os.path.exists(f"{out}/customer.parquet"):
-        cust = spark.read.parquet(f"{BASE}/customer.parquet")
-        cn = cust.agg(F.max("c_custkey")).first()[0] + 1
-        cmod = 13 * 17 * 9 * 23
-        coff = -(-cn // cmod) * cmod
-        crest = [c for c in cust.columns if c != "c_custkey"]
-        cparts = [
-            cust.select(
-                (F.col("c_custkey") + F.lit(r * coff).cast("bigint")).alias(
-                    "c_custkey"
-                ),
-                *crest,
-            )
-            for r in range(k)
-        ]
-        cscaled = cparts[0]
-        for p in cparts[1:]:
-            cscaled = cscaled.unionByName(p)
-        (
-            cscaled.repartition(max(4, k))
-            .write.mode("overwrite")
-            .parquet(f"{out}/customer.parquet")
-        )
-
-    # events: replicas add DISJOINT users (user_id and event_id offset,
-    # everything else verbatim), so each replica's per-user state runs
-    # are exactly replica 0's — the SCD2 compression's interval count is
-    # exactly linear and no cross-replica window ever forms.
-    if os.path.islink(f"{out}/events.parquet"):
-        os.unlink(f"{out}/events.parquet")  # pre-round-7 corpora symlinked it
-    if not os.path.exists(f"{out}/events.parquet"):
-        ev = spark.read.parquet(f"{BASE}/events.parquet")
-        eu = ev.agg(F.max("user_id")).first()[0] + 1
-        ei = ev.agg(F.max("event_id")).first()[0] + 1
-        erest = [c for c in ev.columns if c not in ("user_id", "event_id")]
-        eparts = [
-            ev.select(
-                (F.col("event_id") + F.lit(r).cast("bigint") * ei).alias(
-                    "event_id"
-                ),
-                (F.col("user_id") + F.lit(r).cast("bigint") * eu).alias(
-                    "user_id"
-                ),
-                *erest,
-            )
-            for r in range(k)
-        ]
-        escaled = eparts[0]
-        for p in eparts[1:]:
-            escaled = escaled.unionByName(p)
-        (
-            escaled.repartition(max(4, k))
-            .write.mode("overwrite")
-            .parquet(f"{out}/events.parquet")
-        )
+    # keyed-table replication, one scheme serving three tables:
+    #
+    # - orders / customer use offset_multiple_of = 13*17*9*23 — the
+    #   MV/CDC/SCD2 queries derive snapshots and mutations from the key
+    #   modulo those constants, so an offset that is 0 mod all of them
+    #   makes every replica's CDC delta EXACTLY replica 0's: delta and
+    #   dimension exactly linear in k while the MV view stays 6 groups
+    #   (priorities collide across replicas) — precisely the
+    #   O(delta)+O(view) regime the refresh claims.
+    # - events offsets BOTH event_id and user_id plainly (multiple 1):
+    #   replicas add disjoint users, so per-user state runs replicate
+    #   exactly — the SCD2 compression's interval count is exactly
+    #   linear and no cross-replica window ever forms.
+    _replicate_keyed(spark, out, "orders", ["o_orderkey"], k,
+                     offset_multiple_of=13 * 17 * 9 * 23, nparts=2 * k)
+    _replicate_keyed(spark, out, "customer", ["c_custkey"], k,
+                     offset_multiple_of=13 * 17 * 9 * 23, nparts=k)
+    _replicate_keyed(spark, out, "events", ["event_id", "user_id"], k,
+                     nparts=k)
 
     if os.path.exists(f"{out}/embeddings.parquet"):
         for t in os.listdir(BASE):
