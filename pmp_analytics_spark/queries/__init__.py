@@ -76,7 +76,8 @@ _RECORD_FRONT = (
     "embedding_pca_project", "streaming_quarantine", "docs_bm25_wand",
     # round-7 additions (new this round, so never sampled by definition)
     "user_state_scd2", "customer_scd2_apply", "streaming_scd2_apply",
-    "purchase_state_pointintime",
+    "purchase_state_pointintime", "orders_customer_join_mv",
+    "streaming_join_mv",
 )
 
 

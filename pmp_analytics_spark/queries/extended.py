@@ -1052,6 +1052,172 @@ def orders_mv_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Q: orders_customer_join_mv — incremental maintenance of a DENORMALIZED
+# JOIN view (operators/diff.py::join_mv_refresh): the enriched fact
+# table orders LEFT JOIN customer kept current from the CDC feeds of
+# BOTH bases without re-joining them. The scenario exercises every
+# delta class on both sides: fact adds (%13 slice returns), fact
+# removes (%17), fact reprices (%9), FK MOVES (%21 reassigns o_custkey,
+# some to keys no customer has — a dangling FK the LEFT view carries as
+# NULL), dim adds (%29 slice returns), dim attribute changes (%11
+# rewrites the segment), dim removes (%19 — referencing fact rows NULL
+# out). Oracle: the full re-join of the new snapshots — incremental ==
+# recompute is the entire claim.
+# --------------------------------------------------------------------------
+_JOIN_MV_ORACLE = """
+    WITH new_o AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 21 = 1 THEN o_custkey + 7
+                    ELSE o_custkey END AS o_custkey,
+               CASE WHEN o_orderkey % 9 = 0 THEN o_totalprice + 1000.0
+                    ELSE o_totalprice END AS o_totalprice
+        FROM orders WHERE o_orderkey % 17 <> 3
+    ), new_c AS (
+        SELECT c_custkey,
+               CASE WHEN c_custkey % 11 = 2 THEN 'MOVED-SEG'
+                    ELSE c_mktsegment END AS c_mktsegment,
+               c_nationkey
+        FROM customer WHERE c_custkey % 19 <> 4
+    )
+    SELECT o.o_orderkey, o.o_custkey, o.o_totalprice,
+           c.c_mktsegment, c.c_nationkey
+    FROM new_o o LEFT JOIN new_c c ON o.o_custkey = c.c_custkey
+    """
+
+
+def _join_mv_frames(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """(old_fact, new_fact, old_dim, new_dim) snapshot pairs for the
+    join-view maintenance queries — deterministic modulo-derived
+    mutations covering adds/removes/changes on both bases plus FK moves
+    (including moves to keys no dim row has: the LEFT view's NULL
+    case)."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_nationkey"
+    )
+    old_o = o.where(F.col("o_orderkey") % 13 != 5)
+    new_o = o.where(F.col("o_orderkey") % 17 != 3).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 21 == 1, F.col("o_custkey") + 7)
+        .otherwise(F.col("o_custkey"))
+        .alias("o_custkey"),
+        F.when(F.col("o_orderkey") % 9 == 0, F.col("o_totalprice") + 1000.0)
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+    )
+    old_c = c.where(F.col("c_custkey") % 29 != 6)
+    new_c = c.where(F.col("c_custkey") % 19 != 4).select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 11 == 2, F.lit("MOVED-SEG"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("c_mktsegment"),
+        "c_nationkey",
+    )
+    return old_o, new_o, old_c, new_c
+
+
+_JOIN_MV_DIM_COLS = ["c_mktsegment", "c_nationkey"]
+
+
+def _join_mv_seed(old_o: DataFrame, old_c: DataFrame) -> DataFrame:
+    return old_o.join(
+        old_c, old_o["o_custkey"] == old_c["c_custkey"], "left"
+    ).select("o_orderkey", "o_custkey", "o_totalprice", *_JOIN_MV_DIM_COLS)
+
+
+@query("orders_customer_join_mv", _JOIN_MV_ORACLE)
+def orders_customer_join_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pmp_analytics_spark.operators.diff import (
+        join_mv_refresh,
+        snapshot_delta,
+    )
+
+    old_o, new_o, old_c, new_c = _join_mv_frames(spark, sf_dir)
+    return join_mv_refresh(
+        _join_mv_seed(old_o, old_c),
+        snapshot_delta(old_o, new_o, ["o_orderkey"]),
+        snapshot_delta(old_c, new_c, ["c_custkey"]),
+        new_c,
+        "o_orderkey",
+        "o_custkey",
+        "c_custkey",
+        _JOIN_MV_DIM_COLS,
+    )
+
+
+# --------------------------------------------------------------------------
+# Q: streaming_join_mv — the SAME denormalized join view maintained from
+# a single MULTIPLEXED CDC stream (streaming/mv.py::cdc_join_mv_stream):
+# fact and dim change rows share one feed (schemas unioned by name,
+# tagged by entity), sliced into three micro-batches. Each batch
+# upserts the dimension snapshot, then applies both delta slices to the
+# view — two versioned state roots, each with its own exact-once batch
+# marker. Every delta key appears once and dim state grows monotonically
+# toward the new snapshot, so the final view is independent of the
+# slicing and the oracle is the full re-join — same as
+# orders_customer_join_mv, reached through the streaming machinery.
+# --------------------------------------------------------------------------
+@query("streaming_join_mv", _JOIN_MV_ORACLE)
+def streaming_join_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from pmp_analytics_spark.operators.diff import snapshot_delta
+    from pmp_analytics_spark.sources.writers import (
+        publish_versioned,
+        read_latest,
+    )
+    from pmp_analytics_spark.streaming.mv import cdc_join_mv_stream
+
+    old_o, new_o, old_c, new_c = _join_mv_frames(spark, sf_dir)
+    parent = os.path.join(tempfile.gettempdir(), "pmp_join_mv")
+    if os.path.isdir(parent):  # stale-dir backstop for crashed runs
+        shutil.rmtree(parent, ignore_errors=True)
+    os.makedirs(parent, exist_ok=True)
+    work = tempfile.mkdtemp(dir=parent)
+    view_root = os.path.join(work, "view")
+    dim_root = os.path.join(work, "dim")
+    feed = os.path.join(work, "cdc")
+
+    # ONE multiplexed feed: both deltas unioned by name (absent columns
+    # NULL), tagged by entity, written as three files -> three
+    # micro-batches under maxFilesPerTrigger=1
+    fd = snapshot_delta(old_o, new_o, ["o_orderkey"]).withColumn(
+        "entity", F.lit("fact")
+    )
+    dd = snapshot_delta(old_c, new_c, ["c_custkey"]).withColumn(
+        "entity", F.lit("dim")
+    )
+    fd.unionByName(dd, allowMissingColumns=True).repartition(3).write.parquet(
+        feed
+    )
+
+    publish_versioned(_join_mv_seed(old_o, old_c).coalesce(1), view_root)
+    publish_versioned(old_c.coalesce(1), dim_root)
+    schema = spark.read.parquet(feed).schema
+    cdc_join_mv_stream(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed),
+        view_root,
+        dim_root,
+        "o_orderkey",
+        "o_custkey",
+        "c_custkey",
+        _JOIN_MV_DIM_COLS,
+        checkpoint_dir=os.path.join(work, "ckpt"),
+    )
+    out = read_latest(spark, view_root).localCheckpoint(eager=True)
+    shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
+# --------------------------------------------------------------------------
 # Q: user_state_scd2 — Type-2 dimension BOOTSTRAP from an observation
 # log (operators/scd.py::scd2_compress): each user's event_type stream
 # collapses into maximal validity intervals [valid_from_us,

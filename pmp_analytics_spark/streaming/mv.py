@@ -60,31 +60,31 @@ def parse_batch_marker(mk: str | None) -> int | None:
         return None  # someone else's semantic marker: not a commit
 
 
-def cdc_mv_refresh_stream(
+def cdc_apply_stream(
     delta_stream: DataFrame,
     root: str,
-    group_cols: list[str],
-    sum_cols: dict[str, str],
-    count_col: str = "n_rows",
+    refresh_fn,
     checkpoint_dir: str | None = None,
     keep_last: int = 3,
     publish_partitions: int = 1,
 ):
-    """Drain ``delta_stream`` (availableNow) applying each micro-batch to
-    the versioned view state at ``root`` via ``incremental_mv_refresh``.
+    """The shared exactly-once state-maintenance loop: drain
+    ``delta_stream`` (availableNow), applying ``refresh_fn(current_state,
+    batch_df) -> new_state`` to the versioned state at ``root`` with the
+    micro-batch id as commit marker (replayed batches skip — refresh
+    functions need not be idempotent, only deterministic per batch).
 
-    The caller seeds ``root`` with the initial view (one
-    ``publish_versioned(mv0, root)`` — no marker) before starting.
+    The caller seeds ``root`` with the initial state (one
+    ``publish_versioned(state0, root)`` — no marker) before starting.
     Returns the terminated StreamingQuery.
 
-    ``publish_partitions`` sizes each published version's file count: a
-    rollup view is small by construction, and writing it through the
+    ``publish_partitions`` sizes each published version's file count:
+    maintained state is usually small, and writing it through the
     session's full shuffle-partition count costs one file-create +
     footer per partition PER BATCH (measured 32-partition publishes
     dominated the demo query's wall). Raise it only for genuinely wide
-    views.
+    state.
     """
-    from pmp_analytics_spark.operators.diff import incremental_mv_refresh
     from pmp_analytics_spark.sources.writers import (
         latest_marker,
         publish_versioned,
@@ -99,19 +99,158 @@ def cdc_mv_refresh_stream(
             return  # replayed batch: its effect is already committed
         if batch_df.isEmpty():
             # an empty delta is an identity refresh: publishing it would
-            # rewrite the whole view and burn one keep_last slot of the
+            # rewrite the whole state and burn one keep_last slot of the
             # rollback horizon for nothing (its replay effect is nil, so
             # skipping the marker advance is also safe)
             return
-        cur = read_latest(spark, root)
-        new = incremental_mv_refresh(
-            cur, batch_df, group_cols, sum_cols, count_col
-        ).coalesce(publish_partitions)
         # the lazy read of the CURRENT version feeds the write of the
         # NEXT one; the old dir is immutable during the write and
         # survives keep_last pruning long past the read
+        new = refresh_fn(read_latest(spark, root), batch_df).coalesce(
+            publish_partitions
+        )
         publish_versioned(
             new, root, keep_last=keep_last, marker=batch_marker(batch_id)
+        )
+
+    writer = delta_stream.writeStream.foreachBatch(apply_batch).trigger(
+        availableNow=True
+    )
+    if checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    q = writer.start()
+    q.awaitTermination()
+    return q
+
+
+def cdc_mv_refresh_stream(
+    delta_stream: DataFrame,
+    root: str,
+    group_cols: list[str],
+    sum_cols: dict[str, str],
+    count_col: str = "n_rows",
+    checkpoint_dir: str | None = None,
+    keep_last: int = 3,
+    publish_partitions: int = 1,
+):
+    """Drain ``delta_stream`` (availableNow) applying each micro-batch to
+    the versioned view state at ``root`` via ``incremental_mv_refresh``
+    (see ``cdc_apply_stream`` for the seeding/exactly-once contract)."""
+    from pmp_analytics_spark.operators.diff import incremental_mv_refresh
+
+    return cdc_apply_stream(
+        delta_stream,
+        root,
+        lambda cur, batch: incremental_mv_refresh(
+            cur, batch, group_cols, sum_cols, count_col
+        ),
+        checkpoint_dir=checkpoint_dir,
+        keep_last=keep_last,
+        publish_partitions=publish_partitions,
+    )
+
+
+def cdc_join_mv_stream(
+    delta_stream: DataFrame,
+    view_root: str,
+    dim_root: str,
+    fact_key: str,
+    dim_fk: str,
+    dim_key: str,
+    dim_cols: list[str],
+    entity_col: str = "entity",
+    fact_tag: str = "fact",
+    dim_tag: str = "dim",
+    checkpoint_dir: str | None = None,
+    keep_last: int = 3,
+    publish_partitions: int = 1,
+):
+    """Maintain a denormalized JOIN view (``operators/diff.py::
+    join_mv_refresh``) AND its dimension snapshot from ONE multiplexed
+    CDC stream — the one-changefeed-per-database shape: fact and dim
+    change rows share the feed (schemas unioned by name, absent columns
+    NULL), tagged apart by ``entity_col``.
+
+    Per micro-batch, in a FIXED order that keeps the pair of state roots
+    crash-consistent under replay:
+
+    1. the dim slice upserts the dimension snapshot at ``dim_root``
+       (``apply_snapshot_delta``);
+    2. ``join_mv_refresh`` applies both slices to the view at
+       ``view_root``, consulting the POST-batch dimension for fact
+       inserts.
+
+    Each root carries its own ``batch:<id>`` marker, so a crash between
+    the two publishes replays the batch, skips the already-committed dim
+    apply, and completes the view apply against exactly the dim state
+    the first attempt saw. Batch-boundary independence: every delta key
+    appears once per snapshot transition, dim state grows monotonically
+    toward the new snapshot across the drain, and dim patches reach
+    every surviving view row — so ANY slicing of the two deltas into
+    micro-batches lands on the same final view (pinned in tests against
+    the one-shot batch refresh and the full re-join).
+
+    The caller seeds ``view_root`` with the initial view and ``dim_root``
+    with the initial dimension before starting.
+    """
+    from pmp_analytics_spark.operators.diff import (
+        apply_snapshot_delta,
+        join_mv_refresh,
+    )
+    from pmp_analytics_spark.sources.writers import (
+        latest_marker,
+        publish_versioned,
+        read_latest,
+    )
+    from pyspark.sql import functions as F
+
+    spark = delta_stream.sparkSession
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        view_cols = read_latest(spark, view_root).columns
+        fact_val_cols = [
+            c for c in view_cols if c not in dim_cols and c != fact_key
+        ]
+        fd = batch_df.where(F.col(entity_col) == fact_tag).select(
+            fact_key,
+            "change_type",
+            *[f"old_{c}" for c in fact_val_cols],
+            *[f"new_{c}" for c in fact_val_cols],
+        )
+        dd = batch_df.where(F.col(entity_col) == dim_tag).select(
+            dim_key,
+            "change_type",
+            *[f"old_{c}" for c in dim_cols],
+            *[f"new_{c}" for c in dim_cols],
+        )
+        dim_committed = parse_batch_marker(latest_marker(spark, dim_root))
+        if dim_committed is None or dim_committed < batch_id:
+            new_dim = apply_snapshot_delta(
+                read_latest(spark, dim_root), dd, [dim_key]
+            ).coalesce(publish_partitions)
+            publish_versioned(
+                new_dim, dim_root, keep_last=keep_last,
+                marker=batch_marker(batch_id),
+            )
+        dim_cur = read_latest(spark, dim_root)  # post-batch dimension
+        committed = parse_batch_marker(latest_marker(spark, view_root))
+        if committed is not None and committed >= batch_id:
+            return  # replayed batch: view effect already committed
+        new_view = join_mv_refresh(
+            read_latest(spark, view_root),
+            fd,
+            dd,
+            dim_cur,
+            fact_key,
+            dim_fk,
+            dim_key,
+            dim_cols,
+        ).coalesce(publish_partitions)
+        publish_versioned(
+            new_view, view_root, keep_last=keep_last,
+            marker=batch_marker(batch_id),
         )
 
     writer = delta_stream.writeStream.foreachBatch(apply_batch).trigger(

@@ -33,40 +33,19 @@ def cdc_scd2_stream(
     publish_partitions: int = 1,
 ):
     """Drain ``delta_stream`` (availableNow) applying each micro-batch to
-    the versioned SCD2 dimension at ``root`` via ``scd2_apply``. The
-    caller seeds ``root`` with the initial dimension (one
-    ``publish_versioned(dim0, root)`` — no marker) before starting.
-    Returns the terminated StreamingQuery.
-    """
+    the versioned SCD2 dimension at ``root`` via ``scd2_apply`` (see
+    ``streaming/mv.py::cdc_apply_stream`` for the seeding/exactly-once
+    contract)."""
     from pmp_analytics_spark.operators.scd import scd2_apply
-    from pmp_analytics_spark.sources.writers import (
-        latest_marker,
-        publish_versioned,
-        read_latest,
+    from pmp_analytics_spark.streaming.mv import cdc_apply_stream
+
+    return cdc_apply_stream(
+        delta_stream,
+        root,
+        lambda cur, batch: scd2_apply(
+            cur, batch, keys, attr_cols, effective_ts
+        ),
+        checkpoint_dir=checkpoint_dir,
+        keep_last=keep_last,
+        publish_partitions=publish_partitions,
     )
-    from pmp_analytics_spark.streaming.mv import batch_marker, parse_batch_marker
-
-    spark = delta_stream.sparkSession
-
-    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
-        committed = parse_batch_marker(latest_marker(spark, root))
-        if committed is not None and committed >= batch_id:
-            return  # replayed batch: its effect is already committed
-        if batch_df.isEmpty():
-            return  # identity apply: don't burn a version slot
-        cur = read_latest(spark, root)
-        new = scd2_apply(
-            cur, batch_df, keys, attr_cols, effective_ts
-        ).coalesce(publish_partitions)
-        publish_versioned(
-            new, root, keep_last=keep_last, marker=batch_marker(batch_id)
-        )
-
-    writer = delta_stream.writeStream.foreachBatch(apply_batch).trigger(
-        availableNow=True
-    )
-    if checkpoint_dir is not None:
-        writer = writer.option("checkpointLocation", checkpoint_dir)
-    q = writer.start()
-    q.awaitTermination()
-    return q
