@@ -1,0 +1,139 @@
+"""Distributed graph analytics over edge DataFrames.
+
+The graph family's second member (the first, ``connected_components``,
+lives with the dedup machinery it serves in ``operators/dedup.py``):
+weighted PageRank with a fixed iteration count — the centrality prior a
+corpus-curation pipeline attaches to a domain/link graph (Common-Crawl
+style harmonic/PageRank quality signals), and the general "influence"
+rollup for entity graphs derived from fact tables.
+
+Spark-first shape: the rank vector and the edge list stay DataFrames;
+one iteration is (ranks ⋈ edges on src) → groupBy(dst) → merge, i.e.
+two hash shuffles on node id at any graph size, with the edge list's
+partitioning reused across iterations. Deterministic by construction
+(fixed iterations, no convergence test on floating noise), so the whole
+computation replays in SQL as k unrolled CTE stages — the oracle
+strategy every iterative operator here uses (BPE, k-means). Reference
+analog: none (the reference has no graph surface); this is north-star
+extension surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = None,
+    damping: float = 0.85,
+    iterations: int = 8,
+    node_col: str = "node",
+    rank_col: str = "rank",
+    checkpoint_every: int = 1,
+) -> DataFrame:
+    """Weighted PageRank over ``edges`` with a FIXED iteration count.
+
+    r_{t+1}(v) = (1-d)/N + d · ( Σ_{(u,v)∈E} r_t(u) · w(u,v)/out_w(u)
+                                 + dangling_mass_t / N )
+
+    Nodes are every distinct endpoint; ``weight=None`` counts each edge
+    as 1; parallel edges pre-aggregate. Dangling nodes (no out-edges)
+    spread their mass uniformly — the standard stochastic completion,
+    so Σr = 1 holds at every step (asserted in tests, and the invariant
+    that makes ranks comparable across graphs). Prefer EXACT (integer)
+    weights: the out-weight normalization then divides exactly and the
+    only float noise left is the Σ over in-edges, stable under the
+    round-6 projection declared queries use.
+
+    Scale: one iteration = join ranks→edges on ``src`` (shuffle on node
+    id, or map-side once both sides are co-partitioned by the first
+    iteration's exchange) + groupBy ``dst`` (second shuffle) + a 1-row
+    dangling aggregate broadcast into the merge. Nothing is ever
+    collected; the rank frame is node-sized, never edge-sized.
+
+    Lineage: each step references the previous ranks TWICE (incoming Σ
+    and dangling mass), so lazy iteration would nest 2^k copies of the
+    edge-derivation plan — the analyzer dies long before execution. The
+    operator therefore eagerly localCheckpoints the iteration-invariant
+    frames once (normalized edges, node set, out-degree set — this also
+    materializes the possibly-enormous edge aggregation exactly once)
+    and the node-sized rank vector every ``checkpoint_every`` steps
+    (default 1, the iterative-algorithm standard; raise it only for
+    graphs small enough to re-derive a few steps per branch).
+    """
+    if iterations < 0:
+        raise ValueError("pagerank: iterations must be >= 0")
+    w = F.col(weight) if weight else F.lit(1)
+    e = edges.select(
+        F.col(src).alias("__src"), F.col(dst).alias("__dst"), w.alias("__w")
+    )
+    # parallel edges collapse once; out-weight attaches per src once —
+    # both reused by every iteration (cache-worthy for large graphs,
+    # left to the caller who knows the memory budget). Weights keep
+    # their native type through both sums (exact for integer weights)
+    # and only the normalizing division goes to double.
+    agg = e.groupBy("__src", "__dst").agg(F.sum("__w").alias("__w"))
+    out_w = agg.groupBy("__src").agg(F.sum("__w").alias("__out"))
+    norm = agg.join(out_w, "__src").select(
+        "__src",
+        "__dst",
+        (F.col("__w").cast("double") / F.col("__out").cast("double")).alias(
+            "__p"
+        ),
+    )
+    nodes = (
+        e.select(F.col("__src").alias("__node"))
+        .unionByName(e.select(F.col("__dst").alias("__node")))
+        .distinct()
+    )
+    if iterations > 0:
+        # iteration-invariant frames materialize ONCE (this is also the
+        # single evaluation of the edge aggregation, whatever its size)
+        norm = norm.localCheckpoint(eager=True)
+        nodes = nodes.localCheckpoint(eager=True)
+    n = nodes.count()  # one scalar the driver must own (it sizes 1/N)
+    if n == 0:
+        return nodes.select(
+            F.col("__node").alias(node_col), F.lit(0.0).alias(rank_col)
+        )
+    ranks = nodes.select("__node", F.lit(1.0 / n).alias("__r"))
+    has_out = out_w.select(F.col("__src").alias("__node"))
+    if iterations > 0:
+        has_out = has_out.localCheckpoint(eager=True)
+    for i in range(iterations):
+        # mass sitting on dangling nodes this step (1-row frame)
+        dang = (
+            ranks.join(has_out, "__node", "left_anti")
+            .agg(F.coalesce(F.sum("__r"), F.lit(0.0)).alias("__dm"))
+        )
+        inc = (
+            norm.join(ranks, norm["__src"] == ranks["__node"])
+            .groupBy("__dst")
+            .agg(F.sum(F.col("__r") * F.col("__p")).alias("__in"))
+        )
+        ranks = (
+            nodes.join(inc, nodes["__node"] == inc["__dst"], "left")
+            .crossJoin(F.broadcast(dang))
+            .select(
+                "__node",
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("__in"), F.lit(0.0))
+                        + F.col("__dm") / F.lit(float(n))
+                    )
+                ).alias("__r"),
+            )
+        )
+        if checkpoint_every and (i + 1) % checkpoint_every == 0 and (
+            i + 1
+        ) < iterations:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks.select(
+        F.col("__node").alias(node_col), F.col("__r").alias(rank_col)
+    )

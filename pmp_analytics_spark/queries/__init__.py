@@ -77,7 +77,8 @@ _RECORD_FRONT = (
     # round-7 additions (new this round, so never sampled by definition)
     "user_state_scd2", "customer_scd2_apply", "streaming_scd2_apply",
     "purchase_state_pointintime", "orders_customer_join_mv",
-    "streaming_join_mv",
+    "streaming_join_mv", "nation_trade_pagerank",
+    "docs_decontamination_report",
 )
 
 

@@ -1218,6 +1218,116 @@ def streaming_join_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Q: nation_trade_pagerank — weighted PageRank (operators/graph.py) over
+# the nation-to-nation trade graph: edges are customer-nation →
+# supplier-nation flows weighted by exact trade cents (the heavy,
+# distributed part — a 4-table join aggregated once), then 8 fixed rank
+# iterations over the node-sized frame with stochastic dangling-mass
+# completion. Deterministic by construction, so the oracle replays the
+# IDENTICAL computation as 8 unrolled CTE stages — the same strategy as
+# the BPE/k-means iterative oracles. Weights are exact integers, so the
+# only float noise is the in-edge Σ, stable under round-6.
+# --------------------------------------------------------------------------
+_PR_DAMPING = 0.85
+_PR_ITERS = 8
+
+
+def _pagerank_unrolled_oracle() -> str:
+    d = _PR_DAMPING
+    steps = []
+    for t in range(1, _PR_ITERS + 1):
+        p = f"r{t - 1}"
+        steps.append(
+            f""", inc{t} AS MATERIALIZED (
+        SELECT e.dst AS node, SUM(r.r * e.p) AS s
+        FROM norm e JOIN {p} r ON e.src = r.node GROUP BY e.dst
+    ), dang{t} AS MATERIALIZED (
+        SELECT COALESCE(SUM(r.r), 0.0) AS dm
+        FROM {p} r LEFT JOIN out_w o ON r.node = o.src
+        WHERE o.src IS NULL
+    ), r{t} AS MATERIALIZED (
+        SELECT n.node,
+               (1 - {d}) / nn.n
+               + {d} * (COALESCE(i.s, 0.0) + dg.dm / nn.n) AS r
+        FROM nodes n
+        LEFT JOIN inc{t} i ON n.node = i.node
+        CROSS JOIN dang{t} dg CROSS JOIN ncount nn
+    )"""
+        )
+    return (
+        """
+    WITH edges AS MATERIALIZED (
+        SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+               SUM(CAST(FLOOR(l.l_extendedprice * 100) AS BIGINT)) AS w
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        WHERE c.c_nationkey <> s.s_nationkey
+        GROUP BY 1, 2
+    ), out_w AS MATERIALIZED (
+        SELECT src, SUM(w) AS out_w FROM edges GROUP BY src
+    ), norm AS MATERIALIZED (
+        SELECT e.src, e.dst,
+               CAST(e.w AS DOUBLE) / CAST(o.out_w AS DOUBLE) AS p
+        FROM edges e JOIN out_w o ON e.src = o.src
+    ), nodes AS MATERIALIZED (
+        SELECT DISTINCT src AS node FROM edges
+        UNION SELECT DISTINCT dst FROM edges
+    ), ncount AS MATERIALIZED (
+        SELECT COUNT(*) AS n FROM nodes
+    ), r0 AS MATERIALIZED (
+        SELECT node, 1.0 / nn.n AS r FROM nodes CROSS JOIN ncount nn
+    )"""
+        + "".join(steps)
+        + f"""
+    SELECT nt.n_name, ROUND(r.r, 6) AS pagerank
+    FROM r{_PR_ITERS} r JOIN nation nt ON r.node = nt.n_nationkey
+    """
+    )
+
+
+@query("nation_trade_pagerank", _pagerank_unrolled_oracle())
+def nation_trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pmp_analytics_spark.operators.graph import pagerank
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    edges = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), F.col("o_custkey") == cust["c_custkey"])
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp["s_suppkey"])
+        .where(F.col("c_nationkey") != F.col("s_nationkey"))
+        .groupBy(
+            F.col("c_nationkey").alias("src"),
+            F.col("s_nationkey").alias("dst"),
+        )
+        .agg(
+            F.sum(F.floor(F.col("l_extendedprice") * 100).cast("long")).alias(
+                "w"
+            )
+        )
+    )
+    ranks = pagerank(
+        edges, "src", "dst", "w", damping=_PR_DAMPING, iterations=_PR_ITERS
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    return ranks.join(
+        F.broadcast(nation), ranks["node"] == nation["n_nationkey"]
+    ).select("n_name", F.round("rank", 6).alias("pagerank"))
+
+
+# --------------------------------------------------------------------------
 # Q: user_state_scd2 — Type-2 dimension BOOTSTRAP from an observation
 # log (operators/scd.py::scd2_compress): each user's event_type stream
 # collapses into maximal validity intervals [valid_from_us,

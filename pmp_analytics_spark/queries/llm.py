@@ -477,6 +477,94 @@ def streaming_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Q: docs_decontamination_report — FUZZY benchmark decontamination as a
+# per-source report: the held-out eval slice (doc_id < 25, same split as
+# the exact-8-gram docs_contamination) probes the train corpus through
+# the MinHash band-bucket store (operators/dedup.py::incremental_neardup
+# — eval side broadcasts, the corpus never shuffles), and every train
+# doc whose verified Jaccard clears the decontamination threshold is
+# counted against its source. The two-tier hygiene pair: the exact
+# n-gram query catches verbatim leakage, this one catches paraphrased /
+# near-dup leakage, and the per-source pct is the actionable output (a
+# leaking source gets dropped, not individual docs). Oracle: the same
+# deterministic MinHash pipeline in SQL, aggregated per source.
+# --------------------------------------------------------------------------
+_DECON_EVAL_MAX = 25
+_DECON_T = 0.5
+
+
+@query(
+    "docs_decontamination_report",
+    f"""
+    WITH sh AS (
+        SELECT doc_id, {_DUCK_SHINGLES} AS sh FROM documents
+        WHERE LENGTH(text) >= 5
+    ), hashed AS (
+        SELECT doc_id, {_DUCK_SHINGLE_HASH} AS hs FROM sh
+    ), sig AS (
+        SELECT doc_id, {_DUCK_SIG} FROM hashed
+    ), banded AS (
+        {_DUCK_BAND_ROWS}
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM banded a JOIN banded b
+          ON a.band_id = b.band_id AND a.band_key = b.band_key
+        WHERE a.doc_id < {_DECON_EVAL_MAX} AND b.doc_id >= {_DECON_EVAL_MAX}
+    ), dsh AS (
+        SELECT doc_id, LIST_DISTINCT(hs) AS dsh FROM hashed
+    ), scored AS (
+        SELECT id_b,
+               LEN(LIST_INTERSECT(a.dsh, b.dsh)) * 1.0 /
+               (LEN(a.dsh) + LEN(b.dsh) - LEN(LIST_INTERSECT(a.dsh, b.dsh))) AS j
+        FROM cand JOIN dsh a ON cand.id_a = a.doc_id
+                  JOIN dsh b ON cand.id_b = b.doc_id
+    ), contaminated AS (
+        SELECT DISTINCT id_b AS train_id FROM scored
+        WHERE ROUND(j, 6) >= {_DECON_T}
+    )
+    SELECT d.source, COUNT(*) AS n_docs,
+           COUNT(c.train_id) AS n_contaminated,
+           ROUND(COUNT(c.train_id) * 1.0 / COUNT(*), 6) AS contaminated_pct
+    FROM documents d LEFT JOIN contaminated c ON d.doc_id = c.train_id
+    WHERE d.doc_id >= {_DECON_EVAL_MAX}
+    GROUP BY d.source
+    """,
+)
+def docs_decontamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pmp_analytics_spark.operators.dedup import incremental_neardup
+
+    docs = load_table(spark, sf_dir, "documents")
+    evl = docs.where(F.col("doc_id") < _DECON_EVAL_MAX)
+    train = docs.where(F.col("doc_id") >= _DECON_EVAL_MAX)
+    pairs = incremental_neardup(
+        train,
+        evl,
+        "text",
+        "doc_id",
+        shingle_k=_SHINGLE_K,
+        threshold=_DECON_T,
+        num_hashes=len(_SEEDS),
+        bands=_BANDS,
+    )
+    contaminated = (
+        pairs.select(F.col("id_b").alias("doc_id"))
+        .distinct()
+        .withColumn("__c", F.lit(1))
+    )
+    return (
+        train.join(F.broadcast(contaminated), "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count("__c").alias("n_contaminated"),
+            F.round(
+                F.count("__c").cast("double") / F.count(F.lit(1)), 6
+            ).alias("contaminated_pct"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # Q: docs_jaccard_exact_pairs — EXACT n-gram Jaccard near-dup pairs via
 # prefix filtering (AllPairs/PPJoin family) — the lossless counterpart to
 # docs_neardup_pairs' MinHash sketch. Because prefix filtering is

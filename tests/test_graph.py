@@ -1,0 +1,95 @@
+"""pagerank (operators/graph.py) — fixed-iteration weighted PageRank
+with stochastic dangling completion, checked against an independent
+NumPy power-iteration reference and its own invariants."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from pmp_analytics_spark.operators.graph import pagerank
+
+
+def _np_pagerank(n, edges, damping, iterations):
+    """Dense reference: edges = [(src, dst, w)], nodes = 0..n-1."""
+    P = np.zeros((n, n))
+    w_out = np.zeros(n)
+    for s, d, w in edges:
+        P[s, d] += w
+        w_out[s] += w
+    for s in range(n):
+        if w_out[s] > 0:
+            P[s] /= w_out[s]
+    r = np.full(n, 1.0 / n)
+    for _ in range(iterations):
+        dangling = r[w_out == 0].sum()
+        r = (1 - damping) / n + damping * (r @ P + dangling / n)
+    return r
+
+
+def _ranks(df):
+    return {row["node"]: row["rank"] for row in df.collect()}
+
+
+def _edges_df(spark, edges):
+    return spark.createDataFrame(edges, "src long, dst long, w long")
+
+
+def test_matches_numpy_reference_with_dangling_node(spark):
+    """Node 3 is dangling (no out-edges): its mass must spread
+    uniformly, keeping sum(r) == 1."""
+    edges = [(0, 1, 1), (1, 2, 1), (2, 0, 1), (0, 3, 1), (2, 3, 1)]
+    got = _ranks(pagerank(_edges_df(spark, edges), "src", "dst", "w"))
+    want = _np_pagerank(4, edges, 0.85, 8)
+    assert set(got) == {0, 1, 2, 3}
+    for i in range(4):
+        assert got[i] == pytest.approx(want[i], abs=1e-12)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_weights_bias_ranks(spark):
+    """2 and 1 both feed 0, but 1 also receives 9x of 0's outflow —
+    weighted ranks must reflect the asymmetry (NumPy agrees)."""
+    edges = [(0, 1, 9), (0, 2, 1), (1, 0, 1), (2, 0, 1)]
+    got = _ranks(pagerank(_edges_df(spark, edges), "src", "dst", "w"))
+    want = _np_pagerank(3, edges, 0.85, 8)
+    for i in range(3):
+        assert got[i] == pytest.approx(want[i], abs=1e-12)
+    assert got[1] > got[2]
+
+
+def test_symmetric_ring_is_uniform(spark):
+    edges = [(i, (i + 1) % 5, 1) for i in range(5)]
+    got = _ranks(pagerank(_edges_df(spark, edges), "src", "dst", "w"))
+    for r in got.values():
+        assert r == pytest.approx(0.2, abs=1e-12)
+
+
+def test_zero_iterations_is_uniform_seed(spark):
+    edges = [(0, 1, 5), (1, 2, 1)]
+    got = _ranks(
+        pagerank(_edges_df(spark, edges), "src", "dst", "w", iterations=0)
+    )
+    assert got == {0: pytest.approx(1 / 3), 1: pytest.approx(1 / 3),
+                   2: pytest.approx(1 / 3)}
+
+
+def test_unweighted_counts_parallel_edges(spark):
+    """weight=None counts each edge row once; a doubled (0,1) row must
+    equal an explicit weight-2 edge."""
+    doubled = _edges_df(spark, [(0, 1, 1), (0, 1, 1), (0, 2, 1), (1, 0, 1), (2, 0, 1)])
+    weighted = _edges_df(spark, [(0, 1, 2), (0, 2, 1), (1, 0, 1), (2, 0, 1)])
+    got_a = _ranks(pagerank(doubled, "src", "dst", None))
+    got_b = _ranks(pagerank(weighted, "src", "dst", "w"))
+    for k in got_a:
+        assert got_a[k] == pytest.approx(got_b[k], abs=1e-12)
+
+
+def test_empty_graph(spark):
+    empty = _edges_df(spark, [])
+    assert pagerank(empty, "src", "dst", "w").collect() == []
+
+
+def test_rejects_negative_iterations(spark):
+    with pytest.raises(ValueError, match="iterations"):
+        pagerank(_edges_df(spark, [(0, 1, 1)]), "src", "dst", "w", iterations=-1)

@@ -37,9 +37,12 @@ inputs (deterministic — no RNG):
   not echoes. vec_ids offset by rep * (max_id + 1); replica 0 verbatim,
   keeping the PQ/IVF query vectors identical across scales.
 - orders / customer: k replicas with the key offset by a multiple of
-  13*17*9*23 — the MV/CDC/SCD2 queries derive snapshots and mutations
-  from the key modulo those constants, so every replica's delta is
-  exactly replica 0's (linear delta, linear dimension).
+  _KEYMOD — the MV/CDC/SCD2/join-MV queries derive snapshots and
+  mutations from the key modulo constants _KEYMOD covers, so every
+  replica's delta is exactly replica 0's (linear delta, linear
+  dimension). lineitem chains orders' exact offset for l_orderkey, so
+  each replica's lines join its own orders and the nation-trade graph's
+  PageRank vector is identical at every scale.
 - events: replicas add DISJOINT users (user_id/event_id offset), so
   per-user state runs replicate exactly — the SCD2 compression's
   interval count is exactly linear.
@@ -80,6 +83,14 @@ def _get_spark():
     )
 
 
+# Key-offset modulus for the orders/customer replicas: the MV / CDC /
+# SCD2 / join-MV queries derive their snapshots and mutations from the
+# key modulo {13, 17, 9, 23, 21, 11, 19, 29}; an offset ≡ 0 mod lcm of
+# all of them (21 = 3·7 and 9 = 3² fold into 9·7) keeps every replica's
+# delta EXACTLY replica 0's at every one of those moduli.
+_KEYMOD = 9 * 7 * 11 * 13 * 17 * 19 * 23 * 29
+
+
 def _replicate_keyed(
     spark,
     out: str,
@@ -87,27 +98,36 @@ def _replicate_keyed(
     key_cols: list[str],
     k: int,
     offset_multiple_of: int = 1,
+    explicit_offsets: dict[str, int] | None = None,
     nparts: int = 4,
-) -> None:
+) -> dict[str, int]:
     """k replicas of BASE/``table``, each key column offset per replica
     by (max_key+1) rounded up to ``offset_multiple_of`` (the
-    modulo-preserving scheme; 1 = plain disjoint offset). Non-key
+    modulo-preserving scheme; 1 = plain disjoint offset), or by
+    ``explicit_offsets`` when a foreign key must track ANOTHER table's
+    offset (lineitem.l_orderkey must move exactly as orders.o_orderkey
+    did, or replica r's lines would join replica 0's orders). Non-key
     columns are carried verbatim in their original positions.
     Incremental: a pre-existing symlink is replaced, an existing
-    materialization is kept."""
+    materialization is kept. Returns the per-column offsets either way
+    (recomputed from BASE — one sf0.1-sized scan — so dependent tables
+    can chain)."""
     from pyspark.sql import functions as F
 
+    df = spark.read.parquet(f"{BASE}/{table}.parquet")
+    if explicit_offsets is None:
+        maxes = df.agg(*[F.max(c) for c in key_cols]).first()  # ONE scan
+        offs = {
+            c: -(-(m + 1) // offset_multiple_of) * offset_multiple_of
+            for c, m in zip(key_cols, maxes)
+        }
+    else:
+        offs = dict(explicit_offsets)
     path = f"{out}/{table}.parquet"
     if os.path.islink(path):
         os.unlink(path)  # earlier-round corpora symlinked this table
     if os.path.exists(path):
-        return
-    df = spark.read.parquet(f"{BASE}/{table}.parquet")
-    maxes = df.agg(*[F.max(c) for c in key_cols]).first()  # ONE scan
-    offs = {
-        c: -(-(m + 1) // offset_multiple_of) * offset_multiple_of
-        for c, m in zip(key_cols, maxes)
-    }
+        return offs
     parts = [
         df.select(
             *[
@@ -123,6 +143,7 @@ def _replicate_keyed(
     for p in parts[1:]:
         scaled = scaled.unionByName(p)
     scaled.repartition(max(4, nparts)).write.mode("overwrite").parquet(path)
+    return offs
 
 
 def gen(k: int) -> str:
@@ -187,23 +208,32 @@ def gen(k: int) -> str:
             .parquet(f"{out}/documents.parquet")
         )
 
-    # keyed-table replication, one scheme serving three tables:
+    # keyed-table replication, one scheme serving four tables:
     #
-    # - orders / customer use offset_multiple_of = 13*17*9*23 — the
-    #   MV/CDC/SCD2 queries derive snapshots and mutations from the key
-    #   modulo those constants, so an offset that is 0 mod all of them
-    #   makes every replica's CDC delta EXACTLY replica 0's: delta and
+    # - orders / customer use offset_multiple_of = _KEYMOD (≡ 0 mod
+    #   every modulus the MV/CDC/SCD2/join-MV snapshot derivations use),
+    #   so every replica's CDC delta is EXACTLY replica 0's: delta and
     #   dimension exactly linear in k while the MV view stays 6 groups
     #   (priorities collide across replicas) — precisely the
     #   O(delta)+O(view) regime the refresh claims.
+    # - lineitem chains ORDERS' offset for l_orderkey (a replica's lines
+    #   must join its own replica's orders); l_suppkey/l_partkey stay,
+    #   so every replica reproduces replica 0's nation-trade edges
+    #   exactly — the aggregated graph's edge weights scale uniformly by
+    #   k and the PageRank vector is IDENTICAL at every scale (the
+    #   soak's invariance witness), while edge-derivation input grows
+    #   linearly.
     # - events offsets BOTH event_id and user_id plainly (multiple 1):
     #   replicas add disjoint users, so per-user state runs replicate
     #   exactly — the SCD2 compression's interval count is exactly
     #   linear and no cross-replica window ever forms.
-    _replicate_keyed(spark, out, "orders", ["o_orderkey"], k,
-                     offset_multiple_of=13 * 17 * 9 * 23, nparts=2 * k)
+    o_offs = _replicate_keyed(spark, out, "orders", ["o_orderkey"], k,
+                              offset_multiple_of=_KEYMOD, nparts=2 * k)
     _replicate_keyed(spark, out, "customer", ["c_custkey"], k,
-                     offset_multiple_of=13 * 17 * 9 * 23, nparts=k)
+                     offset_multiple_of=_KEYMOD, nparts=k)
+    _replicate_keyed(spark, out, "lineitem", ["l_orderkey"], k,
+                     explicit_offsets={"l_orderkey": o_offs["o_orderkey"]},
+                     nparts=4 * k)
     _replicate_keyed(spark, out, "events", ["event_id", "user_id"], k,
                      nparts=k)
 
