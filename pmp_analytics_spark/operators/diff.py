@@ -419,40 +419,94 @@ def join_mv_refresh(
     re-joined, and the one dim scan is semi-join-pruned. Cost is
     O(|view| map-side + |delta| + touched-dim). Deltas in the millions
     of keys must not be broadcast: ``broadcast_deltas=False`` lets AQE
-    pick shuffle joins. A multi-dimension star denormalization composes
-    by calling this once per dimension (each patch is independent).
+    pick shuffle joins. A multi-dimension star denormalization is
+    ``star_mv_refresh`` (this is its one-dimension specialization —
+    patches compose per dimension, but fact INSERTS must enrich against
+    every dimension in one pass, which per-dim calls cannot do).
     Reference analog: none — the reference re-joins its extracts
     monthly end-to-end; this is the engine's shape for keeping a 100 TB
     enriched fact current from CDC.
     """
-    fact_cols = [c for c in mv.columns if c not in dim_cols]
-    for need, where in ((fact_key, fact_cols), (dim_fk, fact_cols)):
-        if need not in where:
-            raise ValueError(f"join_mv_refresh: {need!r} not a fact column of mv")
+    return star_mv_refresh(
+        mv,
+        fact_delta,
+        [DimSpec(dim_delta, new_dim, dim_fk, dim_key, dim_cols)],
+        fact_key,
+        broadcast_deltas=broadcast_deltas,
+    )
+
+
+@dataclass
+class DimSpec:
+    """One dimension of a star denormalization (``star_mv_refresh``):
+    its CDC delta (None = unchanged this round), the post-change
+    dimension (read only for fact inserts), the view's FK column, the
+    dimension's key column, and the attribute columns the view carries."""
+
+    delta: DataFrame | None
+    new_dim: DataFrame
+    fk: str
+    key: str
+    cols: list[str]
+
+
+def star_mv_refresh(
+    mv: DataFrame,
+    fact_delta: DataFrame | None,
+    dims: list[DimSpec],
+    fact_key: str,
+    broadcast_deltas: bool = True,
+) -> DataFrame:
+    """General star form of ``join_mv_refresh``: one fact LEFT-joined to
+    N dimensions, maintained from N+1 CDC feeds. Dim PATCHES are
+    independent and apply one broadcast map-side pass each; fact
+    inserts/changes enrich against EVERY current dimension in one
+    chained pass of delta-bounded broadcast joins (each dim scan
+    semi-join-pruned by the delta's FK set) — the step a per-dimension
+    composition of the two-table operator cannot express, because a
+    fresh fact row entering through dim A's call has no source for dim
+    B's attributes. Same contracts as ``join_mv_refresh``: LEFT-join
+    view, one row per fact key, delta compare-columns covering the
+    view's columns, view side never shuffled.
+    """
+    all_dim_cols = {c for d in dims for c in d.cols}
+    fact_cols = [c for c in mv.columns if c not in all_dim_cols]
+    for need in [fact_key] + [d.fk for d in dims]:
+        if need not in fact_cols:
+            raise ValueError(
+                f"star_mv_refresh: {need!r} not a fact column of mv"
+            )
+
+    def bcast(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if broadcast_deltas else df
 
     out = mv
     if fact_delta is not None:
         touched = fact_delta.where(
             F.col("change_type").isin("removed", "changed")
         ).select(fact_key)
-        t = F.broadcast(touched) if broadcast_deltas else touched
-        out = out.join(t, fact_key, "left_anti")
+        out = out.join(bcast(touched), fact_key, "left_anti")
 
-    if dim_delta is not None:
-        patch = dim_delta.select(
-            F.col(dim_key).alias("__jmv_k"),
+    for d in dims:
+        if d.delta is None:
+            continue
+        patch = d.delta.select(
+            F.col(d.key).alias("__jmv_k"),
             F.lit(True).alias("__jmv_hit"),
-            *[F.col(f"new_{c}").alias(f"__jmv_{c}") for c in dim_cols],
+            *[F.col(f"new_{c}").alias(f"__jmv_{c}") for c in d.cols],
         )
-        p = F.broadcast(patch) if broadcast_deltas else patch
-        out = out.join(p, F.col(dim_fk) == F.col("__jmv_k"), "left").select(
-            *fact_cols,
+        mine = set(d.cols)
+        out = out.join(
+            bcast(patch), F.col(d.fk) == F.col("__jmv_k"), "left"
+        ).select(
             *[
                 F.when(F.col("__jmv_hit"), F.col(f"__jmv_{c}"))
                 .otherwise(F.col(c))
                 .alias(c)
-                for c in dim_cols
-            ],
+                if c in mine
+                else F.col(c)
+                for c in mv.columns
+            ]
         )
 
     if fact_delta is not None:
@@ -462,22 +516,19 @@ def join_mv_refresh(
             F.col(fact_key),
             *[F.col(f"new_{c}").alias(c) for c in fact_cols if c != fact_key],
         )
-        fks = (
-            fresh.select(F.col(dim_fk))
-            .where(F.col(dim_fk).isNotNull())
-            .distinct()
-        )
-        needed = new_dim.join(
-            F.broadcast(fks) if broadcast_deltas else fks,
-            new_dim[dim_key] == fks[dim_fk],
-            "left_semi",
-        ).select(F.col(dim_key).alias("__jmv_k"), *dim_cols)
-        enriched = fresh.join(
-            F.broadcast(needed) if broadcast_deltas else needed,
-            F.col(dim_fk) == F.col("__jmv_k"),
-            "left",
-        ).select(*fact_cols, *dim_cols)
-        out = out.unionByName(enriched)
+        for d in dims:
+            fks = (
+                fresh.select(F.col(d.fk))
+                .where(F.col(d.fk).isNotNull())
+                .distinct()
+            )
+            needed = d.new_dim.join(
+                bcast(fks), d.new_dim[d.key] == fks[d.fk], "left_semi"
+            ).select(F.col(d.key).alias("__jmv_k"), *d.cols)
+            fresh = fresh.join(
+                bcast(needed), F.col(d.fk) == F.col("__jmv_k"), "left"
+            ).drop("__jmv_k")
+        out = out.unionByName(fresh.select(*mv.columns))
     return out
 
 

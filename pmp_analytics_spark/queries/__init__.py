@@ -78,7 +78,7 @@ _RECORD_FRONT = (
     "user_state_scd2", "customer_scd2_apply", "streaming_scd2_apply",
     "purchase_state_pointintime", "orders_customer_join_mv",
     "streaming_join_mv", "nation_trade_pagerank",
-    "docs_decontamination_report",
+    "docs_decontamination_report", "lineitem_star_join_mv",
 )
 
 

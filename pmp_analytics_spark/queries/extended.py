@@ -1150,6 +1150,139 @@ def orders_customer_join_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Q: lineitem_star_join_mv — the N-dimension STAR form
+# (operators/diff.py::star_mv_refresh): lineitem LEFT JOIN part LEFT
+# JOIN supplier maintained from THREE CDC feeds in one refresh. The
+# round mutates all three bases at once — fact adds/removes/reprices
+# plus a simultaneous DOUBLE FK move (%21 reassigns part AND supplier,
+# some to keys no dim row has), a supplier rename (%11), supplier
+# removes (%19), part rebrands (%37) and part removes (%23) — so fact
+# inserts must pick up BOTH dims' attributes in one pass (the step
+# per-dim composition of the two-table operator cannot express).
+# Oracle: the full three-way re-join of the new snapshots.
+# --------------------------------------------------------------------------
+_STAR_MV_ORACLE = """
+    WITH base AS (
+        -- the synthetic lineitem repeats (orderkey, linenumber) pairs,
+        -- so the keyed fact is the MAX-deduped grain (snapshot CDC
+        -- requires unique keys)
+        SELECT l_orderkey * 10 + l_linenumber AS lid,
+               MAX(l_orderkey) AS okey,
+               MAX(l_partkey) AS l_partkey,
+               MAX(l_suppkey) AS l_suppkey,
+               MAX(l_quantity) AS l_quantity
+        FROM lineitem GROUP BY 1
+    ), new_l AS (
+        SELECT lid,
+               CASE WHEN okey % 21 = 1 THEN l_partkey + 13
+                    ELSE l_partkey END AS l_partkey,
+               CASE WHEN okey % 21 = 1 THEN l_suppkey + 7
+                    ELSE l_suppkey END AS l_suppkey,
+               CASE WHEN okey % 9 = 0 THEN l_quantity + 5.0
+                    ELSE l_quantity END AS l_quantity
+        FROM base WHERE okey % 17 <> 3
+    ), new_p AS (
+        SELECT p_partkey,
+               CASE WHEN p_partkey % 37 = 3 THEN 'BRAND-X'
+                    ELSE p_brand END AS p_brand,
+               p_size
+        FROM part WHERE p_partkey % 23 <> 2
+    ), new_s AS (
+        SELECT s_suppkey,
+               CASE WHEN s_suppkey % 11 = 2 THEN 'SUPP-MOVED'
+                    ELSE s_name END AS s_name,
+               s_nationkey
+        FROM supplier WHERE s_suppkey % 19 <> 4
+    )
+    SELECT l.lid, l.l_partkey, l.l_suppkey, l.l_quantity,
+           p.p_brand, p.p_size, s.s_name, s.s_nationkey
+    FROM new_l l
+    LEFT JOIN new_p p ON l.l_partkey = p.p_partkey
+    LEFT JOIN new_s s ON l.l_suppkey = s.s_suppkey
+    """
+
+
+@query("lineitem_star_join_mv", _STAR_MV_ORACLE)
+def lineitem_star_join_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pmp_analytics_spark.operators.diff import (
+        DimSpec,
+        snapshot_delta,
+        star_mv_refresh,
+    )
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy(
+            (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("lid")
+        )
+        .agg(
+            F.max("l_orderkey").alias("okey"),
+            F.max("l_partkey").alias("l_partkey"),
+            F.max("l_suppkey").alias("l_suppkey"),
+            F.max("l_quantity").alias("l_quantity"),
+        )
+    )
+    old_l = li.where(F.col("okey") % 13 != 5).drop("okey")
+    new_l = li.where(F.col("okey") % 17 != 3).select(
+        "lid",
+        F.when(F.col("okey") % 21 == 1, F.col("l_partkey") + 13)
+        .otherwise(F.col("l_partkey"))
+        .alias("l_partkey"),
+        F.when(F.col("okey") % 21 == 1, F.col("l_suppkey") + 7)
+        .otherwise(F.col("l_suppkey"))
+        .alias("l_suppkey"),
+        F.when(F.col("okey") % 9 == 0, F.col("l_quantity") + 5.0)
+        .otherwise(F.col("l_quantity"))
+        .alias("l_quantity"),
+    )
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size"
+    )
+    old_p = part.where(F.col("p_partkey") % 31 != 7)
+    new_p = part.where(F.col("p_partkey") % 23 != 2).select(
+        "p_partkey",
+        F.when(F.col("p_partkey") % 37 == 3, F.lit("BRAND-X"))
+        .otherwise(F.col("p_brand"))
+        .alias("p_brand"),
+        "p_size",
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    old_s = supp.where(F.col("s_suppkey") % 29 != 6)
+    new_s = supp.where(F.col("s_suppkey") % 19 != 4).select(
+        "s_suppkey",
+        F.when(F.col("s_suppkey") % 11 == 2, F.lit("SUPP-MOVED"))
+        .otherwise(F.col("s_name"))
+        .alias("s_name"),
+        "s_nationkey",
+    )
+    seed = (
+        old_l.join(old_p, old_l["l_partkey"] == old_p["p_partkey"], "left")
+        .join(old_s, old_l["l_suppkey"] == old_s["s_suppkey"], "left")
+        .select(
+            "lid", "l_partkey", "l_suppkey", "l_quantity",
+            "p_brand", "p_size", "s_name", "s_nationkey",
+        )
+    )
+    return star_mv_refresh(
+        seed,
+        snapshot_delta(old_l, new_l, ["lid"]),
+        [
+            DimSpec(
+                snapshot_delta(old_p, new_p, ["p_partkey"]),
+                new_p, "l_partkey", "p_partkey", ["p_brand", "p_size"],
+            ),
+            DimSpec(
+                snapshot_delta(old_s, new_s, ["s_suppkey"]),
+                new_s, "l_suppkey", "s_suppkey", ["s_name", "s_nationkey"],
+            ),
+        ],
+        "lid",
+    )
+
+
+# --------------------------------------------------------------------------
 # Q: streaming_join_mv — the SAME denormalized join view maintained from
 # a single MULTIPLEXED CDC stream (streaming/mv.py::cdc_join_mv_stream):
 # fact and dim change rows share one feed (schemas unioned by name,

@@ -190,6 +190,48 @@ def test_view_side_never_shuffles(spark, scenario):
     assert _rows(out) == _rows(_view(new_f, new_d))
 
 
+def test_star_refresh_two_dims_equals_recompute(spark):
+    """The N-dim star form: fact inserts must pick up BOTH dims'
+    attributes in one refresh (the case per-dim composition of the
+    two-table operator cannot express), while each dim's patch lands
+    independently — including a dim change and a dim removal in the
+    same round as a fact insert referencing both."""
+    from pmp_analytics_spark.operators.diff import DimSpec, star_mv_refresh
+
+    fact = "fk long, d1 long, d2 long, amt double"
+    dim1 = "k1 long, seg string"
+    dim2 = "k2 long, grade double"
+    old_f = spark.createDataFrame([(1, 10, 100, 1.0), (2, 20, 200, 2.0)], fact)
+    new_f = spark.createDataFrame(
+        [(1, 10, 100, 1.0), (3, 20, 100, 3.0), (4, 99, 200, 4.0)], fact
+    )
+    old_d1 = spark.createDataFrame([(10, "a"), (20, "b")], dim1)
+    new_d1 = spark.createDataFrame([(10, "a2"), (20, "b")], dim1)
+    old_d2 = spark.createDataFrame([(100, 1.5), (200, 2.5)], dim2)
+    new_d2 = spark.createDataFrame([(100, 1.5)], dim2)  # 200 removed
+
+    def view(f, d1, d2):
+        return (
+            f.join(d1, f["d1"] == d1["k1"], "left")
+            .join(d2, f["d2"] == d2["k2"], "left")
+            .select("fk", "d1", "d2", "amt", "seg", "grade")
+        )
+
+    out = star_mv_refresh(
+        view(old_f, old_d1, old_d2),
+        snapshot_delta(old_f, new_f, ["fk"]),
+        [
+            DimSpec(snapshot_delta(old_d1, new_d1, ["k1"]), new_d1, "d1", "k1", ["seg"]),
+            DimSpec(snapshot_delta(old_d2, new_d2, ["k2"]), new_d2, "d2", "k2", ["grade"]),
+        ],
+        "fk",
+    )
+    assert _rows(out) == _rows(view(new_f, new_d1, new_d2))
+    by_fk = {r[0]: r for r in out.collect()}
+    assert by_fk[3][4] == "b" and by_fk[3][5] == 1.5  # insert got BOTH dims
+    assert by_fk[4][4] is None and by_fk[4][5] is None  # dangling + removed
+
+
 def _multiplex_feed(spark, path, old_f, new_f, old_d, new_d, nfiles):
     from pyspark.sql import functions as F
 
