@@ -41,10 +41,12 @@ def pagerank(
                                  + dangling_mass_t / N )
 
     Nodes are every distinct endpoint; ``weight=None`` counts each edge
-    as 1; parallel edges pre-aggregate. Dangling nodes (no out-edges)
-    spread their mass uniformly — the standard stochastic completion,
-    so Σr = 1 holds at every step (asserted in tests, and the invariant
-    that makes ranks comparable across graphs). Prefer EXACT (integer)
+    as 1; parallel edges pre-aggregate. Dangling nodes (no out-edges —
+    including sources whose weights sum to zero, which have no defined
+    outgoing distribution) spread their mass uniformly — the standard
+    stochastic completion, so Σr = 1 holds at every step (asserted in
+    tests, and the invariant that makes ranks comparable across
+    graphs). Weights are expected non-negative. Prefer EXACT (integer)
     weights: the out-weight normalization then divides exactly and the
     only float noise left is the Σ over in-edges, stable under the
     round-6 projection declared queries use.
@@ -72,12 +74,25 @@ def pagerank(
         F.col(src).alias("__src"), F.col(dst).alias("__dst"), w.alias("__w")
     )
     # parallel edges collapse once; out-weight attaches per src once —
-    # both reused by every iteration (cache-worthy for large graphs,
-    # left to the caller who knows the memory budget). Weights keep
-    # their native type through both sums (exact for integer weights)
-    # and only the normalizing division goes to double.
+    # both reused by every iteration. Weights keep their native type
+    # through both sums (exact for integer weights) and only the
+    # normalizing division goes to double. The edge aggregation — the
+    # operator's one possibly-enormous shuffle — is checkpointed FIRST
+    # so every derived frame (out-weights, normalized edges, node set)
+    # evaluates it exactly once.
     agg = e.groupBy("__src", "__dst").agg(F.sum("__w").alias("__w"))
-    out_w = agg.groupBy("__src").agg(F.sum("__w").alias("__out"))
+    if iterations > 0:
+        agg = agg.localCheckpoint(eager=True)
+    # a source whose weights sum to <= 0 has no defined outgoing
+    # distribution (0/0 would NULL out its probabilities and silently
+    # DELETE its mass); excluding it from out_w makes it DANGLING, so
+    # its mass spreads uniformly and sum(r) = 1 survives. Weights are
+    # expected non-negative; a negative total falls under the same rule.
+    out_w = (
+        agg.groupBy("__src")
+        .agg(F.sum("__w").alias("__out"))
+        .where(F.col("__out") > 0)
+    )
     norm = agg.join(out_w, "__src").select(
         "__src",
         "__dst",
@@ -86,13 +101,13 @@ def pagerank(
         ),
     )
     nodes = (
-        e.select(F.col("__src").alias("__node"))
-        .unionByName(e.select(F.col("__dst").alias("__node")))
+        agg.select(F.col("__src").alias("__node"))
+        .unionByName(agg.select(F.col("__dst").alias("__node")))
         .distinct()
     )
     if iterations > 0:
-        # iteration-invariant frames materialize ONCE (this is also the
-        # single evaluation of the edge aggregation, whatever its size)
+        # iteration-invariant frames materialize once, from the
+        # checkpointed aggregation
         norm = norm.localCheckpoint(eager=True)
         nodes = nodes.localCheckpoint(eager=True)
     n = nodes.count()  # one scalar the driver must own (it sizes 1/N)

@@ -945,17 +945,14 @@ def customer_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 def streaming_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import shutil
-    import tempfile
 
     from pmp_analytics_spark.sources.writers import publish_versioned, read_latest
     from pmp_analytics_spark.streaming import read_event_stream
 
     stream = read_event_stream(spark, sf_dir).where(F.col("user_id").isNotNull())
-    parent = os.path.join(tempfile.gettempdir(), "pmp_merge_upsert")
-    if os.path.isdir(parent):  # stale-dir backstop for crashed runs
-        shutil.rmtree(parent, ignore_errors=True)
-    os.makedirs(parent, exist_ok=True)
-    work = tempfile.mkdtemp(dir=parent)
+    from pmp_analytics_spark.streaming import stream_workdir
+
+    work = stream_workdir("pmp_merge_upsert")
     root = os.path.join(work, "state")
 
     def merge(batch_df, batch_id: int) -> None:

@@ -592,7 +592,6 @@ def streaming_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
 def streaming_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import shutil
-    import tempfile
 
     from pmp_analytics_spark.operators.quality import RowRule
     from pmp_analytics_spark.streaming.ingest import quarantine_ingest_stream
@@ -605,11 +604,9 @@ def streaming_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Same working-dir lifecycle as streaming_neardup_ingest: one fixed
     # parent, this run's dir removed on success, stale-dir purge as the
     # crashed-run backstop.
-    parent = os.path.join(tempfile.gettempdir(), "pmp_quarantine_ingest")
-    if os.path.isdir(parent):
-        shutil.rmtree(parent, ignore_errors=True)
-    os.makedirs(parent, exist_ok=True)
-    work = tempfile.mkdtemp(dir=parent)
+    from pmp_analytics_spark.streaming import stream_workdir
+
+    work = stream_workdir("pmp_quarantine_ingest")
     clean_p, dead_p = f"{work}/clean", f"{work}/dead"
     quarantine_ingest_stream(
         read_doc_stream(spark, sf_dir).select("doc_id", "n_chars", "lang"),

@@ -971,18 +971,15 @@ def orders_mv_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 def streaming_mv_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import shutil
-    import tempfile
 
     from pmp_analytics_spark.operators.diff import snapshot_delta
     from pmp_analytics_spark.sources.writers import publish_versioned, read_latest
     from pmp_analytics_spark.streaming.mv import cdc_mv_refresh_stream
 
     old, new = _mv_snapshot_frames(spark, sf_dir)
-    parent = os.path.join(tempfile.gettempdir(), "pmp_mv_refresh")
-    if os.path.isdir(parent):  # stale-dir backstop for crashed runs
-        shutil.rmtree(parent, ignore_errors=True)
-    os.makedirs(parent, exist_ok=True)
-    work = tempfile.mkdtemp(dir=parent)
+    from pmp_analytics_spark.streaming import stream_workdir
+
+    work = stream_workdir("pmp_mv_refresh")
     root = os.path.join(work, "state")
     feed = os.path.join(work, "cdc")
 
@@ -1298,7 +1295,6 @@ def lineitem_star_join_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
 def streaming_join_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import shutil
-    import tempfile
 
     from pmp_analytics_spark.operators.diff import snapshot_delta
     from pmp_analytics_spark.sources.writers import (
@@ -1308,11 +1304,9 @@ def streaming_join_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pmp_analytics_spark.streaming.mv import cdc_join_mv_stream
 
     old_o, new_o, old_c, new_c = _join_mv_frames(spark, sf_dir)
-    parent = os.path.join(tempfile.gettempdir(), "pmp_join_mv")
-    if os.path.isdir(parent):  # stale-dir backstop for crashed runs
-        shutil.rmtree(parent, ignore_errors=True)
-    os.makedirs(parent, exist_ok=True)
-    work = tempfile.mkdtemp(dir=parent)
+    from pmp_analytics_spark.streaming import stream_workdir
+
+    work = stream_workdir("pmp_join_mv")
     view_root = os.path.join(work, "view")
     dim_root = os.path.join(work, "dim")
     feed = os.path.join(work, "cdc")
@@ -1704,7 +1698,6 @@ def _scd2_snapshot_frames(
 def streaming_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import shutil
-    import tempfile
 
     from pmp_analytics_spark.operators.diff import snapshot_delta
     from pmp_analytics_spark.sources.writers import publish_versioned, read_latest
@@ -1718,11 +1711,9 @@ def streaming_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("long").alias("valid_from"),
         F.lit(None).cast("long").alias("valid_to"),
     )
-    parent = os.path.join(tempfile.gettempdir(), "pmp_scd2_refresh")
-    if os.path.isdir(parent):  # stale-dir backstop for crashed runs
-        shutil.rmtree(parent, ignore_errors=True)
-    os.makedirs(parent, exist_ok=True)
-    work = tempfile.mkdtemp(dir=parent)
+    from pmp_analytics_spark.streaming import stream_workdir
+
+    work = stream_workdir("pmp_scd2_refresh")
     root = os.path.join(work, "state")
     feed = os.path.join(work, "cdc")
     snapshot_delta(old, new, ["c_custkey"]).repartition(3).write.parquet(feed)
@@ -1765,18 +1756,15 @@ def streaming_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 def streaming_event_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import shutil
-    import tempfile
     import uuid
 
     from pmp_analytics_spark.streaming import run_to_memory
 
     # stage the at-least-once feed: full corpus, then every 10th event
     # re-delivered as its own file -> its own micro-batch
-    parent = os.path.join(tempfile.gettempdir(), "pmp_dedup_wm")
-    if os.path.isdir(parent):
-        shutil.rmtree(parent, ignore_errors=True)
-    os.makedirs(parent, exist_ok=True)
-    work = tempfile.mkdtemp(dir=parent)
+    from pmp_analytics_spark.streaming import stream_workdir
+
+    work = stream_workdir("pmp_dedup_wm")
     feed = os.path.join(work, "feed")
     from pmp_analytics_spark.sources.reader import load_table, normalize_event_ts
 

@@ -415,7 +415,6 @@ def _neardup_ingest_store(spark: SparkSession, sf_dir: str):
 def streaming_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import shutil
-    import tempfile
 
     from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
@@ -435,11 +434,9 @@ def streaming_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     # localCheckpoint first). The stale-dir purge stays as a backstop
     # for crashed runs, whose dirs would otherwise leak until the next
     # invocation.
-    parent = os.path.join(tempfile.gettempdir(), "pmp_neardup_ingest")
-    if os.path.isdir(parent):
-        shutil.rmtree(parent, ignore_errors=True)
-    os.makedirs(parent, exist_ok=True)
-    work = tempfile.mkdtemp(dir=parent)
+    from pmp_analytics_spark.streaming import stream_workdir
+
+    work = stream_workdir("pmp_neardup_ingest")
     out_path, checkpoint = f"{work}/pairs", f"{work}/ckpt"
     neardup_ingest_stream(
         ex_h,

@@ -39,25 +39,23 @@ def parse_batch_marker(mk: str | None) -> int | None:
     """Committed batch id carried by a version marker, or None.
 
     ``publish_versioned`` accepts arbitrary marker strings, so the
-    stream loops NAMESPACE theirs (``batch:<id>``) — a semantic marker
-    someone else published (``v2024-01``, ``repair-1``) is not a batch
-    commit and must neither crash the stream nor, worse, be MISREAD as
-    one: a numeric-looking marker like ``20240101`` parsed naively
-    would silently skip every batch ≤ 20240101. Plain integers are
-    still accepted for roots published by pre-namespace versions of
-    these loops (their lineage keeps its replay guard on resume).
+    stream loops NAMESPACE theirs (``batch:<id>``) — ONLY that form is
+    a batch commit. A semantic marker someone else published
+    (``v2024-01``, ``repair-1``) is not, and neither is a bare number:
+    a date-stamped ``20240101`` parsed as a batch id would satisfy
+    ``committed >= batch_id`` for every real batch and silently skip
+    them all — worse than any crash. A lineage published by a
+    pre-namespace version of these loops therefore loses its replay
+    guard on the FIRST batch after upgrade (one potential double-apply
+    per root, visible in the published history) rather than carrying a
+    misparse hazard forever.
     """
-    if mk is None:
+    if mk is None or not mk.startswith(_MARKER_PREFIX):
         return None
-    if mk.startswith(_MARKER_PREFIX):
-        try:
-            return int(mk[len(_MARKER_PREFIX) :])
-        except ValueError:
-            return None
-    try:  # legacy plain-int markers from earlier stream publishes
-        return int(mk)
+    try:
+        return int(mk[len(_MARKER_PREFIX) :])
     except ValueError:
-        return None  # someone else's semantic marker: not a commit
+        return None
 
 
 def cdc_apply_stream(
@@ -226,7 +224,13 @@ def cdc_join_mv_stream(
             *[f"new_{c}" for c in dim_cols],
         )
         dim_committed = parse_batch_marker(latest_marker(spark, dim_root))
-        if dim_committed is None or dim_committed < batch_id:
+        # a fact-only batch is an identity dim apply: publishing it would
+        # rewrite the whole dimension and burn a keep_last rollback slot
+        # per batch for nothing (replay stays safe — re-skipping an
+        # identity is the same identity)
+        if (
+            dim_committed is None or dim_committed < batch_id
+        ) and not dd.isEmpty():
             new_dim = apply_snapshot_delta(
                 read_latest(spark, dim_root), dd, [dim_key]
             ).coalesce(publish_partitions)

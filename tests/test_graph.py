@@ -85,6 +85,19 @@ def test_unweighted_counts_parallel_edges(spark):
         assert got_a[k] == pytest.approx(got_b[k], abs=1e-12)
 
 
+def test_zero_weight_source_is_dangling(spark):
+    """A source whose weights sum to 0 has no outgoing distribution —
+    0/0 must not NULL its probabilities and silently delete its mass;
+    it is dangling, sum(r) stays 1, and NumPy (which also treats
+    w_out == 0 as dangling) agrees."""
+    edges = [(0, 1, 0), (1, 2, 1), (2, 1, 1)]
+    got = _ranks(pagerank(_edges_df(spark, edges), "src", "dst", "w"))
+    want = _np_pagerank(3, edges, 0.85, 8)
+    for i in range(3):
+        assert got[i] == pytest.approx(want[i], abs=1e-12)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
 def test_empty_graph(spark):
     empty = _edges_df(spark, [])
     assert pagerank(empty, "src", "dst", "w").collect() == []

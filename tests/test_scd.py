@@ -168,18 +168,19 @@ def test_scd2_compress_single_exchange(spark):
 
 
 def test_batch_marker_parse_semantics():
-    """Stream commits are namespaced batch:<id>; someone else's semantic
-    marker must parse as no-commit — ESPECIALLY a numeric-looking one
-    (naive int() would read '20240101' as a committed batch id and
-    silently skip every real batch below it). Legacy plain-int markers
-    from pre-namespace stream publishes keep their guard."""
+    """ONLY namespaced batch:<id> markers are commits. A semantic marker
+    must parse as no-commit — ESPECIALLY a numeric-looking one: naive
+    int() would read a date-stamped '20240101' as a committed batch id
+    and silently skip every real batch below it, which is why bare
+    integers are NOT grandfathered either."""
     from pmp_analytics_spark.streaming.mv import batch_marker, parse_batch_marker
 
     assert parse_batch_marker(batch_marker(7)) == 7
     assert parse_batch_marker(None) is None
     assert parse_batch_marker("v2024-01") is None
     assert parse_batch_marker("batch:notanint") is None
-    assert parse_batch_marker("3") == 3  # legacy stream-published marker
+    assert parse_batch_marker("3") is None  # bare number: not a commit
+    assert parse_batch_marker("20240101") is None  # the misparse hazard
 
 
 def test_cdc_scd2_stream_marker_guard(spark, tmp_path):

@@ -108,10 +108,15 @@ def _replicate_keyed(
     offset (lineitem.l_orderkey must move exactly as orders.o_orderkey
     did, or replica r's lines would join replica 0's orders). Non-key
     columns are carried verbatim in their original positions.
-    Incremental: a pre-existing symlink is replaced, an existing
-    materialization is kept. Returns the per-column offsets either way
-    (recomputed from BASE — one sf0.1-sized scan — so dependent tables
-    can chain)."""
+    Incremental: a pre-existing symlink is replaced; an existing
+    materialization is kept ONLY if its sidecar ``<table>.offsets.json``
+    records the offsets being requested now — a corpus built by an
+    earlier round under a different modulus would otherwise be silently
+    reused while dependent tables (lineitem chains orders' offset) get
+    the NEW offsets, producing replicas whose joins are empty and soak
+    verdicts that are quietly wrong. Returns the per-column offsets."""
+    import shutil
+
     from pyspark.sql import functions as F
 
     df = spark.read.parquet(f"{BASE}/{table}.parquet")
@@ -124,10 +129,18 @@ def _replicate_keyed(
     else:
         offs = dict(explicit_offsets)
     path = f"{out}/{table}.parquet"
+    sidecar = f"{out}/{table}.offsets.json"
     if os.path.islink(path):
         os.unlink(path)  # earlier-round corpora symlinked this table
     if os.path.exists(path):
-        return offs
+        recorded = None
+        if os.path.exists(sidecar):
+            with open(sidecar) as f:
+                recorded = json.load(f)
+        if recorded == {c: int(v) for c, v in offs.items()}:
+            return offs
+        print(f"stale offsets for {path} (recorded {recorded}); rebuilding")
+        shutil.rmtree(path)
     parts = [
         df.select(
             *[
@@ -143,6 +156,8 @@ def _replicate_keyed(
     for p in parts[1:]:
         scaled = scaled.unionByName(p)
     scaled.repartition(max(4, nparts)).write.mode("overwrite").parquet(path)
+    with open(sidecar, "w") as f:
+        json.dump({c: int(v) for c, v in offs.items()}, f)
     return offs
 
 
