@@ -310,6 +310,50 @@ def test_cdc_join_mv_stream_crash_between_publishes(spark, tmp_path, scenario):
     assert latest_marker(spark, dim_root) == "batch:0"  # replay skipped it
 
 
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _HAVE_HYP = True
+except ImportError:  # pragma: no cover
+    _HAVE_HYP = False
+
+if _HAVE_HYP:
+    _dim_state = st.dictionaries(
+        st.integers(0, 5),
+        st.tuples(
+            st.sampled_from([None, "a", "b", "c"]),
+            st.sampled_from([None, 1.0, 2.5]),
+        ),
+        max_size=6,
+    )
+    _fact_state = st.dictionaries(
+        st.integers(0, 7),
+        st.tuples(
+            st.sampled_from([None, 0, 1, 2, 3, 4, 5, 9]),  # 9 = dangling FK
+            st.integers(0, 50),
+        ),
+        max_size=8,
+    )
+
+    @settings(max_examples=12, deadline=None)
+    @given(_fact_state, _fact_state, _dim_state, _dim_state)
+    def test_property_refresh_equals_recompute(
+        spark, f_old, f_new, d_old, d_new
+    ):
+        """For ARBITRARY snapshot transitions (adds/removes/changes on
+        both bases, NULL FKs, FK moves, dangling FKs, NULL dim
+        attributes, empty snapshots), refresh(view(old), Δf, Δd) must
+        equal view(new) recomputed — the operator's whole contract,
+        beyond the hand-picked scenarios above."""
+        old_f = _fact(spark, [(k, dk, float(a)) for k, (dk, a) in f_old.items()])
+        new_f = _fact(spark, [(k, dk, float(a)) for k, (dk, a) in f_new.items()])
+        old_d = _dim(spark, [(k, s, sc) for k, (s, sc) in d_old.items()])
+        new_d = _dim(spark, [(k, s, sc) for k, (s, sc) in d_new.items()])
+        out = _refresh(_view(old_f, old_d), old_f, new_f, old_d, new_d)
+        assert _rows(out) == _rows(_view(new_f, new_d))
+
+
 def test_rejects_missing_key_columns(spark, scenario):
     old_f, new_f, old_d, new_d = scenario
     with pytest.raises(ValueError, match="not a fact column"):
