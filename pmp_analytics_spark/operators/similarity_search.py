@@ -116,6 +116,45 @@ def brute_force_topk(
     return _topk_per_query(scored, k, query_id, corpus_id, sim_name)
 
 
+def hard_negative_topk(
+    corpus: DataFrame,
+    anchors: DataFrame,
+    k: int = 10,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    label_col: str = "label",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    query_label: str = "query_label",
+    sim_name: str = "cosine_sim",
+) -> DataFrame:
+    """HARD-NEGATIVE MINING for contrastive / embedding-model training
+    (the DPR / SimCSE / E5 data-prep step): per anchor, the top-k
+    most-similar corpus vectors whose label DIFFERS from the anchor's —
+    the negatives nearest the decision boundary, which carry most of the
+    contrastive gradient. Same execution shape as ``brute_force_topk``
+    (anchors broadcast, corpus scanned once, exact two-window top-k cut
+    so no reducer sees a full score column); the label-mismatch filter
+    lands BEFORE ranking, map-side on the scan. Rows with NULL labels on
+    either side are excluded (``!=`` is null-rejecting — an unlabeled
+    vector is not a certified negative). At IVF/PQ scale the same filter
+    composes into those scorers' candidate stages; this exact form is
+    the baseline and the evaluator.
+    """
+    scored = (
+        corpus.crossJoin(F.broadcast(anchors))
+        .where(F.col(label_col) != F.col(query_label))
+        .select(
+            F.col(query_id),
+            F.col(corpus_id),
+            F.round(cosine(F.col(corpus_vec), F.col(query_vec)), 6).alias(
+                sim_name
+            ),
+        )
+    )
+    return _topk_per_query(scored, k, query_id, corpus_id, sim_name)
+
+
 def range_search(
     corpus: DataFrame,
     queries: DataFrame,

@@ -79,6 +79,7 @@ _RECORD_FRONT = (
     "purchase_state_pointintime", "orders_customer_join_mv",
     "streaming_join_mv", "nation_trade_pagerank",
     "docs_decontamination_report", "lineitem_star_join_mv",
+    "embedding_hard_negatives", "streaming_pagerank_cdc",
 )
 
 

@@ -1359,7 +1359,7 @@ _PR_DAMPING = 0.85
 _PR_ITERS = 8
 
 
-def _pagerank_unrolled_oracle() -> str:
+def _pagerank_unrolled_oracle(edges_filter: str = "") -> str:
     d = _PR_DAMPING
     steps = []
     for t in range(1, _PR_ITERS + 1):
@@ -1390,7 +1390,9 @@ def _pagerank_unrolled_oracle() -> str:
         JOIN orders o ON l.l_orderkey = o.o_orderkey
         JOIN customer c ON o.o_custkey = c.c_custkey
         JOIN supplier s ON l.l_suppkey = s.s_suppkey
-        WHERE c.c_nationkey <> s.s_nationkey
+        WHERE c.c_nationkey <> s.s_nationkey"""
+        + edges_filter
+        + """
         GROUP BY 1, 2
     ), out_w AS MATERIALIZED (
         SELECT src, SUM(w) AS out_w FROM edges GROUP BY src
@@ -1414,23 +1416,26 @@ def _pagerank_unrolled_oracle() -> str:
     )
 
 
-@query("nation_trade_pagerank", _pagerank_unrolled_oracle())
-def nation_trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pmp_analytics_spark.operators.graph import pagerank
-
+def _trade_edges(spark: SparkSession, sf_dir: str, order_filter=None) -> DataFrame:
+    """(src, dst, w) cross-border trade edges: customer nation →
+    supplier nation, weighted by exact lineitem cents; optionally
+    restricted to the orders satisfying ``order_filter`` (the snapshot
+    derivations of the CDC-maintained variant)."""
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_extendedprice"
     )
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey"
     )
+    if order_filter is not None:
+        orders = orders.where(order_filter)
     cust = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_nationkey"
     )
     supp = load_table(spark, sf_dir, "supplier").select(
         "s_suppkey", "s_nationkey"
     )
-    edges = (
+    return (
         li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
         .join(F.broadcast(cust), F.col("o_custkey") == cust["c_custkey"])
         .join(F.broadcast(supp), F.col("l_suppkey") == supp["s_suppkey"])
@@ -1445,6 +1450,11 @@ def nation_trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+def _named_ranks(spark: SparkSession, sf_dir: str, edges: DataFrame) -> DataFrame:
+    from pmp_analytics_spark.operators.graph import pagerank
+
     ranks = pagerank(
         edges, "src", "dst", "w", damping=_PR_DAMPING, iterations=_PR_ITERS
     )
@@ -1452,6 +1462,68 @@ def nation_trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.join(
         F.broadcast(nation), ranks["node"] == nation["n_nationkey"]
     ).select("n_name", F.round("rank", 6).alias("pagerank"))
+
+
+@query("nation_trade_pagerank", _pagerank_unrolled_oracle())
+def nation_trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _named_ranks(spark, sf_dir, _trade_edges(spark, sf_dir))
+
+
+# --------------------------------------------------------------------------
+# Q: streaming_pagerank_cdc — derived GRAPH ANALYTICS kept current from a
+# CDC feed: the edge table (a keyed snapshot on (src, dst)) is maintained
+# through cdc_apply_stream + apply_snapshot_delta (three micro-batches of
+# edge adds/removes/weight changes from an order-universe transition),
+# then PageRank recomputes over the maintained snapshot — the production
+# cadence for graph signals (maintain edges incrementally, recompute the
+# fixed-point periodically; incremental rank approximations trade
+# correctness for latency and are not taken here). Oracle: the unrolled
+# PageRank over the NEW order universe directly — maintained-then-ranked
+# == derived-then-ranked is the claim.
+# --------------------------------------------------------------------------
+@query(
+    "streaming_pagerank_cdc",
+    _pagerank_unrolled_oracle(" AND o.o_orderkey % 17 <> 3"),
+)
+def streaming_pagerank_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from pmp_analytics_spark.operators.diff import (
+        apply_snapshot_delta,
+        snapshot_delta,
+    )
+    from pmp_analytics_spark.sources.writers import (
+        publish_versioned,
+        read_latest,
+    )
+    from pmp_analytics_spark.streaming import stream_workdir
+    from pmp_analytics_spark.streaming.mv import cdc_apply_stream
+
+    old_e = _trade_edges(spark, sf_dir, F.col("o_orderkey") % 13 != 5)
+    new_e = _trade_edges(spark, sf_dir, F.col("o_orderkey") % 17 != 3)
+    work = stream_workdir("pmp_pagerank_cdc")
+    root = os.path.join(work, "edges")
+    feed = os.path.join(work, "cdc")
+    snapshot_delta(old_e, new_e, ["src", "dst"]).repartition(3).write.parquet(
+        feed
+    )
+    publish_versioned(old_e.coalesce(1), root)
+    schema = spark.read.parquet(feed).schema
+    cdc_apply_stream(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed),
+        root,
+        lambda cur, batch: apply_snapshot_delta(cur, batch, ["src", "dst"]),
+        checkpoint_dir=os.path.join(work, "ckpt"),
+    )
+    out = _named_ranks(
+        spark, sf_dir, read_latest(spark, root)
+    ).localCheckpoint(eager=True)
+    import shutil
+
+    shutil.rmtree(work, ignore_errors=True)
+    return out
 
 
 # --------------------------------------------------------------------------

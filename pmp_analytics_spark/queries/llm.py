@@ -698,6 +698,52 @@ def embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Q: embedding_hard_negatives — hard-negative mining for contrastive
+# training (operators/similarity_search.py::hard_negative_topk): per
+# anchor vector, the top-k most-similar vectors of a DIFFERENT label —
+# the negatives nearest the decision boundary (the DPR/SimCSE data-prep
+# step). Anchors broadcast, label-mismatch filter map-side before the
+# exact two-window top-k cut. Oracle: the same scored ranking with the
+# label filter in SQL.
+# --------------------------------------------------------------------------
+@query(
+    "embedding_hard_negatives",
+    f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding AS qv, label AS qlabel
+        FROM embeddings WHERE vec_id < {_NQ}
+    ), scored AS (
+        SELECT q.query_id, e.vec_id,
+               ROUND(LIST_COSINE_SIMILARITY(
+                   CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])), 6) AS cosine_sim
+        FROM embeddings e CROSS JOIN q
+        WHERE e.label <> q.qlabel
+    ), ranked AS (
+        SELECT query_id, vec_id, cosine_sim,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cosine_sim DESC, vec_id) AS rank
+        FROM scored
+    )
+    SELECT query_id, vec_id, cosine_sim, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= {_TOPK}
+    """,
+)
+def embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pmp_analytics_spark.operators.similarity_search import (
+        hard_negative_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    anchors = emb.where(F.col("vec_id") < _NQ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+        F.col("label").alias("query_label"),
+    )
+    out = hard_negative_topk(emb, anchors, k=_TOPK)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+# --------------------------------------------------------------------------
 # Q: embedding_label_centroids — per-label mean embedding summary (the
 # aggregation side of embedding analytics; array-wise avg via posexplode).
 # --------------------------------------------------------------------------
