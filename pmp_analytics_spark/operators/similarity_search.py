@@ -83,11 +83,16 @@ def brute_force_topk(
     query_vec: str = "query_vec",
     sim_name: str = "cosine_sim",
     exclude_self: bool = False,
+    pair_filter: Column | None = None,
 ) -> DataFrame:
     """Exact top-k neighbors per query by cosine similarity.
     ``exclude_self`` drops corpus_id == query_id rows BEFORE ranking
     (retrieval evaluation shape — the trivial self-match neither fills a
-    rank slot nor shifts the others).
+    rank slot nor shifts the others); ``pair_filter`` is an arbitrary
+    per-(corpus, query)-pair predicate applied at the same point, over
+    any columns of either side (``hard_negative_topk``'s label
+    mismatch) — one definition of the scoring/rounding/tie-break
+    convention serves every filtered variant.
 
     ``queries`` is broadcast; scoring is map-side over the corpus scan.
     The top-k cut happens in TWO windows so no reducer ever sees the
@@ -106,7 +111,10 @@ def brute_force_topk(
     both windows order by the same rounded score with the same corpus-id
     tie-break, so a row cut locally can never belong to the global top-k.
     """
-    scored = corpus.crossJoin(F.broadcast(queries)).select(
+    paired = corpus.crossJoin(F.broadcast(queries))
+    if pair_filter is not None:
+        paired = paired.where(pair_filter)
+    scored = paired.select(
         F.col(query_id),
         F.col(corpus_id),
         F.round(cosine(F.col(corpus_vec), F.col(query_vec)), 6).alias(sim_name),
@@ -141,18 +149,17 @@ def hard_negative_topk(
     composes into those scorers' candidate stages; this exact form is
     the baseline and the evaluator.
     """
-    scored = (
-        corpus.crossJoin(F.broadcast(anchors))
-        .where(F.col(label_col) != F.col(query_label))
-        .select(
-            F.col(query_id),
-            F.col(corpus_id),
-            F.round(cosine(F.col(corpus_vec), F.col(query_vec)), 6).alias(
-                sim_name
-            ),
-        )
+    return brute_force_topk(
+        corpus,
+        anchors,
+        k=k,
+        corpus_id=corpus_id,
+        corpus_vec=corpus_vec,
+        query_id=query_id,
+        query_vec=query_vec,
+        sim_name=sim_name,
+        pair_filter=F.col(label_col) != F.col(query_label),
     )
-    return _topk_per_query(scored, k, query_id, corpus_id, sim_name)
 
 
 def range_search(

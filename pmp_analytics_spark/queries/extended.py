@@ -1504,10 +1504,13 @@ def streaming_pagerank_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     work = stream_workdir("pmp_pagerank_cdc")
     root = os.path.join(work, "edges")
     feed = os.path.join(work, "cdc")
-    snapshot_delta(old_e, new_e, ["src", "dst"]).repartition(3).write.parquet(
-        feed
-    )
+    # seed FIRST, derive the delta from the published parquet read-back:
+    # the old side's 4-table edge aggregation runs once, not once per
+    # consumer
     publish_versioned(old_e.coalesce(1), root)
+    snapshot_delta(
+        read_latest(spark, root), new_e, ["src", "dst"]
+    ).repartition(3).write.parquet(feed)
     schema = spark.read.parquet(feed).schema
     cdc_apply_stream(
         spark.readStream.schema(schema)

@@ -668,16 +668,20 @@ _TOPK = 5
 _NQ = 10
 
 
-@query(
-    "embedding_topk",
-    f"""
+def _topk_oracle(extra_q_cols: str = "", pair_where: str = "") -> str:
+    """The brute-force cosine top-k oracle, shared by every filtered
+    variant so the ROUND precision / tie-break / rank-cast convention
+    cannot drift between them (``extra_q_cols`` extends the query-side
+    projection; ``pair_where`` filters the scored cross join)."""
+    return f"""
     WITH q AS (
-        SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < {_NQ}
+        SELECT vec_id AS query_id, embedding AS qv{extra_q_cols}
+        FROM embeddings WHERE vec_id < {_NQ}
     ), scored AS (
         SELECT q.query_id, e.vec_id,
                ROUND(LIST_COSINE_SIMILARITY(
                    CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])), 6) AS cosine_sim
-        FROM embeddings e CROSS JOIN q
+        FROM embeddings e CROSS JOIN q{pair_where}
     ), ranked AS (
         SELECT query_id, vec_id, cosine_sim,
                ROW_NUMBER() OVER (PARTITION BY query_id
@@ -686,8 +690,10 @@ _NQ = 10
     )
     SELECT query_id, vec_id, cosine_sim, CAST(rank AS BIGINT) AS rank
     FROM ranked WHERE rank <= {_TOPK}
-    """,
-)
+    """
+
+
+@query("embedding_topk", _topk_oracle())
 def embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries_df = emb.where(F.col("vec_id") < _NQ).select(
@@ -708,25 +714,10 @@ def embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @query(
     "embedding_hard_negatives",
-    f"""
-    WITH q AS (
-        SELECT vec_id AS query_id, embedding AS qv, label AS qlabel
-        FROM embeddings WHERE vec_id < {_NQ}
-    ), scored AS (
-        SELECT q.query_id, e.vec_id,
-               ROUND(LIST_COSINE_SIMILARITY(
-                   CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])), 6) AS cosine_sim
-        FROM embeddings e CROSS JOIN q
-        WHERE e.label <> q.qlabel
-    ), ranked AS (
-        SELECT query_id, vec_id, cosine_sim,
-               ROW_NUMBER() OVER (PARTITION BY query_id
-                                  ORDER BY cosine_sim DESC, vec_id) AS rank
-        FROM scored
-    )
-    SELECT query_id, vec_id, cosine_sim, CAST(rank AS BIGINT) AS rank
-    FROM ranked WHERE rank <= {_TOPK}
-    """,
+    _topk_oracle(
+        extra_q_cols=", label AS qlabel",
+        pair_where="\n        WHERE e.label <> q.qlabel",
+    ),
 )
 def embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pmp_analytics_spark.operators.similarity_search import (

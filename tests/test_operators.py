@@ -282,6 +282,47 @@ def test_brute_force_topk_matches_numpy(spark):
     assert got[0] == 0 and out[0]["cosine_sim"] <= 1.0
 
 
+def test_hard_negative_topk_label_and_null_semantics(spark):
+    """Hard-negative mining: only DIFFERENT-label vectors rank, NULL
+    labels on either side are excluded (an unlabeled vector is not a
+    certified negative — eqNullSafe semantics would silently certify
+    them), and ranking matches the numpy cosine order over the
+    surviving candidates."""
+    import numpy as np
+
+    from pmp_analytics_spark.operators.similarity_search import (
+        hard_negative_topk,
+    )
+
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(size=(20, 6)).astype("float32")
+    labels = [0, 1, None] * 6 + [0, 1]  # vec_id % 3 == 2 -> unlabeled
+    corpus = spark.createDataFrame(
+        [
+            (i, [float(x) for x in vecs[i]], labels[i])
+            for i in range(20)
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    anchors = spark.createDataFrame(
+        [
+            (0, [float(x) for x in vecs[0]], 0),  # labeled anchor
+            (2, [float(x) for x in vecs[2]], None),  # unlabeled anchor
+        ],
+        "query_id long, query_vec array<float>, query_label int",
+    )
+    out = hard_negative_topk(corpus, anchors, k=4).collect()
+    assert {r["query_id"] for r in out} == {0}  # NULL anchor yields nothing
+    got = [r["vec_id"] for r in sorted(out, key=lambda r: r["rank"])]
+    assert all(labels[i] == 1 for i in got)  # different AND non-null only
+    sims = vecs @ vecs[0] / (
+        np.linalg.norm(vecs, axis=1) * np.linalg.norm(vecs[0])
+    )
+    cand = [i for i in range(20) if labels[i] == 1]
+    expected = sorted(cand, key=lambda i: (-round(sims[i], 6), i))[:4]
+    assert got == expected
+
+
 def test_lsh_topk_self_hit(spark):
     import numpy as np
 
