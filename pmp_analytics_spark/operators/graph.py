@@ -34,11 +34,22 @@ def pagerank(
     node_col: str = "node",
     rank_col: str = "rank",
     checkpoint_every: int = 1,
+    teleport: DataFrame | None = None,
+    teleport_node: str = "node",
+    teleport_weight: str = "t_w",
 ) -> DataFrame:
     """Weighted PageRank over ``edges`` with a FIXED iteration count.
 
     r_{t+1}(v) = (1-d)/N + d · ( Σ_{(u,v)∈E} r_t(u) · w(u,v)/out_w(u)
                                  + dangling_mass_t / N )
+
+    With ``teleport`` (a (node, weight) frame) this becomes PERSONALIZED
+    PageRank: 1/N is replaced everywhere by t(v) — the teleport weights
+    normalized over the GRAPH's nodes (absent nodes get 0; a
+    non-positive total raises) — the restart lands on the seed set, the
+    dangling mass redistributes to it, and r_0 = t. Σr = 1 still holds
+    at every step. The seed-biased relevance ranking of
+    random-walk-with-restart similarity.
 
     Nodes are every distinct endpoint; ``weight=None`` counts each edge
     as 1; parallel edges pre-aggregate. Dangling nodes (no out-edges —
@@ -115,7 +126,29 @@ def pagerank(
         return nodes.select(
             F.col("__node").alias(node_col), F.lit(0.0).alias(rank_col)
         )
-    ranks = nodes.select("__node", F.lit(1.0 / n).alias("__r"))
+    nodes_t = None
+    if teleport is not None:
+        t_raw = teleport.select(
+            F.col(teleport_node).alias("__node"),
+            F.col(teleport_weight).cast("double").alias("__tw"),
+        )
+        nodes_t = nodes.join(t_raw, "__node", "left").select(
+            "__node", F.coalesce("__tw", F.lit(0.0)).alias("__tw")
+        )
+        tot = nodes_t.agg(F.sum("__tw")).collect()[0][0] or 0.0
+        if tot <= 0:
+            raise ValueError(
+                "pagerank: teleport weights must have a positive total "
+                "over the graph's nodes"
+            )
+        nodes_t = nodes_t.select(
+            "__node", (F.col("__tw") / F.lit(float(tot))).alias("__t")
+        )
+        if iterations > 0:
+            nodes_t = nodes_t.localCheckpoint(eager=True)
+        ranks = nodes_t.select("__node", F.col("__t").alias("__r"))
+    else:
+        ranks = nodes.select("__node", F.lit(1.0 / n).alias("__r"))
     has_out = out_w.select(F.col("__src").alias("__node"))
     if iterations > 0:
         has_out = has_out.localCheckpoint(eager=True)
@@ -130,20 +163,21 @@ def pagerank(
             .groupBy("__dst")
             .agg(F.sum(F.col("__r") * F.col("__p")).alias("__in"))
         )
-        ranks = (
-            nodes.join(inc, nodes["__node"] == inc["__dst"], "left")
-            .crossJoin(F.broadcast(dang))
-            .select(
-                "__node",
-                (
-                    F.lit((1.0 - damping) / n)
-                    + F.lit(damping)
-                    * (
-                        F.coalesce(F.col("__in"), F.lit(0.0))
-                        + F.col("__dm") / F.lit(float(n))
-                    )
-                ).alias("__r"),
+        base = nodes_t if nodes_t is not None else nodes
+        if nodes_t is not None:
+            update = F.lit(1.0 - damping) * F.col("__t") + F.lit(damping) * (
+                F.coalesce(F.col("__in"), F.lit(0.0))
+                + F.col("__dm") * F.col("__t")
             )
+        else:
+            update = F.lit((1.0 - damping) / n) + F.lit(damping) * (
+                F.coalesce(F.col("__in"), F.lit(0.0))
+                + F.col("__dm") / F.lit(float(n))
+            )
+        ranks = (
+            base.join(inc, base["__node"] == inc["__dst"], "left")
+            .crossJoin(F.broadcast(dang))
+            .select("__node", update.alias("__r"))
         )
         if checkpoint_every and (i + 1) % checkpoint_every == 0 and (
             i + 1

@@ -80,6 +80,7 @@ _RECORD_FRONT = (
     "streaming_join_mv", "nation_trade_pagerank",
     "docs_decontamination_report", "lineitem_star_join_mv",
     "embedding_hard_negatives", "streaming_pagerank_cdc",
+    "nation_trade_ppr",
 )
 
 

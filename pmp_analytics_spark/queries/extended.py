@@ -1416,6 +1416,72 @@ def _pagerank_unrolled_oracle(edges_filter: str = "") -> str:
     )
 
 
+def _ppr_unrolled_oracle() -> str:
+    """Personalized-PageRank oracle: same unrolled-step strategy as
+    ``_pagerank_unrolled_oracle``, with 1/N replaced by the teleport
+    distribution t(v) (region-0 nations, normalized over graph nodes)
+    everywhere — restart, dangling redistribution, and r0."""
+    d = _PR_DAMPING
+    steps = []
+    for t in range(1, _PR_ITERS + 1):
+        p = f"r{t - 1}"
+        steps.append(
+            f""", inc{t} AS MATERIALIZED (
+        SELECT e.dst AS node, SUM(r.r * e.p) AS s
+        FROM norm e JOIN {p} r ON e.src = r.node GROUP BY e.dst
+    ), dang{t} AS MATERIALIZED (
+        SELECT COALESCE(SUM(r.r), 0.0) AS dm
+        FROM {p} r LEFT JOIN out_w o ON r.node = o.src
+        WHERE o.src IS NULL
+    ), r{t} AS MATERIALIZED (
+        SELECT n.node,
+               (1 - {d}) * n.t + {d} * (COALESCE(i.s, 0.0) + dg.dm * n.t) AS r
+        FROM tele n
+        LEFT JOIN inc{t} i ON n.node = i.node
+        CROSS JOIN dang{t} dg
+    )"""
+        )
+    return (
+        """
+    WITH edges AS MATERIALIZED (
+        SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+               SUM(CAST(FLOOR(l.l_extendedprice * 100) AS BIGINT)) AS w
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        WHERE c.c_nationkey <> s.s_nationkey
+        GROUP BY 1, 2
+    ), out_w AS MATERIALIZED (
+        SELECT src, SUM(w) AS out_w FROM edges GROUP BY src
+    ), norm AS MATERIALIZED (
+        SELECT e.src, e.dst,
+               CAST(e.w AS DOUBLE) / CAST(o.out_w AS DOUBLE) AS p
+        FROM edges e JOIN out_w o ON e.src = o.src
+    ), nodes AS MATERIALIZED (
+        SELECT DISTINCT src AS node FROM edges
+        UNION SELECT DISTINCT dst FROM edges
+    ), seeds AS MATERIALIZED (
+        SELECT n_nationkey AS node, 1.0 AS w FROM nation WHERE n_regionkey = 0
+    ), tele AS MATERIALIZED (
+        SELECT n.node, COALESCE(s.w, 0.0) / tt.tot AS t
+        FROM nodes n
+        LEFT JOIN seeds s ON n.node = s.node
+        CROSS JOIN (
+            SELECT SUM(COALESCE(s2.w, 0.0)) AS tot
+            FROM nodes n2 LEFT JOIN seeds s2 ON n2.node = s2.node
+        ) tt
+    ), r0 AS MATERIALIZED (
+        SELECT node, t AS r FROM tele
+    )"""
+        + "".join(steps)
+        + f"""
+    SELECT nt.n_name, ROUND(r.r, 6) AS pagerank
+    FROM r{_PR_ITERS} r JOIN nation nt ON r.node = nt.n_nationkey
+    """
+    )
+
+
 def _trade_edges(spark: SparkSession, sf_dir: str, order_filter=None) -> DataFrame:
     """(src, dst, w) cross-border trade edges: customer nation →
     supplier nation, weighted by exact lineitem cents; optionally
@@ -1467,6 +1533,37 @@ def _named_ranks(spark: SparkSession, sf_dir: str, edges: DataFrame) -> DataFram
 @query("nation_trade_pagerank", _pagerank_unrolled_oracle())
 def nation_trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _named_ranks(spark, sf_dir, _trade_edges(spark, sf_dir))
+
+
+# --------------------------------------------------------------------------
+# Q: nation_trade_ppr — PERSONALIZED PageRank (random walk with restart):
+# the teleport distribution concentrates on region-0 nations, so ranks
+# measure trade influence AS SEEN FROM that region's restart set — the
+# seed-biased relevance ranking (who do region-0 economies ultimately
+# fund?). Same operator, teleport frame passed in; the dangling mass and
+# r0 follow the teleport too. Oracle: the unrolled steps with 1/N
+# replaced by t(v) throughout.
+# --------------------------------------------------------------------------
+@query("nation_trade_ppr", _ppr_unrolled_oracle())
+def nation_trade_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pmp_analytics_spark.operators.graph import pagerank
+
+    nation = load_table(spark, sf_dir, "nation")
+    seeds = nation.where(F.col("n_regionkey") == 0).select(
+        F.col("n_nationkey").alias("node"), F.lit(1.0).alias("t_w")
+    )
+    ranks = pagerank(
+        _trade_edges(spark, sf_dir),
+        "src",
+        "dst",
+        "w",
+        damping=_PR_DAMPING,
+        iterations=_PR_ITERS,
+        teleport=seeds,
+    )
+    return ranks.join(
+        F.broadcast(nation), ranks["node"] == nation["n_nationkey"]
+    ).select("n_name", F.round("rank", 6).alias("pagerank"))
 
 
 # --------------------------------------------------------------------------

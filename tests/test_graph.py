@@ -10,8 +10,9 @@ import pytest
 from pmp_analytics_spark.operators.graph import pagerank
 
 
-def _np_pagerank(n, edges, damping, iterations):
-    """Dense reference: edges = [(src, dst, w)], nodes = 0..n-1."""
+def _np_pagerank(n, edges, damping, iterations, teleport=None):
+    """Dense reference: edges = [(src, dst, w)], nodes = 0..n-1;
+    ``teleport`` = unnormalized weight array or None for uniform."""
     P = np.zeros((n, n))
     w_out = np.zeros(n)
     for s, d, w in edges:
@@ -20,10 +21,16 @@ def _np_pagerank(n, edges, damping, iterations):
     for s in range(n):
         if w_out[s] > 0:
             P[s] /= w_out[s]
-    r = np.full(n, 1.0 / n)
+    if teleport is None:
+        t = np.full(n, 1.0 / n)
+        r = t.copy()
+    else:
+        t = np.asarray(teleport, dtype=float)
+        t = t / t.sum()
+        r = t.copy()
     for _ in range(iterations):
         dangling = r[w_out == 0].sum()
-        r = (1 - damping) / n + damping * (r @ P + dangling / n)
+        r = (1 - damping) * t + damping * (r @ P + dangling * t)
     return r
 
 
@@ -96,6 +103,47 @@ def test_zero_weight_source_is_dangling(spark):
     for i in range(3):
         assert got[i] == pytest.approx(want[i], abs=1e-12)
     assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_personalized_matches_numpy_and_biases_seeds(spark):
+    """PPR on a symmetric ring with the teleport concentrated on node 0:
+    matches the NumPy reference (restart, dangling-to-teleport, r0 = t)
+    and is NON-flat — uniform PageRank on the same ring is exactly flat,
+    so any bias must come from the teleport. (Where the mass sits is a
+    fixed-iteration artifact — the restart pulse travels the directed
+    ring as a wave, peaking at node 3 after 8 steps — so the positional
+    claim is exactly the NumPy agreement, not a structural guess.)"""
+    edges = [(i, (i + 1) % 5, 1) for i in range(5)]
+    tele = spark.createDataFrame([(0, 1.0)], "node long, t_w double")
+    got = _ranks(
+        pagerank(_edges_df(spark, edges), "src", "dst", "w", teleport=tele)
+    )
+    want = _np_pagerank(5, edges, 0.85, 8, teleport=[1, 0, 0, 0, 0])
+    for i in range(5):
+        assert got[i] == pytest.approx(want[i], abs=1e-12)
+    assert len({round(v, 9) for v in got.values()}) > 1  # non-flat
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_personalized_dangling_mass_returns_to_seed(spark):
+    """With a dangling node, the lost mass must restart at the TELEPORT
+    set (not uniformly) — NumPy agrees and sum(r) = 1 holds."""
+    edges = [(0, 1, 1), (1, 2, 1)]  # 2 dangles
+    tele = spark.createDataFrame([(0, 3.0), (1, 1.0)], "node long, t_w double")
+    got = _ranks(
+        pagerank(_edges_df(spark, edges), "src", "dst", "w", teleport=tele)
+    )
+    want = _np_pagerank(3, edges, 0.85, 8, teleport=[3, 1, 0])
+    for i in range(3):
+        assert got[i] == pytest.approx(want[i], abs=1e-12)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_personalized_rejects_zero_total_teleport(spark):
+    edges = [(0, 1, 1)]
+    tele = spark.createDataFrame([(99, 1.0)], "node long, t_w double")
+    with pytest.raises(ValueError, match="teleport"):
+        pagerank(_edges_df(spark, edges), "src", "dst", "w", teleport=tele)
 
 
 def test_empty_graph(spark):
