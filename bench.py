@@ -140,9 +140,11 @@ def main() -> int:
     compact["queries"] = {}
     budget = 1900 - len(json.dumps(compact))
     for name, t in sorted(timings.items(), key=lambda kv: -kv[1]):
+        if budget < 20:  # even the shortest plausible entry can't fit
+            break
         entry_len = len(json.dumps({name: t})) + 1
         if entry_len > budget:
-            break
+            continue  # skip the long-named entry, keep packing shorter ones
         compact["queries"][name] = t
         budget -= entry_len
     print(json.dumps(compact))

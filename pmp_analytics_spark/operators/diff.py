@@ -469,12 +469,31 @@ def star_mv_refresh(
     view, one row per fact key, delta compare-columns covering the
     view's columns, view side never shuffled.
     """
-    all_dim_cols = {c for d in dims for c in d.cols}
+    # Column routing is BY NAME (a view column named in DimSpec.cols is a
+    # dim attribute; everything else is fact), so name collisions would
+    # silently misroute patch/insert projections — reject them up front.
+    seen: dict[str, int] = {}
+    for i, d in enumerate(dims):
+        for c in d.cols:
+            if c in seen:
+                raise ValueError(
+                    f"star_mv_refresh: column {c!r} claimed by both "
+                    f"dims[{seen[c]}] and dims[{i}] — dim attribute "
+                    "sets must be disjoint (alias one in the view)"
+                )
+            seen[c] = i
+    all_dim_cols = set(seen)
     fact_cols = [c for c in mv.columns if c not in all_dim_cols]
     for need in [fact_key] + [d.fk for d in dims]:
         if need not in fact_cols:
             raise ValueError(
-                f"star_mv_refresh: {need!r} not a fact column of mv"
+                f"star_mv_refresh: {need!r} not a fact column of mv "
+                "(missing, or shadowed by a DimSpec attribute column)"
+            )
+    for c in all_dim_cols:
+        if c not in mv.columns:
+            raise ValueError(
+                f"star_mv_refresh: DimSpec column {c!r} not in the view"
             )
 
     def bcast(df: DataFrame) -> DataFrame:

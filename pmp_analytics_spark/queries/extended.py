@@ -1395,7 +1395,10 @@ def _pagerank_unrolled_oracle(edges_filter: str = "") -> str:
         + """
         GROUP BY 1, 2
     ), out_w AS MATERIALIZED (
+        -- HAVING mirrors graph.py's `__out > 0` guard: zero/negative
+        -- total-weight sources are dangling in BOTH formulations
         SELECT src, SUM(w) AS out_w FROM edges GROUP BY src
+        HAVING SUM(w) > 0
     ), norm AS MATERIALIZED (
         SELECT e.src, e.dst,
                CAST(e.w AS DOUBLE) / CAST(o.out_w AS DOUBLE) AS p
@@ -1453,7 +1456,10 @@ def _ppr_unrolled_oracle() -> str:
         WHERE c.c_nationkey <> s.s_nationkey
         GROUP BY 1, 2
     ), out_w AS MATERIALIZED (
+        -- HAVING mirrors graph.py's `__out > 0` guard: zero/negative
+        -- total-weight sources are dangling in BOTH formulations
         SELECT src, SUM(w) AS out_w FROM edges GROUP BY src
+        HAVING SUM(w) > 0
     ), norm AS MATERIALIZED (
         SELECT e.src, e.dst,
                CAST(e.w AS DOUBLE) / CAST(o.out_w AS DOUBLE) AS p

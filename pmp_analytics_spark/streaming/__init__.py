@@ -24,16 +24,29 @@ __all__ = [
 ]
 
 
+_STALE_WORKDIR_SECONDS = 3600.0
+
+
 def stream_workdir(name: str) -> str:
     """Fresh working directory for a demo streaming query, under one
-    fixed per-query parent: the parent is PURGED first (the backstop for
-    crashed runs, whose dirs would otherwise leak until the next
-    invocation), then a unique dir is created inside it. Callers remove
-    their dir on success (after localCheckpoint-ing anything they
-    return); the shared definition keeps the crashed-run semantics in
-    one place instead of seven."""
+    fixed per-query parent. Only STALE children (mtime older than an
+    hour — crashed runs, whose dirs would otherwise leak forever) are
+    purged; a concurrent invocation of the same query (overlapping
+    bench/correctness runs on one host) therefore never loses its live
+    checkpoint/state dirs mid-stream. Callers remove their own dir on
+    success (after localCheckpoint-ing anything they return); the
+    shared definition keeps the crashed-run semantics in one place
+    instead of seven."""
+    import time
+
     parent = os.path.join(tempfile.gettempdir(), name)
-    if os.path.isdir(parent):
-        shutil.rmtree(parent, ignore_errors=True)
     os.makedirs(parent, exist_ok=True)
+    cutoff = time.time() - _STALE_WORKDIR_SECONDS
+    for child in os.listdir(parent):
+        path = os.path.join(parent, child)
+        try:
+            if os.path.getmtime(path) < cutoff:
+                shutil.rmtree(path, ignore_errors=True)
+        except OSError:
+            pass  # raced with a concurrent cleanup; nothing to do
     return tempfile.mkdtemp(dir=parent)

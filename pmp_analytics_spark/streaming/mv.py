@@ -44,11 +44,12 @@ def parse_batch_marker(mk: str | None) -> int | None:
     (``v2024-01``, ``repair-1``) is not, and neither is a bare number:
     a date-stamped ``20240101`` parsed as a batch id would satisfy
     ``committed >= batch_id`` for every real batch and silently skip
-    them all — worse than any crash. A lineage published by a
-    pre-namespace version of these loops therefore loses its replay
-    guard on the FIRST batch after upgrade (one potential double-apply
-    per root, visible in the published history) rather than carrying a
-    misparse hazard forever.
+    them all — worse than any crash. Lineages published by a
+    pre-namespace version of these loops are handled by
+    ``migrate_legacy_marker`` (run at loop start), which rewrites the
+    live bare-integer marker as ``batch:<id>`` before any batch is
+    applied — so the replay guard survives the format upgrade and this
+    parser can stay strict forever.
     """
     if mk is None or not mk.startswith(_MARKER_PREFIX):
         return None
@@ -56,6 +57,26 @@ def parse_batch_marker(mk: str | None) -> int | None:
         return int(mk[len(_MARKER_PREFIX) :])
     except ValueError:
         return None
+
+
+def migrate_legacy_marker(spark, root: str) -> None:
+    """One-time upgrade of a pre-namespace bare-integer batch marker to
+    ``batch:<id>``, run by every maintenance loop BEFORE its stream
+    starts. A root these loops maintain only ever carries markers the
+    loops themselves published, so a bare integer there IS a legacy
+    batch id — rewriting it (metadata-only, live version in place)
+    restores the replay guard across the format upgrade instead of
+    silently dropping it for the first post-upgrade batch. Roots shared
+    with OTHER publishers using bare-numeric semantic markers were
+    never valid inputs to these loops in either regime."""
+    from pmp_analytics_spark.sources.writers import (
+        latest_marker,
+        rewrite_live_marker,
+    )
+
+    mk = latest_marker(spark, root)
+    if mk is not None and mk.isdigit():
+        rewrite_live_marker(spark, root, batch_marker(int(mk)))
 
 
 def cdc_apply_stream(
@@ -90,6 +111,7 @@ def cdc_apply_stream(
     )
 
     spark = delta_stream.sparkSession
+    migrate_legacy_marker(spark, root)
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         committed = parse_batch_marker(latest_marker(spark, root))
@@ -203,6 +225,8 @@ def cdc_join_mv_stream(
     from pyspark.sql import functions as F
 
     spark = delta_stream.sparkSession
+    migrate_legacy_marker(spark, dim_root)
+    migrate_legacy_marker(spark, view_root)
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():

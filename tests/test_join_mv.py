@@ -367,3 +367,38 @@ def test_rejects_missing_key_columns(spark, scenario):
             "dk_",
             ["seg", "score"],
         )
+
+
+def test_star_rejects_overlapping_or_shadowing_dim_cols(spark):
+    """ADVICE r7: star_mv_refresh routes columns BY NAME, so two dims
+    claiming the same attribute, a dim attribute shadowing the fact
+    key/FK, or a DimSpec column absent from the view must all raise
+    instead of silently misrouting the patch/insert projections."""
+    from pmp_analytics_spark.operators.diff import DimSpec, star_mv_refresh
+
+    fact = "fk long, d1 long, d2 long, amt double"
+    f = spark.createDataFrame([(1, 10, 100, 1.0)], fact)
+    d1 = spark.createDataFrame([(10, "a")], "k1 long, seg string")
+    d2 = spark.createDataFrame([(100, "x")], "k2 long, grade string")
+    mv = (
+        f.join(d1, f["d1"] == d1["k1"], "left")
+        .join(d2, f["d2"] == d2["k2"], "left")
+        .select("fk", "d1", "d2", "amt", "seg", "grade")
+    )
+    with pytest.raises(ValueError, match="claimed by both"):
+        star_mv_refresh(
+            mv, None,
+            [
+                DimSpec(None, d1, "d1", "k1", ["seg"]),
+                DimSpec(None, d2, "d2", "k2", ["seg"]),
+            ],
+            "fk",
+        )
+    with pytest.raises(ValueError, match="not a fact column"):
+        star_mv_refresh(
+            mv, None, [DimSpec(None, d1, "d1", "k1", ["seg", "fk"])], "fk"
+        )
+    with pytest.raises(ValueError, match="not in the view"):
+        star_mv_refresh(
+            mv, None, [DimSpec(None, d1, "d1", "k1", ["seg", "ghost"])], "fk"
+        )

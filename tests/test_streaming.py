@@ -697,3 +697,32 @@ def test_dedup_within_watermark_late_and_duplicate_semantics(spark, tmp_path):
     assert late_dropped == 2  # the b3 duplicate AND the b3 first-time row
     got = sorted(r["event_id"] for r in spark.table(name).collect())
     assert got == [1, 2, 3, 5], got
+
+
+def test_migrate_legacy_marker_restores_replay_guard(spark, tmp_path):
+    """ADVICE r7: a pre-namespace bare-integer batch marker must be
+    rewritten as ``batch:<id>`` at loop start (metadata-only, live
+    version in place) so the replay guard survives the format upgrade;
+    semantic markers and missing markers are left untouched."""
+    from pmp_analytics_spark.sources.writers import (
+        latest_marker,
+        publish_versioned,
+    )
+    from pmp_analytics_spark.streaming.mv import (
+        migrate_legacy_marker,
+        parse_batch_marker,
+    )
+
+    root = str(tmp_path / "legacy_root")
+    state = spark.createDataFrame([(1, 10.0)], "k long, v double")
+    publish_versioned(state, root, marker="7")  # legacy bare-int form
+    assert parse_batch_marker(latest_marker(spark, root)) is None
+    migrate_legacy_marker(spark, root)
+    assert latest_marker(spark, root) == "batch:7"
+    assert parse_batch_marker(latest_marker(spark, root)) == 7
+
+    sem_root = str(tmp_path / "semantic_root")
+    publish_versioned(state, sem_root, marker="v2024-01")
+    migrate_legacy_marker(spark, sem_root)
+    assert latest_marker(spark, sem_root) == "v2024-01"
+    migrate_legacy_marker(spark, str(tmp_path / "missing_root"))  # no-op
