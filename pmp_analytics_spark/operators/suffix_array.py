@@ -1,0 +1,364 @@
+"""Distributed suffix-array construction (prefix doubling) and EXACT
+duplicate-substring extraction.
+
+The exact-substring half of Lee et al. 2022 ("Deduplicating Training
+Data Makes Language Models Better"): find every substring of length >=
+``min_len`` that occurs more than once anywhere in the corpus, and merge
+the hits into maximal per-document spans. The repo's hashed-8-gram
+screen (queries/pretrain.py::docs_dup_spans) approximates this at token
+granularity; this operator is the character-exact method — no hash
+collisions, no tokenization alignment, byte-for-byte semantics.
+
+Three exact mechanisms, chosen by the width/rounds trade-off:
+
+- DIRECT DUPLICATE TEST (``duplicate_positions``, min_len <= ~2x the
+  gram cap): two length-L windows at offsets 0 and ``min_len - L``
+  cover [0, min_len) exactly for ANY L in [ceil(min_len/2), min_len],
+  so a position's min_len-gram identity is the PAIR of its two L-gram
+  identities. Each L-gram identity is its minimal occurrence
+  ``min(struct(doc_id, pos)) over (partition by gram)`` — equality-
+  exact, deterministic, computed by ONE hash-partitioned window (no
+  join-back, no ranking exchange, no iteration); the pair then groups
+  and counts. Four position-sized shuffles total, zero actions.
+- PREFIX DOUBLING (``suffix_ranks``, the Manber–Myers rounds): rank at
+  level L is an order-embedding of the suffix's first L characters
+  (end-bounded, so a proper-prefix suffix ranks strictly smaller);
+  L -> 2L via the pair ``(rank[p], rank[p+L])`` fetched by a
+  partition-local ``lead`` per document (documents are small and
+  numerous — the repo's standard window key; no self-join, no global
+  window). While dense ranks fit 31 bits the pair packs into ONE
+  BIGINT ``rank * 2^31 + rank2`` (a pure window op), and only every
+  other round pays a dense re-rank (distinct + the distributed
+  total-order ranking of operators/prefix_sum.py::global_row_number —
+  range exchange + broadcast offsets, never a single-reducer window);
+  at >= 2^31 positions the classic re-rank-every-round path takes
+  over. Rounds localCheckpoint eagerly: global_row_number evaluates
+  its input twice, so an unmaterialized chain would re-run the whole
+  prefix per round.
+- DIRECT TAIL (``suffix_array``): once the UNRESOLVED remainder of
+  every suffix fits ``tail_max_chars``, one round finishes the sort —
+  groups still tied at level L fetch ``substring(text, pos + L)`` and
+  order within the group by that literal remainder (rank() keeps
+  truly-equal suffixes tied). Resolved singletons never fetch
+  anything. With the default cap this makes short-document corpora a
+  seed-rank + one-tail computation; petabyte-wide documents keep
+  doubling until the remainder is bounded.
+
+Scale: every frame is position-sized, shuffles are integer- or
+short-gram-keyed; nothing is ever collected (the one 1-row max-length
+aggregate drives loop control). The doubling rounds are the published
+distributed-suffix-array recipe (Flick & Aluru 2015, MPI; re-expressed
+as DataFrame rounds); the gram-pair direct test is the overlapping-
+windows identity that makes the duplicate query EQUIVALENT to exact
+(non-hashed) min_len-gram grouping — which is what the DuckDB oracle
+replays independently. Reference analog: none (the reference has no
+substring surface); north-star extension per VERDICT r7 #1.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from pmp_analytics_spark.operators.prefix_sum import global_row_number
+
+__all__ = [
+    "duplicate_positions",
+    "duplicate_spans",
+    "seed_positions",
+    "suffix_array",
+    "suffix_ranks",
+]
+
+_PACK = 2**31  # pair-packing multiplier: dense ranks must fit 31 bits
+
+
+def seed_positions(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed_level: int = 8,
+) -> DataFrame:
+    """One row per character position: ``(doc_id, pos, doc_len, rank)``
+    with ``rank`` = dense order-embedding of the suffix's first
+    ``seed_level`` characters (1-based ``pos``; end-bounded substrings,
+    so string comparison IS suffix-prefix comparison)."""
+    if seed_level < 1:
+        raise ValueError("seed_positions: seed_level must be >= 1")
+    pos = _positions(docs, id_col, text_col).select(
+        "doc_id",
+        "doc_len",
+        "pos",
+        F.expr(f"substring(__t, pos, {int(seed_level)})").alias("__g"),
+    )
+    grams = pos.select("__g").distinct()
+    ranked = global_row_number(grams, [F.asc("__g")], out_col="__r")
+    return pos.join(ranked, "__g").select(
+        "doc_id", "doc_len", "pos", F.col("__r").alias("rank")
+    )
+
+
+def _positions(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(doc_id, doc_len, pos, __t): one row per 1-based char position,
+    text carried for same-select substring extraction only."""
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"), F.col(text_col).alias("__t")
+        )
+        .where(F.length("__t") > 0)
+        .select(
+            "doc_id",
+            F.length("__t").cast("long").alias("doc_len"),
+            F.explode(F.sequence(F.lit(1), F.length("__t"))).alias("pos"),
+            "__t",
+        )
+        .select(
+            "doc_id", "doc_len", F.col("pos").cast("long").alias("pos"), "__t"
+        )
+    )
+
+
+def _double(cur: DataFrame, level: int) -> DataFrame:
+    """One classic prefix-doubling round (level -> 2*level) with a dense
+    re-rank of the pair — the any-scale path (no bound on rank values,
+    at the cost of a distinct + total-order ranking + join per round)."""
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    paired = cur.withColumn(
+        "__r2", F.coalesce(F.lead("rank", level).over(w), F.lit(0))
+    )
+    keys = paired.select("rank", "__r2").distinct()
+    ranked = global_row_number(
+        keys, [F.asc("rank"), F.asc("__r2")], out_col="__nr"
+    )
+    return paired.join(ranked, ["rank", "__r2"]).select(
+        "doc_id", "doc_len", "pos", F.col("__nr").alias("rank")
+    )
+
+
+def _pack(cur: DataFrame, level: int) -> DataFrame:
+    """One PACKED doubling round: when current ranks are dense and
+    < 2^31, the pair (rank[p], rank[p+level]) embeds order-faithfully
+    into one BIGINT ``rank * 2^31 + rank2`` (multiplier > any rank2, so
+    lexicographic pair order IS integer order; 0 = past-end stays the
+    minimum). A round is then ONE partition-local window — no distinct,
+    no ranking exchange, no join."""
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    r2 = F.coalesce(F.lead("rank", level).over(w), F.lit(0))
+    return cur.withColumn("rank", F.col("rank") * F.lit(_PACK) + r2)
+
+
+def _densify(cur: DataFrame) -> DataFrame:
+    """Re-rank current (possibly packed) rank values densely without
+    advancing the level — restores 31-bit packability."""
+    keys = cur.select("rank").distinct()
+    ranked = global_row_number(keys, [F.asc("rank")], out_col="__nr")
+    return cur.join(ranked, "rank").select(
+        "doc_id", "doc_len", "pos", F.col("__nr").alias("rank")
+    )
+
+
+def suffix_ranks(
+    positions: DataFrame, target_level: int, seed_level: int = 8
+) -> DataFrame:
+    """Doubling rounds from ``seed_level`` up to the smallest reached
+    level >= ``target_level`` (levels are seed_level * 2^k, so the
+    result groups suffixes by AT LEAST their first target_level chars —
+    callers that need exactly-L equality compose two overlapping
+    windows). Output ranks are an order-embedding, NOT necessarily
+    dense (the last round may leave them packed — grouping and ordering
+    consumers don't care)."""
+    cur, level = positions, seed_level
+    if level >= target_level:
+        return cur
+    cur = cur.localCheckpoint(eager=True)
+    small = cur.count() < _PACK
+    packable = small
+    while level < target_level:
+        if not small:
+            cur = _double(cur, level).localCheckpoint(eager=True)
+            level *= 2
+        elif packable:
+            cur = _pack(cur, level).localCheckpoint(eager=True)
+            level *= 2
+            packable = False
+        else:
+            cur = _densify(cur).localCheckpoint(eager=True)
+            packable = True
+    return cur
+
+
+def suffix_array(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed_level: int = 16,
+    tail_max_chars: int = 4096,
+    rank_col: str = "sa_rank",
+) -> DataFrame:
+    """The full suffix array: ``(doc_id, pos, sa_rank)`` where sa_rank
+    is the 1-based position of suffix ``text[pos:]`` in the sorted
+    order of ALL suffixes of ALL documents (end-bounded string order;
+    EQUAL suffixes — duplicated docs — tie-break by (doc_id, pos)).
+
+    Doubles until the unresolved remainder fits ``tail_max_chars``
+    (then ONE direct-tail round finishes — see module docstring), every
+    rank is unique, or the level covers the longest document (duplicate
+    suffixes never separate, so the level/tail bound — not the
+    distinctness probe — is the loop guarantee). ``tail_max_chars=0``
+    disables the tail (pure doubling, the unbounded-document path)."""
+    src = (
+        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__t"))
+        .where(F.length("__t") > 0)
+    )
+    cur = seed_positions(src, "doc_id", "__t", seed_level)
+    max_len = cur.agg(F.max("doc_len")).collect()[0][0]
+    if max_len is None:
+        return cur.select(
+            "doc_id", "pos", F.col("rank").cast("long").alias(rank_col)
+        )
+    cur = cur.localCheckpoint(eager=True)
+    n = cur.count()
+    small = n < _PACK
+    packable = small
+    level = seed_level
+    # the tail round's rank*2^31+subrank embedding needs dense 31-bit
+    # ranks AND 31-bit group sizes — both guaranteed only when small
+    tail_at = tail_max_chars if (small and tail_max_chars > 0) else 0
+    while level < max_len and (tail_at == 0 or max_len - level > tail_at):
+        if small and not packable:
+            cur = _densify(cur).localCheckpoint(eager=True)
+            packable = True
+            continue  # level unchanged — no distinctness probe
+        if small:
+            cur = _pack(cur, level).localCheckpoint(eager=True)
+            packable = False
+        else:
+            cur = _double(cur, level).localCheckpoint(eager=True)
+        level *= 2
+        if cur.select("rank").distinct().count() == n:
+            level = max_len  # fully resolved: skip tail
+            break
+    if level < max_len:
+        if not packable:
+            cur = _densify(cur).localCheckpoint(eager=True)
+        grp = Window.partitionBy("rank")
+        sized = cur.withColumn("__gs", F.count(F.lit(1)).over(grp))
+        solo = sized.where(F.col("__gs") == 1).select(
+            "doc_id", "pos", (F.col("rank") * _PACK + 1).alias("rank")
+        )
+        multi = (
+            sized.where(F.col("__gs") >= 2)
+            .join(src, "doc_id")
+            .withColumn("__rest", F.expr(f"substring(__t, pos + {level})"))
+            .withColumn(
+                "__sub",
+                F.rank().over(
+                    Window.partitionBy("rank").orderBy("__rest")
+                ),
+            )
+            .select(
+                "doc_id", "pos", (F.col("rank") * _PACK + F.col("__sub")).alias("rank")
+            )
+        )
+        cur = solo.unionByName(multi)
+    return global_row_number(
+        cur,
+        [F.asc("rank"), F.asc("doc_id"), F.asc("pos")],
+        out_col=rank_col,
+    ).select("doc_id", "pos", F.col(rank_col).cast("long").alias(rank_col))
+
+
+def duplicate_positions(
+    docs: DataFrame,
+    min_len: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    gram_cap: int = 64,
+) -> DataFrame:
+    """Positions whose ``min_len``-character substring occurs >= 2 times
+    corpus-wide: ``(doc_id, doc_len, pos)``. Exact — equivalent to
+    grouping the literal min_len-grams, via the overlapping-windows
+    pair at level L = ceil(min_len/2).
+
+    When L <= ``gram_cap`` (the default covers Lee et al.'s regime up
+    to min_len=128): the DIRECT path — each L-gram's identity is its
+    minimal corpus occurrence, one hash-window; no joins, no rounds.
+    Larger min_len switches to prefix doubling, whose integer ranks
+    bound row width regardless of min_len."""
+    if min_len < 1:
+        raise ValueError("duplicate_positions: min_len must be >= 1")
+    lvl = (min_len + 1) // 2
+    if lvl <= gram_cap:
+        ranked = _positions(docs, id_col, text_col).select(
+            "doc_id",
+            "doc_len",
+            "pos",
+            F.expr(f"substring(__t, pos, {int(lvl)})").alias("__g"),
+        )
+        ranked = ranked.withColumn(
+            "rank", F.min(F.struct("doc_id", "pos")).over(Window.partitionBy("__g"))
+        ).drop("__g")
+    else:
+        seed = min(16, min_len)
+        lvl = seed
+        while lvl < (min_len + 1) // 2:
+            lvl *= 2
+        ranked = suffix_ranks(
+            seed_positions(docs, id_col, text_col, seed), lvl, seed
+        )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    paired = ranked.withColumn(
+        "__rb", F.lead("rank", min_len - lvl, None).over(w)
+    ).where(F.col("pos") + min_len - 1 <= F.col("doc_len"))
+    grp = Window.partitionBy("rank", "__rb")
+    return (
+        paired.withColumn("__c", F.count(F.lit(1)).over(grp))
+        .where(F.col("__c") >= 2)
+        .select("doc_id", "doc_len", "pos")
+    )
+
+
+def duplicate_spans(
+    docs: DataFrame,
+    min_len: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    gram_cap: int = 64,
+) -> DataFrame:
+    """Maximal per-document duplicated spans: merge every duplicated
+    position's ``[pos, pos + min_len - 1]`` interval while overlapping
+    or adjacent (running-max islands per doc — the same merge the
+    hashed-gram screen uses, here over EXACT hits). Returns
+    ``(doc_id, doc_len, span_id, s, e)`` with 1-based inclusive
+    character bounds."""
+    dup = duplicate_positions(
+        docs, min_len, id_col, text_col, gram_cap
+    ).select(
+        "doc_id",
+        "doc_len",
+        F.col("pos").alias("s0"),
+        (F.col("pos") + min_len - 1).alias("e0"),
+    )
+    prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("s0")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = dup.withColumn(
+        "new_span",
+        F.when(
+            F.max("e0").over(prev).isNull()
+            | (F.col("s0") > F.max("e0").over(prev) + 1),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    upto = (
+        Window.partitionBy("doc_id")
+        .orderBy("s0")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        flagged.withColumn("span_id", F.sum("new_span").over(upto))
+        .groupBy("doc_id", "doc_len", "span_id")
+        .agg(F.min("s0").alias("s"), F.max("e0").alias("e"))
+    )

@@ -1587,3 +1587,141 @@ def docs_tokenize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         "token",
         "token_id",
     )
+
+
+# --------------------------------------------------------------------------
+# Q: docs_exact_substring_dedup — EXACT substring-level dedup (Lee et al.
+# 2022's actual semantics, vs docs_dup_spans' hashed-token-8-gram screen):
+# every 50-CHARACTER substring occurring >= 2 times anywhere in the corpus
+# marks its positions; hits merge into maximal per-doc spans. The Spark
+# side computes it via the distributed prefix-doubling suffix machinery
+# (operators/suffix_array.py: seed-gram dense rank + doubling rounds to
+# level 32, then the overlapping-windows pair (rank32[p], rank32[p+18]) —
+# integer shuffles, never a 50-char-per-position gram blowup); the oracle
+# replays the LITERAL definition with real 50-char grams — two independent
+# formulations of the same exact semantics.
+# --------------------------------------------------------------------------
+_SUBDUP_T = 50
+
+
+@query(
+    "docs_exact_substring_dedup",
+    f"""
+    WITH pos AS (
+        SELECT doc_id, CAST(LENGTH(text) AS BIGINT) AS n_chars_t, text,
+               UNNEST(GENERATE_SERIES(1, LENGTH(text) - {_SUBDUP_T - 1}))
+                   AS i
+        FROM documents WHERE LENGTH(text) >= {_SUBDUP_T}
+    ), g AS (
+        SELECT doc_id, n_chars_t, i,
+               SUBSTRING(text, CAST(i AS INT), {_SUBDUP_T}) AS gr
+        FROM pos
+    ), tot AS (SELECT gr, COUNT(*) AS c FROM g GROUP BY gr),
+    dup AS (
+        SELECT doc_id, n_chars_t, i, i + {_SUBDUP_T - 1} AS e
+        FROM g JOIN tot USING (gr) WHERE tot.c >= 2
+    ),
+    flagged AS (
+        SELECT doc_id, n_chars_t, i, e,
+               CASE WHEN MAX(e) OVER (PARTITION BY doc_id ORDER BY i
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                        IS NULL
+                         OR i > MAX(e) OVER (PARTITION BY doc_id ORDER BY i
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
+                    THEN 1 ELSE 0 END AS new_span
+        FROM dup
+    ),
+    numbered AS (
+        SELECT doc_id, n_chars_t, i, e,
+               SUM(new_span) OVER (PARTITION BY doc_id ORDER BY i
+                   ROWS UNBOUNDED PRECEDING) AS span_id
+        FROM flagged
+    ),
+    spans AS (
+        SELECT doc_id, n_chars_t, span_id, MIN(i) AS s, MAX(e) AS e
+        FROM numbered GROUP BY 1, 2, 3
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_spans,
+           CAST(MAX(e - s + 1) AS BIGINT) AS max_span_chars,
+           CAST(SUM(e - s + 1) AS BIGINT) AS dup_chars,
+           ROUND(SUM(e - s + 1) * 1.0 / n_chars_t, 6) AS dup_char_frac,
+           STRING_AGG(s || '-' || e, ',' ORDER BY s) AS spans_csv
+    FROM spans GROUP BY doc_id, n_chars_t
+    """,
+)
+def docs_exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pmp_analytics_spark.operators.suffix_array import duplicate_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    spans = duplicate_spans(docs, _SUBDUP_T)
+    span_len = F.col("e") - F.col("s") + 1
+    return (
+        spans.groupBy("doc_id", "doc_len")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.max(span_len).cast("long").alias("max_span_chars"),
+            F.sum(span_len).cast("long").alias("dup_chars"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("s", "e"))),
+                    lambda x: F.concat_ws(
+                        "-", x["s"].cast("string"), x["e"].cast("string")
+                    ),
+                ),
+                ",",
+            ).alias("spans_csv"),
+        )
+        .select(
+            "doc_id",
+            "n_spans",
+            "max_span_chars",
+            "dup_chars",
+            F.round(F.col("dup_chars") / F.col("doc_len"), 6).alias(
+                "dup_char_frac"
+            ),
+            "spans_csv",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q: docs_suffix_array — the full distributed suffix array itself, on a
+# deterministic 1/8 md5 slice of the corpus (the FULL construction runs
+# to convergence — log rounds — so the declared query bounds its input
+# the same way the PCA/PQ fit samples do; the dedup query above uses the
+# scale path that stops at level 32). Output: every suffix's 1-based
+# rank in the sorted order of all suffixes of all selected docs
+# (end-bounded string order, ties on equal suffixes broken by
+# (doc_id, pos)). The oracle sorts the literal suffix STRINGS — a
+# completely independent formulation the doubling ranks must reproduce
+# exactly, position for position.
+# --------------------------------------------------------------------------
+@query(
+    "docs_suffix_array",
+    """
+    WITH sub AS (
+        SELECT doc_id, text FROM documents
+        WHERE LENGTH(text) > 0
+          AND SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1')
+    ), pos AS (
+        SELECT doc_id, text,
+               UNNEST(GENERATE_SERIES(1, LENGTH(text))) AS pos
+        FROM sub
+    )
+    SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+           CAST(ROW_NUMBER() OVER (
+               ORDER BY SUBSTRING(text, CAST(pos AS INT)), doc_id, pos
+           ) AS BIGINT) AS sa_rank
+    FROM pos
+    """,
+)
+def docs_suffix_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pmp_analytics_spark.operators.suffix_array import suffix_array
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).isin(
+            "0", "1"
+        )
+    )
+    return suffix_array(docs)

@@ -1,0 +1,153 @@
+"""Brute-force equivalence for the distributed suffix array and the
+exact duplicate-substring extraction (operators/suffix_array.py) on a
+fixture with embedded byte-level copies: a 60-char passage shared by two
+docs at different offsets, an internal tandem repeat, an exactly
+duplicated document pair, and short/empty docs below every threshold."""
+
+from __future__ import annotations
+
+import pytest
+
+PASSAGE = "the quick brown fox jumps over the lazy dog while it rains!!"
+assert len(PASSAGE) == 60
+
+DOCS = [
+    (1, "intro text here. " + PASSAGE + " and some trailing words."),
+    (2, "completely different opening -- " + PASSAGE + " closing bit."),
+    (3, "abcdefghij" * 7),  # internal tandem repeat, period 10
+    (4, "this document is an exact duplicate of the next one, verbatim."),
+    (5, "this document is an exact duplicate of the next one, verbatim."),
+    (6, "short"),
+    (7, "no duplicated fifty-character run appears in this sentence at all?"),
+]
+
+
+def _brute_sa(docs):
+    sufs = [
+        (text[p:], d, p + 1)
+        for d, text in docs
+        for p in range(len(text))
+    ]
+    sufs.sort()
+    return {(d, p): i + 1 for i, (_, d, p) in enumerate(sufs)}
+
+
+def _brute_dup_positions(docs, T):
+    from collections import Counter
+
+    grams = Counter(
+        text[p : p + T]
+        for _, text in docs
+        for p in range(len(text) - T + 1)
+    )
+    return {
+        (d, p + 1)
+        for d, text in docs
+        for p in range(len(text) - T + 1)
+        if grams[text[p : p + T]] >= 2
+    }
+
+
+def _brute_spans(docs, T):
+    spans = set()
+    by_doc: dict[int, list[int]] = {}
+    for d, p in sorted(_brute_dup_positions(docs, T)):
+        by_doc.setdefault(d, []).append(p)
+    for d, ps in by_doc.items():
+        s = e = None
+        for p in ps:
+            if s is None:
+                s, e = p, p + T - 1
+            elif p <= e + 1:
+                e = max(e, p + T - 1)
+            else:
+                spans.add((d, s, e))
+                s, e = p, p + T - 1
+        spans.add((d, s, e))
+    return spans
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_suffix_array_matches_sorted_suffixes(spark, docs_df):
+    from pmp_analytics_spark.operators.suffix_array import suffix_array
+
+    got = {
+        (r.doc_id, r.pos): r.sa_rank
+        for r in suffix_array(docs_df).collect()
+    }
+    assert got == _brute_sa(DOCS)
+
+
+def test_suffix_array_paths_agree(spark, docs_df):
+    """Direct-tail (default), pure prefix doubling (tail disabled), and
+    a doubling+tail hybrid must produce the identical array."""
+    from pmp_analytics_spark.operators.suffix_array import suffix_array
+
+    small = docs_df.where("doc_id in (3, 4, 5, 6)")
+    want = {
+        (r.doc_id, r.pos): r.sa_rank
+        for r in suffix_array(small, seed_level=8).collect()
+    }
+    for kw in (
+        {"seed_level": 1, "tail_max_chars": 0},  # pure doubling
+        {"seed_level": 4, "tail_max_chars": 16},  # doubling then tail
+    ):
+        got = {
+            (r.doc_id, r.pos): r.sa_rank
+            for r in suffix_array(small, **kw).collect()
+        }
+        assert got == want, kw
+
+
+@pytest.mark.parametrize(
+    "T,gram_cap", [(10, 64), (50, 64), (50, 4), (10, 1)]
+)
+def test_duplicate_positions_exact(spark, docs_df, T, gram_cap):
+    """gram_cap 64 = the direct min-occurrence-window path; tiny caps
+    force the prefix-doubling fallback — both must be exact."""
+    from pmp_analytics_spark.operators.suffix_array import (
+        duplicate_positions,
+    )
+
+    got = {
+        (r.doc_id, r.pos)
+        for r in duplicate_positions(docs_df, T, gram_cap=gram_cap).collect()
+    }
+    assert got == _brute_dup_positions(DOCS, T)
+    if T == 50 and gram_cap == 64:
+        # the shared passage marks docs 1+2, the verbatim pair 4+5;
+        # the tandem repeat (len 70, period 10) also has dup 50-grams
+        assert {d for d, _ in got} == {1, 2, 3, 4, 5}
+
+
+def test_duplicate_spans_merge_maximal(spark, docs_df):
+    from pmp_analytics_spark.operators.suffix_array import duplicate_spans
+
+    T = 50
+    got = {
+        (r.doc_id, r.s, r.e) for r in duplicate_spans(docs_df, T).collect()
+    }
+    assert got == _brute_spans(DOCS, T)
+    # entire duplicated docs 4/5 are one wall-to-wall span each
+    n4 = len(DOCS[3][1])
+    assert (4, 1, n4) in got and (5, 1, n4) in got
+
+
+def test_empty_and_degenerate_inputs(spark):
+    from pmp_analytics_spark.operators.suffix_array import (
+        duplicate_spans,
+        suffix_array,
+    )
+
+    empty = spark.createDataFrame(
+        [(1, ""), (2, "x")], "doc_id long, text string"
+    )
+    sa = suffix_array(empty).collect()
+    assert [(r.doc_id, r.pos, r.sa_rank) for r in sa] == [(2, 1, 1)]
+    assert duplicate_spans(empty, 5).count() == 0
+    with pytest.raises(ValueError):
+        suffix_array(empty, seed_level=0)
