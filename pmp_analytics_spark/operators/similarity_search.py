@@ -707,6 +707,41 @@ def pq_encode(
     )
 
 
+def _adc_table(vec_col: str, codebooks) -> Column:
+    """The per-query (m x k_codes) exact subspace-squared-L2 table of
+    column ``vec_col`` against a literal codebook ndarray — built as ONE
+    parsed SQL string (composing it from ~10k pyspark Column calls
+    measured ~4 s of pure py4j round-trips; the parsed form is
+    milliseconds and plan-identical). Left-to-right fold matches the
+    DuckDB replay's LIST_SUM-over-ascending-series."""
+    m, k_codes, sub = codebooks.shape
+    cb_sql = "array(%s)" % ", ".join(
+        "array(%s)" % ", ".join(
+            "array(%s)" % ", ".join(f"{float(x)!r}D" for x in codebooks[j][c])
+            for c in range(k_codes)
+        )
+        for j in range(m)
+    )
+    return F.expr(
+        f"""transform({cb_sql}, (row, j) -> transform(row, cv ->
+              aggregate(
+                  zip_with(slice(`{vec_col}`, j * {sub} + 1, {sub}), cv,
+                           (a, b) -> (cast(a as double) - b) * (cast(a as double) - b)),
+                  0.0D, (acc, x) -> acc + x)))"""
+    )
+
+
+def _adc_lookup() -> Column:
+    """m table lookups summed in code order — the ADC score of a __codes
+    row against a per-query __tbl table (code+1: 1-based element_at).
+    Built lazily: F.expr needs an active session."""
+    return F.expr(
+        """round(aggregate(
+               zip_with(__codes, __tbl, (c, t) -> element_at(t, c + 1)),
+               0.0D, (acc, x) -> acc + x), 6)"""
+    )
+
+
 def _sq_l2(vec_slice: Column, centroid: list[float]) -> Column:
     """Squared L2 between a sliced array column and a literal centroid —
     left-to-right double summation, the same fold order the DuckDB
@@ -746,29 +781,10 @@ def pq_topk(
     query-to-vector): ranking quality vs exact cosine is asserted in
     tests; the operator's contract is the Jégou ADC semantics, not
     exact retrieval."""
-    m, k_codes, sub = codebooks.shape
-    cb_sql = "array(%s)" % ", ".join(
-        "array(%s)" % ", ".join(
-            "array(%s)" % ", ".join(f"{float(x)!r}D" for x in codebooks[j][c])
-            for c in range(k_codes)
-        )
-        for j in range(m)
+    tables = queries.select(
+        F.col(query_id), _adc_table(query_vec, codebooks).alias("__tbl")
     )
-    # per-subspace (outer, index j) x per-code (inner) exact squared-L2
-    # table of the query against the codebook; left-to-right fold
-    table = F.expr(
-        f"""transform({cb_sql}, (row, j) -> transform(row, cv ->
-              aggregate(
-                  zip_with(slice(`{query_vec}`, j * {sub} + 1, {sub}), cv,
-                           (a, b) -> (cast(a as double) - b) * (cast(a as double) - b)),
-                  0.0D, (acc, x) -> acc + x)))"""
-    )
-    tables = queries.select(F.col(query_id), table.alias("__tbl"))
-    adc = F.expr(
-        """round(aggregate(
-               zip_with(__codes, __tbl, (c, t) -> element_at(t, c + 1)),
-               0.0D, (acc, x) -> acc + x), 6)"""
-    )
+    adc = _adc_lookup()
     scored = codes.crossJoin(F.broadcast(tables)).select(
         F.col(query_id), F.col(corpus_id), adc.alias(dist_name)
     )
@@ -818,4 +834,272 @@ def pq_codes_refresh(
         corpus_vec,
         lambda fresh: pq_encode(fresh, codebooks, corpus_id, corpus_vec),
         broadcast_touched,
+    )
+
+
+def ivfpq_train(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    m: int = 8,
+    k_codes: int = 16,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    seed: int = 42,
+):
+    """(cents, codebooks) for the composed IVF-PQ index: the coarse
+    k-means quantizer AND per-subspace codebooks fitted on the
+    RESIDUALS ``x - cent[cell(x)]`` of the same sample — the
+    FAISS-standard ``IVFx,PQy`` production shape (Jégou et al., TPAMI
+    2011 §IV): residuals concentrate near zero regardless of which cell
+    a vector lives in, so one shared residual codebook quantizes far
+    more precisely than PQ on raw coordinates at the same bit budget.
+
+    Same bounded, engine-independent training protocol as
+    ``kmeans_assign``/``pq_train`` (md5-ordered driver sample, seeded
+    numpy Lloyd's, subspace j at seed+j), so the SQL-replay oracle
+    refits bit-identically."""
+    import numpy as np
+
+    sample_rows = (
+        corpus.select(corpus_id, corpus_vec)
+        .orderBy(F.md5(F.col(corpus_id).cast("string")))
+        .limit(max(2000, 20 * max(n_centroids, k_codes)))
+        .collect()
+    )
+    train = np.array([list(r[1]) for r in sample_rows], dtype=np.float64)
+    d = train.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible into {m} subspaces")
+    sub = d // m
+    cents = _kmeans_fit(train, n_centroids, seed)
+    d2 = (
+        (train**2).sum(axis=1)[:, None]
+        + (cents**2).sum(axis=1)[None, :]
+        - 2.0 * (train @ cents.T)
+    )
+    resid = train - cents[d2.argmin(axis=1)]
+    books = np.stack(
+        [
+            _kmeans_fit(resid[:, j * sub : (j + 1) * sub], k_codes, seed + j)
+            for j in range(m)
+        ]
+    )
+    return cents, books
+
+
+def ivfpq_encode(
+    corpus: DataFrame,
+    cents,
+    codebooks,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+) -> DataFrame:
+    """(id, __cell, __codes): argmin cell assignment, residual against
+    the cell centroid, and per-subspace residual codes — ONE fused
+    Arrow-batched pass over the corpus (vs assign + join + encode: the
+    residual is a per-row intermediate that never needs to exist
+    outside the batch). Ties break to the lowest cell/code (numpy
+    argmin = first minimum), the convention the SQL replay orders by
+    ``(distance, cell)`` / ``(d2, code)``."""
+    import numpy as np
+    import pandas as pd
+
+    from pmp_analytics_spark.operators.partitioning import ensure_parallelism
+
+    m, _, sub = codebooks.shape
+    dense = ensure_parallelism(corpus.select(corpus_id, corpus_vec))
+    bc = corpus.sparkSession.sparkContext.broadcast(
+        (np.asarray(cents, dtype=np.float64), np.asarray(codebooks, dtype=np.float64))
+    )
+
+    def enc(batches):
+        c, cb = bc.value
+        c2 = (c**2).sum(axis=1)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.array(pdf[corpus_vec].tolist(), dtype=np.float64)
+            d2 = (x**2).sum(axis=1)[:, None] + c2[None, :] - 2.0 * (x @ c.T)
+            cell = d2.argmin(axis=1)
+            r = x - c[cell]
+            codes = np.empty((len(x), m), dtype=np.int32)
+            for j in range(m):
+                rj = r[:, j * sub : (j + 1) * sub]
+                e = cb[j]
+                s2 = (
+                    (rj**2).sum(axis=1)[:, None]
+                    + (e**2).sum(axis=1)[None, :]
+                    - 2.0 * (rj @ e.T)
+                )
+                codes[:, j] = s2.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    corpus_id: pdf[corpus_id],
+                    "__cell": cell.astype(np.int64),
+                    "__codes": [list(map(int, row)) for row in codes],
+                }
+            )
+
+    in_types = dict(dense.dtypes)
+    return dense.mapInPandas(
+        enc,
+        schema=f"`{corpus_id}` {in_types[corpus_id]}, __cell long, __codes array<int>",
+    )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    m: int = 8,
+    k_codes: int = 16,
+    k: int = 10,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    dist_name: str = "adc_dist",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-PQ top-k: probe the ``nprobe`` nearest cells per query, score
+    ONLY those cells' code rows by residual ADC — each (query, probed
+    cell) pair builds its exact (m x k_codes) table against the
+    RESIDUAL query ``q - cent[cell]`` (JVM HOF arithmetic on the
+    literal codebook; no Python in the per-query path), broadcast, and
+    every candidate costs m array lookups.
+
+    The 100 TB posture combines both parents': the corpus is touched by
+    exactly one fused assign+encode pass (and in production the code
+    table is PARTITIONED BY cell, so a query reads nprobe partitions of
+    m-byte codes — neither the raw vectors nor the other cells); the
+    broadcast is nq x nprobe small tables. Recall tunes via nprobe and
+    k_codes independently; ADC distances are the Jégou approximation
+    (asserted against exact cosine recall in tests, like ``pq_topk``)."""
+    spark = corpus.sparkSession
+    cents, books = ivfpq_train(
+        corpus, n_centroids, m, k_codes, corpus_id, corpus_vec, seed
+    )
+    codes = ivfpq_encode(corpus, cents, books, corpus_id, corpus_vec)
+
+    cent_df = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
+        ["__cell", "__centroid"],
+    )
+    q_cells = queries.crossJoin(F.broadcast(cent_df)).withColumn(
+        "__dist",
+        F.aggregate(
+            F.zip_with(
+                F.col(query_vec),
+                F.col("__centroid"),
+                lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    w = Window.partitionBy(query_id).orderBy(F.asc("__dist"), F.asc("__cell"))
+    probes = (
+        q_cells.withColumn("__rank", F.row_number().over(w))
+        .where(F.col("__rank") <= nprobe)
+        .withColumn(
+            "__qres",
+            F.zip_with(
+                F.col(query_vec),
+                F.col("__centroid"),
+                lambda a, b: a.cast("double") - b,
+            ),
+        )
+        .select(query_id, "__cell", "__qres")
+    )
+    tables = probes.select(
+        query_id, "__cell", _adc_table("__qres", books).alias("__tbl")
+    )
+    scored = codes.join(F.broadcast(tables), on="__cell").select(
+        F.col(query_id), F.col(corpus_id), _adc_lookup().alias(dist_name)
+    )
+    order = [F.asc(dist_name), F.asc(corpus_id)]
+    w_local = Window.partitionBy("__pid", query_id).orderBy(*order)
+    pre = (
+        scored.withColumn("__pid", F.spark_partition_id())
+        .withColumn("__lrank", F.row_number().over(w_local))
+        .where(F.col("__lrank") <= k)
+        .drop("__pid", "__lrank")
+    )
+    w2 = Window.partitionBy(query_id).orderBy(*order)
+    return (
+        pre.withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= k)
+        .select(query_id, corpus_id, dist_name, "rank")
+    )
+
+
+def ndcg_weights(k: int) -> tuple[list[float], float]:
+    """(per-rank DCG weights 1/log2(rank+1) for ranks 1..k, ideal DCG) —
+    computed ONCE in Python and embedded as literals on BOTH engines of
+    the oracle compare, so no cross-engine log2 ulp can enter the
+    metric terms."""
+    import math
+
+    w = [1.0 / math.log2(i + 1) for i in range(1, k + 1)]
+    return w, sum(w)
+
+
+def index_eval(
+    truth: DataFrame,
+    methods: dict[str, DataFrame],
+    k: int,
+    n_queries: int,
+    query_id: str = "query_id",
+    corpus_id: str = "vec_id",
+) -> DataFrame:
+    """Retrieval-quality harness: grade each method's ranked candidate
+    list against the exact ground truth (``brute_force_topk``) with the
+    three standard ANN metrics, averaged over the query set —
+    (method, recall_at_k, mrr, ndcg):
+
+    - recall@k: |candidates ∩ truth| / k;
+    - MRR: 1 / rank of the first true neighbor retrieved (0 if none);
+    - nDCG@k: binary-relevance DCG with literal 1/log2(rank+1) weights,
+      normalized by the ideal DCG of a full-truth list.
+
+    Queries a method returns NOTHING for (an empty LSH bucket) score 0
+    on every metric — the mean divides by ``n_queries``, not by the
+    rows present. Inputs are (query, id, rank) frames; the truth join
+    is broadcast (nq x k rows); everything is exact JVM arithmetic, so
+    the whole evaluation replays in SQL — index tuning gets a
+    measurable, oracle-checked target."""
+    w, idcg = ndcg_weights(k)
+    t = F.broadcast(
+        truth.select(F.col(query_id), F.col(corpus_id), F.lit(1).alias("__rel"))
+    )
+    cand = None
+    for name, df in methods.items():
+        part = df.select(
+            F.lit(name).alias("method"),
+            F.col(query_id),
+            F.col(corpus_id),
+            F.col("rank").cast("int").alias("rank"),
+        )
+        cand = part if cand is None else cand.unionByName(part)
+    hits = cand.join(t, [query_id, corpus_id], "left").select(
+        "method",
+        query_id,
+        "rank",
+        F.coalesce(F.col("__rel"), F.lit(0)).alias("rel"),
+    )
+    warr = F.array(*[F.lit(float(x)) for x in w])
+    per_q = hits.groupBy("method", query_id).agg(
+        (F.sum("rel") * 1.0 / k).alias("recall"),
+        F.coalesce(
+            1.0 / F.min(F.when(F.col("rel") == 1, F.col("rank"))), F.lit(0.0)
+        ).alias("mrr"),
+        (
+            F.sum(F.col("rel") * F.element_at(warr, F.col("rank"))) / idcg
+        ).alias("ndcg"),
+    )
+    return per_q.groupBy("method").agg(
+        F.round(F.sum("recall") / n_queries, 6).alias("recall_at_k"),
+        F.round(F.sum("mrr") / n_queries, 6).alias("mrr"),
+        F.round(F.sum("ndcg") / n_queries, 6).alias("ndcg"),
     )
