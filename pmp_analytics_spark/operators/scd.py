@@ -120,14 +120,17 @@ def scd2_apply(
     """
     ks, attrs = list(keys), list(attr_cols)
     types = dict(dim.dtypes)
+    # effective_ts evaluates against the DELTA (so a literal tick and a
+    # per-row column like F.col("eff_ts") both work — streaming feeds
+    # carry each change's own effective instant); the closing set then
+    # CARRIES its tick to the dimension side of the join.
     eff_to = effective_ts.cast(types["valid_to"])
     eff_from = effective_ts.cast(types["valid_from"])
     # snapshot_delta emits the key columns coalesced (one plain column
     # per key), old_/new_ prefixes only on the compared attributes
     closing = (
         delta.where(F.col("change_type").isin("changed", "removed"))
-        .select(*ks)
-        .withColumn("__close", F.lit(True))
+        .select(*ks, eff_to.alias("__close_ts"))
     )
     closing = F.broadcast(closing) if broadcast_delta else closing
     close_cond = None
@@ -143,8 +146,8 @@ def scd2_apply(
     ).select(
         *[dim[c] for c in dim.columns if c != "valid_to"],
         F.when(
-            F.col("__close").isNotNull() & dim["valid_to"].isNull(),
-            eff_to,
+            F.col("__close_ts").isNotNull() & dim["valid_to"].isNull(),
+            F.col("__close_ts"),
         )
         .otherwise(dim["valid_to"])
         .alias("valid_to"),

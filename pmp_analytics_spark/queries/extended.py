@@ -1974,3 +1974,174 @@ def streaming_event_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFra
     out = spark.table(name).localCheckpoint(eager=True)
     shutil.rmtree(work, ignore_errors=True)
     return out
+
+
+# --------------------------------------------------------------------------
+# Q: streaming_pointintime_enrich — STREAMING point-in-time serving join
+# (streaming/scd.py::cdc_pointintime_stream), the online feature-store
+# shape: one multiplexed feed carries customer-dimension CDC rows (each
+# with its own effective tick: key % 3 picks 1/2/3 Ms) and order facts
+# (probe instant (o_orderkey % 4) Ms + 0.5 Ms), sliced into three
+# micro-batches so every dim change effective at or before a fact's
+# probe instant arrives no later than the fact (the loop's ordering
+# contract; file order pinned by explicit mtimes). Per batch: scd2_apply
+# maintains the Type-2 history at the dim root, then the batch's facts
+# as-of enrich against the POST-batch history with interval-expiry
+# nulling (a close at tick <= probe instant = removed-key gap -> NULL
+# state), both publishes exactly-once-markered. The oracle recomputes
+# the FINAL dimension and DuckDB-native ASOF-LEFT-JOINs all facts at
+# once — equality IS the multi-batch ≡ batch pin, on top of the pytest
+# replay/crash coverage.
+# --------------------------------------------------------------------------
+@query(
+    "streaming_pointintime_enrich",
+    """
+    WITH old AS (
+        SELECT c_custkey, c_mktsegment, c_acctbal
+        FROM customer WHERE c_custkey % 13 <> 5
+    ), new AS (
+        SELECT c_custkey,
+               CASE WHEN c_custkey % 23 = 0 THEN 'MOVED'
+                    ELSE c_mktsegment END AS c_mktsegment,
+               CASE WHEN c_custkey % 9 = 0 THEN c_acctbal + 100.0
+                    ELSE c_acctbal END AS c_acctbal
+        FROM customer WHERE c_custkey % 17 <> 3
+    ), j AS (
+        SELECT o.c_custkey AS ok, n.c_custkey AS nk,
+               o.c_mktsegment AS om, o.c_acctbal AS oa,
+               n.c_mktsegment AS nm, n.c_acctbal AS na,
+               ((COALESCE(o.c_custkey, n.c_custkey) % 3) + 1) * 1000000
+                   AS tick
+        FROM old o FULL OUTER JOIN new n ON o.c_custkey = n.c_custkey
+    ), dim AS (
+        SELECT ok AS c_custkey, om AS seg, oa AS bal,
+               CAST(0 AS BIGINT) AS valid_from,
+               CAST(CASE WHEN nk IS NULL
+                           OR om IS DISTINCT FROM nm
+                           OR oa IS DISTINCT FROM na
+                         THEN tick END AS BIGINT) AS valid_to
+        FROM j WHERE ok IS NOT NULL
+        UNION ALL
+        SELECT nk, nm, na, CAST(tick AS BIGINT), CAST(NULL AS BIGINT)
+        FROM j
+        WHERE nk IS NOT NULL
+          AND (ok IS NULL OR om IS DISTINCT FROM nm
+               OR oa IS DISTINCT FROM na)
+    ), facts AS (
+        SELECT o_orderkey, o_custkey AS c_custkey,
+               CAST((o_orderkey % 4) * 1000000 + 500000 AS BIGINT) AS ts_us
+        FROM orders WHERE o_orderkey % 11 = 0
+    ), m AS (
+        SELECT f.o_orderkey, f.c_custkey, f.ts_us,
+               d.seg, d.bal, d.valid_from, d.valid_to
+        FROM facts f ASOF LEFT JOIN dim d
+          ON f.c_custkey = d.c_custkey AND f.ts_us >= d.valid_from
+    )
+    SELECT o_orderkey, c_custkey, ts_us,
+           CASE WHEN valid_to IS NOT NULL AND valid_to <= ts_us THEN NULL
+                ELSE seg END AS segment,
+           CAST(CASE WHEN valid_to IS NOT NULL AND valid_to <= ts_us
+                     THEN NULL
+                     ELSE FLOOR(bal * 100) END AS BIGINT) AS bal_cents,
+           CAST(CASE WHEN valid_to IS NOT NULL AND valid_to <= ts_us
+                     THEN NULL
+                     ELSE valid_from END AS BIGINT) AS state_since_us
+    FROM m
+    """,
+)
+def streaming_pointintime_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    from pmp_analytics_spark.operators.diff import snapshot_delta
+    from pmp_analytics_spark.sources.writers import publish_versioned, read_latest
+    from pmp_analytics_spark.streaming import stream_workdir
+    from pmp_analytics_spark.streaming.scd import cdc_pointintime_stream
+
+    old, new = _scd2_snapshot_frames(spark, sf_dir)
+    dim0 = old.select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("seg"),
+        F.col("c_acctbal").alias("bal"),
+        F.lit(0).cast("long").alias("valid_from"),
+        F.lit(None).cast("long").alias("valid_to"),
+    )
+    delta = snapshot_delta(
+        old.select("c_custkey", F.col("c_mktsegment").alias("seg"),
+                   F.col("c_acctbal").alias("bal")),
+        new.select("c_custkey", F.col("c_mktsegment").alias("seg"),
+                   F.col("c_acctbal").alias("bal")),
+        ["c_custkey"],
+    ).select(
+        "*",
+        ((F.col("c_custkey") % 3 + 1) * 1_000_000).cast("long").alias("eff_ts"),
+        (F.col("c_custkey") % 3).cast("int").alias("__b"),
+        F.lit("dim").alias("entity"),
+    )
+    facts = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderkey") % 11 == 0
+    ).select(
+        "o_orderkey",
+        F.col("o_custkey").alias("c_custkey"),
+        ((F.col("o_orderkey") % 4) * 1_000_000 + 500_000)
+        .cast("long")
+        .alias("ts_us"),
+        F.least((F.col("o_orderkey") % 4).cast("int"), F.lit(2)).alias("__b"),
+        F.lit("fact").alias("entity"),
+    )
+    work = stream_workdir("pmp_pointintime")
+    feed = os.path.join(work, "feed")
+    # one file per micro-batch, mtimes spaced so the file source drains
+    # them in batch order — the loop's ordering contract (facts must not
+    # precede the dim ticks at or before their probe instant)
+    fused = delta.unionByName(facts, allowMissingColumns=True)
+    for b in range(3):
+        fused.where(F.col("__b") == b).drop("__b").coalesce(1).write.mode(
+            "append"
+        ).parquet(feed)
+    parts = sorted(
+        (os.path.getmtime(os.path.join(feed, f)), f)
+        for f in os.listdir(feed)
+        if f.endswith(".parquet")
+    )
+    base = parts[0][0]
+    for i, (_, f) in enumerate(parts):
+        os.utime(os.path.join(feed, f), (base + 10 * i, base + 10 * i))
+    dim_root = os.path.join(work, "dim")
+    out_root = os.path.join(work, "out")
+    publish_versioned(dim0.coalesce(1), dim_root)
+    publish_versioned(
+        spark.createDataFrame(
+            [],
+            "o_orderkey long, c_custkey long, ts_us long, "
+            "seg string, bal double, valid_from long",
+        ),
+        out_root,
+    )
+    schema = spark.read.parquet(feed).schema
+    cdc_pointintime_stream(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed),
+        dim_root,
+        out_root,
+        keys=["c_custkey"],
+        attr_cols=["seg", "bal"],
+        fact_cols=["o_orderkey"],
+        fact_ts="ts_us",
+        checkpoint_dir=os.path.join(work, "ckpt"),
+    )
+    out = (
+        read_latest(spark, out_root)
+        .select(
+            "o_orderkey",
+            "c_custkey",
+            "ts_us",
+            F.col("seg").alias("segment"),
+            F.floor(F.col("bal") * 100).cast("long").alias("bal_cents"),
+            F.col("valid_from").alias("state_since_us"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    return out

@@ -212,3 +212,183 @@ def test_cdc_scd2_stream_marker_guard(spark, tmp_path):
     )
     got = _rows(read_latest(spark, root), ["k", "valid_from"])
     assert got == [(1, "A", 0, 9), (1, "B", 9, None), (2, "C", 9, None)]
+
+
+def _pit_fixture(spark):
+    """Tiny point-in-time scenario: key 1 changes state at tick 100, key
+    2 is removed at tick 200, key 3 is added at tick 150. Facts probe
+    before/after each boundary."""
+    from pyspark.sql import functions as F
+
+    dim0 = spark.createDataFrame(
+        [(1, "a", 0, None), (2, "x", 0, None)],
+        "k long, s string, valid_from long, valid_to long",
+    )
+    delta = spark.createDataFrame(
+        [
+            ("changed", 1, "a", "b", 100),
+            ("removed", 2, "x", None, 200),
+            ("added", 3, None, "c", 150),
+        ],
+        "change_type string, k long, old_s string, new_s string, eff_ts long",
+    ).withColumn("entity", F.lit("dim"))
+    facts = spark.createDataFrame(
+        [
+            (10, 1, 50), (11, 1, 100), (12, 1, 300),
+            (13, 2, 150), (14, 2, 200), (15, 2, 999),
+            (16, 3, 100), (17, 3, 150),
+            (18, 9, 400),  # key never in the dimension
+        ],
+        "fid long, k long, ts long",
+    ).withColumn("entity", F.lit("fact"))
+    # expected (fid -> (s, valid_from)) under interval semantics
+    expect = {
+        10: ("a", 0), 11: ("b", 100), 12: ("b", 100),
+        13: ("x", 0), 14: (None, None), 15: (None, None),
+        16: (None, None), 17: ("c", 150),
+        18: (None, None),
+    }
+    return dim0, delta, facts, expect
+
+
+def _run_pit(spark, work, slices):
+    """Drain cdc_pointintime_stream over the given (delta_slice,
+    fact_slice) file plan; returns {fid: (s, valid_from)}."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from pmp_analytics_spark.sources.writers import publish_versioned, read_latest
+    from pmp_analytics_spark.streaming.scd import cdc_pointintime_stream
+
+    dim_root, out_root, feed = f"{work}/dim", f"{work}/out", f"{work}/feed"
+    dim0, _, _, _ = _pit_fixture(spark)
+    publish_versioned(dim0.coalesce(1), dim_root)
+    publish_versioned(
+        spark.createDataFrame(
+            [], "fid long, k long, ts long, s string, valid_from long"
+        ),
+        out_root,
+    )
+    for df in slices:
+        df.coalesce(1).write.mode("append").parquet(feed)
+    parts = sorted(
+        (os.path.getmtime(os.path.join(feed, f)), f)
+        for f in os.listdir(feed)
+        if f.endswith(".parquet")
+    )
+    base = parts[0][0]
+    for i, (_, f) in enumerate(parts):
+        os.utime(os.path.join(feed, f), (base + 10 * i, base + 10 * i))
+    schema = spark.read.parquet(feed).schema
+    cdc_pointintime_stream(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed),
+        dim_root,
+        out_root,
+        keys=["k"],
+        attr_cols=["s"],
+        fact_cols=["fid"],
+        fact_ts="ts",
+        checkpoint_dir=f"{work}/ckpt",
+    )
+    return {
+        r["fid"]: (r["s"], r["valid_from"])
+        for r in read_latest(spark, out_root).collect()
+    }
+
+
+def test_pointintime_stream_multibatch_equals_oneshot(spark, tmp_path):
+    """Two slicings — one-shot, and three time-ordered batches (ticks
+    with their not-later facts) — must both produce the interval-exact
+    enrichment."""
+    from pyspark.sql import functions as F
+
+    _, delta, facts, expect = _pit_fixture(spark)
+    fused = delta.unionByName(facts, allowMissingColumns=True)
+    assert _run_pit(spark, f"{tmp_path}/one", [fused]) == expect
+
+    b0 = fused.where(
+        (F.col("entity") == "dim") & (F.col("eff_ts") <= 100)
+        | (F.col("entity") == "fact") & (F.col("ts") <= 100)
+    )
+    b1 = fused.where(
+        (F.col("entity") == "dim") & F.col("eff_ts").between(101, 200)
+        | (F.col("entity") == "fact") & F.col("ts").between(101, 200)
+    )
+    b2 = fused.where(
+        (F.col("entity") == "dim") & (F.col("eff_ts") > 200)
+        | (F.col("entity") == "fact") & (F.col("ts") > 200)
+    )
+    assert _run_pit(spark, f"{tmp_path}/three", [b0, b1, b2]) == expect
+
+
+def test_pointintime_stream_crash_between_publishes(spark, tmp_path):
+    """Dim publish of batch 0 committed, enrichment publish didn't: the
+    replay must skip the dim apply (no duplicated intervals) and
+    complete the enrichment against the dim state the first attempt
+    saw."""
+    from pmp_analytics_spark.operators.scd import scd2_apply
+    from pmp_analytics_spark.sources.writers import (
+        latest_marker,
+        publish_versioned,
+        read_latest,
+    )
+    from pyspark.sql import functions as F
+
+    dim0, delta, facts, expect = _pit_fixture(spark)
+    work = f"{tmp_path}/crash"
+    dim_root = f"{work}/dim"
+    # pre-publish the post-batch-0 dim under marker batch:0 (the crash)
+    publish_versioned(dim0.coalesce(1), dim_root)
+    dim_after = scd2_apply(
+        read_latest(spark, dim_root),
+        delta,
+        ["k"],
+        ["s"],
+        F.col("eff_ts"),
+    )
+    publish_versioned(dim_after.coalesce(1), dim_root, marker="batch:0")
+
+    fused = delta.unionByName(facts, allowMissingColumns=True)
+    got = _run_pit_resume(spark, work, [fused])
+    assert got == expect
+    assert latest_marker(spark, dim_root) == "batch:0"  # replay skipped
+    dim = read_latest(spark, dim_root)
+    assert dim.count() == dim_after.count()  # no duplicated intervals
+
+
+def _run_pit_resume(spark, work, slices):
+    """_run_pit without re-seeding the dim root (crash-replay path)."""
+    import os
+
+    from pmp_analytics_spark.sources.writers import publish_versioned, read_latest
+    from pmp_analytics_spark.streaming.scd import cdc_pointintime_stream
+
+    dim_root, out_root, feed = f"{work}/dim", f"{work}/out", f"{work}/feed"
+    publish_versioned(
+        spark.createDataFrame(
+            [], "fid long, k long, ts long, s string, valid_from long"
+        ),
+        out_root,
+    )
+    for df in slices:
+        df.coalesce(1).write.mode("append").parquet(feed)
+    schema = spark.read.parquet(feed).schema
+    cdc_pointintime_stream(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed),
+        dim_root,
+        out_root,
+        keys=["k"],
+        attr_cols=["s"],
+        fact_cols=["fid"],
+        fact_ts="ts",
+        checkpoint_dir=f"{work}/ckpt",
+    )
+    return {
+        r["fid"]: (r["s"], r["valid_from"])
+        for r in read_latest(spark, out_root).collect()
+    }
