@@ -1725,3 +1725,124 @@ def docs_suffix_array(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return suffix_array(docs)
+
+
+# --------------------------------------------------------------------------
+# Q: docs_unigram_lm_vocab — unigram-LM (SentencePiece-style) tokenizer
+# learning (operators/unigram.py): substring-seeded piece table, then
+# fixed-count hard-EM rounds — Viterbi E-step over the word-TYPE
+# vocabulary, count M-step with single-char floors and a top-N pruning
+# schedule. Engine-exact by construction: piece scores are INTEGER
+# log-probs floor(ln(c/T)*1e9) computed once per round, so the DP is
+# pure BIGINT arithmetic with a (score DESC, split ASC) tie-break. The
+# oracle replays the ENTIRE fit in SQL — seeding, per-round integer
+# score tables, and the Viterbi DP unrolled per position with the
+# accumulated-frontier CTE chain (the BPE-oracle strategy scaled up to
+# a dynamic program) — a full value oracle for an iterative EM fit.
+# --------------------------------------------------------------------------
+_UNI_ITERS = 2
+_UNI_PLEN = 6  # max piece length
+_UNI_MAXW = 12  # max word length (bounds the SQL DP unroll)
+_UNI_SEED = 64  # seed multi-char pieces
+_UNI_KEEP = 48  # kept multi-char pieces per round
+
+
+def _unigram_oracle() -> str:
+    stages = [
+        f"""vocab AS MATERIALIZED (
+        SELECT t AS word, COUNT(*) AS freq
+        FROM (SELECT UNNEST({_DUCK_TOKENS}) AS t FROM documents)
+        GROUP BY t HAVING LENGTH(t) <= {_UNI_MAXW}
+    ), seedc AS MATERIALIZED (
+        SELECT piece, SUM(freq) AS cnt FROM (
+            SELECT UNNEST(FLATTEN(LIST_TRANSFORM(
+                       GENERATE_SERIES(1, LENGTH(word)), i ->
+                       LIST_TRANSFORM(
+                           GENERATE_SERIES(1, LEAST({_UNI_PLEN},
+                                                    LENGTH(word) - i + 1)),
+                           l -> SUBSTRING(word, CAST(i AS INT),
+                                          CAST(l AS INT)))))) AS piece,
+                   freq
+            FROM vocab
+        ) GROUP BY piece
+    ), s0 AS MATERIALIZED (
+        SELECT piece, cnt FROM (
+            SELECT piece, cnt FROM seedc WHERE LENGTH(piece) >= 2
+            ORDER BY cnt DESC, piece ASC LIMIT {_UNI_SEED})
+        UNION ALL
+        SELECT piece, cnt FROM seedc WHERE LENGTH(piece) = 1
+    )"""
+    ]
+    for t in range(1, _UNI_ITERS + 1):
+        prev = f"s{t - 1}"
+        stages.append(
+            f"""lp{t} AS MATERIALIZED (
+        SELECT piece,
+               CAST(FLOOR(LN(CAST(cnt AS DOUBLE)
+                             / (SELECT SUM(cnt) FROM {prev})) * 1e9)
+                    AS BIGINT) AS lp
+        FROM {prev}
+    ), a{t}_0 AS MATERIALIZED (
+        SELECT word, freq, 0 AS pos, CAST(0 AS BIGINT) AS score, '' AS seg
+        FROM vocab
+    )"""
+        )
+        for p in range(1, _UNI_MAXW + 1):
+            stages.append(
+                f"""d{t}_{p} AS MATERIALIZED (
+        SELECT a.word, a.freq, {p} AS pos,
+               a.score + l.lp AS score,
+               CASE WHEN a.seg = '' THEN l.piece
+                    ELSE a.seg || ' ' || l.piece END AS seg,
+               ROW_NUMBER() OVER (PARTITION BY a.word
+                   ORDER BY a.score + l.lp DESC, a.pos ASC) AS rn
+        FROM a{t}_{p - 1} a
+        JOIN lp{t} l
+          ON SUBSTRING(a.word, a.pos + 1, {p} - a.pos) = l.piece
+        WHERE LENGTH(a.word) >= {p} AND {p} - a.pos <= {_UNI_PLEN}
+          AND {p} - a.pos >= 1
+    ), a{t}_{p} AS MATERIALIZED (
+        SELECT word, freq, pos, score, seg FROM a{t}_{p - 1}
+        UNION ALL
+        SELECT word, freq, pos, score, seg FROM d{t}_{p} WHERE rn = 1
+    )"""
+            )
+        stages.append(
+            f"""c{t} AS MATERIALIZED (
+        SELECT piece, SUM(freq) AS cnt FROM (
+            SELECT UNNEST(STRING_SPLIT(seg, ' ')) AS piece, freq
+            FROM a{t}_{_UNI_MAXW} WHERE pos = LENGTH(word)
+        ) GROUP BY piece
+    ), s{t} AS MATERIALIZED (
+        SELECT piece, cnt FROM (
+            SELECT piece, cnt FROM c{t} WHERE LENGTH(piece) >= 2
+            ORDER BY cnt DESC, piece ASC LIMIT {_UNI_KEEP})
+        UNION ALL
+        SELECT s.piece, COALESCE(c.cnt, 1) AS cnt
+        FROM (SELECT piece FROM {prev} WHERE LENGTH(piece) = 1) s
+        LEFT JOIN c{t} c ON s.piece = c.piece
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(stages)
+        + f"""
+    SELECT piece, CAST(cnt AS BIGINT) AS n_uses FROM s{_UNI_ITERS}
+    """
+    )
+
+
+@query("docs_unigram_lm_vocab", _unigram_oracle())
+def docs_unigram_lm_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pmp_analytics_spark.operators.unigram import unigram_fit
+
+    docs = load_table(spark, sf_dir, "documents")
+    return unigram_fit(
+        docs,
+        "text",
+        iters=_UNI_ITERS,
+        max_piece_len=_UNI_PLEN,
+        max_word_len=_UNI_MAXW,
+        seed_multi=_UNI_SEED,
+        keep_multi=_UNI_KEEP,
+    )

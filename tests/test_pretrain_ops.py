@@ -444,3 +444,99 @@ class TestSpanQueryCoherence:
         for doc_id, n_removed in removal.items():
             if doc_id not in stats:
                 assert n_removed == 0, doc_id
+
+
+def _uni_reference(words, iters, plen, seed_multi, keep_multi):
+    """Pure-Python replay of operators/unigram.py::unigram_fit on a
+    {word: freq} dict — seed, integer-score hard-EM, floors, pruning."""
+    import math
+    from collections import Counter
+
+    from pmp_analytics_spark.operators.unigram import viterbi_segment_py
+
+    seed = Counter()
+    for w, f in words.items():
+        for i in range(len(w)):
+            for l in range(1, min(plen, len(w) - i) + 1):
+                seed[w[i : i + l]] += f
+    multi = sorted(
+        ((p, c) for p, c in seed.items() if len(p) >= 2),
+        key=lambda pc: (-pc[1], pc[0]),
+    )[:seed_multi]
+    singles = {p: c for p, c in seed.items() if len(p) == 1}
+    pieces = dict(multi) | singles
+    for _ in range(iters):
+        total = sum(pieces.values())
+        lp = {
+            p: math.floor(math.log(c / total) * 1e9)
+            for p, c in pieces.items()
+        }
+        counts = Counter()
+        for w, f in words.items():
+            for piece in viterbi_segment_py(w, lp, plen):
+                counts[piece] += f
+        multi = sorted(
+            ((p, c) for p, c in counts.items() if len(p) >= 2),
+            key=lambda pc: (-pc[1], pc[0]),
+        )[:keep_multi]
+        pieces = dict(multi) | {
+            p: counts.get(p, 1) for p in singles
+        }
+    return pieces
+
+
+def test_unigram_fit_matches_python_reference(spark):
+    """The distributed fit (vocab collapse + Arrow Viterbi + count
+    M-step) must reproduce the pure-Python hard-EM exactly — integer
+    scores make the comparison bitwise, not approximate."""
+    from pmp_analytics_spark.operators.unigram import unigram_fit
+
+    docs = spark.createDataFrame(
+        [
+            (1, "internationalization nation nationalization inter"),
+            (2, "nation nation inter inter national national"),
+            (3, "internal international note notes nation"),
+            (4, "ab ab ab abc abc xyz"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["piece"]: r["n_uses"]
+        for r in unigram_fit(
+            docs, "text", iters=2, max_piece_len=5, max_word_len=25,
+            seed_multi=30, keep_multi=20,
+        ).collect()
+    }
+    words = {}
+    for _, t in docs.collect():
+        for w in t.split():
+            words[w] = words.get(w, 0) + 1
+    want = _uni_reference(words, iters=2, plen=5, seed_multi=30, keep_multi=20)
+    assert got == want
+    assert all(len(p) == 1 for p in set("abcxyz") & set(got))  # singles kept
+
+
+def test_unigram_segment_round_trip(spark):
+    """Every word type's Viterbi segmentation must concatenate back to
+    the word (round-trip), and unsegmentable words (a char outside the
+    piece set) come back empty rather than wrong."""
+    import math
+
+    from pmp_analytics_spark.operators.unigram import (
+        unigram_segment,
+        viterbi_segment_py,
+    )
+
+    vocab = spark.createDataFrame(
+        [("hello", 3), ("help", 2), ("lolo", 1), ("qzk", 1)],
+        "word string, freq long",
+    )
+    lp = {
+        p: math.floor(math.log(1 / 16) * 1e9)
+        for p in ["h", "e", "l", "o", "p", "he", "ll", "lo", "hel"]
+    }
+    out = {r["word"]: r["seg"] for r in unigram_segment(vocab, lp, 3).collect()}
+    for w in ("hello", "help", "lolo"):
+        assert out[w].replace(" ", "") == w
+        assert out[w].split(" ") == viterbi_segment_py(w, lp, 3)
+    assert out["qzk"] == ""  # 'q' not in the piece set -> honest empty
