@@ -6,19 +6,22 @@ multimodal pipeline gets a real JPEG path the same way it got PNG and WAV
 pure Python, used only for the thumbnail-sized payloads that move through
 ``mapInPandas`` batches. Pillow remains the fast path when installed.
 
-Decoder (``jpeg_decode``): baseline + extended-sequential Huffman JPEG
-(SOF0/SOF1), 8-bit, 1 or 3 components, any h/v sampling factors ≤ 2
-(4:4:4, 4:2:2, 4:2:0), restart intervals. Quantization and Huffman tables
-are read from the FILE (DQT/DHT), not assumed, so real-world baseline
-files decode — not just this encoder's output. Progressive (SOF2),
-arithmetic coding, 12-bit, and hierarchical modes raise ``ValueError``
+Decoder (``jpeg_decode``): baseline + extended-sequential (SOF0/SOF1)
+AND progressive (SOF2) Huffman JPEG — spectral selection, successive
+approximation (DC and AC first + refinement passes), EOB runs, the
+dominant web-crawl variant — 8-bit, 1 or 3 components, any h/v sampling
+factors ≤ 2 (4:4:4, 4:2:2, 4:2:0), restart intervals. Quantization and
+Huffman tables are read from the FILE (DQT/DHT), not assumed, so
+real-world files decode — not just this encoder's output. Arithmetic
+coding, 12-bit, lossless, and hierarchical modes raise ``ValueError``
 (pillow's job where installed).
 
-Encoder (``jpeg_encode``): ITU T.81 Annex K quantization + Huffman
-tables, quality scaling per the IJG curve, optional 4:2:0 subsampling and
-restart intervals — options that exist mainly so the round-trip tests can
-drive the decoder's interleaved-MCU, chroma-upsample, and restart-resync
-paths without any third-party fixture generator.
+Encoders: ``jpeg_encode`` (baseline — ITU T.81 Annex K quantization +
+Huffman tables, quality scaling per the IJG curve, optional 4:2:0
+subsampling and restart intervals) and ``jpeg_encode_progressive``
+(SOF2, the classic DC-first/refine + split-AC-band + AC-refine scan
+script) — both exist mainly so the round-trip tests can drive every
+decoder path without any third-party fixture generator.
 
 Both ends speak the ``(width, height, rows)`` contract of the sibling
 codecs: ``rows[y]`` is the y-th row TOP-DOWN as packed BGR bytes.
@@ -235,6 +238,185 @@ def _decode_block(
     return coeffs, dc
 
 
+def _prog_units(scan, frame):
+    """Restart-unit traversal of one progressive scan: yields one MCU
+    (interleaved scan) or one block (single-component scan — T.81
+    A.2.2: its own true ceil(dims/8) grid, not the MCU-padded one) per
+    step, as a list of (comp, td, ta, (by, bx))."""
+    mcux, mcuy, hmax, vmax = _dims_of(frame)
+    w, h, _ = frame
+    if len(scan) == 1:
+        comp, td, ta = scan[0]
+        cw = (w * comp["h"] + hmax - 1) // hmax
+        chh = (h * comp["v"] + vmax - 1) // vmax
+        bw, bh = (cw + 7) // 8, (chh + 7) // 8
+        for by in range(bh):
+            for bx in range(bw):
+                yield [(comp, td, ta, (by, bx))]
+    else:
+        for m in range(mcux * mcuy):
+            my, mx = divmod(m, mcux)
+            yield [
+                (comp, td, ta, (my * comp["v"] + by, mx * comp["h"] + bx))
+                for comp, td, ta in scan
+                for by in range(comp["v"])
+                for bx in range(comp["h"])
+            ]
+
+
+def _refine_nonzero(br, blk, k, p1):
+    """One AC-refinement correction bit on a nonzero-history coefficient
+    (T.81 G.1.2.3): move magnitude one level toward the true value."""
+    if br.read_bit():
+        if blk[k] >= 0:
+            if blk[k] & p1 == 0:
+                blk[k] += p1
+        else:
+            if (-blk[k]) & p1 == 0:
+                blk[k] -= p1
+
+
+def _decode_prog_scan(
+    segments, frame, scan, ss, se, ah, al, coeff, dc_tabs, ac_tabs, restart
+):
+    """Apply one progressive scan to the zigzag coefficient buffers.
+
+    DC scans (ss == 0): first pass (ah == 0) decodes Huffman DC diffs at
+    point transform ``al``; refinements append one bit per block. AC
+    scans are single-component; the first pass carries EOB runs, the
+    refinement pass is the T.81 G.1.2.3 correction-bit walk (new
+    coefficients enter at ±2^al, every nonzero-history coefficient on
+    the path consumes a correction bit, EOB runs keep consuming
+    correction bits through the skipped blocks)."""
+    if ss == 0 and se != 0:
+        # T.81 B.2.3: a DC scan has Ss = Se = 0; a spectral range that
+        # includes 0 alongside AC coefficients is not legal
+        raise ValueError("progressive scan mixes DC and AC coefficients")
+    if ss > 0 and len(scan) != 1:
+        raise ValueError("progressive AC scan must be single-component")
+    seg_i, br = 0, _BitReader(segments[0])
+    preds = {comp["id"]: 0 for comp, _, _ in scan}
+    eobrun = 0
+    p1 = 1 << al
+    for n, unit in enumerate(_prog_units(scan, frame)):
+        if restart and n and n % restart == 0:
+            seg_i += 1
+            if seg_i >= len(segments):
+                raise ValueError("missing JPEG restart segment")
+            br = _BitReader(segments[seg_i])
+            preds = {comp["id"]: 0 for comp, _, _ in scan}
+            eobrun = 0
+        for comp, td, ta, (by, bx) in unit:
+            blk = coeff[comp["id"]][by][bx]
+            if ss == 0:
+                if ah == 0:
+                    size = br.read_huff(dc_tabs[td])
+                    diff = _extend(br.read_bits(size), size)
+                    preds[comp["id"]] += diff
+                    blk[0] = preds[comp["id"]] << al
+                elif br.read_bit():
+                    blk[0] |= p1
+            elif ah == 0:  # AC first pass
+                if eobrun > 0:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    rs = br.read_huff(ac_tabs[ta])
+                    r, s = rs >> 4, rs & 0x0F
+                    if s == 0:
+                        if r == 15:
+                            k += 16
+                            continue
+                        eobrun = (1 << r) - 1
+                        if r:
+                            eobrun += br.read_bits(r)
+                        break
+                    k += r
+                    if k > se:
+                        raise ValueError("JPEG AC run past spectral band")
+                    blk[k] = _extend(br.read_bits(s), s) << al
+                    k += 1
+            else:  # AC refinement pass (T.81 G.1.2.3)
+                k = ss
+                if eobrun == 0:
+                    while k <= se:
+                        rs = br.read_huff(ac_tabs[ta])
+                        r, s = rs >> 4, rs & 0x0F
+                        val = 0
+                        if s == 0:
+                            if r < 15:
+                                eobrun = 1 << r
+                                if r:
+                                    eobrun += br.read_bits(r)
+                                break
+                            # r == 15: pass 16 zero-history coefficients
+                        elif s != 1:
+                            raise ValueError(
+                                "invalid JPEG AC refinement magnitude"
+                            )
+                        else:
+                            val = p1 if br.read_bit() else -p1
+                        while k <= se:
+                            if blk[k] != 0:
+                                _refine_nonzero(br, blk, k, p1)
+                            else:
+                                if r == 0:
+                                    if val:
+                                        blk[k] = val
+                                    k += 1
+                                    break
+                                r -= 1
+                            k += 1
+                if eobrun > 0:
+                    while k <= se:
+                        if blk[k] != 0:
+                            _refine_nonzero(br, blk, k, p1)
+                        k += 1
+                    eobrun -= 1
+
+
+def _dims_of(frame):
+    w, h, comps = frame
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    return mcux, mcuy, hmax, vmax
+
+
+def _assemble_progressive(frame, coeff, qts):
+    """Dequantize + IDCT every accumulated coefficient block into
+    component planes, then the shared upsample/color back half."""
+    w, h, comps = frame
+    mcux, mcuy, hmax, vmax = _dims_of(frame)
+    if not (1 <= hmax <= 2 and 1 <= vmax <= 2):
+        raise ValueError("only sampling factors 1-2 are supported")
+    planes = {}
+    for comp in comps:
+        qt = qts[comp["tq"]]
+        blocks = coeff[comp["id"]]
+        plane = [
+            bytearray(mcux * comp["h"] * 8)
+            for _ in range(mcuy * comp["v"] * 8)
+        ]
+        for by, brow in enumerate(blocks):
+            for bx, blk in enumerate(brow):
+                nat = [0.0] * 64
+                for zz in range(64):
+                    nat[ZIGZAG[zz]] = blk[zz] * qt[ZIGZAG[zz]]
+                pix = _idct2(nat)
+                ox, oy = bx * 8, by * 8
+                for y in range(8):
+                    row = plane[oy + y]
+                    base = y * 8
+                    for x in range(8):
+                        v = int(pix[base + x] + 128.5)
+                        row[ox + x] = 0 if v < 0 else (255 if v > 255 else v)
+        planes[comp["id"]] = plane
+    return _planes_to_rows(w, h, comps, planes, hmax, vmax)
+
+
 def jpeg_decode(payload: bytes) -> tuple[int, int, list[bytes]]:
     """Decode a baseline/extended-sequential Huffman JPEG to
     ``(width, height, rows)``, rows top-down packed BGR (grayscale
@@ -247,6 +429,8 @@ def jpeg_decode(payload: bytes) -> tuple[int, int, list[bytes]]:
     dc_tabs: dict[int, dict] = {}
     ac_tabs: dict[int, dict] = {}
     frame = None  # (w, h, components)
+    progressive = False
+    coeff = None  # comp_id -> [by][bx] -> 64 zigzag-order quantized ints
     restart = 0
     try:
         while pos + 4 <= len(payload):
@@ -260,6 +444,8 @@ def jpeg_decode(payload: bytes) -> tuple[int, int, list[bytes]]:
             pos += 2
             if marker in (0x01, 0xD8) or 0xD0 <= marker <= 0xD7:
                 continue
+            if marker == 0xD9:  # EOI (no length segment)
+                break
             (seglen,) = struct.unpack_from(">H", payload, pos)
             seg = payload[pos + 2 : pos + seglen]
             pos += seglen
@@ -287,7 +473,7 @@ def jpeg_decode(payload: bytes) -> tuple[int, int, list[bytes]]:
                     vals = list(seg[p + 17 : p + 17 + n])
                     (ac_tabs if tc else dc_tabs)[th] = _build_decode_table(bits, vals)
                     p += 17 + n
-            elif marker in (0xC0, 0xC1):  # SOF0/SOF1
+            elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/SOF1/SOF2
                 prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
                 if prec != 8:
                     raise ValueError("only 8-bit JPEG is supported")
@@ -296,10 +482,11 @@ def jpeg_decode(payload: bytes) -> tuple[int, int, list[bytes]]:
                     cid, hv, tq = struct.unpack_from(">BBB", seg, 6 + 3 * i)
                     comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq})
                 frame = (w, h, comps)
-            elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                progressive = marker == 0xC2
+            elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
                 raise ValueError(
-                    "only baseline/extended sequential Huffman JPEG decodes "
-                    "stdlib-side (progressive/arithmetic need pillow)"
+                    "only sequential/progressive Huffman JPEG decodes "
+                    "stdlib-side (arithmetic/lossless/hierarchical need pillow)"
                 )
             elif marker == 0xDD:  # DRI
                 (restart,) = struct.unpack_from(">H", seg, 0)
@@ -312,14 +499,34 @@ def jpeg_decode(payload: bytes) -> tuple[int, int, list[bytes]]:
                     cs, tdta = seg[1 + 2 * i], seg[2 + 2 * i]
                     comp = next(c for c in frame[2] if c["id"] == cs)
                     scan.append((comp, tdta >> 4, tdta & 0x0F))
-                if ns < len(frame[2]):
-                    # Non-interleaved baseline (one scan per component):
-                    # decoding only the first (Y) scan would silently
-                    # return a desaturated image, so reject honestly.
-                    raise ValueError(
-                        "non-interleaved multi-scan JPEG needs pillow"
+                if not progressive:
+                    if ns < len(frame[2]):
+                        # Non-interleaved baseline (one scan per comp):
+                        # decoding only the first (Y) scan would silently
+                        # return a desaturated image, so reject honestly.
+                        raise ValueError(
+                            "non-interleaved multi-scan JPEG needs pillow"
+                        )
+                    return _decode_scan(
+                        payload, pos, frame, scan, qts, dc_tabs, ac_tabs, restart
                     )
-                return _decode_scan(payload, pos, frame, scan, qts, dc_tabs, ac_tabs, restart)
+                ss, se, ahal = seg[1 + 2 * ns], seg[2 + 2 * ns], seg[3 + 2 * ns]
+                if coeff is None:
+                    mcux, mcuy, _, _ = _dims_of(frame)
+                    coeff = {
+                        c["id"]: [
+                            [[0] * 64 for _ in range(mcux * c["h"])]
+                            for _ in range(mcuy * c["v"])
+                        ]
+                        for c in frame[2]
+                    }
+                segments, pos = _entropy_segments(payload, pos)
+                _decode_prog_scan(
+                    segments, frame, scan, ss, se, ahal >> 4, ahal & 0x0F,
+                    coeff, dc_tabs, ac_tabs, restart,
+                )
+        if progressive and coeff is not None:
+            return _assemble_progressive(frame, coeff, qts)
         raise ValueError("JPEG has no SOS marker")
     except (struct.error, IndexError, StopIteration, KeyError) as e:
         # KeyError: a scan referencing a DQT/DHT table id that was never
@@ -327,19 +534,10 @@ def jpeg_decode(payload: bytes) -> tuple[int, int, list[bytes]]:
         raise ValueError(f"corrupt JPEG payload: {e}") from e
 
 
-def _decode_scan(payload, pos, frame, scan, qts, dc_tabs, ac_tabs, restart):
-    w, h, comps = frame
-    if w <= 0 or h <= 0:
-        raise ValueError("degenerate JPEG dimensions")
-    hmax = max(c["h"] for c in comps)
-    vmax = max(c["v"] for c in comps)
-    if not (1 <= hmax <= 2 and 1 <= vmax <= 2):
-        raise ValueError("only sampling factors 1-2 are supported")
-    mcux = (w + 8 * hmax - 1) // (8 * hmax)
-    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
-
-    # De-stuff the entropy stream, splitting on RST markers: each segment
-    # restarts byte-aligned with fresh DC predictors (T.81 F.2.1.3.1).
+def _entropy_segments(payload, pos):
+    """De-stuff one scan's entropy stream, splitting on RST markers:
+    each segment restarts byte-aligned with fresh DC predictors (T.81
+    F.2.1.3.1). Returns (segments, position of the next real marker)."""
     segments, cur = [], bytearray()
     while pos + 1 < len(payload):
         b = payload[pos]
@@ -358,6 +556,21 @@ def _decode_scan(payload, pos, frame, scan, qts, dc_tabs, ac_tabs, restart):
         else:  # EOI or the next real marker ends the scan
             break
     segments.append(bytes(cur))
+    return segments, pos
+
+
+def _decode_scan(payload, pos, frame, scan, qts, dc_tabs, ac_tabs, restart):
+    w, h, comps = frame
+    if w <= 0 or h <= 0:
+        raise ValueError("degenerate JPEG dimensions")
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    if not (1 <= hmax <= 2 and 1 <= vmax <= 2):
+        raise ValueError("only sampling factors 1-2 are supported")
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+
+    segments, _ = _entropy_segments(payload, pos)
 
     planes = {}
     for comp, _, _ in scan:
@@ -393,18 +606,25 @@ def _decode_scan(payload, pos, frame, scan, qts, dc_tabs, ac_tabs, restart):
                             v = int(pix[base + x] + 128.5)
                             row[ox + x] = 0 if v < 0 else (255 if v > 255 else v)
 
+    return _planes_to_rows(w, h, [c for c, _, _ in scan], planes, hmax, vmax)
+
+
+def _planes_to_rows(w, h, comps, planes, hmax, vmax):
+    """Upsample + color-convert decoded component planes to the
+    ``(width, height, rows)`` BGR contract — shared by the baseline and
+    progressive back halves."""
     rows: list[bytes] = []
-    if len(scan) == 1:
-        plane = planes[scan[0][0]["id"]]
+    if len(comps) == 1:
+        plane = planes[comps[0]["id"]]
         for y in range(h):
             line = plane[y]
             rows.append(bytes(b for x in range(w) for b in (line[x], line[x], line[x])))
         return w, h, rows
-    cy, cb, cr = (planes[c["id"]] for c, _, _ in scan)
-    sy = next(c for c, _, _ in scan)
+    cy, cb, cr = (planes[c["id"]] for c in comps)
+    sy = comps[0]
     hy, vy = sy["h"], sy["v"]
-    hb = [c["h"] for c, _, _ in scan]
-    vb = [c["v"] for c, _, _ in scan]
+    hb = [c["h"] for c in comps]
+    vb = [c["v"] for c in comps]
     out = bytearray(3 * w)
     for y in range(h):
         ly = cy[y * vy // vmax]
@@ -643,4 +863,310 @@ def jpeg_encode(
     if restart_interval:
         out += seg(0xDD, struct.pack(">H", restart_interval))
     out += sos + scan + b"\xff\xd9"
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Progressive encoder (fixture-grade: exists so the round-trip tests can
+# drive the progressive decoder's DC/AC first+refinement, EOB-run, ZRL,
+# and restart paths without any third-party generator — the same reason
+# the baseline encoder exists).
+# ---------------------------------------------------------------------------
+
+# Flat canonical tables that can encode EVERY progressive symbol the
+# scans below emit (Annex K's AC tables lack the EOBn codes (r<<4)|0 for
+# r >= 1, so they cannot express EOB runs > 1): 12 DC categories at 4
+# bits; 15 EOBn + ZRL + 16x10 run/size at 8 bits (226 < 255 codes, so
+# the all-ones code stays unused as T.81 requires).
+HUFF_DC_PROG = ([0, 0, 0, 12] + [0] * 12, list(range(12)))
+HUFF_AC_PROG = (
+    [0, 0, 0, 0, 0, 0, 0, 176] + [0] * 8,
+    [r << 4 for r in range(15)]
+    + [0xF0]
+    + [(r << 4) | s for r in range(16) for s in range(1, 11)],
+)
+
+
+def _pt_dc(v: int, al: int) -> int:
+    return v >> al  # arithmetic shift (T.81 A.4: DC point transform)
+
+
+def _pt_ac(v: int, al: int) -> int:
+    a = abs(v) >> al  # magnitude shift, sign preserved (AC point transform)
+    return -a if v < 0 else a
+
+
+class _ProgWriter:
+    """Bit writer + EOB-run state for one progressive scan."""
+
+    def __init__(self, ac_tab):
+        self.w = _BitWriter()
+        self.ac = ac_tab
+        self.eobrun = 0
+        self.be: list[int] = []  # correction bits buffered behind the run
+
+    def flush_eobrun(self):
+        n = self.eobrun
+        if n == 0:
+            return
+        r = n.bit_length() - 1
+        code, length = self.ac[r << 4]
+        self.w.write(code, length)
+        if r:
+            self.w.write(n - (1 << r), r)
+        for b in self.be:
+            self.w.write(b, 1)
+        self.eobrun, self.be = 0, []
+
+    def end_block(self, tail_bits):
+        self.eobrun += 1
+        self.be.extend(tail_bits)
+        if self.eobrun == 0x7FFF:
+            self.flush_eobrun()
+
+
+def _enc_ac_first(pw: _ProgWriter, blk, ss, se, al):
+    t = {zz: _pt_ac(blk[zz], al) for zz in range(ss, se + 1)}
+    last = max((zz for zz in t if t[zz]), default=None)
+    if last is None:
+        pw.end_block([])
+        return
+    pw.flush_eobrun()
+    run = 0
+    for zz in range(ss, last + 1):
+        v = t[zz]
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, length = pw.ac[0xF0]
+            pw.w.write(code, length)
+            run -= 16
+        s = _csize(v)
+        code, length = pw.ac[(run << 4) | s]
+        pw.w.write(code, length)
+        pw.w.write(v if v >= 0 else v + (1 << s) - 1, s)
+        run = 0
+    if last < se:
+        pw.end_block([])
+
+
+def _enc_ac_refine(pw: _ProgWriter, blk, ss, se, al):
+    """Mirror of the decoder's G.1.2.3 walk, via an explicit pending
+    queue: zeros and correction bits accumulate IN COEFFICIENT ORDER; a
+    ZRL consumes exactly 16 pending zeros (emitting the correction bits
+    interleaved before its 16th zero — the decoder's walk stops there);
+    a new-significant coefficient emits its run/size + sign + every
+    remaining pending correction bit; a block tail becomes an EOB-run
+    entry with its correction bits buffered behind the run."""
+    pending: list = []  # 'z' | ('c', bit), in zigzag order
+    for zz in range(ss, se + 1):
+        t = _pt_ac(blk[zz], al)
+        if t == 0:
+            pending.append("z")
+        elif abs(t) > 1:
+            pending.append(("c", abs(t) & 1))
+        else:
+            pw.flush_eobrun()
+            while sum(1 for p in pending if p == "z") > 15:
+                code, length = pw.ac[0xF0]
+                pw.w.write(code, length)
+                zeros = 0
+                while zeros < 16:
+                    p = pending.pop(0)
+                    if p == "z":
+                        zeros += 1
+                    else:
+                        pw.w.write(p[1], 1)
+            run = sum(1 for p in pending if p == "z")
+            code, length = pw.ac[(run << 4) | 1]
+            pw.w.write(code, length)
+            pw.w.write(1 if t > 0 else 0, 1)
+            for p in pending:
+                if p != "z":
+                    pw.w.write(p[1], 1)
+            pending = []
+    if pending:
+        pw.end_block([p[1] for p in pending if p != "z"])
+
+
+def _encode_prog_scan(
+    scan, frame, grids, dc_tabs, ss, se, ah, al, restart
+) -> bytes:
+    """Entropy bytes (with RST markers) of one progressive scan over the
+    quantized coefficient grids; ``scan`` = [(comp, dc_tab_id, ac_tab)]
+    mirroring the decoder's traversal exactly."""
+    out = bytearray()
+    pw = _ProgWriter(scan[0][2])
+    preds = {comp["id"]: 0 for comp, _, _ in scan}
+    rst = 0
+    for n, unit in enumerate(_prog_units(scan, frame)):
+        if restart and n and n % restart == 0:
+            pw.flush_eobrun()
+            pw.w.flush()
+            out += pw.w.out
+            out += bytes([0xFF, 0xD0 + (rst & 7)])
+            rst += 1
+            pw = _ProgWriter(scan[0][2])
+            preds = {comp["id"]: 0 for comp, _, _ in scan}
+        for comp, _td, _ta, (by, bx) in unit:
+            blk = grids[comp["id"]][by][bx]
+            if ss == 0:
+                if ah == 0:
+                    v = _pt_dc(blk[0], al)
+                    diff = v - preds[comp["id"]]
+                    preds[comp["id"]] = v
+                    s = _csize(diff)
+                    code, length = dc_tabs[comp["id"]][s]
+                    pw.w.write(code, length)
+                    if s:
+                        pw.w.write(
+                            diff if diff >= 0 else diff + (1 << s) - 1, s
+                        )
+                else:
+                    pw.w.write((blk[0] >> al) & 1, 1)
+            elif ah == 0:
+                _enc_ac_first(pw, blk, ss, se, al)
+            else:
+                _enc_ac_refine(pw, blk, ss, se, al)
+    pw.flush_eobrun()
+    pw.w.flush()
+    out += pw.w.out
+    return bytes(out)
+
+
+def jpeg_encode_progressive(
+    width: int,
+    height: int,
+    rows: list[bytes],
+    quality: int = 85,
+    subsample: bool = False,
+    restart_interval: int = 0,
+) -> bytes:
+    """Encode top-down packed-BGR rows as a PROGRESSIVE (SOF2) JFIF
+    JPEG: spectral selection + successive approximation with the
+    classic scan script — interleaved DC first (Al=1) and refinement,
+    per-component AC bands 1-5 and 6-63 at Al=1, then per-component AC
+    refinements to Al=0. Same plane/DCT/quantization front end as
+    ``jpeg_encode``; decodes bit-exactly to the same pixels as the
+    baseline encoding of the same input (pinned in tests)."""
+    if width <= 0 or height <= 0 or len(rows) != height:
+        raise ValueError("bad image geometry")
+    qt_l = _scaled_qt(QT_LUMA, quality)
+    qt_c = _scaled_qt(QT_CHROMA, quality)
+    yp = [[0.0] * width for _ in range(height)]
+    cbp = [[0.0] * width for _ in range(height)]
+    crp = [[0.0] * width for _ in range(height)]
+    for y in range(height):
+        row = rows[y]
+        if len(row) != 3 * width:
+            raise ValueError("row length mismatch")
+        yr, cbr, crr = yp[y], cbp[y], crp[y]
+        for x in range(width):
+            b, g, r = row[3 * x], row[3 * x + 1], row[3 * x + 2]
+            yr[x] = 0.299 * r + 0.587 * g + 0.114 * b - 128.0
+            cbr[x] = -0.168736 * r - 0.331264 * g + 0.5 * b
+            crr[x] = 0.5 * r - 0.418688 * g - 0.081312 * b
+    if subsample:
+        cw, chh = (width + 1) // 2, (height + 1) // 2
+
+        def shrink(p):
+            out = [[0.0] * cw for _ in range(chh)]
+            for y in range(chh):
+                for x in range(cw):
+                    acc, n = 0.0, 0
+                    for dy in (0, 1):
+                        for dx in (0, 1):
+                            yy, xx = 2 * y + dy, 2 * x + dx
+                            if yy < height and xx < width:
+                                acc += p[yy][xx]
+                                n += 1
+                    out[y][x] = acc / n
+            return out
+
+        cbp, crp = shrink(cbp), shrink(crp)
+        hv = [(2, 2), (1, 1), (1, 1)]
+    else:
+        hv = [(1, 1), (1, 1), (1, 1)]
+    comps = [
+        {"id": i + 1, "h": hv[i][0], "v": hv[i][1], "tq": 0 if i == 0 else 1}
+        for i in range(3)
+    ]
+    frame = (width, height, comps)
+    mcux, mcuy, hmax, vmax = _dims_of(frame)
+
+    planes = [yp, cbp, crp]
+    qts = [qt_l, qt_c, qt_c]
+    grids: dict[int, list] = {}
+    for ci, comp in enumerate(comps):
+        ch, cv = comp["h"], comp["v"]
+        grid = []
+        for by in range(mcuy * cv):
+            row_blocks = []
+            for bx in range(mcux * ch):
+                block = _plane_block(planes[ci], bx * 8, by * 8)
+                coeffs = _fdct2(block)
+                row_blocks.append(
+                    [
+                        int(round(coeffs[ZIGZAG[zz]] / qts[ci][ZIGZAG[zz]]))
+                        for zz in range(64)
+                    ]
+                )
+            grid.append(row_blocks)
+        grids[comp["id"]] = grid
+
+    dc_enc = _build_encode_table(*HUFF_DC_PROG)
+    ac_enc = _build_encode_table(*HUFF_AC_PROG)
+    dc_by_id = {c["id"]: dc_enc for c in comps}
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    def sos_hdr(comp_sel, ss, se, ah, al):
+        return seg(
+            0xDA,
+            bytes([len(comp_sel)])
+            + b"".join(bytes([c["id"], 0x00]) for c in comp_sel)
+            + bytes([ss, se, (ah << 4) | al]),
+        )
+
+    # the classic scan script: DC first+refine interleaved, split AC
+    # bands at Al=1 per component, then full-band AC refinements
+    script = [(comps, 0, 0, 0, 1), (comps, 0, 0, 1, 0)]
+    for c in comps:
+        script += [([c], 1, 5, 0, 1), ([c], 6, 63, 0, 1)]
+    for c in comps:
+        script += [([c], 1, 63, 1, 0)]
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(
+        0xDB, bytes([0]) + bytes(qt_l[ZIGZAG[zz]] for zz in range(64))
+    )
+    out += seg(
+        0xDB, bytes([1]) + bytes(qt_c[ZIGZAG[zz]] for zz in range(64))
+    )
+    out += seg(
+        0xC2,
+        struct.pack(">BHHB", 8, height, width, 3)
+        + b"".join(
+            struct.pack(
+                ">BBB", c["id"], (c["h"] << 4) | c["v"], c["tq"]
+            )
+            for c in comps
+        ),
+    )
+    bits, vals = HUFF_DC_PROG
+    out += seg(0xC4, bytes([0x00]) + bytes(bits) + bytes(vals))
+    bits, vals = HUFF_AC_PROG
+    out += seg(0xC4, bytes([0x10]) + bytes(bits) + bytes(vals))
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+    for comp_sel, ss, se, ah, al in script:
+        scan = [(c, 0, ac_enc) for c in comp_sel]
+        out += sos_hdr(comp_sel, ss, se, ah, al)
+        out += _encode_prog_scan(
+            scan, frame, grids, dc_by_id, ss, se, ah, al, restart_interval
+        )
+    out += b"\xff\xd9"
     return bytes(out)

@@ -17,8 +17,10 @@ COMPRESSED formats — 8-bit RGB/RGBA PNG via stdlib zlib + scanline
 unfiltering (``_png_decode``/``_png_encode``) and baseline-Huffman
 JPEG via the from-the-spec DCT/Huffman codec in ``jpeg.py``
 (``jpeg_decode``/``jpeg_encode``: 4:4:4/4:2:2/4:2:0, restart markers,
-file-supplied tables); and an honest ``NotImplementedError`` for the
-rest (progressive JPEG, MP3, ...) in codec-less environments. ``fake_frame_sample`` remains the deterministic
+file-supplied tables, and PROGRESSIVE (SOF2) decode — spectral
+selection + successive approximation, EOB runs, refinement scans);
+and an honest ``NotImplementedError`` for the rest (arithmetic-coded
+JPEG, MP3, ...) in codec-less environments. ``fake_frame_sample`` remains the deterministic
 video-frame stand-in (no stdlib video container parser is worth hand-
 rolling)."""
 
@@ -397,7 +399,7 @@ def decode_image(payload: bytes) -> object:
             errs.append(str(e))
     raise NotImplementedError(
         "image decoding beyond uncompressed 24-bit BMP, 8-bit RGB/RGBA "
-        "PNG, and baseline-Huffman JPEG requires pillow "
+        "PNG, and sequential/progressive Huffman JPEG requires pillow "
         f"({'; '.join(errs)})"
     )
 

@@ -400,18 +400,23 @@ def test_jpeg_solid_color_near_exact_and_odd_sizes():
 
 
 def test_jpeg_rejects_unsupported_honestly():
-    """Progressive SOF2, non-JPEG, and truncated payloads raise
+    """Arithmetic-coded SOF9, non-JPEG, and truncated payloads raise
     ValueError (normalized by decode_image to the honest
-    NotImplementedError when no codec matches)."""
+    NotImplementedError when no codec matches); a baseline stream
+    mislabeled SOF2 trips the progressive validator instead of decoding
+    garbage."""
     import pytest
 
     from pmp_analytics_spark.jpeg import jpeg_decode
 
     payload, _ = _make_jpeg(16, 16)
-    # Rewrite the SOF0 marker to SOF2 (progressive).
-    prog = payload.replace(b"\xff\xc0", b"\xff\xc2", 1)
-    with pytest.raises(ValueError, match="progressive|baseline"):
-        jpeg_decode(prog)
+    arith = payload.replace(b"\xff\xc0", b"\xff\xc9", 1)
+    with pytest.raises(ValueError, match="arithmetic"):
+        jpeg_decode(arith)
+    # SOF2 with a baseline full-band SOS is not a legal progressive scan
+    fake_prog = payload.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with pytest.raises(ValueError, match="progressive|mixes"):
+        jpeg_decode(fake_prog)
     with pytest.raises(ValueError, match="not a JPEG"):
         jpeg_decode(b"\x00\x01\x02\x03")
     with pytest.raises(ValueError):
@@ -612,3 +617,65 @@ def test_stdlib_codecs_reject_garbage_cleanly():
                 dec(c)
             except ValueError:
                 pass  # the one allowed reject type
+
+
+def test_jpeg_progressive_decodes_identical_to_baseline():
+    """The progressive decoder's full path — DC first+refine, split AC
+    bands with EOB runs, AC refinement correction bits, subsampling,
+    restart markers — must reconstruct EXACTLY the pixels the baseline
+    encoding of the same quantized coefficients yields (same quality ->
+    same coefficient grid -> identical IDCT output)."""
+    from pmp_analytics_spark.jpeg import (
+        jpeg_decode,
+        jpeg_encode,
+        jpeg_encode_progressive,
+    )
+
+    for w, h, kwargs in [
+        (37, 23, {}),
+        (24, 16, {"subsample": True}),
+        (32, 24, {"subsample": True, "restart_interval": 2}),
+        (40, 40, {"restart_interval": 3}),
+    ]:
+        _, rows = _make_jpeg(w, h, seed=11)
+        base = jpeg_decode(jpeg_encode(w, h, rows, quality=60, **kwargs))
+        prog = jpeg_decode(
+            jpeg_encode_progressive(w, h, rows, quality=60, **kwargs)
+        )
+        assert (base[0], base[1]) == (prog[0], prog[1]) == (w, h)
+        assert base[2] == prog[2], (w, h, kwargs)
+
+
+def test_jpeg_progressive_eob_runs_and_flat_blocks():
+    """A flat image maximizes EOB-run amalgamation (every AC band block
+    empty -> one multi-block EOBn per scan segment) — the path Annex K
+    tables cannot even express; decode must still be pixel-exact."""
+    from pmp_analytics_spark.jpeg import (
+        jpeg_decode,
+        jpeg_encode,
+        jpeg_encode_progressive,
+    )
+
+    w, h = 48, 32
+    rows = [bytes([120, 60, 200] * w) for _ in range(h)]
+    base = jpeg_decode(jpeg_encode(w, h, rows, quality=85))
+    prog = jpeg_decode(jpeg_encode_progressive(w, h, rows, quality=85))
+    assert base[2] == prog[2]
+    payload = jpeg_encode_progressive(w, h, rows, quality=85)
+    assert b"\xff\xc2" in payload  # really SOF2
+
+
+def test_progressive_thumbnail_chain():
+    """decode_image and the format-preserving resize accept progressive
+    payloads end-to-end (VERDICT r7 #4's user-visible surface)."""
+    from pmp_analytics_spark.jpeg import jpeg_decode, jpeg_encode_progressive
+    from pmp_analytics_spark.multimodal import _stdlib_resize, decode_image
+
+    _, rows = _make_jpeg(100, 80, seed=5)
+    payload = jpeg_encode_progressive(100, 80, rows, quality=70)
+    w, h, back = decode_image(payload)
+    assert (w, h) == (100, 80) and len(back) == 80
+    thumb = _stdlib_resize(payload, max_side=32)
+    tw, th, _ = jpeg_decode(thumb)
+    assert max(tw, th) <= 32
+    assert abs(tw * 80 - th * 100) <= 100  # aspect kept within rounding
