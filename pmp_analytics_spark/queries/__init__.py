@@ -55,32 +55,26 @@ _PACK_MODULES = {
 }
 
 
-# Round-7 record rotation, derived by diffing CORRECTNESS_r01-r06
-# against the registry: first the four queries whose r06 entries FAILED
-# the driver's canonicalizer (decimal / array top-level columns — fixed
-# this round to integer-cents / CSV-string projections) so the official
-# record shows them green, then the 16 queries no record r01-r06 ever
-# sampled (including docs_bm25_wand and streaming_quarantine, which the
-# r06 rotation list omitted). Names that fall out of the registry are
-# skipped silently.
+# Round-8 record rotation: every query in the registry has appeared in
+# at least one official record r01-r07 (VERDICT r7 confirmed the
+# rotation debt fully paid), so the front is simply the round-8
+# additions (never sampled by definition), followed by the queries
+# whose ORACLES or operators this round touched (PageRank out_w HAVING
+# pin, scd2_apply per-row effective ticks, the marker migration's
+# streaming loops) so the official record re-confirms them. Names that
+# fall out of the registry are skipped silently.
 _RECORD_FRONT = (
-    # r06 driver-record failures, re-verified first
-    "orders_mv_incremental", "streaming_mv_refresh", "orders_mv_minmax",
-    "embedding_pq_cdc",
-    # never sampled in any official record r01-r06
-    "streaming_distinct_users", "orders_quality_report",
-    "orders_quarantine", "docs_dedup_canonical", "docs_dedup_keep_best",
-    "embedding_ivf_topk", "embedding_pq_topk", "embedding_pq_rerank",
-    "embedding_semantic_neardup", "docs_bpe_token_stats",
-    "embedding_label_affinity", "docs_bm25_retrieval", "docs_hybrid_rrf",
-    "embedding_pca_project", "streaming_quarantine", "docs_bm25_wand",
-    # round-7 additions (new this round, so never sampled by definition)
+    # round-8 additions
+    "docs_exact_substring_dedup", "docs_suffix_array",
+    "embedding_ivfpq_topk", "embedding_index_eval",
+    "streaming_pointintime_enrich", "docs_unigram_lm_vocab",
+    # oracles/operators touched this round, re-confirmed up front
+    "nation_trade_pagerank", "nation_trade_ppr", "streaming_pagerank_cdc",
     "user_state_scd2", "customer_scd2_apply", "streaming_scd2_apply",
-    "purchase_state_pointintime", "orders_customer_join_mv",
-    "streaming_join_mv", "nation_trade_pagerank",
-    "docs_decontamination_report", "lineitem_star_join_mv",
-    "embedding_hard_negatives", "streaming_pagerank_cdc",
-    "nation_trade_ppr",
+    "purchase_state_pointintime", "streaming_join_mv",
+    "lineitem_star_join_mv", "streaming_mv_refresh",
+    "streaming_merge_upsert", "docs_payload_thumbnails",
+    "docs_dup_spans", "docs_dup_span_removal",
 )
 
 
