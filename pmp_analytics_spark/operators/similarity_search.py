@@ -1103,3 +1103,37 @@ def index_eval(
         F.round(F.sum("mrr") / n_queries, 6).alias("mrr"),
         F.round(F.sum("ndcg") / n_queries, 6).alias("ndcg"),
     )
+
+
+def ivfpq_codes_refresh(
+    index: DataFrame,
+    delta: DataFrame,
+    cents,
+    codebooks,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    broadcast_touched: bool = True,
+) -> DataFrame:
+    """CDC maintenance of the composed IVF-PQ index table
+    (id, __cell, __codes) under a FIXED coarse quantizer + residual
+    codebooks — the fourth index-maintenance sibling (LSH bands, IVF
+    cells, PQ codes): removed/changed ids evict their rows via one
+    delta-bounded anti-join; added/changed vectors re-run the fused
+    assign+residual+encode pass against the existing quantizers. Cell
+    and codes are pure per-vector functions of (vector, cents, books),
+    so the refreshed table is bit-identical to a fresh ``ivfpq_encode``
+    over the new corpus (the declared query's oracle). Quantizer drift
+    is a rare retrain + full re-encode, outside this operator, as for
+    the other three. Skeleton: ``diff.cdc_index_refresh``."""
+    from pmp_analytics_spark.operators.diff import cdc_index_refresh
+
+    return cdc_index_refresh(
+        index,
+        delta,
+        corpus_id,
+        corpus_vec,
+        lambda fresh: ivfpq_encode(
+            fresh, cents, codebooks, corpus_id, corpus_vec
+        ),
+        broadcast_touched,
+    )

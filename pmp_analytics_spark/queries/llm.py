@@ -2475,3 +2475,133 @@ def embedding_index_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     }
     return index_eval(truth, methods, k=_TOPK, n_queries=_NQ)
+
+
+# --------------------------------------------------------------------------
+# Q: embedding_ivfpq_cdc — CDC maintenance of the COMPOSED IVF-PQ index
+# under fixed quantizers (operators/similarity_search.py::
+# ivfpq_codes_refresh) — the index-maintenance QUARTET's last member
+# (LSH bands, IVF cells, PQ codes, IVF-PQ cell+residual-codes): the same
+# old -> new corpus move as the other CDC queries, both quantizers
+# fitted on the OLD corpus, refresh evicts touched ids and re-runs the
+# fused assign+residual+encode pass only on changed vectors. Cell and
+# codes are pure per-vector functions, so the oracle replays a fresh
+# encode of the NEW corpus against the snapshot-refit quantizers (the
+# ivfpq oracle's assignment/residual/argmin SQL with the old-snapshot
+# fit).
+# --------------------------------------------------------------------------
+def _ivfpq_cdc_oracle() -> str | None:
+    import warnings
+
+    try:
+        import numpy as np
+
+        from pmp_analytics_spark.operators.similarity_search import _kmeans_fit
+
+        rows = _oracle_embedding_rows(
+            max(2000, 20 * max(_IVF_N_CENTROIDS, _PQ_K)),
+            keep=lambda i: i % 11 != 7,  # the OLD snapshot
+        )
+        train = np.array([r[1] for r in rows], dtype=np.float64)
+        d = train.shape[1]
+        sub = d // _PQ_M
+        cents = _kmeans_fit(train, _IVF_N_CENTROIDS, seed=42)
+        d2 = (
+            (train**2).sum(axis=1)[:, None]
+            + (cents**2).sum(axis=1)[None, :]
+            - 2.0 * (train @ cents.T)
+        )
+        resid = train - cents[d2.argmin(axis=1)]
+        books = [
+            _kmeans_fit(resid[:, j * sub : (j + 1) * sub], _PQ_K, 42 + j)
+            for j in range(_PQ_M)
+        ]
+    except (ImportError, OSError, KeyError) as e:
+        warnings.warn(
+            f"embedding_ivfpq_cdc oracle downgraded to rows-only check: {e!r}",
+            stacklevel=2,
+        )
+        return None
+
+    cent_rows = ", ".join(
+        f"({i}, [{', '.join(repr(float(x)) for x in c)}]::DOUBLE[])"
+        for i, c in enumerate(cents)
+    )
+    cb_rows = ", ".join(
+        f"({j}, {c}, [{', '.join(repr(float(x)) for x in books[j][c])}]::DOUBLE[])"
+        for j in range(_PQ_M)
+        for c in range(_PQ_K)
+    )
+    return f"""
+    WITH c AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), newc AS (
+        SELECT vec_id,
+               CASE WHEN vec_id % 17 = 2 THEN LIST_TRANSFORM(v, x -> -x)
+                    ELSE v END AS v
+        FROM c WHERE vec_id % 13 <> 4
+    ), cent(cell, cv) AS (
+        VALUES {cent_rows}
+    ), cb(j, code, ccv) AS (
+        VALUES {cb_rows}
+    ), assign AS (
+        SELECT vec_id, v, cell, cv,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY LIST_DISTANCE(v, cv), cell) AS rn
+        FROM newc CROSS JOIN cent
+    ), cells AS (
+        SELECT vec_id, cell,
+               LIST_TRANSFORM(GENERATE_SERIES(1, {d}), i -> v[i] - cv[i]) AS vr
+        FROM assign WHERE rn = 1
+    ), subdist AS (
+        SELECT cells.vec_id, cells.cell, cb.j, cb.code,
+               LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, {sub}), i ->
+                   (vr[cb.j * {sub} + i] - ccv[i])
+                   * (vr[cb.j * {sub} + i] - ccv[i]))) AS d2
+        FROM cells CROSS JOIN cb
+    ), enc AS (
+        SELECT vec_id, cell, j, code,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, j
+                                  ORDER BY d2, code) AS rn
+        FROM subdist
+    )
+    SELECT vec_id, CAST(cell AS BIGINT) AS cell,
+           STRING_AGG(CAST(code AS VARCHAR), ',' ORDER BY j) AS codes
+    FROM enc WHERE rn = 1 GROUP BY vec_id, cell
+    """
+
+
+@query("embedding_ivfpq_cdc", _ivfpq_cdc_oracle)
+def embedding_ivfpq_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pmp_analytics_spark.operators.diff import snapshot_delta
+    from pmp_analytics_spark.operators.similarity_search import (
+        ivfpq_codes_refresh,
+        ivfpq_encode,
+        ivfpq_train,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    old = emb.where(F.col("vec_id") % 11 != 7)
+    new = emb.where(F.col("vec_id") % 13 != 4).select(
+        "vec_id",
+        F.when(
+            F.col("vec_id") % 17 == 2,
+            F.transform("embedding", lambda x: -x),
+        )
+        .otherwise(F.col("embedding"))
+        .alias("embedding"),
+    )
+    cents, books = ivfpq_train(
+        old, n_centroids=_IVF_N_CENTROIDS, m=_PQ_M, k_codes=_PQ_K
+    )
+    index0 = ivfpq_encode(old, cents, books)
+    delta = snapshot_delta(old, new, ["vec_id"])
+    # cell as BIGINT, codes as a CSV string: the driver canonicalizer
+    # cannot hash top-level arrays (registry-wide gate)
+    return ivfpq_codes_refresh(index0, delta, cents, books).select(
+        "vec_id",
+        F.col("__cell").alias("cell"),
+        F.array_join(F.col("__codes").cast("array<string>"), ",").alias(
+            "codes"
+        ),
+    )

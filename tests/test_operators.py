@@ -2253,3 +2253,46 @@ def test_index_eval_metrics_exact(spark):
     assert out["partial"]["recall_at_k"] == round((2 / 3) / 2, 6)
     assert out["partial"]["mrr"] == round((1 / 2) / 2, 6)
     assert out["partial"]["ndcg"] == round((w[1] + w[2]) / sum(w) / 2, 6)
+
+
+def test_ivfpq_codes_refresh_matches_fresh_encode(spark):
+    """The composed-index CDC refresh must be bit-identical to a fresh
+    fused assign+residual+encode pass over the new corpus (cell and
+    codes are pure per-vector functions of the fixed quantizers)."""
+    import numpy as np
+
+    from pmp_analytics_spark.operators.diff import snapshot_delta
+    from pmp_analytics_spark.operators.similarity_search import (
+        ivfpq_codes_refresh,
+        ivfpq_encode,
+        ivfpq_train,
+    )
+
+    rng = np.random.default_rng(43)
+    vecs = rng.normal(size=(120, 16)).astype("float32")
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(len(vecs))]
+    old = spark.createDataFrame(
+        [r for r in rows if r[0] % 7 != 3], ["vec_id", "embedding"]
+    )
+    new = spark.createDataFrame(
+        [
+            (i, [-x for x in v] if i % 9 == 2 else v)
+            for i, v in rows
+            if i % 5 != 1
+        ],
+        ["vec_id", "embedding"],
+    )
+    cents, books = ivfpq_train(old, n_centroids=4, m=4, k_codes=8)
+    index0 = ivfpq_encode(old, cents, books)
+    refreshed = ivfpq_codes_refresh(
+        index0, snapshot_delta(old, new, ["vec_id"]), cents, books
+    )
+    want = {
+        r["vec_id"]: (r["__cell"], list(r["__codes"]))
+        for r in ivfpq_encode(new, cents, books).collect()
+    }
+    got = {
+        r["vec_id"]: (r["__cell"], list(r["__codes"]))
+        for r in refreshed.collect()
+    }
+    assert got == want
