@@ -1747,7 +1747,11 @@ _UNI_SEED = 64  # seed multi-char pieces
 _UNI_KEEP = 48  # kept multi-char pieces per round
 
 
-def _unigram_oracle() -> str:
+def _uni_em_stages() -> list:
+    """The shared CTE-stage list of the unigram oracles: vocab + seed +
+    the EM rounds (each = integer score table + per-position Viterbi DP
+    via the accumulated-frontier chain + count/prune M-step), ending at
+    s{_UNI_ITERS} — the final piece table."""
     stages = [
         f"""vocab AS MATERIALIZED (
         SELECT t AS word, COUNT(*) AS freq
@@ -1823,9 +1827,13 @@ def _unigram_oracle() -> str:
         LEFT JOIN c{t} c ON s.piece = c.piece
     )"""
         )
+    return stages
+
+
+def _unigram_oracle() -> str:
     return (
         "WITH "
-        + ",\n    ".join(stages)
+        + ",\n    ".join(_uni_em_stages())
         + f"""
     SELECT piece, CAST(cnt AS BIGINT) AS n_uses FROM s{_UNI_ITERS}
     """
@@ -1845,4 +1853,97 @@ def docs_unigram_lm_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_word_len=_UNI_MAXW,
         seed_multi=_UNI_SEED,
         keep_multi=_UNI_KEEP,
+    )
+
+
+# --------------------------------------------------------------------------
+# Q: docs_unigram_segment — APPLY the learned unigram-LM vocab: Viterbi
+# segmentation of every word type under the FINAL piece table (one more
+# integer-score round on top of the EM fit), with per-type piece counts
+# and the corpus-weighted compression ratio the tokenizer buys
+# (chars / pieces — the number a tokenizer ablation actually compares).
+# Completes the tokenizer family's learn->apply symmetry (BPE has
+# merges/encode/token_stats/tokenize_ids). The oracle extends the shared
+# EM CTE chain (_uni_em_stages) by one final lp table + one more
+# unrolled Viterbi DP, emitting the segmentation STRINGS — engine-exact
+# for the same reason the fit is (pure BIGINT DP).
+# --------------------------------------------------------------------------
+def _unigram_segment_oracle() -> str:
+    stages = _uni_em_stages()
+    t = "f"  # the apply round's stage namespace
+    prev = f"s{_UNI_ITERS}"
+    stages.append(
+        f"""lp{t} AS MATERIALIZED (
+        SELECT piece,
+               CAST(FLOOR(LN(CAST(cnt AS DOUBLE)
+                             / (SELECT SUM(cnt) FROM {prev})) * 1e9)
+                    AS BIGINT) AS lp
+        FROM {prev}
+    ), a{t}_0 AS MATERIALIZED (
+        SELECT word, freq, 0 AS pos, CAST(0 AS BIGINT) AS score, '' AS seg
+        FROM vocab
+    )"""
+    )
+    for p in range(1, _UNI_MAXW + 1):
+        stages.append(
+            f"""d{t}_{p} AS MATERIALIZED (
+        SELECT a.word, a.freq, {p} AS pos,
+               a.score + l.lp AS score,
+               CASE WHEN a.seg = '' THEN l.piece
+                    ELSE a.seg || ' ' || l.piece END AS seg,
+               ROW_NUMBER() OVER (PARTITION BY a.word
+                   ORDER BY a.score + l.lp DESC, a.pos ASC) AS rn
+        FROM a{t}_{p - 1} a
+        JOIN lp{t} l
+          ON SUBSTRING(a.word, a.pos + 1, {p} - a.pos) = l.piece
+        WHERE LENGTH(a.word) >= {p} AND {p} - a.pos <= {_UNI_PLEN}
+          AND {p} - a.pos >= 1
+    ), a{t}_{p} AS MATERIALIZED (
+        SELECT word, freq, pos, score, seg FROM a{t}_{p - 1}
+        UNION ALL
+        SELECT word, freq, pos, score, seg FROM d{t}_{p} WHERE rn = 1
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(stages)
+        + f"""
+    SELECT word, CAST(freq AS BIGINT) AS freq, seg,
+           CAST(LEN(STRING_SPLIT(seg, ' ')) AS BIGINT) AS n_pieces,
+           ROUND(LENGTH(word) * 1.0 / LEN(STRING_SPLIT(seg, ' ')), 6)
+               AS chars_per_piece
+    FROM a{t}_{_UNI_MAXW} WHERE pos = LENGTH(word)
+    """
+    )
+
+
+@query("docs_unigram_segment", _unigram_segment_oracle())
+def docs_unigram_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pmp_analytics_spark.operators.bpe import word_vocab
+    from pmp_analytics_spark.operators.unigram import (
+        _lp_table,
+        unigram_fit,
+        unigram_segment,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pieces = unigram_fit(
+        docs,
+        "text",
+        iters=_UNI_ITERS,
+        max_piece_len=_UNI_PLEN,
+        max_word_len=_UNI_MAXW,
+        seed_multi=_UNI_SEED,
+        keep_multi=_UNI_KEEP,
+    ).withColumnRenamed("n_uses", "cnt")
+    lp = _lp_table(pieces.collect())  # vocab_size-bounded
+    vocab = word_vocab(docs, "text").where(F.length("word") <= _UNI_MAXW)
+    seg = unigram_segment(vocab, lp, _UNI_PLEN)
+    n_pieces = F.size(F.filter(F.split("seg", " "), lambda x: x != ""))
+    return seg.select(
+        "word",
+        F.col("freq").cast("long").alias("freq"),
+        "seg",
+        n_pieces.cast("long").alias("n_pieces"),
+        F.round(F.length("word") / n_pieces, 6).alias("chars_per_piece"),
     )
