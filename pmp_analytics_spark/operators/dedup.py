@@ -1169,3 +1169,53 @@ def lsh_index_refresh(
         return band_key_frame(sig, id_col, num_hashes, bands)
 
     return cdc_index_refresh(index, delta, id_col, text_col, band, broadcast_touched)
+
+
+def dedup_pair_eval(
+    truth: DataFrame,
+    methods: dict[str, DataFrame],
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Dedup-quality harness — the pair-set counterpart of
+    ``similarity_search.index_eval``: grade each method's candidate /
+    verified PAIR SET against the exact ground truth with
+    (method, n_pairs, n_true, precision, recall, f1). Exact integer
+    counts + two int/int divisions, so the whole evaluation replays in
+    SQL; the truth side is broadcast (pair sets are output-sized, not
+    corpus-sized), the truth total arrives via the 1-row-agg crossJoin.
+    A method whose pair set is EMPTY produces no row (identically on
+    both engines) rather than a fabricated zero."""
+    t = F.broadcast(
+        truth.select(F.col(id_a), F.col(id_b), F.lit(1).alias("__rel"))
+    )
+    cand = None
+    for name, df in methods.items():
+        part = df.select(
+            F.lit(name).alias("method"), F.col(id_a), F.col(id_b)
+        )
+        cand = part if cand is None else cand.unionByName(part)
+    hits = cand.join(t, [id_a, id_b], "left").select(
+        "method", F.coalesce(F.col("__rel"), F.lit(0)).alias("rel")
+    )
+    n_truth_row = truth.agg(F.count(F.lit(1)).alias("__n_truth"))
+    hits = hits.crossJoin(F.broadcast(n_truth_row))
+    p = F.col("n_true") / F.col("n_pairs")
+    r = F.col("n_true") / F.col("__n_truth")
+    agg = (
+        hits.groupBy("method", "__n_truth")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum("rel").alias("n_true"),
+        )
+    )
+    return agg.select(
+        "method",
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        F.col("n_true").cast("long").alias("n_true"),
+        F.round(p, 6).alias("precision"),
+        F.round(r, 6).alias("recall"),
+        F.when(F.col("n_true") == 0, F.lit(0.0))
+        .otherwise(F.round(2 * p * r / (p + r), 6))
+        .alias("f1"),
+    )

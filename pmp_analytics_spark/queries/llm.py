@@ -2605,3 +2605,139 @@ def embedding_ivfpq_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
             "codes"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Q: docs_dedup_eval — the dedup-quality harness as a declared operator
+# (the pair-set sibling of embedding_index_eval): on the bounded exact
+# slice (doc_id < 1000, the PPJoin regime note at docs_jaccard_exact_
+# pairs), grade MinHash-LSH against the EXACT shingle-Jaccard ground
+# truth at the MinHash family's threshold (0.6): raw band-bucket
+# CANDIDATES (the recall/precision trade the banding parameters buy)
+# and the VERIFIED pipeline (exact Jaccard over the same hashed shingle
+# sets — precision 1.0 and recall = bucket recall BY CONSTRUCTION,
+# which the harness proves rather than asserts), plus the truth sanity
+# row. Counts and int/int ratios only, so the whole evaluation —
+# signatures, banding, bucket join, verification, brute-force truth,
+# metrics — replays in one SQL statement built from the same _DUCK_*
+# machinery as the underlying queries.
+# --------------------------------------------------------------------------
+_DE_T = 0.6
+_DE_MAX_ID = 1000
+
+
+@query(
+    "docs_dedup_eval",
+    f"""
+    WITH sh AS (
+        SELECT doc_id, {_DUCK_SHINGLES} AS sh FROM documents
+        WHERE LENGTH(text) >= 5 AND doc_id < {_DE_MAX_ID}
+    ), hashed AS (
+        SELECT doc_id, {_DUCK_SHINGLE_HASH} AS hs FROM sh
+    ), d AS (
+        SELECT DISTINCT doc_id, UNNEST(hs) AS g FROM hashed
+    ), sz AS (
+        SELECT doc_id, COUNT(*) AS n FROM d GROUP BY doc_id
+    ), inter AS (
+        -- pairwise intersection sizes via the exploded equi-join (the
+        -- per-pair LIST_INTERSECT form is quadratic in set width)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+        FROM d a JOIN d b ON a.g = b.g AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ), jac AS (
+        SELECT id_a, id_b, i * 1.0 / (sa.n + sb.n - i) AS j
+        FROM inter JOIN sz sa ON inter.id_a = sa.doc_id
+                   JOIN sz sb ON inter.id_b = sb.doc_id
+    ), truth AS (
+        SELECT id_a, id_b FROM jac WHERE j >= {_DE_T}
+    ), sig AS (
+        SELECT doc_id, {_DUCK_SIG} FROM hashed
+    ), banded AS (
+        {_DUCK_BAND_ROWS}
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM banded a JOIN banded b
+          ON a.band_id = b.band_id AND a.band_key = b.band_key
+             AND a.doc_id < b.doc_id
+    ), verified AS (
+        SELECT c.id_a, c.id_b
+        FROM cand c JOIN jac USING (id_a, id_b) WHERE jac.j >= {_DE_T}
+    ), m_all AS (
+        SELECT 'exact_truth' AS method, id_a, id_b FROM truth
+        UNION ALL SELECT 'lsh_candidates', id_a, id_b FROM cand
+        UNION ALL SELECT 'lsh_verified', id_a, id_b FROM verified
+    ), hits AS (
+        SELECT m.method,
+               CASE WHEN t.id_a IS NULL THEN 0 ELSE 1 END AS rel
+        FROM m_all m LEFT JOIN truth t
+          ON m.id_a = t.id_a AND m.id_b = t.id_b
+    ), tot AS (SELECT COUNT(*) AS n_truth FROM truth)
+    SELECT method,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(rel) AS BIGINT) AS n_true,
+           ROUND(SUM(rel) * 1.0 / COUNT(*), 6) AS precision,
+           ROUND(SUM(rel) * 1.0 / n_truth, 6) AS recall,
+           CASE WHEN SUM(rel) = 0 THEN 0.0
+                ELSE ROUND(2 * (SUM(rel) * 1.0 / COUNT(*))
+                             * (SUM(rel) * 1.0 / n_truth)
+                           / ((SUM(rel) * 1.0 / COUNT(*))
+                              + (SUM(rel) * 1.0 / n_truth)), 6)
+           END AS f1
+    FROM hits, tot GROUP BY method, n_truth
+    """,
+)
+def docs_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pmp_analytics_spark.operators.dedup import (
+        dedup_pair_eval,
+        exploded_shingle_hashes,
+        lsh_candidates_from_sig,
+        minhash_signatures,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") < _DE_MAX_ID
+    )
+    ex = exploded_shingle_hashes(docs, "text", "doc_id", _SHINGLE_K).cache()
+    # Exact Jaccard for BOTH the truth and the verified arm from ONE
+    # exploded equi-join on the hashed gram (hash join — the plan gate's
+    # zero-CartesianProduct rule holds): pair intersection sizes by
+    # groupBy, set sizes joined back. On the bounded eval slice the
+    # sum-of-df^2 join is the cheap exact path (and one shared `jac`
+    # frame serves two arms); the open-corpus exact join remains
+    # jaccard_prefix_join, whose prefix filter exists for exactly the
+    # regime this slice excludes.
+    d = ex.select("doc_id", "__h").distinct().cache()
+    sz = d.groupBy("doc_id").agg(F.count(F.lit(1)).alias("__n"))
+    inter = (
+        d.select(F.col("doc_id").alias("id_a"), "__h")
+        .join(d.select(F.col("doc_id").alias("id_b"), "__h"), "__h")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("__i"))
+    )
+    jac = (
+        inter.join(sz.select(F.col("doc_id").alias("id_a"),
+                             F.col("__n").alias("__na")), "id_a")
+        .join(sz.select(F.col("doc_id").alias("id_b"),
+                        F.col("__n").alias("__nb")), "id_b")
+        .select(
+            "id_a", "id_b",
+            (F.col("__i") / (F.col("__na") + F.col("__nb") - F.col("__i"))
+             ).alias("__j"),
+        )
+        .localCheckpoint(eager=False)  # truth arm + verified join share it
+    )
+    truth = jac.where(F.col("__j") >= _DE_T).select("id_a", "id_b")
+    sig = minhash_signatures(ex, "doc_id", len(_SEEDS))
+    cand = lsh_candidates_from_sig(sig, "doc_id", len(_SEEDS), _BANDS).cache()
+    verified = cand.join(jac, ["id_a", "id_b"]).where(
+        F.col("__j") >= _DE_T
+    ).select("id_a", "id_b")
+    return dedup_pair_eval(
+        truth,
+        {
+            "exact_truth": truth,
+            "lsh_candidates": cand,
+            "lsh_verified": verified,
+        },
+    )

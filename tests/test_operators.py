@@ -2296,3 +2296,38 @@ def test_ivfpq_codes_refresh_matches_fresh_encode(spark):
         for r in refreshed.collect()
     }
     assert got == want
+
+
+def test_dedup_pair_eval_metrics_exact(spark):
+    """Pair-set harness: precision/recall/f1 reproduce hand-computed
+    values; an all-false method scores zeros; an empty method yields no
+    row (identically on both engines by design)."""
+    truth = spark.createDataFrame(
+        [(1, 2), (1, 3), (4, 5)], ["id_a", "id_b"]
+    )
+    from pmp_analytics_spark.operators.dedup import dedup_pair_eval
+
+    half = spark.createDataFrame(
+        [(1, 2), (7, 8), (4, 5), (9, 10)], ["id_a", "id_b"]
+    )
+    misses = spark.createDataFrame([(7, 9)], ["id_a", "id_b"])
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    out = {
+        r["method"]: r
+        for r in dedup_pair_eval(
+            truth,
+            {"truth": truth, "half": half, "misses": misses, "empty": empty},
+        ).collect()
+    }
+    assert "empty" not in out
+    t = out["truth"]
+    assert (t["n_pairs"], t["n_true"], t["precision"], t["recall"], t["f1"]) == (
+        3, 3, 1.0, 1.0, 1.0,
+    )
+    h = out["half"]
+    assert (h["n_pairs"], h["n_true"]) == (4, 2)
+    assert h["precision"] == 0.5 and h["recall"] == round(2 / 3, 6)
+    p, r = 2 / 4, 2 / 3
+    assert h["f1"] == round(2 * p * r / (p + r), 6)
+    m = out["misses"]
+    assert (m["precision"], m["recall"], m["f1"]) == (0.0, 0.0, 0.0)
