@@ -66,6 +66,9 @@ __all__ = [
     "duplicate_positions",
     "duplicate_spans",
     "seed_positions",
+    "substring_index_build",
+    "substring_index_refresh",
+    "substring_spans_refresh",
     "suffix_array",
     "suffix_ranks",
 ]
@@ -362,3 +365,189 @@ def duplicate_spans(
         .groupBy("doc_id", "doc_len", "span_id")
         .agg(F.min("s0").alias("s"), F.max("e0").alias("e"))
     )
+
+
+def substring_index_build(
+    docs: DataFrame,
+    min_len: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The exact substring-dedup INDEX: ``(gram, doc_id, occ)`` — every
+    literal ``min_len``-character gram with its per-document occurrence
+    count. Corpus-wide gram count = SUM(occ) over the gram; a gram is
+    duplicated iff that sum >= 2 (including twice within one doc — the
+    Lee et al. rule the batch operator implements). Literal grams keep
+    the index EXACT (no hash collisions, the family's contract); the
+    min_len-x row width is the price of never re-deriving — the same
+    store-the-key posture as the LSH band store, with the same
+    production note (a deployment that accepts 128-bit-hash exactness
+    halves the width; the maintenance algebra is identical)."""
+    pos = _positions(docs, id_col, text_col).where(
+        F.col("pos") + min_len - 1 <= F.col("doc_len")
+    )
+    return (
+        pos.select(
+            F.expr(f"substring(__t, pos, {int(min_len)})").alias("gram"),
+            "doc_id",
+        )
+        .groupBy("gram", "doc_id")
+        .agg(F.count(F.lit(1)).alias("occ"))
+    )
+
+
+def substring_index_refresh(
+    index: DataFrame,
+    delta: DataFrame,
+    min_len: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_touched: bool = True,
+) -> DataFrame:
+    """CDC maintenance of the substring index under a ``snapshot_delta``
+    over the documents table (compare column: the text): removed/changed
+    docs evict their gram rows via one delta-bounded anti-join;
+    added/changed docs re-shingle ONLY their own new text. The corpus is
+    never re-scanned; the refreshed index is row-identical to a fresh
+    ``substring_index_build`` over the new corpus (the declared query's
+    oracle and the pytest pin)."""
+    touched = delta.where(
+        F.col("change_type").isin("removed", "changed")
+    ).select(id_col)
+    if broadcast_touched:
+        touched = F.broadcast(touched)
+    kept = index.join(touched, id_col, "left_anti")
+    fresh_docs = delta.where(
+        F.col("change_type").isin("added", "changed")
+    ).select(F.col(id_col), F.col(f"new_{text_col}").alias(text_col))
+    fresh = substring_index_build(fresh_docs, min_len, id_col, text_col)
+    return kept.unionByName(fresh)
+
+
+def substring_spans_refresh(
+    index_old: DataFrame,
+    index_new: DataFrame,
+    spans_old: DataFrame,
+    delta: DataFrame,
+    docs_new: DataFrame,
+    min_len: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """CDC maintenance of the duplicate-SPAN table: recompute spans ONLY
+    for documents whose duplicate structure can have changed —
+
+    - docs added or changed by the delta, and
+    - docs containing a gram whose corpus-wide duplicated STATUS
+      (count >= 2) flipped: the delta's own grams (touched via eviction
+      or insertion) are the only candidates; ONE delta-bounded
+      semi-joined aggregation of the OLD index gives their old counts,
+      the new counts derive from the delta algebra
+      (new = old - evicted + fresh — the refreshed index is never
+      re-aggregated corpus-wide), and docs holding a flipped gram are
+      one semi-join of the new index.
+
+    Affected docs re-shingle from their CURRENT text and their
+    positions join the new counts of exactly the grams those docs
+    contain; the islands merge is the batch operator's. Every step is
+    O(delta + affected), the corpus is never re-scanned, and the result
+    is row-identical to ``duplicate_spans`` over the new corpus (pinned
+    in tests incl. count-boundary flips in BOTH directions)."""
+    touched_docs = delta.where(
+        F.col("change_type").isin("removed", "changed")
+    ).select(id_col)
+    fresh_ids = delta.where(
+        F.col("change_type").isin("added", "changed")
+    ).select(id_col)
+    # grams whose corpus count can have moved: those of evicted index
+    # rows + those of the fresh docs' index rows (read back from the
+    # refreshed index rather than re-shingling the delta a second time)
+    evicted = index_old.join(F.broadcast(touched_docs), id_col, "leftsemi")
+    fresh = index_new.join(F.broadcast(fresh_ids), id_col, "leftsemi")
+    touched_grams = (
+        evicted.select("gram").unionByName(fresh.select("gram")).distinct()
+    )
+    # ONE corpus-count pass (old index); the new counts derive from the
+    # delta algebra new = old - evicted + fresh, so the refreshed index
+    # is never re-aggregated corpus-wide
+    cnt_old = (
+        index_old.join(F.broadcast(touched_grams), "gram", "leftsemi")
+        .groupBy("gram")
+        .agg(F.sum("occ").alias("__c"))
+    )
+    shift = (
+        evicted.select("gram", (-F.col("occ")).alias("__d"))
+        .unionByName(fresh.select("gram", F.col("occ").alias("__d")))
+        .groupBy("gram")
+        .agg(F.sum("__d").alias("__d"))
+    )
+    both = cnt_old.join(shift, "gram", "full").select(
+        "gram",
+        F.coalesce(F.col("__c"), F.lit(0)).alias("__c"),
+        (
+            F.coalesce(F.col("__c"), F.lit(0))
+            + F.coalesce(F.col("__d"), F.lit(0))
+        ).alias("__c2"),
+    )
+    flipped = both.where(
+        (F.col("__c") >= 2) != (F.col("__c2") >= 2)
+    ).select("gram")
+    affected = (
+        index_new.join(F.broadcast(flipped), "gram", "leftsemi")
+        .select(id_col)
+        .unionByName(fresh_ids)
+        .distinct()
+    )
+    # recompute spans for affected docs against the NEW corpus counts of
+    # exactly the grams those docs contain
+    aff_docs = docs_new.join(F.broadcast(affected), id_col, "leftsemi")
+    aff_pos = _positions(aff_docs, id_col, text_col).where(
+        F.col("pos") + min_len - 1 <= F.col("doc_len")
+    ).select(
+        "doc_id",
+        "doc_len",
+        "pos",
+        F.expr(f"substring(__t, pos, {int(min_len)})").alias("gram"),
+    )
+    aff_grams = aff_pos.select("gram").distinct()
+    dup_grams = (
+        index_new.join(F.broadcast(aff_grams), "gram", "leftsemi")
+        .groupBy("gram")
+        .agg(F.sum("occ").alias("__c"))
+        .where(F.col("__c") >= 2)
+        .select("gram")
+    )
+    dup = aff_pos.join(dup_grams, "gram").select(
+        "doc_id",
+        "doc_len",
+        F.col("pos").alias("s0"),
+        (F.col("pos") + min_len - 1).alias("e0"),
+    )
+    prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("s0")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = dup.withColumn(
+        "new_span",
+        F.when(
+            F.max("e0").over(prev).isNull()
+            | (F.col("s0") > F.max("e0").over(prev) + 1),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    upto = (
+        Window.partitionBy("doc_id")
+        .orderBy("s0")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    spans_aff = (
+        flagged.withColumn("span_id", F.sum("new_span").over(upto))
+        .groupBy("doc_id", "doc_len", "span_id")
+        .agg(F.min("s0").alias("s"), F.max("e0").alias("e"))
+    )
+    # eviction set = recomputed docs PLUS removed/changed docs (a
+    # removed doc has no rows to recompute but its old spans must go)
+    evict = affected.unionByName(touched_docs).distinct()
+    kept_spans = spans_old.join(F.broadcast(evict), id_col, "left_anti")
+    return kept_spans.unionByName(spans_aff)

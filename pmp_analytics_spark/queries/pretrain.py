@@ -1604,14 +1604,16 @@ def docs_tokenize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SUBDUP_T = 50
 
 
-@query(
-    "docs_exact_substring_dedup",
-    f"""
-    WITH pos AS (
+def _substring_span_sql(source: str) -> str:
+    """The exact-substring-dedup oracle body over any doc source
+    relation ``source`` (must expose doc_id, text) — shared by the
+    batch query and the CDC-maintained variant (whose oracle is the
+    same full recompute over the NEW corpus)."""
+    return f"""pos AS (
         SELECT doc_id, CAST(LENGTH(text) AS BIGINT) AS n_chars_t, text,
                UNNEST(GENERATE_SERIES(1, LENGTH(text) - {_SUBDUP_T - 1}))
                    AS i
-        FROM documents WHERE LENGTH(text) >= {_SUBDUP_T}
+        FROM {source} WHERE LENGTH(text) >= {_SUBDUP_T}
     ), g AS (
         SELECT doc_id, n_chars_t, i,
                SUBSTRING(text, CAST(i AS INT), {_SUBDUP_T}) AS gr
@@ -1648,8 +1650,10 @@ _SUBDUP_T = 50
            ROUND(SUM(e - s + 1) * 1.0 / n_chars_t, 6) AS dup_char_frac,
            STRING_AGG(s || '-' || e, ',' ORDER BY s) AS spans_csv
     FROM spans GROUP BY doc_id, n_chars_t
-    """,
-)
+    """
+
+
+@query("docs_exact_substring_dedup", "WITH " + _substring_span_sql("documents"))
 def docs_exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pmp_analytics_spark.operators.suffix_array import duplicate_spans
 
@@ -1946,4 +1950,96 @@ def docs_unigram_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         "seg",
         n_pieces.cast("long").alias("n_pieces"),
         F.round(F.length("word") / n_pieces, 6).alias("chars_per_piece"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Q: docs_substring_dedup_cdc — the exact substring-dedup INDEX and SPAN
+# table maintained INCREMENTALLY under a corpus delta
+# (operators/suffix_array.py::substring_index_refresh /
+# substring_spans_refresh): removed/changed docs evict their literal-
+# gram rows, added/changed docs re-shingle only their own text, and
+# spans recompute ONLY for docs whose duplicate structure can have
+# changed — the delta's own docs plus holders of a gram whose
+# corpus-count crossed the >= 2 boundary (both directions: a passage
+# whose twin left the corpus, a unique passage that gained one). The
+# corpus is never re-scanned; ingest never re-shingles the world — the
+# property that makes EXACT substring dedup live in a pipeline instead
+# of a quarterly batch. Oracle: the full recompute over the NEW corpus
+# (the shared _substring_span_sql body over the mutated-docs CTE) —
+# refreshed ≡ rebuilt IS the correctness claim.
+# --------------------------------------------------------------------------
+@query(
+    "docs_substring_dedup_cdc",
+    "WITH docs_new AS ("
+    "    SELECT doc_id,"
+    "           CASE WHEN doc_id % 17 = 2 THEN REVERSE(text)"
+    "                ELSE text END AS text"
+    "    FROM documents WHERE doc_id % 13 <> 4 AND doc_id % 3 = 0"
+    "), " + _substring_span_sql("docs_new"),
+)
+def docs_substring_dedup_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pmp_analytics_spark.operators.diff import snapshot_delta
+    from pmp_analytics_spark.operators.suffix_array import (
+        duplicate_spans,
+        substring_index_build,
+        substring_index_refresh,
+        substring_spans_refresh,
+    )
+
+    # deterministic 1/3 arena: the CDC variant pays for TWO index
+    # states + two span states + the refresh chain, so its declared
+    # form bounds the corpus (the batch query covers it in full); the
+    # maintenance algebra is slice-independent
+    base = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    ).where(F.col("doc_id") % 3 == 0)
+    old = base.where(F.col("doc_id") % 11 != 7)
+    new = base.where(F.col("doc_id") % 13 != 4).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 17 == 2, F.reverse(F.col("text")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    # bootstrap state on the OLD corpus, then maintain: the indexes are
+    # checkpointed as a versioned store would be (built once, reused by
+    # the eviction and the count lookups without re-derivation)
+    index0 = substring_index_build(old, _SUBDUP_T).localCheckpoint(
+        eager=True
+    )
+    spans0 = duplicate_spans(old, _SUBDUP_T).localCheckpoint(eager=True)
+    delta = snapshot_delta(old, new, ["doc_id"])
+    index1 = substring_index_refresh(index0, delta, _SUBDUP_T).localCheckpoint(
+        eager=True
+    )
+    spans1 = substring_spans_refresh(
+        index0, index1, spans0, delta, new, _SUBDUP_T
+    )
+    span_len = F.col("e") - F.col("s") + 1
+    return (
+        spans1.groupBy("doc_id", "doc_len")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.max(span_len).cast("long").alias("max_span_chars"),
+            F.sum(span_len).cast("long").alias("dup_chars"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("s", "e"))),
+                    lambda x: F.concat_ws(
+                        "-", x["s"].cast("string"), x["e"].cast("string")
+                    ),
+                ),
+                ",",
+            ).alias("spans_csv"),
+        )
+        .select(
+            "doc_id",
+            "n_spans",
+            "max_span_chars",
+            "dup_chars",
+            F.round(F.col("dup_chars") / F.col("doc_len"), 6).alias(
+                "dup_char_frac"
+            ),
+            "spans_csv",
+        )
     )

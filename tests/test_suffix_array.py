@@ -151,3 +151,93 @@ def test_empty_and_degenerate_inputs(spark):
     assert duplicate_spans(empty, 5).count() == 0
     with pytest.raises(ValueError):
         suffix_array(empty, seed_level=0)
+
+
+def _spans_set(df):
+    return {(r.doc_id, r.s, r.e) for r in df.collect()}
+
+
+def test_substring_index_and_spans_refresh_match_recompute(spark):
+    """CDC maintenance of the exact substring index + span table: the
+    refreshed pair must be row-identical to a full rebuild over the new
+    corpus, across a delta that adds, removes, AND changes docs —
+    including count-boundary flips in both directions (a duplicated
+    passage whose twin is removed: 2 -> 1; a new doc duplicating an
+    existing unique passage: 1 -> 2)."""
+    from pmp_analytics_spark.operators.diff import snapshot_delta
+    from pmp_analytics_spark.operators.suffix_array import (
+        duplicate_spans,
+        substring_index_build,
+        substring_index_refresh,
+        substring_spans_refresh,
+    )
+
+    T = 20
+    pass_a = "alpha beta gamma delta epsilon zeta"  # shared by 1 and 2
+    pass_b = "unique passage that will gain a twin"
+    old_docs = [
+        (1, "start " + pass_a + " end one"),
+        (2, "other " + pass_a + " tail"),
+        (3, pass_b + " only here for now"),
+        (4, "totally unrelated text without repeats"),
+    ]
+    new_docs = [
+        (1, "start " + pass_a + " end one"),
+        # 2 removed -> pass_a flips 2->1: doc 1's span must VANISH
+        (3, pass_b + " only here for now"),
+        (4, "totally unrelated text without repeats CHANGED!!"),
+        (5, "fresh doc with " + pass_b + " inside"),  # pass_b flips 1->2
+        (6, "fresh doc with repeated half repeated half inside!!!"),
+    ]
+    old = spark.createDataFrame(old_docs, "doc_id long, text string")
+    new = spark.createDataFrame(new_docs, "doc_id long, text string")
+
+    index0 = substring_index_build(old, T).localCheckpoint(eager=True)
+    spans0 = duplicate_spans(old, T).localCheckpoint(eager=True)
+    # sanity on the old state: the shared passage is a dup, pass_b isn't
+    assert {d for d, _, _ in _spans_set(spans0)} == {1, 2}
+
+    delta = snapshot_delta(old, new, ["doc_id"])
+    index1 = substring_index_refresh(index0, delta, T).localCheckpoint(
+        eager=True
+    )
+    want_index = {
+        (r.gram, r.doc_id, r.occ)
+        for r in substring_index_build(new, T).collect()
+    }
+    got_index = {(r.gram, r.doc_id, r.occ) for r in index1.collect()}
+    assert got_index == want_index
+
+    spans1 = substring_spans_refresh(
+        index0, index1, spans0, delta, new, T
+    )
+    assert _spans_set(spans1) == _spans_set(duplicate_spans(new, T))
+    # and the flips actually happened: doc 1 lost its span (2->1),
+    # docs 3+5 gained theirs (1->2)
+    docs_with = {d for d, _, _ in _spans_set(spans1)}
+    assert 1 not in docs_with and {3, 5} <= docs_with
+
+
+def test_substring_refresh_empty_delta_is_identity(spark):
+    from pmp_analytics_spark.operators.diff import snapshot_delta
+    from pmp_analytics_spark.operators.suffix_array import (
+        duplicate_spans,
+        substring_index_build,
+        substring_index_refresh,
+        substring_spans_refresh,
+    )
+
+    T = 15
+    docs = spark.createDataFrame(
+        [(1, "same passage here same passage here"), (2, "nothing shared")],
+        "doc_id long, text string",
+    )
+    index0 = substring_index_build(docs, T).localCheckpoint(eager=True)
+    spans0 = duplicate_spans(docs, T).localCheckpoint(eager=True)
+    delta = snapshot_delta(docs, docs, ["doc_id"])
+    index1 = substring_index_refresh(index0, delta, T)
+    spans1 = substring_spans_refresh(index0, index1, spans0, delta, docs, T)
+    assert {(r.gram, r.doc_id, r.occ) for r in index1.collect()} == {
+        (r.gram, r.doc_id, r.occ) for r in index0.collect()
+    }
+    assert _spans_set(spans1) == _spans_set(spans0)
