@@ -174,3 +174,127 @@ def test_jpeg_roundtrip_property(w, h, seed, subsample, restart):
         abs(a - b) for ra, rb in zip(rows, back) for a, b in zip(ra, rb)
     )
     assert maxerr <= 3, maxerr
+
+
+# ---------------------------------------------------------------------------
+# Round-8 additions: suffix machinery, unigram Viterbi, progressive JPEG
+# ---------------------------------------------------------------------------
+
+_sd_docs = st.lists(
+    st.text(alphabet="abc", min_size=0, max_size=24),
+    min_size=1,
+    max_size=8,
+)
+
+
+@given(_sd_docs, st.integers(2, 6))
+@settings(max_examples=12, deadline=None)
+def test_duplicate_positions_property(spark, texts, T):
+    """Exact duplicate-position extraction == brute-force T-gram
+    counting on arbitrary small-alphabet corpora (the 3-letter alphabet
+    forces heavy collisions — the regime where an off-by-one in the
+    overlapping-windows pair would show instantly)."""
+    from collections import Counter
+
+    from pmp_analytics_spark.operators.suffix_array import (
+        duplicate_positions,
+    )
+
+    docs = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r.doc_id, r.pos) for r in duplicate_positions(df, T).collect()
+    }
+    grams = Counter(
+        t[p : p + T] for _, t in docs for p in range(len(t) - T + 1)
+    )
+    want = {
+        (d, p + 1)
+        for d, t in docs
+        for p in range(len(t) - T + 1)
+        if grams[t[p : p + T]] >= 2
+    }
+    assert got == want
+
+
+@given(_sd_docs)
+@settings(max_examples=10, deadline=None)
+def test_suffix_array_property(spark, texts):
+    """Full suffix array == sorted-suffixes brute force on arbitrary
+    small-alphabet corpora (duplicate suffixes, ties, empty docs)."""
+    from pmp_analytics_spark.operators.suffix_array import suffix_array
+
+    docs = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r.doc_id, r.pos): r.sa_rank
+        for r in suffix_array(df, seed_level=4).collect()
+    }
+    sufs = sorted(
+        (t[p:], d, p + 1) for d, t in docs for p in range(len(t))
+    )
+    want = {(d, p): i + 1 for i, (_, d, p) in enumerate(sufs)}
+    assert got == want
+
+
+@given(
+    st.text(alphabet="ab", min_size=1, max_size=8),
+    st.dictionaries(
+        st.text(alphabet="ab", min_size=1, max_size=3),
+        st.integers(-(10**9), -1),
+        min_size=1,
+        max_size=12,
+    ),
+)
+@settings(max_examples=300, deadline=None)
+def test_viterbi_is_optimal_with_tie_rule(word, lp):
+    """viterbi_segment_py returns THE maximum-score segmentation, and
+    among equal-score ones the lexicographically-smallest split-point
+    sequence (the smaller-j tie rule), verified by exhaustive
+    enumeration of all 2^(n-1) segmentations."""
+    from itertools import combinations
+
+    from pmp_analytics_spark.operators.unigram import viterbi_segment_py
+
+    lp = dict(lp) | {c: -(10**9) for c in set(word)}  # segmentability
+    got = viterbi_segment_py(word, lp, 3)
+    n = len(word)
+    best = None
+    for k in range(n):
+        for cuts in combinations(range(1, n), k):
+            bounds = [0, *cuts, n]
+            pieces = [word[a:b] for a, b in zip(bounds, bounds[1:])]
+            if any(len(p) > 3 or p not in lp for p in pieces):
+                continue
+            score = sum(lp[p] for p in pieces)
+            # tie rule: Viterbi prefers the smaller j at every dp
+            # cell, which globally selects the segmentation whose
+            # REVERSED boundary sequence (n, j_last, ...) is
+            # lexicographically smallest
+            key = (-score, tuple(reversed(bounds)))
+            if best is None or key < best[0]:
+                best = (key, pieces)
+    assert best is not None and got == best[1]
+
+
+@given(st.integers(8, 40), st.integers(8, 32), st.integers(0, 10**6))
+@settings(max_examples=10, deadline=None)
+def test_progressive_jpeg_matches_baseline_property(w, h, seed):
+    """Progressive encode->decode is pixel-identical to baseline
+    encode->decode of the same input for arbitrary geometry/content."""
+    import random
+
+    from pmp_analytics_spark.jpeg import (
+        jpeg_decode,
+        jpeg_encode,
+        jpeg_encode_progressive,
+    )
+
+    rng = random.Random(seed)
+    rows = [
+        bytes(min(255, (rng.randrange(256) // 32) * 32) for _ in range(3 * w))
+        for _ in range(h)
+    ]
+    base = jpeg_decode(jpeg_encode(w, h, rows, quality=70))
+    prog = jpeg_decode(jpeg_encode_progressive(w, h, rows, quality=70))
+    assert base == prog
