@@ -70,6 +70,7 @@ _RECORD_FRONT = (
     "streaming_pointintime_enrich", "docs_unigram_lm_vocab",
     "docs_substring_dedup_cdc", "embedding_ivfpq_cdc",
     "docs_unigram_segment", "docs_dedup_eval",
+    "streaming_substring_dedup",
     # oracles/operators touched this round, re-confirmed up front
     "nation_trade_pagerank", "nation_trade_ppr", "streaming_pagerank_cdc",
     "user_state_scd2", "customer_scd2_apply", "streaming_scd2_apply",

@@ -2043,3 +2043,114 @@ def docs_substring_dedup_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
             "spans_csv",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Q: streaming_substring_dedup — the SAME exact-substring state
+# maintained from a document CDC STREAM
+# (streaming/substring.py::cdc_substring_dedup_stream): the delta
+# arrives as two micro-batch file drops; each batch updates the
+# (docs snapshot, literal-gram index, span table) triple through the
+# atomic _LATEST flips with per-root batch markers (a crash between
+# publishes replays the batch, skips committed roots, and time-travels
+# to the index's pre-batch version for the span step). snapshot_delta
+# emits each doc once, so batches touch disjoint docs and the final
+# triple is slicing-independent — the oracle is the full recompute over
+# the new corpus. Fixed 250-doc arena (keeps real duplicate structure
+# at the gate SF, unlike a modulo slice whose dup partners rarely
+# co-survive): the streaming variant pays the exactly-once floor
+# (2 batches x 3 versioned publishes) ON TOP of the CDC refresh chain,
+# so its declared form bounds the corpus hard — the loop is
+# arena-independent (pinned in tests) and the SCALE rows live with the
+# batch CDC query's soak.
+# --------------------------------------------------------------------------
+@query(
+    "streaming_substring_dedup",
+    "WITH docs_new AS ("
+    "    SELECT doc_id,"
+    "           CASE WHEN doc_id % 17 = 2 THEN REVERSE(text)"
+    "                ELSE text END AS text"
+    "    FROM documents WHERE doc_id % 13 <> 4 AND doc_id < 250"
+    "), " + _substring_span_sql("docs_new"),
+)
+def streaming_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    from pmp_analytics_spark.operators.diff import snapshot_delta
+    from pmp_analytics_spark.operators.suffix_array import (
+        duplicate_spans,
+        substring_index_build,
+    )
+    from pmp_analytics_spark.sources.writers import publish_versioned, read_latest
+    from pmp_analytics_spark.streaming import stream_workdir
+    from pmp_analytics_spark.streaming.substring import (
+        cdc_substring_dedup_stream,
+    )
+
+    base = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    ).where(F.col("doc_id") < 250)
+    old = base.where(F.col("doc_id") % 11 != 7)
+    new = base.where(F.col("doc_id") % 13 != 4).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 17 == 2, F.reverse(F.col("text")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    work = stream_workdir("pmp_substring_dedup")
+    docs_root = os.path.join(work, "docs")
+    index_root = os.path.join(work, "index")
+    spans_root = os.path.join(work, "spans")
+    feed = os.path.join(work, "cdc")
+    snapshot_delta(old, new, ["doc_id"]).repartition(2).write.parquet(feed)
+    publish_versioned(old.coalesce(1), docs_root)
+    publish_versioned(
+        substring_index_build(old, _SUBDUP_T).coalesce(1), index_root
+    )
+    publish_versioned(
+        duplicate_spans(old, _SUBDUP_T).coalesce(1), spans_root
+    )
+    schema = spark.read.parquet(feed).schema
+    cdc_substring_dedup_stream(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed),
+        docs_root,
+        index_root,
+        spans_root,
+        _SUBDUP_T,
+        checkpoint_dir=os.path.join(work, "ckpt"),
+    )
+    spans1 = read_latest(spark, spans_root)
+    span_len = F.col("e") - F.col("s") + 1
+    out = (
+        spans1.groupBy("doc_id", "doc_len")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.max(span_len).cast("long").alias("max_span_chars"),
+            F.sum(span_len).cast("long").alias("dup_chars"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("s", "e"))),
+                    lambda x: F.concat_ws(
+                        "-", x["s"].cast("string"), x["e"].cast("string")
+                    ),
+                ),
+                ",",
+            ).alias("spans_csv"),
+        )
+        .select(
+            "doc_id",
+            "n_spans",
+            "max_span_chars",
+            "dup_chars",
+            F.round(F.col("dup_chars") / F.col("doc_len"), 6).alias(
+                "dup_char_frac"
+            ),
+            "spans_csv",
+        )
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    return out

@@ -241,3 +241,173 @@ def test_substring_refresh_empty_delta_is_identity(spark):
         (r.gram, r.doc_id, r.occ) for r in index0.collect()
     }
     assert _spans_set(spans1) == _spans_set(spans0)
+
+
+def _run_substream(spark, work, old, slices, T):
+    import os
+
+    from pmp_analytics_spark.operators.suffix_array import (
+        duplicate_spans,
+        substring_index_build,
+    )
+    from pmp_analytics_spark.sources.writers import publish_versioned, read_latest
+    from pmp_analytics_spark.streaming.substring import (
+        cdc_substring_dedup_stream,
+    )
+
+    docs_root = f"{work}/docs"
+    index_root = f"{work}/index"
+    spans_root = f"{work}/spans"
+    feed = f"{work}/feed"
+    publish_versioned(old.coalesce(1), docs_root)
+    publish_versioned(substring_index_build(old, T).coalesce(1), index_root)
+    publish_versioned(duplicate_spans(old, T).coalesce(1), spans_root)
+    for df in slices:
+        df.coalesce(1).write.mode("append").parquet(feed)
+    schema = spark.read.parquet(feed).schema
+    cdc_substring_dedup_stream(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed),
+        docs_root,
+        index_root,
+        spans_root,
+        T,
+        checkpoint_dir=f"{work}/ckpt",
+    )
+    return (
+        read_latest(spark, docs_root),
+        read_latest(spark, index_root),
+        read_latest(spark, spans_root),
+    )
+
+
+def test_substring_stream_multibatch_equals_rebuild(spark, tmp_path):
+    """The three-root streaming loop: any slicing of the doc changefeed
+    into micro-batches must land on the same final (docs, index, spans)
+    triple as the full rebuild over the new corpus."""
+    from pyspark.sql import functions as F
+
+    from pmp_analytics_spark.operators.diff import snapshot_delta
+    from pmp_analytics_spark.operators.suffix_array import (
+        duplicate_spans,
+        substring_index_build,
+    )
+
+    T = 20
+    pass_a = "alpha beta gamma delta epsilon zeta"
+    pass_b = "unique passage that will gain a twin"
+    old = spark.createDataFrame(
+        [
+            (1, "start " + pass_a + " end one"),
+            (2, "other " + pass_a + " tail"),
+            (3, pass_b + " only here for now"),
+            (4, "totally unrelated text without repeats"),
+        ],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (1, "start " + pass_a + " end one"),
+            (3, pass_b + " only here for now"),
+            (4, "totally unrelated text without repeats CHANGED!!"),
+            (5, "fresh doc with " + pass_b + " inside"),
+            (6, "fresh doc with repeated half repeated half inside!!!"),
+        ],
+        "doc_id long, text string",
+    )
+    delta = snapshot_delta(old, new, ["doc_id"]).localCheckpoint(eager=True)
+    for tag, slices in (
+        ("one", [delta]),
+        ("three", [delta.where(F.col("doc_id") % 3 == b) for b in range(3)]),
+    ):
+        docs1, index1, spans1 = _run_substream(
+            spark, f"{tmp_path}/{tag}", old, slices, T
+        )
+        assert {tuple(r) for r in docs1.collect()} == {
+            tuple(r) for r in new.collect()
+        }, tag
+        assert {
+            (r.gram, r.doc_id, r.occ) for r in index1.collect()
+        } == {
+            (r.gram, r.doc_id, r.occ)
+            for r in substring_index_build(new, T).collect()
+        }, tag
+        assert _spans_set(spans1) == _spans_set(duplicate_spans(new, T)), tag
+
+
+def test_substring_stream_crash_between_publishes(spark, tmp_path):
+    """Docs + index publishes of batch 0 committed, spans publish
+    didn't: the replay must skip both applies (no double eviction /
+    re-insert) and complete the span refresh against the index's
+    PRE-batch version via the store's time travel."""
+    from pmp_analytics_spark.operators.diff import (
+        apply_snapshot_delta,
+        snapshot_delta,
+    )
+    from pmp_analytics_spark.operators.suffix_array import (
+        duplicate_spans,
+        substring_index_build,
+        substring_index_refresh,
+    )
+    from pmp_analytics_spark.sources.writers import (
+        latest_marker,
+        publish_versioned,
+        read_latest,
+    )
+    from pmp_analytics_spark.streaming.substring import (
+        cdc_substring_dedup_stream,
+    )
+
+    T = 15
+    old = spark.createDataFrame(
+        [(1, "shared passage one here"), (2, "shared passage one here!")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, "shared passage one here"), (3, "now a different dup text"),
+         (4, "now a different dup text?")],
+        "doc_id long, text string",
+    )
+    work = f"{tmp_path}/crash"
+    docs_root, index_root, spans_root = (
+        f"{work}/docs", f"{work}/index", f"{work}/spans",
+    )
+    delta = snapshot_delta(old, new, ["doc_id"]).localCheckpoint(eager=True)
+    publish_versioned(old.coalesce(1), docs_root)
+    index0 = substring_index_build(old, T)
+    publish_versioned(index0.coalesce(1), index_root)
+    publish_versioned(duplicate_spans(old, T).coalesce(1), spans_root)
+    # simulate: docs + index publishes of batch 0 committed, spans not
+    publish_versioned(
+        apply_snapshot_delta(read_latest(spark, docs_root), delta, ["doc_id"])
+        .coalesce(1),
+        docs_root, marker="batch:0",
+    )
+    publish_versioned(
+        substring_index_refresh(read_latest(spark, index_root), delta, T)
+        .coalesce(1),
+        index_root, marker="batch:0",
+    )
+    feed = f"{work}/feed"
+    delta.coalesce(1).write.parquet(feed)
+    schema = spark.read.parquet(feed).schema
+    cdc_substring_dedup_stream(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed),
+        docs_root, index_root, spans_root, T,
+        checkpoint_dir=f"{work}/ckpt",
+    )
+    assert latest_marker(spark, docs_root) == "batch:0"
+    assert latest_marker(spark, index_root) == "batch:0"
+    assert _spans_set(read_latest(spark, spans_root)) == _spans_set(
+        duplicate_spans(new, T)
+    )
+    assert {
+        (r.gram, r.doc_id, r.occ)
+        for r in read_latest(spark, index_root).collect()
+    } == {
+        (r.gram, r.doc_id, r.occ)
+        for r in substring_index_build(new, T).collect()
+    }

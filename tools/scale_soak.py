@@ -351,6 +351,15 @@ def _soak_queries(names: list[str] | None = None):
             return ranker(occ, qt, k=5)
         return q
 
+    def _dedup_eval_sliced(sp, sf_dir):
+        # same per-replica slicing rationale as the jaccard queries: the
+        # declared doc_id < 1000 arena is replica-0-only and would stay
+        # CONSTANT across scales; 1000 docs per replica keeps x1
+        # identical and grows the graded problem linearly
+        from pmp_analytics_spark.queries.llm import _dedup_eval_frame
+
+        return _dedup_eval_frame(sliced(sp, sf_dir))
+
     specials = {
         # BM25 soak shape: 10 query docs PER replica (the declared
         # doc_id < 10 set stays constant across scales and would measure
@@ -360,6 +369,7 @@ def _soak_queries(names: list[str] | None = None):
         # scale.
         "docs_bm25_retrieval": _bm25(bm25_topk),
         "docs_bm25_wand": _bm25(bm25_topk_wand),
+        "docs_dedup_eval": _dedup_eval_sliced,
     }
     out = {n: qs[n] for n in (names or HEAVY) if n in qs}
     for n, fn in specials.items():
