@@ -49,8 +49,6 @@ def cdc_substring_dedup_stream(
     (documents, gram index, span table) triple at the three roots. The
     caller seeds all three (markerless ``publish_versioned``) before
     starting. Returns the terminated StreamingQuery."""
-    from pyspark.sql import functions as F
-
     from pmp_analytics_spark.operators.diff import apply_snapshot_delta
     from pmp_analytics_spark.operators.suffix_array import (
         substring_index_refresh,
