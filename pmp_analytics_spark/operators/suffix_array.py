@@ -65,6 +65,7 @@ from pmp_analytics_spark.operators.prefix_sum import global_row_number
 __all__ = [
     "duplicate_positions",
     "duplicate_spans",
+    "duplicate_spans_from_index",
     "seed_positions",
     "substring_index_build",
     "substring_index_refresh",
@@ -551,3 +552,66 @@ def substring_spans_refresh(
     evict = affected.unionByName(touched_docs).distinct()
     kept_spans = spans_old.join(F.broadcast(evict), id_col, "left_anti")
     return kept_spans.unionByName(spans_aff)
+
+
+def duplicate_spans_from_index(
+    index: DataFrame,
+    docs: DataFrame,
+    min_len: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """``duplicate_spans`` when the substring INDEX already exists (the
+    CDC bootstrap path): duplicated grams come from one aggregation of
+    the index, only the docs that HOLD one re-shingle for positions,
+    and their positions match the dup-gram set — cost proportional to
+    the duplicate density instead of the corpus (vs the from-scratch
+    operator's all-positions windows). Row-identical to
+    ``duplicate_spans`` by construction (pinned in tests)."""
+    dup_grams = (
+        index.groupBy("gram")
+        .agg(F.sum("occ").alias("__c"))
+        .where(F.col("__c") >= 2)
+        .select("gram")
+    )
+    holder_ids = (
+        index.join(dup_grams, "gram", "leftsemi").select(id_col).distinct()
+    )
+    cand = docs.join(holder_ids, id_col, "leftsemi")
+    pos = _positions(cand, id_col, text_col).where(
+        F.col("pos") + min_len - 1 <= F.col("doc_len")
+    ).select(
+        "doc_id",
+        "doc_len",
+        "pos",
+        F.expr(f"substring(__t, pos, {int(min_len)})").alias("gram"),
+    )
+    dup = pos.join(dup_grams, "gram").select(
+        "doc_id",
+        "doc_len",
+        F.col("pos").alias("s0"),
+        (F.col("pos") + min_len - 1).alias("e0"),
+    )
+    prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("s0")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = dup.withColumn(
+        "new_span",
+        F.when(
+            F.max("e0").over(prev).isNull()
+            | (F.col("s0") > F.max("e0").over(prev) + 1),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    upto = (
+        Window.partitionBy("doc_id")
+        .orderBy("s0")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        flagged.withColumn("span_id", F.sum("new_span").over(upto))
+        .groupBy("doc_id", "doc_len", "span_id")
+        .agg(F.min("s0").alias("s"), F.max("e0").alias("e"))
+    )

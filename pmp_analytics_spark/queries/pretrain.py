@@ -1981,7 +1981,7 @@ def docs_unigram_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
 def docs_substring_dedup_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pmp_analytics_spark.operators.diff import snapshot_delta
     from pmp_analytics_spark.operators.suffix_array import (
-        duplicate_spans,
+        duplicate_spans_from_index,
         substring_index_build,
         substring_index_refresh,
         substring_spans_refresh,
@@ -2007,7 +2007,12 @@ def docs_substring_dedup_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     index0 = substring_index_build(old, _SUBDUP_T).localCheckpoint(
         eager=True
     )
-    spans0 = duplicate_spans(old, _SUBDUP_T).localCheckpoint(eager=True)
+    # bootstrap spans FROM the index (cost ~ duplicate density, not the
+    # corpus — only holder docs re-shingle; row-identical to the
+    # from-scratch operator, pinned in tests)
+    spans0 = duplicate_spans_from_index(
+        index0, old, _SUBDUP_T
+    ).localCheckpoint(eager=True)
     delta = snapshot_delta(old, new, ["doc_id"])
     index1 = substring_index_refresh(index0, delta, _SUBDUP_T).localCheckpoint(
         eager=True
@@ -2079,7 +2084,7 @@ def streaming_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pmp_analytics_spark.operators.diff import snapshot_delta
     from pmp_analytics_spark.operators.suffix_array import (
-        duplicate_spans,
+        duplicate_spans_from_index,
         substring_index_build,
     )
     from pmp_analytics_spark.sources.writers import publish_versioned, read_latest
@@ -2105,11 +2110,13 @@ def streaming_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     feed = os.path.join(work, "cdc")
     snapshot_delta(old, new, ["doc_id"]).repartition(2).write.parquet(feed)
     publish_versioned(old.coalesce(1), docs_root)
-    publish_versioned(
-        substring_index_build(old, _SUBDUP_T).coalesce(1), index_root
+    index0 = substring_index_build(old, _SUBDUP_T).localCheckpoint(
+        eager=True  # seeds both roots: index itself + the span bootstrap
     )
+    publish_versioned(index0.coalesce(1), index_root)
     publish_versioned(
-        duplicate_spans(old, _SUBDUP_T).coalesce(1), spans_root
+        duplicate_spans_from_index(index0, old, _SUBDUP_T).coalesce(1),
+        spans_root,
     )
     schema = spark.read.parquet(feed).schema
     cdc_substring_dedup_stream(

@@ -411,3 +411,18 @@ def test_substring_stream_crash_between_publishes(spark, tmp_path):
         (r.gram, r.doc_id, r.occ)
         for r in substring_index_build(new, T).collect()
     }
+
+
+def test_duplicate_spans_from_index_matches_operator(spark, docs_df):
+    """The index-derived span bootstrap must be row-identical to the
+    from-scratch operator at several thresholds."""
+    from pmp_analytics_spark.operators.suffix_array import (
+        duplicate_spans,
+        duplicate_spans_from_index,
+        substring_index_build,
+    )
+
+    for T in (10, 50):
+        index = substring_index_build(docs_df, T)
+        got = duplicate_spans_from_index(index, docs_df, T)
+        assert _spans_set(got) == _spans_set(duplicate_spans(docs_df, T)), T
