@@ -1377,3 +1377,43 @@ def streaming_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"clf_scores_{uuid.uuid4().hex[:12]}"
     run_to_memory(scored, name, output_mode="append")
     return spark.table(name)
+
+
+# --------------------------------------------------------------------------
+# Q: docs_bigram_heavy_hitters — EXACT frequent-bigram mining at bounded
+# shuffle (operators/frequent.py): per-partition Misra-Gries summaries
+# (capacity 800 < the ~916-bigram vocabulary, so evictions really run)
+# union into a lossless candidate set, then ONE broadcast-pruned exact
+# count pass. The output is exactly GROUP BY + HAVING cnt*800 > total —
+# which is what the oracle states — but the full vocabulary never
+# crosses an exchange: the shuffle carries <= capacity rows per
+# partition in pass 1 and only candidate keys in pass 2. Threshold
+# phi = 1/800 in exact integer arithmetic (no float boundary).
+# --------------------------------------------------------------------------
+_HH_DEN = 800
+
+
+@query(
+    "docs_bigram_heavy_hitters",
+    f"""
+    WITH tk AS (SELECT doc_id, {_DUCK_TOKENS} AS toks FROM documents),
+    bg AS (
+        SELECT UNNEST({_DUCK_2GRAMS}) AS item
+        FROM tk WHERE LEN(toks) >= 2
+    ),
+    tot AS (SELECT COUNT(*) AS total FROM bg)
+    SELECT item, CAST(COUNT(*) AS BIGINT) AS cnt,
+           (SELECT total FROM tot) AS total
+    FROM bg GROUP BY item
+    HAVING COUNT(*) * {_HH_DEN} > (SELECT total FROM tot)
+    """,
+)
+def docs_bigram_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pmp_analytics_spark.operators.frequent import heavy_hitters
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    items = docs.select(
+        F.explode(word_ngrams(toks, 2)).alias("item")
+    )
+    return heavy_hitters(items, "item", 1, _HH_DEN)

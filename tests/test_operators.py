@@ -2331,3 +2331,73 @@ def test_dedup_pair_eval_metrics_exact(spark):
     assert h["f1"] == round(2 * p * r / (p + r), 6)
     m = out["misses"]
     assert (m["precision"], m["recall"], m["f1"]) == (0.0, 0.0, 0.0)
+
+
+# ---------------------------------------------------------------------------
+# heavy hitters (operators/frequent.py): Misra-Gries prune + exact verify
+# ---------------------------------------------------------------------------
+
+
+def test_misra_gries_partial_keeps_frequent_items():
+    import pandas as pd
+
+    from pmp_analytics_spark.operators.frequent import misra_gries_partial
+
+    # 1000 items: 'hot' appears 300x (> n/(m+1) for m=4), tail of 70
+    # distinct items fills/evicts the 4-counter table constantly.
+    stream = ["hot"] * 300 + [f"t{i % 70}" for i in range(700)]
+    # Feed in many small chunks so the cross-chunk merge path runs too.
+    chunks = [pd.Series(stream[i : i + 50]) for i in range(0, len(stream), 50)]
+    counters = misra_gries_partial(iter(chunks), capacity=4)
+    assert "hot" in counters  # the MG retention guarantee
+    assert len(counters) <= 4
+    # Counter never exceeds the true count.
+    assert counters["hot"] <= 300
+
+
+def test_heavy_hitters_exact_and_partitioning_independent(spark):
+    import random
+
+    from pmp_analytics_spark.operators.frequent import heavy_hitters
+
+    rng = random.Random(7)
+    # Zipf-ish: item i has weight ~ 1/(i+1); 3000 draws over 200 items.
+    pool = [f"w{i}" for i in range(200) for _ in range(200 // (i + 1) + 1)]
+    rows = [(rng.choice(pool),) for _ in range(3000)]
+    df = spark.createDataFrame(rows, ["item"])
+
+    truth = {
+        (r["item"], r["cnt"])
+        for r in df.groupBy("item")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+        if r["cnt"] * 100 > 3000
+    }
+    for nparts in (1, 7):
+        got = {
+            (r["item"], r["cnt"])
+            for r in heavy_hitters(
+                df.repartition(nparts), "item", 1, 100
+            ).collect()
+        }
+        assert got == truth, f"nparts={nparts}"
+    # total column is the real row count
+    row = heavy_hitters(df, "item", 1, 100).limit(1).collect()
+    assert row and row[0]["total"] == 3000
+
+
+def test_heavy_hitters_rejects_lossy_capacity(spark):
+    import pytest as _pytest
+
+    from pmp_analytics_spark.operators.frequent import heavy_hitters
+
+    df = spark.createDataFrame([("a",)], ["item"])
+    with _pytest.raises(ValueError, match="false negatives"):
+        heavy_hitters(df, "item", 1, 100, capacity=50)
+
+
+def test_heavy_hitters_empty_and_null_input(spark):
+    from pmp_analytics_spark.operators.frequent import heavy_hitters
+
+    df = spark.createDataFrame([(None,), (None,)], "item string")
+    assert heavy_hitters(df, "item", 1, 10).count() == 0
