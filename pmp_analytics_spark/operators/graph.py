@@ -186,3 +186,73 @@ def pagerank(
     return ranks.select(
         F.col("__node").alias(node_col), F.col("__r").alias(rank_col)
     )
+
+
+def triangle_count(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    node_col: str = "node",
+    count_col: str = "triangles",
+) -> DataFrame:
+    """Per-node triangle counts by degree-ordered edge orientation:
+    ``(node, triangles)`` for every node in at least one triangle.
+
+    The naive closing join (edges x edges on the shared endpoint, probe
+    each wedge) explodes on hubs: a degree-d node contributes d^2
+    wedges, and real graphs' heavy tails make sum(d^2) the job's cost.
+    Degree orientation (Chiba & Nishizeki 1985; the standard distributed
+    formulation in Suri & Vassilvitskii, "Counting triangles and the
+    curse of the last reducer", WWW 2011) fixes the bound: direct every
+    undirected edge from its (degree, id)-smaller endpoint to the
+    larger, so every out-degree is O(sqrt(m)) and the wedge join does
+    sum(outdeg^2) = O(m^1.5) work total, hub or no hub. Each triangle
+    then appears EXACTLY once: its orientation-minimal vertex is the
+    apex of one (a->b, a->c) wedge with b before c in the orientation
+    order, closed by the uniquely-oriented b->c edge.
+
+    Input may be directed/duplicated; it is canonicalized (min, max) +
+    distinct first, self-loops dropped. Plan: one distinct shuffle, one
+    degree aggregate, two node-keyed joins for the wedge + closing
+    step — no CartesianProduct, no windows, no Python in the row path.
+    """
+    u, v = F.col(src), F.col(dst)
+    und = (
+        edges.where(u != v)
+        .select(F.least(u, v).alias("u"), F.greatest(u, v).alias("v"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("u").alias("n"))
+        .unionAll(und.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    # Orient by (degree, id): a -> b iff (d_a, a) < (d_b, b).
+    with_deg = (
+        und.join(deg.withColumnRenamed("n", "u").withColumnRenamed("d", "du"), "u")
+        .join(deg.withColumnRenamed("n", "v").withColumnRenamed("d", "dv"), "v")
+    )
+    fwd = F.struct(F.col("du"), F.col("u")) < F.struct(F.col("dv"), F.col("v"))
+    oriented = with_deg.select(
+        F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("a"),
+        F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("b"),
+        F.when(fwd, F.col("dv")).otherwise(F.col("du")).alias("db"),
+    )
+    # Wedges at apex a: pairs of out-neighbors (b, c), b before c in the
+    # orientation order so each unordered pair appears once.
+    o1 = oriented.select(F.col("a"), F.col("b"), F.col("db"))
+    o2 = oriented.select(
+        F.col("a"), F.col("b").alias("c"), F.col("db").alias("dc")
+    )
+    wedges = o1.join(o2, "a").where(
+        F.struct(F.col("db"), F.col("b")) < F.struct(F.col("dc"), F.col("c"))
+    )
+    closing = oriented.select(
+        F.col("a").alias("b"), F.col("b").alias("c")
+    )
+    tris = wedges.join(closing, ["b", "c"]).select("a", "b", "c")
+    nodes = tris.select(
+        F.explode(F.array(F.col("a"), F.col("b"), F.col("c"))).alias(node_col)
+    )
+    return nodes.groupBy(node_col).agg(F.count(F.lit(1)).alias(count_col))

@@ -2145,3 +2145,56 @@ def streaming_pointintime_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shutil.rmtree(work, ignore_errors=True)
     return out
+
+
+# --------------------------------------------------------------------------
+# Q: part_copurchase_triangles — per-node triangle counts on the part
+# co-purchase graph (parts linked when the same order contains both),
+# via degree-ordered orientation (operators/graph.py::triangle_count):
+# every out-degree is O(sqrt(m)), so the wedge join is O(m^1.5) total
+# regardless of hub parts — the Suri-Vassilvitskii "last reducer" fix.
+# The oracle closes triangles the direct way (a<b<c over the canonical
+# edge list), a genuinely different formulation of the same count.
+# Output: the 100 most triangle-dense parts (deterministic tie-break on
+# part id), exact integer counts.
+# --------------------------------------------------------------------------
+_TRI_TOP = 100
+
+
+@query(
+    "part_copurchase_triangles",
+    f"""
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM li a JOIN li b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    t AS (
+        SELECT ab.u AS a, ab.v AS b, bc.v AS c
+        FROM e ab
+        JOIN e bc ON ab.v = bc.u
+        JOIN e ac ON ac.u = ab.u AND ac.v = bc.v
+    ),
+    n AS (
+        SELECT UNNEST([a, b, c]) AS node FROM t
+    ),
+    cnt AS (
+        SELECT node, CAST(COUNT(*) AS BIGINT) AS triangles
+        FROM n GROUP BY node
+    )
+    SELECT node, triangles FROM cnt
+    ORDER BY triangles DESC, node LIMIT {_TRI_TOP}
+    """,
+)
+def part_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pmp_analytics_spark.operators.graph import triangle_count
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).distinct()
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
+    edges = a.join(b, "ok").where(F.col("u") < F.col("v")).select("u", "v")
+    out = triangle_count(edges, "u", "v")
+    return out.orderBy(F.desc("triangles"), "node").limit(_TRI_TOP)

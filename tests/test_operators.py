@@ -2401,3 +2401,41 @@ def test_heavy_hitters_empty_and_null_input(spark):
 
     df = spark.createDataFrame([(None,), (None,)], "item string")
     assert heavy_hitters(df, "item", 1, 10).count() == 0
+
+
+def test_triangle_count_matches_bruteforce(spark):
+    import itertools
+    import random
+
+    from pmp_analytics_spark.operators.graph import triangle_count
+
+    rng = random.Random(13)
+    n = 40
+    # Random graph + one hub connected to everyone (orientation stress).
+    edges = {(a, b) for a in range(n) for b in range(a + 1, n) if rng.random() < 0.15}
+    edges |= {(0, b) for b in range(1, n)}
+    adj = {i: set() for i in range(n)}
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    truth: dict[int, int] = {}
+    for a, b, c in itertools.combinations(range(n), 3):
+        if b in adj[a] and c in adj[a] and c in adj[b]:
+            for x in (a, b, c):
+                truth[x] = truth.get(x, 0) + 1
+
+    # Feed DIRECTED, DUPLICATED, self-looped edges: canonicalization is
+    # part of the contract.
+    rows = [(a, b) for a, b in edges] + [(b, a) for a, b in edges]
+    rows += [(a, b) for a, b in list(edges)[:20]] + [(5, 5)]
+    df = spark.createDataFrame(rows, ["src", "dst"])
+    got = {r["node"]: r["triangles"] for r in triangle_count(df).collect()}
+    assert got == truth
+
+
+def test_triangle_count_no_triangles(spark):
+    from pmp_analytics_spark.operators.graph import triangle_count
+
+    # A path graph has zero triangles.
+    df = spark.createDataFrame([(i, i + 1) for i in range(10)], ["src", "dst"])
+    assert triangle_count(df).count() == 0
