@@ -1213,3 +1213,43 @@ def nation_price_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_r2("y", "d"), 6).alias("r2"),
         F.round(F.corr("y", "d"), 6).alias("pearson_r"),
     )
+
+
+# --------------------------------------------------------------------------
+# Q: orders_exact_percentiles — EXACT order statistics with NO global
+# sort (operators/quantiles.py): pass 1 builds a 512-bucket equi-width
+# histogram (map-side partials, <= 512 rows per partition cross the
+# exchange) and locates each target rank's bucket; pass 2 rescans only
+# the located buckets (~n/512 rows per quantile) and rank-picks inside
+# a window PARTITIONED BY quantile. Ranks are ceil(num*n/den) in pure
+# BIGINT arithmetic — percentile_disc semantics — so the oracle states
+# the same answer with an explicit ROW_NUMBER over the sorted column.
+# Complements sketches.histogram_quantiles (approximate, mergeable)
+# with the exact path a reconciliation/audit pipeline needs.
+# --------------------------------------------------------------------------
+_PCTL_QS = [(1, 4), (1, 2), (3, 4), (9, 10), (99, 100)]
+
+
+@query(
+    "orders_exact_percentiles",
+    f"""
+    WITH v AS (
+        SELECT CAST(o_totalprice AS DOUBLE) AS val FROM orders
+        WHERE o_totalprice IS NOT NULL
+    ),
+    nn AS (SELECT COUNT(*) AS n FROM v),
+    r AS (SELECT val, ROW_NUMBER() OVER (ORDER BY val) AS rn FROM v),
+    q(num, den) AS (VALUES {", ".join(f"({a}, {b})" for a, b in _PCTL_QS)}),
+    t AS (
+        SELECT num, den, GREATEST((num * n + den - 1) // den, 1) AS rank
+        FROM q, nn
+    )
+    SELECT CAST(num AS DOUBLE) / den AS q, r.val AS value
+    FROM t JOIN r ON r.rn = t.rank
+    """,
+)
+def orders_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pmp_analytics_spark.operators.quantiles import exact_percentiles
+
+    orders = load_table(spark, sf_dir, "orders")
+    return exact_percentiles(orders, "o_totalprice", _PCTL_QS)

@@ -2439,3 +2439,41 @@ def test_triangle_count_no_triangles(spark):
     # A path graph has zero triangles.
     df = spark.createDataFrame([(i, i + 1) for i in range(10)], ["src", "dst"])
     assert triangle_count(df).count() == 0
+
+
+def test_exact_percentiles_matches_sorted_ground_truth(spark):
+    import math
+    import random
+
+    from pmp_analytics_spark.operators.quantiles import exact_percentiles
+
+    rng = random.Random(99)
+    # duplicates, negatives, and a null mixed in
+    data = [round(rng.gauss(0, 50), 2) for _ in range(5000)]
+    data += [7.0] * 500  # heavy tie run
+    rows = [(v,) for v in data] + [(None,)]
+    df = spark.createDataFrame(rows, "x double")
+    qs = [(1, 100), (1, 4), (1, 2), (3, 4), (99, 100), (1, 1)]
+    got = {r["q"]: r["value"] for r in exact_percentiles(df, "x", qs, bins=64).collect()}
+    s = sorted(data)
+    n = len(s)
+    for num, den in qs:
+        rank = max((num * n + den - 1) // den, 1)
+        assert got[num / den] == s[rank - 1], (num, den)
+    # partitioning independence
+    got7 = {
+        r["q"]: r["value"]
+        for r in exact_percentiles(df.repartition(7), "x", qs, bins=64).collect()
+    }
+    assert got7 == got
+
+
+def test_exact_percentiles_degenerate_inputs(spark):
+    from pmp_analytics_spark.operators.quantiles import exact_percentiles
+
+    one = spark.createDataFrame([(42.0,)], "x double")
+    assert exact_percentiles(one, "x", [(1, 2)]).collect()[0]["value"] == 42.0
+
+    const = spark.createDataFrame([(5.0,)] * 100, "x double")
+    out = {r["q"]: r["value"] for r in exact_percentiles(const, "x", [(1, 4), (1, 1)]).collect()}
+    assert out == {0.25: 5.0, 1.0: 5.0}
