@@ -45,7 +45,7 @@ rate.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -312,3 +312,37 @@ def rrf_fuse(
         .where(F.col("rank") <= k)
         .withColumnRenamed("__id", id_col)
     )
+
+
+def passage_occurrences(
+    docs: DataFrame,
+    id_col: str,
+    toks: Column,
+    width: int = 32,
+    stride: int = 16,
+) -> DataFrame:
+    """Token occurrences of overlapping passage windows: one row per
+    (id_col, pidx, token) with ``pidx`` the 0-based window index at the
+    given stride. The retrieval unit real RAG pipelines index is the
+    PASSAGE, not the document — long documents dilute BM25's length
+    normalization and bury the matching span; fixed windows with 50%
+    overlap (width 2x stride) keep every span fully inside at least one
+    window. Pure JVM map-side fan-out (sequence + slice + two explodes,
+    no shuffle, no Python); the tail emits short windows rather than
+    dropping trailing tokens, and BM25's dl normalization absorbs the
+    short-window bias."""
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.size(toks), F.lit(1)), F.lit(stride)
+    )
+    pas = docs.select(
+        F.col(id_col),
+        F.explode(starts).alias("__start"),
+        toks.alias("__toks"),
+    ).select(
+        id_col,
+        (((F.col("__start") - 1) / stride).cast("long")).alias("pidx"),
+        F.explode(F.slice(F.col("__toks"), F.col("__start"), width)).alias(
+            "token"
+        ),
+    )
+    return pas

@@ -2748,3 +2748,104 @@ def docs_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id") < _DE_MAX_ID
     )
     return _dedup_eval_frame(docs)
+
+
+# --------------------------------------------------------------------------
+# Q: docs_passage_bm25 — passage-level retrieval, the RAG index unit:
+# the corpus (docs outside the query set) is chunked into overlapping
+# 32-token windows at stride 16 (retrieval.passage_occurrences — pure
+# map-side sequence+slice fan-out), and the UNCHANGED bm25_topk ranks
+# PASSAGES per query, so a long document can no longer bury its one
+# matching span under length normalization. Passage ids pack
+# (doc+1)*1000+pidx for the ranker and decode on output. The oracle
+# replays the identical window arithmetic (GENERATE_SERIES + inclusive
+# list slices) and the identical BM25 formula over passages.
+# --------------------------------------------------------------------------
+_PAS_NQ = 5
+_PAS_K = 5
+_PAS_W = 32
+_PAS_S = 16
+
+
+@query(
+    "docs_passage_bm25",
+    f"""
+    WITH tk AS (SELECT doc_id, {_DUCK_TOKENS} AS toks FROM documents),
+    pas AS (
+        SELECT doc_id, CAST((i - 1) // {_PAS_S} AS BIGINT) AS pidx,
+               toks[i:i + {_PAS_W - 1}] AS ptoks
+        FROM tk, LATERAL UNNEST(GENERATE_SERIES(1, GREATEST(LEN(toks), 1), {_PAS_S})) AS u(i)
+        WHERE doc_id >= {_PAS_NQ}
+    ),
+    occ AS (
+        SELECT (doc_id + 1) * 1000 + pidx AS pid, UNNEST(ptoks) AS token
+        FROM pas
+    ),
+    tf AS (SELECT pid, token, COUNT(*) AS tf FROM occ GROUP BY 1, 2),
+    dl AS (SELECT pid, COUNT(*) AS dl FROM occ GROUP BY 1),
+    corp AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+    qt AS (
+        SELECT DISTINCT doc_id AS query_id, token
+        FROM (SELECT doc_id, UNNEST(toks) AS token FROM tk WHERE doc_id < {_PAS_NQ})
+    ),
+    dft AS (
+        SELECT token, COUNT(*) AS df FROM tf
+        WHERE token IN (SELECT DISTINCT token FROM qt) GROUP BY token
+    ),
+    scored AS (
+        SELECT qt.query_id, tf.pid,
+               ROUND(SUM(
+                   LN((corp.n_docs - dft.df + 0.5) / (dft.df + 0.5) + 1.0)
+                   * tf.tf * (1.2 + 1.0)
+                   / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / corp.avgdl))
+               ), 6) AS bm25
+        FROM qt
+        JOIN tf USING (token)
+        JOIN dft USING (token)
+        JOIN dl ON dl.pid = tf.pid
+        CROSS JOIN corp
+        GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT query_id, pid, bm25,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY bm25 DESC, pid) AS rank
+        FROM scored
+    )
+    SELECT query_id, pid // 1000 - 1 AS doc_id, pid % 1000 AS pidx,
+           bm25, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= {_PAS_K}
+    """,
+)
+def docs_passage_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pmp_analytics_spark.operators.retrieval import (
+        bm25_topk,
+        passage_occurrences,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    occ_p = passage_occurrences(
+        docs.where(F.col("doc_id") >= _PAS_NQ),
+        "doc_id",
+        tokens("text"),
+        width=_PAS_W,
+        stride=_PAS_S,
+    ).select(
+        ((F.col("doc_id") + 1) * 1000 + F.col("pidx")).alias("pid"), "token"
+    )
+    qterms = (
+        docs.where(F.col("doc_id") < _PAS_NQ)
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.explode(tokens("text")).alias("token"),
+        )
+        .distinct()
+    )
+    out = bm25_topk(occ_p, qterms, k=_PAS_K, id_col="pid")
+    return out.select(
+        "query_id",
+        (F.floor(F.col("pid") / 1000) - 1).cast("long").alias("doc_id"),
+        (F.col("pid") % 1000).alias("pidx"),
+        "bm25",
+        F.col("rank").cast("long").alias("rank"),
+    )

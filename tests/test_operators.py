@@ -2477,3 +2477,28 @@ def test_exact_percentiles_degenerate_inputs(spark):
     const = spark.createDataFrame([(5.0,)] * 100, "x double")
     out = {r["q"]: r["value"] for r in exact_percentiles(const, "x", [(1, 4), (1, 1)]).collect()}
     assert out == {0.25: 5.0, 1.0: 5.0}
+
+
+def test_passage_occurrences_window_math(spark):
+    from pmp_analytics_spark.functions.text import tokens
+    from pmp_analytics_spark.operators.retrieval import passage_occurrences
+
+    words = [f"w{i}" for i in range(10)]
+    df = spark.createDataFrame(
+        [(1, " ".join(words)), (2, "solo"), (3, "")], ["doc_id", "text"]
+    )
+    occ = passage_occurrences(df, "doc_id", tokens("text"), width=4, stride=2)
+    rows = [(r["doc_id"], r["pidx"], r["token"]) for r in occ.collect()]
+    d1 = sorted((p, t) for d, p, t in rows if d == 1)
+    # windows: [0:4],[2:6],[4:8],[6:10],[8:10] — tail shortens, never drops
+    expect = []
+    for pidx, start in enumerate(range(0, 10, 2)):
+        for t in words[start : start + 4]:
+            expect.append((pidx, t))
+    assert d1 == sorted(expect)
+    # every token is covered by at least one window
+    assert {t for _, t in d1} == set(words)
+    # single-token doc: one window
+    assert [(p, t) for d, p, t in rows if d == 2] == [(0, "solo")]
+    # empty doc: no occurrence rows
+    assert not [r for r in rows if r[0] == 3]
