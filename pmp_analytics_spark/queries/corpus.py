@@ -1417,3 +1417,90 @@ def docs_bigram_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(word_ngrams(toks, 2)).alias("item")
     )
     return heavy_hitters(items, "item", 1, _HH_DEN)
+
+
+# --------------------------------------------------------------------------
+# Q: customer_card_luhn_audit — checksum-gated PAN detection: bare
+# 13-16-digit runs are mostly ids/timestamps, so the PII pack validates
+# candidates with the Luhn mod-10 check (functions/pii.py::luhn_valid,
+# a pure JVM sequence+transform HOF) before treating them as card
+# numbers. Fixture: a deterministic 15-digit payload per customer gets
+# its REAL check digit (luhn_check_digit) on even keys and a corrupted
+# one (+5 mod 10, never valid) on odd keys — so validation splits the
+# extract exactly in half and a lazy always-true/false implementation
+# fails the oracle. Scrubbing now covers [CARD] via the shared order.
+# --------------------------------------------------------------------------
+def _card_audit_oracle() -> str:
+    from pmp_analytics_spark.functions.pii import (
+        CARD_RE,
+        duck_luhn_sum_sql,
+        duck_scrub_sql,
+    )
+
+    payload = (
+        "'4' || LPAD(CAST((c_custkey * 48271) % 100000000000000 AS VARCHAR), 14, '0')"
+    )
+    psum = duck_luhn_sum_sql("payload", 15, payload_mode=True)
+    vsum = duck_luhn_sum_sql("card", 16, payload_mode=False)
+    return f"""
+    WITH p AS (SELECT c_custkey, c_name, {payload} AS payload FROM customer),
+    cd AS (
+        SELECT *, (10 - {psum} % 10) % 10 AS good FROM p
+    ),
+    blob AS (
+        SELECT c_custkey,
+               c_name || ' pays ' || payload ||
+               CAST(CASE WHEN c_custkey % 2 = 0 THEN good
+                         ELSE (good + 5) % 10 END AS VARCHAR) || ' today'
+               AS contact
+        FROM cd
+    ),
+    x AS (
+        SELECT c_custkey, contact,
+               REGEXP_EXTRACT_ALL(contact, '{CARD_RE}') AS cards
+        FROM blob
+    ),
+    v AS (
+        SELECT c_custkey, contact, LEN(cards) AS n_cards, cards[1] AS card
+        FROM x
+    )
+    SELECT c_custkey, CAST(n_cards AS BIGINT) AS n_cards,
+           CAST(CASE WHEN {vsum} % 10 = 0 THEN 1 ELSE 0 END AS INT) AS luhn_ok,
+           {duck_scrub_sql("contact")} AS scrubbed
+    FROM v
+    """
+
+
+@query("customer_card_luhn_audit", _card_audit_oracle())
+def customer_card_luhn_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pmp_analytics_spark.functions.pii import (
+        CARD_RE,
+        luhn_check_digit,
+        luhn_valid,
+    )
+
+    customer = load_table(spark, sf_dir, "customer")
+    key = F.col("c_custkey")
+    payload = F.concat(
+        F.lit("4"),
+        F.lpad(((key * 48271) % F.lit(10**14)).cast("string"), 14, "0"),
+    )
+    good = luhn_check_digit(payload)
+    digit = F.when(key % 2 == 0, good).otherwise((good + 5) % 10)
+    blob = customer.select(
+        "c_custkey",
+        F.concat(
+            F.col("c_name"),
+            F.lit(" pays "),
+            payload,
+            digit.cast("string"),
+            F.lit(" today"),
+        ).alias("contact"),
+    )
+    cards = F.regexp_extract_all(F.col("contact"), F.lit(CARD_RE), 0)
+    return blob.select(
+        "c_custkey",
+        F.size(cards).cast("long").alias("n_cards"),
+        luhn_valid(F.element_at(cards, 1)).cast("int").alias("luhn_ok"),
+        scrub_pii("contact").alias("scrubbed"),
+    )

@@ -2502,3 +2502,45 @@ def test_passage_occurrences_window_math(spark):
     assert [(p, t) for d, p, t in rows if d == 2] == [(0, "solo")]
     # empty doc: no occurrence rows
     assert not [r for r in rows if r[0] == 3]
+
+
+def test_luhn_matches_python_reference(spark):
+    import random
+
+    from pmp_analytics_spark.functions.pii import luhn_check_digit, luhn_valid
+
+    def py_luhn_ok(s: str) -> bool:
+        total = 0
+        for j, ch in enumerate(reversed(s), start=1):
+            d = int(ch)
+            if j % 2 == 0:
+                d *= 2
+                if d > 9:
+                    d -= 9
+            total += d
+        return total % 10 == 0
+
+    rng = random.Random(31)
+    # known-valid anchors + random strings of every PAN length
+    fixed = ["79927398713", "4532015112830366", "6011000990139424"]
+    rand = [
+        "".join(rng.choice("0123456789") for _ in range(rng.choice([13, 14, 15, 16])))
+        for _ in range(300)
+    ]
+    rows = [(s,) for s in fixed + rand]
+    df = spark.createDataFrame(rows, "s string")
+    got = {
+        r["s"]: (r["ok"], r["cd"])
+        for r in df.select(
+            "s",
+            luhn_valid("s").alias("ok"),
+            luhn_check_digit("s").alias("cd"),
+        ).collect()
+    }
+    for s in fixed + rand:
+        ok, cd = got[s]
+        assert ok == py_luhn_ok(s), s
+        # the derived check digit always completes a valid number
+        assert py_luhn_ok(s + str(cd)), s
+        # ...and it is the ONLY digit that does (mod-10 uniqueness)
+        assert sum(py_luhn_ok(s + str(k)) for k in range(10)) == 1
