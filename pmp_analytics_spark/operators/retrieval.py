@@ -346,3 +346,95 @@ def passage_occurrences(
         ),
     )
     return pas
+
+
+def bm25_index_build(
+    docs: DataFrame,
+    tok: Column,
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, DataFrame]:
+    """Materialize the persistable BM25 index pair from a corpus:
+    ``postings`` (id, token, tf, dl — pure per-document rows) and
+    ``df`` (token, df — the cross-document statistic). ``tok`` is the
+    tokenizer expression over the corpus' text column."""
+    occ = docs.select(F.col(id_col), F.explode(tok).alias("token"))
+    tf = occ.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    dl = occ.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    postings = tf.join(dl, id_col)
+    df = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    return postings, df
+
+
+def bm25_index_refresh(
+    postings: DataFrame,
+    df: DataFrame,
+    delta: DataFrame,
+    tok_fn,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_touched: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """CDC maintenance of the BM25 lexical index — the fourth member of
+    the index-maintenance family (LSH bands, IVF cells, PQ codes): a
+    production retrieval index follows its corpus without re-tokenizing
+    it.  Two movements, both O(delta):
+
+    - ``postings`` rows are per-document pure functions of the text, so
+      they ride the shared evict-touched / recompute-fresh skeleton
+      (diff.cdc_index_refresh): removed/changed ids evict via one
+      delta-bounded anti-join, added/changed docs re-tokenize ONLY
+      their own text.
+    - ``df`` is CROSS-document, so eviction alone can't fix it: the
+      decrement side comes from the EVICTED posting rows (a broadcast
+      semi-join against the touched ids — delta-bounded, never a corpus
+      scan) and the increment side from the fresh docs' distinct
+      tokens; the merged count drops to zero exactly when a token's
+      last document leaves, and the row leaves with it.
+
+    Both outputs are bit-identical to a fresh ``bm25_index_build`` on
+    the new corpus (the declared query's oracle states that rebuild),
+    because tf/dl are per-doc functions and df is an additive count.
+    ``tok_fn`` maps a text column to its token-array column.
+    """
+    from pmp_analytics_spark.operators.diff import cdc_index_refresh
+
+    def recompute(fresh: DataFrame) -> DataFrame:
+        p, _ = bm25_index_build(fresh, tok_fn(F.col(text_col)), id_col)
+        return p
+
+    postings2 = cdc_index_refresh(
+        postings, delta, id_col, text_col, recompute, broadcast_touched
+    )
+
+    touched = delta.where(
+        F.col("change_type").isin("removed", "changed")
+    ).select(id_col)
+    t = F.broadcast(touched) if broadcast_touched else touched
+    rem = (
+        postings.join(t, id_col, "left_semi")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("rem"))
+    )
+    fresh = delta.where(F.col("change_type").isin("added", "changed")).select(
+        F.col(id_col), F.col(f"new_{text_col}").alias(text_col)
+    )
+    add = (
+        fresh.select(F.col(id_col), F.explode(tok_fn(F.col(text_col))).alias("token"))
+        .distinct()
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("add"))
+    )
+    df2 = (
+        df.join(rem, "token", "full_outer")
+        .join(add, "token", "full_outer")
+        .select(
+            "token",
+            (
+                F.coalesce(F.col("df"), F.lit(0))
+                - F.coalesce(F.col("rem"), F.lit(0))
+                + F.coalesce(F.col("add"), F.lit(0))
+            ).alias("df"),
+        )
+        .where(F.col("df") > 0)
+    )
+    return postings2, df2

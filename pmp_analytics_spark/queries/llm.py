@@ -2849,3 +2849,62 @@ def docs_passage_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bm25",
         F.col("rank").cast("long").alias("rank"),
     )
+
+
+# --------------------------------------------------------------------------
+# Q: docs_bm25_index_cdc — CDC maintenance of the BM25 LEXICAL index,
+# completing the index-maintenance family (LSH bands 169, IVF cells
+# 170, PQ codes 171) on the retrieval side: the corpus moves old -> new
+# (docs deleted, added, every doc_id % 17 = 2 edited by an appended
+# marker phrase) and the index follows in O(delta) — per-doc postings
+# (tf, dl) ride the shared evict/recompute skeleton, while the
+# CROSS-document df merges a decrement from the EVICTED posting rows
+# with an increment from the fresh docs' distinct tokens (a token's row
+# leaves the index exactly when its last document does). Both halves
+# must be bit-identical to a fresh rebuild on the new corpus — the
+# oracle IS that rebuild.
+# --------------------------------------------------------------------------
+@query(
+    "docs_bm25_index_cdc",
+    f"""
+    WITH newc AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 17 = 2 THEN text || '{_IDX_EDIT}'
+                    ELSE text END AS text
+        FROM documents WHERE doc_id % 13 <> 4
+    ),
+    occ AS (
+        SELECT doc_id, UNNEST({_DUCK_TOKENS}) AS token FROM newc
+    ),
+    tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM occ GROUP BY 1, 2),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM occ GROUP BY 1),
+    dft AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token)
+    SELECT tf.doc_id, tf.token, tf.tf, dl.dl, dft.df
+    FROM tf JOIN dl USING (doc_id) JOIN dft USING (token)
+    """,
+)
+def docs_bm25_index_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pmp_analytics_spark.operators.diff import snapshot_delta
+    from pmp_analytics_spark.operators.retrieval import (
+        bm25_index_build,
+        bm25_index_refresh,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    old = docs.where(F.col("doc_id") % 11 != 7)
+    new = docs.where(F.col("doc_id") % 13 != 4).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 17 == 2, F.concat("text", F.lit(_IDX_EDIT))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    postings0, df0 = bm25_index_build(old, tokens("text"))
+    delta = snapshot_delta(old, new, ["doc_id"])
+    postings2, df2 = bm25_index_refresh(
+        postings0, df0, delta, lambda c: tokens(c)
+    )
+    return postings2.join(df2, "token").select(
+        "doc_id", "token", "tf", "dl", "df"
+    )

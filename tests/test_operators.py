@@ -2544,3 +2544,43 @@ def test_luhn_matches_python_reference(spark):
         assert py_luhn_ok(s + str(cd)), s
         # ...and it is the ONLY digit that does (mod-10 uniqueness)
         assert sum(py_luhn_ok(s + str(k)) for k in range(10)) == 1
+
+
+def test_bm25_index_refresh_equals_rebuild(spark):
+    from pmp_analytics_spark.functions.text import tokens
+    from pmp_analytics_spark.operators.diff import snapshot_delta
+    from pmp_analytics_spark.operators.retrieval import (
+        bm25_index_build,
+        bm25_index_refresh,
+    )
+
+    old = spark.createDataFrame(
+        [
+            (1, "apple banana apple"),
+            (2, "banana cherry"),
+            (3, "date date date"),      # 'date' lives ONLY here
+            (4, "apple elderberry"),
+        ],
+        ["doc_id", "text"],
+    )
+    new = spark.createDataFrame(
+        [
+            (1, "apple banana apple"),   # unchanged
+            (2, "banana fig fig"),       # changed: cherry leaves corpus, fig arrives
+            (4, "apple elderberry"),     # unchanged; doc 3 removed -> 'date' df row must die
+            (5, "cherry grape"),         # added: cherry returns via a NEW doc
+        ],
+        ["doc_id", "text"],
+    )
+    p0, d0 = bm25_index_build(old, tokens("text"))
+    delta = snapshot_delta(old, new, ["doc_id"])
+    p2, d2 = bm25_index_refresh(p0, d0, delta, lambda c: tokens(c))
+    pr, dr = bm25_index_build(new, tokens("text"))
+
+    key = lambda r: (r["doc_id"], r["token"])
+    assert sorted(map(tuple, p2.collect())) == sorted(map(tuple, pr.collect()))
+    assert sorted(map(tuple, d2.collect())) == sorted(map(tuple, dr.collect()))
+    got_df = {r["token"]: r["df"] for r in d2.collect()}
+    assert "date" not in got_df          # last carrier removed
+    assert got_df["cherry"] == 1         # left doc 2, returned in doc 5
+    assert got_df["fig"] == 1            # arrived via edit
