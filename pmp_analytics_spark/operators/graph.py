@@ -216,12 +216,7 @@ def triangle_count(
     degree aggregate, two node-keyed joins for the wedge + closing
     step — no CartesianProduct, no windows, no Python in the row path.
     """
-    u, v = F.col(src), F.col(dst)
-    und = (
-        edges.where(u != v)
-        .select(F.least(u, v).alias("u"), F.greatest(u, v).alias("v"))
-        .distinct()
-    )
+    und = undirected_edges(edges, src, dst)
     deg = (
         und.select(F.col("u").alias("n"))
         .unionAll(und.select(F.col("v").alias("n")))
@@ -256,3 +251,65 @@ def triangle_count(
         F.explode(F.array(F.col("a"), F.col("b"), F.col("c"))).alias(node_col)
     )
     return nodes.groupBy(node_col).agg(F.count(F.lit(1)).alias(count_col))
+
+
+def undirected_edges(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Canonical undirected edge set ``(u, v)`` with u < v: directed /
+    duplicated input collapses, self-loops drop — the shared front door
+    of the undirected-graph operators (triangles, label propagation)."""
+    u, v = F.col(src), F.col(dst)
+    return (
+        edges.where(u != v)
+        .select(F.least(u, v).alias("u"), F.greatest(u, v).alias("v"))
+        .distinct()
+    )
+
+
+def label_propagation_communities(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 4,
+    node_col: str = "node",
+    label_col: str = "community",
+) -> DataFrame:
+    """Community detection by SYNCHRONOUS label propagation (Raghavan,
+    Albert & Kumara 2007), determinized: labels start as node ids; each
+    round every node adopts its neighbors' most frequent label with the
+    tie broken toward the SMALLEST label — no randomness, so a fixed
+    iteration count makes the whole run replayable as unrolled SQL
+    rounds (the oracle strategy of every iterative operator here:
+    PageRank, BPE, k-means). Synchronous LPA can oscillate on bipartite
+    structure; the fixed round count keeps that deterministic too, and
+    production use picks the round count, not a float-noise
+    convergence test.
+
+    One round = one node-keyed join (labels onto the doubled adjacency)
+    + one (node, label) count + one argmax agg — two hash shuffles per
+    round at any graph size, the same budget as a PageRank step.
+    Lineage is cut each round with an eager localCheckpoint (2^k plan
+    growth otherwise — measured on PageRank, graph.py:27).
+
+    Returns ``(node, community)`` for every non-isolated node.
+    """
+    und = undirected_edges(edges, src, dst)
+    adj = und.select(
+        F.col("u").alias("a"), F.col("v").alias("b")
+    ).unionAll(und.select(F.col("v").alias("a"), F.col("u").alias("b")))
+    labels = adj.select(F.col("a").alias("n")).distinct().select(
+        "n", F.col("n").alias("lbl")
+    )
+    for _ in range(iterations):
+        msgs = adj.join(
+            labels.select(F.col("n").alias("b"), "lbl"), "b"
+        ).select(F.col("a").alias("n"), "lbl")
+        counts = msgs.groupBy("n", "lbl").agg(F.count(F.lit(1)).alias("cnt"))
+        labels = counts.groupBy("n").agg(
+            F.expr("max_by(lbl, struct(cnt, -lbl))").alias("lbl")
+        )
+        labels = labels.localCheckpoint(eager=True)
+    return labels.select(
+        F.col("n").alias(node_col), F.col("lbl").alias(label_col)
+    )

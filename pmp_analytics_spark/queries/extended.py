@@ -2198,3 +2198,69 @@ def part_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = a.join(b, "ok").where(F.col("u") < F.col("v")).select("u", "v")
     out = triangle_count(edges, "u", "v")
     return out.orderBy(F.desc("triangles"), "node").limit(_TRI_TOP)
+
+
+# --------------------------------------------------------------------------
+# Q: part_copurchase_communities — community detection by determinized
+# SYNCHRONOUS label propagation (operators/graph.py::
+# label_propagation_communities): 4 fixed rounds, each node adopting
+# its neighbors' most frequent label with ties toward the smallest
+# label — no randomness, so the oracle unrolls the 4 rounds as CTE
+# stages (the repo's iterative-operator strategy: PageRank, BPE,
+# k-means). One round costs two node-keyed shuffles, the same budget
+# as a PageRank step. Output: community sizes.
+# --------------------------------------------------------------------------
+_LPA_ROUNDS = 4
+
+
+def _lpa_oracle() -> str:
+    rounds = []
+    for i in range(1, _LPA_ROUNDS + 1):
+        rounds.append(
+            f"""
+    c{i} AS (
+        SELECT adj.a AS n, l.lbl, COUNT(*) AS cnt
+        FROM adj JOIN l{i - 1} l ON adj.b = l.n GROUP BY 1, 2
+    ),
+    l{i} AS (
+        SELECT n, lbl FROM (
+            SELECT n, lbl,
+                   ROW_NUMBER() OVER (PARTITION BY n
+                                      ORDER BY cnt DESC, lbl) AS rn
+            FROM c{i}
+        ) WHERE rn = 1
+    )"""
+        )
+    return f"""
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM li a JOIN li b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    adj AS (
+        SELECT u AS a, v AS b FROM e UNION ALL SELECT v AS a, u AS b FROM e
+    ),
+    l0 AS (SELECT DISTINCT a AS n, a AS lbl FROM adj),
+    {",".join(rounds)}
+    SELECT lbl AS community, CAST(COUNT(*) AS BIGINT) AS n_members
+    FROM l{_LPA_ROUNDS} GROUP BY lbl
+    """
+
+
+@query("part_copurchase_communities", _lpa_oracle())
+def part_copurchase_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pmp_analytics_spark.operators.graph import (
+        label_propagation_communities,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).distinct()
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
+    edges = a.join(b, "ok").where(F.col("u") < F.col("v")).select("u", "v")
+    out = label_propagation_communities(edges, "u", "v", iterations=_LPA_ROUNDS)
+    return out.groupBy("community").agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
