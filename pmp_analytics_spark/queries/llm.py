@@ -2908,3 +2908,90 @@ def docs_bm25_index_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return postings2.join(df2, "token").select(
         "doc_id", "token", "tf", "dl", "df"
     )
+
+
+# --------------------------------------------------------------------------
+# Q: docs_split_leakage — dedup-aware split hygiene: near-duplicate
+# pairs that CROSS the deterministic train/eval hash split leak
+# training text into evaluation (the contamination mode Dodge et al.
+# 2021 measured in C4; the reason dedup must run BEFORE splitting).
+# Composition, not new machinery: the docs_neardup_pairs LSH+verify
+# chain supplies the pairs, sample.hash_bucket supplies the stable
+# md5 split (rand() is retry-unstable; content hashing is), and two
+# id-keyed joins attach the split labels — pairs within one side drop.
+# Output: the offending pairs with both labels, ready to quarantine.
+# --------------------------------------------------------------------------
+_LEAK_MOD = 10
+_LEAK_TRAIN = 8  # buckets 0-7 train, 8-9 eval
+
+
+@query(
+    "docs_split_leakage",
+    f"""
+    WITH sh AS (
+        SELECT doc_id, {_DUCK_SHINGLES} AS sh FROM documents
+        WHERE LENGTH(text) >= 5
+    ), hashed AS (
+        SELECT doc_id, {_DUCK_SHINGLE_HASH} AS hs FROM sh
+    ), sig AS (
+        SELECT doc_id, {_DUCK_SIG} FROM hashed
+    ), banded AS (
+        {_DUCK_BAND_ROWS}
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM banded a JOIN banded b
+          ON a.band_id = b.band_id AND a.band_key = b.band_key
+             AND a.doc_id < b.doc_id
+    ), dsh AS (
+        SELECT doc_id, LIST_DISTINCT(hs) AS dsh FROM hashed
+    ), scored AS (
+        SELECT id_a, id_b,
+               LEN(LIST_INTERSECT(a.dsh, b.dsh)) * 1.0 /
+               (LEN(a.dsh) + LEN(b.dsh) - LEN(LIST_INTERSECT(a.dsh, b.dsh))) AS j
+        FROM cand JOIN dsh a ON cand.id_a = a.doc_id
+                  JOIN dsh b ON cand.id_b = b.doc_id
+    ), pairs AS (
+        SELECT id_a, id_b, ROUND(j, 6) AS jaccard
+        FROM scored WHERE j >= {_JACCARD_T}
+    ), split AS (
+        SELECT doc_id,
+               CASE WHEN CAST(('0x' || SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                         % {_LEAK_MOD} < {_LEAK_TRAIN}
+                    THEN 'train' ELSE 'eval' END AS split
+        FROM documents
+    )
+    SELECT p.id_a, p.id_b, p.jaccard,
+           sa.split AS split_a, sb.split AS split_b
+    FROM pairs p
+    JOIN split sa ON p.id_a = sa.doc_id
+    JOIN split sb ON p.id_b = sb.doc_id
+    WHERE sa.split <> sb.split
+    """,
+)
+def docs_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pmp_analytics_spark.operators.sample import hash_bucket
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_dedup(
+        docs,
+        text_col="text",
+        id_col="doc_id",
+        shingle_k=_SHINGLE_K,
+        threshold=_JACCARD_T,
+        num_hashes=len(_SEEDS),
+        bands=_BANDS,
+    )
+    split = docs.select(
+        "doc_id",
+        F.when(hash_bucket("doc_id", _LEAK_MOD) < _LEAK_TRAIN, "train")
+        .otherwise("eval")
+        .alias("split"),
+    )
+    sa = split.withColumnsRenamed({"doc_id": "id_a", "split": "split_a"})
+    sb = split.withColumnsRenamed({"doc_id": "id_b", "split": "split_b"})
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .where(F.col("split_a") != F.col("split_b"))
+        .select("id_a", "id_b", "jaccard", "split_a", "split_b")
+    )
