@@ -313,3 +313,61 @@ def label_propagation_communities(
     return labels.select(
         F.col("n").alias(node_col), F.col("lbl").alias(label_col)
     )
+
+
+def kcore(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 8,
+    node_col: str = "node",
+    degree_col: str = "degree",
+) -> DataFrame:
+    """The k-core of an undirected graph by iterative peeling (Seidman
+    1983; the distributed round-based formulation): repeatedly drop
+    nodes of degree < k and the edges they carry, until stable or
+    ``max_rounds`` is hit. Returns the surviving ``(node, degree)``
+    with the degree measured INSIDE the core — the subgraph density
+    signal spam/bot and boilerplate-hub analyses peel for.
+
+    Determinism and the oracle: each round is a pure integer
+    degree-count + two semi-joins, so an oracle unrolls ``max_rounds``
+    CTE rounds; peeling is MONOTONE, so once a round removes nothing
+    every later round is a no-op — the operator's integer-count early
+    exit (never a float tolerance) and the oracle's fixed unroll land
+    on the same edge set even when convergence beats the round budget.
+    Each round cuts lineage with an eager localCheckpoint and the only
+    driver scalars are the edge counts driving early exit (the same
+    budget pagerank spends on N).
+    """
+    e = undirected_edges(edges, src, dst).localCheckpoint(eager=True)
+    n_edges = e.count()
+    for _ in range(max_rounds):
+        if n_edges == 0:
+            break
+        deg = (
+            e.select(F.col("u").alias("n"))
+            .unionAll(e.select(F.col("v").alias("n")))
+            .groupBy("n")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        keep = deg.where(F.col("d") >= k).select("n")
+        ne = (
+            e.join(keep.withColumnRenamed("n", "u"), "u", "left_semi")
+            .join(keep.withColumnRenamed("n", "v"), "v", "left_semi")
+            .select("u", "v")
+            .localCheckpoint(eager=True)
+        )
+        n_new = ne.count()
+        e = ne
+        if n_new == n_edges:  # integer fixpoint — later rounds are no-ops
+            break
+        n_edges = n_new
+    return (
+        e.select(F.col("u").alias("n"))
+        .unionAll(e.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias(degree_col))
+        .select(F.col("n").alias(node_col), degree_col)
+    )

@@ -2264,3 +2264,62 @@ def part_copurchase_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.groupBy("community").agg(
         F.count(F.lit(1)).alias("n_members")
     )
+
+
+# --------------------------------------------------------------------------
+# Q: part_copurchase_kcore — the k-core of the part co-purchase graph
+# by round-based peeling (operators/graph.py::kcore): drop degree<k
+# nodes and their edges until stable. Peeling is monotone, so the
+# operator's integer-count early exit and the oracle's fixed 8-round
+# unroll land on the same edge set (converged rounds are no-ops).
+# k=80 sits just under this graph's core collapse point (the 90-core
+# is empty), so the peel does real cascading work. Output: core
+# members with their IN-CORE degree.
+# --------------------------------------------------------------------------
+_KCORE_K = 80
+_KCORE_ROUNDS = 8
+
+
+def _kcore_oracle() -> str:
+    parts = []
+    prev = "e0"
+    for i in range(1, _KCORE_ROUNDS + 1):
+        parts.append(
+            f"""
+    d{i} AS MATERIALIZED (
+        SELECT n, COUNT(*) AS d FROM (
+            SELECT u AS n FROM {prev} UNION ALL SELECT v AS n FROM {prev}
+        ) GROUP BY n
+    ),
+    kp{i} AS MATERIALIZED (SELECT n FROM d{i} WHERE d >= {_KCORE_K}),
+    e{i} AS MATERIALIZED (
+        SELECT p.u, p.v FROM {prev} p
+        JOIN kp{i} a ON p.u = a.n JOIN kp{i} b ON p.v = b.n
+    )"""
+        )
+        prev = f"e{i}"
+    return f"""
+    WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e0 AS MATERIALIZED (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM li a JOIN li b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    {",".join(parts)}
+    SELECT n AS node, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+        SELECT u AS n FROM {prev} UNION ALL SELECT v AS n FROM {prev}
+    ) GROUP BY n
+    """
+
+
+@query("part_copurchase_kcore", _kcore_oracle())
+def part_copurchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pmp_analytics_spark.operators.graph import kcore
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).distinct()
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
+    edges = a.join(b, "ok").where(F.col("u") < F.col("v")).select("u", "v")
+    return kcore(edges, _KCORE_K, "u", "v", max_rounds=_KCORE_ROUNDS)

@@ -2634,3 +2634,47 @@ def test_label_propagation_matches_python_reference(spark):
     dom_a = _C(got[n] for n in range(0, 15)).most_common(1)[0][0]
     dom_b = _C(got[n] for n in range(100, 115)).most_common(1)[0][0]
     assert dom_a != dom_b
+
+
+def test_kcore_matches_python_peel(spark):
+    import random
+
+    from pmp_analytics_spark.operators.graph import kcore
+
+    rng = random.Random(17)
+    n = 60
+    edges = {
+        (a, b) for a in range(n) for b in range(a + 1, n) if rng.random() < 0.12
+    }
+    # plant a 3-core: a 10-node ring where everyone also hits +2 and +3
+    core_nodes = list(range(100, 110))
+    for i in range(10):
+        for step in (1, 2, 3):
+            a, b = core_nodes[i], core_nodes[(i + step) % 10]
+            edges.add((min(a, b), max(a, b)))
+    edges.add((0, 100))  # bridge into the random part
+
+    def py_kcore(edges, k):
+        adj: dict[int, set[int]] = {}
+        for a, b in edges:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        changed = True
+        while changed:
+            changed = False
+            for node in [x for x in adj if len(adj[x]) < k]:
+                for m in adj.pop(node):
+                    adj[m].discard(node)
+                changed = True
+        return {node: len(v) for node, v in adj.items() if v}
+
+    df = spark.createDataFrame(list(edges), ["src", "dst"])
+    for k in (3, 5):
+        expect = py_kcore(edges, k)
+        got = {
+            r["node"]: r["degree"]
+            for r in kcore(df, k, max_rounds=60).collect()
+        }
+        assert got == expect, k
+    # k above the max degree: empty core
+    assert kcore(df, 1000, max_rounds=10).count() == 0
