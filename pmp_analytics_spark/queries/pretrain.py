@@ -1872,7 +1872,11 @@ def docs_unigram_lm_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
 # unrolled Viterbi DP, emitting the segmentation STRINGS — engine-exact
 # for the same reason the fit is (pure BIGINT DP).
 # --------------------------------------------------------------------------
-def _unigram_segment_oracle() -> str:
+def _uni_apply_stages() -> tuple[list, str]:
+    """EM stages + the final-vocab Viterbi APPLY round: returns the full
+    stage list and the name of the final frontier CTE (filter it with
+    ``pos = LENGTH(word)`` for the converged segmentations). Shared by
+    the segment oracle and the tokenizer-eval oracle."""
     stages = _uni_em_stages()
     t = "f"  # the apply round's stage namespace
     prev = f"s{_UNI_ITERS}"
@@ -1908,6 +1912,11 @@ def _unigram_segment_oracle() -> str:
         SELECT word, freq, pos, score, seg FROM d{t}_{p} WHERE rn = 1
     )"""
         )
+    return stages, f"a{t}_{_UNI_MAXW}"
+
+
+def _unigram_segment_oracle() -> str:
+    stages, final = _uni_apply_stages()
     return (
         "WITH "
         + ",\n    ".join(stages)
@@ -1916,7 +1925,7 @@ def _unigram_segment_oracle() -> str:
            CAST(LEN(STRING_SPLIT(seg, ' ')) AS BIGINT) AS n_pieces,
            ROUND(LENGTH(word) * 1.0 / LEN(STRING_SPLIT(seg, ' ')), 6)
                AS chars_per_piece
-    FROM a{t}_{_UNI_MAXW} WHERE pos = LENGTH(word)
+    FROM {final} WHERE pos = LENGTH(word)
     """
     )
 
@@ -2161,3 +2170,132 @@ def streaming_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shutil.rmtree(work, ignore_errors=True)
     return out
+
+
+# --------------------------------------------------------------------------
+# Q: docs_tokenizer_eval — the tokenizer ABLATION table: BPE and the
+# unigram-LM vocab graded on the same corpus word set (words within the
+# unigram DP bound, which covers this corpus entirely) with the metrics
+# a tokenizer choice is actually made on — corpus token count,
+# fertility (tokens/word), compression (chars/token), and distinct
+# pieces used. Pure composition: both learned segmentations already
+# exist as operators; the eval is two weighted aggregates + two
+# distinct-piece counts, unioned. The oracle embeds BOTH oracle chains
+# (the BPE merge stages renamed into their own CTE namespace + the
+# unigram EM/apply stages) and re-derives the same four aggregates —
+# the strongest cross-tokenizer equivalence the gate can state.
+# --------------------------------------------------------------------------
+def _tokenizer_eval_oracle() -> str:
+    bpe = _bpe_stage_sql().removeprefix("WITH ").replace("vocab", "bvocab")
+    uni_stages, uni_final = _uni_apply_stages()
+    return (
+        "WITH "
+        + bpe
+        + ",\n    "
+        + ",\n    ".join(uni_stages)
+        + f""",
+    bseg AS MATERIALIZED (
+        SELECT word, freq,
+               LIST_FILTER(STRING_SPLIT(TRIM(sym), ' '), x -> x <> '') AS subs
+        FROM v{_BPE_K} WHERE LENGTH(word) <= {_UNI_MAXW}
+    ),
+    beval AS (
+        SELECT CAST(SUM(freq) AS BIGINT) AS n_words,
+               CAST(SUM(freq * LEN(subs)) AS BIGINT) AS n_tokens,
+               CAST(SUM(freq * LENGTH(word)) AS BIGINT) AS n_chars
+        FROM bseg
+    ),
+    bvu AS (
+        SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS vocab_used
+        FROM (SELECT UNNEST(subs) AS tok FROM bseg)
+    ),
+    useg AS MATERIALIZED (
+        SELECT word, freq, STRING_SPLIT(seg, ' ') AS subs
+        FROM {uni_final} WHERE pos = LENGTH(word)
+    ),
+    ueval AS (
+        SELECT CAST(SUM(freq) AS BIGINT) AS n_words,
+               CAST(SUM(freq * LEN(subs)) AS BIGINT) AS n_tokens,
+               CAST(SUM(freq * LENGTH(word)) AS BIGINT) AS n_chars
+        FROM useg
+    ),
+    uvu AS (
+        SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS vocab_used
+        FROM (SELECT UNNEST(subs) AS tok FROM useg)
+    ),
+    combined AS (
+        SELECT 'bpe' AS tokenizer, b.*, v.vocab_used FROM beval b, bvu v
+        UNION ALL
+        SELECT 'unigram' AS tokenizer, u.*, w.vocab_used FROM ueval u, uvu w
+    )
+    SELECT tokenizer, n_words, n_tokens, n_chars,
+           ROUND(n_tokens * 1.0 / n_words, 6) AS tokens_per_word,
+           ROUND(n_chars * 1.0 / n_tokens, 6) AS chars_per_token,
+           vocab_used
+    FROM combined
+    """
+    )
+
+
+@query("docs_tokenizer_eval", _tokenizer_eval_oracle)
+def docs_tokenizer_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pmp_analytics_spark.operators.bpe import bpe_apply, word_vocab
+    from pmp_analytics_spark.operators.unigram import (
+        _lp_table,
+        unigram_fit,
+        unigram_segment,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    wv = word_vocab(docs, "text").where(
+        F.length("word") <= _UNI_MAXW
+    ).localCheckpoint(eager=False)
+
+    def eval_row(name: str, seg: DataFrame, subs: F.Column) -> DataFrame:
+        with_subs = seg.select("word", "freq", subs.alias("subs"))
+        agg = with_subs.agg(
+            F.sum("freq").cast("long").alias("n_words"),
+            F.sum(F.col("freq") * F.size("subs")).cast("long").alias("n_tokens"),
+            F.sum(F.col("freq") * F.length("word")).cast("long").alias("n_chars"),
+        )
+        vu = (
+            with_subs.select(F.explode("subs").alias("tok"))
+            .agg(F.count_distinct("tok").cast("long").alias("vocab_used"))
+        )
+        return (
+            agg.crossJoin(F.broadcast(vu))
+            .select(
+                F.lit(name).alias("tokenizer"),
+                "n_words",
+                "n_tokens",
+                "n_chars",
+                F.round(F.col("n_tokens") / F.col("n_words"), 6).alias(
+                    "tokens_per_word"
+                ),
+                F.round(F.col("n_chars") / F.col("n_tokens"), 6).alias(
+                    "chars_per_token"
+                ),
+                "vocab_used",
+            )
+        )
+
+    _, rules = _bpe_fit(spark, sf_dir)
+    bseg = bpe_apply(wv, rules)
+    bpe_subs = F.filter(F.split(F.trim(F.col("sym")), " "), lambda x: x != "")
+
+    pieces = unigram_fit(
+        docs,
+        "text",
+        iters=_UNI_ITERS,
+        max_piece_len=_UNI_PLEN,
+        max_word_len=_UNI_MAXW,
+        seed_multi=_UNI_SEED,
+        keep_multi=_UNI_KEEP,
+    ).withColumnRenamed("n_uses", "cnt")
+    lp = _lp_table(pieces.collect())  # vocab_size-bounded
+    useg = unigram_segment(wv, lp, _UNI_PLEN)
+    uni_subs = F.filter(F.split(F.col("seg"), " "), lambda x: x != "")
+
+    return eval_row("bpe", bseg, bpe_subs).unionByName(
+        eval_row("unigram", useg, uni_subs)
+    )
