@@ -64,7 +64,15 @@ _PACK_MODULES = {
 # streaming loops) so the official record re-confirms them. Names that
 # fall out of the registry are skipped silently.
 _RECORD_FRONT = (
-    # round-8 additions
+    # round-8 second-tranche additions (newest first: never sampled)
+    "docs_bigram_heavy_hitters", "part_copurchase_triangles",
+    "orders_exact_percentiles", "docs_passage_bm25",
+    "customer_card_luhn_audit", "docs_bm25_index_cdc",
+    "part_copurchase_communities", "docs_split_leakage",
+    "part_copurchase_kcore", "docs_tokenizer_eval",
+    # queries whose shared machinery this tranche touched, re-confirmed
+    "pii_scrub_extract", "docs_unigram_segment",
+    # round-8 first-tranche additions
     "docs_exact_substring_dedup", "docs_suffix_array",
     "embedding_ivfpq_topk", "embedding_index_eval",
     "streaming_pointintime_enrich", "docs_unigram_lm_vocab",
