@@ -69,7 +69,7 @@ _RECORD_FRONT = (
     "orders_exact_percentiles", "docs_passage_bm25",
     "customer_card_luhn_audit", "docs_bm25_index_cdc",
     "part_copurchase_communities", "docs_split_leakage",
-    "part_copurchase_kcore", "docs_tokenizer_eval",
+    "part_copurchase_kcore", "docs_tokenizer_eval", "event_attribution",
     # queries whose shared machinery this tranche touched, re-confirmed
     "pii_scrub_extract", "docs_unigram_segment",
     # round-8 first-tranche additions

@@ -1253,3 +1253,79 @@ def orders_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = load_table(spark, sf_dir, "orders")
     return exact_percentiles(orders, "o_totalprice", _PCTL_QS)
+
+
+# --------------------------------------------------------------------------
+# Q: event_attribution — LAST-TOUCH revenue attribution: each purchase
+# attributes to the user's most recent click at-or-before it (the
+# marketing-analytics as-of shape), campaign pulled from the click's
+# JSON props. Composition: clicks dedupe per (user, ts) with a
+# deterministic MAX(campaign) so the as-of tie rule never fires, then
+# operators/joins.py::asof_join (union + ordered-window: ONE shuffle on
+# user_id, never a per-key range explosion) attaches the click, and the
+# rollup keeps exact integer cents. Unattributed purchases land in
+# campaign -1 (left-join semantics preserved through the aggregation).
+# Oracle: DuckDB's native ASOF LEFT JOIN — an independent formulation
+# of the same semantics.
+# --------------------------------------------------------------------------
+@query(
+    "event_attribution",
+    """
+    WITH ev AS (
+        SELECT user_id, event_type, value, props, epoch_us(ts) AS ts_us
+        FROM events
+    ),
+    clicks AS (
+        SELECT user_id, ts_us AS click_ts,
+               MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS campaign
+        FROM ev WHERE event_type = 'click' GROUP BY 1, 2
+    ),
+    purch AS (
+        SELECT user_id, ts_us,
+               CAST(FLOOR(value * 100) AS BIGINT) AS cents
+        FROM ev WHERE event_type = 'purchase'
+    ),
+    att AS (
+        SELECT p.cents, c.campaign
+        FROM purch p ASOF LEFT JOIN clicks c
+          ON p.user_id = c.user_id AND p.ts_us >= c.click_ts
+    )
+    SELECT COALESCE(campaign, -1) AS campaign,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(SUM(cents) AS BIGINT) AS revenue_cents
+    FROM att GROUP BY 1
+    """,
+)
+def event_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pmp_analytics_spark.operators.joins import asof_join
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+    )
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy("user_id", F.col("ts_us").alias("click_ts"))
+        .agg(
+            F.max(F.get_json_object("props", "$.k").cast("long")).alias(
+                "campaign"
+            )
+        )
+    )
+    purch = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts_us",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    att = asof_join(
+        purch, clicks, on=["user_id"], left_ts="ts_us", right_ts="click_ts"
+    )
+    return att.groupBy(
+        F.coalesce(F.col("campaign"), F.lit(-1)).alias("campaign")
+    ).agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.sum("cents").alias("revenue_cents"),
+    )
