@@ -124,3 +124,89 @@ def exact_percentiles(
         (F.col("num").cast("double") / F.col("den")).alias("q"),
         F.col("v").alias("value"),
     )
+
+
+def exact_group_percentiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    qs: list[tuple[int, int]],
+    bins: int = 512,
+) -> DataFrame:
+    """Per-group exact order statistics — ``exact_percentiles`` with the
+    histogram, cumulative profile, rank targets, and rescan all keyed by
+    the group: output ``(group, q, value)``.
+
+    Same two-pass shape and the same exactness argument as the global
+    operator; every frame that was 1-row/bins-row there is G-row/
+    G*bins-row here and still broadcasts (the operator targets
+    reducer-friendly group cardinalities — segments, priorities, days;
+    a billion-group percentile wants the sketch path in
+    operators/sketches.py instead, and the broadcast makes that
+    boundary explicit rather than silently shuffling)."""
+    g = F.col(group_col).alias("g")
+    vals = df.where(F.col(value_col).isNotNull()).select(
+        g, F.col(value_col).cast("double").alias("v")
+    )
+    bounds = vals.groupBy("g").agg(
+        F.min("v").alias("mn"),
+        F.max("v").alias("mx"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+    binned = vals.join(F.broadcast(bounds), "g").select(
+        "g", "v", _bin_col(F.col("v"), F.col("mn"), F.col("mx"), bins).alias("bin")
+    )
+    bin_counts = binned.groupBy("g", "bin").agg(F.count(F.lit(1)).alias("cnt"))
+    b2 = bin_counts.select(
+        F.col("g").alias("g2"), F.col("bin").alias("b2"), F.col("cnt").alias("c2")
+    )
+    cum = (
+        bin_counts.join(
+            F.broadcast(b2),
+            (F.col("g2") == F.col("g")) & (F.col("b2") <= F.col("bin")),
+        )
+        .groupBy("g", "bin", "cnt")
+        .agg(F.sum("c2").alias("cum"))
+    )
+
+    spark = df.sparkSession
+    qdf = spark.createDataFrame(
+        [(int(num), int(den)) for num, den in qs], "num long, den long"
+    )
+    targets = qdf.crossJoin(F.broadcast(bounds)).select(
+        "g",
+        "num",
+        "den",
+        F.greatest(
+            F.expr("(num * n + den - 1) div den"), F.lit(1).cast("long")
+        ).alias("rank"),
+    )
+    spec = (
+        targets.join(
+            F.broadcast(cum),
+            (targets["g"] == cum["g"]) & (F.col("cum") >= F.col("rank")),
+        )
+        .drop(cum["g"])
+        .groupBy("g", "num", "den", "rank")
+        .agg(F.min("bin").alias("bin"))
+        .join(F.broadcast(cum), ["g", "bin"])
+        .select(
+            "g",
+            "num",
+            "den",
+            "bin",
+            (F.col("rank") - (F.col("cum") - F.col("cnt"))).alias("local_rank"),
+        )
+    )
+
+    hits = binned.join(F.broadcast(spec), ["g", "bin"])
+    w = Window.partitionBy("g", "num", "den").orderBy("v")
+    picked = hits.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") == F.col("local_rank")
+    )
+    return picked.select(
+        F.col("g").alias(group_col),
+        (F.col("num").cast("double") / F.col("den")).alias("q"),
+        F.col("v").alias("value"),
+    )

@@ -1329,3 +1329,48 @@ def event_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_purchases"),
         F.sum("cents").alias("revenue_cents"),
     )
+
+
+# --------------------------------------------------------------------------
+# Q: orders_priority_percentiles — the GROUPED form of the exact
+# two-pass percentile operator (quantiles.exact_group_percentiles):
+# histogram, cumulative profile, rank targets, and rescan all keyed by
+# o_orderpriority, so one pair of narrow scans answers every group's
+# exact p50/p90/p99 with no per-group sort and no single-reducer
+# window (rank windows partition by group x quantile). Oracle:
+# ROW_NUMBER over each group's sorted column at the same pure-BIGINT
+# ceil ranks.
+# --------------------------------------------------------------------------
+_GP_QS = [(1, 2), (9, 10), (99, 100)]
+
+
+@query(
+    "orders_priority_percentiles",
+    f"""
+    WITH v AS (
+        SELECT o_orderpriority AS grp, CAST(o_totalprice AS DOUBLE) AS val
+        FROM orders WHERE o_totalprice IS NOT NULL
+    ),
+    nn AS (SELECT grp, COUNT(*) AS n FROM v GROUP BY grp),
+    r AS (
+        SELECT grp, val,
+               ROW_NUMBER() OVER (PARTITION BY grp ORDER BY val) AS rn
+        FROM v
+    ),
+    q(num, den) AS (VALUES {", ".join(f"({a}, {b})" for a, b in _GP_QS)}),
+    t AS (
+        SELECT grp, num, den, GREATEST((num * n + den - 1) // den, 1) AS rank
+        FROM q, nn
+    )
+    SELECT t.grp AS o_orderpriority, CAST(num AS DOUBLE) / den AS q,
+           r.val AS value
+    FROM t JOIN r ON r.grp = t.grp AND r.rn = t.rank
+    """,
+)
+def orders_priority_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pmp_analytics_spark.operators.quantiles import exact_group_percentiles
+
+    orders = load_table(spark, sf_dir, "orders")
+    return exact_group_percentiles(
+        orders, "o_orderpriority", "o_totalprice", _GP_QS
+    ).withColumnRenamed("o_orderpriority", "o_orderpriority")

@@ -2678,3 +2678,31 @@ def test_kcore_matches_python_peel(spark):
         assert got == expect, k
     # k above the max degree: empty core
     assert kcore(df, 1000, max_rounds=10).count() == 0
+
+
+def test_exact_group_percentiles_matches_per_group_sort(spark):
+    import random
+
+    from pmp_analytics_spark.operators.quantiles import exact_group_percentiles
+
+    rng = random.Random(3)
+    rows = []
+    data: dict[str, list[float]] = {"a": [], "b": [], "c": []}
+    for grp, n in (("a", 2000), ("b", 37), ("c", 1)):
+        for _ in range(n):
+            v = round(rng.uniform(-10, 10), 3)
+            rows.append((grp, v))
+            data[grp].append(v)
+    df = spark.createDataFrame(rows + [("a", None)], "g string, x double")
+    qs = [(1, 2), (9, 10), (1, 1)]
+    got = {
+        (r["g"], r["q"]): r["value"]
+        for r in exact_group_percentiles(df, "g", "x", qs, bins=32).collect()
+    }
+    for grp, vals in data.items():
+        s = sorted(vals)
+        n = len(s)
+        for num, den in qs:
+            rank = max((num * n + den - 1) // den, 1)
+            assert got[(grp, num / den)] == s[rank - 1], (grp, num, den)
+    assert len(got) == 9
