@@ -1504,3 +1504,140 @@ def customer_card_luhn_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         luhn_valid(F.element_at(cards, 1)).cast("int").alias("luhn_ok"),
         scrub_pii("contact").alias("scrubbed"),
     )
+
+
+# --------------------------------------------------------------------------
+# Q: docs_drift_psi — population-stability-index drift monitor between
+# corpus snapshots (the standard production data-drift gate): for each
+# monitored feature (lang, source, and a fixed-width length bucket),
+# category shares in the OLD snapshot vs the mutated NEW snapshot
+# (the CDC fixture's delete/edit split), Laplace-smoothed so empty
+# categories are defined without epsilon games, PSI = sum((q-p)*ln(q/p)).
+# Determinism: each category's term is rounded to integer NANOS and
+# SUMMED AS BIGINT — float summation order can never move the result —
+# then scaled back and rounded. All map-side: two scans, three tiny
+# category aggregates, no windows.
+# --------------------------------------------------------------------------
+def _psi_feature_sql(cat_expr: str, name: str) -> str:
+    return f"""
+    SELECT '{name}' AS feature, {cat_expr} AS cat, snap, COUNT(*) AS cnt
+    FROM snaps GROUP BY 1, 2, 3"""
+
+
+@query(
+    "docs_drift_psi",
+    f"""
+    WITH old AS (
+        SELECT lang, source, n_chars FROM documents WHERE doc_id % 11 <> 7
+    ),
+    newc AS (
+        SELECT lang, source,
+               CASE WHEN doc_id % 17 = 2 THEN n_chars + 12 ELSE n_chars END AS n_chars
+        FROM documents WHERE doc_id % 13 <> 4
+    ),
+    snaps AS (
+        SELECT 'old' AS snap, * FROM old
+        UNION ALL SELECT 'new' AS snap, * FROM newc
+    ),
+    cats AS (
+        {_psi_feature_sql("lang", "lang")}
+        UNION ALL {_psi_feature_sql("source", "source")}
+        UNION ALL {_psi_feature_sql(
+            "CAST(LEAST(n_chars // 100, 19) AS VARCHAR)", "len_bucket")}
+    ),
+    tot AS (
+        SELECT feature, snap, SUM(cnt) AS n FROM cats GROUP BY 1, 2
+    ),
+    univ AS (SELECT DISTINCT feature, cat FROM cats),
+    ncat AS (SELECT feature, COUNT(*) AS b FROM univ GROUP BY 1),
+    shares AS (
+        SELECT u.feature, u.cat,
+               (COALESCE(o.cnt, 0) + 1.0) / (ot.n + nc.b) AS p,
+               (COALESCE(ne.cnt, 0) + 1.0) / (nt.n + nc.b) AS q
+        FROM univ u
+        JOIN ncat nc ON nc.feature = u.feature
+        JOIN tot ot ON ot.feature = u.feature AND ot.snap = 'old'
+        JOIN tot nt ON nt.feature = u.feature AND nt.snap = 'new'
+        LEFT JOIN cats o ON o.feature = u.feature AND o.cat = u.cat AND o.snap = 'old'
+        LEFT JOIN cats ne ON ne.feature = u.feature AND ne.cat = u.cat AND ne.snap = 'new'
+    ),
+    terms AS (
+        SELECT feature,
+               CAST(ROUND((q - p) * LN(q / p) * 1e9) AS BIGINT) AS t_nanos
+        FROM shares
+    )
+    SELECT feature, ROUND(SUM(t_nanos) / 1e9, 6) AS psi
+    FROM terms GROUP BY feature
+    """,
+)
+def docs_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.where(F.col("doc_id") % 11 != 7).select(
+        "lang", "source", "n_chars"
+    )
+    new = docs.where(F.col("doc_id") % 13 != 4).select(
+        "lang",
+        "source",
+        F.when(F.col("doc_id") % 17 == 2, F.col("n_chars") + 12)
+        .otherwise(F.col("n_chars"))
+        .alias("n_chars"),
+    )
+    snaps = old.select(F.lit("old").alias("snap"), "*").unionByName(
+        new.select(F.lit("new").alias("snap"), "*")
+    )
+    feats = [
+        ("lang", F.col("lang")),
+        ("source", F.col("source")),
+        (
+            "len_bucket",
+            F.least(F.floor(F.col("n_chars") / 100), F.lit(19)).cast("string"),
+        ),
+    ]
+    cats = None
+    for name, expr in feats:
+        part = snaps.groupBy(expr.alias("cat"), "snap").agg(
+            F.count(F.lit(1)).alias("cnt")
+        ).select(F.lit(name).alias("feature"), "cat", "snap", "cnt")
+        cats = part if cats is None else cats.unionByName(part)
+    tot = cats.groupBy("feature", "snap").agg(F.sum("cnt").alias("n"))
+    univ = cats.select("feature", "cat").distinct()
+    ncat = univ.groupBy("feature").agg(F.count(F.lit(1)).alias("b"))
+    o = cats.where(F.col("snap") == "old").select(
+        "feature", "cat", F.col("cnt").alias("ocnt")
+    )
+    ne = cats.where(F.col("snap") == "new").select(
+        "feature", "cat", F.col("cnt").alias("ncnt")
+    )
+    ot = tot.where(F.col("snap") == "old").select(
+        "feature", F.col("n").alias("on")
+    )
+    nt = tot.where(F.col("snap") == "new").select(
+        "feature", F.col("n").alias("nn")
+    )
+    shares = (
+        univ.join(F.broadcast(ncat), "feature")
+        .join(F.broadcast(ot), "feature")
+        .join(F.broadcast(nt), "feature")
+        .join(F.broadcast(o), ["feature", "cat"], "left")
+        .join(F.broadcast(ne), ["feature", "cat"], "left")
+        .select(
+            "feature",
+            (
+                (F.coalesce(F.col("ocnt"), F.lit(0)) + 1.0)
+                / (F.col("on") + F.col("b"))
+            ).alias("p"),
+            (
+                (F.coalesce(F.col("ncnt"), F.lit(0)) + 1.0)
+                / (F.col("nn") + F.col("b"))
+            ).alias("q"),
+        )
+    )
+    terms = shares.select(
+        "feature",
+        F.round((F.col("q") - F.col("p")) * F.log(F.col("q") / F.col("p")) * 1e9)
+        .cast("long")
+        .alias("t_nanos"),
+    )
+    return terms.groupBy("feature").agg(
+        F.round(F.sum("t_nanos") / 1e9, 6).alias("psi")
+    )
