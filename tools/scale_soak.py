@@ -360,6 +360,55 @@ def _soak_queries(names: list[str] | None = None):
 
         return _dedup_eval_frame(sliced(sp, sf_dir))
 
+    def _graph_edges_ns(sp, sf_dir):
+        # Part co-purchase edges with parts NAMESPACED per replica: the
+        # corpus replicates orders with offset keys but keeps l_partkey,
+        # so the raw graph would densify superlinearly (k x orders over
+        # ONE catalog — a fixture artifact, not an operator property).
+        # Re-keying parts by the replica id recovered from the recorded
+        # order-key offset makes every replica reproduce replica 0's
+        # graph exactly: outputs are exactly k x replica 0's rows (the
+        # linear witness) and the wedge work scales linearly.
+        import json as _json
+
+        li = load_table(sp, sf_dir, "lineitem").select(
+            "l_orderkey", "l_partkey"
+        )
+        side = os.path.join(sf_dir, "orders.offsets.json")
+        if os.path.exists(side):
+            with open(side) as f:
+                off = int(_json.load(f)["o_orderkey"])
+            li = li.select(
+                "l_orderkey",
+                (
+                    F.col("l_partkey")
+                    + F.floor(F.col("l_orderkey") / off).cast("long") * 100000
+                ).alias("l_partkey"),
+            )
+        li = li.distinct()
+        a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
+        b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
+        return a.join(b, "ok").where(F.col("u") < F.col("v")).select("u", "v")
+
+    def _tri_ns(sp, d):
+        from pmp_analytics_spark.operators.graph import triangle_count
+
+        return triangle_count(_graph_edges_ns(sp, d), "u", "v")
+
+    def _kcore_ns(sp, d):
+        from pmp_analytics_spark.operators.graph import kcore
+
+        return kcore(_graph_edges_ns(sp, d), 80, "u", "v", max_rounds=8)
+
+    def _lpa_ns(sp, d):
+        from pmp_analytics_spark.operators.graph import (
+            label_propagation_communities,
+        )
+
+        return label_propagation_communities(
+            _graph_edges_ns(sp, d), "u", "v", iterations=4
+        )
+
     specials = {
         # BM25 soak shape: 10 query docs PER replica (the declared
         # doc_id < 10 set stays constant across scales and would measure
@@ -370,6 +419,13 @@ def _soak_queries(names: list[str] | None = None):
         "docs_bm25_retrieval": _bm25(bm25_topk),
         "docs_bm25_wand": _bm25(bm25_topk_wand),
         "docs_dedup_eval": _dedup_eval_sliced,
+        # graph family: per-replica part namespace (see _graph_edges_ns);
+        # the LPA special returns the per-node label frame so output
+        # rows witness linearity (the declared query's community-size
+        # rollup collapses to a handful of rows).
+        "part_copurchase_triangles": _tri_ns,
+        "part_copurchase_kcore": _kcore_ns,
+        "part_copurchase_communities": _lpa_ns,
     }
     out = {n: qs[n] for n in (names or HEAVY) if n in qs}
     for n, fn in specials.items():
