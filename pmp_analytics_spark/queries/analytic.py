@@ -1374,3 +1374,108 @@ def orders_priority_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_group_percentiles(
         orders, "o_orderpriority", "o_totalprice", _GP_QS
     ).withColumnRenamed("o_orderpriority", "o_orderpriority")
+
+
+# --------------------------------------------------------------------------
+# Q: streaming_drift_psi — STREAMING drift monitor: per 6-hour tumbling
+# event-time window, the population-stability index of the event-type
+# mix against the full-corpus reference distribution. The reference
+# shares fold into the projection as LITERALS (the classifier-scores
+# pattern: no stream-static join, no second aggregation), and the
+# window aggregation computes the 5 per-type counts as conditional sums
+# in ONE stateful operator — window-keyed, so the result is independent
+# of micro-batch slicing. PSI terms evaluate in a FIXED expression-tree
+# order (t0+t1+...), identical in the oracle, so no nanos trick is
+# needed. Laplace smoothing keeps windows that miss a type defined.
+# --------------------------------------------------------------------------
+_PSI_WINDOW_S = 6 * 3600
+
+
+def _drift_types(spark: SparkSession, sf_dir: str) -> list[tuple[str, float]]:
+    ev = load_table(spark, sf_dir, "events")
+    rows = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("c")).collect()
+    n = sum(r["c"] for r in rows)
+    b = len(rows)
+    return sorted((r["event_type"], (r["c"] + 1.0) / (n + b)) for r in rows)
+
+
+@query(
+    "streaming_drift_psi",
+    """
+    WITH ref AS (
+        SELECT event_type, COUNT(*) AS c FROM events GROUP BY 1
+    ),
+    refs AS (
+        SELECT event_type,
+               (c + 1.0) / ((SELECT COUNT(*) FROM events)
+                            + (SELECT COUNT(*) FROM ref)) AS p
+        FROM ref
+    ),
+    agg AS (
+        SELECT EPOCH_US(TIME_BUCKET(INTERVAL 6 HOURS, ts)) AS window_start_us,
+               COUNT(*) AS n_events,
+               SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c_click,
+               SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS c_error,
+               SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS c_purchase,
+               SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS c_signup,
+               SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS c_view
+        FROM events GROUP BY 1
+    ),
+    terms AS (
+        SELECT window_start_us, n_events,
+               ((c_click + 1.0) / (n_events + 5)
+                 - (SELECT p FROM refs WHERE event_type = 'click'))
+               * LN(((c_click + 1.0) / (n_events + 5))
+                 / (SELECT p FROM refs WHERE event_type = 'click'))
+             + ((c_error + 1.0) / (n_events + 5)
+                 - (SELECT p FROM refs WHERE event_type = 'error'))
+               * LN(((c_error + 1.0) / (n_events + 5))
+                 / (SELECT p FROM refs WHERE event_type = 'error'))
+             + ((c_purchase + 1.0) / (n_events + 5)
+                 - (SELECT p FROM refs WHERE event_type = 'purchase'))
+               * LN(((c_purchase + 1.0) / (n_events + 5))
+                 / (SELECT p FROM refs WHERE event_type = 'purchase'))
+             + ((c_signup + 1.0) / (n_events + 5)
+                 - (SELECT p FROM refs WHERE event_type = 'signup'))
+               * LN(((c_signup + 1.0) / (n_events + 5))
+                 / (SELECT p FROM refs WHERE event_type = 'signup'))
+             + ((c_view + 1.0) / (n_events + 5)
+                 - (SELECT p FROM refs WHERE event_type = 'view'))
+               * LN(((c_view + 1.0) / (n_events + 5))
+                 / (SELECT p FROM refs WHERE event_type = 'view'))
+               AS psi_raw
+        FROM agg
+    )
+    SELECT window_start_us, n_events, ROUND(psi_raw, 6) AS psi FROM terms
+    """,
+)
+def streaming_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from pmp_analytics_spark.streaming import read_event_stream, run_to_memory
+
+    ref = _drift_types(spark, sf_dir)
+    b = len(ref)
+    events = read_event_stream(spark, sf_dir)
+    conds = [
+        F.sum(F.when(F.col("event_type") == t, 1).otherwise(0)).alias(f"c_{t}")
+        for t, _ in ref
+    ]
+    agg = (
+        events.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "6 hours").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"), *conds)
+    )
+    psi = None
+    for t, p in ref:
+        q = (F.col(f"c_{t}") + F.lit(1.0)) / (F.col("n_events") + F.lit(b))
+        term = (q - F.lit(p)) * F.log(q / F.lit(p))
+        psi = term if psi is None else psi + term
+    out = agg.select(
+        F.unix_micros(F.col("w.start")).alias("window_start_us"),
+        "n_events",
+        F.round(psi, 6).alias("psi"),
+    )
+    name = f"drift_psi_{uuid.uuid4().hex[:12]}"
+    run_to_memory(out, name, output_mode="complete", state_partitions=8)
+    return spark.table(name)
