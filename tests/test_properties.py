@@ -298,3 +298,34 @@ def test_progressive_jpeg_matches_baseline_property(w, h, seed):
     base = jpeg_decode(jpeg_encode(w, h, rows, quality=70))
     prog = jpeg_decode(jpeg_encode_progressive(w, h, rows, quality=70))
     assert base == prog
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=30), min_size=1, max_size=400),
+    st.integers(min_value=1, max_value=12),
+    st.integers(min_value=1, max_value=50),
+)
+@settings(max_examples=200, deadline=None)
+def test_misra_gries_retention_property(stream, capacity, chunk):
+    """The MG guarantee under arbitrary streams, capacities, and chunk
+    boundaries: every item with true count > n/(capacity+1) survives,
+    and no counter ever exceeds its item's true count."""
+    from collections import Counter
+
+    import pandas as pd
+
+    from pmp_analytics_spark.operators.frequent import misra_gries_partial
+
+    chunks = [
+        pd.Series([str(x) for x in stream[i : i + chunk]])
+        for i in range(0, len(stream), chunk)
+    ]
+    counters = misra_gries_partial(iter(chunks), capacity)
+    truth = Counter(str(x) for x in stream)
+    n = len(stream)
+    assert len(counters) <= capacity
+    for item, c in truth.items():
+        if c * (capacity + 1) > n:
+            assert item in counters, (item, c, n, capacity)
+    for item, kept in counters.items():
+        assert kept <= truth[item]
