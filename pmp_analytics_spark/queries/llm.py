@@ -2995,3 +2995,134 @@ def docs_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("split_a") != F.col("split_b"))
         .select("id_a", "id_b", "jaccard", "split_a", "split_b")
     )
+
+
+# --------------------------------------------------------------------------
+# Q: docs_curation_funnel — the END-TO-END curation pipeline as ONE
+# auditable funnel (the per-stage yield table a dataset card publishes):
+# raw corpus → C4 quality gate → near-dup canonical dedup (LSH + exact
+# Jaccard + transitive closure, computed on the C4 SURVIVORS — dedup
+# after filtering is the production order: fewer docs to shingle) →
+# deterministic md5 train/eval split. Pure composition of declared
+# stages; each stage count is a 1-row aggregate, unioned. The oracle
+# re-derives every stage in SQL, including the recursive-CTE closure
+# over the filtered corpus. (The Gopher gate is deliberately absent:
+# its stopword rule keeps 0 synthetic docs — a degenerate funnel stage;
+# docs_gopher_filters covers that operator.)
+# --------------------------------------------------------------------------
+def _curation_funnel_oracle() -> str:
+    from pmp_analytics_spark.queries.corpus import DUCK_C4_KEEP, DUCK_C4_SCORED
+
+    return """
+    WITH {c4}
+
+    , kept AS MATERIALIZED (
+        SELECT d.doc_id, d.text FROM documents d
+        JOIN c4_scored s ON s.doc_id = d.doc_id
+        WHERE {c4keep}
+    ), sh AS (
+        SELECT doc_id, {shingles} AS sh FROM kept
+        WHERE LENGTH(text) >= 5
+    ), hashed AS (
+        SELECT doc_id, {shash} AS hs FROM sh
+    ), sig AS (
+        SELECT doc_id, {sig} FROM hashed
+    ), banded AS (
+        {bands}
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM banded a JOIN banded b
+          ON a.band_id = b.band_id AND a.band_key = b.band_key
+             AND a.doc_id < b.doc_id
+    ), dsh AS (
+        SELECT doc_id, LIST_DISTINCT(hs) AS dsh FROM hashed
+    ), pairs AS (
+        SELECT id_a, id_b FROM (
+            SELECT id_a, id_b,
+                   LEN(LIST_INTERSECT(a.dsh, b.dsh)) * 1.0 /
+                   (LEN(a.dsh) + LEN(b.dsh) - LEN(LIST_INTERSECT(a.dsh, b.dsh))) AS j
+            FROM cand JOIN dsh a ON cand.id_a = a.doc_id
+                      JOIN dsh b ON cand.id_b = b.doc_id
+        ) WHERE j >= {jt}
+    ), edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION SELECT id_b, id_a FROM pairs
+    ), walk AS (
+        WITH RECURSIVE w(src, dst) AS (
+            SELECT src, dst FROM edges
+            UNION
+            SELECT w.src, e.dst FROM w JOIN edges e ON w.dst = e.src
+        ) SELECT * FROM w
+    ), losers AS (
+        SELECT src AS id FROM walk GROUP BY src
+        HAVING src <> LEAST(src, MIN(dst))
+    ), surv AS MATERIALIZED (
+        SELECT k.doc_id FROM kept k ANTI JOIN losers l ON k.doc_id = l.id
+    ), split AS (
+        SELECT doc_id,
+               CASE WHEN CAST(('0x' || SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                         % {mod} < {train}
+                    THEN 'train' ELSE 'eval' END AS s
+        FROM surv
+    )
+    SELECT 'raw' AS stage, (SELECT COUNT(*) FROM documents) AS n_docs
+    UNION ALL SELECT 'c4', (SELECT COUNT(*) FROM kept)
+    UNION ALL SELECT 'dedup', (SELECT COUNT(*) FROM surv)
+    UNION ALL SELECT 'train', (SELECT COUNT(*) FROM split WHERE s = 'train')
+    UNION ALL SELECT 'eval', (SELECT COUNT(*) FROM split WHERE s = 'eval')
+    """.format(
+        c4=DUCK_C4_SCORED,
+        c4keep=DUCK_C4_KEEP,
+        shingles=_DUCK_SHINGLES,
+        shash=_DUCK_SHINGLE_HASH,
+        sig=_DUCK_SIG,
+        bands=_DUCK_BAND_ROWS,
+        jt=_JACCARD_T,
+        mod=10,
+        train=8,
+    )
+
+
+@query("docs_curation_funnel", _curation_funnel_oracle)
+def docs_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pmp_analytics_spark.operators.dedup import dedup_keep_canonical
+    from pmp_analytics_spark.operators.sample import hash_bucket
+    from pmp_analytics_spark.queries.corpus import _c4_keep, _c4_scored
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = (
+        docs.join(
+            _c4_scored(docs).where(_c4_keep()).select("doc_id"), "doc_id"
+        )
+        .select("doc_id", "text")
+        .localCheckpoint(eager=False)
+    )
+    pairs = ngram_jaccard_dedup(
+        kept,
+        text_col="text",
+        id_col="doc_id",
+        shingle_k=_SHINGLE_K,
+        threshold=_JACCARD_T,
+        num_hashes=len(_SEEDS),
+        bands=_BANDS,
+    )
+    surv = dedup_keep_canonical(kept, pairs, "doc_id").select("doc_id")
+    surv = surv.localCheckpoint(eager=False)
+    split = surv.select(
+        F.when(hash_bucket("doc_id", 10) < 8, "train")
+        .otherwise("eval")
+        .alias("s")
+    )
+
+    def stage(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n_docs")).select(
+            F.lit(name).alias("stage"), "n_docs"
+        )
+
+    return (
+        stage("raw", docs)
+        .unionByName(stage("c4", kept))
+        .unionByName(stage("dedup", surv))
+        .unionByName(stage("train", split.where(F.col("s") == "train")))
+        .unionByName(stage("eval", split.where(F.col("s") == "eval")))
+    )
