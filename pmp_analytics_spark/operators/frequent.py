@@ -100,13 +100,33 @@ def heavy_hitters(
 
     cap = capacity
 
+    # Pass 1 carries BOTH outputs of the scan — the MG candidate items
+    # (ptotal 0) and one sentinel row per partition holding its row
+    # count (item NULL) — so the exact total needs no third pass over
+    # the (possibly explode-derived) item stream.
     def summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        counters = misra_gries_partial((b["item"] for b in batches), cap)
-        yield pd.DataFrame({"item": list(counters.keys())})
+        n = 0
 
-    candidates = vals.mapInPandas(summarize, schema="item string").distinct()
+        def counted():
+            nonlocal n
+            for b in batches:
+                n += len(b["item"])
+                yield b["item"]
 
-    total = vals.agg(F.count(F.lit(1)).alias("total"))
+        counters = misra_gries_partial(counted(), cap)
+        yield pd.DataFrame(
+            {
+                "item": list(counters.keys()) + [None],
+                "ptotal": [0] * len(counters) + [n],
+            }
+        )
+
+    summary = vals.mapInPandas(
+        summarize, schema="item string, ptotal long"
+    ).localCheckpoint(eager=True)
+    candidates = summary.where(F.col("item").isNotNull()).select("item").distinct()
+    total = summary.agg(F.sum("ptotal").alias("total"))
+
     exact = (
         vals.join(F.broadcast(candidates), "item")
         .groupBy("item")

@@ -216,7 +216,13 @@ def triangle_count(
     degree aggregate, two node-keyed joins for the wedge + closing
     step — no CartesianProduct, no windows, no Python in the row path.
     """
-    und = undirected_edges(edges, src, dst)
+    # The canonical edge set feeds the degree aggregate AND the
+    # orientation join; the oriented set feeds THREE consumers (both
+    # wedge arms + the closing probe). Left lazy, each consumer would
+    # re-execute the whole upstream derivation (often an expensive
+    # self-join in the caller) — the same 2^k-lineage lesson pagerank
+    # learned — so both frames materialize exactly once.
+    und = undirected_edges(edges, src, dst).localCheckpoint(eager=True)
     deg = (
         und.select(F.col("u").alias("n"))
         .unionAll(und.select(F.col("v").alias("n")))
@@ -233,7 +239,7 @@ def triangle_count(
         F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("a"),
         F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("b"),
         F.when(fwd, F.col("dv")).otherwise(F.col("du")).alias("db"),
-    )
+    ).localCheckpoint(eager=True)
     # Wedges at apex a: pairs of out-neighbors (b, c), b before c in the
     # orientation order so each unordered pair appears once.
     o1 = oriented.select(F.col("a"), F.col("b"), F.col("db"))
@@ -295,9 +301,14 @@ def label_propagation_communities(
     Returns ``(node, community)`` for every non-isolated node.
     """
     und = undirected_edges(edges, src, dst)
-    adj = und.select(
-        F.col("u").alias("a"), F.col("v").alias("b")
-    ).unionAll(und.select(F.col("v").alias("a"), F.col("u").alias("b")))
+    # The doubled adjacency is joined by EVERY round — materialize it
+    # once or each round re-executes the caller's edge derivation (the
+    # pagerank iteration-invariant-frame rule).
+    adj = (
+        und.select(F.col("u").alias("a"), F.col("v").alias("b"))
+        .unionAll(und.select(F.col("v").alias("a"), F.col("u").alias("b")))
+        .localCheckpoint(eager=True)
+    )
     labels = adj.select(F.col("a").alias("n")).distinct().select(
         "n", F.col("n").alias("lbl")
     )
