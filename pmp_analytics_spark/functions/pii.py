@@ -80,7 +80,10 @@ def luhn_valid(c: Column | str) -> Column:
     NULL input yields NULL (callers decide the policy)."""
     s = _col(c)
     total = F.aggregate(_luhn_terms(s), F.lit(0), lambda a, x: a + x)
-    return total % 10 == 0
+    # Guard the empty string explicitly: Spark's sequence(1, 0) DESCENDS
+    # ([1, 0]) rather than returning [], which would feed garbage
+    # positions into the digit walk.
+    return F.when(F.length(s) == 0, F.lit(False)).otherwise(total % 10 == 0)
 
 
 def luhn_check_digit(payload: Column | str) -> Column:

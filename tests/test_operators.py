@@ -2706,3 +2706,13 @@ def test_exact_group_percentiles_matches_per_group_sort(spark):
             rank = max((num * n + den - 1) // den, 1)
             assert got[(grp, num / den)] == s[rank - 1], (grp, num, den)
     assert len(got) == 9
+
+
+def test_luhn_empty_and_null_inputs(spark):
+    from pmp_analytics_spark.functions.pii import luhn_valid
+
+    df = spark.createDataFrame([("",), (None,), ("79927398713",)], "s string")
+    got = {r["s"]: r["ok"] for r in df.select("s", luhn_valid("s").alias("ok")).collect()}
+    assert got[""] is False
+    assert got[None] is None  # caller decides NULL policy
+    assert got["79927398713"] is True
