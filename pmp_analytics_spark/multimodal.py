@@ -392,15 +392,15 @@ def decode_image(payload: bytes) -> object:
     from pmp_analytics_spark.jpeg import jpeg_decode
 
     errs = []
-    for codec in (_bmp_decode, _png_decode, jpeg_decode):
+    for codec in (_bmp_decode, _png_decode, jpeg_decode, _gif_decode):
         try:
             return codec(payload)
         except ValueError as e:
             errs.append(str(e))
     raise NotImplementedError(
         "image decoding beyond uncompressed 24-bit BMP, 8-bit RGB/RGBA "
-        "PNG, and sequential/progressive Huffman JPEG requires pillow "
-        f"({'; '.join(errs)})"
+        "PNG, sequential/progressive Huffman JPEG, and full-frame GIF "
+        f"requires pillow ({'; '.join(errs)})"
     )
 
 
@@ -685,3 +685,228 @@ def audio_chunk_features(
             yield pd.DataFrame(out)
 
     return ensure_parallelism(with_payload).mapInPandas(batches, AUDIO_FEATURE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# GIF (stdlib): LZW-compressed palette images — the fourth stdlib image
+# codec next to BMP / PNG / JPEG. Real web-crawl corpora carry GIFs;
+# decoding one needs nothing beyond the LZW algorithm (Welch 1984, the
+# GIF87a variable-code-width variant). First frame only; partial-canvas
+# frames (animation deltas) raise honestly — pillow's job where
+# installed.
+# ---------------------------------------------------------------------------
+
+
+def _gif_lzw_decode(data: bytes, min_code: int, expect: int) -> list[int]:
+    """GIF-variant LZW: LSB-first variable-width codes, CLEAR/END codes,
+    code width grows when the dictionary fills the current width, capped
+    at 12 bits."""
+    clear = 1 << min_code
+    end = clear + 1
+    width = min_code + 1
+    dict_: dict[int, tuple[int, ...]] = {i: (i,) for i in range(clear)}
+    next_code = end + 1
+    out: list[int] = []
+    prev: tuple[int, ...] | None = None
+    bitpos = 0
+    total_bits = len(data) * 8
+    while bitpos + width <= total_bits and len(out) < expect:
+        byte = bitpos // 8
+        shift = bitpos % 8
+        chunk = int.from_bytes(data[byte : byte + 3], "little")
+        code = (chunk >> shift) & ((1 << width) - 1)
+        bitpos += width
+        if code == clear:
+            width = min_code + 1
+            dict_ = {i: (i,) for i in range(clear)}
+            next_code = end + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            if code not in dict_:
+                raise ValueError("corrupt GIF LZW stream (bad first code)")
+            entry = dict_[code]
+        elif code in dict_:
+            entry = dict_[code]
+            dict_[next_code] = prev + (entry[0],)
+            next_code += 1
+        elif code == next_code:
+            entry = prev + (prev[0],)
+            dict_[next_code] = entry
+            next_code += 1
+        else:
+            raise ValueError("corrupt GIF LZW stream (code gap)")
+        out.extend(entry)
+        prev = entry
+        if next_code == (1 << width) and width < 12:
+            width += 1
+    if len(out) < expect:
+        raise ValueError("truncated GIF LZW stream")
+    return out[:expect]
+
+
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _gif_interlace_order(height: int) -> list[int]:
+    return [y for start, step in _GIF_INTERLACE_PASSES for y in range(start, height, step)]
+
+
+def _gif_decode(payload: bytes) -> tuple[int, int, list[bytes]]:
+    """Decode the FIRST frame of a GIF87a/89a to the shared
+    ``(width, height, rows)`` shape (top-down packed BGR, like
+    ``_bmp_decode``). Handles global/local color tables, interlacing,
+    and extension blocks (skipped — a transparent index renders as its
+    palette color). Frames that do not cover the full canvas (animation
+    deltas) raise ValueError."""
+    import struct
+
+    if len(payload) < 13 or payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    w, h, packed = struct.unpack_from("<HHB", payload, 6)
+    if w <= 0 or h <= 0:
+        raise ValueError("degenerate GIF dimensions")
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 ** ((packed & 7) + 1)
+        gct = payload[pos : pos + 3 * n]
+        pos += 3 * n
+    while pos < len(payload):
+        b0 = payload[pos]
+        pos += 1
+        if b0 == 0x21:  # extension block: label byte + sub-blocks
+            pos += 1
+            while pos < len(payload) and payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif b0 == 0x2C:  # image descriptor
+            left, top, iw, ih, ipacked = struct.unpack_from("<HHHHB", payload, pos)
+            pos += 9
+            lct = None
+            if ipacked & 0x80:
+                n = 2 ** ((ipacked & 7) + 1)
+                lct = payload[pos : pos + 3 * n]
+                pos += 3 * n
+            if (left, top, iw, ih) != (0, 0, w, h):
+                raise ValueError(
+                    "partial-canvas GIF frames (animation deltas) require pillow"
+                )
+            min_code = payload[pos]
+            pos += 1
+            data = bytearray()
+            while pos < len(payload) and payload[pos] != 0:
+                ln = payload[pos]
+                data += payload[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            pos += 1
+            pal = lct if lct is not None else gct
+            if pal is None:
+                raise ValueError("GIF image without a color table")
+            idx = _gif_lzw_decode(bytes(data), min_code, iw * ih)
+            if max(idx) * 3 + 2 >= len(pal):
+                raise ValueError("GIF pixel index outside the color table")
+            order = (
+                _gif_interlace_order(h) if ipacked & 0x40 else list(range(h))
+            )
+            rows: list[bytes | None] = [None] * h
+            for r, y in enumerate(order):
+                line = idx[r * w : (r + 1) * w]
+                # palette is RGB; the shared row convention is BGR
+                rows[y] = bytes(
+                    c for i in line for c in (pal[3 * i + 2], pal[3 * i + 1], pal[3 * i])
+                )
+            return w, h, rows  # type: ignore[return-value]
+        elif b0 == 0x3B:
+            break
+        else:
+            raise ValueError("corrupt GIF block stream")
+    raise ValueError("GIF contains no image data")
+
+
+def gif_encode(
+    w: int, h: int, rows: list[bytes], interlaced: bool = False
+) -> bytes:
+    """Fixture-grade GIF87a encoder: palette built from the distinct BGR
+    colors (<= 256), pixels emitted as LITERAL LZW codes with the code
+    width tracking the decoder's dictionary-growth schedule and a CLEAR
+    issued before the 12-bit dictionary fills — spec-valid output, zero
+    compression (the decoder under test must handle real encoders'
+    compressed streams; this writer exists to make test vectors)."""
+    import struct
+
+    cmap: dict[bytes, int] = {}
+    pixels: list[int] = []
+    for row in rows:
+        if len(row) != 3 * w:
+            raise ValueError("row byte length must be 3*width")
+        for x in range(w):
+            c = bytes(row[3 * x : 3 * x + 3])
+            if c not in cmap:
+                cmap[c] = len(cmap)
+            pixels.append(cmap[c])
+    if len(cmap) > 256:
+        raise ValueError("gif_encode: more than 256 distinct colors")
+    min_code = max(2, (max(1, len(cmap) - 1)).bit_length())
+    table_bits = min_code  # 2^(bits) entries >= palette size, >= 4
+    pal = bytearray()
+    for c in cmap:  # insertion order == index order; BGR -> RGB
+        pal += bytes((c[2], c[1], c[0]))
+    pal += b"\x00" * (3 * (1 << table_bits) - len(pal))
+
+    if interlaced:
+        order = _gif_interlace_order(h)
+        pixels = [
+            pixels[y * w + x] for y in order for x in range(w)
+        ]
+
+    clear = 1 << min_code
+    end = clear + 1
+    out_bits = bytearray()
+    acc = 0
+    nbits = 0
+
+    def put(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out_bits.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    width = min_code + 1
+    put(clear, width)
+    next_code = end + 1
+    fresh = True
+    for p in pixels:
+        put(p, width)
+        if fresh:
+            fresh = False  # decoder adds no entry for the first code
+        else:
+            next_code += 1
+            if next_code == (1 << width) and width < 12:
+                width += 1
+            elif next_code >= 4094:
+                put(clear, width)
+                width = min_code + 1
+                next_code = end + 1
+                fresh = True
+    put(end, width)
+    if nbits:
+        out_bits.append(acc & 0xFF)
+
+    hdr = b"GIF87a" + struct.pack(
+        "<HHBBB", w, h, 0x80 | (table_bits - 1), 0, 0
+    )
+    img = struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0x40 if interlaced else 0)
+    body = bytearray(hdr + bytes(pal) + img)
+    body.append(min_code)
+    for i in range(0, len(out_bits), 255):
+        chunk = out_bits[i : i + 255]
+        body.append(len(chunk))
+        body += chunk
+    body += b"\x00\x3b"
+    return bytes(body)

@@ -679,3 +679,48 @@ def test_progressive_thumbnail_chain():
     tw, th, _ = jpeg_decode(thumb)
     assert max(tw, th) <= 32
     assert abs(tw * 80 - th * 100) <= 100  # aspect kept within rounding
+
+
+def test_gif_roundtrip_and_dispatch():
+    import random
+
+    from pmp_analytics_spark.multimodal import (
+        _gif_decode,
+        decode_image,
+        gif_encode,
+    )
+
+    rng = random.Random(21)
+    for w, h, inter in [(7, 5, False), (16, 11, True), (1, 1, False), (90, 70, False)]:
+        rows = [
+            bytes(rng.choice([0, 64, 128, 255]) for _ in range(3 * w))
+            for _ in range(h)
+        ]
+        enc = gif_encode(w, h, rows, interlaced=inter)
+        assert _gif_decode(enc) == (w, h, rows), (w, h, inter)
+        # the shared dispatcher reaches the GIF path too
+        got = decode_image(enc)
+        if isinstance(got, tuple):  # stdlib path (no pillow in container)
+            assert got == (w, h, rows)
+
+
+def test_gif_honest_rejects():
+    import struct
+
+    import pytest
+
+    from pmp_analytics_spark.multimodal import _gif_decode, gif_encode
+
+    with pytest.raises(ValueError, match="not a GIF"):
+        _gif_decode(b"NOTAGIF" + b"\x00" * 20)
+    # partial-canvas frame (animation delta): image smaller than screen
+    enc = bytearray(gif_encode(4, 4, [bytes([1, 2, 3] * 4)] * 4))
+    # patch the image descriptor's width (screen 4, frame 2)
+    idesc = enc.index(0x2C, 13)
+    struct.pack_into("<H", enc, idesc + 5, 2)
+    with pytest.raises(ValueError, match="partial-canvas"):
+        _gif_decode(bytes(enc))
+    # truncated LZW stream
+    enc2 = gif_encode(8, 8, [bytes(range(24))] * 8)
+    with pytest.raises(ValueError, match="truncated|corrupt|no image"):
+        _gif_decode(enc2[: len(enc2) - 12])

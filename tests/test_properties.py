@@ -329,3 +329,25 @@ def test_misra_gries_retention_property(stream, capacity, chunk):
             assert item in counters, (item, c, n, capacity)
     for item, kept in counters.items():
         assert kept <= truth[item]
+
+
+@given(
+    st.integers(min_value=1, max_value=24),
+    st.integers(min_value=1, max_value=24),
+    st.integers(min_value=0, max_value=2**32 - 1),
+    st.booleans(),
+)
+@settings(max_examples=25, deadline=None)
+def test_gif_roundtrip_property(w, h, seed, interlaced):
+    """GIF encode->decode is pixel-identical for arbitrary geometry,
+    palette size (via value quantization), and interlacing."""
+    import random
+
+    from pmp_analytics_spark.multimodal import _gif_decode, gif_encode
+
+    rng = random.Random(seed)
+    rows = [
+        bytes((rng.randrange(256) // 52) * 52 for _ in range(3 * w))
+        for _ in range(h)
+    ]
+    assert _gif_decode(gif_encode(w, h, rows, interlaced=interlaced)) == (w, h, rows)
