@@ -305,6 +305,8 @@ def _stdlib_resize(payload: bytes, max_side: int = 64) -> bytes:
         return _png_encode(*_nn_resize(*_png_decode(payload), max_side))
     if payload[:2] == b"\xff\xd8":
         return jpeg_encode(*_nn_resize(*jpeg_decode(payload), max_side))
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return gif_encode(*_nn_resize(*_gif_decode(payload), max_side))
     raise ValueError("no stdlib codec for this image format")
 
 

@@ -724,3 +724,26 @@ def test_gif_honest_rejects():
     enc2 = gif_encode(8, 8, [bytes(range(24))] * 8)
     with pytest.raises(ValueError, match="truncated|corrupt|no image"):
         _gif_decode(enc2[: len(enc2) - 12])
+
+
+def test_gif_stdlib_resize_format_preserving():
+    import random
+
+    from pmp_analytics_spark.multimodal import (
+        _gif_decode,
+        _stdlib_resize,
+        gif_encode,
+    )
+
+    rng = random.Random(6)
+    w, h = 100, 80
+    rows = [bytes(rng.choice([0, 90, 200]) for _ in range(3 * w)) for _ in range(h)]
+    out = _stdlib_resize(gif_encode(w, h, rows), 32)
+    assert out[:6] == b"GIF87a"  # no silent transcode
+    w2, h2, rows2 = _gif_decode(out)
+    assert max(w2, h2) == 32
+    # nearest-neighbor: every output pixel is SOME input pixel
+    in_px = {rows[y][3 * x : 3 * x + 3] for y in range(h) for x in range(w)}
+    assert all(
+        rows2[y][3 * x : 3 * x + 3] in in_px for y in range(h2) for x in range(w2)
+    )
