@@ -70,7 +70,7 @@ _RECORD_FRONT = (
     "customer_card_luhn_audit", "docs_bm25_index_cdc",
     "part_copurchase_communities", "docs_split_leakage",
     "part_copurchase_kcore", "docs_tokenizer_eval", "event_attribution",
-    "orders_priority_percentiles", "docs_drift_psi", "streaming_drift_psi", "docs_curation_funnel",
+    "orders_priority_percentiles", "docs_drift_psi", "streaming_drift_psi", "docs_curation_funnel", "docs_lsh_diagnostics",
     # queries whose shared machinery this tranche touched, re-confirmed
     "pii_scrub_extract", "docs_unigram_segment",
     # round-8 first-tranche additions

@@ -3126,3 +3126,109 @@ def docs_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(stage("train", split.where(F.col("s") == "train")))
         .unionByName(stage("eval", split.where(F.col("s") == "eval")))
     )
+
+
+# --------------------------------------------------------------------------
+_LSH_DIAG_T = 0.2  # diagnostics sweep the full S-curve, not the keep region
+
+
+# Q: docs_lsh_diagnostics — LSH CALIBRATION: for every verified near-dup
+# pair, how many of the 4 bands actually collided, bucketed by Jaccard
+# and compared against the analytic expectation b*s^r (independent-band
+# model, r=4 rows/band — the S-curve every (bands, rows) design choice
+# is made on). A measured-vs-model gap flags a mis-tuned family (bad
+# hash mixing, correlated bands) before it silently costs recall at
+# 100 TB. Determinism: bands_hit is an exact integer count; the
+# expectation rounds each pair's 4*j^4 term to integer NANOS and sums
+# as BIGINT, so float summation order can never move the averages.
+# --------------------------------------------------------------------------
+@query(
+    "docs_lsh_diagnostics",
+    f"""
+    WITH sh AS (
+        SELECT doc_id, {_DUCK_SHINGLES} AS sh FROM documents
+        WHERE LENGTH(text) >= 5
+    ), hashed AS (
+        SELECT doc_id, {_DUCK_SHINGLE_HASH} AS hs FROM sh
+    ), sig AS (
+        SELECT doc_id, {_DUCK_SIG} FROM hashed
+    ), banded AS (
+        {_DUCK_BAND_ROWS}
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM banded a JOIN banded b
+          ON a.band_id = b.band_id AND a.band_key = b.band_key
+             AND a.doc_id < b.doc_id
+    ), dsh AS (
+        SELECT doc_id, LIST_DISTINCT(hs) AS dsh FROM hashed
+    ), pairs AS (
+        SELECT id_a, id_b, ROUND(j, 6) AS jaccard FROM (
+            SELECT id_a, id_b,
+                   LEN(LIST_INTERSECT(a.dsh, b.dsh)) * 1.0 /
+                   (LEN(a.dsh) + LEN(b.dsh) - LEN(LIST_INTERSECT(a.dsh, b.dsh))) AS j
+            FROM cand JOIN dsh a ON cand.id_a = a.doc_id
+                      JOIN dsh b ON cand.id_b = b.doc_id
+        ) WHERE j >= {_LSH_DIAG_T}
+    ), hits AS (
+        SELECT p.id_a, p.id_b, p.jaccard, COUNT(*) AS bands_hit
+        FROM pairs p
+        JOIN banded a ON a.doc_id = p.id_a
+        JOIN banded b ON b.doc_id = p.id_b
+             AND a.band_id = b.band_id AND a.band_key = b.band_key
+        GROUP BY 1, 2, 3
+    )
+    SELECT ROUND(FLOOR(jaccard * 10) / 10, 1) AS j_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(bands_hit) AS BIGINT) AS bands_hit_total,
+           ROUND(SUM(CAST(ROUND({_BANDS} * jaccard * jaccard * jaccard * jaccard * 1e9)
+                          AS BIGINT)) / 1e9 / COUNT(*), 6) AS expected_bands_hit
+    FROM hits GROUP BY 1
+    """,
+)
+def docs_lsh_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pmp_analytics_spark.operators.dedup import (
+        band_key_frame,
+        exploded_shingle_hashes,
+        minhash_signatures,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    banded = band_key_frame(
+        minhash_signatures(
+            exploded_shingle_hashes(docs, "text", "doc_id", _SHINGLE_K),
+            "doc_id",
+            len(_SEEDS),
+        ),
+        "doc_id",
+        len(_SEEDS),
+        _BANDS,
+    ).localCheckpoint(eager=False)
+    pairs = ngram_jaccard_dedup(
+        docs,
+        text_col="text",
+        id_col="doc_id",
+        shingle_k=_SHINGLE_K,
+        threshold=_LSH_DIAG_T,
+        num_hashes=len(_SEEDS),
+        bands=_BANDS,
+    )
+    a = banded.withColumnsRenamed({"doc_id": "id_a"})
+    b = banded.withColumnsRenamed({"doc_id": "id_b"})
+    j = F.col("jaccard")
+    hits = (
+        pairs.join(a, "id_a")
+        .join(b, ["id_b", "band_id", "band_key"])
+        .groupBy("id_a", "id_b", "jaccard")
+        .agg(F.count(F.lit(1)).alias("bands_hit"))
+    )
+    exp_nanos = F.round(F.lit(float(_BANDS)) * j * j * j * j * 1e9).cast("long")
+    return (
+        hits.groupBy(F.round(F.floor(j * 10) / 10, 1).alias("j_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum("bands_hit").alias("bands_hit_total"),
+            F.round(
+                F.sum(exp_nanos) / 1e9 / F.count(F.lit(1)), 6
+            ).alias("expected_bands_hit"),
+        )
+    )
