@@ -30,10 +30,11 @@ Two passes, both cheap:
 The output is therefore EXACTLY ``GROUP BY item HAVING cnt*den >
 num*n`` — which is what the DuckDB oracle states directly.
 
-Reference parity anchor: the reference's `value_counts`-then-threshold
-idiom (e.g. /root/reference/top_prescribers.py's count-and-cut reports)
-— this operator is its bounded-memory form for vocabularies that don't
-fit a reducer.
+Reference parity anchor: the reference's count-and-cut idiom — rank by
+dispensation count, keep the TOP_PRESCRIBERS head
+(/root/reference/mu_extras.py:100,164 with the cut constant at
+/root/reference/constants.py:5) — this operator is its bounded-memory
+form for vocabularies that don't fit a reducer.
 """
 
 from __future__ import annotations

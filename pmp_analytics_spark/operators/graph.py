@@ -317,8 +317,13 @@ def label_propagation_communities(
             labels.select(F.col("n").alias("b"), "lbl"), "b"
         ).select(F.col("a").alias("n"), "lbl")
         counts = msgs.groupBy("n", "lbl").agg(F.count(F.lit(1)).alias("cnt"))
+        # min_by over (-cnt, lbl): most-frequent label, smallest label on
+        # ties. Only the always-numeric count is negated — a max_by with
+        # -lbl would NULL out under Spark's implicit string-to-double
+        # cast for non-numeric node ids, silently degrading the
+        # documented tie-break to nondeterministic.
         labels = counts.groupBy("n").agg(
-            F.expr("max_by(lbl, struct(cnt, -lbl))").alias("lbl")
+            F.expr("min_by(lbl, struct(-cnt, lbl))").alias("lbl")
         )
         labels = labels.localCheckpoint(eager=True)
     return labels.select(

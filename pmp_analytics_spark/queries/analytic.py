@@ -1373,7 +1373,7 @@ def orders_priority_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     return exact_group_percentiles(
         orders, "o_orderpriority", "o_totalprice", _GP_QS
-    ).withColumnRenamed("o_orderpriority", "o_orderpriority")
+    )
 
 
 # --------------------------------------------------------------------------
@@ -1399,9 +1399,29 @@ def _drift_types(spark: SparkSession, sf_dir: str) -> list[tuple[str, float]]:
     return sorted((r["event_type"], (r["c"] + 1.0) / (n + b)) for r in rows)
 
 
-@query(
-    "streaming_drift_psi",
-    """
+_PSI_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def _psi_oracle_sql() -> str:
+    """The oracle's per-type PSI terms and the +b smoothing denominator
+    are GENERATED from the same _PSI_TYPES list the engine checks its
+    observed type set against — hardcoding five names and a literal +5
+    would silently desynchronize the two sides the day the events
+    fixture's type mix changes."""
+    b = len(_PSI_TYPES)
+    cols = ",\n".join(
+        f"               SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END)"
+        f" AS c_{t}"
+        for t in _PSI_TYPES
+    )
+    terms = "\n             + ".join(
+        f"((c_{t} + 1.0) / (n_events + {b})\n"
+        f"                 - (SELECT p FROM refs WHERE event_type = '{t}'))\n"
+        f"               * LN(((c_{t} + 1.0) / (n_events + {b}))\n"
+        f"                 / (SELECT p FROM refs WHERE event_type = '{t}'))"
+        for t in _PSI_TYPES
+    )
+    return f"""
     WITH ref AS (
         SELECT event_type, COUNT(*) AS c FROM events GROUP BY 1
     ),
@@ -1414,47 +1434,32 @@ def _drift_types(spark: SparkSession, sf_dir: str) -> list[tuple[str, float]]:
     agg AS (
         SELECT EPOCH_US(TIME_BUCKET(INTERVAL 6 HOURS, ts)) AS window_start_us,
                COUNT(*) AS n_events,
-               SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c_click,
-               SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS c_error,
-               SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS c_purchase,
-               SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS c_signup,
-               SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS c_view
+{cols}
         FROM events GROUP BY 1
     ),
     terms AS (
         SELECT window_start_us, n_events,
-               ((c_click + 1.0) / (n_events + 5)
-                 - (SELECT p FROM refs WHERE event_type = 'click'))
-               * LN(((c_click + 1.0) / (n_events + 5))
-                 / (SELECT p FROM refs WHERE event_type = 'click'))
-             + ((c_error + 1.0) / (n_events + 5)
-                 - (SELECT p FROM refs WHERE event_type = 'error'))
-               * LN(((c_error + 1.0) / (n_events + 5))
-                 / (SELECT p FROM refs WHERE event_type = 'error'))
-             + ((c_purchase + 1.0) / (n_events + 5)
-                 - (SELECT p FROM refs WHERE event_type = 'purchase'))
-               * LN(((c_purchase + 1.0) / (n_events + 5))
-                 / (SELECT p FROM refs WHERE event_type = 'purchase'))
-             + ((c_signup + 1.0) / (n_events + 5)
-                 - (SELECT p FROM refs WHERE event_type = 'signup'))
-               * LN(((c_signup + 1.0) / (n_events + 5))
-                 / (SELECT p FROM refs WHERE event_type = 'signup'))
-             + ((c_view + 1.0) / (n_events + 5)
-                 - (SELECT p FROM refs WHERE event_type = 'view'))
-               * LN(((c_view + 1.0) / (n_events + 5))
-                 / (SELECT p FROM refs WHERE event_type = 'view'))
+               {terms}
                AS psi_raw
         FROM agg
     )
     SELECT window_start_us, n_events, ROUND(psi_raw, 6) AS psi FROM terms
-    """,
-)
+    """
+
+
+@query("streaming_drift_psi", _psi_oracle_sql())
 def streaming_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     import uuid
 
     from pmp_analytics_spark.streaming import read_event_stream, run_to_memory
 
     ref = _drift_types(spark, sf_dir)
+    observed = tuple(t for t, _ in ref)
+    if observed != _PSI_TYPES:
+        raise ValueError(
+            f"events fixture type set {observed} != _PSI_TYPES {_PSI_TYPES}; "
+            "update _PSI_TYPES so the generated oracle stays in sync"
+        )
     b = len(ref)
     events = read_event_stream(spark, sf_dir)
     conds = [

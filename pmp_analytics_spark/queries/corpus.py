@@ -1501,7 +1501,13 @@ def customer_card_luhn_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return blob.select(
         "c_custkey",
         F.size(cards).cast("long").alias("n_cards"),
-        luhn_valid(F.element_at(cards, 1)).cast("int").alias("luhn_ok"),
+        # No candidate => not luhn-ok (0), never NULL: the oracle's CASE
+        # maps a NULL Luhn sum to 0, so the engine must pin the same
+        # semantics explicitly rather than rely on the fixture always
+        # embedding a PAN.
+        F.coalesce(
+            luhn_valid(F.element_at(cards, 1)), F.lit(False)
+        ).cast("int").alias("luhn_ok"),
         scrub_pii("contact").alias("scrubbed"),
     )
 

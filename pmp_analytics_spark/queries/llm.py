@@ -2757,7 +2757,9 @@ def docs_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 # map-side sequence+slice fan-out), and the UNCHANGED bm25_topk ranks
 # PASSAGES per query, so a long document can no longer bury its one
 # matching span under length normalization. Passage ids pack
-# (doc+1)*1000+pidx for the ranker and decode on output. The oracle
+# (doc+1)*2^32+pidx for the ranker (a 1000-wide pack would alias a
+# >=1000-window document into its neighbor's id space; 32 bits of pidx
+# cannot) and decode on output via shift/mask. The oracle
 # replays the identical window arithmetic (GENERATE_SERIES + inclusive
 # list slices) and the identical BM25 formula over passages.
 # --------------------------------------------------------------------------
@@ -2778,7 +2780,7 @@ _PAS_S = 16
         WHERE doc_id >= {_PAS_NQ}
     ),
     occ AS (
-        SELECT (doc_id + 1) * 1000 + pidx AS pid, UNNEST(ptoks) AS token
+        SELECT (doc_id + 1) * 4294967296 + pidx AS pid, UNNEST(ptoks) AS token
         FROM pas
     ),
     tf AS (SELECT pid, token, COUNT(*) AS tf FROM occ GROUP BY 1, 2),
@@ -2812,7 +2814,7 @@ _PAS_S = 16
                                   ORDER BY bm25 DESC, pid) AS rank
         FROM scored
     )
-    SELECT query_id, pid // 1000 - 1 AS doc_id, pid % 1000 AS pidx,
+    SELECT query_id, pid // 4294967296 - 1 AS doc_id, pid % 4294967296 AS pidx,
            bm25, CAST(rank AS BIGINT) AS rank
     FROM ranked WHERE rank <= {_PAS_K}
     """,
@@ -2831,7 +2833,7 @@ def docs_passage_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         width=_PAS_W,
         stride=_PAS_S,
     ).select(
-        ((F.col("doc_id") + 1) * 1000 + F.col("pidx")).alias("pid"), "token"
+        ((F.col("doc_id") + 1) * F.lit(4294967296) + F.col("pidx")).alias("pid"), "token"
     )
     qterms = (
         docs.where(F.col("doc_id") < _PAS_NQ)
@@ -2844,8 +2846,8 @@ def docs_passage_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = bm25_topk(occ_p, qterms, k=_PAS_K, id_col="pid")
     return out.select(
         "query_id",
-        (F.floor(F.col("pid") / 1000) - 1).cast("long").alias("doc_id"),
-        (F.col("pid") % 1000).alias("pidx"),
+        (F.shiftrightunsigned(F.col("pid"), 32) - 1).cast("long").alias("doc_id"),
+        F.col("pid").bitwiseAND(F.lit(4294967295)).alias("pidx"),
         "bm25",
         F.col("rank").cast("long").alias("rank"),
     )
