@@ -1023,13 +1023,15 @@ def connected_components(
       root as parent runs in O(E·α) and yields min-id components exactly.
       This replaces ~6 fixed-overhead Spark jobs PER ITERATION with one
       collect.
-    - **Distributed label propagation** (bigger edge sets): every node
-      starts labeled with itself; each round takes the min label in its
-      neighborhood; fixpoint in O(diameter) rounds — near-dup clusters
-      are tiny and dense, so 2-3 rounds in practice, bounded by
-      ``max_iterations``. Each round is one shuffle (groupBy node);
-      lineage is cut via localCheckpoint so the plan does not grow
-      exponentially.
+    - **Alternating large-star/small-star rounds** (bigger edge sets):
+      the public MapReduce-CC method (Kiveris et al., SoCC 2014) —
+      O(log n) rounds on ANY topology, including the adversarial long
+      chain where plain min-label propagation needs O(diameter) rounds
+      and a truncating iteration bound would silently leave
+      non-canonical labels. Two node-keyed shuffles per round, lineage
+      cut per round, fixpoint detected by an edge-set signature, and a
+      RAISE (not a warning) if ``max_iterations`` is ever hit. See
+      ``_alternating_star_components``.
     """
     spark = pairs.sparkSession
     edges = (
@@ -1066,54 +1068,119 @@ def connected_components(
         return spark.createDataFrame(
             out, schema=f"id {id_type}, component {id_type}"
         )
-    labels = (
-        edges.select(F.col("src").alias("id"))
-        .distinct()
-        .withColumn("component", F.col("id"))
-        .localCheckpoint()
-    )
-    for _ in range(max_iterations):
-        neighbor_min = (
-            edges.join(labels, edges["dst"] == labels["id"])
-            .groupBy("src")
-            .agg(F.min("component").alias("nbr_component"))
-        )
-        updated = (
-            labels.join(neighbor_min, labels["id"] == neighbor_min["src"], "left")
-            .select(
-                "id",
-                F.least(
-                    F.col("component"), F.coalesce("nbr_component", F.col("component"))
-                ).alias("component"),
-            )
-        )
-        updated = updated.localCheckpoint()
-        changed = (
-            updated.alias("u")
-            .join(labels.alias("l"), "id")
-            .where(F.col("u.component") != F.col("l.component"))
-            .limit(1)
-            .count()
-        )
-        labels = updated
-        if changed == 0:
-            break
-    else:
-        # Exited on the iteration bound, not the fixpoint: labels for
-        # components with diameter > max_iterations are WRONG (not yet the
-        # component min). Callers like dedup_keep_canonical would silently
-        # keep non-canonical duplicates — surface it loudly.
-        import warnings
-
-        warnings.warn(
-            f"connected_components did not converge within {max_iterations} "
-            "iterations; component labels may be incorrect for "
-            "large-diameter components. Raise max_iterations.",
-            RuntimeWarning,
-            stacklevel=2,
-        )
+    labels = _alternating_star_components(edges, max_iterations)
     edges.unpersist()
     return labels
+
+
+
+def _alternating_star_components(
+    edges: DataFrame, max_rounds: int
+) -> DataFrame:
+    """Distributed connected components by alternating large-star /
+    small-star rounds (the public MapReduce-CC method: Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC 2014).
+
+    Each round:
+
+    - **large-star**: per node ``u`` over its FULL neighborhood, every
+      strictly-larger neighbor ``v`` re-attaches to
+      ``m = min(neighborhood ∪ {u})``;
+    - **small-star**: per node ``l`` over its SMALLER neighbors ``N``,
+      every member of ``N ∪ {l}`` except the minimum re-attaches to
+      ``min(N)``.
+
+    Both operations preserve connectivity and never create cross-
+    component edges; the fixpoint is a star forest whose centers are
+    the component minima, reached in O(log n) rounds on ANY topology —
+    including the adversarial long chain that makes plain min-label
+    propagation (O(diameter) rounds) silently non-canonical when an
+    iteration bound truncates it. Each round is two node-keyed
+    shuffles; lineage is cut per round with an eager localCheckpoint
+    (the iteration-invariant-frame rule).
+
+    Convergence is detected by an order-insensitive edge-set signature
+    (count + sum of xxhash64(u, v) over the distinct canonical edge
+    set): one bounded 1-row aggregate per round instead of a set
+    subtract. Hitting ``max_rounds`` without the fixpoint RAISES —
+    with O(log n) convergence that means a pathological input, and a
+    loud failure beats silently non-canonical dedup groups downstream.
+    """
+    e = (
+        edges.select(
+            F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def sig(df: DataFrame) -> tuple:
+        row = df.agg(
+            F.count(F.lit(1)).alias("c"),
+            # decimal(38,0) sum: a long sum of 64-bit hashes overflows
+            # under ANSI mode after a handful of edges
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+        ).collect()[0]
+        return (row["c"], row["h"])
+
+    prev = sig(e)
+    w_u = Window.partitionBy("u")
+    w_v = Window.partitionBy("v")
+    for _ in range(max_rounds):
+        # large-star: full neighborhoods, larger neighbors re-attach to
+        # the neighborhood minimum (m <= u < v, so (m, v) is canonical).
+        # Window-min over the partition key instead of groupBy+join: one
+        # exchange per star phase, not two.
+        nbrs = e.select("u", "v").unionAll(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        ls = (
+            nbrs.withColumn("mn", F.min("v").over(w_u))
+            .where(F.col("v") > F.col("u"))
+            .select(
+                F.least("mn", F.col("u")).alias("u"), F.col("v").alias("v")
+            )
+        )
+        # small-star: group by the LARGER endpoint v, everyone but the
+        # minimum smaller-neighbor re-attaches to it; the (mn, v) center
+        # edge is emitted per row and collapsed by the round's single
+        # deduplicating shuffle below.
+        sm = ls.withColumn("mn", F.min("u").over(w_v))
+        e_next = (
+            sm.select(F.col("mn").alias("u"), F.col("v").alias("v"))
+            .unionAll(
+                sm.where(F.col("u") != F.col("mn")).select(
+                    F.col("mn").alias("u"), F.col("u").alias("v")
+                )
+            )
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+            # lazy: the sig() aggregate right below materializes the
+            # checkpoint — eager would submit a second, redundant job
+            # per round just to compute the same frame
+            .localCheckpoint(eager=False)
+        )
+        cur = sig(e_next)
+        e = e_next
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise RuntimeError(
+            f"alternating star connected-components did not reach its "
+            f"fixpoint within {max_rounds} rounds — O(log n) convergence "
+            "makes this a pathological input; raise max_iterations"
+        )
+    # Fixpoint = star forest rooted at component minima: leaves map to
+    # their center, centers map to themselves.
+    return (
+        e.select(F.col("v").alias("id"), F.col("u").alias("component"))
+        .unionAll(
+            e.select(F.col("u").alias("id"), F.col("u").alias("component"))
+        )
+        .distinct()
+    )
 
 
 def dedup_keep_canonical(

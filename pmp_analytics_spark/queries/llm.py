@@ -3234,3 +3234,92 @@ def docs_lsh_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("expected_bands_hit"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Q: docs_dedup_components_distributed — the DISTRIBUTED connected-
+# components path (alternating large-star/small-star rounds, Kiveris
+# et al. SoCC 2014; operators/dedup.py::_alternating_star_components),
+# forced via driver_edge_limit=0 so the O(log n) star rounds — not the
+# driver union-find fast path — produce the labels. The fixture graph
+# is built to be adversarial for the O(diameter) min-label scheme this
+# replaced: a 65-node CHAIN (diameter 64 — min-label would need 64
+# rounds; the star rounds need ~7), an 8-CLIQUE, and a TRIANGLE, all
+# derived arithmetically from documents.doc_id so both sides generate
+# identical edges at any scale factor. The oracle computes the same
+# closure with 8 unrolled pointer-doubling rounds (label <- min(label,
+# min neighbor label, label[label]) reaches distance 2^k - 1 >= 64 at
+# k = 8), each round MATERIALIZED (the k-core unrolled-CTE rule).
+# --------------------------------------------------------------------------
+def _cc_distributed_oracle() -> str:
+    rounds = []
+    prev = "l0"
+    for k in range(1, 9):
+        rounds.append(f"""
+    l{k} AS MATERIALIZED (
+        SELECT x.id,
+               LEAST(x.lbl, COALESCE(nb.m, x.lbl), COALESCE(j.lbl, x.lbl))
+               AS lbl
+        FROM {prev} x
+        LEFT JOIN (
+            SELECT und.a AS id, MIN(p.lbl) AS m
+            FROM und JOIN {prev} p ON p.id = und.b GROUP BY 1
+        ) nb ON nb.id = x.id
+        LEFT JOIN {prev} j ON j.id = x.lbl
+    )""")
+        prev = f"l{k}"
+    return f"""
+    WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 200),
+    chain AS (
+        SELECT doc_id AS a, doc_id + 1 AS b FROM d WHERE doc_id < 64
+    ),
+    clique AS (
+        SELECT doc_id AS a, UNNEST(GENERATE_SERIES(doc_id + 1, 107)) AS b
+        FROM d WHERE doc_id >= 100 AND doc_id < 107
+    ),
+    tri AS (
+        SELECT doc_id AS a, UNNEST(GENERATE_SERIES(doc_id + 1, 152)) AS b
+        FROM d WHERE doc_id IN (150, 151)
+    ),
+    e AS MATERIALIZED (
+        SELECT a, b FROM chain
+        UNION ALL SELECT a, b FROM clique
+        UNION ALL SELECT a, b FROM tri
+    ),
+    und AS MATERIALIZED (
+        SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e
+    ),
+    l0 AS MATERIALIZED (
+        SELECT DISTINCT a AS id, a AS lbl FROM und
+    ),{",".join(rounds)}
+    SELECT id, lbl AS component FROM {prev}
+    """
+
+
+@query("docs_dedup_components_distributed", _cc_distributed_oracle())
+def docs_dedup_components_distributed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pmp_analytics_spark.operators.dedup import connected_components
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id").where(
+        F.col("doc_id") < 200
+    )
+    chain = d.where(F.col("doc_id") < 64).select(
+        F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1).alias("id_b")
+    )
+    # sequence(a+1, top) fan-out needs a strict a < top guard — Spark's
+    # sequence(1, 0) DESCENDS instead of returning [].
+    clique = (
+        d.where((F.col("doc_id") >= 100) & (F.col("doc_id") < 107))
+        .select(
+            F.col("doc_id").alias("id_a"),
+            F.explode(F.sequence(F.col("doc_id") + 1, F.lit(107))).alias("id_b"),
+        )
+    )
+    tri = d.where(F.col("doc_id").isin(150, 151)).select(
+        F.col("doc_id").alias("id_a"),
+        F.explode(F.sequence(F.col("doc_id") + 1, F.lit(152))).alias("id_b"),
+    )
+    pairs = chain.unionAll(clique).unionAll(tri)
+    return connected_components(pairs, driver_edge_limit=0, max_iterations=20)

@@ -2716,3 +2716,70 @@ def test_luhn_empty_and_null_inputs(spark):
     assert got[""] is False
     assert got[None] is None  # caller decides NULL policy
     assert got["79927398713"] is True
+
+
+def test_connected_components_star_long_chain(spark):
+    """The adversarial input for the old O(diameter) min-label scheme: a
+    199-edge CHAIN. The alternating large-star/small-star rounds must
+    close it within an iteration budget FAR below the diameter (log-n
+    rounds — min-label would need 199), and match the driver
+    union-find's min-id labels exactly. A second, shuffled random graph
+    cross-checks the general case."""
+    import random
+
+    from pmp_analytics_spark.operators.dedup import connected_components
+
+    chain = [(i, i + 1) for i in range(199)]
+    pairs = spark.createDataFrame(chain, "id_a bigint, id_b bigint")
+    got = {
+        (r["id"], r["component"])
+        for r in connected_components(
+            pairs, driver_edge_limit=0, max_iterations=12
+        ).collect()
+    }
+    assert got == {(i, 0) for i in range(200)}
+
+    rng = random.Random(41)
+    edges = {
+        tuple(sorted(rng.sample(range(400), 2))) for _ in range(260)
+    }
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent[find(a)] = find(b)
+    roots: dict = {}
+    for n in parent:
+        roots.setdefault(find(n), []).append(n)
+    expected = {
+        (n, min(m)) for m in roots.values() for n in m
+    }
+    rpairs = spark.createDataFrame(
+        sorted(edges), "id_a bigint, id_b bigint"
+    )
+    got_r = {
+        (r["id"], r["component"])
+        for r in connected_components(
+            rpairs, driver_edge_limit=0, max_iterations=15
+        ).collect()
+    }
+    assert got_r == expected
+
+
+def test_connected_components_star_raises_on_truncation(spark):
+    """Hitting the round bound without the fixpoint must RAISE (the old
+    fallback only warned — silently non-canonical labels downstream)."""
+    import pytest as _pytest
+
+    from pmp_analytics_spark.operators.dedup import connected_components
+
+    chain = [(i, i + 1) for i in range(60)]
+    pairs = spark.createDataFrame(chain, "id_a bigint, id_b bigint")
+    with _pytest.raises(RuntimeError, match="fixpoint"):
+        connected_components(pairs, driver_edge_limit=0, max_iterations=2)
