@@ -41,7 +41,7 @@ where exact distinct is the bottleneck.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from pmp_analytics_spark.functions.text import shingle_hash60
@@ -529,4 +529,297 @@ def cms_oracle_sql(
     SELECT p.k, CAST(MIN(COALESCE(c.cnt, 0)) AS BIGINT) AS {est_col}
     FROM __probe p LEFT JOIN __cells c ON p.i = c.i AND p.bucket = c.bucket
     GROUP BY p.k
+    """
+
+
+# ---------------------------------------------------------------------------
+# DDSketch: mergeable quantile sketch with RELATIVE-error guarantee
+# (Masson, Rim, Lee, "DDSketch: a fast and fully-mergeable quantile
+# sketch with relative-error guarantees", VLDB 2019). State = integer
+# counts of logarithmic buckets (bucket k covers (gamma^(k-1), gamma^k],
+# gamma = (1+alpha)/(1-alpha)), so any quantile estimate is within
+# alpha RELATIVE error of the true order statistic; buckets merge by
+# SUM (associative — partition partials, micro-batches, and day rollups
+# all combine to the identical state), and a bounded-size collapse
+# folds the LOWEST buckets together when the store exceeds its cap
+# (preserving high-quantile accuracy, the paper's rule).
+#
+# Why DDSketch and not KLL here: KLL's compactors are RANDOMIZED and
+# their state depends on the merge-tree shape — under a distributed
+# groupBy the merge order is nondeterministic, so KLL state can never
+# be hash-pinned against a SQL replay. Every sketch in this family
+# (HLL registers, CMS cells, KMV bottom-k, Bloom bits) is a pure
+# function of the input MULTISET; DDSketch is the quantile sketch in
+# that class — deterministic, order-insensitive, mergeable, bounded —
+# which is exactly what the repo's oracle contract requires. (The
+# trade: alpha-RELATIVE value error instead of KLL's uniform rank
+# error; for latency/price-shaped positive data, relative error is the
+# guarantee practitioners actually quote.)
+#
+# Zero values occupy a reserved sentinel bucket (DDSketch's separate
+# zero count) excluded from collapse; negatives are out of scope and
+# must be filtered by the caller (documented, not silently dropped:
+# ddsketch_state raises if it sees one).
+# ---------------------------------------------------------------------------
+
+DD_ZERO_BKT = -(1 << 62)  # sentinel bucket for exact zeros
+
+
+def dd_gamma(alpha: float) -> float:
+    return (1.0 + alpha) / (1.0 - alpha)
+
+
+def dd_bucket(col: Column, alpha: float) -> Column:
+    """Logarithmic bucket index ``ceil(ln(v) / ln(gamma))`` for v > 0,
+    the zero sentinel for v = 0. Pure JVM math — one log, one divide,
+    one ceil per row, inside whole-stage codegen."""
+    import math
+
+    lg = math.log(dd_gamma(alpha))
+    return (
+        F.when(col == 0, F.lit(DD_ZERO_BKT))
+        .otherwise(F.ceil(F.log(col.cast("double")) / F.lit(lg)))
+        .cast("long")
+    )
+
+
+def ddsketch_state(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    alpha: float = 0.01,
+    max_buckets: int = 128,
+) -> DataFrame:
+    """Per-group DDSketch state rows ``group_cols + (bkt, cnt)``.
+
+    Scale shape: ONE shuffle on (group, bkt) with map-side partial SUM —
+    the exchange carries at most ``buckets-per-group × partitions`` rows
+    regardless of input size (the CMS/HLL bound, applied to quantiles).
+    The collapse then runs per-group WINDOWS over the bucket frame,
+    which is already sketch-sized, not data-sized.
+
+    Collapse rule (paper): while the positive-bucket store exceeds
+    ``max_buckets``, merge the lowest buckets — net effect: the lowest
+    ``nb - max_buckets + 1`` buckets fold into the highest index among
+    them. Deterministic on the multiset, so batch, micro-batch, and
+    rollup builds land on bit-identical state. The zero sentinel is
+    DDSketch's separate zero counter: never collapsed, never counted
+    against the cap.
+    """
+    v = F.col(value_col)
+    neg = df.where(v < 0).limit(1).count()
+    if neg:
+        raise ValueError(
+            f"ddsketch_state: {value_col} contains negative values — "
+            "DDSketch's logarithmic buckets cover [0, inf); filter or "
+            "split the negative store explicitly"
+        )
+    raw = (
+        df.where(v.isNotNull())
+        .select(*group_cols, dd_bucket(v, alpha).alias("bkt"))
+        .groupBy(*group_cols, "bkt")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return dd_collapse(raw, group_cols, max_buckets)
+
+
+def dd_collapse(
+    raw: DataFrame, group_cols: list[str], max_buckets: int
+) -> DataFrame:
+    """Fold the lowest positive buckets of a raw ``(group..., bkt, cnt)``
+    store down to ``max_buckets`` per group (the paper's lowest-bucket
+    merge; zero sentinel exempt). Shared by the batch build and the
+    streaming finalize — ONE collapse definition, so a drained
+    streaming store lands on the exact state a batch build produces."""
+    gw = Window.partitionBy(*group_cols) if group_cols else Window.partitionBy(F.lit(1))
+    pos = F.col("bkt") != DD_ZERO_BKT
+    r = F.sum(F.when(pos, 1).otherwise(0)).over(
+        gw.orderBy("bkt").rowsBetween(Window.unboundedPreceding, 0)
+    )
+    nb = F.sum(F.when(pos, 1).otherwise(0)).over(gw)
+    cut = nb - F.lit(max_buckets) + 1
+    ranked = raw.select(
+        *group_cols, "bkt", "cnt", r.alias("__r"), cut.alias("__cut")
+    )
+    floor_bkt = F.max(
+        F.when(pos & (F.col("__r") == F.col("__cut")), F.col("bkt"))
+    ).over(gw)
+    collapsed = ranked.select(
+        *group_cols,
+        F.when(pos & (F.col("__r") <= F.col("__cut")), floor_bkt)
+        .otherwise(F.col("bkt"))
+        .alias("bkt"),
+        "cnt",
+    )
+    return collapsed.groupBy(*group_cols, "bkt").agg(
+        F.sum("cnt").alias("cnt")
+    )
+
+
+def ddsketch_quantiles(
+    state: DataFrame,
+    group_cols: list[str],
+    qs: list[float],
+    alpha: float = 0.01,
+    est_col: str = "est_value",
+) -> DataFrame:
+    """Quantile estimates from a ``ddsketch_state`` frame: per (group,
+    q), the first bucket (ascending, zero sentinel first) whose
+    cumulative count reaches ``max(1, ceil(q * n))``, estimated at the
+    bucket's relative midpoint ``2*gamma^k / (gamma+1)`` (0 for the
+    zero bucket) — within ``alpha`` relative error of the true order
+    statistic when the collapse never reached that bucket. All frames
+    here are sketch-sized; the only data-sized work happened in
+    ``ddsketch_state``'s single exchange."""
+    import math
+
+    g = dd_gamma(alpha)
+    lg = math.log(g)
+    gw = Window.partitionBy(*group_cols) if group_cols else Window.partitionBy(F.lit(1))
+    cum = state.select(
+        *group_cols,
+        "bkt",
+        F.sum("cnt").over(
+            gw.orderBy("bkt").rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("cum"),
+        F.sum("cnt").over(gw).alias("n"),
+    )
+    qf = F.explode(
+        F.array(*[F.lit(float(q)) for q in qs])
+    ).alias("q")
+    targets = cum.select(*group_cols, "bkt", "cum", "n").select(
+        *group_cols, "bkt", "cum", "n", qf
+    ).withColumn(
+        "target", F.greatest(F.lit(1), F.ceil(F.col("q") * F.col("n")))
+    )
+    pick = (
+        targets.where(F.col("cum") >= F.col("target"))
+        .groupBy(*group_cols, "q", "n")
+        .agg(F.min("bkt").alias("bkt"))
+    )
+    est = F.when(F.col("bkt") == DD_ZERO_BKT, F.lit(0.0)).otherwise(
+        F.exp(F.col("bkt").cast("double") * F.lit(lg)) * F.lit(2.0 / (g + 1.0))
+    )
+    return pick.select(
+        *group_cols,
+        "q",
+        F.col("n").cast("long").alias("n_values"),
+        F.round(est, 6).alias(est_col),
+    )
+
+
+def ddsketch_state_moments(
+    state: DataFrame, group_cols: list[str]
+) -> DataFrame:
+    """Integer moments of the positive-bucket store — ``n_buckets``,
+    ``sum(bkt*cnt)``, ``sum(bkt^2*cnt)`` — the HLL ``_s``/``_v``
+    precedent: a compact, exact-integer pin of the FULL sketch state for
+    the oracle's hash check (the quantile walk alone only pins the
+    buckets it lands on)."""
+    pos = F.col("bkt") != DD_ZERO_BKT
+    return state.groupBy(*group_cols).agg(
+        F.sum(F.when(pos, 1).otherwise(0)).cast("long").alias("n_buckets"),
+        F.sum(F.when(pos, F.col("bkt") * F.col("cnt")).otherwise(0))
+        .cast("long")
+        .alias("state_s1"),
+        F.sum(
+            F.when(pos, F.col("bkt") * F.col("bkt") * F.col("cnt")).otherwise(0)
+        )
+        .cast("long")
+        .alias("state_s2"),
+    )
+
+
+def ddsketch_oracle_sql(
+    value_expr: str,
+    group_cols: list[str],
+    table_sql: str,
+    qs: list[float],
+    alpha: float = 0.01,
+    max_buckets: int = 128,
+) -> str:
+    """DuckDB replay of DDSketch build + collapse + quantile walk. The
+    log-bucket boundary arithmetic uses the same IEEE doubles on both
+    engines (``ln_gamma`` is f-stringed at full precision); a value
+    would have to sit within ~1 ulp of a transcendental bucket boundary
+    for the engines' libm ``ln`` to disagree on a ceil — not observed,
+    and pinned by the fixture."""
+    import math
+
+    g = dd_gamma(alpha)
+    lg = repr(math.log(g))
+    mid = repr(2.0 / (g + 1.0))
+    gsel = ", ".join(group_cols)
+    gpfx = f"{gsel}, " if group_cols else ""
+    gpart = f"PARTITION BY {gsel}" if group_cols else ""
+    qvals = ", ".join(repr(float(q)) for q in qs)
+    if group_cols:
+        pjoin = ", ".join(f"__pick.{c}" for c in group_cols) + ","
+        onc = " AND ".join(f"__pick.{c} = __mom.{c}" for c in group_cols)
+        momjoin = f"JOIN __mom ON {onc}"
+    else:
+        pjoin = ""
+        momjoin = "CROSS JOIN __mom"
+    return f"""
+    WITH __raw AS (
+        SELECT {gpfx}
+               CASE WHEN {value_expr} = 0 THEN {DD_ZERO_BKT}
+                    ELSE CAST(CEIL(LN(CAST({value_expr} AS DOUBLE)) / {lg})
+                              AS BIGINT) END AS bkt,
+               COUNT(*) AS cnt
+        FROM {table_sql}
+        WHERE {value_expr} IS NOT NULL
+        GROUP BY ALL
+    ), __ranked AS (
+        SELECT *,
+               SUM(CASE WHEN bkt != {DD_ZERO_BKT} THEN 1 ELSE 0 END)
+                   OVER ({gpart} ORDER BY bkt
+                         ROWS UNBOUNDED PRECEDING) AS __r,
+               SUM(CASE WHEN bkt != {DD_ZERO_BKT} THEN 1 ELSE 0 END)
+                   OVER ({gpart}) - {max_buckets} + 1 AS __cut
+        FROM __raw
+    ), __coll AS (
+        SELECT {gpfx}
+               CASE WHEN bkt != {DD_ZERO_BKT} AND __r <= __cut
+                    THEN MAX(CASE WHEN bkt != {DD_ZERO_BKT} AND __r = __cut
+                                  THEN bkt END) OVER ({gpart})
+                    ELSE bkt END AS bkt,
+               cnt
+        FROM __ranked
+    ), __state AS (
+        SELECT {gpfx} bkt, SUM(cnt) AS cnt FROM __coll GROUP BY ALL
+    ), __cum AS (
+        SELECT {gpfx} bkt,
+               SUM(cnt) OVER ({gpart} ORDER BY bkt
+                              ROWS UNBOUNDED PRECEDING) AS cum,
+               SUM(cnt) OVER ({gpart}) AS n
+        FROM __state
+    ), __t AS (
+        SELECT __cum.*, q,
+               GREATEST(1, CAST(CEIL(q * n) AS BIGINT)) AS target
+        FROM __cum CROSS JOIN (SELECT UNNEST([{qvals}]::DOUBLE[]) AS q) __q
+    ), __pick AS (
+        SELECT {gpfx} q, n, MIN(bkt) AS bkt
+        FROM __t WHERE cum >= target GROUP BY ALL
+    ), __mom AS (
+        -- integer state moments: pin the FULL bucket store (count of
+        -- positive buckets + first/second weighted index sums), not
+        -- just the one bucket each quantile walked to
+        SELECT {gpfx}
+               SUM(CASE WHEN bkt != {DD_ZERO_BKT} THEN 1 ELSE 0 END)
+                   AS n_buckets,
+               SUM(CASE WHEN bkt != {DD_ZERO_BKT} THEN bkt * cnt ELSE 0 END)
+                   AS state_s1,
+               SUM(CASE WHEN bkt != {DD_ZERO_BKT} THEN bkt * bkt * cnt
+                        ELSE 0 END) AS state_s2
+        FROM __state GROUP BY ALL
+    )
+    SELECT {pjoin} q, CAST(n AS BIGINT) AS n_values,
+           ROUND(CASE WHEN bkt = {DD_ZERO_BKT} THEN 0.0
+                      ELSE EXP(CAST(bkt AS DOUBLE) * {lg}) * {mid} END,
+                 6) AS est_value,
+           CAST(n_buckets AS BIGINT) AS n_buckets,
+           CAST(state_s1 AS BIGINT) AS state_s1,
+           CAST(state_s2 AS BIGINT) AS state_s2
+    FROM __pick {momjoin}
     """

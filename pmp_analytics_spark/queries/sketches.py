@@ -24,6 +24,7 @@ from pmp_analytics_spark.operators.sketches import (
     cms_estimate,
     cms_oracle_sql,
     cms_sketch,
+    ddsketch_oracle_sql,
     hll_cardinality,
     hll_finalize,
     hll_oracle_sql,
@@ -826,3 +827,177 @@ def streaming_user_bottomk_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_cardinality(
         sk, ["event_type", "n_rows"], k=_KMV_STREAM_K, est_col="users_kmv"
     ).select("event_type", "users_kmv", "n_seen", "hv_k", "n_rows")
+
+
+# --------------------------------------------------------------------------
+# Q: event_value_ddsketch — mergeable bounded-error QUANTILE sketch,
+# completing the sketch family (HLL=distinct, CMS=frequency, KMV=set
+# ops, Bloom=membership, DDSketch=quantiles): per event type, the
+# logarithmic-bucket store of `value` (alpha=1% relative error, Masson
+# et al. VLDB 2019), capped at 128 positive buckets so the paper's
+# lowest-bucket collapse actually executes on this fixture (~290 raw
+# buckets/group), with P50/P90/P99 estimates next to the exact
+# percentiles and integer state moments (n_buckets, sum bkt*cnt, sum
+# bkt^2*cnt — the HLL _s/_v precedent) pinning the FULL store. Why not
+# KLL: its compactors are randomized and merge-order-dependent — state
+# cannot be hash-pinned against a SQL replay; DDSketch is the quantile
+# sketch whose state is a pure function of the input multiset (see
+# operators/sketches.py). Scale shape: ONE data-sized shuffle carrying
+# <= buckets x partitions rows; everything after is sketch-sized.
+# --------------------------------------------------------------------------
+_DD_ALPHA = 0.01
+_DD_CAP = 128
+_DD_QS = (0.5, 0.9, 0.99)
+
+
+def _dd_exact_sql() -> str:
+    cases = " ".join(
+        f"WHEN {q} THEN e{int(q * 100)}" for q in _DD_QS
+    )
+    quants = ", ".join(
+        f"QUANTILE_CONT(CAST(value AS DOUBLE), {q}) AS e{int(q * 100)}"
+        for q in _DD_QS
+    )
+    return f"""
+    , __exact AS (
+        SELECT event_type, {quants}
+        FROM events WHERE value IS NOT NULL GROUP BY 1
+    )
+    SELECT s.event_type, s.q, s.n_values, s.est_value,
+           s.n_buckets, s.state_s1, s.state_s2,
+           ROUND(CASE s.q {cases} END, 4) AS exact_value
+    FROM __sketch s JOIN __exact x ON s.event_type = x.event_type
+    """
+
+
+@query(
+    "event_value_ddsketch",
+    f"""
+    WITH __sketch AS (
+        {ddsketch_oracle_sql("value", ["event_type"], "events", list(_DD_QS), _DD_ALPHA, _DD_CAP)}
+    )
+    {_dd_exact_sql()}
+    """,
+)
+def event_value_ddsketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pmp_analytics_spark.operators.sketches import (
+        ddsketch_quantiles,
+        ddsketch_state,
+        ddsketch_state_moments,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    state = ddsketch_state(
+        ev, "value", ["event_type"], alpha=_DD_ALPHA, max_buckets=_DD_CAP
+    ).cache()  # sketch-sized frame, two consumers (quantiles + moments)
+    est = ddsketch_quantiles(state, ["event_type"], list(_DD_QS), alpha=_DD_ALPHA)
+    mom = ddsketch_state_moments(state, ["event_type"])
+    exact = (
+        ev.where(F.col("value").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            *[
+                F.percentile(F.col("value").cast("double"), F.lit(q)).alias(
+                    f"e{int(q * 100)}"
+                )
+                for q in _DD_QS
+            ]
+        )
+    )
+    ex = F.when(F.col("q") == 0.5, F.col("e50")).when(
+        F.col("q") == 0.9, F.col("e90")
+    ).otherwise(F.col("e99"))
+    return (
+        est.join(mom, "event_type")
+        .join(exact, "event_type")
+        .select(
+            "event_type",
+            "q",
+            "n_values",
+            "est_value",
+            "n_buckets",
+            "state_s1",
+            "state_s2",
+            F.round(ex, 4).alias("exact_value"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q: streaming_value_ddsketch — the DDSketch bucket store AS STREAMING
+# STATE, completing the streaming sketch symmetry (HLL registers merge
+# by MAX, CMS cells and DDSketch buckets by SUM): per 6-hour tumbling
+# event-time window, the stream's one stateful aggregation maintains
+# the (window, bucket) counts — fixed-size state per window regardless
+# of traffic — and the collapse + quantile walk finalize BATCH-SIDE
+# over the drained store through the SAME dd_collapse the batch build
+# uses. Bucket-count SUM is associative, so any micro-batch split lands
+# on the batch-identical state; the oracle is the batch replay grouped
+# by TIME_BUCKET.
+# --------------------------------------------------------------------------
+@query(
+    "streaming_value_ddsketch",
+    f"""
+    WITH __sketch AS (
+        {ddsketch_oracle_sql(
+            "value",
+            ["window_start_us"],
+            "(SELECT EPOCH_US(TIME_BUCKET(INTERVAL 6 HOURS, ts)) AS window_start_us, value FROM events) __w",
+            [0.5, 0.99],
+            _DD_ALPHA,
+            64,
+        )}
+    )
+    SELECT * FROM __sketch
+    """,
+)
+def streaming_value_ddsketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from pmp_analytics_spark.operators.sketches import (
+        dd_bucket,
+        dd_collapse,
+        ddsketch_quantiles,
+        ddsketch_state_moments,
+    )
+    from pmp_analytics_spark.streaming import read_event_stream, run_to_memory
+
+    name = f"stream_dd_{uuid.uuid4().hex[:12]}"
+    stream = read_event_stream(spark, sf_dir).where(F.col("value").isNotNull())
+    raw = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(
+            F.window("ts", "6 hours").alias("w"),
+            dd_bucket(F.col("value"), _DD_ALPHA).alias("bkt"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "bkt",
+            "cnt",
+        )
+    )
+    run_to_memory(raw, name, output_mode="complete", state_partitions=8)
+    state = dd_collapse(
+        spark.table(name), ["window_start_us"], max_buckets=64
+    ).cache()
+    est = ddsketch_quantiles(
+        state, ["window_start_us"], [0.5, 0.99], alpha=_DD_ALPHA
+    )
+    # est and mom share the drained-table lineage; join through a
+    # renamed key or the analyzer sees the same attribute id on both
+    # sides ("conflicting references")
+    mom = ddsketch_state_moments(state, ["window_start_us"]).withColumnRenamed(
+        "window_start_us", "__wsu"
+    )
+    return est.join(
+        mom, est["window_start_us"] == mom["__wsu"]
+    ).select(
+        "window_start_us",
+        "q",
+        "n_values",
+        "est_value",
+        "n_buckets",
+        "state_s1",
+        "state_s2",
+    )

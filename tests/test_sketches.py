@@ -617,3 +617,97 @@ def test_streaming_kmv_state_survives_restart(spark, tmp_path):
     for r in first:
         t = r["event_type"]
         assert sorted(r["hvs"])[0] >= expected[t][0]
+
+
+def test_ddsketch_relative_error_and_rank(spark):
+    """DDSketch guarantee (Masson et al. VLDB 2019): with no collapse,
+    every quantile estimate is within alpha RELATIVE error of the true
+    order statistic at rank ceil(q*n); the zero sentinel reports exact
+    0.0. Lognormal data with duplicates and zeros."""
+    import math
+    import random
+
+    from pmp_analytics_spark.operators.sketches import (
+        ddsketch_quantiles,
+        ddsketch_state,
+    )
+
+    rng = random.Random(3)
+    vals = [round(math.exp(rng.gauss(2, 1.5)), 4) for _ in range(5000)]
+    vals += vals[:500] + [0.0] * 23
+    df = spark.createDataFrame(
+        [(v, f"g{i % 2}") for i, v in enumerate(vals)], "v double, g string"
+    )
+    alpha = 0.01
+    st = ddsketch_state(df, "v", ["g"], alpha=alpha, max_buckets=1 << 20)
+    got = {
+        (r["g"], r["q"]): (r["est_value"], r["n_values"])
+        for r in ddsketch_quantiles(
+            st, ["g"], [0.001, 0.5, 0.9, 0.99], alpha=alpha
+        ).collect()
+    }
+    for g in ("g0", "g1"):
+        gv = sorted(v for i, v in enumerate(vals) if f"g{i % 2}" == g)
+        n = len(gv)
+        for q in (0.001, 0.5, 0.9, 0.99):
+            est, nn = got[(g, q)]
+            assert nn == n
+            true = gv[max(1, math.ceil(q * n)) - 1]
+            if true == 0:
+                assert est == 0.0
+            else:
+                assert abs(est - true) <= alpha * true * (1 + 1e-9), (g, q, est, true)
+
+
+def test_ddsketch_collapse_bound_and_merge(spark):
+    """The collapse caps the positive store at max_buckets (zero sentinel
+    exempt), keeps accuracy ABOVE the folded region, and the state is a
+    pure multiset function: sketch(A) ⊎ sketch(B) re-aggregated equals
+    sketch(A ∪ B) row-for-row."""
+    import math
+    import random
+
+    from pyspark.sql import functions as F
+
+    from pmp_analytics_spark.operators.sketches import (
+        DD_ZERO_BKT,
+        ddsketch_quantiles,
+        ddsketch_state,
+    )
+
+    rng = random.Random(11)
+    vals = [round(math.exp(rng.gauss(1, 1.2)), 4) for _ in range(8000)]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    st = ddsketch_state(df, "v", [], alpha=0.01, max_buckets=64)
+    rows = {r["bkt"]: r["cnt"] for r in st.collect()}
+    assert len([b for b in rows if b != DD_ZERO_BKT]) <= 64
+    # p99 target sits above the folded mass here -> guarantee holds
+    est = {
+        r["q"]: r["est_value"]
+        for r in ddsketch_quantiles(st, [], [0.99], alpha=0.01).collect()
+    }
+    true = sorted(vals)[max(1, math.ceil(0.99 * len(vals))) - 1]
+    assert abs(est[0.99] - true) <= 0.01 * true * (1 + 1e-9)
+
+    full = ddsketch_state(df, "v", [], alpha=0.01, max_buckets=1 << 20)
+    a = df.where("v < 3")
+    b = df.where("v >= 3")
+    merged = (
+        ddsketch_state(a, "v", [], alpha=0.01, max_buckets=1 << 20)
+        .unionAll(ddsketch_state(b, "v", [], alpha=0.01, max_buckets=1 << 20))
+        .groupBy("bkt")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    assert {tuple(r) for r in merged.collect()} == {
+        tuple(r) for r in full.collect()
+    }
+
+
+def test_ddsketch_rejects_negatives(spark):
+    import pytest as _pytest
+
+    from pmp_analytics_spark.operators.sketches import ddsketch_state
+
+    df = spark.createDataFrame([(1.0,), (-2.0,)], "v double")
+    with _pytest.raises(ValueError, match="negative"):
+        ddsketch_state(df, "v", [], alpha=0.01)
