@@ -71,13 +71,24 @@ def _pair_counts(symed: DataFrame) -> DataFrame:
 def bpe_learn_merges(
     docs: DataFrame, text_col: str, n_merges: int
 ) -> DataFrame:
-    """Learn the first ``n_merges`` BPE merge rules; returns a DataFrame
-    (rank, lhs, rhs, merged, pair_freq) with rank 1..n_merges in merge
-    order. Ties break deterministically by pair string ascending — the
-    same total order the SQL replay oracle uses, so the learned table is
-    engine-exact. Stops early if no pair remains (rank list shorter)."""
-    spark = docs.sparkSession
-    symed = _symbolized(word_vocab(docs, text_col)).localCheckpoint(eager=False)
+    """Learn the first ``n_merges`` BPE merge rules over the word-type
+    vocabulary; returns a DataFrame (rank, lhs, rhs, merged, pair_freq)
+    with rank 1..n_merges in merge order. Ties break deterministically
+    by pair string ascending — the same total order the SQL replay
+    oracle uses, so the learned table is engine-exact. Stops early if
+    no pair remains (rank list shorter)."""
+    symed = _symbolized(word_vocab(docs, text_col))
+    return learn_merges_from_sym(symed, n_merges)
+
+
+def learn_merges_from_sym(symed: DataFrame, n_merges: int) -> DataFrame:
+    """The BPE merge loop itself, generic over the SYMBOL ALPHABET: the
+    input frame carries (freq, sym) where ``sym`` is the canonical
+    space-delimited, space-bounded symbol string. The word-level
+    learner feeds character symbols; the byte-level learner feeds hex
+    byte-pair symbols — one loop, one tie-break, one oracle shape."""
+    spark = symed.sparkSession
+    symed = symed.localCheckpoint(eager=False)
     merges: list[tuple[int, str, str, str, int]] = []
     for rank in range(1, n_merges + 1):
         best = (
@@ -105,6 +116,78 @@ def bpe_learn_merges(
     )
 
 
+# ---------------------------------------------------------------------------
+# Byte-level BPE with regex pre-tokenization — the GPT-2-style front end
+# (Radford et al. 2019; the public tokenizer lineage behind tiktoken /
+# HF byte-level BPE): text splits into PRE-TOKENS by an ordered-
+# alternation regex that keeps one leading space attached to word and
+# number runs, then each pre-token becomes its UTF-8 BYTE sequence, and
+# BPE merges run over bytes — so the learned vocabulary covers ANY
+# input (no unknown-token path), multi-byte UTF-8 splitting into
+# multiple byte symbols until merges re-fuse it.
+#
+# Symbol alphabet: each byte is its 2-char uppercase hex pair ("C3",
+# "A9"), the Spark/DuckDB-shared stand-in for GPT-2's printable
+# byte-to-unicode table — space-safe in the canonical sym string,
+# merge-concatenation = byte concatenation, and UNHEX of any merged
+# symbol round-trips the exact bytes.
+#
+# The pre-token pattern uses explicit whitespace classes ([ \t\n\r])
+# instead of \s: Java's \s is the ASCII set including \x0B while RE2's
+# is not — the one place the two engines' regex dialects would
+# silently diverge. No lookahead anywhere (RE2 has none), so the
+# GPT-2 contraction branch and trailing-space lookahead are
+# deliberately out of scope (documented simplification).
+# ---------------------------------------------------------------------------
+
+BYTE_PRETOKEN_RE = (
+    " ?[\\p{L}]+| ?[\\p{N}]+| ?[^ \\t\\n\\r\\p{L}\\p{N}]+|[ \\t\\n\\r]+"
+)
+
+
+def byte_pretoken_vocab(docs: DataFrame, text_col: str) -> DataFrame:
+    """(word, freq) type-frequency vocabulary over the byte-level
+    pre-tokenizer — ordered leftmost alternation, identical in Java
+    regex and RE2. Corpus collapses ONCE to pre-token types, same as
+    the word-level trick."""
+    return (
+        docs.select(
+            F.explode(
+                F.regexp_extract_all(
+                    F.col(text_col), F.lit(BYTE_PRETOKEN_RE), 0
+                )
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+def byte_symbolized(vocab: DataFrame) -> DataFrame:
+    """' 48 C3 A9 ' — the canonical space-bounded symbol string over
+    hex byte pairs: HEX of the pre-token's UTF-8 bytes, split every
+    two chars. Pure JVM string ops, map-side."""
+    sym = F.concat(
+        F.lit(" "),
+        F.regexp_replace(
+            F.hex(F.encode(F.col("word"), "UTF-8")), "(..)", "$1 "
+        ),
+    )
+    return vocab.select("word", "freq", sym.alias("sym"))
+
+
+def bpe_learn_merges_bytes(
+    docs: DataFrame, text_col: str, n_merges: int
+) -> DataFrame:
+    """Byte-level BPE learning: regex pre-tokens -> UTF-8 hex byte
+    symbols -> the shared merge loop. Same output shape and tie-break
+    as the word-level learner; symbols are hex strings whose UNHEX is
+    the merged byte sequence."""
+    return learn_merges_from_sym(
+        byte_symbolized(byte_pretoken_vocab(docs, text_col)), n_merges
+    )
+
+
 def bpe_apply(vocab: DataFrame, merges: list[tuple[str, str]]) -> DataFrame:
     """Apply learned merge rules to the word-type vocabulary: returns
     (word, freq, sym) where ``sym`` is the space-delimited subword
@@ -120,10 +203,20 @@ def bpe_apply(vocab: DataFrame, merges: list[tuple[str, str]]) -> DataFrame:
     per-round lineage — encoding is embarrassingly parallel over word
     types (and the corpus encode is a broadcast join of corpus words
     against this vocab-sized frame)."""
+    return apply_merges_to_sym(_symbolized(vocab), merges)
+
+
+def apply_merges_to_sym(
+    symed: DataFrame, merges: list[tuple[str, str]]
+) -> DataFrame:
+    """Fold every merge rule into ONE map-side projection over an
+    already-symbolized (word, freq, sym) frame — shared by the word-
+    and byte-level apply paths (the alphabets differ only upstream, in
+    how ``sym`` was built)."""
     sym = F.col("sym")
     for lhs, rhs in merges:
         sym = F.replace(sym, F.lit(f" {lhs} {rhs} "), F.lit(f" {lhs}{rhs} "))
-    return _symbolized(vocab).select("word", "freq", sym.alias("sym"))
+    return symed.select("word", "freq", sym.alias("sym"))
 
 
 def bpe_token_stats(applied: DataFrame) -> DataFrame:

@@ -1005,6 +1005,32 @@ def docs_pps_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BPE_K = 8
 
 
+def _bpe_iter_sql(p: str, b: str, v: str, prev: str) -> str:
+    """One unrolled BPE round (pair count -> argmax -> boundary replace)
+    over a symbol frame — shared by the word-level and byte-level
+    oracles; the symbol alphabet only differs in the v0 stage."""
+    return f"""{p} AS MATERIALIZED (
+        SELECT pair, SUM(freq) AS f FROM (
+            SELECT UNNEST(LIST_TRANSFORM(
+                       GENERATE_SERIES(1, LEN(toks) - 1),
+                       j -> toks[j] || '|' || toks[j + 1])) AS pair,
+                   freq
+            FROM (SELECT freq,
+                         LIST_FILTER(STRING_SPLIT(TRIM(sym), ' '), x -> x <> '') AS toks
+                  FROM {prev})
+            WHERE LEN(toks) >= 2
+        ) GROUP BY pair
+    ), {b} AS MATERIALIZED (
+        SELECT pair, f FROM {p} ORDER BY f DESC, pair ASC LIMIT 1
+    ), {v} AS MATERIALIZED (
+        SELECT word, freq,
+               REPLACE(sym,
+                       (SELECT ' ' || REPLACE(pair, '|', ' ') || ' ' FROM {b}),
+                       (SELECT ' ' || REPLACE(pair, '|', '') || ' ' FROM {b})) AS sym
+        FROM {prev}
+    )"""
+
+
 def _bpe_stage_sql() -> str:
     """The shared WITH-clause prefix of both BPE oracles: vocab build,
     symbolization, and the k unrolled (pair-count → argmax → replace)
@@ -1021,29 +1047,7 @@ def _bpe_stage_sql() -> str:
     )"""
     ]
     for i in range(1, _BPE_K + 1):
-        prev = f"v{i - 1}"
-        stages.append(
-            f"""p{i} AS MATERIALIZED (
-        SELECT pair, SUM(freq) AS f FROM (
-            SELECT UNNEST(LIST_TRANSFORM(
-                       GENERATE_SERIES(1, LEN(toks) - 1),
-                       j -> toks[j] || '|' || toks[j + 1])) AS pair,
-                   freq
-            FROM (SELECT freq,
-                         LIST_FILTER(STRING_SPLIT(TRIM(sym), ' '), x -> x <> '') AS toks
-                  FROM {prev})
-            WHERE LEN(toks) >= 2
-        ) GROUP BY pair
-    ), b{i} AS MATERIALIZED (
-        SELECT pair, f FROM p{i} ORDER BY f DESC, pair ASC LIMIT 1
-    ), v{i} AS MATERIALIZED (
-        SELECT word, freq,
-               REPLACE(sym,
-                       (SELECT ' ' || REPLACE(pair, '|', ' ') || ' ' FROM b{i}),
-                       (SELECT ' ' || REPLACE(pair, '|', '') || ' ' FROM b{i})) AS sym
-        FROM {prev}
-    )"""
-        )
+        stages.append(_bpe_iter_sql(f"p{i}", f"b{i}", f"v{i}", f"v{i - 1}"))
     return "WITH " + ",\n    ".join(stages)
 
 
@@ -1140,6 +1144,82 @@ def docs_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     _, rules = _bpe_fit(spark, sf_dir)
     applied = bpe_apply(word_vocab(docs, "text"), rules)
     return bpe_token_stats(applied)
+
+
+# --------------------------------------------------------------------------
+# Q: docs_bpe_bytelevel — BYTE-level BPE with regex pre-tokenization,
+# the GPT-2-style production front end next to the word-level learner
+# (operators/bpe.py::bpe_learn_merges_bytes): ordered-alternation
+# pre-tokens (leading space attached to word/number runs, explicit
+# whitespace classes so Java regex and RE2 agree), each pre-token as
+# its UTF-8 hex byte pairs, then the SHARED merge loop — so the merge
+# table covers any input byte sequence with no unknown-token path.
+# The oracle replays the identical pre-tokenizer (DuckDB
+# regexp_extract_all, same pattern), the identical HEX symbolization,
+# and the same k unrolled argmax/replace rounds via the shared
+# _bpe_iter_sql template. A pytest cross-checks the learner against a
+# pure-Python byte-BPE reference on multi-byte UTF-8 fixtures and pins
+# the UNHEX round-trip.
+# --------------------------------------------------------------------------
+_BBPE_K = 8
+
+
+def _bbpe_oracle() -> str:
+    from pmp_analytics_spark.operators.bpe import BYTE_PRETOKEN_RE
+
+    stages = [
+        f"""bvocab AS MATERIALIZED (
+        SELECT t AS word, COUNT(*) AS freq
+        FROM (SELECT UNNEST(REGEXP_EXTRACT_ALL(text, '{BYTE_PRETOKEN_RE}')) AS t
+              FROM documents)
+        GROUP BY t
+    ), v0 AS MATERIALIZED (
+        SELECT word, freq,
+               ' ' || REGEXP_REPLACE(HEX(word), '(..)', '\\1 ', 'g') AS sym
+        FROM bvocab
+    )"""
+    ]
+    for i in range(1, _BBPE_K + 1):
+        stages.append(_bpe_iter_sql(f"p{i}", f"b{i}", f"v{i}", f"v{i - 1}"))
+    finals = "\n    UNION ALL\n    ".join(
+        f"""SELECT CAST({i} AS BIGINT) AS rank,
+           SPLIT_PART(pair, '|', 1) AS lhs,
+           SPLIT_PART(pair, '|', 2) AS rhs,
+           REPLACE(pair, '|', '') AS merged,
+           CAST(f AS BIGINT) AS pair_freq
+    FROM b{i}"""
+        for i in range(1, _BBPE_K + 1)
+    )
+    return "WITH " + ",\n    ".join(stages) + "\n    " + finals
+
+
+_BBPE_FIT_MEMO: dict = {}
+
+
+def _bbpe_fit(spark: SparkSession, sf_dir: str):
+    """Byte-level merge table, memoized per (session, sf_dir, k) — the
+    _bpe_fit contract applied to the byte alphabet (docs_bpe_bytelevel
+    and the docs_tokenizer_eval third arm share one fit)."""
+    from pmp_analytics_spark.operators.bpe import bpe_learn_merges_bytes
+
+    key = (spark.sparkContext.applicationId, sf_dir, _BBPE_K)
+    hit = _BBPE_FIT_MEMO.get(key)
+    if hit is None:
+        docs = load_table(spark, sf_dir, "documents")
+        rows = (
+            bpe_learn_merges_bytes(docs, "text", _BBPE_K)
+            .orderBy("rank")
+            .collect()
+        )
+        hit = (rows, [(r["lhs"], r["rhs"]) for r in rows])
+        _BBPE_FIT_MEMO[key] = hit
+    return hit
+
+
+@query("docs_bpe_bytelevel", _bbpe_oracle)
+def docs_bpe_bytelevel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rows, _ = _bbpe_fit(spark, sf_dir)
+    return spark.createDataFrame([tuple(r) for r in rows], _BPE_MERGE_SCHEMA)
 
 
 # --------------------------------------------------------------------------
@@ -2173,8 +2253,13 @@ def streaming_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# Q: docs_tokenizer_eval — the tokenizer ABLATION table: BPE and the
-# unigram-LM vocab graded on the same corpus word set (words within the
+# Q: docs_tokenizer_eval — the tokenizer ABLATION table: BPE, BYTE-level
+# BPE (the GPT-2-style production arm — graded on ITS OWN pre-token
+# basis: byte tokenization covers spaces/punctuation too, so its
+# n_words/n_chars denominators are pre-token instances, not the shared
+# word set; fertility/compression remain comparable as corpus-level
+# ratios), and the unigram-LM vocab graded on the same corpus word set
+# (words within the
 # unigram DP bound, which covers this corpus entirely) with the metrics
 # a tokenizer choice is actually made on — corpus token count,
 # fertility (tokens/word), compression (chars/token), and distinct
@@ -2186,11 +2271,31 @@ def streaming_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the strongest cross-tokenizer equivalence the gate can state.
 # --------------------------------------------------------------------------
 def _tokenizer_eval_oracle() -> str:
+    from pmp_analytics_spark.operators.bpe import BYTE_PRETOKEN_RE
+
     bpe = _bpe_stage_sql().removeprefix("WITH ").replace("vocab", "bvocab")
     uni_stages, uni_final = _uni_apply_stages()
+    ystages = [
+        f"""yvocab AS MATERIALIZED (
+        SELECT t AS word, COUNT(*) AS freq
+        FROM (SELECT UNNEST(REGEXP_EXTRACT_ALL(text, '{BYTE_PRETOKEN_RE}')) AS t
+              FROM documents)
+        GROUP BY t
+    ), yv0 AS MATERIALIZED (
+        SELECT word, freq,
+               ' ' || REGEXP_REPLACE(HEX(word), '(..)', '\\1 ', 'g') AS sym
+        FROM yvocab
+    )"""
+    ]
+    for i in range(1, _BBPE_K + 1):
+        ystages.append(
+            _bpe_iter_sql(f"yp{i}", f"yb{i}", f"yv{i}", f"yv{i - 1}")
+        )
     return (
         "WITH "
         + bpe
+        + ",\n    "
+        + ",\n    ".join(ystages)
         + ",\n    "
         + ",\n    ".join(uni_stages)
         + f""",
@@ -2223,8 +2328,25 @@ def _tokenizer_eval_oracle() -> str:
         SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS vocab_used
         FROM (SELECT UNNEST(subs) AS tok FROM useg)
     ),
+    yseg AS MATERIALIZED (
+        SELECT word, freq,
+               LIST_FILTER(STRING_SPLIT(TRIM(sym), ' '), x -> x <> '') AS subs
+        FROM yv{_BBPE_K}
+    ),
+    yeval AS (
+        SELECT CAST(SUM(freq) AS BIGINT) AS n_words,
+               CAST(SUM(freq * LEN(subs)) AS BIGINT) AS n_tokens,
+               CAST(SUM(freq * LENGTH(word)) AS BIGINT) AS n_chars
+        FROM yseg
+    ),
+    yvu AS (
+        SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS vocab_used
+        FROM (SELECT UNNEST(subs) AS tok FROM yseg)
+    ),
     combined AS (
         SELECT 'bpe' AS tokenizer, b.*, v.vocab_used FROM beval b, bvu v
+        UNION ALL
+        SELECT 'bytebpe' AS tokenizer, y.*, z.vocab_used FROM yeval y, yvu z
         UNION ALL
         SELECT 'unigram' AS tokenizer, u.*, w.vocab_used FROM ueval u, uvu w
     )
@@ -2239,7 +2361,13 @@ def _tokenizer_eval_oracle() -> str:
 
 @query("docs_tokenizer_eval", _tokenizer_eval_oracle)
 def docs_tokenizer_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pmp_analytics_spark.operators.bpe import bpe_apply, word_vocab
+    from pmp_analytics_spark.operators.bpe import (
+        apply_merges_to_sym,
+        bpe_apply,
+        byte_pretoken_vocab,
+        byte_symbolized,
+        word_vocab,
+    )
     from pmp_analytics_spark.operators.unigram import (
         _lp_table,
         unigram_fit,
@@ -2296,6 +2424,11 @@ def docs_tokenizer_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     useg = unigram_segment(wv, lp, _UNI_PLEN)
     uni_subs = F.filter(F.split(F.col("seg"), " "), lambda x: x != "")
 
+    _, yrules = _bbpe_fit(spark, sf_dir)
+    yv = byte_pretoken_vocab(docs, "text")
+    yseg = apply_merges_to_sym(byte_symbolized(yv), yrules)
+    byte_subs = F.filter(F.split(F.trim(F.col("sym")), " "), lambda x: x != "")
+
     return eval_row("bpe", bseg, bpe_subs).unionByName(
-        eval_row("unigram", useg, uni_subs)
-    )
+        eval_row("bytebpe", yseg, byte_subs)
+    ).unionByName(eval_row("unigram", useg, uni_subs))

@@ -540,3 +540,67 @@ def test_unigram_segment_round_trip(spark):
         assert out[w].replace(" ", "") == w
         assert out[w].split(" ") == viterbi_segment_py(w, lp, 3)
     assert out["qzk"] == ""  # 'q' not in the piece set -> honest empty
+
+
+def test_byte_bpe_matches_pure_python_and_roundtrips(spark):
+    """Byte-level BPE (regex pre-tokens -> UTF-8 hex byte symbols ->
+    shared merge loop) must (a) learn the exact merge table a
+    pure-Python byte-BPE reference learns on multi-byte UTF-8 fixtures
+    — pinning that the literal boundary-replace rewrite equals the
+    explicit pairwise merge — and (b) round-trip: UNHEX of every
+    final segmentation is the pre-token's exact bytes. Also pins that
+    the pre-tokenization is a partition of the input text."""
+    import collections
+    import re
+
+    from pmp_analytics_spark.operators.bpe import bpe_learn_merges_bytes
+
+    texts = [
+        "Héllo wörld, héllo!",
+        "naïve café déjà vu",
+        "héllo wörld 42 ¢¢",
+        "tab\there\nnew line  spaced",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = [
+        (r["rank"], r["lhs"], r["rhs"], r["merged"], r["pair_freq"])
+        for r in bpe_learn_merges_bytes(df, "text", 10).orderBy("rank").collect()
+    ]
+
+    # pure-python reference (python-re equivalent of the engine pattern:
+    # [^\W\d_] == \p{L} and \d == \p{N} for these fixtures)
+    pat = re.compile(r" ?[^\W\d_]+| ?\d+| ?[^ \t\n\r\w]+|[ \t\n\r]+")
+    vocab: collections.Counter = collections.Counter()
+    for t in texts:
+        toks = pat.findall(t)
+        assert "".join(toks) == t
+        vocab.update(toks)
+    syms = {w: [f"{b:02X}" for b in w.encode()] for w in vocab}
+    ref = []
+    for rank in range(1, 11):
+        pc: collections.Counter = collections.Counter()
+        for w, f in vocab.items():
+            s = syms[w]
+            for a, b in zip(s, s[1:]):
+                pc[(a, b)] += f
+        if not pc:
+            break
+        (lhs, rhs), pf = min(
+            pc.items(), key=lambda kv: (-kv[1], kv[0][0] + "|" + kv[0][1])
+        )
+        ref.append((rank, lhs, rhs, lhs + rhs, pf))
+        for w in syms:
+            s = syms[w]
+            out = []
+            i = 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == lhs and s[i + 1] == rhs:
+                    out.append(lhs + rhs)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            syms[w] = out
+    assert got == ref
+    for w, s in syms.items():
+        assert bytes.fromhex("".join(s)) == w.encode()
