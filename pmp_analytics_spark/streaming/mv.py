@@ -59,6 +59,9 @@ def parse_batch_marker(mk: str | None) -> int | None:
         return None
 
 
+_MIGRATED_ROOTS: set[str] = set()
+
+
 def migrate_legacy_marker(spark, root: str) -> None:
     """One-time upgrade of a pre-namespace bare-integer batch marker to
     ``batch:<id>``, run by every maintenance loop BEFORE its stream
@@ -74,9 +77,16 @@ def migrate_legacy_marker(spark, root: str) -> None:
         rewrite_live_marker,
     )
 
+    if root in _MIGRATED_ROOTS:
+        # once per root per process: after one probe this process only
+        # ever writes namespaced markers, so re-probing the same root is
+        # pure overhead (measured ~6 ms of Hadoop-FS py4j round-trips —
+        # small, but the streaming loops call this at every start)
+        return
     mk = latest_marker(spark, root)
     if mk is not None and mk.isdigit():
         rewrite_live_marker(spark, root, batch_marker(int(mk)))
+    _MIGRATED_ROOTS.add(root)
 
 
 def cdc_apply_stream(
