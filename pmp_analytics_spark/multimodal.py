@@ -307,6 +307,11 @@ def _stdlib_resize(payload: bytes, max_side: int = 64) -> bytes:
         return jpeg_encode(*_nn_resize(*jpeg_decode(payload), max_side))
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         return gif_encode(*_nn_resize(*_gif_decode(payload), max_side))
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        from pmp_analytics_spark.webp import webp_decode, webp_encode
+
+        # re-encode keeps VP8L (lossless in, lossless out)
+        return webp_encode(*_nn_resize(*webp_decode(payload), max_side))
     raise ValueError("no stdlib codec for this image format")
 
 
@@ -392,17 +397,18 @@ def decode_image(payload: bytes) -> object:
     except ImportError:
         pass
     from pmp_analytics_spark.jpeg import jpeg_decode
+    from pmp_analytics_spark.webp import webp_decode
 
     errs = []
-    for codec in (_bmp_decode, _png_decode, jpeg_decode, _gif_decode):
+    for codec in (_bmp_decode, _png_decode, jpeg_decode, _gif_decode, webp_decode):
         try:
             return codec(payload)
         except ValueError as e:
             errs.append(str(e))
     raise NotImplementedError(
         "image decoding beyond uncompressed 24-bit BMP, 8-bit RGB/RGBA "
-        "PNG, sequential/progressive Huffman JPEG, and full-frame GIF "
-        f"requires pillow ({'; '.join(errs)})"
+        "PNG, sequential/progressive Huffman JPEG, full-frame GIF, and "
+        f"lossless WebP (VP8L) requires pillow ({'; '.join(errs)})"
     )
 
 
@@ -475,7 +481,11 @@ def _resize_backend():
         return real
     except ImportError:
         def stdlib_or_fake(payload: bytes, cap: int) -> bytes:
-            if payload[:2] in (b"BM", b"\x89P", b"\xff\xd8"):
+            if payload[:2] in (b"BM", b"\x89P", b"\xff\xd8") or payload[
+                :6
+            ] in (b"GIF87a", b"GIF89a") or (
+                payload[:4] == b"RIFF" and payload[8:12] == b"WEBP"
+            ):
                 try:
                     return _stdlib_resize(payload, 64)
                 except ValueError:

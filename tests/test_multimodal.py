@@ -747,3 +747,112 @@ def test_gif_stdlib_resize_format_preserving():
     assert all(
         rows2[y][3 * x : 3 * x + 3] in in_px for y in range(h2) for x in range(w2)
     )
+
+
+def _make_webp(w, h, seed, **kw):
+    import random
+
+    from pmp_analytics_spark.webp import webp_encode
+
+    rng = random.Random(seed)
+    pal = [bytes(rng.randrange(256) for _ in range(3)) for _ in range(12)]
+    rows = [
+        b"".join(pal[rng.randrange(len(pal))] for _ in range(w))
+        for _ in range(h)
+    ]
+    return webp_encode(w, h, rows, **kw), rows
+
+
+def test_webp_vp8l_roundtrip_all_features():
+    """The VP8L codec round-trips through every decoder path the spec
+    defines: literal Huffman coding, subtract-green, all 14 predictor
+    modes, color transform, color-indexing with every sub-byte bundle
+    width, LZ77 with mapped AND linear distance codes, color cache,
+    meta-Huffman groups, and the 16/17/18 code-length repeats (the
+    encoder always run-length-codes, so every round-trip exercises
+    them)."""
+    import random
+
+    from pmp_analytics_spark.webp import webp_decode, webp_encode
+
+    def check(w, h, rows, **kw):
+        assert webp_decode(webp_encode(w, h, rows, **kw)) == (w, h, rows), kw
+
+    _, rows = _make_webp(17, 11, seed=3)
+    check(17, 11, rows)
+    check(17, 11, rows, subtract_green=True)
+    for mode in range(14):
+        _, r = _make_webp(13, 9, seed=100 + mode)
+        check(13, 9, r, predictor_mode=mode)
+    check(17, 11, rows, color_params=(33, 250, 17))
+    rng = random.Random(9)
+    for nc in (2, 3, 9, 40):
+        pal = [bytes(rng.randrange(256) for _ in range(3)) for _ in range(nc)]
+        pr = [
+            b"".join(pal[rng.randrange(nc)] for _ in range(21)) for _ in range(7)
+        ]
+        check(21, 7, pr, palette=True)
+    flat = [bytes([40, 80, 120]) * 20 for _ in range(15)]
+    check(20, 15, flat, use_lz77=True)  # dist=1 run (mapped code)
+    _, r6 = _make_webp(6, 4, seed=7)
+    check(6, 12, r6 * 3, use_lz77=True)  # dist=6 repeated rows (mapped)
+    _, r300 = _make_webp(300, 3, seed=8)
+    check(300, 12, r300 * 4, use_lz77=True)  # dist=300 (linear code)
+    check(17, 11, rows, cache_bits=4)
+    _, r32 = _make_webp(32, 16, seed=88)
+    check(32, 16, r32, meta_split=True)
+    check(32, 16, r32, meta_split=True, cache_bits=5, use_lz77=True)
+
+
+def test_webp_honest_rejects_and_dispatch():
+    """Lossy VP8 rejects with an explicit message; garbage rejects;
+    decode_image dispatches RIFF/WEBP payloads to the VP8L decoder; the
+    in-scope guard for color-indexing + pixel-geometry transforms."""
+    import struct as _struct
+
+    import pytest as _pytest
+
+    from pmp_analytics_spark.multimodal import decode_image
+    from pmp_analytics_spark.webp import webp_decode
+
+    fake_lossy = (
+        b"RIFF" + _struct.pack("<I", 12) + b"WEBP" + b"VP8 " + _struct.pack("<I", 0)
+    )
+    with _pytest.raises(ValueError, match="lossy VP8"):
+        webp_decode(fake_lossy)
+    with _pytest.raises(ValueError, match="RIFF"):
+        webp_decode(b"NOTRIFF" + b"\x00" * 30)
+    blob, rows = _make_webp(9, 5, seed=4)
+    assert decode_image(blob) == (9, 5, rows)
+    with _pytest.raises(NotImplementedError, match="VP8L"):
+        decode_image(fake_lossy)
+
+
+def test_thumbnails_use_real_webp_decode_in_spark(spark):
+    """docs_payload_thumbnails machinery over real WebP payloads: the
+    mapInPandas batch takes the stdlib VP8L decode→resize→re-encode
+    branch (format-preserving: output is again lossless WebP at the
+    downscaled dimensions), not the byte-truncation fake."""
+    import hashlib as _hl
+
+    from pmp_analytics_spark.multimodal import _stdlib_resize, resize_thumbnails
+    from pmp_analytics_spark.webp import webp_decode
+
+    payloads = {
+        1: _make_webp(100, 80, seed=1)[0],
+        2: _make_webp(30, 64, seed=2, subtract_green=True, use_lz77=True)[0],
+    }
+    df = spark.createDataFrame(
+        [
+            (i, p, ("image/webp", 0, 0, len(p)))
+            for i, p in payloads.items()
+        ],
+        "doc_id long, payload binary, meta struct<content_type:string,width:int,height:int,n_bytes:bigint>",
+    )
+    rows = {r["doc_id"]: r for r in resize_thumbnails(df).collect()}
+    for i, p in payloads.items():
+        expect = _stdlib_resize(p, 64)
+        assert rows[i]["thumb_md5"] == _hl.md5(expect).hexdigest()
+        assert rows[i]["thumb_bytes"] == len(expect)
+    w, h, _ = webp_decode(_stdlib_resize(payloads[1], 64))
+    assert (w, h) == (64, 51)
