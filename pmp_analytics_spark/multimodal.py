@@ -576,6 +576,119 @@ def chunk_audio(
     return ensure_parallelism(with_payload).mapInPandas(batches, AUDIO_CHUNK_SCHEMA)
 
 
+
+# ---------------------------------------------------------------------------
+# MJPEG-in-AVI: the simplest REAL video container (RIFF 'AVI ' form,
+# 'movi' LIST of '##dc' chunks, each a complete JPEG image for the
+# MJPG codec) — so the per-frame pipeline (sample_frames) runs on real
+# video fixtures with the existing from-the-spec JPEG decoder, the
+# GIF/JPEG/WebP stdlib precedent extended to the video column. Public
+# basis: the OpenDML/AVI RIFF form (Microsoft "AVI RIFF File
+# Reference") and the motion-JPEG convention of one standalone JPEG
+# per '##dc' chunk. Inter-frame codecs (H.264 & co.) reject honestly —
+# motion compensation belongs to ffmpeg, not a stdlib walk.
+# ---------------------------------------------------------------------------
+
+
+def avi_mjpeg_frames(payload: bytes) -> list[bytes]:
+    """Every video frame ('##dc'/'##db' chunk) in an AVI 'movi' list.
+    ValueError when not an AVI; NotImplementedError when frames are not
+    MJPEG (no stdlib decoder for inter-frame codecs)."""
+    import struct as _struct
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI container")
+
+    frames: list[bytes] = []
+
+    def walk(data: bytes) -> None:
+        pos = 0
+        while pos + 8 <= len(data):
+            tag = data[pos : pos + 4]
+            (size,) = _struct.unpack("<I", data[pos + 4 : pos + 8])
+            body = data[pos + 8 : pos + 8 + size]
+            if tag == b"LIST" and len(body) >= 4:
+                if body[:4] in (b"movi", b"hdrl", b"rec "):
+                    walk(body[4:])
+            elif tag[2:4] in (b"dc", b"db") and tag[:2].isdigit():
+                frames.append(body)
+            pos += 8 + size + (size & 1)
+
+    walk(payload[12:])
+    if not frames:
+        raise ValueError("avi: no video frame chunks in 'movi'")
+    for f in frames:
+        if f[:2] != b"\xff\xd8":
+            raise NotImplementedError(
+                "avi: frame chunks are not MJPEG (no SOI marker) — "
+                "inter-frame video codecs require ffmpeg"
+            )
+    return frames
+
+
+def frame_sample(payload: bytes, n_frames: int = 4) -> list[bytes]:
+    """Video frame sampling: REAL for MJPEG-in-AVI payloads (container
+    walk + per-frame JPEG bytes, evenly strided down to ``n_frames``),
+    the deterministic byte-range stand-in otherwise (keeps the
+    downstream per-frame pipeline testable, and oracle-stable, for the
+    text-byte fixtures)."""
+    if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        frames = avi_mjpeg_frames(payload)
+        if len(frames) <= n_frames:
+            return frames
+        step = len(frames) / n_frames
+        return [frames[int(i * step)] for i in range(n_frames)]
+    return fake_frame_sample(payload, n_frames)
+
+
+def avi_mjpeg_encode(
+    width: int, height: int, jpeg_frames: list[bytes], fps: int = 10
+) -> bytes:
+    """Minimal-but-valid MJPEG AVI writer for fixtures: RIFF('AVI ')
+    with hdrl (avih + one 'vids'/'MJPG' stream: strh + a
+    BITMAPINFOHEADER strf), a movi LIST of '00dc' chunks, and an idx1
+    index. Each input frame must be a standalone JPEG."""
+    import struct as _struct
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) & 1 else b""
+        return tag + _struct.pack("<I", len(body)) + body + pad
+
+    def lst(kind: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", kind + body)
+
+    n = len(jpeg_frames)
+    maxb = max((len(f) for f in jpeg_frames), default=0)
+    avih = _struct.pack(
+        "<14I",
+        1_000_000 // fps, maxb * fps, 0, 0x10, n, 0, 1, maxb,
+        width, height, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vids" + b"MJPG"
+        + _struct.pack("<I2HI", 0, 0, 0, 0)
+        + _struct.pack("<6I", 1, fps, 0, n, maxb, 0xFFFFFFFF)
+        + _struct.pack("<I", 0)
+        + _struct.pack("<4h", 0, 0, width, height)
+    )
+    strf = _struct.pack(
+        "<I2i2H4s5I",
+        40, width, height, 1, 24, b"MJPG", width * height * 3, 0, 0, 0, 0,
+    )
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi_body = b"".join(chunk(b"00dc", f) for f in jpeg_frames)
+    movi = lst(b"movi", movi_body)
+    idx = bytearray()
+    off = 4  # offsets relative to the start of 'movi' list data
+    for f in jpeg_frames:
+        idx += b"00dc" + _struct.pack("<3I", 0x10, off, len(f))
+        off += 8 + len(f) + (len(f) & 1)
+    body = b"AVI " + hdrl + movi + chunk(b"idx1", bytes(idx))
+    return b"RIFF" + _struct.pack("<I", len(body)) + body
+
 FRAME_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),
@@ -588,17 +701,18 @@ FRAME_SCHEMA = StructType(
 
 def sample_frames(with_payload: DataFrame, n_frames: int = 4) -> DataFrame:
     """Per-frame fan-out: one payload row in → ``n_frames`` frame rows out,
-    via ``mapInPandas`` (the Python-side set-returning shape — a real video
-    pipeline swaps ``fake_frame_sample`` for decoder output, nothing else
-    changes). Output rows carry per-frame byte features; empty payloads
-    produce no rows.
+    via ``mapInPandas`` (the Python-side set-returning shape). REAL
+    frames for MJPEG-in-AVI payloads (``frame_sample`` walks the RIFF
+    container and strides the '##dc' JPEG chunks); the deterministic
+    byte-range stand-in for payloads with no stdlib video codec. Output
+    rows carry per-frame byte features; empty payloads produce no rows.
     """
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             out: dict[str, list] = {"doc_id": [], "frame_idx": [], "frame_bytes": [], "frame_md5": []}
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                for i, frame in enumerate(fake_frame_sample(bytes(payload), n_frames)):
+                for i, frame in enumerate(frame_sample(bytes(payload), n_frames)):
                     out["doc_id"].append(doc_id)
                     out["frame_idx"].append(i)
                     out["frame_bytes"].append(len(frame))

@@ -986,6 +986,82 @@ def docs_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Q: docs_video_frame_dims — REAL video decode end-to-end: each doc
+# (doc_id < 40) becomes a deterministic MJPEG-in-AVI container
+# (2 + doc_id%5 flat-color JPEG frames at 16+8*(doc_id%3) square), the
+# engine walks the RIFF container (multimodal.avi_mjpeg_frames),
+# decodes every sampled frame with the from-the-spec JPEG codec, and
+# reports the DECODED dimensions + sampled frame count. The oracle
+# predicts those numbers arithmetically from the same fixture params —
+# so a broken container walk, broken frame striding, or broken JPEG
+# decode all hash-mismatch (wrong dims, wrong counts, or an error),
+# while the frame BYTES stay real codec output (their md5s are pinned
+# in pytest where Python can re-encode; SQL cannot build a JPEG).
+# --------------------------------------------------------------------------
+@query(
+    "docs_video_frame_dims",
+    """
+    WITH p AS (
+        SELECT doc_id, 2 + doc_id % 5 AS n_total,
+               CAST(16 + 8 * (doc_id % 3) AS BIGINT) AS side
+        FROM documents WHERE doc_id < 40
+    )
+    SELECT doc_id, UNNEST(RANGE(0, LEAST(n_total, 4))) AS frame_idx,
+           side AS frame_w, side AS frame_h,
+           CAST(n_total AS BIGINT) AS n_frames_total
+    FROM p
+    """,
+)
+def docs_video_frame_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from pmp_analytics_spark.operators.partitioning import ensure_parallelism
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") < 40
+    ).select("doc_id")
+
+    def batches(it):
+        from pmp_analytics_spark.jpeg import jpeg_decode, jpeg_encode
+        from pmp_analytics_spark.multimodal import (
+            avi_mjpeg_encode,
+            frame_sample,
+        )
+
+        for pdf in it:
+            out = {
+                "doc_id": [], "frame_idx": [], "frame_w": [],
+                "frame_h": [], "n_frames_total": [],
+            }
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                n_total = 2 + doc_id % 5
+                side = 16 + 8 * (doc_id % 3)
+                frames = [
+                    jpeg_encode(
+                        side, side,
+                        [bytes([(doc_id * 7 + k * 31) % 256] * (3 * side))] * side,
+                    )
+                    for k in range(n_total)
+                ]
+                avi = avi_mjpeg_encode(side, side, frames)
+                for i, fr in enumerate(frame_sample(avi, n_frames=4)):
+                    w, h, _rows = jpeg_decode(fr)
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(i)
+                    out["frame_w"].append(w)
+                    out["frame_h"].append(h)
+                    out["n_frames_total"].append(n_total)
+            yield pd.DataFrame(out)
+
+    schema = (
+        "doc_id long, frame_idx long, frame_w long, frame_h long, "
+        "n_frames_total long"
+    )
+    return ensure_parallelism(docs).mapInPandas(batches, schema)
+
+
+# --------------------------------------------------------------------------
 # Q: docs_winnowing — rolling-hash (winnowing/MOSS) document fingerprints:
 # md5 every k-gram, slide a window over the hash sequence, keep per-window
 # minima, dedupe. Local-sampling guarantee: any shared substring of length

@@ -856,3 +856,73 @@ def test_thumbnails_use_real_webp_decode_in_spark(spark):
         assert rows[i]["thumb_bytes"] == len(expect)
     w, h, _ = webp_decode(_stdlib_resize(payloads[1], 64))
     assert (w, h) == (64, 51)
+
+
+def test_avi_mjpeg_real_frames_and_rejects():
+    """MJPEG-in-AVI: the RIFF walk returns the exact per-frame JPEG
+    bytes (decodable by the stdlib JPEG codec at the right dimensions),
+    frame_sample strides evenly, non-AVI payloads keep the
+    deterministic stand-in, and inter-frame codecs reject honestly."""
+    import pytest as _pytest
+
+    from pmp_analytics_spark.jpeg import jpeg_decode
+    from pmp_analytics_spark.multimodal import (
+        avi_mjpeg_encode,
+        avi_mjpeg_frames,
+        fake_frame_sample,
+        frame_sample,
+    )
+
+    frames = [_make_jpeg(32, 24, seed=s)[0] for s in range(6)]
+    avi = avi_mjpeg_encode(32, 24, frames)
+    got = avi_mjpeg_frames(avi)
+    assert got == frames
+    for f in got:
+        w, h, _ = jpeg_decode(f)
+        assert (w, h) == (32, 24)
+    # even stride: 6 frames -> 4 samples at indices 0,1,3,4
+    sampled = frame_sample(avi, n_frames=4)
+    assert sampled == [frames[0], frames[1], frames[3], frames[4]]
+    assert frame_sample(avi, n_frames=10) == frames  # fewer than asked
+    # non-AVI payloads keep the stand-in path
+    assert frame_sample(b"plain text bytes", 4) == fake_frame_sample(
+        b"plain text bytes", 4
+    )
+    with _pytest.raises(ValueError, match="RIFF/AVI"):
+        avi_mjpeg_frames(b"NOTAVI" + b"\x00" * 40)
+    h264 = avi_mjpeg_encode(32, 24, [b"\x00\x00\x00\x01" + b"x" * 50])
+    with _pytest.raises(NotImplementedError, match="inter-frame"):
+        avi_mjpeg_frames(h264)
+
+
+def test_sample_frames_real_mjpeg_in_spark(spark):
+    """sample_frames over an MJPEG AVI payload: the mapInPandas rows
+    carry the md5 of the EXACT JPEG frame bytes — the per-frame
+    pipeline is real on a fixture-grade container, while text payloads
+    in the same batch keep the stand-in (both paths in one run)."""
+    import hashlib as _hl
+
+    from pmp_analytics_spark.multimodal import (
+        avi_mjpeg_encode,
+        fake_frame_sample,
+        sample_frames,
+    )
+
+    frames = [_make_jpeg(16, 12, seed=10 + s)[0] for s in range(4)]
+    avi = avi_mjpeg_encode(16, 12, frames)
+    txt = b"just text payload bytes here"
+    df = spark.createDataFrame(
+        [(1, avi), (2, txt)], "doc_id long, payload binary"
+    )
+    rows = sorted(
+        (r["doc_id"], r["frame_idx"], r["frame_md5"], r["frame_bytes"])
+        for r in sample_frames(df, n_frames=4).collect()
+    )
+    expect = sorted(
+        [(1, i, _hl.md5(f).hexdigest(), len(f)) for i, f in enumerate(frames)]
+        + [
+            (2, i, _hl.md5(f).hexdigest(), len(f))
+            for i, f in enumerate(fake_frame_sample(txt, 4))
+        ]
+    )
+    assert rows == expect
