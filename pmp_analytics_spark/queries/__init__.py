@@ -55,38 +55,43 @@ _PACK_MODULES = {
 }
 
 
-# Round-8 record rotation: every query in the registry has appeared in
-# at least one official record r01-r07 (VERDICT r7 confirmed the
-# rotation debt fully paid), so the front is simply the round-8
-# additions (never sampled by definition), followed by the queries
-# whose ORACLES or operators this round touched (PageRank out_w HAVING
-# pin, scd2_apply per-row effective ticks, the marker migration's
-# streaming loops) so the official record re-confirms them. Names that
-# fall out of the registry are skipped silently.
+# Round-9 record rotation: the rotation remains debt-free (VERDICT r8
+# confirmed every registry query has appeared in at least one official
+# record r01-r08), so the front is the round-9 additions (never sampled
+# by definition) followed by the queries whose ORACLES or operators
+# round 9 touched (passage-id packing widened, Luhn NULL pin, PSI
+# oracle generation, LPA tie-break, BPE oracle-template refactor +
+# byte-level eval arm, connected-components rewrite behind the dedup
+# family, frame-sampling dispatch) so the official record re-confirms
+# them. Names that fall out of the registry are skipped silently.
 _RECORD_FRONT = (
-    # round-8 second-tranche additions (newest first: never sampled)
-    "docs_bigram_heavy_hitters", "part_copurchase_triangles",
-    "orders_exact_percentiles", "docs_passage_bm25",
-    "customer_card_luhn_audit", "docs_bm25_index_cdc",
-    "part_copurchase_communities", "docs_split_leakage",
-    "part_copurchase_kcore", "docs_tokenizer_eval", "event_attribution",
-    "orders_priority_percentiles", "docs_drift_psi", "streaming_drift_psi", "docs_curation_funnel", "docs_lsh_diagnostics",
-    # queries whose shared machinery this tranche touched, re-confirmed
-    "pii_scrub_extract", "docs_unigram_segment",
-    # round-8 first-tranche additions
-    "docs_exact_substring_dedup", "docs_suffix_array",
-    "embedding_ivfpq_topk", "embedding_index_eval",
-    "streaming_pointintime_enrich", "docs_unigram_lm_vocab",
-    "docs_substring_dedup_cdc", "embedding_ivfpq_cdc",
-    "docs_unigram_segment", "docs_dedup_eval",
-    "streaming_substring_dedup",
+    # round-9 additions (never sampled by definition)
+    "docs_dedup_components_distributed",
+    "event_value_ddsketch",
+    "streaming_value_ddsketch",
+    "docs_bpe_bytelevel",
+    "docs_video_frame_dims",
     # oracles/operators touched this round, re-confirmed up front
-    "nation_trade_pagerank", "nation_trade_ppr", "streaming_pagerank_cdc",
-    "user_state_scd2", "customer_scd2_apply", "streaming_scd2_apply",
-    "purchase_state_pointintime", "streaming_join_mv",
-    "lineitem_star_join_mv", "streaming_mv_refresh",
-    "streaming_merge_upsert", "docs_payload_thumbnails",
-    "docs_dup_spans", "docs_dup_span_removal",
+    "docs_passage_bm25",
+    "customer_card_luhn_audit",
+    "streaming_drift_psi",
+    "orders_priority_percentiles",
+    "part_copurchase_communities",
+    "docs_tokenizer_eval",
+    "docs_bpe_merges",
+    "docs_bpe_encode",
+    "docs_frame_samples",
+    "docs_payload_thumbnails",
+    "docs_bigram_heavy_hitters",
+    "docs_dedup_canonical",
+    "docs_dedup_eval",
+    "streaming_conversion_lag",
+    "streaming_mv_refresh",
+    "streaming_merge_upsert",
+    "streaming_scd2_apply",
+    "streaming_substring_dedup",
+    "streaming_pagerank_cdc",
+    "streaming_pointintime_enrich",
 )
 
 

@@ -409,7 +409,28 @@ def _soak_queries(names: list[str] | None = None):
             _graph_edges_ns(sp, d), "u", "v", iterations=4
         )
 
+    def _cc_star_ns(sp, d):
+        # The DECLARED docs_dedup_components_distributed fixture is a
+        # constant 200-node graph (correctness arena); the soak instead
+        # chains EVERY doc within its 5000-doc replica block (one
+        # 5000-node path per replica — the adversarial diameter for the
+        # O(diameter) scheme the star rounds replaced). Per-replica
+        # diameter is constant across scales, so the star round count
+        # stays ~log(5000) while edges/labels grow linearly — exactly
+        # the O(log n)-rounds claim the soak is meant to witness.
+        from pmp_analytics_spark.operators.dedup import connected_components
+
+        docs = load_table(sp, d, "documents").select("doc_id")
+        pairs = docs.where(F.col("doc_id") % 5000 != 4999).select(
+            F.col("doc_id").alias("id_a"),
+            (F.col("doc_id") + 1).alias("id_b"),
+        )
+        return connected_components(
+            pairs, driver_edge_limit=0, max_iterations=25
+        )
+
     specials = {
+        "docs_dedup_components_distributed": _cc_star_ns,
         # BM25 soak shape: 10 query docs PER replica (the declared
         # doc_id < 10 set stays constant across scales and would measure
         # scan growth only) — each replica's queries match only its own
