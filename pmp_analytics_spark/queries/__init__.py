@@ -71,6 +71,7 @@ _RECORD_FRONT = (
     "streaming_value_ddsketch",
     "docs_bpe_bytelevel",
     "docs_video_frame_dims",
+    "event_value_ddsketch_cascade",
     # oracles/operators touched this round, re-confirmed up front
     "docs_passage_bm25",
     "customer_card_luhn_audit",

@@ -1001,3 +1001,78 @@ def streaming_value_ddsketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "state_s1",
         "state_s2",
     )
+
+
+# --------------------------------------------------------------------------
+# Q: event_value_ddsketch_cascade — quantile rollups EXACT PERCENTILES
+# CANNOT DO: weekly P50/P99 of `value` reaggregated from DAILY DDSketch
+# bucket partials. Percentiles don't compose across days (a day's P99
+# tells you nothing about the week's), so an exact daily rollup is
+# useless for weekly quantiles — but DDSketch buckets merge by SUM, so
+# the daily integer bucket layer (the only data-sized aggregation)
+# serves every coarser granularity by re-aggregation: the HLL-cascade
+# property (event_daily_users_hll_cascade), on the quantile axis.
+# Determinism: the merged store is a pure multiset function, so
+# day-layer-then-merge is bit-identical to a direct weekly build — the
+# oracle replays the DIRECT weekly build and the hash check pins the
+# equivalence (the collapse runs on the merged layer, mirrored in the
+# oracle by collapsing after the weekly grouping). Integer state
+# moments pin the full store per week.
+# --------------------------------------------------------------------------
+@query(
+    "event_value_ddsketch_cascade",
+    f"""
+    WITH __w AS (
+        SELECT CAST(EPOCH(DATE_TRUNC('week', ts)) AS BIGINT) AS week_s, value
+        FROM events WHERE value IS NOT NULL
+    ), __sketch AS (
+        {ddsketch_oracle_sql("value", ["week_s"], "__w", [0.5, 0.99], _DD_ALPHA, 64)}
+    )
+    SELECT * FROM __sketch
+    """,
+)
+def event_value_ddsketch_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pmp_analytics_spark.operators.sketches import (
+        dd_bucket,
+        dd_collapse,
+        ddsketch_quantiles,
+        ddsketch_state_moments,
+    )
+
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    # day layer: the ONLY data-sized aggregation (uncollapsed — partials
+    # must stay lossless until the final granularity's cap applies)
+    daily = (
+        ev.select(
+            F.unix_timestamp(F.date_trunc("day", "ts")).alias("day_s"),
+            dd_bucket(F.col("value"), _DD_ALPHA).alias("bkt"),
+        )
+        .groupBy("day_s", "bkt")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    # weekly layer derives from day partials by SUM — sketch-sized work
+    # (floor-division week key, Monday-based like DuckDB's
+    # DATE_TRUNC('week'): epoch day 4 — 1970-01-05 — was a Monday, so
+    # Mondays are day numbers ≡ 4 (mod 7): floor((d-4)/7)*7+4)
+    weekly_raw = (
+        daily.withColumn(
+            "week_s",
+            (F.floor((F.col("day_s") / 86400 - 4) / 7) * 7 + 4) * 86400,
+        )
+        .groupBy("week_s", "bkt")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    state = dd_collapse(weekly_raw, ["week_s"], max_buckets=64).cache()
+    est = ddsketch_quantiles(state, ["week_s"], [0.5, 0.99], alpha=_DD_ALPHA)
+    mom = ddsketch_state_moments(state, ["week_s"]).withColumnRenamed(
+        "week_s", "__wk"
+    )
+    return est.join(mom, est["week_s"] == mom["__wk"]).select(
+        "week_s",
+        "q",
+        "n_values",
+        "est_value",
+        "n_buckets",
+        "state_s1",
+        "state_s2",
+    )

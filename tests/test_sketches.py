@@ -711,3 +711,72 @@ def test_ddsketch_rejects_negatives(spark):
     df = spark.createDataFrame([(1.0,), (-2.0,)], "v double")
     with _pytest.raises(ValueError, match="negative"):
         ddsketch_state(df, "v", [], alpha=0.01)
+
+
+def test_ddsketch_stream_multibatch_equals_batch(spark, tmp_path):
+    """The DDSketch streaming state claim, pinned under FORCED
+    micro-batch slicing (the HLL multi-batch precedent): three file
+    drops under maxFilesPerTrigger=1, windowed (window, bucket) counts
+    as the one stateful agg — the drained store must equal the batch
+    bucket build row-for-row, because bucket-count SUM is associative
+    regardless of how the stream was sliced."""
+    import time
+
+    from pmp_analytics_spark.operators.sketches import dd_bucket
+    from pmp_analytics_spark.sources.reader import load_table
+    from pmp_analytics_spark.streaming import run_to_memory
+
+    batch = load_table(spark, "/root/testdata/sf0.001", "events").where(
+        F.col("value").isNotNull()
+    )
+
+    def agg(df):
+        return (
+            df.withWatermark("ts", "2 hours")
+            .groupBy(
+                F.window("ts", "6 hours").alias("w"),
+                dd_bucket(F.col("value"), 0.01).alias("bkt"),
+            )
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .select(
+                F.unix_micros(F.col("w.start")).alias("ws"), "bkt", "cnt"
+            )
+        )
+
+    expected = sorted(
+        map(
+            tuple,
+            batch.groupBy(
+                F.window("ts", "6 hours").alias("w"),
+                dd_bucket(F.col("value"), 0.01).alias("bkt"),
+            )
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .select(F.unix_micros(F.col("w.start")).alias("ws"), "bkt", "cnt")
+            .collect(),
+        )
+    )
+
+    src = tmp_path / "drops"
+    src.mkdir()
+    rows = batch.collect()
+    third = (len(rows) + 2) // 3
+    for i in range(3):
+        chunk = rows[i * third : (i + 1) * third]
+        spark.createDataFrame(chunk, batch.schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(src / f"drop_{i}"))
+        time.sleep(1.1)
+
+    sdf = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "*.parquet")
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    q = run_to_memory(
+        agg(sdf), "t_dd_mb", output_mode="complete", state_partitions=8
+    )
+    assert len([p for p in q.recentProgress if p["numInputRows"] > 0]) >= 2
+    got = sorted(map(tuple, spark.table("t_dd_mb").collect()))
+    assert got == expected and len(got) > 0
