@@ -335,6 +335,126 @@ def docs_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Q: docs_bigram_kneser_ney — INTERPOLATED KNESER-NEY smoothing over the
+# bigram table (Kneser & Ney 1995; Chen & Goodman 1998 — the standard
+# n-gram smoother, and what a perplexity-based quality filter should
+# score with instead of raw MLE counts):
+#
+#   P_KN(w2|w1) = max(c(w1,w2) - D, 0)/c(w1)
+#               + (D * N1+(w1,·)/c(w1)) * N1+(·,w2)/N1+(·,·)
+#
+# with the absolute discount ESTIMATED from the bigram counts-of-counts
+# (D = n1/(n1 + 2*n2), the Ney-Essen-Kneser estimate) — the
+# continuation probability rewards words seen in MANY contexts, not
+# merely often ("San Francisco" vs bare "Francisco"). Movement: one
+# corpus-sized bigram count (the docs_bigram_lm exchange), then
+# everything is type-table-sized: two grouped distinct counts, two
+# 1-row broadcast aggregates (bigram-type total + counts-of-counts),
+# one per-w1 window for the report cut. Determinism: every input to
+# the float expression is an exact integer, the expression tree is
+# IDENTICAL in the oracle, and the result rounds at 6.
+# Output: top-5 KN continuations per w1 for the 100 most frequent
+# contexts (report cut; the full smoothed table is the same frame
+# without the windows).
+# --------------------------------------------------------------------------
+@query(
+    "docs_bigram_kneser_ney",
+    f"""
+    WITH tk AS (SELECT {_DUCK_TOKENS} AS toks FROM documents),
+    ix AS (
+        SELECT toks, UNNEST(GENERATE_SERIES(1, LEN(toks) - 1)) AS i
+        FROM tk WHERE LEN(toks) >= 2
+    ),
+    pairs AS (SELECT toks[i] AS w1, toks[i + 1] AS w2 FROM ix),
+    c AS (SELECT w1, w2, COUNT(*) AS n FROM pairs GROUP BY 1, 2),
+    cw1 AS (
+        SELECT w1, SUM(n) AS c1, COUNT(*) AS n1p_fwd FROM c GROUP BY 1
+    ),
+    cw2 AS (SELECT w2, COUNT(*) AS n1p_bwd FROM c GROUP BY 1),
+    tot AS (SELECT COUNT(*) AS n_types FROM c),
+    coc AS (
+        SELECT SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS nn1,
+               SUM(CASE WHEN n = 2 THEN 1 ELSE 0 END) AS nn2
+        FROM c
+    ),
+    top_ctx AS (
+        SELECT w1 FROM cw1 ORDER BY c1 DESC, w1 LIMIT 100
+    ),
+    kn AS (
+        SELECT c.w1, c.w2, c.n,
+               GREATEST(c.n - (nn1 * 1.0 / (nn1 + 2 * nn2)), 0) / cw1.c1
+               + ((nn1 * 1.0 / (nn1 + 2 * nn2)) * cw1.n1p_fwd / cw1.c1)
+                 * (cw2.n1p_bwd * 1.0 / tot.n_types) AS p_kn
+        FROM c
+        JOIN cw1 USING (w1) JOIN cw2 USING (w2)
+        CROSS JOIN tot CROSS JOIN coc
+        WHERE c.w1 IN (SELECT w1 FROM top_ctx)
+    ),
+    r AS (
+        SELECT w1, w2, n, p_kn,
+               ROW_NUMBER() OVER (PARTITION BY w1
+                   ORDER BY p_kn DESC, w2) AS rnk
+        FROM kn
+    )
+    SELECT w1, w2, CAST(n AS BIGINT) AS n_pairs,
+           ROUND(p_kn, 6) AS p_kn, CAST(rnk AS BIGINT) AS rnk
+    FROM r WHERE rnk <= 5
+    """,
+)
+def docs_bigram_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.select(tokens(F.col("text")).alias("toks")).where(
+        F.size("toks") >= 2
+    )
+    bigrams = toked.select(
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("toks"), F.lit(1), F.size("toks") - 1),
+                F.slice(F.col("toks"), F.lit(2), F.size("toks") - 1),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("bg")
+    ).select("bg.w1", "bg.w2")
+    c = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n")).cache()
+    cw1 = c.groupBy("w1").agg(
+        F.sum("n").alias("c1"), F.count(F.lit(1)).alias("n1p_fwd")
+    )
+    cw2 = c.groupBy("w2").agg(F.count(F.lit(1)).alias("n1p_bwd"))
+    tot = c.agg(F.count(F.lit(1)).alias("n_types"))
+    coc = c.agg(
+        F.sum(F.when(F.col("n") == 1, 1).otherwise(0)).alias("nn1"),
+        F.sum(F.when(F.col("n") == 2, 1).otherwise(0)).alias("nn2"),
+    )
+    top_ctx = cw1.orderBy(F.desc("c1"), F.asc("w1")).limit(100).select("w1")
+    d = F.col("nn1") * F.lit(1.0) / (F.col("nn1") + 2 * F.col("nn2"))
+    p_kn = (
+        F.greatest(F.col("n") - d, F.lit(0)) / F.col("c1")
+        + (d * F.col("n1p_fwd") / F.col("c1"))
+        * (F.col("n1p_bwd") * F.lit(1.0) / F.col("n_types"))
+    )
+    kn = (
+        c.join(F.broadcast(top_ctx), "w1")
+        .join(cw1, "w1")
+        .join(cw2, "w2")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(coc))
+        .select("w1", "w2", "n", p_kn.alias("p_kn"))
+    )
+    w = Window.partitionBy("w1").orderBy(F.desc("p_kn"), F.asc("w2"))
+    return (
+        kn.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 5)
+        .select(
+            "w1",
+            "w2",
+            F.col("n").cast("long").alias("n_pairs"),
+            F.round("p_kn", 6).alias("p_kn"),
+            F.col("rnk").cast("long").alias("rnk"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # Q: docs_char_entropy — per-document character-distribution entropy (a
 # compression-ratio-style quality signal: near-zero entropy = degenerate
 # repetition). Pure JVM: char explode → two-level aggregate; entropy via
