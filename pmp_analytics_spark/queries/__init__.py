@@ -73,6 +73,7 @@ _RECORD_FRONT = (
     "docs_video_frame_dims",
     "event_value_ddsketch_cascade",
     "docs_bigram_kneser_ney",
+    "nation_trade_hits",
     # oracles/operators touched this round, re-confirmed up front
     "docs_passage_bm25",
     "customer_card_luhn_audit",

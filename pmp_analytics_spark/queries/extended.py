@@ -1345,6 +1345,111 @@ def streaming_join_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Q: nation_trade_hits — HITS hubs-and-authorities (Kleinberg JACM
+# 1999) over the same weighted nation-trade graph PageRank ranks: what
+# HITS adds is the SPLIT of importance into being a good SOURCE of
+# trade flow (hub = exporter-importance) vs a good SINK (authority =
+# importer-importance) — one global score cannot express a nation that
+# imports heavily but exports little. 8 fixed iterations, L1
+# normalization each half-step (probability-shaped vectors, no square
+# roots in the replay); the oracle unrolls a{{t}}/h{{t}} as MATERIALIZED
+# CTE stages with the identical expression tree (the PageRank oracle
+# strategy). Edge weights are exact integer cents, so the only float
+# noise is the in-edge sum, stable under round-6.
+# --------------------------------------------------------------------------
+_HITS_ITERS = 8
+
+
+def _hits_unrolled_oracle() -> str:
+    steps = []
+    for t in range(1, _HITS_ITERS + 1):
+        hp = f"h{t - 1}"
+        steps.append(
+            f""", araw{t} AS MATERIALIZED (
+        SELECT e.dst AS node, SUM(h.v * e.w) AS s
+        FROM edges e JOIN {hp} h ON e.src = h.node GROUP BY e.dst
+    ), a{t} AS MATERIALIZED (
+        SELECT n.node,
+               COALESCE(r.s, 0.0) / (SELECT SUM(s) FROM araw{t}) AS v
+        FROM nodes n LEFT JOIN araw{t} r ON n.node = r.node
+    ), hraw{t} AS MATERIALIZED (
+        SELECT e.src AS node, SUM(a.v * e.w) AS s
+        FROM edges e JOIN a{t} a ON e.dst = a.node GROUP BY e.src
+    ), h{t} AS MATERIALIZED (
+        SELECT n.node,
+               COALESCE(r.s, 0.0) / (SELECT SUM(s) FROM hraw{t}) AS v
+        FROM nodes n LEFT JOIN hraw{t} r ON n.node = r.node
+    )"""
+        )
+    return (
+        """
+    WITH edges AS MATERIALIZED (
+        SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+               SUM(CAST(FLOOR(l.l_extendedprice * 100) AS BIGINT)) AS w
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        WHERE c.c_nationkey <> s.s_nationkey
+        GROUP BY 1, 2
+    ), nodes AS MATERIALIZED (
+        SELECT DISTINCT src AS node FROM edges
+        UNION SELECT DISTINCT dst FROM edges
+    ), h0 AS MATERIALIZED (
+        SELECT node, 1.0 AS v FROM nodes
+    )"""
+        + "".join(steps)
+        + f"""
+    SELECT nt.n_name,
+           ROUND(a.v, 6) AS authority, ROUND(h.v, 6) AS hub
+    FROM a{_HITS_ITERS} a
+    JOIN h{_HITS_ITERS} h ON a.node = h.node
+    JOIN nation nt ON a.node = nt.n_nationkey
+    """
+    )
+
+
+@query("nation_trade_hits", _hits_unrolled_oracle())
+def nation_trade_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pmp_analytics_spark.operators.graph import hits
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    supplier = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    edges = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(customer, orders["o_custkey"] == customer["c_custkey"])
+        .join(F.broadcast(supplier), li["l_suppkey"] == supplier["s_suppkey"])
+        .where(F.col("c_nationkey") != F.col("s_nationkey"))
+        .select(
+            F.col("c_nationkey").alias("src"),
+            F.col("s_nationkey").alias("dst"),
+            F.floor(F.col("l_extendedprice") * 100).cast("long").alias("w"),
+        )
+    )
+    out = hits(edges, "src", "dst", "w", iterations=_HITS_ITERS)
+    return out.join(
+        F.broadcast(nation), out["node"] == nation["n_nationkey"]
+    ).select(
+        "n_name",
+        F.round("authority", 6).alias("authority"),
+        F.round("hub", 6).alias("hub"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Q: nation_trade_pagerank — weighted PageRank (operators/graph.py) over
 # the nation-to-nation trade graph: edges are customer-nation →
 # supplier-nation flows weighted by exact trade cents (the heavy,

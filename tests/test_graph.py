@@ -154,3 +154,38 @@ def test_empty_graph(spark):
 def test_rejects_negative_iterations(spark):
     with pytest.raises(ValueError, match="iterations"):
         pagerank(_edges_df(spark, [(0, 1, 1)]), "src", "dst", "w", iterations=-1)
+
+
+def test_hits_matches_pure_python_reference(spark):
+    """Weighted HITS with L1 normalization: 8 engine iterations must
+    reproduce an explicit pure-Python power iteration exactly (same
+    expression order), including a dangling-ish node with no in-edges
+    (authority 0) and one with no out-edges (hub 0)."""
+    from pmp_analytics_spark.operators.graph import hits
+
+    edges = [(1, 2, 5), (1, 3, 1), (2, 3, 2), (4, 2, 7), (3, 1, 1)]
+    df = spark.createDataFrame(edges, "src bigint, dst bigint, w bigint")
+    out = {
+        r["node"]: (r["authority"], r["hub"])
+        for r in hits(df, "src", "dst", "w", iterations=8).collect()
+    }
+    nodes = {1, 2, 3, 4}
+    a = {n: 1.0 for n in nodes}
+    h = {n: 1.0 for n in nodes}
+    for _ in range(8):
+        ar = {n: 0.0 for n in nodes}
+        for s, d, w in edges:
+            ar[d] += h[s] * w
+        t = sum(ar.values())
+        a = {n: v / t for n, v in ar.items()}
+        hr = {n: 0.0 for n in nodes}
+        for s, d, w in edges:
+            hr[s] += a[d] * w
+        t = sum(hr.values())
+        h = {n: v / t for n, v in hr.items()}
+    for n in nodes:
+        ga, gh = out[n]
+        assert abs(ga - a[n]) < 1e-9 and abs(gh - h[n]) < 1e-9
+    # L1 invariants
+    assert abs(sum(v[0] for v in out.values()) - 1.0) < 1e-9
+    assert abs(sum(v[1] for v in out.values()) - 1.0) < 1e-9
