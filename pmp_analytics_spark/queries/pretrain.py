@@ -373,8 +373,16 @@ def docs_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     cw2 AS (SELECT w2, COUNT(*) AS n1p_bwd FROM c GROUP BY 1),
     tot AS (SELECT COUNT(*) AS n_types FROM c),
     coc AS (
-        SELECT SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS nn1,
-               SUM(CASE WHEN n = 2 THEN 1 ELSE 0 END) AS nn2
+        -- D undefined when no singleton/doubleton types exist (dense
+        -- corpora, e.g. replicated fixtures at larger sf): fall back to
+        -- the classic fixed discount 0.5
+        SELECT CASE WHEN SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END)
+                       + 2 * SUM(CASE WHEN n = 2 THEN 1 ELSE 0 END) = 0
+                    THEN 0.5
+                    ELSE SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) * 1.0
+                         / (SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END)
+                            + 2 * SUM(CASE WHEN n = 2 THEN 1 ELSE 0 END))
+               END AS dd
         FROM c
     ),
     top_ctx AS (
@@ -382,8 +390,8 @@ def docs_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     kn AS (
         SELECT c.w1, c.w2, c.n,
-               GREATEST(c.n - (nn1 * 1.0 / (nn1 + 2 * nn2)), 0) / cw1.c1
-               + ((nn1 * 1.0 / (nn1 + 2 * nn2)) * cw1.n1p_fwd / cw1.c1)
+               GREATEST(c.n - dd, 0) / cw1.c1
+               + (dd * cw1.n1p_fwd / cw1.c1)
                  * (cw2.n1p_bwd * 1.0 / tot.n_types) AS p_kn
         FROM c
         JOIN cw1 USING (w1) JOIN cw2 USING (w2)
@@ -421,12 +429,17 @@ def docs_bigram_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cw2 = c.groupBy("w2").agg(F.count(F.lit(1)).alias("n1p_bwd"))
     tot = c.agg(F.count(F.lit(1)).alias("n_types"))
+    nn1 = F.sum(F.when(F.col("n") == 1, 1).otherwise(0))
+    nn2 = F.sum(F.when(F.col("n") == 2, 1).otherwise(0))
+    # D undefined when no singleton/doubleton types exist (dense
+    # corpora): fall back to the classic fixed discount 0.5
     coc = c.agg(
-        F.sum(F.when(F.col("n") == 1, 1).otherwise(0)).alias("nn1"),
-        F.sum(F.when(F.col("n") == 2, 1).otherwise(0)).alias("nn2"),
+        F.when(nn1 + 2 * nn2 == 0, F.lit(0.5))
+        .otherwise(nn1 * F.lit(1.0) / (nn1 + 2 * nn2))
+        .alias("dd")
     )
     top_ctx = cw1.orderBy(F.desc("c1"), F.asc("w1")).limit(100).select("w1")
-    d = F.col("nn1") * F.lit(1.0) / (F.col("nn1") + 2 * F.col("nn2"))
+    d = F.col("dd")
     p_kn = (
         F.greatest(F.col("n") - d, F.lit(0)) / F.col("c1")
         + (d * F.col("n1p_fwd") / F.col("c1"))
