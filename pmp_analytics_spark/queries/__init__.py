@@ -74,6 +74,8 @@ _RECORD_FRONT = (
     "event_value_ddsketch_cascade",
     "docs_bigram_kneser_ney",
     "nation_trade_hits",
+    "docs_webp_decode_audit",
+    "docs_perplexity_kn",
     # oracles/operators touched this round, re-confirmed up front
     "docs_passage_bm25",
     "customer_card_luhn_audit",

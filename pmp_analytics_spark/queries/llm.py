@@ -1062,6 +1062,96 @@ def docs_video_frame_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Q: docs_webp_decode_audit — the VP8L (WebP-lossless) codec behind the
+# ORACLE GATE, not just pytest: each doc (doc_id < 60) becomes a
+# deterministic flat-color WebP whose encoding path VARIES by doc
+# (plain literals / subtract-green / a predictor mode / palette /
+# LZ77 / color cache — six real bitstream shapes round-robin), the
+# engine decodes through the full container+VP8L path inside
+# mapInPandas, and reports decoded dims + the exact per-channel pixel
+# sums. Flat color makes those sums pure arithmetic of the fixture
+# params — so the oracle predicts them without being able to build a
+# WebP: a wrong transform inverse, wrong Huffman table, or wrong LZ77
+# copy shows up as a wrong sum or a decode error, at every doc.
+# --------------------------------------------------------------------------
+@query(
+    "docs_webp_decode_audit",
+    """
+    SELECT doc_id,
+           CAST(8 + (doc_id % 5) * 4 AS BIGINT) AS w,
+           CAST(6 + (doc_id % 3) * 4 AS BIGINT) AS h,
+           doc_id % 6 AS variant,
+           (8 + (doc_id % 5) * 4) * (6 + (doc_id % 3) * 4)
+               * ((doc_id * 7) % 256) AS sum_r,
+           (8 + (doc_id % 5) * 4) * (6 + (doc_id % 3) * 4)
+               * ((doc_id * 13 + 40) % 256) AS sum_g,
+           (8 + (doc_id % 5) * 4) * (6 + (doc_id % 3) * 4)
+               * ((doc_id * 29 + 80) % 256) AS sum_b
+    FROM documents WHERE doc_id < 60
+    """,
+)
+def docs_webp_decode_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from pmp_analytics_spark.operators.partitioning import ensure_parallelism
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") < 60
+    ).select("doc_id")
+
+    def batches(it):
+        from pmp_analytics_spark.webp import webp_decode, webp_encode
+
+        for pdf in it:
+            out = {
+                "doc_id": [], "w": [], "h": [], "variant": [],
+                "sum_r": [], "sum_g": [], "sum_b": [],
+            }
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                w = 8 + (doc_id % 5) * 4
+                h = 6 + (doc_id % 3) * 4
+                rgb = bytes(
+                    (
+                        (doc_id * 7) % 256,
+                        (doc_id * 13 + 40) % 256,
+                        (doc_id * 29 + 80) % 256,
+                    )
+                )
+                rows = [rgb * w] * h
+                variant = doc_id % 6
+                kw = [
+                    {},
+                    {"subtract_green": True},
+                    {"predictor_mode": doc_id % 14},
+                    {"palette": True},
+                    {"use_lz77": True},
+                    {"cache_bits": 4, "use_lz77": True},
+                ][variant]
+                dw, dh, drows = webp_decode(webp_encode(w, h, rows, **kw))
+                sr = sg = sb = 0
+                for r in drows:
+                    for x in range(dw):
+                        sr += r[3 * x]
+                        sg += r[3 * x + 1]
+                        sb += r[3 * x + 2]
+                out["doc_id"].append(doc_id)
+                out["w"].append(dw)
+                out["h"].append(dh)
+                out["variant"].append(variant)
+                out["sum_r"].append(sr)
+                out["sum_g"].append(sg)
+                out["sum_b"].append(sb)
+            yield pd.DataFrame(out)
+
+    schema = (
+        "doc_id long, w long, h long, variant long, "
+        "sum_r long, sum_g long, sum_b long"
+    )
+    return ensure_parallelism(docs).mapInPandas(batches, schema)
+
+
+# --------------------------------------------------------------------------
 # Q: docs_winnowing — rolling-hash (winnowing/MOSS) document fingerprints:
 # md5 every k-gram, slide a window over the hash sequence, keep per-window
 # minima, dedupe. Local-sampling guarantee: any shared substring of length

@@ -1433,6 +1433,156 @@ def docs_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PPL_T1 = 1.0 / 3.0
+_PPL_T2 = 2.0 / 3.0
+
+
+# --------------------------------------------------------------------------
+# Q: docs_perplexity_kn — the CCNet-style perplexity scorer UNDER THE
+# KNESER-NEY LM (docs_bigram_kneser_ney's smoother applied to its
+# actual purpose): per-doc cross-entropy of the bigram stream against
+# the interpolated-KN probabilities, perplexity terciles head/middle/
+# tail. What KN changes vs the add-0.5 scorer (docs_perplexity_buckets):
+# rare continuations of rich contexts stop being over-penalized, so
+# boilerplate with a few unusual tokens migrates out of "head" — the
+# reason production CCNet pipelines score with a real smoother.
+# Determinism: per-bigram -ln p rounds to integer NANOS and SUMS AS
+# BIGINT (the drift-PSI idiom — float summation order can never move
+# the result), then one division, one exp, round 4. Scale shape: the
+# ONE bigram stream (cached) feeds LM counts and scoring; the KN
+# factors join on the uniform (w1, w2); terciles are a 1-row broadcast.
+# --------------------------------------------------------------------------
+@query(
+    "docs_perplexity_kn",
+    f"""
+    WITH tk AS (
+        SELECT doc_id, {_DUCK_TOKENS} AS toks FROM documents
+    ), bg AS (
+        SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+        FROM (
+            SELECT doc_id, toks, UNNEST(GENERATE_SERIES(1, LEN(toks) - 1)) AS i
+            FROM tk WHERE LEN(toks) >= 2
+        )
+    ), c AS (
+        SELECT w1, w2, COUNT(*) AS n FROM bg GROUP BY 1, 2
+    ), cw1 AS (
+        SELECT w1, SUM(n) AS c1, COUNT(*) AS n1p_fwd FROM c GROUP BY 1
+    ), cw2 AS (SELECT w2, COUNT(*) AS n1p_bwd FROM c GROUP BY 1),
+    tot AS (SELECT COUNT(*) AS n_types FROM c),
+    coc AS (
+        SELECT CASE WHEN SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END)
+                       + 2 * SUM(CASE WHEN n = 2 THEN 1 ELSE 0 END) = 0
+                    THEN 0.5
+                    ELSE SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) * 1.0
+                         / (SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END)
+                            + 2 * SUM(CASE WHEN n = 2 THEN 1 ELSE 0 END))
+               END AS dd
+        FROM c
+    ), lm AS (
+        SELECT c.w1, c.w2,
+               CAST(ROUND(-LN(
+                   GREATEST(c.n - dd, 0) / cw1.c1
+                   + (dd * cw1.n1p_fwd / cw1.c1)
+                     * (cw2.n1p_bwd * 1.0 / tot.n_types)
+               ) * 1e9) AS BIGINT) AS nll_nanos
+        FROM c
+        JOIN cw1 USING (w1) JOIN cw2 USING (w2)
+        CROSS JOIN tot CROSS JOIN coc
+    ), scored AS (
+        SELECT bg.doc_id, COUNT(*) AS n_bigrams,
+               ROUND(SUM(nll_nanos) / 1e9 / COUNT(*), 6) AS h
+        FROM bg JOIN lm ON bg.w1 = lm.w1 AND bg.w2 = lm.w2
+        GROUP BY 1
+    ), pp AS (
+        SELECT doc_id, n_bigrams, h, ROUND(EXP(h), 4) AS ppl FROM scored
+    ), thr AS (
+        SELECT QUANTILE_CONT(ppl, {_PPL_T1!r}) AS t1,
+               QUANTILE_CONT(ppl, {_PPL_T2!r}) AS t2
+        FROM pp
+    )
+    SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams, h, ppl,
+           CASE WHEN ppl <= t1 THEN 'head'
+                WHEN ppl <= t2 THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM pp CROSS JOIN thr
+    """,
+)
+def docs_perplexity_kn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.select("doc_id", tokens(F.col("text")).alias("toks")).where(
+        F.size("toks") >= 2
+    )
+    bg = toked.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("toks"), F.lit(1), F.size("toks") - 1),
+                F.slice(F.col("toks"), F.lit(2), F.size("toks") - 1),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("bgr"),
+    ).select("doc_id", "bgr.w1", "bgr.w2").cache()
+    c = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n")).cache()
+    cw1 = c.groupBy("w1").agg(
+        F.sum("n").alias("c1"), F.count(F.lit(1)).alias("n1p_fwd")
+    )
+    cw2 = c.groupBy("w2").agg(F.count(F.lit(1)).alias("n1p_bwd"))
+    tot = c.agg(F.count(F.lit(1)).alias("n_types"))
+    nn1 = F.sum(F.when(F.col("n") == 1, 1).otherwise(0))
+    nn2 = F.sum(F.when(F.col("n") == 2, 1).otherwise(0))
+    coc = c.agg(
+        F.when(nn1 + 2 * nn2 == 0, F.lit(0.5))
+        .otherwise(nn1 * F.lit(1.0) / (nn1 + 2 * nn2))
+        .alias("dd")
+    )
+    p_kn = (
+        F.greatest(F.col("n") - F.col("dd"), F.lit(0)) / F.col("c1")
+        + (F.col("dd") * F.col("n1p_fwd") / F.col("c1"))
+        * (F.col("n1p_bwd") * F.lit(1.0) / F.col("n_types"))
+    )
+    lm = (
+        c.join(cw1, "w1")
+        .join(cw2, "w2")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(coc))
+        .select(
+            "w1",
+            "w2",
+            F.round(-F.log(p_kn) * 1e9).cast("long").alias("nll_nanos"),
+        )
+    )
+    scored = (
+        bg.join(lm, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                F.sum("nll_nanos") / F.lit(1e9) / F.count(F.lit(1)), 6
+            ).alias("h"),
+        )
+    )
+    pp = scored.select(
+        "doc_id",
+        F.col("n_bigrams").cast("long").alias("n_bigrams"),
+        "h",
+        F.round(F.exp("h"), 4).alias("ppl"),
+    )
+    thr = pp.agg(
+        F.percentile(F.col("ppl"), F.lit(_PPL_T1)).alias("t1"),
+        F.percentile(F.col("ppl"), F.lit(_PPL_T2)).alias("t2"),
+    )
+    return pp.crossJoin(F.broadcast(thr)).select(
+        "doc_id",
+        "n_bigrams",
+        "h",
+        "ppl",
+        F.when(F.col("ppl") <= F.col("t1"), "head")
+        .when(F.col("ppl") <= F.col("t2"), "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Q: docs_perplexity_buckets — CCNet-style corpus partitioning (Wenzek et
 # al., "CCNet: Extracting High Quality Monolingual Datasets from Web
@@ -1455,10 +1605,6 @@ def docs_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
 # bucket comparisons are engine-exact (the adaptive-quality-filter
 # quantization pattern).
 # --------------------------------------------------------------------------
-_PPL_T1 = 1.0 / 3.0
-_PPL_T2 = 2.0 / 3.0
-
-
 @query(
     "docs_perplexity_buckets",
     f"""
