@@ -1512,6 +1512,11 @@ def docs_perplexity_kn(spark: SparkSession, sf_dir: str) -> DataFrame:
     toked = docs.select("doc_id", tokens(F.col("text")).alias("toks")).where(
         F.size("toks") >= 2
     )
+    # The bigram INSTANCE stream is deliberately NOT cached: it is
+    # corpus-sized, and session-long harnesses (bench) never clear
+    # caches, so a resident instance-stream block would occupy unified
+    # memory for every later query. Recomputing it costs one map-side
+    # scan+explode; only the TYPE table (sketch-sized) is worth keeping.
     bg = toked.select(
         "doc_id",
         F.explode(
@@ -1521,7 +1526,7 @@ def docs_perplexity_kn(spark: SparkSession, sf_dir: str) -> DataFrame:
                 lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
             )
         ).alias("bgr"),
-    ).select("doc_id", "bgr.w1", "bgr.w2").cache()
+    ).select("doc_id", "bgr.w1", "bgr.w2")
     c = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n")).cache()
     cw1 = c.groupBy("w1").agg(
         F.sum("n").alias("c1"), F.count(F.lit(1)).alias("n1p_fwd")
