@@ -1286,3 +1286,87 @@ def dedup_pair_eval(
         .otherwise(F.round(2 * p * r / (p + r), 6))
         .alias("f1"),
     )
+
+
+def connected_components_refresh(
+    old_edges: DataFrame,
+    labels: DataFrame,
+    added: DataFrame,
+    deleted: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """CDC maintenance of connected-component labels in
+    O(delta + affected components) — the index-maintenance discipline
+    (LSH bands / IVF cells / PQ codes / BM25 postings / substring
+    grams) applied to dedup GROUP LABELS, so a streaming near-dup
+    ingest never re-closes the whole pair graph when edges arrive or
+    retract.
+
+    Inputs: the OLD canonical edge set (the stored index), its ``labels``
+    ((id, component) — a prior ``connected_components`` output), and the
+    delta as ``added``/``deleted`` edge frames. Semantics are pinned to
+    the FULL REBUILD: the result equals
+    ``connected_components((old ∪ added) − deleted)`` row-for-row —
+    merges (an added bridge), splits (a deleted cut edge), brand-new
+    nodes, and nodes isolated by deletion (they leave the labeling, as
+    a rebuild drops non-endpoints) all fall out of one rule:
+
+    - affected components = labels of any delta edge endpoint
+      (delta-bounded: ≤ 2|delta| components — broadcast);
+    - re-close ONLY the subgraph of surviving old edges inside affected
+      components plus the added edges, with the O(log n) star rounds;
+    - every untouched component's labels pass through verbatim.
+
+    An edge is "inside an affected component" iff its id_a's label is
+    affected — both endpoints of an old edge share one component, so
+    one side decides. Deleting an edge never present and adding an
+    edge already present are harmless (set semantics throughout).
+    """
+    def canon(df: DataFrame) -> DataFrame:
+        a, b = F.col(id_a), F.col(id_b)
+        return (
+            df.select(
+                F.least(a, b).alias("u"), F.greatest(a, b).alias("v")
+            )
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    old = canon(old_edges)
+    add = canon(added)
+    dele = canon(deleted)
+    delta_nodes = (
+        add.select(F.col("u").alias("id"))
+        .unionAll(add.select(F.col("v").alias("id")))
+        .unionAll(dele.select(F.col("u").alias("id")))
+        .unionAll(dele.select(F.col("v").alias("id")))
+        .distinct()
+    )
+    affected = (
+        labels.join(F.broadcast(delta_nodes), "id")
+        .select("component")
+        .distinct()
+    )
+    keep = old.join(dele, ["u", "v"], "left_anti")
+    lbl_a = labels.select(
+        F.col("id").alias("u"), F.col("component").alias("__c")
+    )
+    sub_old = (
+        keep.join(lbl_a, "u")
+        .join(
+            F.broadcast(affected.withColumnRenamed("component", "__c")),
+            "__c",
+        )
+        .select("u", "v")
+    )
+    sub = sub_old.unionAll(add.join(dele, ["u", "v"], "left_anti")).distinct()
+    relabeled = _alternating_star_components(
+        sub.select(F.col("u").alias("src"), F.col("v").alias("dst")),
+        max_iterations,
+    )
+    untouched = labels.join(
+        F.broadcast(affected), "component", "left_anti"
+    ).select("id", "component")
+    return untouched.unionByName(relabeled)

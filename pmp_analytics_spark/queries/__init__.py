@@ -76,6 +76,7 @@ _RECORD_FRONT = (
     "nation_trade_hits",
     "docs_webp_decode_audit",
     "docs_perplexity_kn",
+    "docs_dedup_components_cdc",
     # oracles/operators touched this round, re-confirmed up front
     "docs_passage_bm25",
     "customer_card_luhn_audit",

@@ -3489,3 +3489,126 @@ def docs_dedup_components_distributed(
     )
     pairs = chain.unionAll(clique).unionAll(tri)
     return connected_components(pairs, driver_edge_limit=0, max_iterations=20)
+
+
+# --------------------------------------------------------------------------
+# Q: docs_dedup_components_cdc — CDC maintenance of dedup GROUP LABELS,
+# completing the index-maintenance family on the graph side (LSH bands
+# 169, IVF 170, PQ 171, IVF-PQ, BM25 postings, substring grams): the
+# pair graph moves (a BRIDGE edge merges the chain and the clique, a
+# mid-chain deletion SPLITS what remains, a redundant triangle edge
+# deletes WITHOUT splitting, brand-new nodes arrive) and the labels
+# follow in O(delta + affected components) — only components touching a
+# delta endpoint are re-closed by the O(log n) star rounds; untouched
+# labels pass through verbatim (operators/dedup.py::
+# connected_components_refresh). The oracle computes the FULL REBUILD
+# closure over (old ∪ added) − deleted with 8 unrolled pointer-doubling
+# rounds — exactly the equivalence the operator pins.
+# --------------------------------------------------------------------------
+def _cc_cdc_oracle() -> str:
+    rounds = []
+    prev = "l0"
+    for k in range(1, 9):
+        rounds.append(f"""
+    l{k} AS MATERIALIZED (
+        SELECT x.id,
+               LEAST(x.lbl, COALESCE(nb.m, x.lbl), COALESCE(j.lbl, x.lbl))
+               AS lbl
+        FROM {prev} x
+        LEFT JOIN (
+            SELECT und.a AS id, MIN(p.lbl) AS m
+            FROM und JOIN {prev} p ON p.id = und.b GROUP BY 1
+        ) nb ON nb.id = x.id
+        LEFT JOIN {prev} j ON j.id = x.lbl
+    )""")
+        prev = f"l{k}"
+    return f"""
+    WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 200),
+    chain AS (
+        SELECT doc_id AS a, doc_id + 1 AS b FROM d WHERE doc_id < 64
+    ),
+    clique AS (
+        SELECT doc_id AS a, UNNEST(GENERATE_SERIES(doc_id + 1, 107)) AS b
+        FROM d WHERE doc_id >= 100 AND doc_id < 107
+    ),
+    tri AS (
+        SELECT doc_id AS a, UNNEST(GENERATE_SERIES(doc_id + 1, 152)) AS b
+        FROM d WHERE doc_id IN (150, 151)
+    ),
+    calm AS (
+        -- a component the delta never touches: its labels must pass
+        -- through the refresh verbatim
+        SELECT doc_id AS a, UNNEST(GENERATE_SERIES(doc_id + 1, 193)) AS b
+        FROM d WHERE doc_id >= 190 AND doc_id < 193
+    ),
+    old AS (
+        SELECT a, b FROM chain
+        UNION ALL SELECT a, b FROM clique
+        UNION ALL SELECT a, b FROM tri
+        UNION ALL SELECT a, b FROM calm
+    ),
+    added AS (
+        SELECT 64 AS a, 100 AS b UNION ALL
+        SELECT 150, 153 UNION ALL SELECT 180, 181
+    ),
+    deleted AS (
+        SELECT 32 AS a, 33 AS b UNION ALL SELECT 150, 151
+    ),
+    e AS MATERIALIZED (
+        SELECT a, b FROM (
+            SELECT a, b FROM old UNION SELECT a, b FROM added
+        ) EXCEPT SELECT a, b FROM deleted
+    ),
+    und AS MATERIALIZED (
+        SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e
+    ),
+    l0 AS MATERIALIZED (
+        SELECT DISTINCT a AS id, a AS lbl FROM und
+    ),{",".join(rounds)}
+    SELECT id, lbl AS component FROM {prev}
+    """
+
+
+@query("docs_dedup_components_cdc", _cc_cdc_oracle())
+def docs_dedup_components_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pmp_analytics_spark.operators.dedup import (
+        connected_components,
+        connected_components_refresh,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id").where(
+        F.col("doc_id") < 200
+    )
+    chain = d.where(F.col("doc_id") < 64).select(
+        F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1).alias("id_b")
+    )
+    clique = (
+        d.where((F.col("doc_id") >= 100) & (F.col("doc_id") < 107))
+        .select(
+            F.col("doc_id").alias("id_a"),
+            F.explode(F.sequence(F.col("doc_id") + 1, F.lit(107))).alias("id_b"),
+        )
+    )
+    tri = d.where(F.col("doc_id").isin(150, 151)).select(
+        F.col("doc_id").alias("id_a"),
+        F.explode(F.sequence(F.col("doc_id") + 1, F.lit(152))).alias("id_b"),
+    )
+    calm = (
+        d.where((F.col("doc_id") >= 190) & (F.col("doc_id") < 193))
+        .select(
+            F.col("doc_id").alias("id_a"),
+            F.explode(F.sequence(F.col("doc_id") + 1, F.lit(193))).alias("id_b"),
+        )
+    )
+    old = chain.unionAll(clique).unionAll(tri).unionAll(calm)
+    added = spark.createDataFrame(
+        [(64, 100), (150, 153), (180, 181)], "id_a bigint, id_b bigint"
+    )
+    deleted = spark.createDataFrame(
+        [(32, 33), (150, 151)], "id_a bigint, id_b bigint"
+    )
+    # the OLD labels are the stored input state, not the operator under
+    # test — build them on the driver fast path; the REFRESH always
+    # re-closes its affected subgraph with the distributed star rounds
+    labels = connected_components(old)
+    return connected_components_refresh(old, labels, added, deleted)

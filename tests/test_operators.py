@@ -2783,3 +2783,36 @@ def test_connected_components_star_raises_on_truncation(spark):
     pairs = spark.createDataFrame(chain, "id_a bigint, id_b bigint")
     with _pytest.raises(RuntimeError, match="fixpoint"):
         connected_components(pairs, driver_edge_limit=0, max_iterations=2)
+
+
+def test_connected_components_refresh_equals_rebuild(spark):
+    """CDC label maintenance == full rebuild, pinned on a random graph
+    whose delta merges components, splits them, isolates nodes, and
+    introduces brand-new ones — the (old ∪ added) − deleted closure
+    must match row-for-row, with untouched components passing through
+    verbatim."""
+    import random
+
+    from pmp_analytics_spark.operators.dedup import (
+        connected_components,
+        connected_components_refresh,
+    )
+
+    rng = random.Random(5)
+    old = {tuple(sorted(rng.sample(range(120), 2))) for _ in range(110)}
+    added = {
+        tuple(sorted(rng.sample(range(140), 2))) for _ in range(18)
+    } - old
+    deleted = set(rng.sample(sorted(old), 15))
+
+    def mk(es):
+        return spark.createDataFrame(sorted(es), "id_a bigint, id_b bigint")
+
+    labels = connected_components(mk(old))
+    ref = connected_components(mk((old | added) - deleted))
+    got = connected_components_refresh(
+        mk(old), labels, mk(added), mk(deleted)
+    )
+    assert {tuple(r) for r in got.collect()} == {
+        tuple(r) for r in ref.collect()
+    }
