@@ -1296,6 +1296,7 @@ def connected_components_refresh(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iterations: int = 20,
+    driver_edge_limit: int = 2_000_000,
 ) -> DataFrame:
     """CDC maintenance of connected-component labels in
     O(delta + affected components) — the index-maintenance discipline
@@ -1316,7 +1317,10 @@ def connected_components_refresh(
     - affected components = labels of any delta edge endpoint
       (delta-bounded: ≤ 2|delta| components — broadcast);
     - re-close ONLY the subgraph of surviving old edges inside affected
-      components plus the added edges, with the O(log n) star rounds;
+      components plus the added edges — through the same two-strategy
+      dispatch as ``connected_components`` (driver union-find when the
+      affected subgraph is small, O(log n) star rounds beyond
+      ``driver_edge_limit``);
     - every untouched component's labels pass through verbatim.
 
     An edge is "inside an affected component" iff its id_a's label is
@@ -1362,9 +1366,10 @@ def connected_components_refresh(
         .select("u", "v")
     )
     sub = sub_old.unionAll(add.join(dele, ["u", "v"], "left_anti")).distinct()
-    relabeled = _alternating_star_components(
-        sub.select(F.col("u").alias("src"), F.col("v").alias("dst")),
-        max_iterations,
+    relabeled = connected_components(
+        sub.select(F.col("u").alias("id_a"), F.col("v").alias("id_b")),
+        max_iterations=max_iterations,
+        driver_edge_limit=driver_edge_limit,
     )
     untouched = labels.join(
         F.broadcast(affected), "component", "left_anti"

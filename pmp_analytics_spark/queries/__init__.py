@@ -77,6 +77,7 @@ _RECORD_FRONT = (
     "docs_webp_decode_audit",
     "docs_perplexity_kn",
     "docs_dedup_components_cdc",
+    "streaming_dedup_components",
     # oracles/operators touched this round, re-confirmed up front
     "docs_passage_bm25",
     "customer_card_luhn_audit",

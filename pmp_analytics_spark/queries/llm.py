@@ -3611,4 +3611,144 @@ def docs_dedup_components_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     # test — build them on the driver fast path; the REFRESH always
     # re-closes its affected subgraph with the distributed star rounds
     labels = connected_components(old)
-    return connected_components_refresh(old, labels, added, deleted)
+    # pin the refresh's re-closure onto the DISTRIBUTED star rounds —
+    # this query is the family's distributed-path witness; the
+    # streaming twin exercises the dispatch's driver path
+    return connected_components_refresh(
+        old, labels, added, deleted, driver_edge_limit=0
+    )
+
+
+# --------------------------------------------------------------------------
+# Q: streaming_dedup_components — the SAME component labels maintained
+# from an edge CDC STREAM (streaming/components.py::
+# cdc_components_stream): three micro-batch file drops (a bridge-merge;
+# a mid-chain split + a brand-new pair; a new triangle) each refresh
+# the labels in O(delta + affected) and publish (labels, edges) under
+# per-root batch markers — labels FIRST, which makes replay
+# time-travel unnecessary (the refresh consumes only pre-batch state).
+# Each edge appears in one batch, and per-batch refresh is pinned to
+# rebuild semantics, so the final labels are slicing-independent: the
+# oracle is the full pointer-doubling closure over the FINAL edge set.
+# --------------------------------------------------------------------------
+def _cc_stream_oracle() -> str:
+    rounds = []
+    prev = "l0"
+    for k in range(1, 9):
+        rounds.append(f"""
+    l{k} AS MATERIALIZED (
+        SELECT x.id,
+               LEAST(x.lbl, COALESCE(nb.m, x.lbl), COALESCE(j.lbl, x.lbl))
+               AS lbl
+        FROM {prev} x
+        LEFT JOIN (
+            SELECT und.a AS id, MIN(p.lbl) AS m
+            FROM und JOIN {prev} p ON p.id = und.b GROUP BY 1
+        ) nb ON nb.id = x.id
+        LEFT JOIN {prev} j ON j.id = x.lbl
+    )""")
+        prev = f"l{k}"
+    return f"""
+    WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 200),
+    chain AS (
+        SELECT doc_id AS a, doc_id + 1 AS b FROM d WHERE doc_id < 8
+    ),
+    clique AS (
+        SELECT doc_id AS a, UNNEST(GENERATE_SERIES(doc_id + 1, 103)) AS b
+        FROM d WHERE doc_id >= 100 AND doc_id < 103
+    ),
+    calm AS (
+        SELECT doc_id AS a, doc_id + 1 AS b FROM d WHERE doc_id = 190
+    ),
+    old AS (
+        SELECT a, b FROM chain
+        UNION ALL SELECT a, b FROM clique
+        UNION ALL SELECT a, b FROM calm
+    ),
+    added AS (
+        SELECT 8 AS a, 100 AS b
+        UNION ALL SELECT 180, 181
+        UNION ALL SELECT 150, 151 UNION ALL SELECT 151, 152
+        UNION ALL SELECT 150, 152
+    ),
+    deleted AS (SELECT 3 AS a, 4 AS b),
+    e AS MATERIALIZED (
+        SELECT a, b FROM (
+            SELECT a, b FROM old UNION SELECT a, b FROM added
+        ) EXCEPT SELECT a, b FROM deleted
+    ),
+    und AS MATERIALIZED (
+        SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e
+    ),
+    l0 AS MATERIALIZED (
+        SELECT DISTINCT a AS id, a AS lbl FROM und
+    ),{",".join(rounds)}
+    SELECT id, lbl AS component FROM {prev}
+    """
+
+
+@query("streaming_dedup_components", _cc_stream_oracle())
+def streaming_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from pmp_analytics_spark.operators.dedup import connected_components
+    from pmp_analytics_spark.sources.writers import (
+        publish_versioned,
+        read_latest,
+    )
+    from pmp_analytics_spark.streaming import stream_workdir
+    from pmp_analytics_spark.streaming.components import (
+        cdc_components_stream,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id").where(
+        F.col("doc_id") < 200
+    )
+    chain = d.where(F.col("doc_id") < 8).select(
+        F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1).alias("id_b")
+    )
+    clique = (
+        d.where((F.col("doc_id") >= 100) & (F.col("doc_id") < 103))
+        .select(
+            F.col("doc_id").alias("id_a"),
+            F.explode(F.sequence(F.col("doc_id") + 1, F.lit(103))).alias("id_b"),
+        )
+    )
+    calm = d.where(F.col("doc_id") == 190).select(
+        F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1).alias("id_b")
+    )
+    old = chain.unionAll(clique).unionAll(calm)
+
+    work = stream_workdir("pmp_cc_stream")
+    edges_root = os.path.join(work, "edges")
+    labels_root = os.path.join(work, "labels")
+    feed = os.path.join(work, "cdc")
+    # two batches, each edge in exactly one; the MERGE and the SPLIT
+    # land in different batches so both refresh shapes run under the
+    # exactly-once markers (depth/scale of the star rounds themselves
+    # is the batch CDC query's and the soak's job, not this one's)
+    batches = [
+        [("add", 8, 100), ("add", 180, 181)],
+        [
+            ("del", 3, 4),
+            ("add", 150, 151), ("add", 151, 152), ("add", 150, 152),
+        ],
+    ]
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(
+            rows, "op string, id_a bigint, id_b bigint"
+        ).coalesce(1).write.parquet(os.path.join(feed, f"drop_{i}"))
+    publish_versioned(old.coalesce(1), edges_root)
+    publish_versioned(connected_components(old).coalesce(1), labels_root)
+    schema = "op string, id_a bigint, id_b bigint"
+    cdc_components_stream(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "*.parquet")
+        .option("recursiveFileLookup", "true")
+        .parquet(feed),
+        edges_root,
+        labels_root,
+        checkpoint_dir=os.path.join(work, "ckpt"),
+    )
+    return read_latest(spark, labels_root).select("id", "component")

@@ -726,3 +726,66 @@ def test_migrate_legacy_marker_restores_replay_guard(spark, tmp_path):
     migrate_legacy_marker(spark, sem_root)
     assert latest_marker(spark, sem_root) == "v2024-01"
     migrate_legacy_marker(spark, str(tmp_path / "missing_root"))  # no-op
+
+
+def test_cdc_components_stream_slicing_independent(spark, tmp_path):
+    """Streaming label maintenance must be micro-batch-slicing
+    INDEPENDENT: the same edge delta drained as one batch or three
+    lands on identical (labels, edges) state, equal to the full
+    rebuild over the final edge set — merges, a split, and brand-new
+    nodes included."""
+    import os
+
+    from pmp_analytics_spark.operators.dedup import connected_components
+    from pmp_analytics_spark.sources.writers import publish_versioned, read_latest
+    from pmp_analytics_spark.streaming.components import cdc_components_stream
+
+    old_edges = [(i, i + 1) for i in range(10)] + [
+        (100, 101), (101, 102), (100, 102),
+    ]
+    deltas = [
+        [("add", 10, 100)],
+        [("del", 4, 5), ("add", 200, 201)],
+        [("add", 300, 301), ("add", 301, 302)],
+    ]
+    final_edges = (
+        {(u, v) for u, v in old_edges} - {(4, 5)}
+    ) | {(10, 100), (200, 201), (300, 301), (301, 302)}
+    expect = {
+        tuple(r)
+        for r in connected_components(
+            spark.createDataFrame(sorted(final_edges), "id_a bigint, id_b bigint")
+        ).collect()
+    }
+
+    for slicing, name in ((deltas, "three"), ([sum(deltas, [])], "one")):
+        work = str(tmp_path / name)
+        edges_root = os.path.join(work, "edges")
+        labels_root = os.path.join(work, "labels")
+        feed = os.path.join(work, "cdc")
+        old_df = spark.createDataFrame(old_edges, "id_a bigint, id_b bigint")
+        publish_versioned(old_df.coalesce(1), edges_root)
+        publish_versioned(
+            connected_components(old_df).coalesce(1), labels_root
+        )
+        for i, rows in enumerate(slicing):
+            spark.createDataFrame(
+                rows, "op string, id_a bigint, id_b bigint"
+            ).coalesce(1).write.parquet(os.path.join(feed, f"drop_{i}"))
+        cdc_components_stream(
+            spark.readStream.schema("op string, id_a bigint, id_b bigint")
+            .option("maxFilesPerTrigger", 1)
+            .option("pathGlobFilter", "*.parquet")
+            .option("recursiveFileLookup", "true")
+            .parquet(feed),
+            edges_root,
+            labels_root,
+            checkpoint_dir=os.path.join(work, "ckpt"),
+        )
+        got = {tuple(r) for r in read_latest(spark, labels_root).collect()}
+        assert got == expect, name
+        got_edges = {
+            (r["id_a"], r["id_b"])
+            for r in read_latest(spark, edges_root).collect()
+        }
+        assert got_edges == final_edges, name
