@@ -1037,6 +1037,12 @@ def connected_components(
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        # Self-loop pairs (id_a == id_b) are dropped on EVERY path — the
+        # star rounds and connected_components_refresh's canon() already
+        # filter u != v, so the driver union-find must too, or the output
+        # would depend on the driver_edge_limit dispatch (a self-loop-only
+        # node got an identity label on one path and vanished on the other).
+        .where(F.col("src") != F.col("dst"))
         .distinct()
         .cache()
     )

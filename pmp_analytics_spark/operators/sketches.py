@@ -559,7 +559,8 @@ def cms_oracle_sql(
 # Zero values occupy a reserved sentinel bucket (DDSketch's separate
 # zero count) excluded from collapse; negatives are out of scope and
 # must be filtered by the caller (documented, not silently dropped:
-# ddsketch_state raises if it sees one).
+# dd_bucket raises at execution time if it sees one, riding the
+# bucketing pass instead of a separate pre-scan).
 # ---------------------------------------------------------------------------
 
 DD_ZERO_BKT = -(1 << 62)  # sentinel bucket for exact zeros
@@ -572,12 +573,30 @@ def dd_gamma(alpha: float) -> float:
 def dd_bucket(col: Column, alpha: float) -> Column:
     """Logarithmic bucket index ``ceil(ln(v) / ln(gamma))`` for v > 0,
     the zero sentinel for v = 0. Pure JVM math — one log, one divide,
-    one ceil per row, inside whole-stage codegen."""
+    one ceil per row, inside whole-stage codegen.
+
+    Negatives RAISE at execution time via a ``raise_error`` branch in
+    the same expression — the guard rides the one bucketing pass every
+    consumer (batch build, streaming state, rollup cascade) already
+    runs, instead of a separate data-sized pre-scan."""
     import math
 
     lg = math.log(dd_gamma(alpha))
     return (
-        F.when(col == 0, F.lit(DD_ZERO_BKT))
+        F.when(
+            col < 0,
+            F.raise_error(
+                F.concat(
+                    F.lit("ddsketch: negative value "),
+                    col.cast("string"),
+                    F.lit(
+                        " — DDSketch's logarithmic buckets cover [0, inf); "
+                        "filter or split the negative store explicitly"
+                    ),
+                )
+            ).cast("long"),
+        )
+        .when(col == 0, F.lit(DD_ZERO_BKT))
         .otherwise(F.ceil(F.log(col.cast("double")) / F.lit(lg)))
         .cast("long")
     )
@@ -607,13 +626,10 @@ def ddsketch_state(
     against the cap.
     """
     v = F.col(value_col)
-    neg = df.where(v < 0).limit(1).count()
-    if neg:
-        raise ValueError(
-            f"ddsketch_state: {value_col} contains negative values — "
-            "DDSketch's logarithmic buckets cover [0, inf); filter or "
-            "split the negative store explicitly"
-        )
+    # negatives raise inside dd_bucket's expression at execution time —
+    # the guard rides the single aggregation pass (no extra input scan;
+    # the old where(v < 0).limit(1).count() pre-check doubled input I/O
+    # in the common no-negatives case)
     raw = (
         df.where(v.isNotNull())
         .select(*group_cols, dd_bucket(v, alpha).alias("bkt"))

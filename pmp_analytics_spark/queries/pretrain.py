@@ -865,8 +865,9 @@ def supplier_geomean_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
 # more than once in the ENTIRE corpus (within-doc repeats count). The
 # canonical pre-filter for substring-level dedup: a high ratio marks a
 # document whose content is largely boilerplate already seen elsewhere.
-# Reference analogue: the reference dedups whole rows (unique/keep-first,
-# top_ten_prescribers.py:61); this extends that hygiene to sub-document
+# Reference analogue: the reference dedups whole rows (unique(),
+# delinquent_data_submitters.py:67; keep-first after an ordered sort,
+# mm2.py:37-39); this extends that hygiene to sub-document
 # granularity for pre-training corpora. Plan: explode positions map-side,
 # hash each gram once (60-bit md5, uniform keys), two aggregation trees
 # keyed on the hash (per-doc gram counts, corpus totals), join on the
@@ -1157,9 +1158,15 @@ def _bpe_iter_sql(p: str, b: str, v: str, prev: str) -> str:
         SELECT pair, f FROM {p} ORDER BY f DESC, pair ASC LIMIT 1
     ), {v} AS MATERIALIZED (
         SELECT word, freq,
+               -- COALESCE guard: if merges run dry before this round, {b}
+               -- is empty and the scalar subqueries return NULL, which
+               -- would NULL every sym (REPLACE(s, NULL, NULL) IS NULL).
+               -- Falling back to search == replace makes REPLACE the
+               -- identity, so a dry round is a no-op exactly like the
+               -- engine's early break.
                REPLACE(sym,
-                       (SELECT ' ' || REPLACE(pair, '|', ' ') || ' ' FROM {b}),
-                       (SELECT ' ' || REPLACE(pair, '|', '') || ' ' FROM {b})) AS sym
+                       COALESCE((SELECT ' ' || REPLACE(pair, '|', ' ') || ' ' FROM {b}), CHR(1)),
+                       COALESCE((SELECT ' ' || REPLACE(pair, '|', '') || ' ' FROM {b}), CHR(1))) AS sym
         FROM {prev}
     )"""
 

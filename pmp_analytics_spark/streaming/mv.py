@@ -86,7 +86,13 @@ def migrate_legacy_marker(spark, root: str) -> None:
     mk = latest_marker(spark, root)
     if mk is not None and mk.isdigit():
         rewrite_live_marker(spark, root, batch_marker(int(mk)))
-    _MIGRATED_ROOTS.add(root)
+    if mk is not None:
+        # memoize only roots where a marker was actually OBSERVED — a
+        # root that did not exist (or had no marker) at probe time may
+        # be (re)created later at the same path with a legacy
+        # bare-integer marker, and memoizing the absence would skip its
+        # migration for the rest of the process
+        _MIGRATED_ROOTS.add(root)
 
 
 def cdc_apply_stream(

@@ -410,6 +410,44 @@ def test_connected_components_vs_union_find(spark):
     assert got_dist == expected
 
 
+def test_connected_components_self_loops_consistent(spark):
+    """Self-loop pairs (id_a == id_b) are dropped identically on the
+    driver union-find path, the distributed star path, and CDC refresh —
+    previously the driver path emitted an (x, x) identity label that the
+    star path filtered, so the output depended on the dispatch."""
+    from pmp_analytics_spark.operators.dedup import (
+        connected_components,
+        connected_components_refresh,
+    )
+
+    # 7 is self-loop-only; 1 has a self-loop plus a real edge
+    edges = [(1, 2), (2, 3), (1, 1), (7, 7), (10, 11)]
+    pairs = spark.createDataFrame(edges, ["id_a", "id_b"])
+    expected = {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}  # no row for 7
+
+    got_drv = {r["id"]: r["component"] for r in connected_components(pairs).collect()}
+    got_star = {
+        r["id"]: r["component"]
+        for r in connected_components(pairs, driver_edge_limit=0).collect()
+    }
+    assert got_drv == expected
+    assert got_star == expected
+
+    # refresh with self-loops in the delta equals the rebuild
+    def mk(es):
+        return spark.createDataFrame(es, "id_a bigint, id_b bigint")
+
+    labels = connected_components(mk([(1, 2), (2, 3), (10, 11)]))
+    got_ref = connected_components_refresh(
+        mk([(1, 2), (2, 3), (10, 11)]),
+        labels,
+        added=mk([(7, 7), (3, 10)]),
+        deleted=mk([(1, 1)]),
+    )
+    ref = connected_components(mk([(1, 2), (2, 3), (10, 11), (3, 10)]))
+    assert {tuple(r) for r in got_ref.collect()} == {tuple(r) for r in ref.collect()}
+
+
 def test_dedup_keep_canonical_transitive(spark):
     from pmp_analytics_spark.operators.dedup import dedup_keep_canonical
 

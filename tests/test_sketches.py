@@ -704,13 +704,23 @@ def test_ddsketch_collapse_bound_and_merge(spark):
 
 
 def test_ddsketch_rejects_negatives(spark):
+    """Negatives raise at EXECUTION time from inside dd_bucket's
+    expression (the guard rides the single bucketing pass — no separate
+    data-sized pre-scan), for both the batch builder and any direct
+    dd_bucket consumer such as the streaming state queries."""
     import pytest as _pytest
 
     from pmp_analytics_spark.operators.sketches import ddsketch_state
 
     df = spark.createDataFrame([(1.0,), (-2.0,)], "v double")
-    with _pytest.raises(ValueError, match="negative"):
-        ddsketch_state(df, "v", [], alpha=0.01)
+    with _pytest.raises(Exception, match="negative value"):
+        ddsketch_state(df, "v", [], alpha=0.01).collect()
+
+    # the no-negatives plan must contain NO extra scan: building the
+    # state frame is lazy and triggers zero jobs
+    ok = spark.createDataFrame([(1.0,), (2.0,)], "v double")
+    state = ddsketch_state(ok, "v", [], alpha=0.01)
+    assert [r["cnt"] for r in state.orderBy("bkt").collect()] == [1, 1]
 
 
 def test_ddsketch_stream_multibatch_equals_batch(spark, tmp_path):

@@ -727,6 +727,19 @@ def test_migrate_legacy_marker_restores_replay_guard(spark, tmp_path):
     assert latest_marker(spark, sem_root) == "v2024-01"
     migrate_legacy_marker(spark, str(tmp_path / "missing_root"))  # no-op
 
+    # ADVICE r9: a root probed while ABSENT must not be memoized — if it
+    # is later created at the same path with a legacy bare-int marker,
+    # the next loop start must still migrate it
+    late_root = str(tmp_path / "late_root")
+    migrate_legacy_marker(spark, late_root)  # nothing there yet
+    publish_versioned(state, late_root, marker="3")  # legacy form appears
+    migrate_legacy_marker(spark, late_root)
+    assert latest_marker(spark, late_root) == "batch:3"
+    # and a root WITH an observed marker IS memoized (probe runs once)
+    from pmp_analytics_spark.streaming.mv import _MIGRATED_ROOTS
+
+    assert late_root in _MIGRATED_ROOTS and root in _MIGRATED_ROOTS
+
 
 def test_cdc_components_stream_slicing_independent(spark, tmp_path):
     """Streaming label maintenance must be micro-batch-slicing
