@@ -111,8 +111,10 @@ def learn_merges_from_sym(symed: DataFrame, n_merges: int) -> DataFrame:
                 F.lit(f" {merged} "),
             ),
         ).localCheckpoint(eager=False)
-    return spark.createDataFrame(
-        merges, "rank long, lhs string, rhs string, merged string, pair_freq long"
+    from pmp_analytics_spark.sources.local import local_df
+
+    return local_df(
+        spark, merges, "rank long, lhs string, rhs string, merged string, pair_freq long"
     )
 
 

@@ -1071,9 +1071,9 @@ def connected_components(
         out = [(x, find(x)) for x in parent]
         id_type = dict(pairs.dtypes)[id_a]
         edges.unpersist()
-        return spark.createDataFrame(
-            out, schema=f"id {id_type}, component {id_type}"
-        )
+        from pmp_analytics_spark.sources.local import local_df
+
+        return local_df(spark, out, f"id {id_type}, component {id_type}")
     labels = _alternating_star_components(edges, max_iterations)
     edges.unpersist()
     return labels

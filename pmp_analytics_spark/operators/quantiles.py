@@ -88,9 +88,11 @@ def exact_percentiles(
         .agg(F.sum("c2").alias("cum"))
     )
 
+    from pmp_analytics_spark.sources.local import local_df
+
     spark = df.sparkSession
-    qdf = spark.createDataFrame(
-        [(int(num), int(den)) for num, den in qs], "num long, den long"
+    qdf = local_df(
+        spark, [(int(num), int(den)) for num, den in qs], "num long, den long"
     )
     # ceil(num*n/den) in pure BIGINT arithmetic (`div` is integer
     # division): no float boundary can ever move a rank.
@@ -170,9 +172,11 @@ def exact_group_percentiles(
         .agg(F.sum("c2").alias("cum"))
     )
 
+    from pmp_analytics_spark.sources.local import local_df
+
     spark = df.sparkSession
-    qdf = spark.createDataFrame(
-        [(int(num), int(den)) for num, den in qs], "num long, den long"
+    qdf = local_df(
+        spark, [(int(num), int(den)) for num, den in qs], "num long, den long"
     )
     targets = qdf.crossJoin(F.broadcast(bounds)).select(
         "g",

@@ -357,8 +357,10 @@ def ivf_topk(
     spark = corpus.sparkSession
     assigned, cents = kmeans_assign(corpus, n_centroids, corpus_id, corpus_vec, seed)
 
+    from pmp_analytics_spark.sources.local import local_df
+
     centroids = [(i, [float(x) for x in c]) for i, c in enumerate(cents)]
-    cent_df = spark.createDataFrame(centroids, ["__cell", "__centroid"])
+    cent_df = local_df(spark, centroids, "__cell bigint, __centroid array<double>")
 
     # nprobe nearest cells per query (centroids broadcast; tiny cross)
     q_cells = (
@@ -982,9 +984,12 @@ def ivfpq_topk(
     )
     codes = ivfpq_encode(corpus, cents, books, corpus_id, corpus_vec)
 
-    cent_df = spark.createDataFrame(
+    from pmp_analytics_spark.sources.local import local_df
+
+    cent_df = local_df(
+        spark,
         [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
-        ["__cell", "__centroid"],
+        "__cell bigint, __centroid array<double>",
     )
     q_cells = queries.crossJoin(F.broadcast(cent_df)).withColumn(
         "__dist",

@@ -3601,11 +3601,13 @@ def docs_dedup_components_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     old = chain.unionAll(clique).unionAll(tri).unionAll(calm)
-    added = spark.createDataFrame(
-        [(64, 100), (150, 153), (180, 181)], "id_a bigint, id_b bigint"
+    from pmp_analytics_spark.sources.local import local_df
+
+    added = local_df(
+        spark, [(64, 100), (150, 153), (180, 181)], "id_a bigint, id_b bigint"
     )
-    deleted = spark.createDataFrame(
-        [(32, 33), (150, 151)], "id_a bigint, id_b bigint"
+    deleted = local_df(
+        spark, [(32, 33), (150, 151)], "id_a bigint, id_b bigint"
     )
     # the OLD labels are the stored input state, not the operator under
     # test — build them on the driver fast path; the REFRESH always
@@ -3734,9 +3736,11 @@ def streaming_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("add", 150, 151), ("add", 151, 152), ("add", 150, 152),
         ],
     ]
+    from pmp_analytics_spark.sources.local import local_df
+
     for i, rows in enumerate(batches):
-        spark.createDataFrame(
-            rows, "op string, id_a bigint, id_b bigint"
+        local_df(
+            spark, rows, "op string, id_a bigint, id_b bigint"
         ).coalesce(1).write.parquet(os.path.join(feed, f"drop_{i}"))
     publish_versioned(old.coalesce(1), edges_root)
     publish_versioned(connected_components(old).coalesce(1), labels_root)

@@ -1237,8 +1237,12 @@ def degree_board_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokened = cleaned.where(~F.col("name_clean").rlike("DVM|VMD")).select(
         "c_custkey", last_token("name_clean").alias("degree")
     )
-    boards = load_table(spark, sf_dir, "region").sparkSession.createDataFrame(
-        [(d.replace(".", ""), b) for d, b in _DEGREE_BOARDS], ["degree", "board"]
+    from pmp_analytics_spark.sources.local import local_df
+
+    boards = local_df(
+        load_table(spark, sf_dir, "region").sparkSession,
+        [(d.replace(".", ""), b) for d, b in _DEGREE_BOARDS],
+        "degree string, board string",
     )
     return tokened.join(F.broadcast(boards), on="degree", how="left").select(
         "c_custkey", "degree", "board"

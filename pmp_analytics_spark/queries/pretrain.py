@@ -1239,8 +1239,10 @@ def clear_bpe_fit() -> None:
 
 @query("docs_bpe_merges", _bpe_oracle)
 def docs_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pmp_analytics_spark.sources.local import local_df
+
     rows, _ = _bpe_fit(spark, sf_dir)
-    return spark.createDataFrame([tuple(r) for r in rows], _BPE_MERGE_SCHEMA)
+    return local_df(spark, rows, _BPE_MERGE_SCHEMA)
 
 
 # --------------------------------------------------------------------------
@@ -1358,8 +1360,10 @@ def _bbpe_fit(spark: SparkSession, sf_dir: str):
 
 @query("docs_bpe_bytelevel", _bbpe_oracle)
 def docs_bpe_bytelevel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pmp_analytics_spark.sources.local import local_df
+
     rows, _ = _bbpe_fit(spark, sf_dir)
-    return spark.createDataFrame([tuple(r) for r in rows], _BPE_MERGE_SCHEMA)
+    return local_df(spark, rows, _BPE_MERGE_SCHEMA)
 
 
 # --------------------------------------------------------------------------
@@ -1935,7 +1939,10 @@ def docs_tokenize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         bpe_token_stats(vocab_sym).collect(),
         key=lambda r: (-r["token_freq"], r["token"]),
     )
-    ids = docs.sparkSession.createDataFrame(
+    from pmp_analytics_spark.sources.local import local_df
+
+    ids = local_df(
+        docs.sparkSession,
         [(r["token"], i + 1) for i, r in enumerate(stat_rows)],
         "token string, token_id long",
     )
@@ -2723,3 +2730,359 @@ def docs_tokenizer_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return eval_row("bpe", bseg, bpe_subs).unionByName(
         eval_row("bytebpe", yseg, byte_subs)
     ).unionByName(eval_row("unigram", useg, uni_subs))
+
+
+# --------------------------------------------------------------------------
+# Q: docs_trigram_kneser_ney — TRIGRAM MODIFIED Kneser-Ney (Chen &
+# Goodman 1998's "modified" variant: THREE count-dependent discounts
+# D1/D2/D3+ per model level, estimated from that level's counts-of-
+# counts, with the recursive continuation-count backoff chain
+# trigram → bigram → unigram). This is the production CCNet-filtering
+# LM shape — the bigram interpolated-KN query (docs_bigram_kneser_ney)
+# is its faithful miniature:
+#
+#   P(w3|w1w2) = max(c(w123) - D(c), 0)/c(w12) + gamma(w12) * P(w3|w2)
+#   gamma(w12) = (D1*N1(w12.) + D2*N2(w12.) + D3*N3+(w12.)) / c(w12)
+#   Y = n1/(n1+2n2);  D1 = 1-2Y*n2/n1;  D2 = 2-3Y*n3/n2;  D3 = 3-4Y*n4/n3
+#
+# and the bigram level runs on CONTINUATION counts chat(w2w3) =
+# |{w1 : c(w123) > 0}| with its OWN modified discounts, ending at the
+# unigram continuation distribution N1+(.w3)/N1+(..). Every discount
+# ratio is zero-guarded (the sf0.1-density lesson: dense corpora can
+# empty any count-of-count bucket) and clamped at 0.
+#
+# Scale shape: ONE corpus-sized trigram count (map-side combine on the
+# uniform (w1,w2,w3)); every other frame is TYPE-table-sized (context
+# tables, continuation tables, two 1-row discount broadcasts); the
+# report cut (top-5 continuations of the 100 heaviest contexts) windows
+# only context-bounded rows. No reference analog (north-star LM
+# surface); the bigram twin documents the shared movement.
+# --------------------------------------------------------------------------
+def _kn3_duck_lm() -> str:
+    """Shared oracle CTE chain ending at ``p`` = the full trigram
+    modified-KN probability table (plus ``tri`` = the doc-tagged
+    trigram instance stream)."""
+    return f"""
+    tk AS (SELECT doc_id, {_DUCK_TOKENS} AS toks FROM documents),
+    tri AS (
+        SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2, toks[i + 2] AS w3
+        FROM (SELECT doc_id, toks, UNNEST(GENERATE_SERIES(1, LEN(toks) - 2)) AS i
+              FROM tk WHERE LEN(toks) >= 3)
+    ),
+    c3 AS MATERIALIZED (
+        SELECT w1, w2, w3, COUNT(*) AS n FROM tri GROUP BY 1, 2, 3
+    ),
+    d3s AS (
+        SELECT GREATEST(CASE WHEN n1 = 0 THEN 0.5
+                             ELSE 1.0 - 2.0 * y * n2 / n1 END, 0.0) AS d1,
+               GREATEST(CASE WHEN n2 = 0 THEN 1.0
+                             ELSE 2.0 - 3.0 * y * n3 / n2 END, 0.0) AS d2,
+               GREATEST(CASE WHEN n3 = 0 THEN 1.5
+                             ELSE 3.0 - 4.0 * y * n4 / n3 END, 0.0) AS d3
+        FROM (SELECT n1, n2, n3, n4,
+                     CASE WHEN n1 + 2 * n2 = 0 THEN 0.5
+                          ELSE n1 * 1.0 / (n1 + 2 * n2) END AS y
+              FROM (SELECT SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS n1,
+                           SUM(CASE WHEN n = 2 THEN 1 ELSE 0 END) AS n2,
+                           SUM(CASE WHEN n = 3 THEN 1 ELSE 0 END) AS n3,
+                           SUM(CASE WHEN n = 4 THEN 1 ELSE 0 END) AS n4
+                    FROM c3))
+    ),
+    ctx AS (
+        SELECT w1, w2, SUM(n) AS c12,
+               SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS k1,
+               SUM(CASE WHEN n = 2 THEN 1 ELSE 0 END) AS k2,
+               SUM(CASE WHEN n >= 3 THEN 1 ELSE 0 END) AS k3
+        FROM c3 GROUP BY 1, 2
+    ),
+    cc2 AS MATERIALIZED (
+        SELECT w2, w3, COUNT(*) AS chat FROM c3 GROUP BY 1, 2
+    ),
+    d2s AS (
+        SELECT GREATEST(CASE WHEN n1 = 0 THEN 0.5
+                             ELSE 1.0 - 2.0 * y * n2 / n1 END, 0.0) AS dp1,
+               GREATEST(CASE WHEN n2 = 0 THEN 1.0
+                             ELSE 2.0 - 3.0 * y * n3 / n2 END, 0.0) AS dp2,
+               GREATEST(CASE WHEN n3 = 0 THEN 1.5
+                             ELSE 3.0 - 4.0 * y * n4 / n3 END, 0.0) AS dp3
+        FROM (SELECT n1, n2, n3, n4,
+                     CASE WHEN n1 + 2 * n2 = 0 THEN 0.5
+                          ELSE n1 * 1.0 / (n1 + 2 * n2) END AS y
+              FROM (SELECT SUM(CASE WHEN chat = 1 THEN 1 ELSE 0 END) AS n1,
+                           SUM(CASE WHEN chat = 2 THEN 1 ELSE 0 END) AS n2,
+                           SUM(CASE WHEN chat = 3 THEN 1 ELSE 0 END) AS n3,
+                           SUM(CASE WHEN chat = 4 THEN 1 ELSE 0 END) AS n4
+                    FROM cc2))
+    ),
+    ctx2 AS (
+        SELECT w2, SUM(chat) AS c2dot,
+               SUM(CASE WHEN chat = 1 THEN 1 ELSE 0 END) AS m1,
+               SUM(CASE WHEN chat = 2 THEN 1 ELSE 0 END) AS m2,
+               SUM(CASE WHEN chat >= 3 THEN 1 ELSE 0 END) AS m3
+        FROM cc2 GROUP BY 1
+    ),
+    cu AS (SELECT w3, COUNT(*) AS nbwd FROM cc2 GROUP BY 1),
+    totbg AS (SELECT COUNT(*) AS n_bg_types FROM cc2),
+    p AS MATERIALIZED (
+        SELECT c3.w1, c3.w2, c3.w3, c3.n,
+               GREATEST(c3.n - (CASE WHEN c3.n = 1 THEN d1
+                                     WHEN c3.n = 2 THEN d2
+                                     ELSE d3 END), 0.0) / ctx.c12
+               + ((d1 * ctx.k1 + d2 * ctx.k2 + d3 * ctx.k3) / ctx.c12)
+                 * (GREATEST(cc2.chat - (CASE WHEN cc2.chat = 1 THEN dp1
+                                              WHEN cc2.chat = 2 THEN dp2
+                                              ELSE dp3 END), 0.0) / ctx2.c2dot
+                    + ((dp1 * ctx2.m1 + dp2 * ctx2.m2 + dp3 * ctx2.m3)
+                       / ctx2.c2dot)
+                      * (cu.nbwd * 1.0 / totbg.n_bg_types)) AS p_kn3
+        FROM c3
+        JOIN ctx USING (w1, w2) JOIN cc2 USING (w2, w3)
+        JOIN ctx2 USING (w2) JOIN cu USING (w3)
+        CROSS JOIN d3s CROSS JOIN d2s CROSS JOIN totbg
+    )"""
+
+
+def _kn3_frames(spark: SparkSession, sf_dir: str):
+    """(tri, p) — the doc-tagged trigram instance stream and the full
+    modified-KN probability table. The instance stream is deliberately
+    NOT cached (corpus-sized; the docs_perplexity_kn precedent); the
+    TYPE tables are."""
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.select("doc_id", tokens(F.col("text")).alias("toks")).where(
+        F.size("toks") >= 3
+    )
+    tri = toked.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 2), "
+                "i -> struct(toks[i - 1] AS w1, toks[i] AS w2, toks[i + 1] AS w3))"
+            )
+        ).alias("t"),
+    ).select("doc_id", "t.w1", "t.w2", "t.w3")
+    c3 = tri.groupBy("w1", "w2", "w3").agg(F.count(F.lit(1)).alias("n")).cache()
+
+    def modified_discounts(cnt_frame: DataFrame, cnt: str, pre: str) -> DataFrame:
+        """1-row (D1, D2, D3+) from the level's counts-of-counts, each
+        ratio zero-guarded and clamped at 0 — identical CASE tree to
+        the oracle's d3s/d2s stages."""
+        cocs = cnt_frame.agg(
+            *[
+                F.sum(F.when(F.col(cnt) == i, 1).otherwise(0)).alias(f"n{i}")
+                for i in (1, 2, 3, 4)
+            ]
+        )
+        y = F.when(F.col("n1") + 2 * F.col("n2") == 0, F.lit(0.5)).otherwise(
+            F.col("n1") * F.lit(1.0) / (F.col("n1") + 2 * F.col("n2"))
+        )
+        with_y = cocs.select("n1", "n2", "n3", "n4", y.alias("y"))
+        return with_y.select(
+            F.greatest(
+                F.when(F.col("n1") == 0, F.lit(0.5)).otherwise(
+                    F.lit(1.0) - F.lit(2.0) * F.col("y") * F.col("n2") / F.col("n1")
+                ),
+                F.lit(0.0),
+            ).alias(f"{pre}1"),
+            F.greatest(
+                F.when(F.col("n2") == 0, F.lit(1.0)).otherwise(
+                    F.lit(2.0) - F.lit(3.0) * F.col("y") * F.col("n3") / F.col("n2")
+                ),
+                F.lit(0.0),
+            ).alias(f"{pre}2"),
+            F.greatest(
+                F.when(F.col("n3") == 0, F.lit(1.5)).otherwise(
+                    F.lit(3.0) - F.lit(4.0) * F.col("y") * F.col("n4") / F.col("n3")
+                ),
+                F.lit(0.0),
+            ).alias(f"{pre}3"),
+        )
+
+    d3s = modified_discounts(c3, "n", "d")
+    ctx = c3.groupBy("w1", "w2").agg(
+        F.sum("n").alias("c12"),
+        F.sum(F.when(F.col("n") == 1, 1).otherwise(0)).alias("k1"),
+        F.sum(F.when(F.col("n") == 2, 1).otherwise(0)).alias("k2"),
+        F.sum(F.when(F.col("n") >= 3, 1).otherwise(0)).alias("k3"),
+    )
+    cc2 = c3.groupBy("w2", "w3").agg(F.count(F.lit(1)).alias("chat")).cache()
+    d2s = modified_discounts(cc2, "chat", "dp")
+    ctx2 = cc2.groupBy("w2").agg(
+        F.sum("chat").alias("c2dot"),
+        F.sum(F.when(F.col("chat") == 1, 1).otherwise(0)).alias("m1"),
+        F.sum(F.when(F.col("chat") == 2, 1).otherwise(0)).alias("m2"),
+        F.sum(F.when(F.col("chat") >= 3, 1).otherwise(0)).alias("m3"),
+    )
+    cu = cc2.groupBy("w3").agg(F.count(F.lit(1)).alias("nbwd"))
+    totbg = cc2.agg(F.count(F.lit(1)).alias("n_bg_types"))
+
+    disc3 = (
+        F.when(F.col("n") == 1, F.col("d1"))
+        .when(F.col("n") == 2, F.col("d2"))
+        .otherwise(F.col("d3"))
+    )
+    disc2 = (
+        F.when(F.col("chat") == 1, F.col("dp1"))
+        .when(F.col("chat") == 2, F.col("dp2"))
+        .otherwise(F.col("dp3"))
+    )
+    p_kn3 = (
+        F.greatest(F.col("n") - disc3, F.lit(0.0)) / F.col("c12")
+        + (
+            (
+                F.col("d1") * F.col("k1")
+                + F.col("d2") * F.col("k2")
+                + F.col("d3") * F.col("k3")
+            )
+            / F.col("c12")
+        )
+        * (
+            F.greatest(F.col("chat") - disc2, F.lit(0.0)) / F.col("c2dot")
+            + (
+                (
+                    F.col("dp1") * F.col("m1")
+                    + F.col("dp2") * F.col("m2")
+                    + F.col("dp3") * F.col("m3")
+                )
+                / F.col("c2dot")
+            )
+            * (F.col("nbwd") * F.lit(1.0) / F.col("n_bg_types"))
+        )
+    )
+    p = (
+        c3.join(ctx, ["w1", "w2"])
+        .join(cc2, ["w2", "w3"])
+        .join(ctx2, "w2")
+        .join(cu, "w3")
+        .crossJoin(F.broadcast(d3s))
+        .crossJoin(F.broadcast(d2s))
+        .crossJoin(F.broadcast(totbg))
+        .select("w1", "w2", "w3", "n", p_kn3.alias("p_kn3"))
+    )
+    return tri, p
+
+
+@query(
+    "docs_trigram_kneser_ney",
+    f"""
+    WITH {_kn3_duck_lm()},
+    top_ctx AS (
+        SELECT w1, w2 FROM ctx ORDER BY c12 DESC, w1, w2 LIMIT 100
+    ),
+    r AS (
+        SELECT p.w1, p.w2, p.w3, p.n, p.p_kn3,
+               ROW_NUMBER() OVER (PARTITION BY p.w1, p.w2
+                   ORDER BY p.p_kn3 DESC, p.w3) AS rnk
+        FROM p JOIN top_ctx USING (w1, w2)
+    )
+    SELECT w1, w2, w3, CAST(n AS BIGINT) AS n_tri,
+           ROUND(p_kn3, 6) AS p_kn3, CAST(rnk AS BIGINT) AS rnk
+    FROM r WHERE rnk <= 5
+    """,
+)
+def docs_trigram_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, p = _kn3_frames(spark, sf_dir)
+    ctx_totals = p.groupBy("w1", "w2").agg(F.sum("n").alias("c12"))
+    top_ctx = (
+        ctx_totals.orderBy(F.desc("c12"), F.asc("w1"), F.asc("w2"))
+        .limit(100)
+        .select("w1", "w2")
+    )
+    w = Window.partitionBy("w1", "w2").orderBy(F.desc("p_kn3"), F.asc("w3"))
+    return (
+        p.join(F.broadcast(top_ctx), ["w1", "w2"])
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 5)
+        .select(
+            "w1",
+            "w2",
+            "w3",
+            F.col("n").cast("long").alias("n_tri"),
+            F.round("p_kn3", 6).alias("p_kn3"),
+            F.col("rnk").cast("long").alias("rnk"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q: docs_perplexity_kn3 — the CCNet-style perplexity scorer under the
+# TRIGRAM modified-KN LM (production pipelines filter with 5-gram
+# modified-KN models; the trigram arm makes docs_perplexity_kn's bigram
+# scorer a two-point smoother ablation). Same determinism contract:
+# per-trigram -ln p rounds to integer NANOS and sums as BIGINT, one
+# division, one exp, terciles from a 1-row broadcast. The probability
+# is floored at 1e-12 inside the log on BOTH engines (Spark ln(0) is
+# NULL, DuckDB's is -inf — the floor removes the asymmetry; modified-KN
+# probabilities are strictly positive except in degenerate all-discount
+# corner cases).
+# --------------------------------------------------------------------------
+@query(
+    "docs_perplexity_kn3",
+    f"""
+    WITH {_kn3_duck_lm()},
+    lm AS (
+        SELECT w1, w2, w3,
+               CAST(ROUND(-LN(GREATEST(p_kn3, 1e-12)) * 1e9) AS BIGINT)
+               AS nll_nanos
+        FROM p
+    ),
+    scored AS (
+        SELECT tri.doc_id, COUNT(*) AS n_trigrams,
+               ROUND(SUM(nll_nanos) / 1e9 / COUNT(*), 6) AS h
+        FROM tri JOIN lm USING (w1, w2, w3)
+        GROUP BY 1
+    ),
+    pp AS (
+        SELECT doc_id, n_trigrams, h, ROUND(EXP(h), 4) AS ppl FROM scored
+    ),
+    thr AS (
+        SELECT QUANTILE_CONT(ppl, {_PPL_T1!r}) AS t1,
+               QUANTILE_CONT(ppl, {_PPL_T2!r}) AS t2
+        FROM pp
+    )
+    SELECT doc_id, CAST(n_trigrams AS BIGINT) AS n_trigrams, h, ppl,
+           CASE WHEN ppl <= t1 THEN 'head'
+                WHEN ppl <= t2 THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM pp CROSS JOIN thr
+    """,
+)
+def docs_perplexity_kn3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tri, p = _kn3_frames(spark, sf_dir)
+    lm = p.select(
+        "w1",
+        "w2",
+        "w3",
+        F.round(-F.log(F.greatest(F.col("p_kn3"), F.lit(1e-12))) * 1e9)
+        .cast("long")
+        .alias("nll_nanos"),
+    )
+    scored = (
+        tri.join(lm, ["w1", "w2", "w3"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_trigrams"),
+            F.round(
+                F.sum("nll_nanos") / F.lit(1e9) / F.count(F.lit(1)), 6
+            ).alias("h"),
+        )
+    )
+    pp = scored.select(
+        "doc_id",
+        F.col("n_trigrams").cast("long").alias("n_trigrams"),
+        "h",
+        F.round(F.exp("h"), 4).alias("ppl"),
+    )
+    thr = pp.agg(
+        F.percentile(F.col("ppl"), F.lit(_PPL_T1)).alias("t1"),
+        F.percentile(F.col("ppl"), F.lit(_PPL_T2)).alias("t2"),
+    )
+    return pp.crossJoin(F.broadcast(thr)).select(
+        "doc_id",
+        "n_trigrams",
+        "h",
+        "ppl",
+        F.when(F.col("ppl") <= F.col("t1"), "head")
+        .when(F.col("ppl") <= F.col("t2"), "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+    )

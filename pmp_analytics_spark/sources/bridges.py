@@ -197,7 +197,9 @@ def _frame_from_rows(
         for r in rows[header_row + 1 :]
     ]
     schema = StructType([StructField(n, StringType()) for n in names])
-    return spark.createDataFrame(data, schema)
+    from pmp_analytics_spark.sources.local import local_df
+
+    return local_df(spark, data, schema)
 
 
 def _col_letter(idx: int) -> str:

@@ -1,0 +1,65 @@
+"""Driver-local DataFrame construction through the Arrow path.
+
+``spark.createDataFrame(list_of_tuples)`` takes the pickled-RDD slow
+path: every downstream ACTION re-serializes the rows through a Python
+worker (measured ~2-4 s PER ACTION on local[32] even for 10 rows —
+worker spin-up + socket round-trips, paid by the first write and again
+by every re-execution of the plan). Handing Spark the same rows as a
+pyarrow Table instead gives the JVM an Arrow batch it ingests directly:
+~0.05-0.2 s per action, no Python worker in the loop.
+
+Every driver-local frame the package builds in a HOT path (the
+connected-components driver-path labels, BPE merge tables, k-means
+centroid frames, exact-quantile target frames, CDC feed fixtures)
+routes through :func:`local_df`. The function degrades gracefully: any
+row shape or type pyarrow cannot ingest falls back to the plain
+``createDataFrame`` path with identical semantics.
+
+At 100 TB this matters MORE, not less: these frames are the small
+driver-side artifacts (merge tables, centroids, label maps) that big
+plans join against — re-paying a Python-worker round trip every time a
+multi-consumer plan re-executes its local relation is pure scheduler
+drag on a 1000-executor cluster's critical path.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _arrow_table(rows: Sequence[tuple], schema):
+    """Build a pyarrow Table from row tuples + a Spark schema (DDL
+    string or StructType). Raises on anything Arrow can't represent —
+    the caller falls back to plain createDataFrame."""
+    import pyarrow as pa
+    from pyspark.sql.pandas.types import to_arrow_schema
+    from pyspark.sql.types import StructType
+
+    if isinstance(schema, str):
+        struct = StructType.fromDDL(schema)
+    elif isinstance(schema, StructType):
+        struct = schema
+    else:
+        raise TypeError("need DDL string or StructType for the arrow path")
+    arrow_schema = to_arrow_schema(struct)
+    cols = list(zip(*rows)) if rows else [[] for _ in arrow_schema]
+    arrays = [
+        pa.array(list(col), type=field.type)
+        for col, field in zip(cols, arrow_schema)
+    ]
+    return pa.Table.from_arrays(arrays, schema=arrow_schema), struct
+
+
+def local_df(spark: SparkSession, rows: Iterable, schema) -> DataFrame:
+    """``spark.createDataFrame(rows, schema)`` through the Arrow batch
+    path (no per-action Python worker), falling back to the plain call
+    for row shapes Arrow can't ingest. ``schema`` is a DDL string or a
+    StructType; rows are tuples (or anything tuple()-able)."""
+    rows = [tuple(r) for r in rows]
+    try:
+        tbl, struct = _arrow_table(rows, schema)
+        return spark.createDataFrame(tbl, schema=struct)
+    except Exception:
+        return spark.createDataFrame(rows, schema)
