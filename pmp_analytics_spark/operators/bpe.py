@@ -237,3 +237,111 @@ def bpe_token_stats(applied: DataFrame) -> DataFrame:
             F.countDistinct("word").alias("n_word_types"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# WordPiece — the likelihood-gain merge family (Schuster & Nakajima 2012;
+# the BERT tokenizer's trainer). Identical loop shape to BPE over the
+# same canonical space-bounded symbol strings; the ONLY change is the
+# merge-selection objective: instead of raw pair frequency, each round
+# merges the pair maximizing
+#
+#     score(a, b) = count(ab) / (count(a) * count(b))
+#
+# — the unigram-LM likelihood gain of fusing the pair (pairs whose parts
+# are rare but co-occur reliably win over merely-frequent pairs). Counts
+# are over the CURRENT segmentation, weighted by word-type frequency.
+# Determinism: the score is one double division of exact integers with
+# an identical expression tree in the SQL replay oracle, tie-broken
+# (score DESC, pair ASC) — the same engine-exact argmax contract as the
+# BPE/byte-BPE learners. Scale shape: per round, one vocab-sized pair
+# count and one vocab-sized unit count (both map-side combines over the
+# TYPE table, corpus size enters only the initial vocab aggregate), a
+# broadcast pair⋈unit join, and a 1-row argmax collect.
+# ---------------------------------------------------------------------------
+
+
+def _unit_counts(symed: DataFrame) -> DataFrame:
+    """(unit, c) — occurrences of each symbol in the current
+    segmentation, weighted by word-type freq."""
+    toks = F.split(F.trim(F.col("sym")), " ")
+    return (
+        symed.select(F.explode(toks).alias("unit"), "freq")
+        .where(F.col("unit") != "")
+        .groupBy("unit")
+        .agg(F.sum("freq").alias("c"))
+    )
+
+
+def wordpiece_learn_merges(
+    docs: DataFrame, text_col: str, n_merges: int
+) -> DataFrame:
+    """Learn the first ``n_merges`` WordPiece merges over the word-type
+    vocabulary; returns (rank, lhs, rhs, merged, pair_freq, score)
+    with score the raw likelihood-gain double the pair won on."""
+    symed = _symbolized(word_vocab(docs, text_col))
+    return wordpiece_merges_from_sym(symed, n_merges)
+
+
+def wordpiece_merges_from_sym(symed: DataFrame, n_merges: int) -> DataFrame:
+    """The WordPiece merge loop, generic over the symbol alphabet (the
+    ``learn_merges_from_sym`` contract with the likelihood-gain
+    objective)."""
+    spark = symed.sparkSession
+    symed = symed.localCheckpoint(eager=False)
+    merges: list[tuple] = []
+    for rank in range(1, n_merges + 1):
+        pairs = _pair_counts(symed)
+        units = _unit_counts(symed)
+        lhs_c = units.select(
+            F.col("unit").alias("__lu"), F.col("c").alias("cl")
+        )
+        rhs_c = units.select(
+            F.col("unit").alias("__ru"), F.col("c").alias("cr")
+        )
+        best = (
+            pairs.join(
+                F.broadcast(lhs_c),
+                F.split_part(F.col("pair"), F.lit("|"), F.lit(1))
+                == F.col("__lu"),
+            )
+            .join(
+                F.broadcast(rhs_c),
+                F.split_part(F.col("pair"), F.lit("|"), F.lit(2))
+                == F.col("__ru"),
+            )
+            .select(
+                "pair",
+                "pair_freq",
+                (
+                    F.col("pair_freq") * F.lit(1.0)
+                    / (F.col("cl") * F.col("cr"))
+                ).alias("score"),
+            )
+            .orderBy(F.desc("score"), F.asc("pair"))
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        pair, pf, sc = best[0]["pair"], int(best[0]["pair_freq"]), float(best[0]["score"])
+        lhs, rhs = pair.split("|", 1)
+        # raw double: the harness canonicalizer rounds floats at 9 on
+        # both engines, and the oracle computes the identical expression
+        merges.append((rank, lhs, rhs, lhs + rhs, pf, sc))
+        symed = symed.withColumn(
+            "sym",
+            F.replace(
+                F.col("sym"),
+                F.lit(f" {lhs} {rhs} "),
+                F.lit(f" {lhs}{rhs} "),
+            ),
+        ).localCheckpoint(eager=False)
+    from pmp_analytics_spark.sources.local import local_df
+
+    return local_df(
+        spark,
+        merges,
+        "rank long, lhs string, rhs string, merged string, "
+        "pair_freq long, score double",
+    )

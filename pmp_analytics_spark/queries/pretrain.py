@@ -2596,6 +2596,8 @@ def _tokenizer_eval_oracle() -> str:
         + ",\n    ".join(ystages)
         + ",\n    "
         + ",\n    ".join(uni_stages)
+        + ",\n    "
+        + _wp_stage_sql()
         + f""",
     bseg AS MATERIALIZED (
         SELECT word, freq,
@@ -2641,12 +2643,29 @@ def _tokenizer_eval_oracle() -> str:
         SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS vocab_used
         FROM (SELECT UNNEST(subs) AS tok FROM yseg)
     ),
+    wseg AS MATERIALIZED (
+        SELECT word, freq,
+               LIST_FILTER(STRING_SPLIT(TRIM(sym), ' '), x -> x <> '') AS subs
+        FROM wv{_WP_K} WHERE LENGTH(word) <= {_UNI_MAXW}
+    ),
+    weval AS (
+        SELECT CAST(SUM(freq) AS BIGINT) AS n_words,
+               CAST(SUM(freq * LEN(subs)) AS BIGINT) AS n_tokens,
+               CAST(SUM(freq * LENGTH(word)) AS BIGINT) AS n_chars
+        FROM wseg
+    ),
+    wvu AS (
+        SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS vocab_used
+        FROM (SELECT UNNEST(subs) AS tok FROM wseg)
+    ),
     combined AS (
         SELECT 'bpe' AS tokenizer, b.*, v.vocab_used FROM beval b, bvu v
         UNION ALL
         SELECT 'bytebpe' AS tokenizer, y.*, z.vocab_used FROM yeval y, yvu z
         UNION ALL
         SELECT 'unigram' AS tokenizer, u.*, w.vocab_used FROM ueval u, uvu w
+        UNION ALL
+        SELECT 'wordpiece' AS tokenizer, wp.*, wz.vocab_used FROM weval wp, wvu wz
     )
     SELECT tokenizer, n_words, n_tokens, n_chars,
            ROUND(n_tokens * 1.0 / n_words, 6) AS tokens_per_word,
@@ -2727,9 +2746,20 @@ def docs_tokenizer_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     yseg = apply_merges_to_sym(byte_symbolized(yv), yrules)
     byte_subs = F.filter(F.split(F.trim(F.col("sym")), " "), lambda x: x != "")
 
-    return eval_row("bpe", bseg, bpe_subs).unionByName(
-        eval_row("bytebpe", yseg, byte_subs)
-    ).unionByName(eval_row("unigram", useg, uni_subs))
+    # fourth arm: WordPiece — likelihood-gain merges trained on the full
+    # vocab (the _wp_fit memo), applied through the same merge-replay
+    # path as BPE (merge application is objective-independent), graded
+    # on the shared word set
+    _, wrules = _wp_fit(spark, sf_dir)
+    wseg = bpe_apply(wv, wrules)
+    wp_subs = F.filter(F.split(F.trim(F.col("sym")), " "), lambda x: x != "")
+
+    return (
+        eval_row("bpe", bseg, bpe_subs)
+        .unionByName(eval_row("bytebpe", yseg, byte_subs))
+        .unionByName(eval_row("unigram", useg, uni_subs))
+        .unionByName(eval_row("wordpiece", wseg, wp_subs))
+    )
 
 
 # --------------------------------------------------------------------------
@@ -3085,4 +3115,128 @@ def docs_perplexity_kn3(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("ppl") <= F.col("t2"), "middle")
         .otherwise("tail")
         .alias("bucket"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Q: docs_wordpiece — WordPiece merge learning (Schuster & Nakajima
+# 2012; the BERT tokenizer's trainer), the fourth production tokenizer
+# family next to word-BPE / byte-BPE / unigram-LM: each round merges
+# the pair maximizing the unigram-LM likelihood gain
+# count(ab)/(count(a)*count(b)) over the current segmentation instead
+# of raw pair frequency (operators/bpe.py::wordpiece_merges_from_sym).
+# The oracle REPLAYS the identical iterative algorithm as k unrolled
+# CTE stages — pair count + unit count + score argmax with the same
+# (score DESC, pair ASC) tie-break + literal boundary-delimited
+# REPLACE — so the learned merge table is engine-exact end-to-end,
+# score doubles included (one shared expression tree; the harness
+# canonicalizer rounds floats at 9 on both engines).
+# --------------------------------------------------------------------------
+_WP_K = 8
+
+
+def _wp_iter_sql(p: str, u: str, b: str, v: str, prev: str) -> str:
+    """One unrolled WordPiece round (pair count + unit count →
+    likelihood-gain argmax → boundary replace), the ``_bpe_iter_sql``
+    shape with the WordPiece objective."""
+    return f"""{p} AS MATERIALIZED (
+        SELECT pair, SUM(freq) AS f FROM (
+            SELECT UNNEST(LIST_TRANSFORM(
+                       GENERATE_SERIES(1, LEN(toks) - 1),
+                       j -> toks[j] || '|' || toks[j + 1])) AS pair,
+                   freq
+            FROM (SELECT freq,
+                         LIST_FILTER(STRING_SPLIT(TRIM(sym), ' '), x -> x <> '') AS toks
+                  FROM {prev})
+            WHERE LEN(toks) >= 2
+        ) GROUP BY pair
+    ), {u} AS MATERIALIZED (
+        SELECT unit, SUM(freq) AS c FROM (
+            SELECT UNNEST(LIST_FILTER(STRING_SPLIT(TRIM(sym), ' '), x -> x <> '')) AS unit,
+                   freq
+            FROM {prev}
+        ) GROUP BY unit
+    ), {b} AS MATERIALIZED (
+        SELECT pair, f, f * 1.0 / (ul.c * ur.c) AS score
+        FROM {p}
+        JOIN {u} ul ON ul.unit = SPLIT_PART(pair, '|', 1)
+        JOIN {u} ur ON ur.unit = SPLIT_PART(pair, '|', 2)
+        ORDER BY score DESC, pair LIMIT 1
+    ), {v} AS MATERIALIZED (
+        SELECT word, freq,
+               REPLACE(sym,
+                       COALESCE((SELECT ' ' || REPLACE(pair, '|', ' ') || ' ' FROM {b}), CHR(1)),
+                       COALESCE((SELECT ' ' || REPLACE(pair, '|', '') || ' ' FROM {b}), CHR(1))) AS sym
+        FROM {prev}
+    )"""
+
+
+def _wp_stage_sql() -> str:
+    """WITH-clause prefix of the WordPiece oracle: vocab build,
+    symbolization, and the k unrolled rounds ending at wv{_WP_K} —
+    namespaced wp*/w* so it composes with the BPE/unigram chains
+    inside the tokenizer-eval oracle."""
+    chars = "LIST_TRANSFORM(GENERATE_SERIES(1, LENGTH(word)), i -> SUBSTRING(word, i, 1))"
+    stages = [
+        f"""wpvocab AS MATERIALIZED (
+        SELECT t AS word, COUNT(*) AS freq
+        FROM (SELECT UNNEST({_DUCK_TOKENS}) AS t FROM documents)
+        GROUP BY t
+    ), wv0 AS MATERIALIZED (
+        SELECT word, freq, ' ' || ARRAY_TO_STRING({chars}, ' ') || ' ' AS sym
+        FROM wpvocab
+    )"""
+    ]
+    for i in range(1, _WP_K + 1):
+        stages.append(
+            _wp_iter_sql(f"wpp{i}", f"wpu{i}", f"wpb{i}", f"wv{i}", f"wv{i - 1}")
+        )
+    return ",\n    ".join(stages)
+
+
+def _wordpiece_oracle() -> str:
+    finals = "\n    UNION ALL\n    ".join(
+        f"""SELECT CAST({i} AS BIGINT) AS rank,
+           SPLIT_PART(pair, '|', 1) AS lhs,
+           SPLIT_PART(pair, '|', 2) AS rhs,
+           REPLACE(pair, '|', '') AS merged,
+           CAST(f AS BIGINT) AS pair_freq,
+           score
+    FROM wpb{i}"""
+        for i in range(1, _WP_K + 1)
+    )
+    return "WITH " + _wp_stage_sql() + "\n    " + finals
+
+
+_WP_FIT_MEMO: dict = {}
+
+
+def _wp_fit(spark: SparkSession, sf_dir: str):
+    """Memoized WordPiece fit (the ``_bpe_fit`` contract): returns
+    (full merge rows, [(lhs, rhs), ...] in rank order), shared by
+    docs_wordpiece and the tokenizer-eval fourth arm."""
+    from pmp_analytics_spark.operators.bpe import wordpiece_learn_merges
+
+    key = (spark.sparkContext.applicationId, sf_dir, _WP_K)
+    hit = _WP_FIT_MEMO.get(key)
+    if hit is None:
+        docs = load_table(spark, sf_dir, "documents")
+        rows = (
+            wordpiece_learn_merges(docs, "text", _WP_K).orderBy("rank").collect()
+        )
+        hit = (rows, [(r["lhs"], r["rhs"]) for r in rows])
+        _WP_FIT_MEMO[key] = hit
+    return hit
+
+
+@query("docs_wordpiece", _wordpiece_oracle)
+def docs_wordpiece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pmp_analytics_spark.sources.local import local_df
+
+    rows, _ = _wp_fit(spark, sf_dir)
+    return local_df(
+        spark,
+        rows,
+        "rank long, lhs string, rhs string, merged string, "
+        "pair_freq long, score double",
     )

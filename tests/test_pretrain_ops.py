@@ -604,3 +604,67 @@ def test_byte_bpe_matches_pure_python_and_roundtrips(spark):
     assert got == ref
     for w, s in syms.items():
         assert bytes.fromhex("".join(s)) == w.encode()
+
+
+def test_wordpiece_matches_pure_python(spark):
+    """WordPiece (likelihood-gain merges) must learn the exact merge
+    table — scores included, as raw doubles — that a pure-Python
+    reference learns: pair and unit counts over the current weighted
+    segmentation, score = c(ab)/(c(a)*c(b)) (one exact-int division on
+    both sides, so the doubles are bit-identical), tie-break
+    (score DESC, pair ASC), literal boundary replace."""
+    import collections
+    import re
+
+    from pmp_analytics_spark.operators.bpe import wordpiece_learn_merges
+
+    texts = [
+        "low lower lowest newer newest wide wider widest",
+        "low low lower new new newest wide wide wide",
+        "the newer the wider the lower",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = [
+        (r["rank"], r["lhs"], r["rhs"], r["merged"], r["pair_freq"], r["score"])
+        for r in wordpiece_learn_merges(df, "text", 10).orderBy("rank").collect()
+    ]
+
+    vocab: collections.Counter = collections.Counter()
+    for t in texts:
+        vocab.update(re.findall(r"[a-z0-9]+", t.lower()))
+    syms = {w: list(w) for w in vocab}
+    ref = []
+    for rank in range(1, 11):
+        pc: collections.Counter = collections.Counter()
+        uc: collections.Counter = collections.Counter()
+        for w, f in vocab.items():
+            s = syms[w]
+            uc.update({u: 0 for u in s})
+            for u in s:
+                uc[u] += f
+            for a, b in zip(s, s[1:]):
+                pc[(a, b)] += f
+        if not pc:
+            break
+        scored = {
+            (a, b): pf * 1.0 / (uc[a] * uc[b]) for (a, b), pf in pc.items()
+        }
+        (lhs, rhs) = min(
+            scored, key=lambda k: (-scored[k], k[0] + "|" + k[1])
+        )
+        ref.append(
+            (rank, lhs, rhs, lhs + rhs, pc[(lhs, rhs)], scored[(lhs, rhs)])
+        )
+        for w in syms:
+            s = syms[w]
+            out = []
+            i = 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == lhs and s[i + 1] == rhs:
+                    out.append(lhs + rhs)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            syms[w] = out
+    assert got == ref
