@@ -413,16 +413,22 @@ def decode_image(payload: bytes) -> object:
 
 
 def decode_audio(payload: bytes) -> object:
-    """Decode an audio payload. PCM WAV decodes stdlib-side (see
-    ``_wav_decode``); compressed codecs require ffmpeg and raise
-    honestly."""
-    try:
-        return _wav_decode(payload)
-    except ValueError as e:
-        raise NotImplementedError(
-            f"non-WAV audio decoding requires ffmpeg ({e}); only PCM WAV "
-            "decodes stdlib-side"
-        ) from e
+    """Decode an audio payload. PCM WAV and FLAC decode stdlib-side
+    (``_wav_decode`` / ``flac.flac_decode`` — same dict contract);
+    psychoacoustic codecs (MP3, AAC, Vorbis) require a real DSP stack
+    and raise honestly."""
+    from pmp_analytics_spark.flac import flac_decode
+
+    errs = []
+    for codec in (_wav_decode, flac_decode):
+        try:
+            return codec(payload)
+        except ValueError as e:
+            errs.append(str(e))
+    raise NotImplementedError(
+        "audio decoding beyond PCM WAV and FLAC requires ffmpeg "
+        f"({'; '.join(errs)})"
+    )
 
 
 def fake_frame_sample(payload: bytes, n_frames: int = 4) -> list[bytes]:

@@ -777,6 +777,144 @@ def docs_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Q: docs_flac_decode_audit — the FLAC codec behind the ORACLE GATE (the
+# docs_webp_decode_audit discipline applied to audio): each doc
+# (doc_id < 60) becomes deterministic closed-form PCM, encoded by the
+# fixture FLAC encoder down a VARIANT-specific bitstream path (constant /
+# verbatim / fixed order 2 / fixed order 4 + 4 Rice partitions +
+# explicit sample-rate field / LPC + 2 partitions / stereo left-side /
+# wasted bits / stereo mid-side + escape partitions — eight real
+# decoder shapes round-robin), decoded through the full
+# container+frame+subframe+CRC path inside mapInPandas, and reports an
+# index-weighted checksum of the DECODED interleaved samples. FLAC is
+# lossless, so the oracle predicts the checksum by pure arithmetic of
+# the fixture formulas without being able to build a FLAC: a wrong
+# predictor, Rice parameter, stereo inverse, or wasted-bit shift moves
+# the checksum at every doc; a wrong CRC kills the decode outright.
+# --------------------------------------------------------------------------
+_FLAC_MONO = "(((doc_id * 17) % 101) - 50 + ((i * (doc_id % 5 + 1)) % 37) - 18)"
+_FLAC_R = "((((doc_id * 23) % 79) - 39) + ((i * 3) % 23) - 11)"
+
+
+@query(
+    "docs_flac_decode_audit",
+    f"""
+    WITH d AS (
+        SELECT doc_id,
+               64 * (1 + doc_id % 3) AS n,
+               doc_id % 8 AS variant,
+               ((doc_id * 17) % 101) - 50 AS base
+        FROM documents WHERE doc_id < 60
+    )
+    SELECT doc_id,
+           CAST(variant AS BIGINT) AS variant,
+           CAST(CASE WHEN variant IN (5, 7) THEN 2 ELSE 1 END AS BIGINT) AS channels,
+           CAST(CASE WHEN variant = 1 THEN 8
+                     WHEN variant = 2 THEN 12
+                     ELSE 16 END AS BIGINT) AS bits,
+           CAST(CASE WHEN variant = 3 THEN 12345
+                     ELSE [44100, 16000, 8000][doc_id % 3 + 1] END AS BIGINT)
+               AS sample_rate,
+           CAST(n AS BIGINT) AS n_samples,
+           CAST(CASE
+               WHEN variant = 0 THEN base * n * (n + 1) // 2
+               WHEN variant = 6 THEN LIST_SUM(LIST_TRANSFORM(
+                   GENERATE_SERIES(0, CAST(n - 1 AS BIGINT)),
+                   i -> (i + 1) * 2 * {_FLAC_MONO}))
+               WHEN variant IN (5, 7) THEN LIST_SUM(LIST_TRANSFORM(
+                   GENERATE_SERIES(0, CAST(n - 1 AS BIGINT)),
+                   i -> (2 * i + 1) * {_FLAC_MONO} + (2 * i + 2) * {_FLAC_R}))
+               ELSE LIST_SUM(LIST_TRANSFORM(
+                   GENERATE_SERIES(0, CAST(n - 1 AS BIGINT)),
+                   i -> (i + 1) * {_FLAC_MONO}))
+           END AS BIGINT) AS checksum
+    FROM d
+    """,
+)
+def docs_flac_decode_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from pmp_analytics_spark.operators.partitioning import ensure_parallelism
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") < 60
+    ).select("doc_id")
+
+    def batches(it):
+        from pmp_analytics_spark.flac import flac_decode, flac_encode
+
+        for pdf in it:
+            out = {
+                "doc_id": [], "variant": [], "channels": [], "bits": [],
+                "sample_rate": [], "n_samples": [], "checksum": [],
+            }
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                n = 64 * (1 + doc_id % 3)
+                variant = doc_id % 8
+                base = ((doc_id * 17) % 101) - 50
+                step = doc_id % 5 + 1
+                mono = [base + ((i * step) % 37) - 18 for i in range(n)]
+                right = [
+                    (((doc_id * 23) % 79) - 39) + ((i * 3) % 23) - 11
+                    for i in range(n)
+                ]
+                rate = 12345 if variant == 3 else [44100, 16000, 8000][doc_id % 3]
+                chans, kw = [mono], {}
+                bits = 16
+                if variant == 0:
+                    chans = [[base] * n]
+                    kw = dict(subframe="constant")
+                elif variant == 1:
+                    bits = 8
+                    kw = dict(subframe="verbatim")
+                elif variant == 2:
+                    bits = 12
+                    kw = dict(subframe="fixed", order=2)
+                elif variant == 3:
+                    kw = dict(subframe="fixed", order=4, partition_order=2)
+                elif variant == 4:
+                    kw = dict(
+                        subframe="lpc", order=2, partition_order=1,
+                        lpc_coefs=[3, -1], lpc_shift=1,
+                    )
+                elif variant == 5:
+                    chans = [mono, right]
+                    kw = dict(subframe="fixed", order=2, stereo="left_side")
+                elif variant == 6:
+                    chans = [[2 * x for x in mono]]
+                    kw = dict(subframe="fixed", order=2, wasted=1)
+                else:
+                    chans = [mono, right]
+                    kw = dict(
+                        subframe="fixed", order=2, stereo="mid_side",
+                        force_escape=True,
+                    )
+                dec = flac_decode(
+                    flac_encode(
+                        chans, bits=bits, sample_rate=rate, block_size=64, **kw
+                    )
+                )
+                checksum = sum(
+                    (j + 1) * s for j, s in enumerate(dec["samples"])
+                )
+                out["doc_id"].append(doc_id)
+                out["variant"].append(variant)
+                out["channels"].append(dec["channels"])
+                out["bits"].append(dec["bits"])
+                out["sample_rate"].append(dec["sample_rate"])
+                out["n_samples"].append(dec["n_frames"])
+                out["checksum"].append(checksum)
+            yield pd.DataFrame(out)
+
+    schema = (
+        "doc_id long, variant long, channels long, bits long, "
+        "sample_rate long, n_samples long, checksum long"
+    )
+    return ensure_parallelism(docs).mapInPandas(batches, schema)
+
+
+# --------------------------------------------------------------------------
 # Q: big_quantity_orders — the TPC-H Q18 shape: HAVING on an aggregated
 # subquery, then joined back to the fact + dim. Catalyst pushes the
 # HAVING into the aggregate (no post-join filter on the big side) and

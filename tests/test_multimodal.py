@@ -926,3 +926,84 @@ def test_sample_frames_real_mjpeg_in_spark(spark):
         ]
     )
     assert rows == expect
+
+
+def test_flac_roundtrip_all_decoder_paths():
+    """The FLAC codec round-trips through every decoder path: constant /
+    verbatim / fixed orders 0-4 / LPC subframes, 4-bit Rice at partition
+    orders 0-3, escape (raw) partitions, wasted bits, all four channel
+    assignments (side channel at bps+1), 8/12/16/20/24-bit depths,
+    tabled + explicit sample rates, multi-frame streams, and UTF-8-style
+    frame numbers past one byte (65+ frames)."""
+    import random
+
+    from pmp_analytics_spark.flac import flac_decode, flac_encode
+
+    rng = random.Random(11)
+
+    def check(chans, **kw):
+        dec = flac_decode(flac_encode(chans, **kw))
+        inter = [c[i] for i in range(len(chans[0])) for c in chans]
+        assert dec["samples"] == inter, kw
+        assert dec["channels"] == len(chans)
+        return dec
+
+    def sig(n, lo=-900, hi=900):
+        return [rng.randrange(lo, hi) for _ in range(n)]
+
+    check([[7] * 100], subframe="constant", block_size=100)
+    check([sig(100)], subframe="verbatim", block_size=100)
+    for order in range(5):
+        check([sig(128)], subframe="fixed", order=order, block_size=64)
+    for p in range(4):
+        check([sig(128)], subframe="fixed", order=2, block_size=64,
+              partition_order=p)
+    check([sig(128)], subframe="fixed", order=1, block_size=64,
+          force_escape=True)
+    check([sig(96)], subframe="lpc", order=3, block_size=96,
+          lpc_coefs=[5, -4, 1], lpc_shift=2)
+    check([[4 * x for x in sig(96)]], subframe="fixed", order=2,
+          block_size=96, wasted=2)
+    L, R = sig(120, -400, 400), sig(120, -400, 400)
+    for st in ("independent", "left_side", "right_side", "mid_side"):
+        check([list(L), list(R)], subframe="fixed", order=2, block_size=60,
+              stereo=st)
+    for bits, rng_hi in ((8, 100), (12, 1500), (16, 30000),
+                         (20, 400000), (24, 8000000)):
+        check([sig(64, -rng_hi, rng_hi)], bits=bits, subframe="fixed",
+              order=1, block_size=64)
+    check([sig(64)], sample_rate=16000, subframe="fixed", order=1,
+          block_size=64)
+    dec = check([sig(64)], sample_rate=12345, subframe="fixed", order=1,
+                block_size=64)
+    assert dec["sample_rate"] == 12345
+    # 70 frames: frame numbers cross the 1-byte UTF-8 boundary at 128?
+    # no — at 0x80; 70 frames stay 1-byte, so use 300 tiny frames
+    check([sig(300 * 16)], subframe="fixed", order=1, block_size=16)
+
+
+def test_flac_crc_and_rejects():
+    """Corrupt payloads RAISE (header CRC-8, frame CRC-16, bad magic) —
+    never return wrong audio; decode_audio dispatches WAV then FLAC and
+    rejects psychoacoustic codecs honestly."""
+    import pytest as _pytest
+
+    from pmp_analytics_spark.flac import flac_decode, flac_encode
+    from pmp_analytics_spark.multimodal import _wav_encode, decode_audio
+
+    samples = [((i * 37) % 401) - 200 for i in range(128)]
+    pay = flac_encode([samples], subframe="fixed", order=2, block_size=64)
+
+    body = bytearray(pay)
+    body[-3] ^= 0x40  # inside the last frame's residual/CRC region
+    with _pytest.raises(ValueError, match="CRC"):
+        flac_decode(bytes(body))
+    with _pytest.raises(ValueError, match="FLAC"):
+        flac_decode(b"NOPE" + pay[4:])
+
+    via_dispatch = decode_audio(pay)
+    assert via_dispatch["samples"] == samples
+    wav = decode_audio(_wav_encode(samples))
+    assert wav["samples"] == samples
+    with _pytest.raises(NotImplementedError, match="WAV and FLAC"):
+        decode_audio(b"\xff\xfb\x90\x00" + b"\x00" * 64)  # MP3 sync frame
