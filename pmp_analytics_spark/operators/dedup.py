@@ -1044,9 +1044,15 @@ def connected_components(
         # node got an identity label on one path and vanished on the other).
         .where(F.col("src") != F.col("dst"))
         .distinct()
-        .cache()
     )
-    if edges.count() <= driver_edge_limit:
+    # ONE-action dispatch: collect at most limit+1 edges. In the common
+    # small case that single collect IS the driver path's input (the old
+    # count-then-collect pair cost two jobs over the same plan — per-call
+    # fixed overhead the CDC maintenance loop pays every micro-batch); in
+    # the rare giant case the discarded partial collect is bounded by
+    # limit+1 rows, noise next to the star rounds that follow.
+    head = edges.limit(driver_edge_limit + 1).collect()
+    if len(head) <= driver_edge_limit:
         parent: dict = {}
 
         def find(x):
@@ -1057,7 +1063,7 @@ def connected_components(
                 parent[x], x = root, parent[x]
             return root
 
-        for row in edges.collect():
+        for row in head:
             a, b = row["src"], row["dst"]
             parent.setdefault(a, a)
             parent.setdefault(b, b)
@@ -1070,13 +1076,10 @@ def connected_components(
                 parent[rb] = ra
         out = [(x, find(x)) for x in parent]
         id_type = dict(pairs.dtypes)[id_a]
-        edges.unpersist()
         from pmp_analytics_spark.sources.local import local_df
 
         return local_df(spark, out, f"id {id_type}, component {id_type}")
-    labels = _alternating_star_components(edges, max_iterations)
-    edges.unpersist()
-    return labels
+    return _alternating_star_components(edges, max_iterations)
 
 
 

@@ -69,14 +69,19 @@ def cdc_components_stream(
         migrate_legacy_marker(spark, root)
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
+        # materialize FIRST, then test emptiness on the checkpointed
+        # frame: one action instead of an isEmpty scan plus a checkpoint
+        # scan (the per-batch constant IS the family's ingest-throughput
+        # bound at scale)
         delta = batch_df.localCheckpoint(eager=True)
+        if not delta.head(1):
+            return
         added = delta.where(F.col(op_col) == "add").select(id_a, id_b)
         deleted = delta.where(F.col(op_col) == "del").select(id_a, id_b)
         old_edges = read_latest(spark, edges_root)
         lbl_committed = parse_batch_marker(latest_marker(spark, labels_root))
-        if lbl_committed is None or lbl_committed < batch_id:
+        labels_published_now = lbl_committed is None or lbl_committed < batch_id
+        if labels_published_now:
             new_labels = connected_components_refresh(
                 old_edges,
                 read_latest(spark, labels_root),
@@ -90,7 +95,15 @@ def cdc_components_stream(
                 new_labels, labels_root, keep_last=keep_last,
                 marker=batch_marker(batch_id),
             )
-        edge_committed = parse_batch_marker(latest_marker(spark, edges_root))
+        # labels publish FIRST is the invariant, so when the label
+        # publish just ran the edge root is necessarily behind this
+        # batch — skip its marker probe (one FS round-trip per batch;
+        # the probe only matters on the replay path where labels were
+        # already committed and the crash sat between the two publishes)
+        if labels_published_now:
+            edge_committed = None
+        else:
+            edge_committed = parse_batch_marker(latest_marker(spark, edges_root))
         if edge_committed is None or edge_committed < batch_id:
             a, b = F.col(id_a), F.col(id_b)
             canon_add = added.select(
