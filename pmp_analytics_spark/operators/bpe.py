@@ -27,7 +27,7 @@ Execution shape (why this scales to 100 TB of text):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -344,4 +344,98 @@ def wordpiece_merges_from_sym(symed: DataFrame, n_merges: int) -> DataFrame:
         merges,
         "rank long, lhs string, rhs string, merged string, "
         "pair_freq long, score double",
+    )
+
+
+def wordpiece_vocab(applied: DataFrame) -> DataFrame:
+    """(piece, initial, marked) inference vocabulary from a trained
+    segmentation frame (word, freq, sym): the distinct subword pieces
+    the training replay produced, POSITION-marked the BERT way — a
+    piece seen word-initially is a plain entry, a piece seen
+    word-internally is a ``##``-continuation entry (the same surface
+    form can be both). Vocab-bounded by construction."""
+    toks = F.split(F.trim(F.col("sym")), " ")
+    return (
+        applied.select(F.posexplode(toks).alias("idx", "piece"))
+        .where(F.col("piece") != "")
+        .select("piece", (F.col("idx") == 0).alias("initial"))
+        .distinct()
+        .withColumn(
+            "marked",
+            F.when(F.col("initial"), F.col("piece")).otherwise(
+                F.concat(F.lit("##"), F.col("piece"))
+            ),
+        )
+    )
+
+
+def wordpiece_encode(
+    words: DataFrame, vocab: DataFrame, max_word_len: int
+) -> DataFrame:
+    """BERT-style WordPiece INFERENCE: greedy longest-match-first
+    segmentation of each word against a position-marked vocabulary —
+    deliberately NOT the training merge replay (greedy munch over the
+    final vocab is what ships in production, and it can segment a word
+    differently than training did; a word with no match at some cursor
+    becomes ``[UNK]`` whole, the real OOV semantics).
+
+    Movement: ``max_word_len`` bounded rounds (each consumes >= 1
+    char), each round one broadcast join of the live cursor frame
+    against the vocab + a per-word longest-match argmax — every frame
+    is word-type-table sized; the corpus never enters. Returns (word,
+    freq, pieces, n_pieces, oov)."""
+    state = words.select(
+        "word",
+        "freq",
+        F.lit(1).alias("pos"),
+        F.lit("").alias("out"),
+        F.lit(False).alias("oov"),
+        F.lit(False).alias("done"),
+    ).localCheckpoint(eager=False)
+    for _ in range(max_word_len):
+        active = state.where(~F.col("done"))
+        finished = state.where(F.col("done"))
+        cand = active.join(
+            F.broadcast(vocab),
+            (F.col("initial") == (F.col("pos") == 1))
+            & (
+                F.expr("substring(word, pos, length(piece))")
+                == F.col("piece")
+            ),
+            "left",
+        )
+        w = Window.partitionBy("word").orderBy(
+            F.desc(F.length("piece")), F.asc("piece")
+        )
+        best = cand.withColumn("__rn", F.row_number().over(w)).where(
+            F.col("__rn") == 1
+        )
+        miss = F.col("piece").isNull()
+        stepped = best.select(
+            "word",
+            "freq",
+            F.when(miss, F.col("pos"))
+            .otherwise(F.col("pos") + F.length("piece"))
+            .alias("pos"),
+            F.when(miss, F.col("out"))
+            .when(F.col("out") == "", F.col("marked"))
+            .otherwise(F.concat_ws(" ", "out", "marked"))
+            .alias("out"),
+            F.when(miss, F.lit(True)).otherwise(F.col("oov")).alias("oov"),
+            F.when(miss, F.lit(True))
+            .otherwise(F.col("pos") + F.length("piece") > F.length("word"))
+            .alias("done"),
+        )
+        state = finished.unionByName(stepped).localCheckpoint(eager=False)
+    return state.select(
+        "word",
+        "freq",
+        F.when(F.col("oov"), F.lit("[UNK]")).otherwise(F.col("out")).alias(
+            "pieces"
+        ),
+        F.when(F.col("oov"), F.lit(1))
+        .otherwise(F.size(F.split(F.col("out"), " ")))
+        .cast("long")
+        .alias("n_pieces"),
+        F.col("oov").cast("int").alias("oov"),
     )

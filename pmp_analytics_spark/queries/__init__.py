@@ -55,50 +55,53 @@ _PACK_MODULES = {
 }
 
 
-# Round-9 record rotation: the rotation remains debt-free (VERDICT r8
+# Round-10 record rotation: the rotation remains debt-free (VERDICT r9
 # confirmed every registry query has appeared in at least one official
-# record r01-r08), so the front is the round-9 additions (never sampled
+# record r01-r09), so the front is the round-10 additions (never sampled
 # by definition) followed by the queries whose ORACLES or operators
-# round 9 touched (passage-id packing widened, Luhn NULL pin, PSI
-# oracle generation, LPA tie-break, BPE oracle-template refactor +
-# byte-level eval arm, connected-components rewrite behind the dedup
-# family, frame-sampling dispatch) so the official record re-confirms
-# them. Names that fall out of the registry are skipped silently.
+# round 10 touched (the Arrow local_df conversion across CC labels / BPE
+# merge tables / exact-percentile targets / IVF centroids / the degree
+# dim, the one-action CC dispatch + self-loop fix, the BPE-oracle
+# COALESCE guard, the dd_bucket raise_error guard, the tokenizer-eval
+# fourth arm, the marker-memo fix behind the streaming MV loops) so the
+# official record re-confirms them. Names that fall out of the registry
+# are skipped silently.
 _RECORD_FRONT = (
-    # round-9 additions (never sampled by definition)
-    "docs_dedup_components_distributed",
-    "event_value_ddsketch",
-    "streaming_value_ddsketch",
-    "docs_bpe_bytelevel",
-    "docs_video_frame_dims",
-    "event_value_ddsketch_cascade",
-    "docs_bigram_kneser_ney",
-    "nation_trade_hits",
-    "docs_webp_decode_audit",
-    "docs_perplexity_kn",
-    "docs_dedup_components_cdc",
-    "streaming_dedup_components",
-    # oracles/operators touched this round, re-confirmed up front
-    "docs_passage_bm25",
-    "customer_card_luhn_audit",
-    "streaming_drift_psi",
-    "orders_priority_percentiles",
-    "part_copurchase_communities",
+    # round-10 additions (never sampled by definition)
+    "docs_trigram_kneser_ney",
+    "docs_perplexity_kn3",
+    "docs_wordpiece",
+    "docs_wordpiece_encode",
+    "docs_flac_decode_audit",
+    "docs_trigram_lm_cdc",
+    "streaming_trigram_lm",
+    # operators/oracles touched this round, re-confirmed up front
     "docs_tokenizer_eval",
     "docs_bpe_merges",
+    "docs_bpe_bytelevel",
     "docs_bpe_encode",
-    "docs_frame_samples",
-    "docs_payload_thumbnails",
-    "docs_bigram_heavy_hitters",
+    "docs_tokenize_ids",
+    "docs_dedup_components_distributed",
+    "docs_dedup_components_cdc",
+    "streaming_dedup_components",
     "docs_dedup_canonical",
     "docs_dedup_eval",
-    "streaming_conversion_lag",
+    "streaming_neardup_ingest",
+    "event_value_ddsketch",
+    "streaming_value_ddsketch",
+    "event_value_ddsketch_cascade",
+    "orders_priority_percentiles",
+    "orders_exact_percentiles",
+    "embedding_ivf_topk",
+    "embedding_ivfpq_topk",
+    "degree_board_inference",
+    "docs_bigram_kneser_ney",
+    "docs_perplexity_kn",
     "streaming_mv_refresh",
     "streaming_merge_upsert",
-    "streaming_scd2_apply",
-    "streaming_substring_dedup",
-    "streaming_pagerank_cdc",
-    "streaming_pointintime_enrich",
+    "docs_audio_chunks",
+    "docs_audio_features",
+    "docs_webp_decode_audit",
 )
 
 

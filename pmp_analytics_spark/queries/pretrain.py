@@ -2788,12 +2788,13 @@ def docs_tokenizer_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 # only context-bounded rows. No reference analog (north-star LM
 # surface); the bigram twin documents the shared movement.
 # --------------------------------------------------------------------------
-def _kn3_duck_lm() -> str:
+def _kn3_duck_lm(doc_where: str = "") -> str:
     """Shared oracle CTE chain ending at ``p`` = the full trigram
     modified-KN probability table (plus ``tri`` = the doc-tagged
-    trigram instance stream)."""
+    trigram instance stream). ``doc_where`` filters the document set —
+    the CDC queries replay the rebuild over the FINAL set through it."""
     return f"""
-    tk AS (SELECT doc_id, {_DUCK_TOKENS} AS toks FROM documents),
+    tk AS (SELECT doc_id, {_DUCK_TOKENS} AS toks FROM documents {doc_where}),
     tri AS (
         SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2, toks[i + 2] AS w3
         FROM (SELECT doc_id, toks, UNNEST(GENERATE_SERIES(1, LEN(toks) - 2)) AS i
@@ -2872,16 +2873,13 @@ def _kn3_duck_lm() -> str:
     )"""
 
 
-def _kn3_frames(spark: SparkSession, sf_dir: str):
-    """(tri, p) — the doc-tagged trigram instance stream and the full
-    modified-KN probability table. The instance stream is deliberately
-    NOT cached (corpus-sized; the docs_perplexity_kn precedent); the
-    TYPE tables are."""
-    docs = load_table(spark, sf_dir, "documents")
+def _trigram_stream(docs: DataFrame) -> DataFrame:
+    """Doc-tagged trigram instance stream (doc_id, w1, w2, w3) —
+    map-side explode, deliberately never cached (corpus-sized)."""
     toked = docs.select("doc_id", tokens(F.col("text")).alias("toks")).where(
         F.size("toks") >= 3
     )
-    tri = toked.select(
+    return toked.select(
         "doc_id",
         F.explode(
             F.expr(
@@ -2890,7 +2888,26 @@ def _kn3_frames(spark: SparkSession, sf_dir: str):
             )
         ).alias("t"),
     ).select("doc_id", "t.w1", "t.w2", "t.w3")
+
+
+def _kn3_frames(spark: SparkSession, sf_dir: str):
+    """(tri, p) — the doc-tagged trigram instance stream and the full
+    modified-KN probability table. The instance stream is deliberately
+    NOT cached (corpus-sized; the docs_perplexity_kn precedent); the
+    TYPE tables are."""
+    docs = load_table(spark, sf_dir, "documents")
+    tri = _trigram_stream(docs)
     c3 = tri.groupBy("w1", "w2", "w3").agg(F.count(F.lit(1)).alias("n")).cache()
+    return tri, _kn3_from_c3(c3)
+
+
+def _kn3_from_c3(c3: DataFrame) -> DataFrame:
+    """The full trigram modified-KN probability table derived from a
+    (w1, w2, w3, n) COUNT table — split out so the count table can be
+    the MAINTAINED artifact (CDC / streaming): every derivation below
+    is type-table-sized, so re-deriving probabilities after an O(delta)
+    count merge costs nothing corpus-shaped. ``c3`` should be cached by
+    the caller (multiple consumers below)."""
 
     def modified_discounts(cnt_frame: DataFrame, cnt: str, pre: str) -> DataFrame:
         """1-row (D1, D2, D3+) from the level's counts-of-counts, each
@@ -2988,7 +3005,7 @@ def _kn3_frames(spark: SparkSession, sf_dir: str):
         .crossJoin(F.broadcast(totbg))
         .select("w1", "w2", "w3", "n", p_kn3.alias("p_kn3"))
     )
-    return tri, p
+    return p
 
 
 @query(
@@ -3240,3 +3257,309 @@ def docs_wordpiece(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rank long, lhs string, rhs string, merged string, "
         "pair_freq long, score double",
     )
+
+
+# --------------------------------------------------------------------------
+# Q: docs_wordpiece_encode — WordPiece INFERENCE (BERT's runtime
+# tokenizer): greedy longest-match-first segmentation of the corpus'
+# heaviest words against the position-marked vocabulary the trainer
+# produced (operators/bpe.py::wordpiece_vocab/wordpiece_encode).
+# Deliberately NOT the training merge replay — greedy munch over the
+# final vocab is what ships, it can disagree with training
+# segmentation, and a word with no match at some cursor becomes [UNK]
+# whole (the real OOV semantics). The oracle replays the identical
+# greedy loop as max-word-length unrolled CTE rounds: per round, one
+# longest-match argmax per live word ((LEN DESC, piece) — total order)
+# and one cursor advance; engine rounds are broadcast joins over a
+# word-type-bounded frame, so the corpus never enters the loop.
+# --------------------------------------------------------------------------
+_WPE_TOPW = 150
+_WPE_MAXW = 12
+
+
+def _wpe_oracle() -> str:
+    rounds = []
+    for k in range(1, _WPE_MAXW + 1):
+        rounds.append(f"""
+    mbest{k} AS MATERIALIZED (
+        SELECT word, piece, marked, plen FROM (
+            SELECT s.word, v.piece, v.marked, LEN(v.piece) AS plen,
+                   ROW_NUMBER() OVER (PARTITION BY s.word
+                       ORDER BY LEN(v.piece) DESC, v.piece) AS rn
+            FROM munch{k - 1} s JOIN wpv_vocab v
+              ON NOT s.done AND v.initial = (s.pos = 1)
+             AND SUBSTRING(s.word, s.pos, LEN(v.piece)) = v.piece
+        ) WHERE rn = 1
+    ),
+    munch{k} AS MATERIALIZED (
+        SELECT s.word, s.freq,
+               CASE WHEN s.done OR b.piece IS NULL THEN s.pos
+                    ELSE s.pos + b.plen END AS pos,
+               CASE WHEN s.done OR b.piece IS NULL THEN s.out
+                    WHEN s.out = '' THEN b.marked
+                    ELSE s.out || ' ' || b.marked END AS out,
+               CASE WHEN s.done THEN s.oov
+                    WHEN b.piece IS NULL THEN TRUE ELSE s.oov END AS oov,
+               CASE WHEN s.done OR b.piece IS NULL THEN TRUE
+                    WHEN s.pos + b.plen > LEN(s.word) THEN TRUE
+                    ELSE FALSE END AS done
+        FROM munch{k - 1} s LEFT JOIN mbest{k} b USING (word)
+    )""")
+    return (
+        "WITH "
+        + _wp_stage_sql()
+        + f""",
+    wpv_vocab AS MATERIALIZED (
+        SELECT DISTINCT piece, initial,
+               CASE WHEN initial THEN piece
+                    ELSE '##' || piece END AS marked
+        FROM (
+            SELECT toks[i] AS piece, i = 1 AS initial
+            FROM (SELECT LIST_FILTER(STRING_SPLIT(TRIM(sym), ' '),
+                             x -> x <> '') AS toks,
+                         UNNEST(GENERATE_SERIES(1, LEN(LIST_FILTER(
+                             STRING_SPLIT(TRIM(sym), ' '), x -> x <> '')))) AS i
+                  FROM wv{_WP_K})
+        )
+    ),
+    munch0 AS MATERIALIZED (
+        SELECT word, freq, 1 AS pos, '' AS out,
+               FALSE AS oov, FALSE AS done
+        FROM (SELECT word, freq FROM wpvocab
+              WHERE LENGTH(word) <= {_WPE_MAXW}
+              ORDER BY freq DESC, word LIMIT {_WPE_TOPW})
+    ),{",".join(rounds)}
+    SELECT word, CAST(freq AS BIGINT) AS n_inst,
+           CASE WHEN oov THEN '[UNK]' ELSE out END AS pieces,
+           CAST(CASE WHEN oov THEN 1
+                     ELSE LEN(STRING_SPLIT(out, ' ')) END AS BIGINT)
+               AS n_pieces,
+           CAST(oov AS INT) AS oov
+    FROM munch{_WPE_MAXW}
+    """
+    )
+
+
+@query("docs_wordpiece_encode", _wpe_oracle)
+def docs_wordpiece_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pmp_analytics_spark.operators.bpe import (
+        apply_merges_to_sym,
+        _symbolized,
+        word_vocab,
+        wordpiece_encode,
+        wordpiece_vocab,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    wv = word_vocab(docs, "text")
+    _, wrules = _wp_fit(spark, sf_dir)
+    vocab = wordpiece_vocab(apply_merges_to_sym(_symbolized(wv), wrules))
+    top = (
+        wv.where(F.length("word") <= _WPE_MAXW)
+        .orderBy(F.desc("freq"), F.asc("word"))
+        .limit(_WPE_TOPW)
+    )
+    out = wordpiece_encode(top, vocab, _WPE_MAXW)
+    return out.select(
+        "word",
+        F.col("freq").cast("long").alias("n_inst"),
+        "pieces",
+        "n_pieces",
+        "oov",
+    )
+
+
+# --------------------------------------------------------------------------
+# Q: docs_trigram_lm_cdc — CDC maintenance of the trigram COUNT TABLE,
+# extending the index-maintenance discipline (LSH bands / IVF cells /
+# BM25 postings / substring grams / component labels) to the LM family:
+# the maintained artifact is c3 = (w1, w2, w3, n) — the ONE corpus-sized
+# aggregate in the modified-KN stack — refreshed in O(delta) when
+# documents arrive or retract (each delta doc contributes +/- its own
+# trigram counts; a full-outer count merge over touched types; zero
+# counts drop; negatives RAISE — a retraction of a never-ingested doc
+# must fail loudly, not drift). Probabilities, discounts, and
+# counts-of-counts are deliberately NOT maintained: they are global
+# functions of c3 that shift with ANY count transition, and re-deriving
+# them is type-table-sized (see _kn3_from_c3) — maintain the corpus-
+# shaped thing, derive the cheap things. Oracle = the full rebuild over
+# the FINAL document set through the identical KN chain.
+# --------------------------------------------------------------------------
+def trigram_counts(docs: DataFrame) -> DataFrame:
+    """(w1, w2, w3, n) over a (doc_id, text) frame — the one
+    corpus-sized aggregate of the KN stack (map-side combine on the
+    uniform trigram key)."""
+    return (
+        _trigram_stream(docs)
+        .groupBy("w1", "w2", "w3")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def trigram_counts_refresh(
+    c3: DataFrame, added_docs: DataFrame, removed_docs: DataFrame
+) -> DataFrame:
+    """O(delta) refresh of the trigram count table: + added docs'
+    counts, - removed docs' counts, full-outer merge on the type key,
+    drop zeros, RAISE on negatives (retraction of a doc that was never
+    counted). Result equals ``trigram_counts`` over the final doc set
+    row-for-row — the incremental_mv_refresh contract for n-gram LMs."""
+    adj = (
+        trigram_counts(added_docs)
+        .unionByName(
+            trigram_counts(removed_docs).select(
+                "w1", "w2", "w3", (-F.col("n")).alias("n")
+            )
+        )
+        .groupBy("w1", "w2", "w3")
+        .agg(F.sum("n").alias("__dn"))
+    )
+    merged = c3.join(adj, ["w1", "w2", "w3"], "full_outer").select(
+        "w1",
+        "w2",
+        "w3",
+        (
+            F.coalesce(F.col("n"), F.lit(0)) + F.coalesce(F.col("__dn"), F.lit(0))
+        ).alias("n"),
+    )
+    guarded = F.when(
+        F.col("n") < 0,
+        F.raise_error(
+            F.concat(
+                F.lit("trigram_counts_refresh: negative count for ("),
+                F.concat_ws(", ", "w1", "w2", "w3"),
+                F.lit(") — a removed doc was never in the corpus"),
+            )
+        ).cast("long"),
+    ).otherwise(F.col("n"))
+    return merged.select("w1", "w2", "w3", guarded.alias("n")).where(
+        F.col("n") > 0
+    )
+
+
+_CDC_LM_FINAL_WHERE = (
+    "WHERE doc_id % 10 <= 8 AND NOT (doc_id % 10 = 4 AND doc_id < 300)"
+)
+
+
+def _kn3_report_sql(doc_where: str) -> str:
+    return f"""
+    WITH {_kn3_duck_lm(doc_where)},
+    top_ctx AS (
+        SELECT w1, w2 FROM ctx ORDER BY c12 DESC, w1, w2 LIMIT 100
+    ),
+    r AS (
+        SELECT p.w1, p.w2, p.w3, p.n, p.p_kn3,
+               ROW_NUMBER() OVER (PARTITION BY p.w1, p.w2
+                   ORDER BY p.p_kn3 DESC, p.w3) AS rnk
+        FROM p JOIN top_ctx USING (w1, w2)
+    )
+    SELECT w1, w2, w3, CAST(n AS BIGINT) AS n_tri,
+           ROUND(p_kn3, 6) AS p_kn3, CAST(rnk AS BIGINT) AS rnk
+    FROM r WHERE rnk <= 5
+    """
+
+
+def _kn3_report(p: DataFrame) -> DataFrame:
+    """Top-5 KN continuations of the 100 heaviest contexts — the shared
+    report cut over any probability table (fresh, CDC-refreshed, or
+    stream-maintained)."""
+    ctx_totals = p.groupBy("w1", "w2").agg(F.sum("n").alias("c12"))
+    top_ctx = (
+        ctx_totals.orderBy(F.desc("c12"), F.asc("w1"), F.asc("w2"))
+        .limit(100)
+        .select("w1", "w2")
+    )
+    w = Window.partitionBy("w1", "w2").orderBy(F.desc("p_kn3"), F.asc("w3"))
+    return (
+        p.join(F.broadcast(top_ctx), ["w1", "w2"])
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 5)
+        .select(
+            "w1",
+            "w2",
+            "w3",
+            F.col("n").cast("long").alias("n_tri"),
+            F.round("p_kn3", 6).alias("p_kn3"),
+            F.col("rnk").cast("long").alias("rnk"),
+        )
+    )
+
+
+@query("docs_trigram_lm_cdc", _kn3_report_sql(_CDC_LM_FINAL_WHERE))
+def docs_trigram_lm_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    old = docs.where(F.col("doc_id") % 10 < 8)
+    added = docs.where(F.col("doc_id") % 10 == 8)
+    removed = docs.where(
+        (F.col("doc_id") % 10 == 4) & (F.col("doc_id") < 300)
+    )
+    c3 = trigram_counts_refresh(trigram_counts(old), added, removed).cache()
+    return _kn3_report(_kn3_from_c3(c3))
+
+
+# --------------------------------------------------------------------------
+# Q: streaming_trigram_lm — the SAME count table maintained from a
+# document CDC STREAM (rows (op, doc_id, text), op in {add, del})
+# through the shared exactly-once versioned-state loop
+# (streaming/mv.py::cdc_apply_stream): per micro-batch one O(delta)
+# trigram_counts_refresh against the published state. Count merges are
+# associative and each doc appears in one batch, so the drained state —
+# and the KN report derived from it — is micro-batch-slicing
+# independent: the oracle is the full rebuild over the final doc set,
+# identical to docs_trigram_lm_cdc's.
+# --------------------------------------------------------------------------
+@query("streaming_trigram_lm", _kn3_report_sql(_CDC_LM_FINAL_WHERE))
+def streaming_trigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from pmp_analytics_spark.sources.writers import (
+        publish_versioned,
+        read_latest,
+    )
+    from pmp_analytics_spark.streaming import stream_workdir
+    from pmp_analytics_spark.streaming.mv import cdc_apply_stream
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    old = docs.where(F.col("doc_id") % 10 < 8)
+    work = stream_workdir("pmp_lm_stream")
+    root = os.path.join(work, "c3")
+    feed = os.path.join(work, "cdc")
+    # batch 1: first half of the arrivals; batch 2: the rest + the
+    # retractions — adds and dels cross batches so both refresh arms
+    # run under the exactly-once markers
+    b1 = docs.where((F.col("doc_id") % 10 == 8) & (F.col("doc_id") < 500)).select(
+        F.lit("add").alias("op"), "doc_id", "text"
+    )
+    b2 = (
+        docs.where((F.col("doc_id") % 10 == 8) & (F.col("doc_id") >= 500))
+        .select(F.lit("add").alias("op"), "doc_id", "text")
+        .unionByName(
+            docs.where(
+                (F.col("doc_id") % 10 == 4) & (F.col("doc_id") < 300)
+            ).select(F.lit("del").alias("op"), "doc_id", "text")
+        )
+    )
+    for i, b in enumerate((b1, b2)):
+        b.coalesce(1).write.parquet(os.path.join(feed, f"drop_{i}"))
+    publish_versioned(trigram_counts(old).coalesce(1), root)
+
+    def refresh(state: DataFrame, batch: DataFrame) -> DataFrame:
+        return trigram_counts_refresh(
+            state,
+            batch.where(F.col("op") == "add").select("doc_id", "text"),
+            batch.where(F.col("op") == "del").select("doc_id", "text"),
+        )
+
+    schema = "op string, doc_id bigint, text string"
+    cdc_apply_stream(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "*.parquet")
+        .option("recursiveFileLookup", "true")
+        .parquet(feed),
+        root,
+        refresh,
+        checkpoint_dir=os.path.join(work, "ckpt"),
+    )
+    return _kn3_report(_kn3_from_c3(read_latest(spark, root).cache()))

@@ -668,3 +668,41 @@ def test_wordpiece_matches_pure_python(spark):
                     i += 1
             syms[w] = out
     assert got == ref
+
+
+def test_trigram_counts_refresh_equals_rebuild_and_raises(spark):
+    """The LM count-table CDC contract: refresh(old, added, removed)
+    equals trigram_counts over the final doc set row-for-row (zeros
+    drop, new types appear), and retracting a doc that was never
+    counted RAISES instead of drifting negative."""
+    import pytest as _pytest
+
+    from pmp_analytics_spark.queries.pretrain import (
+        trigram_counts,
+        trigram_counts_refresh,
+    )
+
+    def mk(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    old = mk([(1, "a b c a b c"), (2, "x y z"), (3, "a b c d")])
+    added = mk([(4, "b c d e"), (5, "q r s")])
+    removed = mk([(2, "x y z")])
+    got = {
+        tuple(r)
+        for r in trigram_counts_refresh(
+            trigram_counts(old), added, removed
+        ).collect()
+    }
+    ref = {
+        tuple(r)
+        for r in trigram_counts(
+            mk([(1, "a b c a b c"), (3, "a b c d"), (4, "b c d e"), (5, "q r s")])
+        ).collect()
+    }
+    assert got == ref and got  # x-y-z dropped to zero, q-r-s appeared
+
+    with _pytest.raises(Exception, match="negative count"):
+        trigram_counts_refresh(
+            trigram_counts(old), mk([]), mk([(9, "a b c a b c a b c")])
+        ).collect()
