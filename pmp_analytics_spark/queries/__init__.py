@@ -75,6 +75,8 @@ _RECORD_FRONT = (
     "docs_flac_decode_audit",
     "docs_trigram_lm_cdc",
     "streaming_trigram_lm",
+    "docs_leakage_free_split",
+    "orders_zorder_layout",
     # operators/oracles touched this round, re-confirmed up front
     "docs_tokenizer_eval",
     "docs_bpe_merges",

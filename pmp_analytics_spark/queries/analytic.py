@@ -915,6 +915,91 @@ def docs_flac_decode_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Q: orders_zorder_layout — Z-order (Morton) clustering audit:
+# range-normalize (o_custkey, orderdate-epoch-days) into [0, 2^16) (the
+# real ZORDER recipe — raw values waste interleave bits) and interleave
+# the 16-bit codes into a z value (operators/zorder.py::z_value16 — pure shift/mask inside
+# a JVM aggregate HOF), bucket the z space into 32 contiguous ranges
+# (z >> 27: fixed-width, no global window), and report each bucket's
+# row count and min/max span in BOTH dimensions — the statistic that
+# decides how many files a predicate on EITHER column can skip after an
+# OPTIMIZE-ZORDER-style rewrite. The layout op itself
+# (zorder_partitioned: one repartitionByRange on z) is pytest-pinned
+# for disjoint per-file ranges; this query oracle-pins the arithmetic.
+# --------------------------------------------------------------------------
+_Z_DUCK = (
+    "LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(0, 15), i -> "
+    "(((xn >> i) & 1) << (i * 2)) + (((yn >> i) & 1) * (1 << (i * 2 + 1)))))"
+)
+
+
+@query(
+    "orders_zorder_layout",
+    f"""
+    WITH base AS (
+        SELECT o_custkey,
+               DATEDIFF('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS day
+        FROM orders
+    ), bounds AS (
+        SELECT MIN(o_custkey) AS c0, MAX(o_custkey) AS c1,
+               MIN(day) AS d0, MAX(day) AS d1
+        FROM base
+    ), norm AS (
+        -- range-normalize each dim into [0, 65535] (the real ZORDER
+        -- recipe: raw values waste interleave bits; GREATEST guards the
+        -- one-distinct-value corner)
+        SELECT o_custkey, day,
+               (o_custkey - c0) * 65535 // GREATEST(c1 - c0, 1) AS xn,
+               (day - d0) * 65535 // GREATEST(d1 - d0, 1) AS yn
+        FROM base CROSS JOIN bounds
+    ), z AS (
+        SELECT o_custkey, day, {_Z_DUCK} AS zv FROM norm
+    )
+    SELECT CAST(zv >> 27 AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(o_custkey) AS BIGINT) AS min_cust,
+           CAST(MAX(o_custkey) AS BIGINT) AS max_cust,
+           CAST(MIN(day) AS BIGINT) AS min_day,
+           CAST(MAX(day) AS BIGINT) AS max_day,
+           CAST(MIN(zv) AS BIGINT) AS min_z,
+           CAST(MAX(zv) AS BIGINT) AS max_z
+    FROM z GROUP BY 1
+    """,
+)
+def orders_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pmp_analytics_spark.operators.agg import with_global_agg
+    from pmp_analytics_spark.operators.zorder import z_value16
+
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", F.datediff("o_orderdate", F.lit("1970-01-01")).alias("day")
+    )
+    norm = with_global_agg(
+        base,
+        {
+            "__c0": F.min("o_custkey"),
+            "__c1": F.max("o_custkey"),
+            "__d0": F.min("day"),
+            "__d1": F.max("day"),
+        },
+    ).select(
+        "o_custkey",
+        "day",
+        F.expr("(o_custkey - __c0) * 65535 DIV GREATEST(__c1 - __c0, 1)").alias("xn"),
+        F.expr("(day - __d0) * 65535 DIV GREATEST(__d1 - __d0, 1)").alias("yn"),
+    )
+    z = norm.withColumn("zv", z_value16("xn", "yn"))
+    return z.groupBy((F.shiftright("zv", 27)).cast("long").alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("o_custkey").cast("long").alias("min_cust"),
+        F.max("o_custkey").cast("long").alias("max_cust"),
+        F.min("day").cast("long").alias("min_day"),
+        F.max("day").cast("long").alias("max_day"),
+        F.min("zv").alias("min_z"),
+        F.max("zv").alias("max_z"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Q: big_quantity_orders — the TPC-H Q18 shape: HAVING on an aggregated
 # subquery, then joined back to the fact + dim. Catalyst pushes the
 # HAVING into the aggregate (no post-join filter on the big side) and

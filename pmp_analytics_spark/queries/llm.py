@@ -1284,6 +1284,83 @@ def docs_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Q: docs_leakage_free_split — GROUP-AWARE train/val/test splitting: the
+# near-dup closure decides the split unit, so two near-duplicate
+# documents can NEVER straddle a split boundary (the standard eval-
+# leakage failure: a test doc whose near-twin sat in train). Every doc
+# maps to its connected component (singletons are their own component),
+# the COMPONENT id — not the doc id — md5-buckets into train(8)/val(1)/
+# test(1), and the whole component lands together. Deterministic,
+# re-run-stable (content-hash buckets, no rand()), and shuffle-shaped
+# like docs_dedup_canonical: the corpus joins the TINY component map,
+# never itself. Oracle: the recursive-CTE transitive closure over the
+# replayed near-dup pairs + the identical md5 bucket arithmetic.
+# --------------------------------------------------------------------------
+@query(
+    "docs_leakage_free_split",
+    f"""
+    WITH RECURSIVE pairs AS (
+        {ORACLE["docs_neardup_pairs"]}
+    ), edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION
+        SELECT id_b AS src, id_a AS dst FROM pairs
+    ), walk(src, dst) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT w.src, e.dst FROM walk w JOIN edges e ON w.dst = e.src
+    ), comp AS (
+        SELECT src AS id, LEAST(src, MIN(dst)) AS component
+        FROM walk GROUP BY src
+    ), tagged AS (
+        SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component
+        FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+    )
+    SELECT doc_id, component,
+           CASE WHEN CAST(('0x' || SUBSTRING(MD5(CAST(component AS VARCHAR)), 1, 15))
+                          AS BIGINT) % 10 < 8 THEN 'train'
+                WHEN CAST(('0x' || SUBSTRING(MD5(CAST(component AS VARCHAR)), 1, 15))
+                          AS BIGINT) % 10 = 8 THEN 'val'
+                ELSE 'test' END AS split
+    FROM tagged
+    """,
+)
+def docs_leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pmp_analytics_spark.operators.dedup import connected_components
+    from pmp_analytics_spark.operators.sample import hash_bucket
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_dedup(
+        docs,
+        text_col="text",
+        id_col="doc_id",
+        shingle_k=_SHINGLE_K,
+        threshold=_JACCARD_T,
+        num_hashes=len(_SEEDS),
+        bands=_BANDS,
+    )
+    labels = connected_components(pairs)
+    tagged = (
+        docs.select("doc_id")
+        .join(
+            F.broadcast(labels.withColumnRenamed("id", "doc_id")),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "doc_id",
+            F.coalesce("component", "doc_id").alias("component"),
+        )
+    )
+    b = hash_bucket("component", 10)
+    return tagged.select(
+        "doc_id",
+        "component",
+        F.when(b < 8, "train").when(b == 8, "val").otherwise("test").alias("split"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Q: docs_dedup_keep_best — quality-aware canonical selection: the same
 # near-dup → connected-components closure as docs_dedup_canonical, but
 # instead of keeping each component's min-id doc, keep its BEST doc

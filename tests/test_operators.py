@@ -2854,3 +2854,47 @@ def test_connected_components_refresh_equals_rebuild(spark):
     assert {tuple(r) for r in got.collect()} == {
         tuple(r) for r in ref.collect()
     }
+
+
+def test_zorder_partitioned_disjoint_ranges(spark):
+    """zorder_partitioned: one range exchange on the Morton code; the
+    resulting partitions hold DISJOINT contiguous z ranges (what makes
+    every written file prunable by min/max stats on either interleaved
+    dimension), and z_value16 matches a pure-Python bit interleave."""
+    import random
+
+    from pmp_analytics_spark.operators.zorder import (
+        z_value16,
+        zorder_partitioned,
+    )
+
+    rng = random.Random(3)
+    rows = [(rng.randrange(65536), rng.randrange(65536)) for _ in range(4000)]
+    df = spark.createDataFrame(rows, "x long, y long")
+
+    def ref_z(x, y):
+        z = 0
+        for i in range(16):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    got = (
+        df.withColumn("z", z_value16("x", "y"))
+        .select("x", "y", "z")
+        .collect()
+    )
+    for r in got:
+        assert r["z"] == ref_z(r["x"], r["y"])
+
+    parts = (
+        zorder_partitioned(df, "x", "y", 8)
+        .select(F.spark_partition_id().alias("pid"), "__z")
+        .groupBy("pid")
+        .agg(F.min("__z").alias("lo"), F.max("__z").alias("hi"), F.count("*").alias("n"))
+        .orderBy("lo")
+        .collect()
+    )
+    assert sum(p["n"] for p in parts) == 4000
+    for a, b in zip(parts, parts[1:]):
+        assert a["hi"] <= b["lo"]  # disjoint contiguous ranges
