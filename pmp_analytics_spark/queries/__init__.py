@@ -77,6 +77,7 @@ _RECORD_FRONT = (
     "streaming_trigram_lm",
     "docs_leakage_free_split",
     "orders_zorder_layout",
+    "orc_pushdown_roundtrip",
     # operators/oracles touched this round, re-confirmed up front
     "docs_tokenizer_eval",
     "docs_bpe_merges",

@@ -1295,6 +1295,48 @@ def csv_allstring_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Q: orc_pushdown_roundtrip — the second built-in columnar format as a
+# first-class source/sink: write an ORC extract (typed, unlike the
+# all-string CSV path), scan it back with a selective filter + 2-column
+# projection that must reach the ORC reader as PushedFilters/ReadSchema
+# (the same pruning contract the parquet scans are plan-gated on —
+# pinned for ORC in tests/test_plans.py), aggregate. The oracle computes
+# the identical result from the parquet table, so write -> scan ->
+# pushdown -> aggregate is lossless end-to-end.
+# --------------------------------------------------------------------------
+@query(
+    "orc_pushdown_roundtrip",
+    """
+    SELECT l_returnflag,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
+    FROM lineitem
+    WHERE l_quantity > 45
+    GROUP BY l_returnflag
+    """,
+)
+def orc_pushdown_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_quantity", "l_extendedprice", "l_shipdate"
+    )
+    tmp = tempfile.mkdtemp(prefix="orc_roundtrip_")
+    path = os.path.join(tmp, "lineitem_orc")
+    li.write.orc(path)
+    back = spark.read.orc(path)
+    return (
+        back.where(F.col("l_quantity") > 45)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.floor("l_quantity").cast("long")).alias("sum_qty"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # Q: shipping_priority — TPC-H Q3 shape: selective filters on both fact
 # sides, 3-way join (dim broadcast, fact-fact on the join key), group on
 # (order, date, priority), revenue top-K via TakeOrderedAndProject.

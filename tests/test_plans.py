@@ -574,3 +574,15 @@ def test_mv_minmax_recompute_is_touched_group_pruned(spark, queries):
     assert "BroadcastHashJoin" in plan
     assert "LeftSemi" in plan and "LeftAnti" in plan
     assert has_pushed_filters(df)
+
+
+def test_orc_roundtrip_pushdown_and_pruning(spark, queries):
+    # the ORC scan must carry the quantity predicate as a pushed filter
+    # and prune to the 2 columns the aggregate needs — the same
+    # scan-contract the parquet sources are gated on, on the second
+    # built-in columnar format
+    df = queries["orc_pushdown_roundtrip"](spark, SF)
+    assert has_pushed_filters(df)
+    read = set(scan_read_schema(df))
+    assert "l_extendedprice" not in read and "l_shipdate" not in read
+    assert {"l_returnflag", "l_quantity"} <= read
