@@ -78,6 +78,7 @@ _RECORD_FRONT = (
     "docs_leakage_free_split",
     "orders_zorder_layout",
     "orc_pushdown_roundtrip",
+    "orders_zorder_pruning_gain",
     # operators/oracles touched this round, re-confirmed up front
     "docs_tokenizer_eval",
     "docs_bpe_merges",

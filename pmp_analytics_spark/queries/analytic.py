@@ -1000,6 +1000,157 @@ def orders_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Q: orders_zorder_pruning_gain — the file-skipping WIN, measured: for a
+# fixed grid of two-dimensional predicates (custkey range × date range),
+# count how many of 32 files each predicate must touch under (a) the
+# Z-order layout and (b) a single-column date-sort layout — the number a
+# 100 TB deployment actually cares about when choosing a rewrite. A file
+# is touched iff the predicate intersects its [min, max] span in BOTH
+# dimensions (min/max row-group stats are exactly what the scanner
+# consults). Z-order bounds both dims per file; the date sort bounds one
+# and leaves custkey spanning the full range, so its custkey predicate
+# never prunes. Everything derives from the bounds + fixed-width bucket
+# arithmetic of orders_zorder_layout — deterministic, fully SQL-checked.
+# --------------------------------------------------------------------------
+@query(
+    "orders_zorder_pruning_gain",
+    f"""
+    WITH base AS (
+        SELECT o_custkey,
+               DATEDIFF('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS day
+        FROM orders
+    ), bounds AS (
+        SELECT MIN(o_custkey) AS c0, MAX(o_custkey) AS c1,
+               MIN(day) AS d0, MAX(day) AS d1
+        FROM base
+    ), norm AS (
+        SELECT o_custkey, day,
+               (o_custkey - c0) * 65535 // GREATEST(c1 - c0, 1) AS xn,
+               (day - d0) * 65535 // GREATEST(d1 - d0, 1) AS yn
+        FROM base CROSS JOIN bounds
+    ), z AS (
+        SELECT o_custkey, day, {_Z_DUCK} AS zv FROM norm
+    ), zspans AS (
+        SELECT zv >> 27 AS bucket,
+               MIN(o_custkey) AS min_c, MAX(o_custkey) AS max_c,
+               MIN(day) AS min_d, MAX(day) AS max_d
+        FROM z GROUP BY 1
+    ), dspans AS (
+        -- the single-column alternative: 32 fixed-width DATE-range files
+        SELECT (day - d0) * 32 // GREATEST(d1 - d0 + 1, 1) AS bucket,
+               MIN(o_custkey) AS min_c, MAX(o_custkey) AS max_c,
+               MIN(day) AS min_d, MAX(day) AS max_d
+        FROM base CROSS JOIN bounds GROUP BY 1
+    ), preds AS (
+        -- a 4x4 grid of conjunctive range predicates, each an eighth of
+        -- each dimension, anchored at quarters of the value ranges
+        SELECT i AS pi, j AS pj,
+               c0 + (c1 - c0) * i // 4 AS pc_lo,
+               c0 + (c1 - c0) * i // 4 + GREATEST((c1 - c0) // 8, 1) AS pc_hi,
+               d0 + (d1 - d0) * j // 4 AS pd_lo,
+               d0 + (d1 - d0) * j // 4 + GREATEST((d1 - d0) // 8, 1) AS pd_hi
+        FROM GENERATE_SERIES(0, 3) s(i), GENERATE_SERIES(0, 3) t(j), bounds
+    )
+    SELECT pi * 4 + pj AS pred_id,
+           CAST((SELECT COUNT(*) FROM zspans s
+                 WHERE s.max_c >= p.pc_lo AND s.min_c <= p.pc_hi
+                   AND s.max_d >= p.pd_lo AND s.min_d <= p.pd_hi)
+                AS BIGINT) AS zorder_files,
+           CAST((SELECT COUNT(*) FROM dspans s
+                 WHERE s.max_c >= p.pc_lo AND s.min_c <= p.pc_hi
+                   AND s.max_d >= p.pd_lo AND s.min_d <= p.pd_hi)
+                AS BIGINT) AS datesort_files
+    FROM preds p
+    """,
+)
+def orders_zorder_pruning_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pmp_analytics_spark.operators.agg import with_global_agg
+    from pmp_analytics_spark.operators.zorder import z_value16
+
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", F.datediff("o_orderdate", F.lit("1970-01-01")).alias("day")
+    )
+    withb = with_global_agg(
+        base,
+        {
+            "__c0": F.min("o_custkey"),
+            "__c1": F.max("o_custkey"),
+            "__d0": F.min("day"),
+            "__d1": F.max("day"),
+        },
+    ).cache()
+    norm = withb.select(
+        "o_custkey",
+        "day",
+        F.expr("(o_custkey - __c0) * 65535 DIV GREATEST(__c1 - __c0, 1)").alias("xn"),
+        F.expr("(day - __d0) * 65535 DIV GREATEST(__d1 - __d0, 1)").alias("yn"),
+    )
+    zspans = (
+        norm.withColumn("zv", z_value16("xn", "yn"))
+        .groupBy(F.shiftright("zv", 27).alias("bucket"))
+        .agg(
+            F.min("o_custkey").alias("min_c"),
+            F.max("o_custkey").alias("max_c"),
+            F.min("day").alias("min_d"),
+            F.max("day").alias("max_d"),
+        )
+    )
+    dspans = (
+        withb.select(
+            "o_custkey",
+            "day",
+            F.expr("(day - __d0) * 32 DIV GREATEST(__d1 - __d0 + 1, 1)").alias("bucket"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.min("o_custkey").alias("min_c"),
+            F.max("o_custkey").alias("max_c"),
+            F.min("day").alias("min_d"),
+            F.max("day").alias("max_d"),
+        )
+    )
+    bounds = withb.select("__c0", "__c1", "__d0", "__d1").limit(1)
+    grid = spark.range(4).select(F.col("id").alias("pi")).crossJoin(
+        spark.range(4).select(F.col("id").alias("pj"))
+    )
+    preds = grid.crossJoin(F.broadcast(bounds)).select(
+        "pi",
+        "pj",
+        F.expr("__c0 + (__c1 - __c0) * pi DIV 4").alias("pc_lo"),
+        F.expr(
+            "__c0 + (__c1 - __c0) * pi DIV 4 + GREATEST((__c1 - __c0) DIV 8, 1)"
+        ).alias("pc_hi"),
+        F.expr("__d0 + (__d1 - __d0) * pj DIV 4").alias("pd_lo"),
+        F.expr(
+            "__d0 + (__d1 - __d0) * pj DIV 4 + GREATEST((__d1 - __d0) DIV 8, 1)"
+        ).alias("pd_hi"),
+    )
+
+    def touched(spans: DataFrame, out: str) -> DataFrame:
+        hit = (
+            (F.col("max_c") >= F.col("pc_lo"))
+            & (F.col("min_c") <= F.col("pc_hi"))
+            & (F.col("max_d") >= F.col("pd_lo"))
+            & (F.col("min_d") <= F.col("pd_hi"))
+        )
+        return (
+            preds.crossJoin(F.broadcast(spans))
+            .groupBy("pi", "pj")
+            .agg(F.sum(F.when(hit, 1).otherwise(0)).cast("long").alias(out))
+        )
+
+    return (
+        touched(zspans, "zorder_files")
+        .join(touched(dspans, "datesort_files"), ["pi", "pj"])
+        .select(
+            (F.col("pi") * 4 + F.col("pj")).cast("long").alias("pred_id"),
+            "zorder_files",
+            "datesort_files",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # Q: big_quantity_orders — the TPC-H Q18 shape: HAVING on an aggregated
 # subquery, then joined back to the fact + dim. Catalyst pushes the
 # HAVING into the aggregate (no post-join filter on the big side) and
