@@ -79,6 +79,7 @@ _RECORD_FRONT = (
     "orders_zorder_layout",
     "orc_pushdown_roundtrip",
     "orders_zorder_pruning_gain",
+    "docs_mixture_waterfill",
     # operators/oracles touched this round, re-confirmed up front
     "docs_tokenizer_eval",
     "docs_bpe_merges",

@@ -915,6 +915,139 @@ def docs_flac_decode_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Q: docs_mixture_waterfill — EXACT-BUDGET source mixing under
+# availability caps (the allocation pass behind published mixture specs
+# like The Pile / Dolma: a fixed token budget, equal per-source shares,
+# short sources saturate and their shortfall redistributes to the rest):
+# waterfilling. Budget B = 60% of corpus chars; allocation =
+# min(available_s, level) with the level chosen so allocations sum to B
+# EXACTLY — found closed-form on the availability-sorted prefix sums (no
+# iteration), with the integer remainder distributed deterministically
+# by source-name rank among unsaturated sources. The source table is
+# dimension-sized, so every step is a broadcast triangle join (the
+# tiny-frame prefix-sum idiom — no single-reducer window); the corpus
+# enters only the per-source char totals. Oracle: identical arithmetic
+# over window prefix sums.
+# --------------------------------------------------------------------------
+@query(
+    "docs_mixture_waterfill",
+    """
+    WITH avail AS (
+        SELECT source, CAST(SUM(n_chars) AS BIGINT) AS a
+        FROM documents GROUP BY source
+    ), tot AS (
+        SELECT SUM(a) AS total, COUNT(*) AS k,
+               SUM(a) * 6 // 10 AS b
+        FROM avail
+    ), ranked AS (
+        SELECT source, a,
+               ROW_NUMBER() OVER (ORDER BY a, source) - 1 AS r,
+               COALESCE(SUM(a) OVER (ORDER BY a, source
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS prefix
+        FROM avail
+    ), pv AS (
+        SELECT MIN(r) AS pr FROM ranked, tot
+        WHERE a * (k - r) + prefix >= b
+    ), lvl AS (
+        SELECT rk.prefix AS sat_sum, tot.k - rk.r AS u,
+               (tot.b - rk.prefix) // (tot.k - rk.r) AS base,
+               (tot.b - rk.prefix) % (tot.k - rk.r) AS rem
+        FROM ranked rk, pv, tot WHERE rk.r = pv.pr
+    ), unsat_named AS (
+        SELECT source,
+               ROW_NUMBER() OVER (ORDER BY source) - 1 AS name_r
+        FROM ranked, pv WHERE r >= pv.pr
+    )
+    SELECT rk.source, rk.a AS available,
+           CAST(CASE WHEN rk.r < pv.pr THEN rk.a
+                     ELSE lvl.base + CASE WHEN un.name_r < lvl.rem
+                                          THEN 1 ELSE 0 END
+                END AS BIGINT) AS allocated,
+           CAST(CASE WHEN rk.r < pv.pr THEN 1 ELSE 0 END AS INT)
+               AS saturated
+    FROM ranked rk
+    CROSS JOIN pv CROSS JOIN lvl
+    LEFT JOIN unsat_named un ON un.source = rk.source
+    """,
+)
+def docs_mixture_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    avail = docs.groupBy("source").agg(
+        F.sum("n_chars").cast("long").alias("a")
+    ).cache()
+    tot = avail.agg(
+        F.sum("a").alias("total"),
+        F.count(F.lit(1)).alias("k"),
+        F.expr("SUM(a) * 6 DIV 10").alias("b"),
+    )
+    # rank + exclusive prefix over the dimension-sized frame via a
+    # broadcast triangle join (no single-reducer window)
+    lhs = avail.select(F.col("source").alias("s1"), F.col("a").alias("a1"))
+    rhs = avail.select(F.col("source").alias("s2"), F.col("a").alias("a2"))
+    less = (F.col("a2") < F.col("a1")) | (
+        (F.col("a2") == F.col("a1")) & (F.col("s2") < F.col("s1"))
+    )
+    ranked = (
+        lhs.join(F.broadcast(rhs), less, "left")
+        .groupBy("s1", "a1")
+        .agg(
+            F.count("s2").alias("r"),
+            F.coalesce(F.sum("a2"), F.lit(0)).alias("prefix"),
+        )
+        .select(
+            F.col("s1").alias("source"),
+            F.col("a1").alias("a"),
+            "r",
+            "prefix",
+        )
+        .crossJoin(F.broadcast(tot))
+    )
+    pivot = ranked.where(
+        F.col("a") * (F.col("k") - F.col("r")) + F.col("prefix") >= F.col("b")
+    ).agg(F.min("r").alias("pr"))
+    lvl = (
+        ranked.crossJoin(F.broadcast(pivot))
+        .where(F.col("r") == F.col("pr"))
+        .select(
+            F.expr("(b - prefix) DIV (k - r)").alias("base"),
+            F.expr("(b - prefix) % (k - r)").alias("rem"),
+        )
+    )
+    with_pivot = ranked.crossJoin(F.broadcast(pivot)).crossJoin(
+        F.broadcast(lvl)
+    )
+    un_l = with_pivot.where(F.col("r") >= F.col("pr")).select(
+        F.col("source").alias("u1")
+    )
+    un_r = un_l.select(F.col("u1").alias("u2"))
+    name_rank = (
+        un_l.join(F.broadcast(un_r), F.col("u2") < F.col("u1"), "left")
+        .groupBy("u1")
+        .agg(F.count("u2").alias("name_r"))
+    )
+    return (
+        with_pivot.join(
+            F.broadcast(name_rank),
+            F.col("source") == F.col("u1"),
+            "left",
+        )
+        .select(
+            "source",
+            F.col("a").alias("available"),
+            F.when(F.col("r") < F.col("pr"), F.col("a"))
+            .otherwise(
+                F.col("base")
+                + F.when(F.col("name_r") < F.col("rem"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("allocated"),
+            F.when(F.col("r") < F.col("pr"), 1).otherwise(0).cast("int").alias("saturated"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # Q: orders_zorder_layout — Z-order (Morton) clustering audit:
 # range-normalize (o_custkey, orderdate-epoch-days) into [0, 2^16) (the
 # real ZORDER recipe — raw values waste interleave bits) and interleave

@@ -2898,3 +2898,56 @@ def test_zorder_partitioned_disjoint_ranges(spark):
     assert sum(p["n"] for p in parts) == 4000
     for a, b in zip(parts, parts[1:]):
         assert a["hi"] <= b["lo"]  # disjoint contiguous ranges
+
+
+def test_mixture_waterfill_saturation_and_remainder(spark, tmp_path):
+    """The waterfill branches the synthetic corpus never exercises
+    (uniform source sizes → nobody saturates): skewed availabilities
+    must saturate short sources, redistribute their shortfall, land on
+    the budget EXACTLY, and hand the integer remainder to the
+    name-ranked unsaturated sources — cross-checked against a plain
+    Python waterfill."""
+    import os
+
+    from pmp_analytics_spark.queries.analytic import docs_mixture_waterfill
+
+    # availabilities in chars: two tiny sources saturate at B = 60%
+    sizes = {"a": 10, "b": 20, "c": 500, "d": 700, "e": 701}
+    rows = []
+    doc_id = 0
+    for src, chars in sizes.items():
+        rows.append((doc_id, src, "x" * chars, chars))
+        doc_id += 1
+    df = spark.createDataFrame(
+        rows, "doc_id long, source string, text string, n_chars long"
+    )
+    sf_dir = str(tmp_path / "sf")
+    os.makedirs(sf_dir)
+    df.write.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+    got = {
+        r["source"]: (r["available"], r["allocated"], r["saturated"])
+        for r in docs_mixture_waterfill(spark, sf_dir).collect()
+    }
+
+    total = sum(sizes.values())
+    b = total * 6 // 10
+    ranked = sorted(sizes.items(), key=lambda kv: (kv[1], kv[0]))
+    k = len(ranked)
+    prefix = 0
+    for i, (src, a) in enumerate(ranked):
+        if a * (k - i) + prefix >= b:
+            pr = i
+            break
+        prefix += a
+    base, rem = divmod(b - prefix, k - pr)
+    unsat = sorted(src for src, _ in ranked[pr:])
+    expect = {}
+    for i, (src, a) in enumerate(ranked):
+        if i < pr:
+            expect[src] = (a, a, 1)
+        else:
+            expect[src] = (a, base + (1 if unsat.index(src) < rem else 0), 0)
+    assert got == expect
+    assert sum(v[1] for v in got.values()) == b
+    assert sum(v[2] for v in got.values()) == 2  # a and b saturate
