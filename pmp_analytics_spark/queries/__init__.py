@@ -80,6 +80,7 @@ _RECORD_FRONT = (
     "orc_pushdown_roundtrip",
     "orders_zorder_pruning_gain",
     "docs_mixture_waterfill",
+    "orders_hilbert_layout",
     # operators/oracles touched this round, re-confirmed up front
     "docs_tokenizer_eval",
     "docs_bpe_merges",

@@ -1133,6 +1133,107 @@ def orders_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Q: orders_hilbert_layout — the Hilbert-curve counterpart of
+# orders_zorder_layout: same range normalization, but the file order is
+# the Hilbert index (operators/zorder.py::with_hilbert — the bit-descent
+# unrolled into 16 chained projections; a full-grid pytest pins the
+# permutation + consecutive-cell-adjacency curve properties against a
+# plain-Python reference). Hilbert has no Morton diagonal jumps, so the
+# same 32 fixed-width index buckets bound both dims TIGHTER — measured
+# head-to-head in orders_zorder_pruning_gain's hilbert_files column.
+# --------------------------------------------------------------------------
+def _hilbert_duck_ctes(prev: str, cols: str, bits: int = 16) -> str:
+    """Chained CTEs replaying with_hilbert's bit descent; ``cols`` are
+    passthrough columns carried alongside (hx, hy, hd)."""
+    n = 1 << bits
+    out = [
+        f"""h_seed AS (
+        SELECT {cols}, CAST(xn AS BIGINT) AS hx, CAST(yn AS BIGINT) AS hy,
+               CAST(0 AS BIGINT) AS hd
+        FROM {prev}
+    )"""
+    ]
+    p = "h_seed"
+    for i, k in enumerate(range(bits - 1, -1, -1)):
+        s = 1 << k
+        out.append(f"""h{i} AS (
+        SELECT {cols},
+               CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN {n - 1} - hy ELSE hy END)
+                    ELSE hx END AS hx,
+               CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN {n - 1} - hx ELSE hx END)
+                    ELSE hy END AS hy,
+               hd + {s * s} * CAST(XOR(3 * rx, ry) AS BIGINT) AS hd
+        FROM (SELECT {cols}, hx, hy, hd,
+                     CASE WHEN (hx & {s}) > 0 THEN 1 ELSE 0 END AS rx,
+                     CASE WHEN (hy & {s}) > 0 THEN 1 ELSE 0 END AS ry
+              FROM {p})
+    )""")
+        p = f"h{i}"
+    return ",\n    ".join(out), p
+
+
+_H_CTES, _H_LAST = _hilbert_duck_ctes("norm", "o_custkey, day")
+
+
+@query(
+    "orders_hilbert_layout",
+    f"""
+    WITH base AS (
+        SELECT o_custkey,
+               DATEDIFF('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS day
+        FROM orders
+    ), bounds AS (
+        SELECT MIN(o_custkey) AS c0, MAX(o_custkey) AS c1,
+               MIN(day) AS d0, MAX(day) AS d1
+        FROM base
+    ), norm AS (
+        SELECT o_custkey, day,
+               (o_custkey - c0) * 65535 // GREATEST(c1 - c0, 1) AS xn,
+               (day - d0) * 65535 // GREATEST(d1 - d0, 1) AS yn
+        FROM base CROSS JOIN bounds
+    ),
+    {_H_CTES}
+    SELECT CAST(hd >> 27 AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(o_custkey) AS BIGINT) AS min_cust,
+           CAST(MAX(o_custkey) AS BIGINT) AS max_cust,
+           CAST(MIN(day) AS BIGINT) AS min_day,
+           CAST(MAX(day) AS BIGINT) AS max_day
+    FROM {_H_LAST} GROUP BY 1
+    """,
+)
+def orders_hilbert_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pmp_analytics_spark.operators.agg import with_global_agg
+    from pmp_analytics_spark.operators.zorder import with_hilbert
+
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", F.datediff("o_orderdate", F.lit("1970-01-01")).alias("day")
+    )
+    norm = with_global_agg(
+        base,
+        {
+            "__c0": F.min("o_custkey"),
+            "__c1": F.max("o_custkey"),
+            "__d0": F.min("day"),
+            "__d1": F.max("day"),
+        },
+    ).select(
+        "o_custkey",
+        "day",
+        F.expr("(o_custkey - __c0) * 65535 DIV GREATEST(__c1 - __c0, 1)").alias("xn"),
+        F.expr("(day - __d0) * 65535 DIV GREATEST(__d1 - __d0, 1)").alias("yn"),
+    )
+    h = with_hilbert(norm, "xn", "yn", "hd")
+    return h.groupBy(F.shiftright("hd", 27).cast("long").alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("o_custkey").cast("long").alias("min_cust"),
+        F.max("o_custkey").cast("long").alias("max_cust"),
+        F.min("day").cast("long").alias("min_day"),
+        F.max("day").cast("long").alias("max_day"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Q: orders_zorder_pruning_gain — the file-skipping WIN, measured: for a
 # fixed grid of two-dimensional predicates (custkey range × date range),
 # count how many of 32 files each predicate must touch under (a) the
@@ -1145,6 +1246,9 @@ def orders_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
 # never prunes. Everything derives from the bounds + fixed-width bucket
 # arithmetic of orders_zorder_layout — deterministic, fully SQL-checked.
 # --------------------------------------------------------------------------
+_HP_CTES, _HP_LAST = _hilbert_duck_ctes("norm", "o_custkey, day")
+
+
 @query(
     "orders_zorder_pruning_gain",
     f"""
@@ -1174,6 +1278,13 @@ def orders_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
                MIN(o_custkey) AS min_c, MAX(o_custkey) AS max_c,
                MIN(day) AS min_d, MAX(day) AS max_d
         FROM base CROSS JOIN bounds GROUP BY 1
+    ),
+    {_HP_CTES},
+    hspans AS (
+        SELECT hd >> 27 AS bucket,
+               MIN(o_custkey) AS min_c, MAX(o_custkey) AS max_c,
+               MIN(day) AS min_d, MAX(day) AS max_d
+        FROM {_HP_LAST} GROUP BY 1
     ), preds AS (
         -- a 4x4 grid of conjunctive range predicates, each an eighth of
         -- each dimension, anchored at quarters of the value ranges
@@ -1189,6 +1300,10 @@ def orders_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
                  WHERE s.max_c >= p.pc_lo AND s.min_c <= p.pc_hi
                    AND s.max_d >= p.pd_lo AND s.min_d <= p.pd_hi)
                 AS BIGINT) AS zorder_files,
+           CAST((SELECT COUNT(*) FROM hspans s
+                 WHERE s.max_c >= p.pc_lo AND s.min_c <= p.pc_hi
+                   AND s.max_d >= p.pd_lo AND s.min_d <= p.pd_hi)
+                AS BIGINT) AS hilbert_files,
            CAST((SELECT COUNT(*) FROM dspans s
                  WHERE s.max_c >= p.pc_lo AND s.min_c <= p.pc_hi
                    AND s.max_d >= p.pd_lo AND s.min_d <= p.pd_hi)
@@ -1272,12 +1387,26 @@ def orders_zorder_pruning_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum(F.when(hit, 1).otherwise(0)).cast("long").alias(out))
         )
 
+    from pmp_analytics_spark.operators.zorder import with_hilbert
+
+    hspans = (
+        with_hilbert(norm, "xn", "yn", "hd")
+        .groupBy(F.shiftright("hd", 27).alias("bucket"))
+        .agg(
+            F.min("o_custkey").alias("min_c"),
+            F.max("o_custkey").alias("max_c"),
+            F.min("day").alias("min_d"),
+            F.max("day").alias("max_d"),
+        )
+    )
     return (
         touched(zspans, "zorder_files")
+        .join(touched(hspans, "hilbert_files"), ["pi", "pj"])
         .join(touched(dspans, "datesort_files"), ["pi", "pj"])
         .select(
             (F.col("pi") * 4 + F.col("pj")).cast("long").alias("pred_id"),
             "zorder_files",
+            "hilbert_files",
             "datesort_files",
         )
     )

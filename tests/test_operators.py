@@ -2951,3 +2951,51 @@ def test_mixture_waterfill_saturation_and_remainder(spark, tmp_path):
     assert got == expect
     assert sum(v[1] for v in got.values()) == b
     assert sum(v[2] for v in got.values()) == 2  # a and b saturate
+
+
+def test_hilbert_curve_properties(spark):
+    """with_hilbert at 3 bits enumerates the full 8x8 grid: the indexes
+    are a PERMUTATION of 0..63 and consecutive indexes are always
+    GRID-ADJACENT (the Hilbert property Z-order lacks — no diagonal
+    jumps), cross-checked against a plain-Python xy2d; 16-bit spot
+    values match the same reference."""
+    import random
+
+    from pmp_analytics_spark.operators.zorder import with_hilbert
+
+    def ref_xy2d(order_n, x, y):
+        d = 0
+        s = order_n // 2
+        while s > 0:
+            rx = 1 if (x & s) > 0 else 0
+            ry = 1 if (y & s) > 0 else 0
+            d += s * s * ((3 * rx) ^ ry)
+            if ry == 0:
+                if rx == 1:
+                    x, y = order_n - 1 - x, order_n - 1 - y
+                x, y = y, x
+            s //= 2
+        return d
+
+    rows = [(x, y) for x in range(8) for y in range(8)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    got = {
+        (r["x"], r["y"]): r["h"]
+        for r in with_hilbert(df, "x", "y", "h", bits=3).collect()
+    }
+    assert got == {(x, y): ref_xy2d(8, x, y) for x, y in rows}
+    ds = sorted(got.items(), key=lambda kv: kv[1])
+    assert [v for _, v in ds] == list(range(64))
+    assert all(
+        abs(a[0][0] - b[0][0]) + abs(a[0][1] - b[0][1]) == 1
+        for a, b in zip(ds, ds[1:])
+    )
+
+    rng = random.Random(5)
+    pts = [(rng.randrange(65536), rng.randrange(65536)) for _ in range(40)]
+    df2 = spark.createDataFrame(pts, "x long, y long")
+    got2 = {
+        (r["x"], r["y"]): r["h"]
+        for r in with_hilbert(df2, "x", "y", "h", bits=16).collect()
+    }
+    assert all(got2[(x, y)] == ref_xy2d(65536, x, y) for x, y in pts)
