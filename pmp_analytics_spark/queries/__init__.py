@@ -81,6 +81,7 @@ _RECORD_FRONT = (
     "orders_zorder_pruning_gain",
     "docs_mixture_waterfill",
     "orders_hilbert_layout",
+    "supplier_name_edit_join",
     # operators/oracles touched this round, re-confirmed up front
     "docs_tokenizer_eval",
     "docs_bpe_merges",

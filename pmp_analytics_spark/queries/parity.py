@@ -1337,6 +1337,34 @@ def orc_pushdown_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Q: supplier_name_edit_join — edit-distance similarity self-join on
+# supplier names (operators/joins.py::edit_distance_join): the
+# entity-resolution primitive beside the Jaro-Winkler blocked join (X2)
+# and the exact-Jaccard prefix join. Lossless Ed-Join-family blocking —
+# rarest-(k*q+1) q-gram prefixes under a global (freq, gram) order must
+# intersect for any pair within distance k — then length pruning and a
+# JVM levenshtein verify on candidates only. The oracle brute-forces
+# every pair with DuckDB's LEVENSHTEIN, so any blocking recall loss is
+# a hash mismatch, not a silent miss.
+# --------------------------------------------------------------------------
+@query(
+    "supplier_name_edit_join",
+    """
+    SELECT a.s_suppkey AS id_a, b.s_suppkey AS id_b,
+           CAST(LEVENSHTEIN(a.s_name, b.s_name) AS BIGINT) AS dist
+    FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
+    WHERE ABS(LENGTH(a.s_name) - LENGTH(b.s_name)) <= 2
+      AND LEVENSHTEIN(a.s_name, b.s_name) <= 2
+    """,
+)
+def supplier_name_edit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pmp_analytics_spark.operators.joins import edit_distance_join
+
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return edit_distance_join(sup, "s_name", "s_suppkey", max_dist=2, q=2)
+
+
+# --------------------------------------------------------------------------
 # Q: shipping_priority — TPC-H Q3 shape: selective filters on both fact
 # sides, 3-way join (dim broadcast, fact-fact on the join key), group on
 # (order, date, priority), revenue top-K via TakeOrderedAndProject.

@@ -2999,3 +2999,43 @@ def test_hilbert_curve_properties(spark):
         for r in with_hilbert(df2, "x", "y", "h", bits=16).collect()
     }
     assert all(got2[(x, y)] == ref_xy2d(65536, x, y) for x, y in pts)
+
+
+def test_edit_distance_join_lossless_blocking(spark):
+    """edit_distance_join's q-gram prefix blocking must be LOSSLESS on
+    adversarial inputs — repeated characters (few distinct grams),
+    strings shorter than q, mixed lengths — pinned against a brute-force
+    Python Levenshtein over all pairs."""
+    import random
+
+    from pmp_analytics_spark.operators.joins import edit_distance_join
+
+    def lev(a, b):
+        if len(a) < len(b):
+            a, b = b, a
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    rng = random.Random(13)
+    pool = ["a", "b", "ab", "aa", "aaa", "aaab", "abab", "abcd"]
+    strings = ["".join(rng.choice("abc") for _ in range(rng.randrange(1, 9)))
+               for _ in range(60)] + pool
+    rows = [(i, s) for i, s in enumerate(strings)]
+    df = spark.createDataFrame(rows, "id long, t string")
+    got = {
+        (r["id_a"], r["id_b"], r["dist"])
+        for r in edit_distance_join(df, "t", "id", max_dist=2, q=2).collect()
+    }
+    ref = {
+        (i, j, lev(a, b))
+        for i, a in rows
+        for j, b in rows
+        if i < j and lev(a, b) <= 2
+    }
+    assert got == ref and len(ref) > 50
