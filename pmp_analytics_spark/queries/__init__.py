@@ -82,6 +82,7 @@ _RECORD_FRONT = (
     "docs_mixture_waterfill",
     "orders_hilbert_layout",
     "supplier_name_edit_join",
+    "docs_tokenizer_fertility_by_lang",
     # operators/oracles touched this round, re-confirmed up front
     "docs_tokenizer_eval",
     "docs_bpe_merges",

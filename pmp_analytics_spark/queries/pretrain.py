@@ -3563,3 +3563,134 @@ def streaming_trigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         checkpoint_dir=os.path.join(work, "ckpt"),
     )
     return _kn3_report(_kn3_from_c3(read_latest(spark, root).cache()))
+
+
+# --------------------------------------------------------------------------
+# Q: docs_tokenizer_fertility_by_lang — tokenizer EQUITY analysis: the
+# fertility metric (tokens per word) split by the corpus' labeled
+# language, for the three word-basis arms (BPE / WordPiece / unigram-LM;
+# byte-BPE segments pre-tokens, not words, so it has no word-basis
+# fertility). The production question this answers: a tokenizer trained
+# on a mixed corpus taxes low-resource languages with higher fertility —
+# the per-language table is how that gets caught before training. Pure
+# composition: the (lang, word) instance counts join each arm's
+# vocab-sized word -> n_pieces map (broadcast); everything after the one
+# instance-count aggregate is type-table-sized. Word basis = the shared
+# word set (length <= the unigram DP bound), matching docs_tokenizer_eval.
+# --------------------------------------------------------------------------
+def _fertility_oracle() -> str:
+    bpe = _bpe_stage_sql().removeprefix("WITH ").replace("vocab", "bvocab")
+    uni_stages, uni_final = _uni_apply_stages()
+
+    def arm_sql(tag: str, map_cte: str) -> str:
+        return f"""SELECT lang, '{tag}' AS tokenizer,
+           CAST(SUM(cnt) AS BIGINT) AS n_word_instances,
+           CAST(SUM(cnt * np) AS BIGINT) AS n_tokens,
+           ROUND(SUM(cnt * np) * 1.0 / SUM(cnt), 6) AS tokens_per_word
+    FROM lw JOIN {map_cte} USING (word)
+    GROUP BY lang"""
+
+    return (
+        "WITH "
+        + bpe
+        + ",\n    "
+        + ",\n    ".join(uni_stages)
+        + ",\n    "
+        + _wp_stage_sql()
+        + f""",
+    lw AS MATERIALIZED (
+        SELECT lang, t AS word, COUNT(*) AS cnt
+        FROM (SELECT lang, UNNEST({_DUCK_TOKENS}) AS t FROM documents)
+        WHERE LENGTH(t) <= {_UNI_MAXW}
+        GROUP BY 1, 2
+    ),
+    bmap AS (
+        SELECT word, LEN(LIST_FILTER(STRING_SPLIT(TRIM(sym), ' '), x -> x <> '')) AS np
+        FROM v{_BPE_K} WHERE LENGTH(word) <= {_UNI_MAXW}
+    ),
+    wmap AS (
+        SELECT word, LEN(LIST_FILTER(STRING_SPLIT(TRIM(sym), ' '), x -> x <> '')) AS np
+        FROM wv{_WP_K} WHERE LENGTH(word) <= {_UNI_MAXW}
+    ),
+    umap AS (
+        SELECT word, LEN(STRING_SPLIT(seg, ' ')) AS np
+        FROM {uni_final} WHERE pos = LENGTH(word)
+    )
+    {arm_sql("bpe", "bmap")}
+    UNION ALL
+    {arm_sql("wordpiece", "wmap")}
+    UNION ALL
+    {arm_sql("unigram", "umap")}
+    """
+    )
+
+
+@query("docs_tokenizer_fertility_by_lang", _fertility_oracle)
+def docs_tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pmp_analytics_spark.operators.bpe import bpe_apply, word_vocab
+    from pmp_analytics_spark.operators.unigram import (
+        _lp_table,
+        unigram_fit,
+        unigram_segment,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    lw = (
+        docs.select("lang", F.explode(tokens(F.col("text"))).alias("word"))
+        .where(F.length("word") <= _UNI_MAXW)
+        .groupBy("lang", "word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    ).cache()
+    wv = word_vocab(docs, "text").where(F.length("word") <= _UNI_MAXW)
+
+    _, brules = _bpe_fit(spark, sf_dir)
+    _, wrules = _wp_fit(spark, sf_dir)
+    pieces = unigram_fit(
+        docs,
+        "text",
+        iters=_UNI_ITERS,
+        max_piece_len=_UNI_PLEN,
+        max_word_len=_UNI_MAXW,
+        seed_multi=_UNI_SEED,
+        keep_multi=_UNI_KEEP,
+    ).withColumnRenamed("n_uses", "cnt")
+    lp = _lp_table(pieces.collect())  # vocab_size-bounded
+    useg = unigram_segment(wv, lp, _UNI_PLEN)
+
+    subs = F.filter(F.split(F.trim(F.col("sym")), " "), lambda x: x != "")
+
+    def arm(tag: str, seg: DataFrame, np_expr: F.Column) -> DataFrame:
+        m = seg.select("word", np_expr.alias("np"))
+        return (
+            lw.join(F.broadcast(m), "word")
+            .groupBy("lang")
+            .agg(
+                F.sum("cnt").cast("long").alias("n_word_instances"),
+                F.sum(F.col("cnt") * F.col("np")).cast("long").alias("n_tokens"),
+                F.round(
+                    F.sum(F.col("cnt") * F.col("np"))
+                    * F.lit(1.0)
+                    / F.sum("cnt"),
+                    6,
+                ).alias("tokens_per_word"),
+            )
+            .select(
+                "lang",
+                F.lit(tag).alias("tokenizer"),
+                "n_word_instances",
+                "n_tokens",
+                "tokens_per_word",
+            )
+        )
+
+    return (
+        arm("bpe", bpe_apply(wv, brules), F.size(subs))
+        .unionByName(arm("wordpiece", bpe_apply(wv, wrules), F.size(subs)))
+        .unionByName(
+            arm(
+                "unigram",
+                useg,
+                F.size(F.filter(F.split(F.col("seg"), " "), lambda x: x != "")),
+            )
+        )
+    )
