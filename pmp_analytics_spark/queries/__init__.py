@@ -83,6 +83,7 @@ _RECORD_FRONT = (
     "orders_hilbert_layout",
     "supplier_name_edit_join",
     "docs_tokenizer_fertility_by_lang",
+    "docs_flac_features",
     # operators/oracles touched this round, re-confirmed up front
     "docs_tokenizer_eval",
     "docs_bpe_merges",

@@ -915,6 +915,95 @@ def docs_flac_decode_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Q: docs_flac_features — the decode → DSP loop CLOSED over a real codec:
+# deterministic closed-form PCM, FLAC-encoded (fixed-order-2 subframes)
+# and decoded through the full CRC-verified path inside mapInPandas,
+# then the standard per-chunk signal features (RMS energy +
+# zero-crossing rate, the docs_audio_features math) over the DECODED
+# samples. FLAC is lossless, so the oracle predicts every feature by
+# pure arithmetic of the fixture formula — a wrong Rice partition or
+# predictor shifts a sample and moves the RMS at the 6th decimal.
+# --------------------------------------------------------------------------
+_FLACF_N = 128
+_FLACF_CHUNK = 64
+_FLACF_S = (
+    "((((doc_id * 17) % 101) - 50) + ((i * (doc_id % 5 + 1)) % 37) - 18)"
+)
+
+
+@query(
+    "docs_flac_features",
+    f"""
+    WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 40),
+    c AS (
+        SELECT doc_id, UNNEST([0, {_FLACF_CHUNK}]) AS off FROM d
+    ),
+    s AS (
+        SELECT doc_id, off,
+               LIST_TRANSFORM(GENERATE_SERIES(CAST(off AS BIGINT),
+                                              off + {_FLACF_CHUNK - 1}),
+                   i -> {_FLACF_S}) AS v
+        FROM c
+    )
+    SELECT doc_id,
+           CAST(off // {_FLACF_CHUNK} AS BIGINT) AS chunk_idx,
+           CAST({_FLACF_CHUNK} AS BIGINT) AS n_samples,
+           ROUND(SQRT(LIST_SUM(LIST_TRANSFORM(v, x -> CAST(x * x AS DOUBLE)))
+                      / {_FLACF_CHUNK}), 6) AS rms,
+           ROUND(LIST_SUM(LIST_TRANSFORM(
+                     GENERATE_SERIES(2, {_FLACF_CHUNK}),
+                     i -> CASE WHEN SIGN(v[i - 1]) * SIGN(v[i]) < 0
+                               THEN 1 ELSE 0 END))
+                 * 1.0 / {_FLACF_CHUNK - 1}, 6) AS zcr
+    FROM s
+    """,
+)
+def docs_flac_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from pmp_analytics_spark.operators.partitioning import ensure_parallelism
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") < 40
+    ).select("doc_id")
+
+    def batches(it):
+        import numpy as np
+
+        from pmp_analytics_spark.flac import flac_decode, flac_encode
+
+        n, chunk = _FLACF_N, _FLACF_CHUNK
+        for pdf in it:
+            out = {
+                "doc_id": [], "chunk_idx": [], "n_samples": [],
+                "rms": [], "zcr": [],
+            }
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                base = ((doc_id * 17) % 101) - 50
+                step = doc_id % 5 + 1
+                pcm = [base + ((i * step) % 37) - 18 for i in range(n)]
+                dec = flac_decode(
+                    flac_encode([pcm], block_size=chunk, subframe="fixed", order=2)
+                )
+                s_all = np.asarray(dec["samples"], dtype=np.int64)
+                for idx in range(n // chunk):
+                    s = s_all[idx * chunk : (idx + 1) * chunk]
+                    rms = float(np.sqrt(float((s * s).sum()) / chunk))
+                    sgn = np.sign(s)
+                    zc = int(((sgn[1:] * sgn[:-1]) < 0).sum())
+                    out["doc_id"].append(doc_id)
+                    out["chunk_idx"].append(idx)
+                    out["n_samples"].append(chunk)
+                    out["rms"].append(round(rms, 6))
+                    out["zcr"].append(round(zc / (chunk - 1), 6))
+            yield pd.DataFrame(out)
+
+    schema = "doc_id long, chunk_idx long, n_samples long, rms double, zcr double"
+    return ensure_parallelism(docs).mapInPandas(batches, schema)
+
+
+# --------------------------------------------------------------------------
 # Q: docs_mixture_waterfill — EXACT-BUDGET source mixing under
 # availability caps (the allocation pass behind published mixture specs
 # like The Pile / Dolma: a fixed token budget, equal per-source shares,
