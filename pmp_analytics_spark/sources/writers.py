@@ -316,3 +316,65 @@ def latest_marker(spark, root: str) -> str | None:
     if not fs.exists(mpath):
         return None
     return _read_small_file(fs, mpath)
+
+
+def version_marker(spark, root: str, version: int | str) -> str | None:
+    """The commit marker a SPECIFIC on-disk version was published with
+    (None for markerless seeds) — the per-version form of
+    ``latest_marker``, for readers that walk history."""
+    name = version if isinstance(version, str) else f"v{version:08d}"
+    from pmp_analytics_spark.sources.hadoopfs import fs_for
+
+    fs, jroot, jvm, _ = fs_for(spark, root)
+    mpath = jvm.org.apache.hadoop.fs.Path(
+        jvm.org.apache.hadoop.fs.Path(jroot, name), "_MARKER"
+    )
+    if not fs.exists(mpath):
+        return None
+    return _read_small_file(fs, mpath)
+
+
+def read_consistent(spark, roots: list[str]) -> dict[str, DataFrame]:
+    """CRASH-CONSISTENT multi-root read: the newest cut at which EVERY
+    root carries the SAME ``batch:<id>`` marker (markerless seed
+    versions count as the cut before batch 0). The reader the dual-root
+    maintenance loops' contract promises: a loop that publishes labels
+    FIRST and edges second (streaming/components.py) — or state + view,
+    or SCD2 dim + join view — can crash between the two publishes,
+    leaving the first root one batch ahead; ``read_latest`` on each
+    root would then hand back a torn pair. This walks the still-on-disk
+    versions (bounded by ``keep_last``) of each root, intersects their
+    batch ids, and reads every root at the highest COMMON cut.
+
+    Returns ``{root: DataFrame}``; raises if no common cut survives
+    pruning (raise, don't guess — a torn read is silent corruption
+    downstream).
+    """
+    from pmp_analytics_spark.streaming.mv import parse_batch_marker
+
+    per_root: list[dict[int, str]] = []
+    for root in roots:
+        cuts: dict[int, str] = {}
+        for name, _live in list_versions(spark, root):
+            mk = version_marker(spark, root, name)
+            bid = parse_batch_marker(mk) if mk is not None else None
+            if mk is None:
+                cuts[-1] = name  # markerless seed = the pre-batch cut
+            elif bid is not None:
+                cuts[bid] = name
+            # semantic (non-batch) markers don't participate in cuts
+        per_root.append(cuts)
+    common = set(per_root[0])
+    for cuts in per_root[1:]:
+        common &= set(cuts)
+    if not common:
+        raise ValueError(
+            f"read_consistent: no common batch cut across {roots} — "
+            "history pruned past the last consistent pair (raise "
+            "keep_last on the publishes)"
+        )
+    cut = max(common)
+    return {
+        root: read_version(spark, root, cuts[cut])
+        for root, cuts in zip(roots, per_root)
+    }

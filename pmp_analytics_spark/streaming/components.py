@@ -16,7 +16,9 @@ time-travel unnecessary: the label refresh consumes only PRE-batch
 state, and the edge apply consumes only pre-batch edges + the delta. A
 crash between the two publishes leaves labels one batch ahead of edges
 until the replay's edge apply catches up (readers needing a consistent
-pair match the per-root ``batch:<id>`` markers); a crash before either
+pair use ``sources/writers.py::read_consistent``, which walks both
+roots' on-disk versions to the highest COMMON batch cut); a crash
+before either
 publish replays the whole batch; a fully committed batch skips both.
 
 Batch-boundary independence: each edge appears in at most one delta

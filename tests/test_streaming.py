@@ -802,3 +802,45 @@ def test_cdc_components_stream_slicing_independent(spark, tmp_path):
             for r in read_latest(spark, edges_root).collect()
         }
         assert got_edges == final_edges, name
+
+
+def test_read_consistent_pair_after_torn_publish(spark, tmp_path):
+    """The dual-root crash-consistency reader: when a maintenance loop
+    crashed between its two publishes (labels ahead of edges by one
+    batch), read_consistent returns BOTH roots at the highest COMMON
+    batch cut instead of the torn read_latest pair; seeds count as the
+    pre-batch cut; pruning past the last common cut raises."""
+    import pytest as _pytest
+
+    from pmp_analytics_spark.sources.writers import (
+        publish_versioned,
+        read_consistent,
+        read_latest,
+    )
+
+    a_root, b_root = str(tmp_path / "labels"), str(tmp_path / "edges")
+
+    def frame(v):
+        return spark.createDataFrame([(v,)], "v long")
+
+    # seeds (markerless), then batch 0 and 1 on both, batch 2 on A only
+    publish_versioned(frame(100), a_root)
+    publish_versioned(frame(200), b_root)
+    got = read_consistent(spark, [a_root, b_root])
+    assert [r["v"] for r in got[a_root].collect()] == [100]  # seed cut
+
+    for bid in (0, 1):
+        publish_versioned(frame(110 + bid), a_root, marker=f"batch:{bid}")
+        publish_versioned(frame(210 + bid), b_root, marker=f"batch:{bid}")
+    publish_versioned(frame(112), a_root, marker="batch:2")  # torn
+
+    assert [r["v"] for r in read_latest(spark, a_root).collect()] == [112]
+    got = read_consistent(spark, [a_root, b_root])
+    assert [r["v"] for r in got[a_root].collect()] == [111]
+    assert [r["v"] for r in got[b_root].collect()] == [211]
+
+    # prune B's history down to a single version with no common batch id
+    c_root = str(tmp_path / "lonely")
+    publish_versioned(frame(1), c_root, marker="batch:9")
+    with _pytest.raises(ValueError, match="no common batch cut"):
+        read_consistent(spark, [a_root, c_root])
