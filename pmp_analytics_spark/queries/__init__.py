@@ -84,6 +84,7 @@ _RECORD_FRONT = (
     "supplier_name_edit_join",
     "docs_tokenizer_fertility_by_lang",
     "docs_flac_features",
+    "streaming_lm_pointintime",
     # operators/oracles touched this round, re-confirmed up front
     "docs_tokenizer_eval",
     "docs_bpe_merges",

@@ -2788,22 +2788,25 @@ def docs_tokenizer_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 # only context-bounded rows. No reference analog (north-star LM
 # surface); the bigram twin documents the shared movement.
 # --------------------------------------------------------------------------
-def _kn3_duck_lm(doc_where: str = "") -> str:
+def _kn3_duck_lm(doc_where: str = "", prefix: str = "") -> str:
     """Shared oracle CTE chain ending at ``p`` = the full trigram
     modified-KN probability table (plus ``tri`` = the doc-tagged
     trigram instance stream). ``doc_where`` filters the document set —
-    the CDC queries replay the rebuild over the FINAL set through it."""
+    the CDC queries replay the rebuild over the FINAL set through it;
+    ``prefix`` namespaces every CTE so two chains (e.g. the state
+    before and after a batch) can coexist in one oracle."""
+    P = prefix
     return f"""
-    tk AS (SELECT doc_id, {_DUCK_TOKENS} AS toks FROM documents {doc_where}),
-    tri AS (
+    {P}tk AS (SELECT doc_id, {_DUCK_TOKENS} AS toks FROM documents {doc_where}),
+    {P}tri AS (
         SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2, toks[i + 2] AS w3
         FROM (SELECT doc_id, toks, UNNEST(GENERATE_SERIES(1, LEN(toks) - 2)) AS i
-              FROM tk WHERE LEN(toks) >= 3)
+              FROM {P}tk WHERE LEN(toks) >= 3)
     ),
-    c3 AS MATERIALIZED (
-        SELECT w1, w2, w3, COUNT(*) AS n FROM tri GROUP BY 1, 2, 3
+    {P}c3 AS MATERIALIZED (
+        SELECT w1, w2, w3, COUNT(*) AS n FROM {P}tri GROUP BY 1, 2, 3
     ),
-    d3s AS (
+    {P}d3s AS (
         SELECT GREATEST(CASE WHEN n1 = 0 THEN 0.5
                              ELSE 1.0 - 2.0 * y * n2 / n1 END, 0.0) AS d1,
                GREATEST(CASE WHEN n2 = 0 THEN 1.0
@@ -2817,19 +2820,19 @@ def _kn3_duck_lm(doc_where: str = "") -> str:
                            SUM(CASE WHEN n = 2 THEN 1 ELSE 0 END) AS n2,
                            SUM(CASE WHEN n = 3 THEN 1 ELSE 0 END) AS n3,
                            SUM(CASE WHEN n = 4 THEN 1 ELSE 0 END) AS n4
-                    FROM c3))
+                    FROM {P}c3))
     ),
-    ctx AS (
+    {P}ctx AS (
         SELECT w1, w2, SUM(n) AS c12,
                SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS k1,
                SUM(CASE WHEN n = 2 THEN 1 ELSE 0 END) AS k2,
                SUM(CASE WHEN n >= 3 THEN 1 ELSE 0 END) AS k3
-        FROM c3 GROUP BY 1, 2
+        FROM {P}c3 GROUP BY 1, 2
     ),
-    cc2 AS MATERIALIZED (
-        SELECT w2, w3, COUNT(*) AS chat FROM c3 GROUP BY 1, 2
+    {P}cc2 AS MATERIALIZED (
+        SELECT w2, w3, COUNT(*) AS chat FROM {P}c3 GROUP BY 1, 2
     ),
-    d2s AS (
+    {P}d2s AS (
         SELECT GREATEST(CASE WHEN n1 = 0 THEN 0.5
                              ELSE 1.0 - 2.0 * y * n2 / n1 END, 0.0) AS dp1,
                GREATEST(CASE WHEN n2 = 0 THEN 1.0
@@ -2843,33 +2846,33 @@ def _kn3_duck_lm(doc_where: str = "") -> str:
                            SUM(CASE WHEN chat = 2 THEN 1 ELSE 0 END) AS n2,
                            SUM(CASE WHEN chat = 3 THEN 1 ELSE 0 END) AS n3,
                            SUM(CASE WHEN chat = 4 THEN 1 ELSE 0 END) AS n4
-                    FROM cc2))
+                    FROM {P}cc2))
     ),
-    ctx2 AS (
+    {P}ctx2 AS (
         SELECT w2, SUM(chat) AS c2dot,
                SUM(CASE WHEN chat = 1 THEN 1 ELSE 0 END) AS m1,
                SUM(CASE WHEN chat = 2 THEN 1 ELSE 0 END) AS m2,
                SUM(CASE WHEN chat >= 3 THEN 1 ELSE 0 END) AS m3
-        FROM cc2 GROUP BY 1
+        FROM {P}cc2 GROUP BY 1
     ),
-    cu AS (SELECT w3, COUNT(*) AS nbwd FROM cc2 GROUP BY 1),
-    totbg AS (SELECT COUNT(*) AS n_bg_types FROM cc2),
-    p AS MATERIALIZED (
-        SELECT c3.w1, c3.w2, c3.w3, c3.n,
-               GREATEST(c3.n - (CASE WHEN c3.n = 1 THEN d1
-                                     WHEN c3.n = 2 THEN d2
-                                     ELSE d3 END), 0.0) / ctx.c12
-               + ((d1 * ctx.k1 + d2 * ctx.k2 + d3 * ctx.k3) / ctx.c12)
-                 * (GREATEST(cc2.chat - (CASE WHEN cc2.chat = 1 THEN dp1
-                                              WHEN cc2.chat = 2 THEN dp2
-                                              ELSE dp3 END), 0.0) / ctx2.c2dot
-                    + ((dp1 * ctx2.m1 + dp2 * ctx2.m2 + dp3 * ctx2.m3)
-                       / ctx2.c2dot)
-                      * (cu.nbwd * 1.0 / totbg.n_bg_types)) AS p_kn3
-        FROM c3
-        JOIN ctx USING (w1, w2) JOIN cc2 USING (w2, w3)
-        JOIN ctx2 USING (w2) JOIN cu USING (w3)
-        CROSS JOIN d3s CROSS JOIN d2s CROSS JOIN totbg
+    {P}cu AS (SELECT w3, COUNT(*) AS nbwd FROM {P}cc2 GROUP BY 1),
+    {P}totbg AS (SELECT COUNT(*) AS n_bg_types FROM {P}cc2),
+    {P}p AS MATERIALIZED (
+        SELECT {P}c3.w1, {P}c3.w2, {P}c3.w3, {P}c3.n,
+               GREATEST({P}c3.n - (CASE WHEN {P}c3.n = 1 THEN d1
+                                     WHEN {P}c3.n = 2 THEN d2
+                                     ELSE d3 END), 0.0) / {P}ctx.c12
+               + ((d1 * {P}ctx.k1 + d2 * {P}ctx.k2 + d3 * {P}ctx.k3) / {P}ctx.c12)
+                 * (GREATEST({P}cc2.chat - (CASE WHEN {P}cc2.chat = 1 THEN dp1
+                                              WHEN {P}cc2.chat = 2 THEN dp2
+                                              ELSE dp3 END), 0.0) / {P}ctx2.c2dot
+                    + ((dp1 * {P}ctx2.m1 + dp2 * {P}ctx2.m2 + dp3 * {P}ctx2.m3)
+                       / {P}ctx2.c2dot)
+                      * ({P}cu.nbwd * 1.0 / {P}totbg.n_bg_types)) AS p_kn3
+        FROM {P}c3
+        JOIN {P}ctx USING (w1, w2) JOIN {P}cc2 USING (w2, w3)
+        JOIN {P}ctx2 USING (w2) JOIN {P}cu USING (w3)
+        CROSS JOIN {P}d3s CROSS JOIN {P}d2s CROSS JOIN {P}totbg
     )"""
 
 
@@ -3693,4 +3696,139 @@ def docs_tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFr
                 F.size(F.filter(F.split(F.col("seg"), " "), lambda x: x != "")),
             )
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q: streaming_lm_pointintime — MODEL-VERSION-CORRECT online scoring
+# (the serve-then-learn discipline): documents stream in two batches;
+# each batch is perplexity-scored against the trigram modified-KN LM
+# DERIVED FROM THE STATE AS OF batches < b (never a model that has
+# already ingested the doc — the backtesting/leakage rule, enforced by
+# the loop's scores-first publish order in streaming/mv.py::
+# score_then_update_stream), then the count table absorbs the batch.
+# Seen-trigram scoring: instances absent from the as-of LM are skipped
+# (deterministic inner join; a doc with zero seen trigrams emits no
+# row). The oracle replays BOTH model versions as prefix-namespaced KN
+# chains (the _kn3_duck_lm prefix parameter exists for exactly this)
+# and scores each batch against its own chain.
+# --------------------------------------------------------------------------
+_LMS_SEED = "WHERE doc_id % 10 < 8"
+_LMS_B0 = "doc_id % 10 = 8 AND doc_id < 500"
+_LMS_B1 = "doc_id % 10 = 8 AND doc_id >= 500"
+
+
+def _lms_oracle() -> str:
+    def score_sql(batch: int, where: str, pfx: str) -> str:
+        return f"""SELECT q.doc_id, CAST({batch} AS BIGINT) AS batch,
+           CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+           ROUND(SUM(CAST(ROUND(-LN(GREATEST({pfx}p.p_kn3, 1e-12)) * 1e9)
+                          AS BIGINT)) / 1e9 / COUNT(*), 6) AS h
+    FROM (
+        SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2, toks[i + 2] AS w3
+        FROM (SELECT doc_id, toks, UNNEST(GENERATE_SERIES(1, LEN(toks) - 2)) AS i
+              FROM (SELECT doc_id, {_DUCK_TOKENS} AS toks FROM documents
+                    WHERE {where})
+              WHERE LEN(toks) >= 3)
+    ) q
+    JOIN {pfx}p ON q.w1 = {pfx}p.w1 AND q.w2 = {pfx}p.w2 AND q.w3 = {pfx}p.w3
+    GROUP BY q.doc_id"""
+
+    return f"""
+    WITH {_kn3_duck_lm(_LMS_SEED, prefix="s0_")},
+    {_kn3_duck_lm(f"WHERE (doc_id % 10 < 8) OR ({_LMS_B0})", prefix="s1_")},
+    scored AS (
+        {score_sql(0, _LMS_B0, "s0_")}
+        UNION ALL
+        {score_sql(1, _LMS_B1, "s1_")}
+    )
+    SELECT doc_id, batch, n_trigrams, h, ROUND(EXP(h), 4) AS ppl
+    FROM scored
+    """
+
+
+@query("streaming_lm_pointintime", _lms_oracle)
+def streaming_lm_pointintime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from pmp_analytics_spark.sources.local import local_df
+    from pmp_analytics_spark.sources.writers import (
+        publish_versioned,
+        read_latest,
+    )
+    from pmp_analytics_spark.streaming import stream_workdir
+    from pmp_analytics_spark.streaming.mv import score_then_update_stream
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    work = stream_workdir("pmp_lm_pit")
+    state_root = os.path.join(work, "c3")
+    scores_root = os.path.join(work, "scores")
+    feed = os.path.join(work, "docs")
+    b0 = docs.where(F.expr(_LMS_B0))
+    b1 = docs.where(F.expr(_LMS_B1))
+    for i, b in enumerate((b0, b1)):
+        b.coalesce(1).write.parquet(os.path.join(feed, f"drop_{i}"))
+    publish_versioned(
+        trigram_counts(docs.where(F.col("doc_id") % 10 < 8)).coalesce(1),
+        state_root,
+    )
+    publish_versioned(
+        local_df(
+            spark,
+            [],
+            "doc_id bigint, batch bigint, n_trigrams bigint, h double, ppl double",
+        ),
+        scores_root,
+    )
+
+    def score(state: DataFrame, batch_df: DataFrame, batch_id: int) -> DataFrame:
+        lm = _kn3_from_c3(state.cache()).select(
+            "w1",
+            "w2",
+            "w3",
+            F.round(-F.log(F.greatest(F.col("p_kn3"), F.lit(1e-12))) * 1e9)
+            .cast("long")
+            .alias("nll_nanos"),
+        )
+        tri = _trigram_stream(batch_df.select("doc_id", "text"))
+        scored = (
+            tri.join(lm, ["w1", "w2", "w3"])
+            .groupBy("doc_id")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_trigrams"),
+                F.round(
+                    F.sum("nll_nanos") / F.lit(1e9) / F.count(F.lit(1)), 6
+                ).alias("h"),
+            )
+        )
+        return scored.select(
+            "doc_id",
+            F.lit(batch_id).cast("long").alias("batch"),
+            "n_trigrams",
+            "h",
+            F.round(F.exp("h"), 4).alias("ppl"),
+        )
+
+    def update(state: DataFrame, batch_df: DataFrame) -> DataFrame:
+        return trigram_counts_refresh(
+            state,
+            batch_df.select("doc_id", "text"),
+            batch_df.select("doc_id", "text").limit(0),
+        )
+
+    schema = "doc_id bigint, text string"
+    score_then_update_stream(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "*.parquet")
+        .option("recursiveFileLookup", "true")
+        .parquet(feed),
+        state_root,
+        scores_root,
+        score,
+        update,
+        checkpoint_dir=os.path.join(work, "ckpt"),
+    )
+    return read_latest(spark, scores_root).select(
+        "doc_id", "batch", "n_trigrams", "h", "ppl"
     )

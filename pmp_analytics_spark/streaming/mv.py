@@ -305,3 +305,80 @@ def cdc_join_mv_stream(
     q = writer.start()
     q.awaitTermination()
     return q
+
+
+def score_then_update_stream(
+    delta_stream,
+    state_root: str,
+    scores_root: str,
+    score_fn,
+    update_fn,
+    checkpoint_dir: str | None = None,
+    keep_last: int = 3,
+    publish_partitions: int = 1,
+):
+    """The SERVE-then-LEARN maintenance loop (online-scoring discipline):
+    per micro-batch, score the incoming rows against the CURRENT
+    published state — ``score_fn(state_df, batch_df, batch_id) ->
+    batch_scores`` — append them to the cumulative scores root, THEN
+    apply ``update_fn(state_df, batch_df) -> new_state``. Batch b's
+    scores are therefore model-version-correct: computed under the
+    state as of batches < b, never under a model that has already seen
+    the row (the backtesting/leakage rule, enforced by construction).
+
+    Exactly-once via per-root ``batch:<id>`` markers (the
+    ``cdc_apply_stream`` contract); scores publish FIRST — both reads
+    consume only pre-batch state, so replay needs no time travel, and a
+    crash between the two publishes is repaired by the state apply on
+    replay (consistent pairs via ``sources/writers.py::read_consistent``).
+    The caller seeds BOTH roots (markerless) before starting."""
+    from pmp_analytics_spark.sources.writers import (
+        latest_marker,
+        publish_versioned,
+        read_latest,
+    )
+
+    spark = delta_stream.sparkSession
+    for root in (state_root, scores_root):
+        migrate_legacy_marker(spark, root)
+
+    def apply_batch(batch_df, batch_id: int) -> None:
+        delta = batch_df.localCheckpoint(eager=True)
+        if not delta.head(1):
+            return
+        state = read_latest(spark, state_root)
+        sc_committed = parse_batch_marker(latest_marker(spark, scores_root))
+        scores_published_now = sc_committed is None or sc_committed < batch_id
+        if scores_published_now:
+            batch_scores = score_fn(state, delta, batch_id)
+            cumulative = read_latest(spark, scores_root).unionByName(
+                batch_scores
+            )
+            publish_versioned(
+                cumulative.coalesce(publish_partitions),
+                scores_root,
+                keep_last=keep_last,
+                marker=batch_marker(batch_id),
+            )
+        if scores_published_now:
+            state_committed = None  # scores-first invariant: state is behind
+        else:
+            state_committed = parse_batch_marker(
+                latest_marker(spark, state_root)
+            )
+        if state_committed is None or state_committed < batch_id:
+            publish_versioned(
+                update_fn(state, delta).coalesce(publish_partitions),
+                state_root,
+                keep_last=keep_last,
+                marker=batch_marker(batch_id),
+            )
+
+    writer = delta_stream.writeStream.foreachBatch(apply_batch).trigger(
+        availableNow=True
+    )
+    if checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    q = writer.start()
+    q.awaitTermination()
+    return q
