@@ -3832,4 +3832,10 @@ def streaming_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels_root,
         checkpoint_dir=os.path.join(work, "ckpt"),
     )
-    return read_latest(spark, labels_root).select("id", "component")
+    # the final read goes through the crash-consistency reader — after a
+    # completed drain both roots sit at the last batch cut, so this equals
+    # read_latest, but it exercises the torn-pair contract behind the gate
+    from pmp_analytics_spark.sources.writers import read_consistent
+
+    pair = read_consistent(spark, [labels_root, edges_root])
+    return pair[labels_root].select("id", "component")
