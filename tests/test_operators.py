@@ -3039,3 +3039,47 @@ def test_edit_distance_join_lossless_blocking(spark):
         if i < j and lev(a, b) <= 2
     }
     assert got == ref and len(ref) > 50
+
+
+def test_optimize_layout_versioned_rewrite(spark, tmp_path):
+    """optimize_layout publishes a NEW version whose files hold disjoint
+    contiguous z-ranges (every file prunable by min/max stats on either
+    dimension), with identical row content, the pre-rewrite version
+    still time-travelable, and a zorder:<dims> marker."""
+    import random
+
+    from pmp_analytics_spark.operators.zorder import optimize_layout, z_value16
+    from pmp_analytics_spark.sources.writers import (
+        latest_marker,
+        list_versions,
+        publish_versioned,
+        read_latest,
+        read_version,
+    )
+
+    rng = random.Random(7)
+    rows = [(rng.randrange(65536), rng.randrange(65536)) for _ in range(3000)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    root = str(tmp_path / "table")
+    publish_versioned(df.repartition(8), root)
+
+    optimize_layout(spark, root, "x", "y", n_files=6)
+
+    assert latest_marker(spark, root) == "zorder:x,y"
+    assert [n for n, _ in list_versions(spark, root)] == ["v00000000", "v00000001"]
+    after = read_latest(spark, root)
+    assert sorted(map(tuple, after.collect())) == sorted(rows)
+    assert sorted(map(tuple, read_version(spark, root, 0).collect())) == sorted(rows)
+
+    spans = (
+        after.select(
+            F.input_file_name().alias("f"), z_value16("x", "y").alias("z")
+        )
+        .groupBy("f")
+        .agg(F.min("z").alias("lo"), F.max("z").alias("hi"))
+        .orderBy("lo")
+        .collect()
+    )
+    assert len(spans) == 6
+    for a, b in zip(spans, spans[1:]):
+        assert a["hi"] <= b["lo"]  # disjoint contiguous z-ranges per file
