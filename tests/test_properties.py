@@ -436,3 +436,35 @@ def test_byte_pretokenizer_partitions_text(spark, texts):
         # blacklist above: the pattern's punctuation branch captures it,
         # so the partition property holds for everything generated here
         assert r["joined"] == r["text"], repr(r["text"])
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(st.integers(min_value=-30000, max_value=30000), min_size=8, max_size=96),
+    st.sampled_from(["constant", "verbatim", "fixed", "lpc"]),
+    st.integers(min_value=0, max_value=2),
+    st.booleans(),
+)
+def test_flac_roundtrip_property(samples, subframe, partition_order, escape):
+    """Property: ANY int16 sample run survives encode->decode bit-exact
+    through every subframe family, Rice partition order, and the escape
+    path — the FLAC analogue of the WebP round-trip fuzz."""
+    from pmp_analytics_spark.flac import flac_decode, flac_encode
+
+    n = len(samples)
+    if subframe == "constant":
+        samples = [samples[0]] * n
+    bs = n  # one frame; partitions must divide the block
+    while bs % (1 << partition_order):
+        partition_order -= 1
+    kw = dict(
+        subframe=subframe,
+        order=min(2, n - 1) if subframe in ("fixed", "lpc") else 0,
+        partition_order=partition_order if subframe in ("fixed", "lpc") else 0,
+        force_escape=escape,
+        block_size=bs,
+    )
+    if subframe == "lpc":
+        kw.update(lpc_coefs=[2, -1], lpc_shift=1)
+    dec = flac_decode(flac_encode([list(samples)], **kw))
+    assert dec["samples"] == list(samples)
