@@ -85,6 +85,7 @@ _RECORD_FRONT = (
     "docs_tokenizer_fertility_by_lang",
     "docs_flac_features",
     "streaming_lm_pointintime",
+    "docs_mixture_waterfill_apply",
     # operators/oracles touched this round, re-confirmed up front
     "docs_tokenizer_eval",
     "docs_bpe_merges",

@@ -1018,6 +1018,46 @@ def docs_flac_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 # enters only the per-source char totals. Oracle: identical arithmetic
 # over window prefix sums.
 # --------------------------------------------------------------------------
+_WF_DUCK = """
+    WITH avail AS (
+        SELECT source, CAST(SUM(n_chars) AS BIGINT) AS a
+        FROM documents GROUP BY source
+    ), tot AS (
+        SELECT SUM(a) AS total, COUNT(*) AS k,
+               SUM(a) * 6 // 10 AS b
+        FROM avail
+    ), ranked AS (
+        SELECT source, a,
+               ROW_NUMBER() OVER (ORDER BY a, source) - 1 AS r,
+               COALESCE(SUM(a) OVER (ORDER BY a, source
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS prefix
+        FROM avail
+    ), pv AS (
+        SELECT MIN(r) AS pr FROM ranked, tot
+        WHERE a * (k - r) + prefix >= b
+    ), lvl AS (
+        SELECT rk.prefix AS sat_sum, tot.k - rk.r AS u,
+               (tot.b - rk.prefix) // (tot.k - rk.r) AS base,
+               (tot.b - rk.prefix) % (tot.k - rk.r) AS rem
+        FROM ranked rk, pv, tot WHERE rk.r = pv.pr
+    ), unsat_named AS (
+        SELECT source,
+               ROW_NUMBER() OVER (ORDER BY source) - 1 AS name_r
+        FROM ranked, pv WHERE r >= pv.pr
+    ),
+    alloc AS (
+        SELECT rk.source, rk.a AS available,
+               CAST(CASE WHEN rk.r < pv.pr THEN rk.a
+                         ELSE lvl.base + CASE WHEN un.name_r < lvl.rem
+                                              THEN 1 ELSE 0 END
+                    END AS BIGINT) AS allocated
+        FROM ranked rk
+        CROSS JOIN pv CROSS JOIN lvl
+        LEFT JOIN unsat_named un ON un.source = rk.source
+    )"""
+
+
 @query(
     "docs_mixture_waterfill",
     """
@@ -1061,6 +1101,12 @@ def docs_flac_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def docs_mixture_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _waterfill_alloc(spark, sf_dir)
+
+
+def _waterfill_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, available, allocated, saturated) — shared by the
+    allocation query and the apply (selection) query."""
     docs = load_table(spark, sf_dir, "documents")
     avail = docs.groupBy("source").agg(
         F.sum("n_chars").cast("long").alias("a")
@@ -1133,6 +1179,63 @@ def docs_mixture_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("allocated"),
             F.when(F.col("r") < F.col("pr"), 1).otherwise(0).cast("int").alias("saturated"),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q: docs_mixture_waterfill_apply — the SELECTION half of the mixing
+# pass: materialize each source's waterfill budget as an actual
+# document subset — docs taken in engine-independent md5 order, kept
+# while the source's running char total stays within its allocation
+# (under-fill semantics at the boundary: the crossing doc is dropped,
+# deterministic on both engines). Per-source summary output pins the
+# selection exactly (chars_kept would move if any one doc flipped).
+# The running total is a source-partitioned window here (uniform,
+# dimension-bounded key count); a 100 TB deployment swaps in the
+# range-exchange running_total, identical semantics.
+# --------------------------------------------------------------------------
+@query(
+    "docs_mixture_waterfill_apply",
+    f"""{_WF_DUCK},
+    ordered AS (
+        SELECT d.source, d.doc_id, d.n_chars,
+               SUM(d.n_chars) OVER (PARTITION BY d.source
+                   ORDER BY MD5(CAST(d.doc_id AS VARCHAR)), d.doc_id
+                   ROWS UNBOUNDED PRECEDING) AS cum
+        FROM documents d
+    )
+    SELECT o.source,
+           CAST(a.allocated AS BIGINT) AS allocated,
+           CAST(COUNT(*) FILTER (WHERE o.cum <= a.allocated) AS BIGINT)
+               AS n_docs_kept,
+           CAST(COALESCE(SUM(o.n_chars) FILTER (WHERE o.cum <= a.allocated), 0)
+                AS BIGINT) AS chars_kept
+    FROM ordered o JOIN alloc a ON a.source = o.source
+    GROUP BY o.source, a.allocated
+    """,
+)
+def docs_mixture_waterfill_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", "doc_id", "n_chars"
+    )
+    alloc = _waterfill_alloc(spark, sf_dir).select("source", "allocated")
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.md5(F.col("doc_id").cast("string")), F.col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ordered = docs.withColumn("cum", F.sum("n_chars").over(w))
+    kept = F.col("cum") <= F.col("allocated")
+    return (
+        ordered.join(F.broadcast(alloc), "source")
+        .groupBy("source", "allocated")
+        .agg(
+            F.sum(F.when(kept, 1).otherwise(0)).cast("long").alias("n_docs_kept"),
+            F.coalesce(
+                F.sum(F.when(kept, F.col("n_chars"))), F.lit(0)
+            ).cast("long").alias("chars_kept"),
+        )
+        .select("source", "allocated", "n_docs_kept", "chars_kept")
     )
 
 
