@@ -930,7 +930,12 @@ def vp8l_encode_argb(
         def group_of(pos: int) -> int:
             return 1 if ((pos % w) >> ebits << ebits) >= w // 2 else 0
 
-        ngroups = 2
+        # the spec derives the group-code count from the entropy image
+        # (max referenced index + 1) — on narrow images the midpoint
+        # split references only group 0, and writing an unreferenced
+        # second group's codes desyncs the decoder (caught by the
+        # hypothesis round-trip: 2x1 + meta_split)
+        ngroups = max(((p >> 8) & 0xFFFF) for p in eimg) + 1
     else:
         bw.write(0, 1)  # no meta huffman
 
