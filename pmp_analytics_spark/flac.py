@@ -503,7 +503,16 @@ def _encode_subframe(
     if kind == "fixed":
         coefs, shift = _FIXED_COEFS[order], 0
     else:
-        coefs, shift = list(lpc_coefs or []), lpc_shift
+        if order < 1:
+            raise ValueError("flac encoder: LPC subframe needs order >= 1")
+        # The caller clamps order to bs-1 on a short final block; the coef
+        # list must match the declared order or the stream desyncs (the
+        # decoder reads exactly `order` warm-up samples and coefficients).
+        coefs, shift = list(lpc_coefs or [])[:order], lpc_shift
+        if len(coefs) != order:
+            raise ValueError(
+                f"flac encoder: LPC needs {order} coefficients, got {len(coefs)}"
+            )
         prec = max((c.bit_length() + 1 for c in coefs), default=2)
         if prec > 15:
             raise ValueError("flac encoder: LPC precision > 15")
@@ -618,6 +627,8 @@ def flac_encode(
             kind = subframe
             if kind == "constant" and any(x != s[0] for x in s):
                 kind = "verbatim"  # decorrelated side may not be constant
+            if kind == "lpc" and bs - 1 < 1:
+                kind = "verbatim"  # 1-sample tail block can't carry LPC
             _encode_subframe(
                 w, s, bps, kind,
                 min(order, bs - 1) if kind in ("fixed", "lpc") else order,

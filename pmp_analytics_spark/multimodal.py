@@ -27,6 +27,7 @@ rolling)."""
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
@@ -423,7 +424,9 @@ def decode_audio(payload: bytes) -> object:
     for codec in (_wav_decode, flac_decode):
         try:
             return codec(payload)
-        except ValueError as e:
+        except (ValueError, struct.error) as e:
+            # struct.error: truncated RIFF/fmt chunks fail struct.unpack_from
+            # before _wav_decode's own validation can reject them.
             errs.append(str(e))
     raise NotImplementedError(
         "audio decoding beyond PCM WAV and FLAC requires ffmpeg "

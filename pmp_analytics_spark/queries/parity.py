@@ -1317,12 +1317,16 @@ def csv_allstring_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def orc_pushdown_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
-    import tempfile
+
+    from pmp_analytics_spark.streaming import stream_workdir
 
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_returnflag", "l_quantity", "l_extendedprice", "l_shipdate"
     )
-    tmp = tempfile.mkdtemp(prefix="orc_roundtrip_")
+    # stream_workdir (not a bare mkdtemp): crashed/finished runs are
+    # reaped after an hour, so repeated bench/oracle invocations don't
+    # each leak a corpus-sized ORC copy (ADVICE r10).
+    tmp = stream_workdir("pmp_orc_roundtrip")
     path = os.path.join(tmp, "lineitem_orc")
     li.write.orc(path)
     back = spark.read.orc(path)

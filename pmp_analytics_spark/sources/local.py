@@ -24,9 +24,12 @@ drag on a 1000-executor cluster's critical path.
 
 from __future__ import annotations
 
+import warnings
 from typing import Iterable, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
+
+_FALLBACK_WARNED: set[str] = set()
 
 
 def _arrow_table(rows: Sequence[tuple], schema):
@@ -61,5 +64,21 @@ def local_df(spark: SparkSession, rows: Iterable, schema) -> DataFrame:
     try:
         tbl, struct = _arrow_table(rows, schema)
         return spark.createDataFrame(tbl, schema=struct)
-    except Exception:
+    except (ImportError, TypeError, ValueError, OverflowError) as e:
+        # Narrow except (ADVICE r10): pa.ArrowInvalid/ArrowTypeError are
+        # TypeError/ValueError subclasses, so this catches exactly the
+        # "Arrow can't represent this row shape" cases while letting a
+        # systematic failure (which would silently re-enable the slow
+        # pickled-RDD path fleet-wide) surface. Warn once per schema so a
+        # fallback is visible without spamming per-batch loops.
+        key = str(schema)
+        if key not in _FALLBACK_WARNED:
+            _FALLBACK_WARNED.add(key)
+            warnings.warn(
+                f"local_df: Arrow path fell back to pickled-RDD for "
+                f"schema {key!r} ({type(e).__name__}: {e}) — slow path, "
+                "investigate if unexpected",
+                RuntimeWarning,
+                stacklevel=2,
+            )
         return spark.createDataFrame(rows, schema)

@@ -355,14 +355,27 @@ def read_consistent(spark, roots: list[str]) -> dict[str, DataFrame]:
     per_root: list[dict[int, str]] = []
     for root in roots:
         cuts: dict[int, str] = {}
-        for name, _live in list_versions(spark, root):
+        for name, live in list_versions(spark, root):
             mk = version_marker(spark, root, name)
             bid = parse_batch_marker(mk) if mk is not None else None
             if mk is None:
                 cuts[-1] = name  # markerless seed = the pre-batch cut
             elif bid is not None:
                 cuts[bid] = name
-            # semantic (non-batch) markers don't participate in cuts
+            elif live:
+                # The LIVE version was republished with a semantic marker
+                # (e.g. optimize_layout's 'zorder:<dims>' rewrite), so the
+                # newest batch cut is NOT the newest data. Returning the
+                # older batch cut would be a silent stale read; raise and
+                # tell the operator the root left the batch protocol.
+                raise ValueError(
+                    f"read_consistent: live version {name!r} of {root} "
+                    f"carries semantic marker {mk!r} — this reader only "
+                    "supports roots whose versions are batch:<id>/seed "
+                    "publishes (re-publish through the batch protocol or "
+                    "read the root with read_latest)"
+                )
+            # non-live semantic markers don't participate in cuts
         per_root.append(cuts)
     common = set(per_root[0])
     for cuts in per_root[1:]:

@@ -980,6 +980,12 @@ def test_flac_roundtrip_all_decoder_paths():
     # 70 frames: frame numbers cross the 1-byte UTF-8 boundary at 128?
     # no — at 0x80; 70 frames stay 1-byte, so use 300 tiny frames
     check([sig(300 * 16)], subframe="fixed", order=1, block_size=16)
+    # LPC with a short final block: total % block_size <= order used to
+    # desync (header declared the clamped order but all coefs were
+    # written); now coefs truncate to the clamped order (ADVICE r10).
+    for tail in (1, 2, 3):
+        check([sig(64 + tail)], subframe="lpc", order=3, block_size=64,
+              lpc_coefs=[5, -4, 1], lpc_shift=2)
 
 
 def test_flac_crc_and_rejects():

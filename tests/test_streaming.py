@@ -844,3 +844,10 @@ def test_read_consistent_pair_after_torn_publish(spark, tmp_path):
     publish_versioned(frame(1), c_root, marker="batch:9")
     with _pytest.raises(ValueError, match="no common batch cut"):
         read_consistent(spark, [a_root, c_root])
+
+    # a LIVE version carrying a semantic (non-batch) marker means the
+    # newest batch cut is stale data — raise, don't silently hand back
+    # the older cut (ADVICE r10)
+    publish_versioned(frame(999), b_root, marker="zorder:v,v")
+    with _pytest.raises(ValueError, match="semantic marker"):
+        read_consistent(spark, [a_root, b_root])
