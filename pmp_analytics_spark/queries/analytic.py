@@ -2312,3 +2312,223 @@ def streaming_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"drift_psi_{uuid.uuid4().hex[:12]}"
     run_to_memory(out, name, output_mode="complete", state_partitions=8)
     return spark.table(name)
+
+
+# --------------------------------------------------------------------------
+# Perceptual image near-dup dedup (pHash): the one duplicate class the
+# text dedup stack cannot see — the SAME image re-encoded through a
+# different codec or mildly perturbed. The fixture protocol is the
+# docs_flac_decode_audit / docs_webp_decode_audit discipline applied to
+# the hash: each doc (doc_id < 120) becomes a deterministic formula
+# image (group = doc_id//4 picks the formula params and the 32x32 or
+# 64x64 size); variant 0/1/2 encode the IDENTICAL pixels as PNG / BMP /
+# WebP-VP8L through the real fixture encoders, variant 3 perturbs ~1% of
+# pixels (+40 all channels, clamp-free by construction) and encodes as
+# PNG. The Spark side runs the REAL pipeline — encode -> stdlib decode
+# (WebP rows normalized RGB->BGR) -> integer pHash (operators/phash.py)
+# — in one Arrow mapInPandas pass; the oracle replays grayscale -> box
+# average -> 8x32 scaled-integer DCT -> lower-median threshold -> 63-bit
+# hash in pure DuckDB integer arithmetic with the SAME cosine table
+# embedded as literals. Lossless codecs mean a wrong decoder, channel
+# order, DCT constant, or median rule moves the hash at every doc.
+# --------------------------------------------------------------------------
+def _phash_fixture_pixels(doc_id: int):
+    """(n, rows_bgr, rows_rgb) formula image for one fixture doc: params
+    from group = doc_id//4, perturbation on variant 3. Channel maxima
+    (206/187/163 + 40) stay under 255, so the +40 perturbation never
+    clamps and the oracle's closed-form pixel replay is exact."""
+    g, v = doc_id // 4, doc_id % 4
+    n = 32 * (1 + g % 2)
+    rows_bgr, rows_rgb = [], []
+    for i in range(n):
+        b_row, r_row = bytearray(), bytearray()
+        for j in range(n):
+            pert = 40 if (v == 3 and (i * 31 + j * 17 + g) % 101 == 0) else 0
+            r = 8 + (g * 7) % 40 + ((i * (2 + g % 3) + j * (3 + g % 5)) % 160) + pert
+            gg = 16 + ((i + j) * (1 + g % 4)) % 150 + ((i * j) % 23) + pert
+            b = 24 + (i * i + 2 * j + g * 11) % 140 + pert
+            b_row += bytes((b, gg, r))
+            r_row += bytes((r, gg, b))
+        rows_bgr.append(bytes(b_row))
+        rows_rgb.append(bytes(r_row))
+    return n, rows_bgr, rows_rgb
+
+
+_PHASH_CODECS = ("png", "bmp", "webp", "png")
+
+
+def _phash_fixture_payload(doc_id: int) -> tuple[str, int, bytes]:
+    """(codec, side, payload): variants 0/3 encode PNG, 1 BMP, 2 WebP —
+    all lossless, so decoded pixels equal the formula exactly."""
+    from pmp_analytics_spark.multimodal import _bmp_encode, _png_encode
+    from pmp_analytics_spark.webp import webp_encode
+
+    n, bgr, rgb = _phash_fixture_pixels(doc_id)
+    v = doc_id % 4
+    if v == 1:
+        return "bmp", n, _bmp_encode(n, n, bgr)
+    if v == 2:
+        return "webp", n, webp_encode(n, n, rgb)
+    return "png", n, _png_encode(n, n, bgr)
+
+
+def _phash_fixture_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, group_id, variant, codec, width, phash) for the 120
+    fixture images: encode -> REAL stdlib decode -> integer pHash inside
+    one Arrow mapInPandas pass (the decode is the cost; the hash is two
+    int64 matmuls per image)."""
+    import pandas as pd
+
+    from pmp_analytics_spark.operators.partitioning import ensure_parallelism
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 120)
+        .select("doc_id")
+    )
+
+    def batches(it):
+        from pmp_analytics_spark.operators.phash import (
+            decode_pixels_bgr,
+            phash64_bgr,
+        )
+
+        for pdf in it:
+            out = {
+                "doc_id": [], "group_id": [], "variant": [],
+                "codec": [], "width": [], "phash": [],
+            }
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                codec, n, payload = _phash_fixture_payload(doc_id)
+                w, h, rows = decode_pixels_bgr(payload)
+                if (w, h) != (n, n):
+                    raise ValueError(
+                        f"phash fixture: decode returned {w}x{h}, expected {n}"
+                    )
+                out["doc_id"].append(doc_id)
+                out["group_id"].append(doc_id // 4)
+                out["variant"].append(doc_id % 4)
+                out["codec"].append(codec)
+                out["width"].append(n)
+                out["phash"].append(phash64_bgr(w, h, rows))
+            yield pd.DataFrame(out)
+
+    return ensure_parallelism(docs).mapInPandas(
+        batches,
+        schema="doc_id long, group_id long, variant long, codec string, "
+        "width long, phash long",
+    )
+
+
+def _phash_oracle_hash_cte() -> str:
+    """The shared DuckDB CTE chain computing the 63-bit pHash per
+    fixture doc in pure integer arithmetic: formula pixels -> grayscale
+    (77R+150G+29B; the +40 perturbation folds to +256*40) -> integer box
+    average -> tmat = C8 @ grid, F = tmat @ C8^T with the module's
+    scaled-cosine table embedded as literals (constant tables live in a
+    cross-joined one-row CTE — inlining them in the lambdas rebuilds the
+    literal per evaluation, measured 300x slower) -> DC dropped, lower
+    median of the 63 low-freq coefficients, bit k = coef > median."""
+    from pmp_analytics_spark.operators.phash import DCT8X32, PHASH_BITS
+
+    cmat = "[" + ",".join(
+        "[" + ",".join(str(c) for c in row) + "]" for row in DCT8X32
+    ) + "]"
+    pow2 = "[" + ",".join(str(1 << k) for k in range(PHASH_BITS)) + "]"
+    gray = (
+        "(77*(8 + (g*7)%40 + ((i*(2 + g%3) + j*(3 + g%5)) % 160))"
+        " + 150*(16 + ((i+j)*(1 + g%4)) % 150 + ((i*j) % 23))"
+        " + 29*(24 + (i*i + 2*j + g*11) % 140)"
+        " + CASE WHEN v = 3 AND (i*31 + j*17 + g) % 101 = 0"
+        " THEN 256*40 ELSE 0 END)"
+    )
+    return f"""
+    WITH d AS (
+        SELECT doc_id, doc_id // 4 AS g, doc_id % 4 AS v,
+               32 * (1 + (doc_id // 4) % 2) AS n,
+               1 + (doc_id // 4) % 2 AS s
+        FROM documents WHERE doc_id < 120
+    ), g32 AS (
+        SELECT doc_id, v, g, n,
+            LIST_TRANSFORM(GENERATE_SERIES(0, 31), bi ->
+                LIST_TRANSFORM(GENERATE_SERIES(0, 31), bj ->
+                    LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(bi*s, (bi+1)*s - 1), i ->
+                        LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(bj*s, (bj+1)*s - 1), j ->
+                            {gray}))))
+                    // (s * s))) AS grid
+        FROM d
+    ), cc AS (
+        SELECT {cmat} AS cmat, {pow2} AS pow2
+    ), t8 AS (
+        SELECT doc_id, v, g, n, cmat, pow2,
+            LIST_TRANSFORM(GENERATE_SERIES(1, 8), u ->
+                LIST_TRANSFORM(GENERATE_SERIES(1, 32), j ->
+                    LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, 32), i ->
+                        cmat[u][i] * grid[i][j])))) AS tmat
+        FROM g32, cc
+    ), f8 AS (
+        SELECT doc_id, v, g, n, pow2,
+            FLATTEN(LIST_TRANSFORM(GENERATE_SERIES(1, 8), u ->
+                LIST_TRANSFORM(GENERATE_SERIES(1, 8), w ->
+                    LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, 32), j ->
+                        cmat[w][j] * tmat[u][j])))))[2:64] AS vals
+        FROM t8
+    ), m AS (
+        SELECT doc_id, v, g, n, pow2, vals,
+               LIST_SORT(vals)[32] AS med
+        FROM f8
+    ), h AS (
+        SELECT doc_id, v, g, n,
+               CAST(LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, 63), k ->
+                   CASE WHEN vals[k] > med THEN pow2[k] ELSE 0 END))
+                   AS BIGINT) AS phash
+        FROM m
+    )"""
+
+
+@query(
+    "docs_image_phash",
+    lambda: _phash_oracle_hash_cte()
+    + """
+    SELECT doc_id,
+           g AS group_id,
+           v AS variant,
+           ['png', 'bmp', 'webp', 'png'][CAST(v + 1 AS INT)] AS codec,
+           CAST(n AS BIGINT) AS width,
+           phash
+    FROM h
+    """,
+)
+def docs_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _phash_fixture_frame(spark, sf_dir)
+
+
+# --------------------------------------------------------------------------
+# Q: docs_image_phash_pairs — the near-dup PAIRS over the fixture set:
+# Hamming-LSH banding (7 bands x 9 bits over the 63-bit hash — LOSSLESS
+# by pigeonhole for the <= 6 threshold) -> one-shuffle bucket pair
+# expansion -> exact bit_count(xor) verify, never a corpus self-join.
+# The oracle BRUTE-FORCES every pair from the replayed hashes, so any
+# banding recall loss is a hash mismatch, not a silent miss. Re-encoded
+# duplicates (variants 0/1/2 of a group) land at Hamming 0; perturbed
+# variants land wherever the math puts them (0-8 on this fixture set —
+# the ones within 6 must appear, the others must not).
+# --------------------------------------------------------------------------
+@query(
+    "docs_image_phash_pairs",
+    lambda: _phash_oracle_hash_cte()
+    + """
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(BIT_COUNT(XOR(a.phash, b.phash)) AS INT) AS hamming
+    FROM h a JOIN h b ON a.doc_id < b.doc_id
+    WHERE BIT_COUNT(XOR(a.phash, b.phash)) <= 6
+    """,
+)
+def docs_image_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pmp_analytics_spark.operators.phash import phash_pairs
+
+    sigs = _phash_fixture_frame(spark, sf_dir).select("doc_id", "phash")
+    return phash_pairs(sigs, id_col="doc_id", max_hamming=6, bands=7).withColumn(
+        "hamming", F.col("hamming").cast("int")
+    )
