@@ -1341,6 +1341,62 @@ def orc_pushdown_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Q: avro_roundtrip — the third columnar/row interchange format as a
+# first-class source/sink. pyspark 4.1.2 offline ships NO spark-avro
+# datasource module, so sources/avro_bridge.py implements the public
+# Avro OCF spec in pure stdlib: a DISTRIBUTED writer (one part file per
+# partition, raw-deflate blocks) and a DISTRIBUTED reader (schema
+# sniffed from one header on the driver, files decoded in an Arrow
+# mapInPandas pass over the file list — per-file parallelism, the same
+# split unit a native reader uses). The loop exercises the date logical
+# type (epoch-days int), zigzag varints, strings, and doubles; the
+# oracle computes the identical aggregate from the parquet table, so
+# write -> decode -> filter -> aggregate is lossless end-to-end. No
+# reader pushdown (documented bridge trade — deployments with the
+# spark-avro jar use the native reader; COVERAGE.md §Avro).
+# --------------------------------------------------------------------------
+@query(
+    "avro_roundtrip",
+    """
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS sum_price,
+           MIN(CAST(o_orderdate AS DATE)) AS first_date,
+           MAX(CAST(o_orderdate AS DATE)) AS last_date
+    FROM orders
+    WHERE CAST(o_orderdate AS DATE) >= DATE '1995-01-01'
+    GROUP BY o_orderpriority
+    """,
+)
+def avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from pmp_analytics_spark.sources.avro_bridge import read_avro, write_avro
+    from pmp_analytics_spark.streaming import stream_workdir
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.col("o_orderdate").cast("date").alias("o_orderdate"),
+        "o_orderpriority",
+    )
+    path = os.path.join(stream_workdir("pmp_avro_roundtrip"), "orders_avro")
+    write_avro(orders, path, codec="deflate")
+    back = read_avro(spark, path)
+    return (
+        back.where(F.col("o_orderdate") >= F.lit("1995-01-01").cast("date"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+            F.min("o_orderdate").alias("first_date"),
+            F.max("o_orderdate").alias("last_date"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # Q: supplier_name_edit_join — edit-distance similarity self-join on
 # supplier names (operators/joins.py::edit_distance_join): the
 # entity-resolution primitive beside the Jaro-Winkler blocked join (X2)

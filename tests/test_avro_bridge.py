@@ -1,0 +1,129 @@
+"""Stdlib Avro OCF bridge (sources/avro_bridge.py): codec-level
+round-trips, the distributed Spark read/write loop across every
+in-scope type, null handling, deflate blocks, and honest rejects."""
+
+import datetime as dt
+
+import pytest
+
+from pmp_analytics_spark.sources.avro_bridge import (
+    avro_decode,
+    avro_encode,
+    avro_schema_for,
+    read_avro,
+    spark_schema_for,
+    write_avro,
+)
+
+
+def _schema(fields):
+    return {"type": "record", "name": "row", "fields": fields}
+
+
+def test_codec_roundtrip_all_primitives():
+    sch = _schema(
+        [
+            {"name": "b", "type": ["null", "boolean"]},
+            {"name": "i", "type": ["null", "int"]},
+            {"name": "l", "type": ["null", "long"]},
+            {"name": "f", "type": ["null", "float"]},
+            {"name": "d", "type": ["null", "double"]},
+            {"name": "s", "type": ["null", "string"]},
+            {"name": "y", "type": ["null", "bytes"]},
+        ]
+    )
+    rows = [
+        (True, -1, 2**62, 1.5, -2.25, "héllo", b"\x00\xff"),
+        (False, 0, -(2**62), -0.5, 1e300, "", b""),
+        (None, None, None, None, None, None, None),
+    ]
+    for codec in ("null", "deflate"):
+        got_schema, got = avro_decode(avro_encode(sch, rows, codec=codec))
+        assert got_schema == sch
+        assert got == rows, codec
+
+
+def test_codec_zigzag_boundaries():
+    sch = _schema([{"name": "l", "type": "long"}])
+    rows = [(v,) for v in (0, -1, 1, 63, -64, 64, 2**63 - 1, -(2**63))]
+    _, got = avro_decode(avro_encode(sch, rows, codec="null"))
+    assert got == rows
+
+
+def test_codec_multi_block_and_sync():
+    sch = _schema([{"name": "i", "type": "int"}])
+    rows = [(i,) for i in range(10_000)]
+    payload = avro_encode(sch, rows, block_rows=1024)
+    _, got = avro_decode(payload)
+    assert got == rows
+    # a flipped byte inside a block must not decode silently
+    broken = bytearray(payload)
+    broken[len(broken) // 2] ^= 0x01
+    with pytest.raises((ValueError, Exception)):
+        avro_decode(bytes(broken))
+
+
+def test_codec_rejects_out_of_scope():
+    with pytest.raises(ValueError, match="complex type"):
+        avro_encode(
+            _schema([{"name": "a", "type": {"type": "array", "items": "int"}}]),
+            [],
+        )
+    with pytest.raises(ValueError, match="union"):
+        avro_encode(
+            _schema([{"name": "u", "type": ["null", "int", "long"]}]), []
+        )
+    with pytest.raises(ValueError, match="codec"):
+        avro_encode(_schema([{"name": "i", "type": "int"}]), [], codec="snappy")
+    with pytest.raises(ValueError, match="not an Avro"):
+        avro_decode(b"PAR1not-avro")
+
+
+def test_spark_roundtrip_typed(spark, tmp_path):
+    """The full distributed loop: typed frame -> partitioned part files
+    (deflate) -> sniffed schema -> mapInPandas decode -> identical rows,
+    including date/timestamp logical types and nulls."""
+    from pmp_analytics_spark.sources.local import local_df
+
+    rows = [
+        (1, "alpha", 10.5, dt.date(1992, 3, 14), dt.datetime(2001, 7, 4, 12, 30, 45, 123456), True),
+        (2, "béta", -0.25, dt.date(1970, 1, 1), dt.datetime(1970, 1, 1, 0, 0, 0, 1), False),
+        (3, None, None, None, None, None),
+    ]
+    schema = (
+        "id long, name string, score double, d date, ts timestamp, ok boolean"
+    )
+    df = local_df(spark, rows, schema).repartition(3)
+    out = str(tmp_path / "avro_out")
+    n = write_avro(df, out, codec="deflate")
+    assert n == 3
+    back = read_avro(spark, out)
+    assert back.schema == df.schema
+    got = sorted(tuple(r) for r in back.collect())
+    assert got == sorted(rows)
+
+
+def test_spark_schema_mapping_roundtrip(spark):
+    from pyspark.sql import types as T
+
+    st = T.StructType(
+        [
+            T.StructField("a", T.LongType()),
+            T.StructField("b", T.StringType()),
+            T.StructField("c", T.DateType()),
+        ]
+    )
+    assert spark_schema_for(avro_schema_for(st)) == T.StructType(
+        [
+            T.StructField("a", T.LongType(), True),
+            T.StructField("b", T.StringType(), True),
+            T.StructField("c", T.DateType(), True),
+        ]
+    )
+
+
+def test_read_avro_empty_dir_raises(spark, tmp_path):
+    d = tmp_path / "empty"
+    d.mkdir()
+    with pytest.raises(ValueError, match="no .avro files"):
+        read_avro(spark, str(d))
