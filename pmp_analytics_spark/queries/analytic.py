@@ -2532,3 +2532,151 @@ def docs_image_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phash_pairs(sigs, id_col="doc_id", max_hamming=6, bands=7).withColumn(
         "hamming", F.col("hamming").cast("int")
     )
+
+
+# --------------------------------------------------------------------------
+# Q: docs_mfcc_features — the MEL-CEPSTRAL layer over the decode→DSP
+# chain (docs_flac_features' RMS/ZCR was the energy layer): closed-form
+# PCM → real FLAC encode/decode (CRC-verified, lossless) → per-frame
+# integer DFT power → integer mel filterbank → quantized log (ln on
+# exact integers is bitwise-identical between CPython and DuckDB;
+# everything around it stays int64) → integer DCT-II cepstrum. The four
+# constant tables (cos/sin, mel weights, DCT) are computed once in
+# operators/audio_features.py and embedded into the oracle as literals,
+# so a wrong FLAC sample, filter edge, or table entry moves an exact
+# integer — not a float in the noise floor. See the module docstring
+# for why a float FFT can NOT be oracle-gated (cross-engine summation
+# order / FMA measured non-deterministic).
+# --------------------------------------------------------------------------
+def _mfcc_oracle_sql() -> str:
+    from pmp_analytics_spark.operators.audio_features import (
+        DCT_MEL,
+        DFT_COS,
+        DFT_SIN,
+        FRAME,
+        MEL_W,
+        NBINS,
+        NCOEF,
+        NMEL,
+    )
+
+    def lit(table):
+        return "[" + ",".join(
+            "[" + ",".join(str(v) for v in row) + "]" for row in table
+        ) + "]"
+
+    mfcc_cols = ",\n           ".join(
+        f"ROUND(CAST(msc[{c + 1}] AS DOUBLE) / 1024000000.0, 6) AS mfcc{c}"
+        for c in range(NCOEF)
+    )
+    return f"""
+    WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 48),
+    cc AS (
+        SELECT {lit(DFT_COS)} AS dcos, {lit(DFT_SIN)} AS dsin,
+               {lit(MEL_W)} AS melw, {lit(DCT_MEL)} AS dctm
+    ),
+    c AS (SELECT doc_id, UNNEST([0, {FRAME}]) AS off FROM d),
+    s AS (
+        SELECT doc_id, off,
+               LIST_TRANSFORM(GENERATE_SERIES(CAST(off AS BIGINT),
+                                              off + {FRAME - 1}),
+                   i -> {_FLACF_S}) AS v
+        FROM c
+    ),
+    x AS (
+        SELECT doc_id, off, melw, dctm,
+            LIST_TRANSFORM(GENERATE_SERIES(1, {NBINS}), k ->
+                LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, {FRAME}), t ->
+                    dcos[k][t] * v[t]))) AS xr,
+            LIST_TRANSFORM(GENERATE_SERIES(1, {NBINS}), k ->
+                LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, {FRAME}), t ->
+                    dsin[k][t] * v[t]))) AS xi
+        FROM s, cc
+    ),
+    e AS (
+        SELECT doc_id, off, dctm,
+            LIST_TRANSFORM(GENERATE_SERIES(1, {NMEL}), m ->
+                LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, {NBINS}), k ->
+                    melw[m][k] * (xr[k]*xr[k] + xi[k]*xi[k])))) AS mel
+        FROM x
+    ),
+    q AS (
+        SELECT doc_id, off, dctm, mel,
+            LIST_TRANSFORM(mel, z ->
+                CAST(ROUND(LN(CAST(z AS DOUBLE) + 1) * 1000000) AS BIGINT))
+                AS ql
+        FROM e
+    ),
+    m AS (
+        SELECT doc_id, off, mel,
+            LIST_TRANSFORM(GENERATE_SERIES(1, {NCOEF}), cI ->
+                LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, {NMEL}), mI ->
+                    dctm[cI][mI] * ql[mI]))) AS msc
+        FROM q
+    )
+    SELECT doc_id,
+           CAST(off // {FRAME} AS BIGINT) AS frame_idx,
+           CAST(mel[1] AS BIGINT) AS mel_lo_energy,
+           CAST(mel[{NMEL}] AS BIGINT) AS mel_hi_energy,
+           {mfcc_cols}
+    FROM m
+    """
+
+
+@query("docs_mfcc_features", lambda: _mfcc_oracle_sql())
+def docs_mfcc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from pmp_analytics_spark.operators.partitioning import ensure_parallelism
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") < 48
+    ).select("doc_id")
+
+    def batches(it):
+        from pmp_analytics_spark.flac import flac_decode, flac_encode
+        from pmp_analytics_spark.operators.audio_features import (
+            FRAME,
+            NCOEF,
+            mfcc_frame,
+        )
+
+        n = 2 * FRAME
+        for pdf in it:
+            out = {
+                "doc_id": [], "frame_idx": [],
+                "mel_lo_energy": [], "mel_hi_energy": [],
+            }
+            for c in range(NCOEF):
+                out[f"mfcc{c}"] = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                base = ((doc_id * 17) % 101) - 50
+                step = doc_id % 5 + 1
+                pcm = [base + ((i * step) % 37) - 18 for i in range(n)]
+                dec = flac_decode(
+                    flac_encode([pcm], block_size=FRAME, subframe="fixed", order=2)
+                )
+                samples = dec["samples"]
+                for idx in range(n // FRAME):
+                    mel, mfcc = mfcc_frame(
+                        samples[idx * FRAME : (idx + 1) * FRAME]
+                    )
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(idx)
+                    out["mel_lo_energy"].append(mel[0])
+                    out["mel_hi_energy"].append(mel[-1])
+                    for c in range(NCOEF):
+                        out[f"mfcc{c}"].append(mfcc[c])
+            yield pd.DataFrame(out)
+
+    schema = (
+        "doc_id long, frame_idx long, mel_lo_energy long, "
+        "mel_hi_energy long, mfcc0 double, mfcc1 double, "
+        "mfcc2 double, mfcc3 double"
+    )
+    raw = ensure_parallelism(docs).mapInPandas(batches, schema)
+    return raw.select(
+        "doc_id", "frame_idx", "mel_lo_energy", "mel_hi_energy",
+        *[F.round(F.col(f"mfcc{c}"), 6).alias(f"mfcc{c}") for c in range(4)],
+    )
