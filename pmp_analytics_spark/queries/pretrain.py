@@ -2904,6 +2904,44 @@ def _kn3_frames(spark: SparkSession, sf_dir: str):
     return tri, _kn3_from_c3(c3)
 
 
+def modified_discounts(cnt_frame: DataFrame, cnt: str, pre: str) -> DataFrame:
+    """1-row (D1, D2, D3+) from a model level's counts-of-counts, each
+    ratio zero-guarded and clamped at 0 — identical CASE tree to the
+    oracle's d3s/d2s stages. Shared by the trigram (kn3) and 5-gram
+    (kn5) chains: modified Kneser-Ney's per-level discount estimation
+    (Chen & Goodman 1998 eq. 26) is the same at every order."""
+    cocs = cnt_frame.agg(
+        *[
+            F.sum(F.when(F.col(cnt) == i, 1).otherwise(0)).alias(f"n{i}")
+            for i in (1, 2, 3, 4)
+        ]
+    )
+    y = F.when(F.col("n1") + 2 * F.col("n2") == 0, F.lit(0.5)).otherwise(
+        F.col("n1") * F.lit(1.0) / (F.col("n1") + 2 * F.col("n2"))
+    )
+    with_y = cocs.select("n1", "n2", "n3", "n4", y.alias("y"))
+    return with_y.select(
+        F.greatest(
+            F.when(F.col("n1") == 0, F.lit(0.5)).otherwise(
+                F.lit(1.0) - F.lit(2.0) * F.col("y") * F.col("n2") / F.col("n1")
+            ),
+            F.lit(0.0),
+        ).alias(f"{pre}1"),
+        F.greatest(
+            F.when(F.col("n2") == 0, F.lit(1.0)).otherwise(
+                F.lit(2.0) - F.lit(3.0) * F.col("y") * F.col("n3") / F.col("n2")
+            ),
+            F.lit(0.0),
+        ).alias(f"{pre}2"),
+        F.greatest(
+            F.when(F.col("n3") == 0, F.lit(1.5)).otherwise(
+                F.lit(3.0) - F.lit(4.0) * F.col("y") * F.col("n4") / F.col("n3")
+            ),
+            F.lit(0.0),
+        ).alias(f"{pre}3"),
+    )
+
+
 def _kn3_from_c3(c3: DataFrame) -> DataFrame:
     """The full trigram modified-KN probability table derived from a
     (w1, w2, w3, n) COUNT table — split out so the count table can be
@@ -2911,42 +2949,6 @@ def _kn3_from_c3(c3: DataFrame) -> DataFrame:
     is type-table-sized, so re-deriving probabilities after an O(delta)
     count merge costs nothing corpus-shaped. ``c3`` should be cached by
     the caller (multiple consumers below)."""
-
-    def modified_discounts(cnt_frame: DataFrame, cnt: str, pre: str) -> DataFrame:
-        """1-row (D1, D2, D3+) from the level's counts-of-counts, each
-        ratio zero-guarded and clamped at 0 — identical CASE tree to
-        the oracle's d3s/d2s stages."""
-        cocs = cnt_frame.agg(
-            *[
-                F.sum(F.when(F.col(cnt) == i, 1).otherwise(0)).alias(f"n{i}")
-                for i in (1, 2, 3, 4)
-            ]
-        )
-        y = F.when(F.col("n1") + 2 * F.col("n2") == 0, F.lit(0.5)).otherwise(
-            F.col("n1") * F.lit(1.0) / (F.col("n1") + 2 * F.col("n2"))
-        )
-        with_y = cocs.select("n1", "n2", "n3", "n4", y.alias("y"))
-        return with_y.select(
-            F.greatest(
-                F.when(F.col("n1") == 0, F.lit(0.5)).otherwise(
-                    F.lit(1.0) - F.lit(2.0) * F.col("y") * F.col("n2") / F.col("n1")
-                ),
-                F.lit(0.0),
-            ).alias(f"{pre}1"),
-            F.greatest(
-                F.when(F.col("n2") == 0, F.lit(1.0)).otherwise(
-                    F.lit(2.0) - F.lit(3.0) * F.col("y") * F.col("n3") / F.col("n2")
-                ),
-                F.lit(0.0),
-            ).alias(f"{pre}2"),
-            F.greatest(
-                F.when(F.col("n3") == 0, F.lit(1.5)).otherwise(
-                    F.lit(3.0) - F.lit(4.0) * F.col("y") * F.col("n4") / F.col("n3")
-                ),
-                F.lit(0.0),
-            ).alias(f"{pre}3"),
-        )
-
     d3s = modified_discounts(c3, "n", "d")
     ctx = c3.groupBy("w1", "w2").agg(
         F.sum("n").alias("c12"),
@@ -3831,4 +3833,279 @@ def streaming_lm_pointintime(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return read_latest(spark, scores_root).select(
         "doc_id", "batch", "n_trigrams", "h", "ppl"
+    )
+
+
+# --------------------------------------------------------------------------
+# Q: docs_5gram_kneser_ney — 5-GRAM MODIFIED Kneser-Ney: the production
+# CCNet-filter order (the trigram query documents the movement; this is
+# the completeness order real curation pipelines ship). Four discount
+# triples — one per model level, each estimated from THAT level's
+# counts-of-counts over raw counts (level 5) or continuation counts
+# (levels 4/3/2: chat_k = the count of distinct extensions one word to
+# the left, derived level-from-level) — ending at the unigram
+# continuation distribution. Every ratio is zero-guarded and clamped
+# (the sf0.1-density lesson).
+#
+# Scale shape: ONE corpus-sized 5-gram count (map-side combine on the
+# uniform 5-tuple); cc4/cc3/cc2/cu and every context table derive
+# type-table-from-type-table; discounts are four 1-row broadcasts. The
+# CDC/streaming story carries over from the trigram family unchanged:
+# c5 is the ONE maintainable artifact, everything below re-derives
+# O(types). Report cut: top-5 continuations of the 100 heaviest 4-gram
+# contexts. No reference analog (north-star LM surface).
+# --------------------------------------------------------------------------
+def _kn5_dsql(src: str, cnt: str, pre: str) -> str:
+    """The modified-discount triple as SQL — the same CASE tree as
+    modified_discounts() and the kn3 oracle's d3s/d2s stages."""
+    return f"""(
+        SELECT GREATEST(CASE WHEN n1 = 0 THEN 0.5
+                             ELSE 1.0 - 2.0 * y * n2 / n1 END, 0.0) AS {pre}1,
+               GREATEST(CASE WHEN n2 = 0 THEN 1.0
+                             ELSE 2.0 - 3.0 * y * n3 / n2 END, 0.0) AS {pre}2,
+               GREATEST(CASE WHEN n3 = 0 THEN 1.5
+                             ELSE 3.0 - 4.0 * y * n4 / n3 END, 0.0) AS {pre}3
+        FROM (SELECT n1, n2, n3, n4,
+                     CASE WHEN n1 + 2 * n2 = 0 THEN 0.5
+                          ELSE n1 * 1.0 / (n1 + 2 * n2) END AS y
+              FROM (SELECT SUM(CASE WHEN {cnt} = 1 THEN 1 ELSE 0 END) AS n1,
+                           SUM(CASE WHEN {cnt} = 2 THEN 1 ELSE 0 END) AS n2,
+                           SUM(CASE WHEN {cnt} = 3 THEN 1 ELSE 0 END) AS n3,
+                           SUM(CASE WHEN {cnt} = 4 THEN 1 ELSE 0 END) AS n4
+                    FROM {src})))"""
+
+
+def _kn5_duck_lm() -> str:
+    """Oracle CTE chain ending at ``f5p`` = the full 5-gram modified-KN
+    probability table (plus ``f5ctx5`` for the report cut)."""
+    return f"""
+    f5tk AS (SELECT doc_id, {_DUCK_TOKENS} AS toks FROM documents),
+    f5c5 AS MATERIALIZED (
+        SELECT toks[i] AS w1, toks[i + 1] AS w2, toks[i + 2] AS w3,
+               toks[i + 3] AS w4, toks[i + 4] AS w5, COUNT(*) AS n
+        FROM (SELECT toks, UNNEST(GENERATE_SERIES(1, LEN(toks) - 4)) AS i
+              FROM f5tk WHERE LEN(toks) >= 5)
+        GROUP BY 1, 2, 3, 4, 5
+    ),
+    f5d5 AS {_kn5_dsql("f5c5", "n", "d5_")},
+    f5ctx5 AS MATERIALIZED (
+        SELECT w1, w2, w3, w4, SUM(n) AS c5dot,
+               SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS k5_1,
+               SUM(CASE WHEN n = 2 THEN 1 ELSE 0 END) AS k5_2,
+               SUM(CASE WHEN n >= 3 THEN 1 ELSE 0 END) AS k5_3
+        FROM f5c5 GROUP BY 1, 2, 3, 4
+    ),
+    f5cc4 AS MATERIALIZED (
+        SELECT w2, w3, w4, w5, COUNT(*) AS h4 FROM f5c5 GROUP BY 1, 2, 3, 4
+    ),
+    f5d4 AS {_kn5_dsql("f5cc4", "h4", "d4_")},
+    f5ctx4 AS (
+        SELECT w2, w3, w4, SUM(h4) AS c4dot,
+               SUM(CASE WHEN h4 = 1 THEN 1 ELSE 0 END) AS m4_1,
+               SUM(CASE WHEN h4 = 2 THEN 1 ELSE 0 END) AS m4_2,
+               SUM(CASE WHEN h4 >= 3 THEN 1 ELSE 0 END) AS m4_3
+        FROM f5cc4 GROUP BY 1, 2, 3
+    ),
+    f5cc3 AS MATERIALIZED (
+        SELECT w3, w4, w5, COUNT(*) AS h3 FROM f5cc4 GROUP BY 1, 2, 3
+    ),
+    f5d3 AS {_kn5_dsql("f5cc3", "h3", "d3_")},
+    f5ctx3 AS (
+        SELECT w3, w4, SUM(h3) AS c3dot,
+               SUM(CASE WHEN h3 = 1 THEN 1 ELSE 0 END) AS m3_1,
+               SUM(CASE WHEN h3 = 2 THEN 1 ELSE 0 END) AS m3_2,
+               SUM(CASE WHEN h3 >= 3 THEN 1 ELSE 0 END) AS m3_3
+        FROM f5cc3 GROUP BY 1, 2
+    ),
+    f5cc2 AS MATERIALIZED (
+        SELECT w4, w5, COUNT(*) AS h2 FROM f5cc3 GROUP BY 1, 2
+    ),
+    f5d2 AS {_kn5_dsql("f5cc2", "h2", "d2_")},
+    f5ctx2 AS (
+        SELECT w4, SUM(h2) AS c2dot,
+               SUM(CASE WHEN h2 = 1 THEN 1 ELSE 0 END) AS m2_1,
+               SUM(CASE WHEN h2 = 2 THEN 1 ELSE 0 END) AS m2_2,
+               SUM(CASE WHEN h2 >= 3 THEN 1 ELSE 0 END) AS m2_3
+        FROM f5cc2 GROUP BY 1
+    ),
+    f5cu AS (SELECT w5, COUNT(*) AS nbwd FROM f5cc2 GROUP BY 1),
+    f5tot AS (SELECT COUNT(*) AS n_bg_types FROM f5cc2),
+    f5p AS MATERIALIZED (
+        SELECT f5c5.w1, f5c5.w2, f5c5.w3, f5c5.w4, f5c5.w5, f5c5.n,
+               GREATEST(f5c5.n - (CASE WHEN f5c5.n = 1 THEN d5_1
+                                       WHEN f5c5.n = 2 THEN d5_2
+                                       ELSE d5_3 END), 0.0) / f5ctx5.c5dot
+               + ((d5_1 * k5_1 + d5_2 * k5_2 + d5_3 * k5_3) / f5ctx5.c5dot)
+                 * (GREATEST(f5cc4.h4 - (CASE WHEN f5cc4.h4 = 1 THEN d4_1
+                                              WHEN f5cc4.h4 = 2 THEN d4_2
+                                              ELSE d4_3 END), 0.0) / f5ctx4.c4dot
+                    + ((d4_1 * m4_1 + d4_2 * m4_2 + d4_3 * m4_3) / f5ctx4.c4dot)
+                      * (GREATEST(f5cc3.h3 - (CASE WHEN f5cc3.h3 = 1 THEN d3_1
+                                                   WHEN f5cc3.h3 = 2 THEN d3_2
+                                                   ELSE d3_3 END), 0.0) / f5ctx3.c3dot
+                         + ((d3_1 * m3_1 + d3_2 * m3_2 + d3_3 * m3_3) / f5ctx3.c3dot)
+                           * (GREATEST(f5cc2.h2 - (CASE WHEN f5cc2.h2 = 1 THEN d2_1
+                                                        WHEN f5cc2.h2 = 2 THEN d2_2
+                                                        ELSE d2_3 END), 0.0) / f5ctx2.c2dot
+                              + ((d2_1 * m2_1 + d2_2 * m2_2 + d2_3 * m2_3) / f5ctx2.c2dot)
+                                * (f5cu.nbwd * 1.0 / f5tot.n_bg_types)))) AS p_kn5
+        FROM f5c5
+        JOIN f5ctx5 USING (w1, w2, w3, w4)
+        JOIN f5cc4 USING (w2, w3, w4, w5)
+        JOIN f5ctx4 USING (w2, w3, w4)
+        JOIN f5cc3 USING (w3, w4, w5)
+        JOIN f5ctx3 USING (w3, w4)
+        JOIN f5cc2 USING (w4, w5)
+        JOIN f5ctx2 USING (w4)
+        JOIN f5cu USING (w5)
+        CROSS JOIN f5d5 CROSS JOIN f5d4 CROSS JOIN f5d3 CROSS JOIN f5d2
+        CROSS JOIN f5tot
+    )"""
+
+
+def _kn5_p(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(p, ctx5) — the full 5-gram modified-KN probability table and the
+    4-gram context table (for the report cut). Same scale discipline as
+    _kn3_from_c3: the instance stream is never cached; c5 and the
+    continuation tables are (each feeds 2+ consumers)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.select(tokens(F.col("text")).alias("toks")).where(
+        F.size("toks") >= 5
+    )
+    five = toked.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 4), i -> struct("
+                "toks[i - 1] AS w1, toks[i] AS w2, toks[i + 1] AS w3, "
+                "toks[i + 2] AS w4, toks[i + 3] AS w5))"
+            )
+        ).alias("t")
+    ).select("t.*")
+    c5 = (
+        five.groupBy("w1", "w2", "w3", "w4", "w5")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .cache()
+    )
+    cc4 = (
+        c5.groupBy("w2", "w3", "w4", "w5")
+        .agg(F.count(F.lit(1)).alias("h4"))
+        .cache()
+    )
+    cc3 = (
+        cc4.groupBy("w3", "w4", "w5")
+        .agg(F.count(F.lit(1)).alias("h3"))
+        .cache()
+    )
+    cc2 = (
+        cc3.groupBy("w4", "w5").agg(F.count(F.lit(1)).alias("h2")).cache()
+    )
+    cu = cc2.groupBy("w5").agg(F.count(F.lit(1)).alias("nbwd"))
+    tot = cc2.agg(F.count(F.lit(1)).alias("n_bg_types"))
+
+    d5 = modified_discounts(c5, "n", "d5_")
+    d4 = modified_discounts(cc4, "h4", "d4_")
+    d3 = modified_discounts(cc3, "h3", "d3_")
+    d2 = modified_discounts(cc2, "h2", "d2_")
+
+    def kcounts(src, cnt, keys, tot_name, pre):
+        return src.groupBy(*keys).agg(
+            F.sum(cnt).alias(tot_name),
+            F.sum(F.when(F.col(cnt) == 1, 1).otherwise(0)).alias(f"{pre}1"),
+            F.sum(F.when(F.col(cnt) == 2, 1).otherwise(0)).alias(f"{pre}2"),
+            F.sum(F.when(F.col(cnt) >= 3, 1).otherwise(0)).alias(f"{pre}3"),
+        )
+
+    ctx5 = kcounts(c5, "n", ["w1", "w2", "w3", "w4"], "c5dot", "k5_")
+    ctx4 = kcounts(cc4, "h4", ["w2", "w3", "w4"], "c4dot", "m4_")
+    ctx3 = kcounts(cc3, "h3", ["w3", "w4"], "c3dot", "m3_")
+    ctx2 = kcounts(cc2, "h2", ["w4"], "c2dot", "m2_")
+
+    def disc(cnt, pre):
+        return (
+            F.when(F.col(cnt) == 1, F.col(f"{pre}1"))
+            .when(F.col(cnt) == 2, F.col(f"{pre}2"))
+            .otherwise(F.col(f"{pre}3"))
+        )
+
+    def gamma(dpre, kpre, tot_col):
+        return (
+            F.col(f"{dpre}1") * F.col(f"{kpre}1")
+            + F.col(f"{dpre}2") * F.col(f"{kpre}2")
+            + F.col(f"{dpre}3") * F.col(f"{kpre}3")
+        ) / F.col(tot_col)
+
+    p1 = F.col("nbwd") * F.lit(1.0) / F.col("n_bg_types")
+    p2 = (
+        F.greatest(F.col("h2") - disc("h2", "d2_"), F.lit(0.0)) / F.col("c2dot")
+        + gamma("d2_", "m2_", "c2dot") * p1
+    )
+    p3 = (
+        F.greatest(F.col("h3") - disc("h3", "d3_"), F.lit(0.0)) / F.col("c3dot")
+        + gamma("d3_", "m3_", "c3dot") * p2
+    )
+    p4 = (
+        F.greatest(F.col("h4") - disc("h4", "d4_"), F.lit(0.0)) / F.col("c4dot")
+        + gamma("d4_", "m4_", "c4dot") * p3
+    )
+    p5 = (
+        F.greatest(F.col("n") - disc("n", "d5_"), F.lit(0.0)) / F.col("c5dot")
+        + gamma("d5_", "k5_", "c5dot") * p4
+    )
+    p = (
+        c5.join(ctx5, ["w1", "w2", "w3", "w4"])
+        .join(cc4, ["w2", "w3", "w4", "w5"])
+        .join(ctx4, ["w2", "w3", "w4"])
+        .join(cc3, ["w3", "w4", "w5"])
+        .join(ctx3, ["w3", "w4"])
+        .join(cc2, ["w4", "w5"])
+        .join(ctx2, ["w4"])
+        .join(cu, ["w5"])
+        .crossJoin(F.broadcast(d5))
+        .crossJoin(F.broadcast(d4))
+        .crossJoin(F.broadcast(d3))
+        .crossJoin(F.broadcast(d2))
+        .crossJoin(F.broadcast(tot))
+        .select("w1", "w2", "w3", "w4", "w5", "n", p5.alias("p_kn5"))
+    )
+    return p, ctx5
+
+
+@query(
+    "docs_5gram_kneser_ney",
+    f"""
+    WITH {_kn5_duck_lm()},
+    top_ctx AS (
+        SELECT w1, w2, w3, w4 FROM f5ctx5
+        ORDER BY c5dot DESC, w1, w2, w3, w4 LIMIT 100
+    ),
+    r AS (
+        SELECT f5p.w1, f5p.w2, f5p.w3, f5p.w4, f5p.w5, f5p.n, f5p.p_kn5,
+               ROW_NUMBER() OVER (PARTITION BY f5p.w1, f5p.w2, f5p.w3, f5p.w4
+                   ORDER BY f5p.p_kn5 DESC, f5p.w5) AS rnk
+        FROM f5p JOIN top_ctx USING (w1, w2, w3, w4)
+    )
+    SELECT w1, w2, w3, w4, w5, n,
+           ROUND(p_kn5, 6) AS p_kn5, CAST(rnk AS BIGINT) AS rnk
+    FROM r WHERE rnk <= 5
+    """,
+)
+def docs_5gram_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p, ctx5 = _kn5_p(spark, sf_dir)
+    top_ctx = (
+        ctx5.orderBy(F.desc("c5dot"), "w1", "w2", "w3", "w4")
+        .limit(100)
+        .select("w1", "w2", "w3", "w4")
+    )
+    w = Window.partitionBy("w1", "w2", "w3", "w4").orderBy(
+        F.desc("p_kn5"), F.asc("w5")
+    )
+    return (
+        p.join(F.broadcast(top_ctx), ["w1", "w2", "w3", "w4"])
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 5)
+        .select(
+            "w1", "w2", "w3", "w4", "w5", "n",
+            F.round("p_kn5", 6).alias("p_kn5"),
+            F.col("rnk").cast("long").alias("rnk"),
+        )
     )
