@@ -55,64 +55,38 @@ _PACK_MODULES = {
 }
 
 
-# Round-10 record rotation: the rotation remains debt-free (VERDICT r9
+# Round-11 record rotation: the rotation remains debt-free (VERDICT r10
 # confirmed every registry query has appeared in at least one official
-# record r01-r09), so the front is the round-10 additions (never sampled
-# by definition) followed by the queries whose ORACLES or operators
-# round 10 touched (the Arrow local_df conversion across CC labels / BPE
-# merge tables / exact-percentile targets / IVF centroids / the degree
-# dim, the one-action CC dispatch + self-loop fix, the BPE-oracle
-# COALESCE guard, the dd_bucket raise_error guard, the tokenizer-eval
-# fourth arm, the marker-memo fix behind the streaming MV loops) so the
-# official record re-confirms them. Names that fall out of the registry
-# are skipped silently.
+# record r01-r10), so the front is the round-11 additions (never sampled
+# by definition: the perceptual-image-hash pair, the Avro bridge
+# round-trip, the mel-cepstral audio features, 5-gram modified-KN)
+# followed by the queries whose operators round 11 touched (the
+# _kn3_from_c3 restrict_to trim + modified_discounts lift behind the
+# whole trigram family and the point-in-time scorer; the FLAC encoder's
+# LPC tail-block fix behind the codec audits; the orc_pushdown
+# workdir change; read_consistent's semantic-marker raise behind the
+# streaming CC final read) so the official record re-confirms them.
+# Names that fall out of the registry are skipped silently.
 _RECORD_FRONT = (
-    # round-10 additions (never sampled by definition)
+    # round-11 additions (never sampled by definition)
+    "docs_image_phash",
+    "docs_image_phash_pairs",
+    "avro_roundtrip",
+    "docs_mfcc_features",
+    "docs_5gram_kneser_ney",
+    # operators/oracles touched this round, re-confirmed up front
+    "streaming_lm_pointintime",
     "docs_trigram_kneser_ney",
     "docs_perplexity_kn3",
-    "docs_wordpiece",
-    "docs_wordpiece_encode",
-    "docs_flac_decode_audit",
     "docs_trigram_lm_cdc",
     "streaming_trigram_lm",
-    "docs_leakage_free_split",
-    "orders_zorder_layout",
-    "orc_pushdown_roundtrip",
-    "orders_zorder_pruning_gain",
-    "docs_mixture_waterfill",
-    "orders_hilbert_layout",
-    "supplier_name_edit_join",
-    "docs_tokenizer_fertility_by_lang",
+    "docs_flac_decode_audit",
     "docs_flac_features",
-    "streaming_lm_pointintime",
-    "docs_mixture_waterfill_apply",
-    # operators/oracles touched this round, re-confirmed up front
-    "docs_tokenizer_eval",
-    "docs_bpe_merges",
-    "docs_bpe_bytelevel",
-    "docs_bpe_encode",
-    "docs_tokenize_ids",
-    "docs_dedup_components_distributed",
-    "docs_dedup_components_cdc",
+    "orc_pushdown_roundtrip",
     "streaming_dedup_components",
-    "docs_dedup_canonical",
-    "docs_dedup_eval",
-    "streaming_neardup_ingest",
-    "event_value_ddsketch",
-    "streaming_value_ddsketch",
-    "event_value_ddsketch_cascade",
-    "orders_priority_percentiles",
-    "orders_exact_percentiles",
-    "embedding_ivf_topk",
-    "embedding_ivfpq_topk",
-    "degree_board_inference",
+    "supplier_name_edit_join",
     "docs_bigram_kneser_ney",
     "docs_perplexity_kn",
-    "streaming_mv_refresh",
-    "streaming_merge_upsert",
-    "docs_audio_chunks",
-    "docs_audio_features",
-    "docs_webp_decode_audit",
 )
 
 

@@ -2942,13 +2942,24 @@ def modified_discounts(cnt_frame: DataFrame, cnt: str, pre: str) -> DataFrame:
     )
 
 
-def _kn3_from_c3(c3: DataFrame) -> DataFrame:
+def _kn3_from_c3(c3: DataFrame, restrict_to: DataFrame | None = None) -> DataFrame:
     """The full trigram modified-KN probability table derived from a
     (w1, w2, w3, n) COUNT table — split out so the count table can be
     the MAINTAINED artifact (CDC / streaming): every derivation below
     is type-table-sized, so re-deriving probabilities after an O(delta)
     count merge costs nothing corpus-shaped. ``c3`` should be cached by
-    the caller (multiple consumers below)."""
+    the caller (multiple consumers below).
+
+    ``restrict_to`` (a (w1, w2, w3) key frame) limits the final
+    probability ASSEMBLY — the 5-way join that manufactures one row per
+    trigram type — to the given keys via a semi-join, while every
+    aggregate (discounts, context sums, continuation tables) still
+    derives from the FULL count table, so the returned probabilities
+    are bit-identical to the unrestricted table's rows for those keys.
+    The online scorer (streaming_lm_pointintime) passes the batch's
+    trigram keys: scoring a batch needs |batch types| assembled rows,
+    not |corpus types| (measured: the full assembly dominated its
+    per-batch cost)."""
     d3s = modified_discounts(c3, "n", "d")
     ctx = c3.groupBy("w1", "w2").agg(
         F.sum("n").alias("c12"),
@@ -3000,8 +3011,13 @@ def _kn3_from_c3(c3: DataFrame) -> DataFrame:
             * (F.col("nbwd") * F.lit(1.0) / F.col("n_bg_types"))
         )
     )
+    base = (
+        c3.join(restrict_to.select("w1", "w2", "w3"), ["w1", "w2", "w3"], "left_semi")
+        if restrict_to is not None
+        else c3
+    )
     p = (
-        c3.join(ctx, ["w1", "w2"])
+        base.join(ctx, ["w1", "w2"])
         .join(cc2, ["w2", "w3"])
         .join(ctx2, "w2")
         .join(cu, "w3")
@@ -3784,7 +3800,13 @@ def streaming_lm_pointintime(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def score(state: DataFrame, batch_df: DataFrame, batch_id: int) -> DataFrame:
-        lm = _kn3_from_c3(state.cache()).select(
+        tri = _trigram_stream(batch_df.select("doc_id", "text"))
+        # Assemble probabilities ONLY for the batch's trigram keys (the
+        # aggregates inside still derive from the full state) — scoring
+        # needs |batch types| rows, not |corpus types|; the full 5-way
+        # assembly dominated the per-batch cost (PERFORMANCE.md).
+        keys = tri.select("w1", "w2", "w3").distinct()
+        lm = _kn3_from_c3(state.cache(), restrict_to=keys).select(
             "w1",
             "w2",
             "w3",
@@ -3792,7 +3814,6 @@ def streaming_lm_pointintime(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("nll_nanos"),
         )
-        tri = _trigram_stream(batch_df.select("doc_id", "text"))
         scored = (
             tri.join(lm, ["w1", "w2", "w3"])
             .groupBy("doc_id")

@@ -305,6 +305,92 @@ def gen(k: int) -> str:
     return out
 
 
+def gen_lm(k: int) -> str:
+    """Materialize the TYPE-HONEST arm under OUT_ROOT/sflm{k} (VERDICT
+    r10 watch items #1/#2). Two protocol fixes relative to ``gen``:
+
+    - documents replicate VERBATIM (doc_id offset, text unchanged). The
+      cipher arm multiplies n-gram TYPES by k along with instances —
+      real corpus growth has SUBLINEAR type growth (Heaps' law), so the
+      cipher arm's type-table terms scale like a worst case, not like
+      data. Verbatim replicas hold the type table CONSTANT while
+      instances grow linearly: together the two arms bracket real
+      growth, and the LM family's claimed decomposition
+      (instances-linear + types-sublinear) becomes two measured slopes
+      instead of an argument. Near-dup truth does not matter here — the
+      LM queries only count n-grams.
+    - supplier replicates with per-replica name SUFFIXES (replica 0
+      verbatim; replica r appends ' ' + a distinct letter x3). Within a
+      replica the suffix is constant, so every within-replica edit
+      distance — and therefore the per-replica pair set — is exactly
+      replica 0's; across replicas the suffixes differ in >= 3
+      positions, beyond the query's max_dist=2, so no cross-replica
+      pair qualifies. output_rows == k x (x1 rows) is the linearity
+      witness; the declared query's soak was previously input-invariant
+      (the cipher arm never replicated the supplier dimension).
+
+    Everything else symlinks to sf0.1.
+    """
+    from pyspark.sql import functions as F
+
+    spark = _get_spark()
+    out = f"{OUT_ROOT}/sflm{k}"
+    os.makedirs(out, exist_ok=True)
+
+    docs = spark.read.parquet(f"{BASE}/documents.parquet")
+    n = docs.agg(F.max("doc_id")).first()[0] + 1
+    if not os.path.exists(f"{out}/documents.parquet"):
+        parts = [
+            docs.select(
+                (F.col("doc_id") + F.lit(r).cast("bigint") * n).alias("doc_id"),
+                "text", "lang", "source", "n_chars",
+            )
+            for r in range(k)
+        ]
+        scaled = parts[0]
+        for p in parts[1:]:
+            scaled = scaled.unionByName(p)
+        (
+            scaled.repartition(max(4, 4 * k))
+            .write.mode("overwrite")
+            .parquet(f"{out}/documents.parquet")
+        )
+
+    if not os.path.exists(f"{out}/supplier.parquet"):
+        sup = spark.read.parquet(f"{BASE}/supplier.parquet")
+        m = sup.agg(F.max("s_suppkey")).first()[0] + 1
+        letters = "qwzjxvkyuh"  # distinct letter per replica
+        sparts = []
+        for r in range(k):
+            name = (
+                F.col("s_name")
+                if r == 0
+                else F.concat(F.col("s_name"), F.lit(" " + letters[r % 10] * 3))
+            )
+            sparts.append(
+                sup.select(
+                    (F.col("s_suppkey") + F.lit(r).cast("bigint") * m).alias(
+                        "s_suppkey"
+                    ),
+                    name.alias("s_name"),
+                    "s_nationkey", "s_acctbal",
+                )
+            )
+        ssc = sparts[0]
+        for p in sparts[1:]:
+            ssc = ssc.unionByName(p)
+        ssc.repartition(max(2, k)).write.mode("overwrite").parquet(
+            f"{out}/supplier.parquet"
+        )
+
+    for t in os.listdir(BASE):
+        dst = os.path.join(out, t)
+        if not os.path.exists(dst):
+            os.symlink(os.path.join(BASE, t), dst)
+    print(f"generated {out}")
+    return out
+
+
 def _stages(ui: str, app: str) -> dict[int, dict]:
     with urllib.request.urlopen(
         f"{ui}/api/v1/applications/{app}/stages?status=complete", timeout=30
@@ -463,18 +549,23 @@ def _soak_queries(names: list[str] | None = None):
     return out
 
 
-def run_one(k: int, names: list[str] | None = None) -> None:
+def run_one(k: int, names: list[str] | None = None, arm: str = "cipher") -> None:
     """Measure ONE scale in a fresh process (equal JVM-cold bias per
     scale; per-sf-dir memoized stores cold everywhere), after a generic
-    unmeasured warmup that exercises codegen / Arrow / Python workers."""
+    unmeasured warmup that exercises codegen / Arrow / Python workers.
+    ``arm`` selects the corpus protocol: 'cipher' (sfx{k} — types grow
+    with k) or 'lm' (sflm{k} — verbatim replicas, type tables constant;
+    result keys get the ``lm`` prefix so SOAK.json holds both slopes)."""
     from pyspark.sql import functions as F
 
     spark = _get_spark()
     ui = spark.sparkContext.uiWebUrl
     app = spark.sparkContext.applicationId
-    sf_dir = BASE if k == 1 else f"{OUT_ROOT}/sfx{k}"
+    prefix = "sfx" if arm == "cipher" else "sflm"
+    sf_dir = BASE if k == 1 else f"{OUT_ROOT}/{prefix}{k}"
     if not os.path.isdir(sf_dir):
-        raise SystemExit(f"missing {sf_dir}; run `gen {k}` first")
+        raise SystemExit(f"missing {sf_dir}; run `gen {k}`/`gen_lm {k}` first")
+    tag = "x" if arm == "cipher" else "lmx"
 
     # Warmup: touch the scan + shuffle + HOF + mapInPandas machinery on
     # NON-soak work so first-measured-query numbers aren't JVM startup.
@@ -496,7 +587,7 @@ def run_one(k: int, names: list[str] | None = None) -> None:
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         wall = time.perf_counter() - t0
         new = [s for i, s in _stages(ui, app).items() if i not in before]
-        results[f"{name}@x{k}"] = {
+        results[f"{name}@{tag}{k}"] = {
             "wall_s": round(wall, 2),
             "shuffle_write_mb": round(
                 sum(s["shuffleWriteBytes"] for s in new) / 2**20, 2
@@ -511,7 +602,7 @@ def run_one(k: int, names: list[str] | None = None) -> None:
             "output_rows": fn(spark, sf_dir).count(),
             "stages": len(new),
         }
-        print(name, k, results[f"{name}@x{k}"], flush=True)
+        print(name, k, results[f"{name}@{tag}{k}"], flush=True)
 
     path = os.path.join(os.path.dirname(__file__), "..", "SOAK.json")
     merged = {"results": {}}
@@ -531,7 +622,13 @@ if __name__ == "__main__":
     cmd = sys.argv[1]
     if cmd == "gen":
         gen(int(sys.argv[2]))
+    elif cmd == "gen_lm":
+        gen_lm(int(sys.argv[2]))
     elif cmd == "run":
         run_one(int(sys.argv[2]), sys.argv[3:] or None)
+    elif cmd == "run_lm":
+        run_one(int(sys.argv[2]), sys.argv[3:] or None, arm="lm")
     else:
-        raise SystemExit("usage: scale_soak.py gen K | run K [query ...]")
+        raise SystemExit(
+            "usage: scale_soak.py gen|gen_lm K | run|run_lm K [query ...]"
+        )
