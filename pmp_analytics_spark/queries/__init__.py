@@ -71,8 +71,10 @@ _RECORD_FRONT = (
     # round-11 additions (never sampled by definition)
     "docs_image_phash",
     "docs_image_phash_pairs",
+    "docs_image_dedup_components",
     "avro_roundtrip",
     "docs_mfcc_features",
+    "docs_audio_fingerprint_pairs",
     "docs_5gram_kneser_ney",
     # operators/oracles touched this round, re-confirmed up front
     "streaming_lm_pointintime",

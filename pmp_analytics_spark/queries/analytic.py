@@ -2680,3 +2680,211 @@ def docs_mfcc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "frame_idx", "mel_lo_energy", "mel_hi_energy",
         *[F.round(F.col(f"mfcc{c}"), 6).alias(f"mfcc{c}") for c in range(4)],
     )
+
+
+# --------------------------------------------------------------------------
+# Q: docs_image_dedup_components — the image dedup loop CLOSED: pHash
+# pairs are not dedup GROUPS (A~B and B~C must collapse {A,B,C} even
+# when A~C was never emitted), so the Hamming-verified pairs feed the
+# same O(log n) alternating-star connected-components operator the text
+# near-dup stack canonicalizes through — one engine, every modality.
+# Canonical image = min doc_id of the component (the star label).
+# Oracle: the replayed-hash CTE -> brute-force pairs -> 8 unrolled
+# min-label/pointer-hop rounds (the docs_dedup_components_distributed
+# idiom — plenty for a 120-node graph; the 64-chain fixture there needs
+# more rounds than any pHash component here).
+# --------------------------------------------------------------------------
+def _image_cc_oracle() -> str:
+    rounds = []
+    prev = "il0"
+    for k in range(1, 9):
+        rounds.append(f"""
+    il{k} AS MATERIALIZED (
+        SELECT x.id,
+               LEAST(x.lbl, COALESCE(nb.m, x.lbl), COALESCE(j.lbl, x.lbl))
+               AS lbl
+        FROM {prev} x
+        LEFT JOIN (
+            SELECT iund.a AS id, MIN(p.lbl) AS m
+            FROM iund JOIN {prev} p ON p.id = iund.b GROUP BY 1
+        ) nb ON nb.id = x.id
+        LEFT JOIN {prev} j ON j.id = x.lbl
+    )""")
+        prev = f"il{k}"
+    return (
+        _phash_oracle_hash_cte()
+        + f""",
+    ipairs AS MATERIALIZED (
+        SELECT a.doc_id AS a, b.doc_id AS b
+        FROM h a JOIN h b ON a.doc_id < b.doc_id
+        WHERE BIT_COUNT(XOR(a.phash, b.phash)) <= 6
+    ),
+    iund AS MATERIALIZED (
+        SELECT a, b FROM ipairs UNION ALL SELECT b AS a, a AS b FROM ipairs
+    ),
+    il0 AS MATERIALIZED (
+        SELECT DISTINCT a AS id, a AS lbl FROM iund
+    ),{",".join(rounds)}
+    SELECT id AS doc_id, lbl AS component,
+           CAST(CASE WHEN id = lbl THEN 1 ELSE 0 END AS INT) AS is_canonical
+    FROM {prev}
+    """
+    )
+
+
+@query("docs_image_dedup_components", lambda: _image_cc_oracle())
+def docs_image_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pmp_analytics_spark.operators.dedup import connected_components
+    from pmp_analytics_spark.operators.phash import phash_pairs
+
+    sigs = _phash_fixture_frame(spark, sf_dir).select("doc_id", "phash")
+    pairs = phash_pairs(sigs, id_col="doc_id", max_hamming=6, bands=7)
+    # Default edge-count dispatch: this fixture graph is tiny (a few
+    # hundred verified pairs), so the operator takes its bounded
+    # driver path; the O(log n) star rounds are exercised — and
+    # soak-slope-evidenced — by docs_dedup_components_distributed.
+    comp = connected_components(pairs.select("id_a", "id_b"))
+    return comp.select(
+        F.col("id").alias("doc_id"),
+        "component",
+        F.when(F.col("id") == F.col("component"), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("is_canonical"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Q: docs_audio_fingerprint_pairs — re-encoded AUDIO duplicate
+# detection, the docs_image_phash discipline applied to sound: each
+# group's closed-form PCM is encoded TWICE (WAV 16-bit and FLAC — both
+# lossless, both decoded through the real container/codec paths via
+# decode_audio's dispatch), fingerprinted with the EXACT integer mel
+# energies (operators/audio_features.py — deterministic by
+# construction, so a fingerprint is a dedup KEY, not a similarity
+# score), and exact-matched: one shuffle on the fingerprint, in-bucket
+# pair expansion, never a corpus self-join. The oracle replays PCM ->
+# mel energies -> md5 fingerprint arithmetically and brute-forces the
+# equality join; every group must pair its WAV with its FLAC and
+# nothing else. (One property worth knowing: the mel filters carry
+# zero weight at bin 0, so the key is DC-offset-invariant — an
+# inaudible level shift does not break the match; the fixture's +g
+# phase term keeps groups AC-distinct so the 48-pair expectation is
+# exact.)
+# --------------------------------------------------------------------------
+def _afp_oracle_sql() -> str:
+    from pmp_analytics_spark.operators.audio_features import (
+        DFT_COS,
+        DFT_SIN,
+        FRAME,
+        MEL_W,
+        NBINS,
+        NMEL,
+    )
+
+    def lit(table):
+        return "[" + ",".join(
+            "[" + ",".join(str(v) for v in row) + "]" for row in table
+        ) + "]"
+
+    pcm = "((((g * 29) % 89) - 44) + ((i * (g % 7 + 1) + g) % 41) - 20)"
+    return f"""
+    WITH d AS (
+        SELECT doc_id, doc_id // 2 AS g FROM documents WHERE doc_id < 96
+    ),
+    cc AS (
+        SELECT {lit(DFT_COS)} AS dcos, {lit(DFT_SIN)} AS dsin,
+               {lit(MEL_W)} AS melw
+    ),
+    c AS (SELECT doc_id, g, UNNEST([0, {FRAME}]) AS off FROM d),
+    s AS (
+        SELECT doc_id, g, off,
+               LIST_TRANSFORM(GENERATE_SERIES(CAST(off AS BIGINT),
+                                              off + {FRAME - 1}),
+                   i -> {pcm}) AS v
+        FROM c
+    ),
+    x AS (
+        SELECT doc_id, off, melw,
+            LIST_TRANSFORM(GENERATE_SERIES(1, {NBINS}), k ->
+                LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, {FRAME}), t ->
+                    dcos[k][t] * v[t]))) AS xr,
+            LIST_TRANSFORM(GENERATE_SERIES(1, {NBINS}), k ->
+                LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, {FRAME}), t ->
+                    dsin[k][t] * v[t]))) AS xi
+        FROM s, cc
+    ),
+    e AS (
+        SELECT doc_id, off,
+            ARRAY_TO_STRING(
+                LIST_TRANSFORM(GENERATE_SERIES(1, {NMEL}), m ->
+                    CAST(LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, {NBINS}), k ->
+                        melw[m][k] * (xr[k]*xr[k] + xi[k]*xi[k])))
+                        AS VARCHAR)), '|') AS frame_str
+        FROM x
+    ),
+    fp AS (
+        SELECT doc_id,
+               MD5(STRING_AGG(frame_str, '|' ORDER BY off)) AS fingerprint
+        FROM e GROUP BY doc_id
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.fingerprint
+    FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+           AND a.fingerprint = b.fingerprint
+    """
+
+
+@query("docs_audio_fingerprint_pairs", lambda: _afp_oracle_sql())
+def docs_audio_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from pmp_analytics_spark.operators.dedup import _bucket_pairs
+    from pmp_analytics_spark.operators.partitioning import ensure_parallelism
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") < 96
+    ).select("doc_id")
+
+    def batches(it):
+        import hashlib
+
+        from pmp_analytics_spark.flac import flac_encode
+        from pmp_analytics_spark.multimodal import _wav_encode, decode_audio
+        from pmp_analytics_spark.operators.audio_features import (
+            FRAME,
+            mel_energies,
+        )
+
+        n = 2 * FRAME
+        for pdf in it:
+            out = {"doc_id": [], "fingerprint": []}
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                g = doc_id // 2
+                pcm = [
+                    (((g * 29) % 89) - 44) + ((i * (g % 7 + 1) + g) % 41) - 20
+                    for i in range(n)
+                ]
+                if doc_id % 2 == 0:
+                    payload = _wav_encode(pcm, sample_rate=16_000, bits=16)
+                else:
+                    payload = flac_encode(
+                        [pcm], block_size=FRAME, subframe="fixed", order=2
+                    )
+                dec = decode_audio(payload)
+                samples = dec["samples"]
+                parts = []
+                for idx in range(n // FRAME):
+                    mel = mel_energies(samples[idx * FRAME : (idx + 1) * FRAME])
+                    parts.append("|".join(str(e) for e in mel))
+                fp = hashlib.md5("|".join(parts).encode()).hexdigest()
+                out["doc_id"].append(doc_id)
+                out["fingerprint"].append(fp)
+            yield pd.DataFrame(out)
+
+    fps = ensure_parallelism(docs).mapInPandas(
+        batches, schema="doc_id long, fingerprint string"
+    ).cache()  # two consumers: the bucket expansion and the join-back
+    pairs = _bucket_pairs(fps, "doc_id", ["fingerprint"])
+    a = fps.select(F.col("doc_id").alias("id_a"), "fingerprint")
+    return pairs.join(a, on="id_a").select("id_a", "id_b", "fingerprint")
