@@ -2372,20 +2372,14 @@ def _phash_fixture_payload(doc_id: int) -> tuple[str, int, bytes]:
     return "png", n, _png_encode(n, n, bgr)
 
 
-def _phash_fixture_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, group_id, variant, codec, width, phash) for the 120
-    fixture images: encode -> REAL stdlib decode -> integer pHash inside
-    one Arrow mapInPandas pass (the decode is the cost; the hash is two
-    int64 matmuls per image)."""
+def _phash_frame_for(docs: DataFrame) -> DataFrame:
+    """(doc_id, group_id, variant, codec, width, phash) for a frame of
+    fixture doc_ids: encode -> REAL stdlib decode -> integer pHash
+    inside one Arrow mapInPandas pass (the decode is the cost; the hash
+    is two int64 matmuls per image)."""
     import pandas as pd
 
     from pmp_analytics_spark.operators.partitioning import ensure_parallelism
-
-    docs = (
-        load_table(spark, sf_dir, "documents")
-        .where(F.col("doc_id") < 120)
-        .select("doc_id")
-    )
 
     def batches(it):
         from pmp_analytics_spark.operators.phash import (
@@ -2418,6 +2412,15 @@ def _phash_fixture_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         batches,
         schema="doc_id long, group_id long, variant long, codec string, "
         "width long, phash long",
+    )
+
+
+def _phash_fixture_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full 120-image fixture set through _phash_frame_for."""
+    return _phash_frame_for(
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 120)
+        .select("doc_id")
     )
 
 
@@ -2888,3 +2891,139 @@ def docs_audio_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = _bucket_pairs(fps, "doc_id", ["fingerprint"])
     a = fps.select(F.col("doc_id").alias("id_a"), "fingerprint")
     return pairs.join(a, on="id_a").select("id_a", "id_b", "fingerprint")
+
+
+# --------------------------------------------------------------------------
+# Q: streaming_image_phash_ingest — CONTINUOUS image dedup (the
+# streaming_neardup_ingest discipline for the pixel modality): a static
+# HISTORY corpus's pHash band store (7x9-bit Hamming-LSH rows — at
+# 100 TB a persisted table partitioned on (band_id, band_key)) is
+# probed by each arriving micro-batch BEFORE its images would enter the
+# corpus: decode -> integer pHash -> band explode -> bucket join ->
+# bit_count(xor) verify, all inside foreachBatch (the multi-stage
+# per-batch pipeline is the documented reason ingest loops use
+# foreachBatch, streaming/ingest.py). Exactly-once via per-batch-id
+# dynamic partition overwrite. The probe is stateless per batch
+# (history static, batch band keys tiny), so the drained result is
+# micro-batch-slicing-independent — which is precisely what lets the
+# oracle replay it as ONE brute-force join of the new docs against
+# history at the <=6 threshold.
+# --------------------------------------------------------------------------
+_IMG_INGEST_CUT = 80  # doc_id < cut = history; [cut, 120) arrives in 2 drops
+
+
+@query(
+    "streaming_image_phash_ingest",
+    lambda: _phash_oracle_hash_cte()
+    + f"""
+    SELECT a.doc_id AS id_new, b.doc_id AS id_hist,
+           CAST(BIT_COUNT(XOR(a.phash, b.phash)) AS INT) AS hamming
+    FROM h a JOIN h b ON b.doc_id < {_IMG_INGEST_CUT}
+    WHERE a.doc_id >= {_IMG_INGEST_CUT}
+      AND BIT_COUNT(XOR(a.phash, b.phash)) <= 6
+    """,
+)
+def streaming_image_phash_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    from pmp_analytics_spark.operators.phash import PHASH_BITS
+    from pmp_analytics_spark.streaming import stream_workdir
+
+    cut = _IMG_INGEST_CUT
+    bands, bits_per_band = 7, 9
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def banded(sigs: DataFrame, side: str) -> DataFrame:
+        return sigs.select(
+            F.col("doc_id").alias(f"id_{side}"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band_id"),
+                            F.shiftright("phash", b * bits_per_band)
+                            .bitwiseAND(F.lit((1 << bits_per_band) - 1))
+                            .alias("band_key"),
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("band"),
+        ).select(f"id_{side}", "band.band_id", "band.band_key")
+
+    hist_sigs = (
+        _phash_frame_for(docs.where(F.col("doc_id") < cut))
+        .select("doc_id", "phash")
+        .cache()
+    )
+    hist_band = banded(hist_sigs, "hist").cache()
+
+    work = stream_workdir("pmp_image_ingest")
+    feed, out_path = os.path.join(work, "drops"), os.path.join(work, "pairs")
+    b0 = docs.where((F.col("doc_id") >= cut) & (F.col("doc_id") < 100))
+    b1 = docs.where((F.col("doc_id") >= 100) & (F.col("doc_id") < 120))
+    for i, b in enumerate((b0, b1)):
+        b.coalesce(1).write.parquet(os.path.join(feed, f"drop_{i}"))
+
+    def probe_batch(batch_df: DataFrame, batch_id: int) -> None:
+        new_sigs = _phash_frame_for(batch_df.select("doc_id")).select(
+            "doc_id", "phash"
+        ).localCheckpoint(eager=True)
+        cand = (
+            banded(new_sigs, "new")
+            .join(hist_band, ["band_id", "band_key"])
+            .select("id_new", "id_hist")
+            .distinct()
+        )
+        pairs = (
+            cand.join(
+                new_sigs.select(
+                    F.col("doc_id").alias("id_new"), F.col("phash").alias("__h_n")
+                ),
+                "id_new",
+            )
+            .join(
+                hist_sigs.select(
+                    F.col("doc_id").alias("id_hist"),
+                    F.col("phash").alias("__h_h"),
+                ),
+                "id_hist",
+            )
+            .withColumn(
+                "hamming", F.bit_count(F.col("__h_n").bitwiseXOR(F.col("__h_h")))
+            )
+            .where(F.col("hamming") <= 6)
+            .select(
+                "id_new", "id_hist", F.col("hamming").cast("int").alias("hamming")
+            )
+        )
+        (
+            pairs.withColumn("__batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .partitionBy("__batch_id")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(out_path)
+        )
+
+    q = (
+        spark.readStream.schema("doc_id long")
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "*.parquet")
+        .option("recursiveFileLookup", "true")
+        .parquet(feed)
+        .writeStream.foreachBatch(probe_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .start()
+    )
+    q.awaitTermination()
+    out = (
+        spark.read.parquet(out_path)
+        .select("id_new", "id_hist", "hamming")
+        .localCheckpoint(eager=True)
+    )
+    hist_sigs.unpersist()
+    hist_band.unpersist()
+    shutil.rmtree(work, ignore_errors=True)
+    return out

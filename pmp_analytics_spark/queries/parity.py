@@ -1383,7 +1383,12 @@ def avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     path = os.path.join(stream_workdir("pmp_avro_roundtrip"), "orders_avro")
     write_avro(orders, path, codec="deflate")
-    back = read_avro(spark, path)
+    # columns= exercises the reader's materialization pruning: the
+    # row-major stream is still walked, but only the three fields the
+    # aggregate needs become python objects / Arrow columns.
+    back = read_avro(
+        spark, path, columns=["o_totalprice", "o_orderdate", "o_orderpriority"]
+    )
     return (
         back.where(F.col("o_orderdate") >= F.lit("1995-01-01").cast("date"))
         .groupBy("o_orderpriority")

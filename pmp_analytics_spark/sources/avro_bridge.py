@@ -271,10 +271,17 @@ def _read_header(data: bytes) -> tuple[dict, str, bytes, int]:
     return schema, codec, sync, pos + 16
 
 
-def avro_decode(data: bytes) -> tuple[dict, list[tuple]]:
+def avro_decode(
+    data: bytes, wanted: set | None = None
+) -> tuple[dict, list[tuple]]:
     """One OCF byte string -> (schema, rows of python scalars; date/
     timestamp stay in their int/long logical form — the Spark layer
-    applies the typed schema)."""
+    applies the typed schema). ``wanted`` restricts which FIELDS are
+    materialized: Avro is a row format, so the cursor must still WALK
+    every field of every row (lengths are inline — that is the honest
+    non-pruning trade vs parquet), but unwanted strings skip utf-8
+    decoding and unwanted values never become python objects. Rows
+    contain the wanted fields in schema order."""
     schema, codec, sync, pos = _read_header(data)
     if codec not in ("null", "deflate"):
         raise ValueError(f"avro bridge: codec {codec!r} out of scope")
@@ -296,32 +303,39 @@ def avro_decode(data: bytes) -> tuple[dict, list[tuple]]:
         for _ in range(count):
             row = []
             for name, nullable, prim in plan:
+                keep = wanted is None or name in wanted
                 if nullable:
                     branch, bp = _read_long(block, bp)
                     if branch == 0:
-                        row.append(None)
+                        if keep:
+                            row.append(None)
                         continue
                 if prim in ("int", "long"):
                     v, bp = _read_long(block, bp)
                 elif prim == "double":
-                    (v,) = struct.unpack_from("<d", block, bp)
+                    if keep:
+                        (v,) = struct.unpack_from("<d", block, bp)
                     bp += 8
                 elif prim == "float":
-                    (v,) = struct.unpack_from("<f", block, bp)
+                    if keep:
+                        (v,) = struct.unpack_from("<f", block, bp)
                     bp += 4
                 elif prim == "string":
                     raw, bp = _read_bytes(block, bp)
-                    v = raw.decode("utf-8")
+                    if keep:
+                        v = raw.decode("utf-8")
                 elif prim == "bytes":
                     v, bp = _read_bytes(block, bp)
                 elif prim == "boolean":
-                    v = block[bp] == 1
+                    if keep:
+                        v = block[bp] == 1
                     bp += 1
                 elif prim == "null":
                     v = None
                 else:
                     raise ValueError(f"avro bridge: primitive {prim!r}?")
-                row.append(v)
+                if keep:
+                    row.append(v)
             rows.append(tuple(row))
         if bp != len(block):
             raise ValueError("avro bridge: trailing bytes in block")
@@ -378,14 +392,19 @@ def write_avro(df: DataFrame, dir_path: str, codec: str = "deflate") -> int:
     return sum(r["n"] for r in counts)
 
 
-def read_avro(spark: SparkSession, dir_path: str) -> DataFrame:
+def read_avro(
+    spark: SparkSession, dir_path: str, columns: list[str] | None = None
+) -> DataFrame:
     """Distributed Avro source: the writer schema is sniffed from ONE
     file header on the driver, then every file decodes inside an Arrow
     ``mapInPandas`` pass over the file list (per-file parallelism — the
     unit a native Avro split reader also uses for uncompressed-block
-    scans). No reader pushdown: filters apply post-scan (the honest
-    bridge trade; deployments with the spark-avro module get pushdown
-    from the native reader instead)."""
+    scans). ``columns`` prunes what gets MATERIALIZED (Avro is
+    row-major with inline lengths, so the decoder still walks every
+    field — the honest trade vs a columnar scan — but unwanted fields
+    never become python objects or Arrow columns). No filter pushdown:
+    predicates apply post-scan (deployments with the spark-avro module
+    get the native reader instead)."""
     import pandas as pd
 
     from pmp_analytics_spark.operators.partitioning import ensure_parallelism
@@ -401,8 +420,22 @@ def read_avro(spark: SparkSession, dir_path: str) -> DataFrame:
     with open(files[0], "rb") as fh:
         head = fh.read(65536)
     avro_schema, _codec, _sync, _pos = _read_header(head)
-    out_schema = spark_schema_for(avro_schema)
-    plan = _field_plan(avro_schema)
+    full_schema = spark_schema_for(avro_schema)
+    full_plan = _field_plan(avro_schema)
+    if columns is not None:
+        known = {name for name, _, _ in full_plan}
+        missing = [c for c in columns if c not in known]
+        if missing:
+            raise ValueError(f"avro bridge: unknown columns {missing}")
+        wanted = set(columns)
+        plan = [p for p in full_plan if p[0] in wanted]
+        out_schema = T.StructType(
+            [f for f in full_schema.fields if f.name in wanted]
+        )
+    else:
+        wanted = None
+        plan = full_plan
+        out_schema = full_schema
 
     files_df = ensure_parallelism(
         local_df(spark, [(f,) for f in files], "path string")
@@ -414,7 +447,7 @@ def read_avro(spark: SparkSession, dir_path: str) -> DataFrame:
         for pdf in it:
             for path in pdf["path"]:
                 with open(path, "rb") as fh:
-                    schema_i, rows = avro_decode(fh.read())
+                    schema_i, rows = avro_decode(fh.read(), wanted=wanted)
                 if schema_i != avro_schema:
                     raise ValueError(
                         f"avro bridge: {path} schema differs from the "

@@ -127,3 +127,20 @@ def test_read_avro_empty_dir_raises(spark, tmp_path):
     d.mkdir()
     with pytest.raises(ValueError, match="no .avro files"):
         read_avro(spark, str(d))
+
+
+def test_read_avro_column_pruning(spark, tmp_path):
+    """columns= materializes only the requested fields (the decoder
+    still walks the row-major stream — validated by correct values
+    AFTER skipped variable-length fields) and rejects unknown names."""
+    from pmp_analytics_spark.sources.local import local_df
+
+    rows = [(1, "long-string-" * 10, 2.5, 7), (2, None, None, 9)]
+    df = local_df(spark, rows, "id long, s string, d double, tail long")
+    out = str(tmp_path / "pruned")
+    write_avro(df, out)
+    back = read_avro(spark, out, columns=["id", "tail"])
+    assert [f.name for f in back.schema.fields] == ["id", "tail"]
+    assert sorted(tuple(r) for r in back.collect()) == [(1, 7), (2, 9)]
+    with pytest.raises(ValueError, match="unknown columns"):
+        read_avro(spark, out, columns=["nope"])
