@@ -163,6 +163,36 @@ def phash_frame(df: DataFrame, payload_col: str, id_col: str) -> DataFrame:
     return src.mapInPandas(batches, schema=f"{id_col} long, phash long")
 
 
+def phash_band_rows(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    hash_col: str = "phash",
+    bands: int = 7,
+) -> DataFrame:
+    """(id, band_id, band_key) Hamming-LSH rows for a pHash frame — the
+    persistable BAND STORE (at 100 TB a table partitioned on (band_id,
+    band_key), written once per image at its own ingest and maintained
+    O(delta) under adds/removes; the CDC query pins maintained ==
+    rebuilt). ``bands`` equal bit-slices; ceil(63/bands) bits each."""
+    bits_per_band = -(-PHASH_BITS // bands)  # ceil: 63/7 = 9
+    return sigs.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.shiftright(hash_col, b * bits_per_band)
+                        .bitwiseAND(F.lit((1 << bits_per_band) - 1))
+                        .alias("band_key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select(id_col, "band.band_id", "band.band_key")
+
+
 def phash_pairs(
     sigs: DataFrame,
     id_col: str = "doc_id",
@@ -187,24 +217,8 @@ def phash_pairs(
             f"phash_pairs: max_hamming={max_hamming} needs > {max_hamming} "
             f"bands for lossless banding (got {bands})"
         )
-    bits_per_band = -(-PHASH_BITS // bands)  # ceil: 63/7 = 9
     cached = sigs.select(F.col(id_col), F.col(hash_col)).cache()
-    banded = cached.select(
-        F.col(id_col),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_id"),
-                        F.shiftright(hash_col, b * bits_per_band)
-                        .bitwiseAND(F.lit((1 << bits_per_band) - 1))
-                        .alias("band_key"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band"),
-    ).select(id_col, "band.band_id", "band.band_key")
+    banded = phash_band_rows(cached, id_col, hash_col, bands)
     cand = _bucket_pairs(banded, id_col, ["band_id", "band_key"], max_bucket, drop_obs)
     a = cached.select(F.col(id_col).alias("id_a"), F.col(hash_col).alias("__h_a"))
     b = cached.select(F.col(id_col).alias("id_b"), F.col(hash_col).alias("__h_b"))

@@ -72,6 +72,8 @@ _RECORD_FRONT = (
     "docs_image_phash",
     "docs_image_phash_pairs",
     "docs_image_dedup_components",
+    "docs_image_phash_index_cdc",
+    "streaming_image_phash_ingest",
     "avro_roundtrip",
     "docs_mfcc_features",
     "docs_audio_fingerprint_pairs",

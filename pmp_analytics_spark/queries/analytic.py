@@ -2927,30 +2927,16 @@ def streaming_image_phash_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import shutil
 
-    from pmp_analytics_spark.operators.phash import PHASH_BITS
+    from pmp_analytics_spark.operators.phash import phash_band_rows
     from pmp_analytics_spark.streaming import stream_workdir
 
     cut = _IMG_INGEST_CUT
-    bands, bits_per_band = 7, 9
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
 
     def banded(sigs: DataFrame, side: str) -> DataFrame:
-        return sigs.select(
-            F.col("doc_id").alias(f"id_{side}"),
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(b).alias("band_id"),
-                            F.shiftright("phash", b * bits_per_band)
-                            .bitwiseAND(F.lit((1 << bits_per_band) - 1))
-                            .alias("band_key"),
-                        )
-                        for b in range(bands)
-                    ]
-                )
-            ).alias("band"),
-        ).select(f"id_{side}", "band.band_id", "band.band_key")
+        return phash_band_rows(sigs, "doc_id").withColumnRenamed(
+            "doc_id", f"id_{side}"
+        )
 
     hist_sigs = (
         _phash_frame_for(docs.where(F.col("doc_id") < cut))
@@ -3027,3 +3013,54 @@ def streaming_image_phash_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     hist_band.unpersist()
     shutil.rmtree(work, ignore_errors=True)
     return out
+
+
+# --------------------------------------------------------------------------
+# Q: docs_image_phash_index_cdc — O(delta) MAINTENANCE of the image
+# band store (the text stack's CDC-maintained-LSH discipline for the
+# pixel modality): the store is the persisted (doc_id, band_id,
+# band_key) table the ingest probe joins against; when images are added
+# and removed, the refresh touches ONLY the delta — anti-join out the
+# removed ids, hash-and-band just the added images — never re-decoding
+# the corpus. Correctness claim: maintained == rebuilt-from-final-set,
+# and the ORACLE *is* that claim — it computes the rebuild's band rows
+# arithmetically from the replayed hashes of the final document set, so
+# one stale or orphaned store row is a hash mismatch.
+# --------------------------------------------------------------------------
+@query(
+    "docs_image_phash_index_cdc",
+    lambda: _phash_oracle_hash_cte()
+    + """
+    SELECT doc_id,
+           CAST(b AS BIGINT) AS band_id,
+           (phash >> (CAST(b AS INT) * 9)) & 511 AS band_key
+    FROM h, LATERAL UNNEST(GENERATE_SERIES(0, 6)) AS t(b)
+    WHERE doc_id % 10 != 4
+    """,
+)
+def docs_image_phash_index_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pmp_analytics_spark.operators.phash import phash_band_rows
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") < 120
+    ).select("doc_id")
+    old = docs.where(F.col("doc_id") % 10 != 9)  # pre-delta corpus
+    added = docs.where(F.col("doc_id") % 10 == 9)
+    removed = old.where(F.col("doc_id") % 10 == 4)
+
+    # the persisted store for the OLD corpus (at scale: read, not built)
+    store_old = phash_band_rows(
+        _phash_frame_for(old).select("doc_id", "phash")
+    ).localCheckpoint(eager=True)
+
+    # O(delta) refresh: anti-join removals, hash + band ONLY the adds
+    refreshed = store_old.join(
+        F.broadcast(removed), on="doc_id", how="left_anti"
+    ).unionByName(
+        phash_band_rows(_phash_frame_for(added).select("doc_id", "phash"))
+    )
+    return refreshed.select(
+        "doc_id",
+        F.col("band_id").cast("long").alias("band_id"),
+        F.col("band_key").cast("long").alias("band_key"),
+    )
