@@ -3984,11 +3984,19 @@ def _kn5_duck_lm() -> str:
     )"""
 
 
-def _kn5_p(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(p, ctx5) — the full 5-gram modified-KN probability table and the
-    4-gram context table (for the report cut). Same scale discipline as
-    _kn3_from_c3: the instance stream is never cached; c5 and the
-    continuation tables are (each feeds 2+ consumers)."""
+def _kn5_p(
+    spark: SparkSession, sf_dir: str, top_contexts: int | None = None
+) -> tuple[DataFrame, DataFrame]:
+    """(p, top_ctx) — the 5-gram modified-KN probability table and the
+    report's context cut. Same scale discipline as _kn3_from_c3: the
+    instance stream is never cached; c5 and the continuation tables are
+    (each feeds 2+ consumers). ``top_contexts`` applies the
+    restrict-assembly trick (the _kn3_from_c3 ``restrict_to`` pattern):
+    every AGGREGATE still derives from the full tables, but the 8-way
+    probability assembly — the one stage that manufactures a row per
+    5-gram type — semi-joins down to the top-N heaviest 4-gram contexts
+    first, so the report pays O(report types), not O(corpus types).
+    Probabilities for surviving rows are bit-identical (oracle-pinned)."""
     docs = load_table(spark, sf_dir, "documents")
     toked = docs.select(tokens(F.col("text")).alias("toks")).where(
         F.size("toks") >= 5
@@ -4037,6 +4045,17 @@ def _kn5_p(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     ctx5 = kcounts(c5, "n", ["w1", "w2", "w3", "w4"], "c5dot", "k5_")
+    ckeys = ["w1", "w2", "w3", "w4"]
+    if top_contexts is not None:
+        top_ctx = (
+            ctx5.orderBy(F.desc("c5dot"), *ckeys)
+            .limit(top_contexts)
+            .select(*ckeys)
+            .localCheckpoint(eager=True)  # two consumers: semi-join + caller
+        )
+        c5 = c5.join(F.broadcast(top_ctx), ckeys, "left_semi")
+    else:
+        top_ctx = ctx5.select(*ckeys)
     ctx4 = kcounts(cc4, "h4", ["w2", "w3", "w4"], "c4dot", "m4_")
     ctx3 = kcounts(cc3, "h3", ["w3", "w4"], "c3dot", "m3_")
     ctx2 = kcounts(cc2, "h2", ["w4"], "c2dot", "m2_")
@@ -4088,7 +4107,7 @@ def _kn5_p(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(tot))
         .select("w1", "w2", "w3", "w4", "w5", "n", p5.alias("p_kn5"))
     )
-    return p, ctx5
+    return p, top_ctx
 
 
 @query(
@@ -4111,18 +4130,14 @@ def _kn5_p(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def docs_5gram_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
-    p, ctx5 = _kn5_p(spark, sf_dir)
-    top_ctx = (
-        ctx5.orderBy(F.desc("c5dot"), "w1", "w2", "w3", "w4")
-        .limit(100)
-        .select("w1", "w2", "w3", "w4")
-    )
+    # top_contexts=100 restricts the 8-way assembly to the report cut's
+    # contexts (aggregates still full-table — values bit-identical)
+    p, _top = _kn5_p(spark, sf_dir, top_contexts=100)
     w = Window.partitionBy("w1", "w2", "w3", "w4").orderBy(
         F.desc("p_kn5"), F.asc("w5")
     )
     return (
-        p.join(F.broadcast(top_ctx), ["w1", "w2", "w3", "w4"])
-        .withColumn("rnk", F.row_number().over(w))
+        p.withColumn("rnk", F.row_number().over(w))
         .where(F.col("rnk") <= 5)
         .select(
             "w1", "w2", "w3", "w4", "w5", "n",
