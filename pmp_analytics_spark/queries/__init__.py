@@ -78,6 +78,8 @@ _RECORD_FRONT = (
     "docs_mfcc_features",
     "docs_audio_fingerprint_pairs",
     "docs_5gram_kneser_ney",
+    "docs_perplexity_kn5",
+    "docs_image_dedup_eval",
     # operators/oracles touched this round, re-confirmed up front
     "streaming_lm_pointintime",
     "docs_trigram_kneser_ney",

@@ -3064,3 +3064,81 @@ def docs_image_phash_index_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("band_id").cast("long").alias("band_id"),
         F.col("band_key").cast("long").alias("band_key"),
     )
+
+
+# --------------------------------------------------------------------------
+# Q: docs_image_dedup_eval — the EVAL HARNESS for the image near-dup
+# stack (the docs_dedup_eval discipline for pixels): ground truth =
+# same fixture GROUP (defined by construction, independent of the
+# hash: 4 variants per group -> 6 truth pairs x 30 groups = 180);
+# predicted = the Hamming-banded verified pairs. Precision counts the
+# cross-group coincidences of correlated formula images against the
+# detector; recall honestly pays for perturbed variants whose hash
+# moved past the <=6 threshold (by design — a threshold is a choice,
+# and the eval is where that choice becomes a number). All counts are
+# integers; the two divisions round on both engines.
+# --------------------------------------------------------------------------
+@query(
+    "docs_image_dedup_eval",
+    lambda: _phash_oracle_hash_cte()
+    + """,
+    pred AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               a.g AS g_a, b.g AS g_b
+        FROM h a JOIN h b ON a.doc_id < b.doc_id
+        WHERE BIT_COUNT(XOR(a.phash, b.phash)) <= 6
+    ),
+    truth AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM h a JOIN h b ON a.doc_id < b.doc_id AND a.g = b.g
+    ),
+    imet AS (
+        SELECT (SELECT COUNT(*) FROM truth) AS n_truth,
+               (SELECT COUNT(*) FROM pred) AS n_pred,
+               (SELECT COUNT(*) FROM pred JOIN truth USING (id_a, id_b))
+                   AS n_hit
+    )
+    SELECT CAST(n_truth AS BIGINT) AS n_truth,
+           CAST(n_pred AS BIGINT) AS n_pred,
+           CAST(n_hit AS BIGINT) AS n_hit,
+           ROUND(n_hit * 1.0 / n_pred, 6) AS precision,
+           ROUND(n_hit * 1.0 / n_truth, 6) AS recall
+    FROM imet
+    """,
+)
+def docs_image_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pmp_analytics_spark.operators.phash import phash_pairs
+
+    sigs = _phash_fixture_frame(spark, sf_dir).select(
+        "doc_id", "group_id", "phash"
+    ).cache()
+    pred = phash_pairs(
+        sigs.select("doc_id", "phash"), id_col="doc_id", max_hamming=6, bands=7
+    ).select("id_a", "id_b")
+    a = sigs.select(F.col("doc_id").alias("id_a"), F.col("group_id").alias("g_a"))
+    b = sigs.select(F.col("doc_id").alias("id_b"), F.col("group_id").alias("g_b"))
+    # equi-join on the group key (hash join — an inequality-only join
+    # would be a CartesianProduct and trip the global plan gate)
+    truth = (
+        a.join(b, F.col("g_a") == F.col("g_b"))
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+    n_truth = truth.count()
+    n_pred = pred.count()
+    n_hit = pred.join(truth, ["id_a", "id_b"], "left_semi").count()
+    from pmp_analytics_spark.sources.local import local_df
+
+    return local_df(
+        spark,
+        [
+            (
+                n_truth,
+                n_pred,
+                n_hit,
+                round(n_hit / n_pred, 6) if n_pred else None,
+                round(n_hit / n_truth, 6) if n_truth else None,
+            )
+        ],
+        "n_truth long, n_pred long, n_hit long, precision double, recall double",
+    )

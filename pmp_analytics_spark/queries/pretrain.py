@@ -3901,12 +3901,15 @@ def _kn5_duck_lm() -> str:
     probability table (plus ``f5ctx5`` for the report cut)."""
     return f"""
     f5tk AS (SELECT doc_id, {_DUCK_TOKENS} AS toks FROM documents),
-    f5c5 AS MATERIALIZED (
-        SELECT toks[i] AS w1, toks[i + 1] AS w2, toks[i + 2] AS w3,
-               toks[i + 3] AS w4, toks[i + 4] AS w5, COUNT(*) AS n
-        FROM (SELECT toks, UNNEST(GENERATE_SERIES(1, LEN(toks) - 4)) AS i
+    f5g AS (
+        SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2, toks[i + 2] AS w3,
+               toks[i + 3] AS w4, toks[i + 4] AS w5
+        FROM (SELECT doc_id, toks, UNNEST(GENERATE_SERIES(1, LEN(toks) - 4)) AS i
               FROM f5tk WHERE LEN(toks) >= 5)
-        GROUP BY 1, 2, 3, 4, 5
+    ),
+    f5c5 AS MATERIALIZED (
+        SELECT w1, w2, w3, w4, w5, COUNT(*) AS n
+        FROM f5g GROUP BY 1, 2, 3, 4, 5
     ),
     f5d5 AS {_kn5_dsql("f5c5", "n", "d5_")},
     f5ctx5 AS MATERIALIZED (
@@ -3984,6 +3987,25 @@ def _kn5_duck_lm() -> str:
     )"""
 
 
+def _fivegram_stream(docs: DataFrame) -> DataFrame:
+    """Doc-tagged 5-gram instance stream (doc_id, w1..w5) — map-side
+    explode, deliberately never cached (corpus-sized; the
+    _trigram_stream contract at order 5)."""
+    toked = docs.select("doc_id", tokens(F.col("text")).alias("toks")).where(
+        F.size("toks") >= 5
+    )
+    return toked.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 4), i -> struct("
+                "toks[i - 1] AS w1, toks[i] AS w2, toks[i + 1] AS w3, "
+                "toks[i + 2] AS w4, toks[i + 3] AS w5))"
+            )
+        ).alias("t"),
+    ).select("doc_id", "t.*")
+
+
 def _kn5_p(
     spark: SparkSession, sf_dir: str, top_contexts: int | None = None
 ) -> tuple[DataFrame, DataFrame]:
@@ -3998,20 +4020,9 @@ def _kn5_p(
     first, so the report pays O(report types), not O(corpus types).
     Probabilities for surviving rows are bit-identical (oracle-pinned)."""
     docs = load_table(spark, sf_dir, "documents")
-    toked = docs.select(tokens(F.col("text")).alias("toks")).where(
-        F.size("toks") >= 5
-    )
-    five = toked.select(
-        F.explode(
-            F.expr(
-                "transform(sequence(1, size(toks) - 4), i -> struct("
-                "toks[i - 1] AS w1, toks[i] AS w2, toks[i + 1] AS w3, "
-                "toks[i + 2] AS w4, toks[i + 3] AS w5))"
-            )
-        ).alias("t")
-    ).select("t.*")
     c5 = (
-        five.groupBy("w1", "w2", "w3", "w4", "w5")
+        _fivegram_stream(docs)
+        .groupBy("w1", "w2", "w3", "w4", "w5")
         .agg(F.count(F.lit(1)).alias("n"))
         .cache()
     )
@@ -4144,4 +4155,91 @@ def docs_5gram_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("p_kn5", 6).alias("p_kn5"),
             F.col("rnk").cast("long").alias("rnk"),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q: docs_perplexity_kn5 — the CCNet-style perplexity gate at the
+# PRODUCTION model order: every document scored under the full 5-gram
+# modified-KN LM (docs_perplexity_kn3's trigram arm becomes the
+# three-point smoother ablation; this is the order real curation
+# pipelines filter with). Same determinism contract as the bigram/
+# trigram scorers: per-instance -ln p rounds to integer NANOS and sums
+# as BIGINT, one division, one exp, tercile thresholds from a 1-row
+# broadcast; p floored at 1e-12 inside the log on both engines. The
+# scoring join needs probabilities for every CORPUS type (each type
+# occurs, so no assembly restriction applies — this query IS the
+# corpus-sized arm of the family; the report query carries the
+# restricted one).
+# --------------------------------------------------------------------------
+@query(
+    "docs_perplexity_kn5",
+    f"""
+    WITH {_kn5_duck_lm()},
+    lm5 AS (
+        SELECT w1, w2, w3, w4, w5,
+               CAST(ROUND(-LN(GREATEST(p_kn5, 1e-12)) * 1e9) AS BIGINT)
+               AS nll_nanos
+        FROM f5p
+    ),
+    scored AS (
+        SELECT f5g.doc_id, COUNT(*) AS n_5grams,
+               ROUND(SUM(nll_nanos) / 1e9 / COUNT(*), 6) AS h
+        FROM f5g JOIN lm5 USING (w1, w2, w3, w4, w5)
+        GROUP BY 1
+    ),
+    pp AS (
+        SELECT doc_id, n_5grams, h, ROUND(EXP(h), 4) AS ppl FROM scored
+    ),
+    thr AS (
+        SELECT QUANTILE_CONT(ppl, {_PPL_T1!r}) AS t1,
+               QUANTILE_CONT(ppl, {_PPL_T2!r}) AS t2
+        FROM pp
+    )
+    SELECT doc_id, CAST(n_5grams AS BIGINT) AS n_5grams, h, ppl,
+           CASE WHEN ppl <= t1 THEN 'head'
+                WHEN ppl <= t2 THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM pp CROSS JOIN thr
+    """,
+)
+def docs_perplexity_kn5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    p, _ = _kn5_p(spark, sf_dir)  # full assembly: the scorer needs every type
+    five = _fivegram_stream(docs)
+    lm = p.select(
+        "w1", "w2", "w3", "w4", "w5",
+        F.round(-F.log(F.greatest(F.col("p_kn5"), F.lit(1e-12))) * 1e9)
+        .cast("long")
+        .alias("nll_nanos"),
+    )
+    scored = (
+        five.join(lm, ["w1", "w2", "w3", "w4", "w5"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_5grams"),
+            F.round(
+                F.sum("nll_nanos") / F.lit(1e9) / F.count(F.lit(1)), 6
+            ).alias("h"),
+        )
+    )
+    pp = scored.select(
+        "doc_id",
+        F.col("n_5grams").cast("long").alias("n_5grams"),
+        "h",
+        F.round(F.exp("h"), 4).alias("ppl"),
+    )
+    thr = pp.agg(
+        F.percentile(F.col("ppl"), F.lit(_PPL_T1)).alias("t1"),
+        F.percentile(F.col("ppl"), F.lit(_PPL_T2)).alias("t2"),
+    )
+    return pp.crossJoin(F.broadcast(thr)).select(
+        "doc_id",
+        "n_5grams",
+        "h",
+        "ppl",
+        F.when(F.col("ppl") <= F.col("t1"), "head")
+        .when(F.col("ppl") <= F.col("t2"), "middle")
+        .otherwise("tail")
+        .alias("bucket"),
     )
