@@ -229,3 +229,47 @@ def phash_pairs(
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+DHASH_GRID_H = 8  # rows
+DHASH_GRID_W = 9  # cols: 8 horizontal comparisons per row
+
+
+def dhash63_bgr(width: int, height: int, rows: list[bytes]) -> int:
+    """63-bit difference hash (dHash): grayscale -> integer box-average
+    to an 8x9 grid -> bit k = cell[i][j+1] > cell[i][j] (row-major,
+    the 64th comparison dropped so the hash shares phash64_bgr's
+    non-negative-63-bit contract and the SAME banding/pair machinery
+    applies unchanged). The gradient-domain complement to the
+    frequency-domain pHash: exactly invariant to uniform brightness
+    shifts (both cells move together) and to any re-encode of identical
+    pixels; coarser under smooth perturbation, cheaper to compute (no
+    DCT). Same integer discipline — sums, floor boundaries, integer
+    division — so a SQL oracle replays it exactly."""
+    import numpy as np
+
+    gh, gw = DHASH_GRID_H, DHASH_GRID_W
+    if width < gw or height < gh:
+        raise ValueError(f"dhash63 needs >= {gw}x{gh} pixels, got {width}x{height}")
+    a = np.frombuffer(b"".join(rows), dtype=np.uint8).reshape(height, width, 3)
+    a = a.astype(np.int64)
+    gray = 77 * a[:, :, 2] + 150 * a[:, :, 1] + 29 * a[:, :, 0]
+    yb = [(k * height) // gh for k in range(gh + 1)]
+    xb = [(k * width) // gw for k in range(gw + 1)]
+    g = [
+        [
+            int(gray[yb[i] : yb[i + 1], xb[j] : xb[j + 1]].sum())
+            // ((yb[i + 1] - yb[i]) * (xb[j + 1] - xb[j]))
+            for j in range(gw)
+        ]
+        for i in range(gh)
+    ]
+    h = 0
+    for i in range(gh):
+        for j in range(gw - 1):
+            k = i * (gw - 1) + j
+            if k >= PHASH_BITS:
+                break
+            if g[i][j + 1] > g[i][j]:
+                h |= 1 << k
+    return h

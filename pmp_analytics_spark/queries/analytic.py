@@ -2356,6 +2356,16 @@ def _phash_fixture_pixels(doc_id: int):
 
 _PHASH_CODECS = ("png", "bmp", "webp", "png")
 
+# grayscale of the fixture pixel formulas (the +40 perturbation on all
+# three channels folds to +256*40), shared by the pHash and dHash CTEs
+_PHASH_GRAY_SQL = (
+    "(77*(8 + (g*7)%40 + ((i*(2 + g%3) + j*(3 + g%5)) % 160))"
+    " + 150*(16 + ((i+j)*(1 + g%4)) % 150 + ((i*j) % 23))"
+    " + 29*(24 + (i*i + 2*j + g*11) % 140)"
+    " + CASE WHEN v = 3 AND (i*31 + j*17 + g) % 101 = 0"
+    " THEN 256*40 ELSE 0 END)"
+)
+
 
 def _phash_fixture_payload(doc_id: int) -> tuple[str, int, bytes]:
     """(codec, side, payload): variants 0/3 encode PNG, 1 BMP, 2 WebP —
@@ -2384,13 +2394,14 @@ def _phash_frame_for(docs: DataFrame) -> DataFrame:
     def batches(it):
         from pmp_analytics_spark.operators.phash import (
             decode_pixels_bgr,
+            dhash63_bgr,
             phash64_bgr,
         )
 
         for pdf in it:
             out = {
                 "doc_id": [], "group_id": [], "variant": [],
-                "codec": [], "width": [], "phash": [],
+                "codec": [], "width": [], "phash": [], "dhash": [],
             }
             for doc_id in pdf["doc_id"]:
                 doc_id = int(doc_id)
@@ -2406,12 +2417,13 @@ def _phash_frame_for(docs: DataFrame) -> DataFrame:
                 out["codec"].append(codec)
                 out["width"].append(n)
                 out["phash"].append(phash64_bgr(w, h, rows))
+                out["dhash"].append(dhash63_bgr(w, h, rows))
             yield pd.DataFrame(out)
 
     return ensure_parallelism(docs).mapInPandas(
         batches,
         schema="doc_id long, group_id long, variant long, codec string, "
-        "width long, phash long",
+        "width long, phash long, dhash long",
     )
 
 
@@ -2439,13 +2451,7 @@ def _phash_oracle_hash_cte() -> str:
         "[" + ",".join(str(c) for c in row) + "]" for row in DCT8X32
     ) + "]"
     pow2 = "[" + ",".join(str(1 << k) for k in range(PHASH_BITS)) + "]"
-    gray = (
-        "(77*(8 + (g*7)%40 + ((i*(2 + g%3) + j*(3 + g%5)) % 160))"
-        " + 150*(16 + ((i+j)*(1 + g%4)) % 150 + ((i*j) % 23))"
-        " + 29*(24 + (i*i + 2*j + g*11) % 140)"
-        " + CASE WHEN v = 3 AND (i*31 + j*17 + g) % 101 = 0"
-        " THEN 256*40 ELSE 0 END)"
-    )
+    gray = _PHASH_GRAY_SQL
     return f"""
     WITH d AS (
         SELECT doc_id, doc_id // 4 AS g, doc_id % 4 AS v,
@@ -2504,7 +2510,9 @@ def _phash_oracle_hash_cte() -> str:
     """,
 )
 def docs_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _phash_fixture_frame(spark, sf_dir)
+    return _phash_fixture_frame(spark, sf_dir).select(
+        "doc_id", "group_id", "variant", "codec", "width", "phash"
+    )
 
 
 # --------------------------------------------------------------------------
@@ -3068,53 +3076,67 @@ def docs_image_phash_index_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # Q: docs_image_dedup_eval — the EVAL HARNESS for the image near-dup
-# stack (the docs_dedup_eval discipline for pixels): ground truth =
-# same fixture GROUP (defined by construction, independent of the
-# hash: 4 variants per group -> 6 truth pairs x 30 groups = 180);
-# predicted = the Hamming-banded verified pairs. Precision counts the
-# cross-group coincidences of correlated formula images against the
-# detector; recall honestly pays for perturbed variants whose hash
-# moved past the <=6 threshold (by design — a threshold is a choice,
-# and the eval is where that choice becomes a number). All counts are
+# stack (the docs_dedup_eval discipline for pixels), now COMPARATIVE:
+# ground truth = same fixture GROUP (defined by construction,
+# independent of any hash: 4 variants per group -> 6 truth pairs x 30
+# groups = 180); one metric row per DETECTOR — the frequency-domain
+# pHash and the gradient-domain dHash — each through the SAME lossless
+# 7x9-bit Hamming banding + verify machinery (phash_pairs is
+# hash-column-agnostic; both hashes share the 63-bit contract).
+# Precision counts cross-group coincidences of correlated formula
+# images against each detector; recall honestly pays for perturbed
+# variants whose hash moved past the <=6 threshold — the eval is where
+# the threshold AND detector choices become numbers. All counts are
 # integers; the two divisions round on both engines.
 # --------------------------------------------------------------------------
-@query(
-    "docs_image_dedup_eval",
-    lambda: _phash_oracle_hash_cte()
-    + """,
-    pred AS (
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-               a.g AS g_a, b.g AS g_b
+def _image_eval_oracle() -> str:
+    def metrics(hash_tbl: str, hash_col: str, method: str) -> str:
+        return f"""
+        SELECT '{method}' AS method,
+               CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS n_truth,
+               CAST((SELECT COUNT(*) FROM pred_{method}) AS BIGINT) AS n_pred,
+               CAST((SELECT COUNT(*) FROM pred_{method} JOIN truth
+                     USING (id_a, id_b)) AS BIGINT) AS n_hit,
+               ROUND((SELECT COUNT(*) FROM pred_{method} JOIN truth
+                      USING (id_a, id_b)) * 1.0 /
+                     (SELECT COUNT(*) FROM pred_{method}), 6) AS precision,
+               ROUND((SELECT COUNT(*) FROM pred_{method} JOIN truth
+                      USING (id_a, id_b)) * 1.0 /
+                     (SELECT COUNT(*) FROM truth), 6) AS recall"""
+
+    return (
+        _phash_oracle_hash_cte()
+        + _dhash_oracle_cte_suffix()
+        + f""",
+    pred_phash AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
         FROM h a JOIN h b ON a.doc_id < b.doc_id
         WHERE BIT_COUNT(XOR(a.phash, b.phash)) <= 6
+    ),
+    pred_dhash AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM hd a JOIN hd b ON a.doc_id < b.doc_id
+        WHERE BIT_COUNT(XOR(a.dhash, b.dhash)) <= 6
     ),
     truth AS (
         SELECT a.doc_id AS id_a, b.doc_id AS id_b
         FROM h a JOIN h b ON a.doc_id < b.doc_id AND a.g = b.g
-    ),
-    imet AS (
-        SELECT (SELECT COUNT(*) FROM truth) AS n_truth,
-               (SELECT COUNT(*) FROM pred) AS n_pred,
-               (SELECT COUNT(*) FROM pred JOIN truth USING (id_a, id_b))
-                   AS n_hit
     )
-    SELECT CAST(n_truth AS BIGINT) AS n_truth,
-           CAST(n_pred AS BIGINT) AS n_pred,
-           CAST(n_hit AS BIGINT) AS n_hit,
-           ROUND(n_hit * 1.0 / n_pred, 6) AS precision,
-           ROUND(n_hit * 1.0 / n_truth, 6) AS recall
-    FROM imet
-    """,
-)
+    {metrics("h", "phash", "phash")}
+    UNION ALL
+    {metrics("hd", "dhash", "dhash")}
+    """
+    )
+
+
+@query("docs_image_dedup_eval", lambda: _image_eval_oracle())
 def docs_image_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pmp_analytics_spark.operators.phash import phash_pairs
+    from pmp_analytics_spark.sources.local import local_df
 
     sigs = _phash_fixture_frame(spark, sf_dir).select(
-        "doc_id", "group_id", "phash"
+        "doc_id", "group_id", "phash", "dhash"
     ).cache()
-    pred = phash_pairs(
-        sigs.select("doc_id", "phash"), id_col="doc_id", max_hamming=6, bands=7
-    ).select("id_a", "id_b")
     a = sigs.select(F.col("doc_id").alias("id_a"), F.col("group_id").alias("g_a"))
     b = sigs.select(F.col("doc_id").alias("id_b"), F.col("group_id").alias("g_b"))
     # equi-join on the group key (hash join — an inequality-only join
@@ -3123,22 +3145,62 @@ def docs_image_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, F.col("g_a") == F.col("g_b"))
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
+        .localCheckpoint(eager=True)  # consumed once per detector
     )
     n_truth = truth.count()
-    n_pred = pred.count()
-    n_hit = pred.join(truth, ["id_a", "id_b"], "left_semi").count()
-    from pmp_analytics_spark.sources.local import local_df
-
-    return local_df(
-        spark,
-        [
+    rows = []
+    for method, col in (("phash", "phash"), ("dhash", "dhash")):
+        pred = phash_pairs(
+            sigs.select("doc_id", col), id_col="doc_id", hash_col=col,
+            max_hamming=6, bands=7,
+        ).select("id_a", "id_b")
+        n_pred = pred.count()
+        n_hit = pred.join(truth, ["id_a", "id_b"], "left_semi").count()
+        rows.append(
             (
+                method,
                 n_truth,
                 n_pred,
                 n_hit,
                 round(n_hit / n_pred, 6) if n_pred else None,
                 round(n_hit / n_truth, 6) if n_truth else None,
             )
-        ],
-        "n_truth long, n_pred long, n_hit long, precision double, recall double",
+        )
+    return local_df(
+        spark,
+        rows,
+        "method string, n_truth long, n_pred long, n_hit long, "
+        "precision double, recall double",
     )
+
+
+def _dhash_oracle_cte_suffix() -> str:
+    """CTE suffix (appended after the pHash chain, which defines ``d``
+    and the ``cc`` constant row) replaying dhash63_bgr: 8x9 integer
+    box-average grid over the same formula pixels, bit k = right cell >
+    left cell, row-major, 63 bits. Box widths are NON-uniform (floor
+    boundaries (k*n)//9), so the per-cell divisor is computed inline —
+    identical arithmetic to the operator's."""
+    return """,
+    dh_g AS (
+        SELECT doc_id, v, g, n,
+            LIST_TRANSFORM(GENERATE_SERIES(0, 7), bi ->
+                LIST_TRANSFORM(GENERATE_SERIES(0, 8), bj ->
+                    LIST_SUM(LIST_TRANSFORM(
+                        GENERATE_SERIES((bi*n)//8, ((bi+1)*n)//8 - 1), i ->
+                        LIST_SUM(LIST_TRANSFORM(
+                            GENERATE_SERIES((bj*n)//9, ((bj+1)*n)//9 - 1), j ->
+                            """ + _PHASH_GRAY_SQL + """))))
+                    // ((((bi+1)*n)//8 - (bi*n)//8)
+                        * (((bj+1)*n)//9 - (bj*n)//9))))
+            AS dgrid
+        FROM d
+    ),
+    hd AS (
+        SELECT doc_id,
+            CAST(LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, 63), k ->
+                CASE WHEN dgrid[(k-1)//8 + 1][(k-1)%8 + 2]
+                          > dgrid[(k-1)//8 + 1][(k-1)%8 + 1]
+                     THEN pow2[k] ELSE 0 END)) AS BIGINT) AS dhash
+        FROM dh_g, cc
+    )"""

@@ -144,3 +144,28 @@ def test_phash_fixture_groups_collapse(spark):
             hs.append(phash64_bgr(w, h, rows))
         assert hs[0] == hs[1] == hs[2], g
         assert bin(hs[0] ^ hs[3]).count("1") <= 10, g
+
+
+def test_dhash_reencode_and_brightness_invariance():
+    """dHash shares pHash's invariances by construction: identical for
+    lossless re-encodes (same decoded pixels) and EXACTLY invariant to
+    uniform brightness shifts (both compared cells move together)."""
+    from pmp_analytics_spark.operators.phash import dhash63_bgr
+
+    bgr = _pixels(9)
+    h = dhash63_bgr(32, 32, bgr)
+    assert 0 <= h < (1 << PHASH_BITS)
+    shifted = [bytes(min(255, c + 30) for c in row) for row in bgr]
+    assert dhash63_bgr(32, 32, shifted) == h
+    with pytest.raises(ValueError, match="needs >="):
+        dhash63_bgr(8, 8, [b"\x00" * 24] * 8)
+
+
+def test_dhash_jpeg_reencode_stays_near():
+    from pmp_analytics_spark.jpeg import jpeg_decode, jpeg_encode
+    from pmp_analytics_spark.operators.phash import dhash63_bgr
+
+    bgr = _pixels(4, n=64)
+    base = dhash63_bgr(64, 64, bgr)
+    w, h, rows = jpeg_decode(jpeg_encode(64, 64, bgr, quality=85))
+    assert bin(base ^ dhash63_bgr(w, h, rows)).count("1") <= 6
