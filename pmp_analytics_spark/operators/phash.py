@@ -73,6 +73,28 @@ DCT8X32: list[list[int]] = [
 ]
 
 
+def _gray_grid(width: int, height: int, rows: list[bytes], gh: int, gw: int):
+    """The shared integer raster front half of BOTH detectors:
+    packed-BGR rows -> grayscale 77R+150G+29B -> gh x gw integer
+    box-average grid with floor boundaries (``(k*dim)//grid``) — ONE
+    copy of the arithmetic the SQL oracles replay (_PHASH_GRAY_SQL), so
+    the two hashes can never silently diverge from it."""
+    import numpy as np
+
+    a = np.frombuffer(b"".join(rows), dtype=np.uint8).reshape(height, width, 3)
+    a = a.astype(np.int64)
+    gray = 77 * a[:, :, 2] + 150 * a[:, :, 1] + 29 * a[:, :, 0]  # BGR order
+    yb = [(k * height) // gh for k in range(gh + 1)]
+    xb = [(k * width) // gw for k in range(gw + 1)]
+    g = np.empty((gh, gw), dtype=np.int64)
+    for i in range(gh):
+        band = gray[yb[i] : yb[i + 1]]
+        for j in range(gw):
+            box = band[:, xb[j] : xb[j + 1]]
+            g[i, j] = int(box.sum()) // box.size
+    return g
+
+
 def phash64_bgr(width: int, height: int, rows: list[bytes]) -> int:
     """64-bit (63 used) perceptual hash of a decoded image in the stdlib
     codecs' ``(width, height, top-down packed-BGR rows)`` shape. Raises
@@ -82,18 +104,7 @@ def phash64_bgr(width: int, height: int, rows: list[bytes]) -> int:
     n = PHASH_GRID
     if width < n or height < n:
         raise ValueError(f"phash64 needs >= {n}x{n} pixels, got {width}x{height}")
-    a = np.frombuffer(b"".join(rows), dtype=np.uint8).reshape(height, width, 3)
-    a = a.astype(np.int64)
-    gray = 77 * a[:, :, 2] + 150 * a[:, :, 1] + 29 * a[:, :, 0]  # BGR order
-    # integer box average with floor boundaries (exact for any size)
-    yb = [(k * height) // n for k in range(n + 1)]
-    xb = [(k * width) // n for k in range(n + 1)]
-    g = np.empty((n, n), dtype=np.int64)
-    for i in range(n):
-        band = gray[yb[i] : yb[i + 1]]
-        for j in range(n):
-            box = band[:, xb[j] : xb[j + 1]]
-            g[i, j] = int(box.sum()) // box.size
+    g = _gray_grid(width, height, rows, n, n)
     c8 = np.asarray(DCT8X32, dtype=np.int64)
     f8 = c8 @ g @ c8.T  # exact: |F| <= (32*1024)^2 * 65280 / 1024 ~ 7e13
     vals = f8.ravel()[1:]  # row-major, DC dropped -> 63 coefficients
@@ -114,16 +125,15 @@ def decode_pixels_bgr(payload: bytes) -> tuple[int, int, list[bytes]]:
     from pmp_analytics_spark.webp import webp_decode
 
     if len(payload) >= 12 and payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        import numpy as np
+
         w, h, rgb_rows = webp_decode(payload)
-        rows = [
-            bytes(
-                ch
-                for x in range(w)
-                for ch in (r[3 * x + 2], r[3 * x + 1], r[3 * x])
-            )
-            for r in rgb_rows
-        ]
-        return w, h, rows
+        # vectorized channel swap (a per-pixel python generator here was
+        # the dominant interpreter cost of the WebP ingest path)
+        arr = np.frombuffer(b"".join(rgb_rows), dtype=np.uint8).reshape(h, w, 3)
+        flipped = arr[:, :, ::-1].tobytes()
+        stride = w * 3
+        return w, h, [flipped[y * stride : (y + 1) * stride] for y in range(h)]
     from pmp_analytics_spark.jpeg import jpeg_decode
     from pmp_analytics_spark.multimodal import _bmp_decode, _gif_decode, _png_decode
 
@@ -246,24 +256,10 @@ def dhash63_bgr(width: int, height: int, rows: list[bytes]) -> int:
     pixels; coarser under smooth perturbation, cheaper to compute (no
     DCT). Same integer discipline — sums, floor boundaries, integer
     division — so a SQL oracle replays it exactly."""
-    import numpy as np
-
     gh, gw = DHASH_GRID_H, DHASH_GRID_W
     if width < gw or height < gh:
         raise ValueError(f"dhash63 needs >= {gw}x{gh} pixels, got {width}x{height}")
-    a = np.frombuffer(b"".join(rows), dtype=np.uint8).reshape(height, width, 3)
-    a = a.astype(np.int64)
-    gray = 77 * a[:, :, 2] + 150 * a[:, :, 1] + 29 * a[:, :, 0]
-    yb = [(k * height) // gh for k in range(gh + 1)]
-    xb = [(k * width) // gw for k in range(gw + 1)]
-    g = [
-        [
-            int(gray[yb[i] : yb[i + 1], xb[j] : xb[j + 1]].sum())
-            // ((yb[i + 1] - yb[i]) * (xb[j + 1] - xb[j]))
-            for j in range(gw)
-        ]
-        for i in range(gh)
-    ]
+    g = _gray_grid(width, height, rows, gh, gw)
     h = 0
     for i in range(gh):
         for j in range(gw - 1):

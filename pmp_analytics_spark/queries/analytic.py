@@ -3148,6 +3148,15 @@ def docs_image_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)  # consumed once per detector
     )
     n_truth = truth.count()
+
+    def round6(x: float) -> float:
+        # half-up at 1e-6, matching DuckDB's ROUND for these
+        # non-negative ratios (python round() is half-even and could
+        # diverge on an exact tie)
+        import math as _math
+
+        return _math.floor(x * 1e6 + 0.5) / 1e6
+
     rows = []
     for method, col in (("phash", "phash"), ("dhash", "dhash")):
         pred = phash_pairs(
@@ -3162,8 +3171,8 @@ def docs_image_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
                 n_truth,
                 n_pred,
                 n_hit,
-                round(n_hit / n_pred, 6) if n_pred else None,
-                round(n_hit / n_truth, 6) if n_truth else None,
+                round6(n_hit / n_pred) if n_pred else None,
+                round6(n_hit / n_truth) if n_truth else None,
             )
         )
     return local_df(

@@ -170,14 +170,18 @@ def _field_base_type(field: dict):
     return t
 
 
-def _field_plan(avro_schema: dict) -> list[tuple[str, bool, str]]:
-    """(name, nullable_union, primitive) per field — the decode plan."""
+def _field_plan(avro_schema: dict) -> list[tuple[str, int | None, str]]:
+    """(name, null_branch_index | None, primitive) per field — the
+    codec plan. The spec allows ["null", T] OR [T, "null"]; the union
+    branch index written on the wire is positional, so the plan carries
+    WHERE the null branch sits instead of assuming index 0."""
     plan = []
     for f in avro_schema["fields"]:
         base = _field_base_type(f)
         prim = base["type"] if isinstance(base, dict) else base
-        nullable = isinstance(f["type"], list) and "null" in f["type"]
-        plan.append((f["name"], nullable, prim))
+        t = f["type"]
+        null_branch = t.index("null") if isinstance(t, list) and "null" in t else None
+        plan.append((f["name"], null_branch, prim))
     return plan
 
 
@@ -215,12 +219,12 @@ def avro_encode(
         chunk = rows[start : start + block_rows]
         body = bytearray()
         for row in chunk:
-            for (name, nullable, prim), v in zip(plan, row):
-                if nullable:
+            for (name, null_branch, prim), v in zip(plan, row):
+                if null_branch is not None:
                     if v is None:
-                        _write_long(body, 0)
+                        _write_long(body, null_branch)
                         continue
-                    _write_long(body, 1)
+                    _write_long(body, 1 - null_branch)
                 elif v is None:
                     raise ValueError(f"avro bridge: null in non-null {name!r}")
                 if prim in ("int", "long"):
@@ -302,11 +306,11 @@ def avro_decode(
         bp = 0
         for _ in range(count):
             row = []
-            for name, nullable, prim in plan:
+            for name, null_branch, prim in plan:
                 keep = wanted is None or name in wanted
-                if nullable:
+                if null_branch is not None:
                     branch, bp = _read_long(block, bp)
-                    if branch == 0:
+                    if branch == null_branch:
                         if keep:
                             row.append(None)
                         continue
@@ -350,12 +354,29 @@ _EPOCH_ORD = 719163  # date(1970, 1, 1).toordinal()
 
 
 def write_avro(df: DataFrame, dir_path: str, codec: str = "deflate") -> int:
-    """Distributed Avro sink: each partition encodes to one
-    ``part-NNNNN.avro`` under ``dir_path``. Date/timestamp columns are
-    converted to their Avro logical representation (epoch days /
-    epoch micros) JVM-side before the rows reach Python — the encoder
-    sees plain ints. Returns the row count written."""
-    import pandas as pd
+    """Distributed Avro sink: each partition encodes to one part file
+    under ``dir_path``. Date/timestamp columns are converted to their
+    Avro logical representation (epoch days / epoch micros) JVM-side
+    before the rows reach Python.
+
+    Exactness and retry semantics (review-hardened):
+
+    - the partition crosses into Python as ARROW batches (``mapInArrow``),
+      never pandas — a pandas hop silently promotes an int64 column
+      containing any null to float64, rounding values past 2^53 (e.g.
+      the engine's own 63-bit signatures) and conflating NaN with null;
+      ``to_pylist`` preserves exact ints and real nulls;
+    - files are written to a ``.tmp`` name and atomically renamed, so a
+      task killed mid-write never leaves a torn ``.avro`` for the
+      reader's glob;
+    - the final name is ``part-<partitionId>-<contentmd5>.avro`` —
+      deterministic per (partition, content) — so a retried or
+      speculated task OVERWRITES its previous attempt instead of
+      duplicating rows (the idempotent-rename commit the heavyweight
+      sinks get from a _temporary/commit protocol).
+
+    Returns the row count written."""
+    import pyarrow as pa  # noqa: F401 — documents the Arrow-only path
 
     avro_schema = avro_schema_for(df.schema)
     os.makedirs(dir_path, exist_ok=True)
@@ -368,27 +389,33 @@ def write_avro(df: DataFrame, dir_path: str, codec: str = "deflate") -> int:
         else:
             proj.append(F.col(f.name))
     flat = df.select(*proj)
+    names = [f.name for f in flat.schema.fields]
 
     def write_partition(it):
-        for pdf in it:
-            if not len(pdf):
-                continue
-            rows = [
-                tuple(None if pd.isna(v) else v for v in row)
-                for row in pdf.itertuples(index=False, name=None)
-            ]
-            payload = avro_encode(avro_schema, rows, codec=codec)
-            # pid + random suffix: two partitions on one worker (or with
-            # identical content) must not collide and silently drop rows
-            fp = os.path.join(
-                dir_path,
-                f"part-{os.getpid()}-{os.urandom(6).hex()}.avro",
-            )
-            with open(fp, "wb") as fh:
-                fh.write(payload)
-            yield pd.DataFrame({"n": [len(rows)]})
+        from pyspark import TaskContext
 
-    counts = flat.mapInPandas(write_partition, schema="n long").collect()
+        cols: dict[str, list] = {n: [] for n in names}
+        n_rows = 0
+        for batch in it:
+            d = batch.to_pydict()
+            for n in names:
+                cols[n].extend(d[n])
+            n_rows += batch.num_rows
+        if n_rows:
+            rows = list(zip(*(cols[n] for n in names)))
+            payload = avro_encode(avro_schema, rows, codec=codec)
+            ctx = TaskContext.get()
+            part_id = ctx.partitionId() if ctx is not None else os.getpid()
+            digest = hashlib.md5(payload).hexdigest()[:12]
+            final = os.path.join(dir_path, f"part-{part_id}-{digest}.avro")
+            tmp = final + f".{os.getpid()}.tmp"
+            with open(tmp, "wb") as fh:
+                fh.write(payload)
+            os.replace(tmp, final)  # atomic: no torn .avro is ever visible
+        out = pa.RecordBatch.from_pydict({"n": pa.array([n_rows], type=pa.int64())})
+        yield out
+
+    counts = flat.mapInArrow(write_partition, schema="n long").collect()
     return sum(r["n"] for r in counts)
 
 
@@ -468,14 +495,22 @@ def read_avro(
                             for v in vals
                         ]
                     elif isinstance(field.dataType, T.TimestampType):
-                        # timedelta arithmetic, not fromtimestamp(v/1e6):
-                        # the float division can be a microsecond off
-                        epoch = dt.datetime(1970, 1, 1)
-                        vals = [
-                            None if v is None
-                            else epoch + dt.timedelta(microseconds=v)
-                            for v in vals
-                        ]
+                        # tz-AWARE UTC datetimes (timedelta arithmetic,
+                        # not fromtimestamp(v/1e6) — the float division
+                        # can be a microsecond off): a NAIVE pandas
+                        # datetime would be re-interpreted in
+                        # spark.sql.session.timeZone by the Arrow
+                        # serializer, shifting every value on non-UTC
+                        # sessions; the stored epoch micros ARE UTC.
+                        epoch = dt.datetime(1970, 1, 1, tzinfo=dt.timezone.utc)
+                        vals = pd.to_datetime(
+                            [
+                                pd.NaT if v is None
+                                else epoch + dt.timedelta(microseconds=v)
+                                for v in vals
+                            ],
+                            utc=True,
+                        )
                     pdf_out[name] = vals
                 yield pd.DataFrame(pdf_out)
 

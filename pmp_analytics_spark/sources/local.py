@@ -64,13 +64,28 @@ def local_df(spark: SparkSession, rows: Iterable, schema) -> DataFrame:
     try:
         tbl, struct = _arrow_table(rows, schema)
         return spark.createDataFrame(tbl, schema=struct)
-    except (ImportError, TypeError, ValueError, OverflowError) as e:
-        # Narrow except (ADVICE r10): pa.ArrowInvalid/ArrowTypeError are
-        # TypeError/ValueError subclasses, so this catches exactly the
-        # "Arrow can't represent this row shape" cases while letting a
-        # systematic failure (which would silently re-enable the slow
-        # pickled-RDD path fleet-wide) surface. Warn once per schema so a
-        # fallback is visible without spamming per-batch loops.
+    except Exception as e:
+        # Narrowed except (ADVICE r10), widened to Arrow's own exception
+        # tree (review r11): ArrowInvalid/ArrowTypeError subclass
+        # ValueError/TypeError, but ArrowNotImplementedError and
+        # ArrowCapacityError do NOT — they still mean "Arrow can't
+        # ingest this row shape" and must take the slow-but-working
+        # fallback. Anything else (a systematic failure that would
+        # silently re-enable the pickled-RDD path fleet-wide) re-raises.
+        try:
+            import pyarrow as pa
+
+            arrow_errors: tuple = (pa.ArrowException,)
+        except ImportError:
+            arrow_errors = ()
+        allowed = (
+            ImportError, TypeError, ValueError, OverflowError,
+            NotImplementedError, *arrow_errors,
+        )
+        if not isinstance(e, allowed):
+            raise
+        # Warn once per schema so a fallback is visible without
+        # spamming per-batch loops.
         key = str(schema)
         if key not in _FALLBACK_WARNED:
             _FALLBACK_WARNED.add(key)

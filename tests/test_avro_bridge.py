@@ -144,3 +144,53 @@ def test_read_avro_column_pruning(spark, tmp_path):
     assert sorted(tuple(r) for r in back.collect()) == [(1, 7), (2, 9)]
     with pytest.raises(ValueError, match="unknown columns"):
         read_avro(spark, out, columns=["nope"])
+
+
+def test_spark_roundtrip_non_utc_session(spark, tmp_path):
+    """Timestamps survive the round trip under a NON-UTC session
+    timezone: the stored epoch micros are UTC, and the reader emits
+    tz-aware values so the Arrow serializer cannot re-interpret them
+    in spark.sql.session.timeZone (the naive-datetime trap)."""
+    from pmp_analytics_spark.sources.local import local_df
+
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        rows = [(1, dt.datetime(2001, 7, 4, 12, 30, 45, 123456)), (2, None)]
+        df = local_df(spark, rows, "id long, ts timestamp")
+        out = str(tmp_path / "tz_avro")
+        write_avro(df, out)
+        got = sorted(
+            (r["id"], r["ts"]) for r in read_avro(spark, out).collect()
+        )
+        assert got == sorted(rows)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)
+
+
+def test_reader_handles_reversed_union_order():
+    """[T, "null"] is spec-valid; the union branch index is positional,
+    so null detection must follow the schema's order, not assume 0."""
+    sch = _schema([{"name": "s", "type": ["string", "null"]},
+                   {"name": "i", "type": ["null", "int"]}])
+    rows = [("abc", 5), (None, None), ("d", -1)]
+    got_schema, got = avro_decode(avro_encode(sch, rows, codec="null"))
+    assert got == rows
+
+
+def test_nullable_int64_exactness_past_2_53(spark, tmp_path):
+    """A nullable long column holding values past 2^53 (e.g. the
+    engine's 63-bit signatures) round-trips EXACTLY: the writer crosses
+    into Python as Arrow batches, never pandas (whose int64+null ->
+    float64 promotion would round through the 53-bit mantissa)."""
+    from pmp_analytics_spark.sources.local import local_df
+
+    big = (1 << 62) + 1
+    rows = [(1, big), (2, None), (3, -big)]
+    df = local_df(spark, rows, "id long, sig long")
+    out = str(tmp_path / "bigint_avro")
+    assert write_avro(df, out) == 3
+    got = sorted(
+        (r["id"], r["sig"]) for r in read_avro(spark, out).collect()
+    )
+    assert got == rows  # bit-exact, including the null

@@ -333,6 +333,13 @@ def gen_lm(k: int) -> str:
     """
     from pyspark.sql import functions as F
 
+    if k > 10:
+        raise SystemExit(
+            "gen_lm supports k <= 10: the per-replica supplier suffix "
+            "alphabet has 10 distinct letters, and a repeated suffix "
+            "would silently break the cross-replica >= 3-edit isolation "
+            "the linearity witness depends on"
+        )
     spark = _get_spark()
     out = f"{OUT_ROOT}/sflm{k}"
     os.makedirs(out, exist_ok=True)
@@ -365,7 +372,7 @@ def gen_lm(k: int) -> str:
             name = (
                 F.col("s_name")
                 if r == 0
-                else F.concat(F.col("s_name"), F.lit(" " + letters[r % 10] * 3))
+                else F.concat(F.col("s_name"), F.lit(" " + letters[r] * 3))
             )
             sparts.append(
                 sup.select(
