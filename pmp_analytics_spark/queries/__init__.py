@@ -80,6 +80,7 @@ _RECORD_FRONT = (
     "docs_5gram_kneser_ney",
     "docs_perplexity_kn5",
     "docs_image_dedup_eval",
+    "docs_image_quality_gate",
     # operators/oracles touched this round, re-confirmed up front
     "streaming_lm_pointintime",
     "docs_trigram_kneser_ney",

@@ -2357,14 +2357,21 @@ def _phash_fixture_pixels(doc_id: int):
 _PHASH_CODECS = ("png", "bmp", "webp", "png")
 
 # grayscale of the fixture pixel formulas (the +40 perturbation on all
-# three channels folds to +256*40), shared by the pHash and dHash CTEs
-_PHASH_GRAY_SQL = (
-    "(77*(8 + (g*7)%40 + ((i*(2 + g%3) + j*(3 + g%5)) % 160))"
-    " + 150*(16 + ((i+j)*(1 + g%4)) % 150 + ((i*j) % 23))"
-    " + 29*(24 + (i*i + 2*j + g*11) % 140)"
-    " + CASE WHEN v = 3 AND (i*31 + j*17 + g) % 101 = 0"
-    " THEN 256*40 ELSE 0 END)"
-)
+# three channels folds to +256*40), shared by the pHash / dHash /
+# quality-gate CTEs. Templated on the column symbol so the gradient
+# oracle can substitute the right-neighbor coordinate EVERYWHERE j
+# appears (a textual replace would miss the (i+j)/(i*j) terms).
+def _phash_gray_expr(j: str = "j") -> str:
+    return (
+        f"(77*(8 + (g*7)%40 + ((i*(2 + g%3) + {j}*(3 + g%5)) % 160))"
+        f" + 150*(16 + ((i+{j})*(1 + g%4)) % 150 + ((i*{j}) % 23))"
+        f" + 29*(24 + (i*i + 2*{j} + g*11) % 140)"
+        f" + CASE WHEN v = 3 AND (i*31 + {j}*17 + g) % 101 = 0"
+        f" THEN 256*40 ELSE 0 END)"
+    )
+
+
+_PHASH_GRAY_SQL = _phash_gray_expr()
 
 
 def _phash_fixture_payload(doc_id: int) -> tuple[str, int, bytes]:
@@ -3213,3 +3220,126 @@ def _dhash_oracle_cte_suffix() -> str:
                      THEN pow2[k] ELSE 0 END)) AS BIGINT) AS dhash
         FROM dh_g, cc
     )"""
+
+
+# --------------------------------------------------------------------------
+# Q: docs_image_quality_gate — the QUALITY layer of the image pipeline
+# (decode -> quality -> dedup, the C4/Gopher-gate discipline for
+# pixels): per-image integer-exact metrics over the REAL decoded
+# full-resolution raster — distinct-gray-level count (flat/synthetic
+# detector), summed horizontal gradient magnitude (blur/blank
+# detector), contrast (max-min gray) — and an integer keep flag, so
+# the whole gate is float-free and the oracle replays it exactly. The
+# corpus is the 120 textured fixtures PLUS 20 deliberately FLAT images
+# (constant color, real PNG encode/decode) that the gate must drop:
+# a gate that never drops anything is untested.
+# --------------------------------------------------------------------------
+_IQG_MIN_DISTINCT = 16
+_IQG_MIN_CONTRAST = 1000  # gray is 77R+150G+29B scaled (max 65280)
+
+
+def _iqg_oracle() -> str:
+    gray = _PHASH_GRAY_SQL
+    gray_r = _phash_gray_expr("(j+1)")  # the right horizontal neighbor
+    return f"""
+    WITH d AS (
+        SELECT doc_id, doc_id // 4 AS g, doc_id % 4 AS v,
+               32 * (1 + (doc_id // 4) % 2) AS n
+        FROM documents WHERE doc_id < 120
+    ),
+    gl AS (
+        SELECT doc_id, n,
+            FLATTEN(LIST_TRANSFORM(GENERATE_SERIES(0, n - 1), i ->
+                LIST_TRANSFORM(GENERATE_SERIES(0, n - 1), j ->
+                    {gray}))) AS flat,
+            LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(0, n - 1), i ->
+                LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(0, n - 2), j ->
+                    ABS({gray_r} - {gray}))))) AS grad_sum
+        FROM d
+    ),
+    tex AS (
+        SELECT doc_id,
+               CAST(n AS BIGINT) AS width,
+               CAST(LEN(LIST_DISTINCT(flat)) AS BIGINT) AS n_distinct_gray,
+               CAST(grad_sum AS BIGINT) AS grad_sum,
+               CAST(LIST_MAX(flat) - LIST_MIN(flat) AS BIGINT) AS contrast
+        FROM gl
+    ),
+    flats AS (
+        SELECT doc_id, CAST(32 AS BIGINT) AS width,
+               CAST(1 AS BIGINT) AS n_distinct_gray,
+               CAST(0 AS BIGINT) AS grad_sum,
+               CAST(0 AS BIGINT) AS contrast
+        FROM documents WHERE doc_id >= 120 AND doc_id < 140
+    ),
+    allm AS (SELECT * FROM tex UNION ALL SELECT * FROM flats)
+    SELECT doc_id, width, n_distinct_gray, grad_sum, contrast,
+           CAST(CASE WHEN n_distinct_gray >= {_IQG_MIN_DISTINCT}
+                      AND contrast >= {_IQG_MIN_CONTRAST}
+                     THEN 1 ELSE 0 END AS INT) AS keep
+    FROM allm
+    """
+
+
+@query("docs_image_quality_gate", lambda: _iqg_oracle())
+def docs_image_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from pmp_analytics_spark.operators.partitioning import ensure_parallelism
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") < 140
+    ).select("doc_id")
+
+    def batches(it):
+        import numpy as np
+
+        from pmp_analytics_spark.multimodal import _png_encode
+        from pmp_analytics_spark.operators.phash import decode_pixels_bgr
+
+        for pdf in it:
+            out = {
+                "doc_id": [], "width": [], "n_distinct_gray": [],
+                "grad_sum": [], "contrast": [],
+            }
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                if doc_id < 120:
+                    _codec, n, payload = _phash_fixture_payload(doc_id)
+                else:
+                    n = 32
+                    c = (
+                        20 + (doc_id * 13) % 180,
+                        20 + (doc_id * 7) % 180,
+                        20 + (doc_id * 29) % 180,
+                    )  # constant BGR
+                    payload = _png_encode(n, n, [bytes(c) * n] * n)
+                w, h, rows = decode_pixels_bgr(payload)
+                a = np.frombuffer(b"".join(rows), dtype=np.uint8)
+                a = a.reshape(h, w, 3).astype(np.int64)
+                gray = 77 * a[:, :, 2] + 150 * a[:, :, 1] + 29 * a[:, :, 0]
+                out["doc_id"].append(doc_id)
+                out["width"].append(w)
+                out["n_distinct_gray"].append(int(np.unique(gray).size))
+                out["grad_sum"].append(
+                    int(np.abs(gray[:, 1:] - gray[:, :-1]).sum())
+                )
+                out["contrast"].append(int(gray.max() - gray.min()))
+            yield pd.DataFrame(out)
+
+    raw = ensure_parallelism(docs).mapInPandas(
+        batches,
+        schema="doc_id long, width long, n_distinct_gray long, "
+        "grad_sum long, contrast long",
+    )
+    return raw.select(
+        "doc_id", "width", "n_distinct_gray", "grad_sum", "contrast",
+        F.when(
+            (F.col("n_distinct_gray") >= _IQG_MIN_DISTINCT)
+            & (F.col("contrast") >= _IQG_MIN_CONTRAST),
+            1,
+        )
+        .otherwise(0)
+        .cast("int")
+        .alias("keep"),
+    )
