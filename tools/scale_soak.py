@@ -522,8 +522,27 @@ def _soak_queries(names: list[str] | None = None):
             pairs, driver_edge_limit=0, max_iterations=25
         )
 
+    def _image_pairs_scaled(sp, d):
+        # The declared 120-image fixture is constant across scales; the
+        # soak instead hashes 120 images PER 5000-doc replica block
+        # (doc_id % 5000 < 120 over the replicated doc table). Absolute
+        # doc_ids differ per replica, so each replica's formula images
+        # are DISTINCT groups — the banded pair problem (hashes, band
+        # rows, bucket expansion, verify) grows linearly in images, and
+        # incidental cross-replica near-dups are part of the measured
+        # workload, exactly like crawl data.
+        from pmp_analytics_spark.operators.phash import phash_pairs
+        from pmp_analytics_spark.queries.analytic import _phash_frame_for
+
+        docs = load_table(sp, d, "documents").where(
+            F.col("doc_id") % 5000 < 120
+        ).select("doc_id")
+        sigs = _phash_frame_for(docs).select("doc_id", "phash")
+        return phash_pairs(sigs, id_col="doc_id", max_hamming=6, bands=7)
+
     specials = {
         "docs_dedup_components_distributed": _cc_star_ns,
+        "docs_image_phash_pairs": _image_pairs_scaled,
         # BM25 soak shape: 10 query docs PER replica (the declared
         # doc_id < 10 set stays constant across scales and would measure
         # scan growth only) — each replica's queries match only its own
