@@ -227,7 +227,14 @@ def phash_pairs(
             f"phash_pairs: max_hamming={max_hamming} needs > {max_hamming} "
             f"bands for lossless banding (got {bands})"
         )
-    cached = sigs.select(F.col(id_col), F.col(hash_col)).cache()
+    # eager localCheckpoint, not cache(): three consumers (band rows +
+    # both verify sides) read one materialization, and the blocks are
+    # ContextCleaner-freed when the frame is dropped — a cache() here
+    # had no unpersist owner and accumulated across bench/soak loop
+    # invocations (ADVICE r11)
+    cached = sigs.select(F.col(id_col), F.col(hash_col)).localCheckpoint(
+        eager=True
+    )
     banded = phash_band_rows(cached, id_col, hash_col, bands)
     cand = _bucket_pairs(banded, id_col, ["band_id", "band_key"], max_bucket, drop_obs)
     a = cached.select(F.col(id_col).alias("id_a"), F.col(hash_col).alias("__h_a"))

@@ -2900,9 +2900,13 @@ def docs_audio_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out["fingerprint"].append(fp)
             yield pd.DataFrame(out)
 
+    # eager localCheckpoint, not cache(): two consumers (bucket expansion
+    # + join-back) read one materialization of the decode pass, and the
+    # blocks free with the frame instead of needing an unpersist owner
+    # (ADVICE r11 cache-lifecycle fix)
     fps = ensure_parallelism(docs).mapInPandas(
         batches, schema="doc_id long, fingerprint string"
-    ).cache()  # two consumers: the bucket expansion and the join-back
+    ).localCheckpoint(eager=True)
     pairs = _bucket_pairs(fps, "doc_id", ["fingerprint"])
     a = fps.select(F.col("doc_id").alias("id_a"), "fingerprint")
     return pairs.join(a, on="id_a").select("id_a", "id_b", "fingerprint")
@@ -3141,9 +3145,12 @@ def docs_image_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pmp_analytics_spark.operators.phash import phash_pairs
     from pmp_analytics_spark.sources.local import local_df
 
+    # eager localCheckpoint, not cache(): consumed by the truth join and
+    # by both detector arms — one materialization, blocks freed with the
+    # frame (ADVICE r11 cache-lifecycle fix)
     sigs = _phash_fixture_frame(spark, sf_dir).select(
         "doc_id", "group_id", "phash", "dhash"
-    ).cache()
+    ).localCheckpoint(eager=True)
     a = sigs.select(F.col("doc_id").alias("id_a"), F.col("group_id").alias("g_a"))
     b = sigs.select(F.col("doc_id").alias("id_b"), F.col("group_id").alias("g_b"))
     # equi-join on the group key (hash join — an inequality-only join

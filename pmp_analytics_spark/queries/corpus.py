@@ -715,10 +715,22 @@ from pmp_analytics_spark.functions.text import quality_score  # noqa: E402
 
 @query("docs_adaptive_quality_filter")
 def docs_adaptive_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pmp_analytics_spark.operators.quantiles import (
+        interpolated_group_percentile,
+    )
+
     docs = load_table(spark, sf_dir, "documents")
-    q = docs.select("doc_id", "source", quality_score("text").alias("quality"))
-    thr = q.groupBy("source").agg(
-        F.percentile("quality", F.lit(0.25)).alias("p25")
+    # cached: the per-source thresholds (two passes below) and the final
+    # join both consume q — uncached the quality scoring re-executes per
+    # consumer
+    q = docs.select(
+        "doc_id", "source", quality_score("text").alias("quality")
+    ).cache()
+    # bounded-memory per-source P25 — bit-identical to the groupBy
+    # F.percentile but no per-reducer value map (operators/quantiles.py;
+    # guide §5)
+    thr = interpolated_group_percentile(
+        q, "source", "quality", 0.25, out_col="p25"
     )
     return (
         q.join(F.broadcast(thr), on="source")

@@ -406,8 +406,14 @@ def write_avro(df: DataFrame, dir_path: str, codec: str = "deflate") -> int:
             payload = avro_encode(avro_schema, rows, codec=codec)
             ctx = TaskContext.get()
             part_id = ctx.partitionId() if ctx is not None else os.getpid()
-            digest = hashlib.md5(payload).hexdigest()[:12]
-            final = os.path.join(dir_path, f"part-{part_id}-{digest}.avro")
+            # the file is named by partition id ALONE (ADVICE r11): a
+            # retried/speculated task over a nondeterministic upstream
+            # may produce different bytes, and a content-digest suffix
+            # would then leave TWO part files for one partition —
+            # duplicating rows on read. os.replace keeps the overwrite
+            # atomic, so last-writer-wins and exactly one file per
+            # partition survives any retry schedule.
+            final = os.path.join(dir_path, f"part-{part_id:05d}.avro")
             tmp = final + f".{os.getpid()}.tmp"
             with open(tmp, "wb") as fh:
                 fh.write(payload)
@@ -444,9 +450,24 @@ def read_avro(
     )
     if not files:
         raise ValueError(f"avro bridge: no .avro files under {dir_path}")
+    # grow the sniff window until the header parses (ADVICE r11): a
+    # header whose metadata exceeds a fixed window used to index past
+    # the buffer and die with a bare IndexError
+    head = b""
+    window = 65536
     with open(files[0], "rb") as fh:
-        head = fh.read(65536)
-    avro_schema, _codec, _sync, _pos = _read_header(head)
+        while True:
+            head += fh.read(window - len(head))
+            try:
+                avro_schema, _codec, _sync, _pos = _read_header(head)
+                break
+            except IndexError:
+                if len(head) < window:  # EOF: truly truncated/corrupt
+                    raise ValueError(
+                        f"avro bridge: {files[0]} ends before its header "
+                        "parses (truncated or not an Avro OCF)"
+                    ) from None
+                window *= 4
     full_schema = spark_schema_for(avro_schema)
     full_plan = _field_plan(avro_schema)
     if columns is not None:

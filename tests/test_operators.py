@@ -3083,3 +3083,89 @@ def test_optimize_layout_versioned_rewrite(spark, tmp_path):
     assert len(spans) == 6
     for a, b in zip(spans, spans[1:]):
         assert a["hi"] <= b["lo"]  # disjoint contiguous z-ranges per file
+
+
+def test_interpolated_percentiles_bitmatch_spark_percentile(spark):
+    import random
+
+    from pyspark.sql import functions as F
+
+    from pmp_analytics_spark.operators.quantiles import interpolated_percentiles
+
+    for seed in (7, 21, 99):
+        rng = random.Random(seed)
+        # 4-decimal-quantized like the ppl columns, heavy tie runs, a null
+        data = [round(rng.gauss(100, 30), 4) for _ in range(3000)]
+        data += [round(rng.choice(data), 4)] * 200
+        rows = [(v,) for v in data] + [(None,)]
+        df = spark.createDataFrame(rows, "x double")
+        qs = [("t1", 1.0 / 3.0), ("t2", 2.0 / 3.0), ("p25", 0.25), ("p99", 0.99)]
+        want = df.agg(
+            *[F.percentile(F.col("x"), F.lit(q)).alias(nm) for nm, q in qs]
+        ).collect()[0]
+        got = interpolated_percentiles(df, "x", qs, bins=64).collect()[0]
+        for nm, _ in qs:
+            # bit-exact, not approx: the operator replicates Percentile's
+            # float formula so downstream threshold compares can't move
+            assert got[nm] == want[nm], (seed, nm, got[nm], want[nm])
+        # partitioning independence
+        got7 = interpolated_percentiles(
+            df.repartition(7), "x", qs, bins=64
+        ).collect()[0]
+        assert all(got7[nm] == want[nm] for nm, _ in qs)
+
+
+def test_interpolated_percentiles_degenerate_inputs(spark):
+    from pyspark.sql import functions as F
+
+    from pmp_analytics_spark.operators.quantiles import interpolated_percentiles
+
+    one = spark.createDataFrame([(42.0,)], "x double")
+    r = interpolated_percentiles(one, "x", [("m", 0.5)]).collect()[0]
+    assert r["m"] == 42.0
+
+    const = spark.createDataFrame([(5.0,)] * 100, "x double")
+    r = interpolated_percentiles(const, "x", [("a", 0.25), ("b", 1.0)]).collect()[0]
+    assert (r["a"], r["b"]) == (5.0, 5.0)
+
+    # integral interpolation positions (n=5, q=0.25 -> pos=1.0 exactly)
+    five = spark.createDataFrame([(float(v),) for v in (1, 2, 3, 4, 5)], "x double")
+    want = five.agg(F.percentile(F.col("x"), F.lit(0.25)).alias("p")).collect()[0]["p"]
+    got = interpolated_percentiles(five, "x", [("p", 0.25)]).collect()[0]["p"]
+    assert got == want == 2.0
+
+    # empty input -> one all-null row, matching percentile-over-nothing
+    empty = spark.createDataFrame([], "x double")
+    r = interpolated_percentiles(empty, "x", [("p", 0.5)]).collect()[0]
+    assert r["p"] is None
+
+
+def test_interpolated_group_percentile_bitmatch(spark):
+    import random
+
+    from pyspark.sql import functions as F
+
+    from pmp_analytics_spark.operators.quantiles import (
+        interpolated_group_percentile,
+    )
+
+    rng = random.Random(5)
+    rows = [
+        (f"s{rng.randrange(6)}", round(rng.uniform(0, 1), 6))
+        for _ in range(4000)
+    ]
+    rows.append(("s0", None))
+    df = spark.createDataFrame(rows, "source string, quality double")
+    want = {
+        r["source"]: r["p25"]
+        for r in df.groupBy("source")
+        .agg(F.percentile("quality", F.lit(0.25)).alias("p25"))
+        .collect()
+    }
+    got = {
+        r["source"]: r["p25"]
+        for r in interpolated_group_percentile(
+            df, "source", "quality", 0.25, out_col="p25", bins=64
+        ).collect()
+    }
+    assert got == want
