@@ -33,11 +33,19 @@ from pyspark.sql import functions as F
 
 def word_vocab(docs: DataFrame, text_col: str) -> DataFrame:
     """(word, freq) type-frequency vocabulary over the standard tokenizer
-    (lowercase [a-z0-9] runs — functions.text.tokens)."""
+    (lowercase [a-z0-9] runs — functions.text.tokens).
+
+    The narrow text input is repartitioned up to the core count first
+    (no-op once the scan has that many splits): tokenize+explode is the
+    expensive projection, and an under-split scan (one small parquet
+    file) would otherwise run it on one task — the exact pattern
+    ``ensure_parallelism``'s docstring prescribes."""
     from pmp_analytics_spark.functions.text import tokens
+    from pmp_analytics_spark.operators.partitioning import ensure_parallelism
 
     return (
-        docs.select(F.explode(tokens(F.col(text_col))).alias("word"))
+        ensure_parallelism(docs.select(F.col(text_col)))
+        .select(F.explode(tokens(F.col(text_col))).alias("word"))
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
@@ -152,8 +160,11 @@ def byte_pretoken_vocab(docs: DataFrame, text_col: str) -> DataFrame:
     pre-tokenizer — ordered leftmost alternation, identical in Java
     regex and RE2. Corpus collapses ONCE to pre-token types, same as
     the word-level trick."""
+    from pmp_analytics_spark.operators.partitioning import ensure_parallelism
+
     return (
-        docs.select(
+        ensure_parallelism(docs.select(F.col(text_col)))
+        .select(
             F.explode(
                 F.regexp_extract_all(
                     F.col(text_col), F.lit(BYTE_PRETOKEN_RE), 0

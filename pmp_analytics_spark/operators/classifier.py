@@ -80,6 +80,11 @@ def hashed_features(
     on short synthetic docs, and what fastText-style filters use."""
     from pyspark.sql import Window
 
+    from pmp_analytics_spark.operators.partitioning import ensure_parallelism
+
+    # tokenize is the expensive projection — repartition the narrow text
+    # input up to the core count first (no-op on an already-split scan)
+    docs = ensure_parallelism(docs.select(F.col(id_col), F.col(text_col)))
     toks = docs.select(
         F.col(id_col), F.explode(tokens(text_col)).alias("__t")
     )

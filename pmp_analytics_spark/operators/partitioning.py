@@ -24,6 +24,8 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
     Apply to the NARROW INPUT of an expensive projection, not on top of
     it — a repartition above the projection runs the expensive compute on
     the shuffle's map side, i.e. still on the original splits."""
+    if df.isStreaming:  # no .rdd on unresolved streams; per-batch frames
+        return df       # (foreachBatch) are batch DFs and DO get wrapped
     spark = df.sparkSession
     target = min_partitions or spark.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:

@@ -105,9 +105,16 @@ def seed_positions(
 def _positions(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(doc_id, doc_len, pos, __t): one row per 1-based char position,
     text carried for same-select substring extraction only."""
+    from pmp_analytics_spark.operators.partitioning import ensure_parallelism
+
+    # the per-char position explode is the expensive fan-out — repartition
+    # the narrow (id, text) input up to the core count first (no-op once
+    # the scan is already split)
     return (
-        docs.select(
-            F.col(id_col).alias("doc_id"), F.col(text_col).alias("__t")
+        ensure_parallelism(
+            docs.select(
+                F.col(id_col).alias("doc_id"), F.col(text_col).alias("__t")
+            )
         )
         .where(F.length("__t") > 0)
         .select(

@@ -369,8 +369,11 @@ _ZIPF_K = 50
 )
 def docs_zipf_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pmp_analytics_spark.functions.text import tokens
+    from pmp_analytics_spark.operators.partitioning import ensure_parallelism
 
-    docs = load_table(spark, sf_dir, "documents")
+    # tokenize+explode is the expensive projection — spread the narrow
+    # scan over the cores first (no-op on an already-split scan)
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     counts = (
         docs.select(F.explode(tokens(F.col("text"))).alias("term"))
         .groupBy("term")
@@ -615,7 +618,11 @@ def docs_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pmp_analytics_spark.functions.text import token_count
     from pmp_analytics_spark.operators.prefix_sum import running_total
 
-    docs = load_table(spark, sf_dir, "documents").select(
+    from pmp_analytics_spark.operators.partitioning import ensure_parallelism
+
+    docs = ensure_parallelism(
+        load_table(spark, sf_dir, "documents").select("doc_id", "n_chars", "text")
+    ).select(
         "doc_id",
         "n_chars",
         token_count(F.col("text")).cast("long").alias("n_tok"),

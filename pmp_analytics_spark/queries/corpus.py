@@ -29,7 +29,21 @@ from pmp_analytics_spark.functions.text import (
     tokens,
     word_ngrams,
 )
+from pmp_analytics_spark.operators.partitioning import ensure_parallelism
 from pmp_analytics_spark.sources.reader import load_table
+
+
+def _docs_parallel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The documents table with its narrow scan repartitioned up to the
+    core count (``ensure_parallelism`` — a no-op once the scan already
+    has that many splits, i.e. at any real deployment size). Used by the
+    queries whose dominant cost is a heavy per-row text projection
+    (tokenize / n-grams / quality features): an under-split local scan
+    (one small parquet file) would otherwise run that projection on one
+    task while the rest of the cores idle — guide §2.5 ("repartition
+    immediately after the read" when the input under-splits)."""
+    return ensure_parallelism(load_table(spark, sf_dir, "documents"))
+
 
 QUERIES: dict = {}
 ORACLE: dict[str, str] = {}
@@ -95,7 +109,7 @@ def query(name: str, oracle: str | None = None):
     """,
 )
 def docs_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").select(
+    docs = _docs_parallel(spark, sf_dir).select(
         "doc_id", tokens("text").alias("toks")
     )
     words = docs.select("doc_id", F.explode("toks").alias("w"))
@@ -189,7 +203,7 @@ DUCK_C4_KEEP = (
     """,
 )
 def docs_c4_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs_parallel(spark, sf_dir)
     base = _c4_scored(docs)
     flag_min_words = F.col("n_words") >= C4_MIN_WORDS
     flag_word_len = (F.col("mwl") >= C4_MWL_LO) & (F.col("mwl") <= C4_MWL_HI)
@@ -429,7 +443,7 @@ _TFIDF_K = 3
     """,
 )
 def docs_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs_parallel(spark, sf_dir)
     w = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
     tf = w.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("c"))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("dfc"))
@@ -719,7 +733,7 @@ def docs_adaptive_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         interpolated_group_percentile,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs_parallel(spark, sf_dir)
     # cached: the per-source thresholds (two passes below) and the final
     # join both consume q — uncached the quality scoring re-executes per
     # consumer
@@ -856,6 +870,10 @@ DUCK_GOPHER_SCORED = f"""__gopher_words AS (
     """,
 )
 def docs_gopher_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # NOT wrapped in _docs_parallel: the plan gate pins this query to
+    # zero exchanges (pure per-row projection — the 100 TB shape is a
+    # scan-time filter), and at 0.7 s it has no parallelism problem to
+    # fix; a repartition would add the only shuffle in the plan.
     docs = load_table(spark, sf_dir, "documents")
     feats = _gopher_scored(docs)
     return feats.select(
@@ -1004,7 +1022,7 @@ def docs_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pmp_analytics_spark.functions.text import shingle_hash60, word_ngrams
     from pmp_analytics_spark.operators.agg import with_global_agg
 
-    docs = load_table(spark, sf_dir, "documents").select(
+    docs = _docs_parallel(spark, sf_dir).select(
         "doc_id", "lang", tokens("text").alias("toks")
     )
     f = docs.select(
@@ -1130,6 +1148,10 @@ def docs_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 def docs_corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pmp_analytics_spark.functions.text import fingerprint
 
+    # NOT wrapped in _docs_parallel: the scan feeds two consumer branches
+    # (the stacked projection chain and the fingerprint join), so the
+    # parallelism repartition would appear under BOTH subtrees (+2
+    # exchanges against the gate's corpus-sized-exchange budget).
     docs = load_table(spark, sf_dir, "documents")
     # ONE stacked map-side projection chain carries every per-doc
     # feature (C4 scored → C4 keep + fingerprint → Gopher scored →
@@ -1290,7 +1312,7 @@ def _clf_fit(spark: SparkSession, sf_dir: str) -> list[float]:
     key = (spark.sparkContext.applicationId, sf_dir)
     hit = _CLF_FIT_MEMO.get(key)
     if hit is None:
-        docs = load_table(spark, sf_dir, "documents")
+        docs = _docs_parallel(spark, sf_dir)
         labels = _clf_labels(docs)
         # class weights via the 1-row-agg broadcast-crossJoin pattern
         # (A7), then broadcast the 2-row weight table onto the labels
@@ -1334,7 +1356,7 @@ def clear_clf_fit() -> None:
 def docs_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pmp_analytics_spark.operators.classifier import margin_expression
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs_parallel(spark, sf_dir)
     labels = _clf_labels(docs)
     w = _clf_fit(spark, sf_dir)
     # score via the row-local margin projection (exactly score_logistic
@@ -1423,7 +1445,7 @@ _HH_DEN = 800
 def docs_bigram_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pmp_analytics_spark.operators.frequent import heavy_hitters
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs_parallel(spark, sf_dir)
     toks = tokens("text")
     items = docs.select(
         F.explode(word_ngrams(toks, 2)).alias("item")

@@ -302,6 +302,9 @@ def event_value_salted_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def docs_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # NOT wrapped in ensure_parallelism: the plan gate pins chunking to
+    # zero shuffles (pure map-side fan-out at any scale), and at 0.4 s
+    # it has no parallelism problem to fix.
     docs = load_table(spark, sf_dir, "documents")
     toked = docs.select("doc_id", tokens(F.col("text")).alias("toks"))
     starts = F.sequence(
@@ -378,7 +381,9 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def docs_vocab_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    from pmp_analytics_spark.operators.partitioning import ensure_parallelism
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     n_docs = docs.count()
     flat = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
     return flat.groupBy("token").agg(
@@ -610,7 +615,9 @@ _DUCK_GRAMS8 = (
     """,
 )
 def docs_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    from pmp_analytics_spark.operators.partitioning import ensure_parallelism
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     # Tokenize into a materialized column FIRST: referencing the full
     # tokens(text) expression inside a per-gram lambda re-evaluates the
     # tokenization per gram (O(n²)); and per-row md5 in a flat projection

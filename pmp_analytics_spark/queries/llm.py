@@ -1976,9 +1976,14 @@ _BM25_K = 5
 def docs_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pmp_analytics_spark.operators.retrieval import bm25_topk
 
-    occ = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.explode(tokens("text")).alias("token")
-    )
+    from pmp_analytics_spark.operators.partitioning import ensure_parallelism
+
+    # tokenize+explode is the expensive projection — repartition the
+    # narrow (doc_id, text) input up to the core count first (no-op on
+    # an already-split scan; guide §2.5)
+    occ = ensure_parallelism(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ).select("doc_id", F.explode(tokens("text")).alias("token"))
     qterms = (
         occ.where(F.col("doc_id") < _BM25_NQ)
         .select(F.col("doc_id").alias("query_id"), "token")
@@ -2007,9 +2012,14 @@ def docs_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
 def docs_bm25_wand(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pmp_analytics_spark.operators.retrieval import bm25_topk_wand
 
-    occ = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.explode(tokens("text")).alias("token")
-    )
+    from pmp_analytics_spark.operators.partitioning import ensure_parallelism
+
+    # tokenize+explode is the expensive projection — repartition the
+    # narrow (doc_id, text) input up to the core count first (no-op on
+    # an already-split scan; guide §2.5)
+    occ = ensure_parallelism(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ).select("doc_id", F.explode(tokens("text")).alias("token"))
     qterms = (
         occ.where(F.col("doc_id") < _BM25_NQ)
         .select(F.col("doc_id").alias("query_id"), "token")
@@ -2098,9 +2108,14 @@ _RRF_EACH = 20
 def docs_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pmp_analytics_spark.operators.retrieval import bm25_topk, rrf_fuse
 
-    occ = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.explode(tokens("text")).alias("token")
-    )
+    from pmp_analytics_spark.operators.partitioning import ensure_parallelism
+
+    # tokenize+explode is the expensive projection — repartition the
+    # narrow (doc_id, text) input up to the core count first (no-op on
+    # an already-split scan; guide §2.5)
+    occ = ensure_parallelism(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ).select("doc_id", F.explode(tokens("text")).alias("token"))
     qterms = (
         occ.where(F.col("doc_id") < _BM25_NQ)
         .select(F.col("doc_id").alias("query_id"), "token")
@@ -3068,7 +3083,9 @@ def docs_passage_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         passage_occurrences,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    from pmp_analytics_spark.operators.partitioning import ensure_parallelism
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     occ_p = passage_occurrences(
         docs.where(F.col("doc_id") >= _PAS_NQ),
         "doc_id",
@@ -3135,7 +3152,11 @@ def docs_bm25_index_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         bm25_index_refresh,
     )
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    from pmp_analytics_spark.operators.partitioning import ensure_parallelism
+
+    docs = ensure_parallelism(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
     old = docs.where(F.col("doc_id") % 11 != 7)
     new = docs.where(F.col("doc_id") % 13 != 4).select(
         "doc_id",
@@ -3331,10 +3352,14 @@ def _curation_funnel_oracle() -> str:
 @query("docs_curation_funnel", _curation_funnel_oracle)
 def docs_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pmp_analytics_spark.operators.dedup import dedup_keep_canonical
+    from pmp_analytics_spark.operators.partitioning import ensure_parallelism
     from pmp_analytics_spark.operators.sample import hash_bucket
     from pmp_analytics_spark.queries.corpus import _c4_keep, _c4_scored
 
-    docs = load_table(spark, sf_dir, "documents")
+    # the C4 scoring pass (4 regex features per doc) is the expensive
+    # projection — spread the narrow scan over the cores first (no-op on
+    # an already-split scan)
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     kept = (
         docs.join(
             _c4_scored(docs).where(_c4_keep()).select("doc_id"), "doc_id"

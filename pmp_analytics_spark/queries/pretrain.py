@@ -23,8 +23,22 @@ from pyspark.sql import functions as F
 
 from pmp_analytics_spark.functions.text import token_count, tokens
 from pmp_analytics_spark.operators.packing import pack_sequences
+from pmp_analytics_spark.operators.partitioning import ensure_parallelism
 from pmp_analytics_spark.operators.sample import hash_bucket
 from pmp_analytics_spark.sources.reader import load_table
+
+
+def _docs_parallel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The documents table with its narrow scan repartitioned up to the
+    core count (``ensure_parallelism`` — a no-op once the scan already
+    has that many splits, i.e. at any real deployment size). Used by the
+    queries whose dominant cost is a heavy per-row text projection
+    (tokenize / n-grams / per-char explode): an under-split local scan
+    (one small parquet file) would otherwise run that projection on one
+    task while the rest of the cores idle — guide §2.5 ("repartition
+    immediately after the read" when the input under-splits)."""
+    return ensure_parallelism(load_table(spark, sf_dir, "documents"))
+
 
 QUERIES: dict = {}
 ORACLE: dict[str, str] = {}
@@ -77,7 +91,7 @@ def query(name: str, oracle: str | None = None):
     """,
 )
 def docs_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs_parallel(spark, sf_dir)
     toked = docs.select("doc_id", token_count(F.col("text")).cast("long").alias("n_tok"))
     packed = pack_sequences(toked, id_col="doc_id", n_tokens_col="n_tok", budget=512)
     return packed.groupBy("bin_id").agg(
@@ -128,7 +142,7 @@ def docs_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def docs_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs_parallel(spark, sf_dir)
     toked = docs.select("doc_id", tokens(F.col("text")).alias("toks"))
     starts = F.sequence(F.lit(0), F.greatest(F.size("toks") - 1, F.lit(0)), F.lit(20))
     chunks = (
@@ -178,7 +192,7 @@ def docs_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def docs_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs_parallel(spark, sf_dir)
     bucket = hash_bucket("doc_id", 100)
     split = (
         F.when(bucket < 90, "train").when(bucket < 95, "valid").otherwise("test")
@@ -312,7 +326,7 @@ def docs_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def docs_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs_parallel(spark, sf_dir)
     toked = docs.select(tokens(F.col("text")).alias("toks")).where(
         F.size("toks") >= 2
     )
@@ -410,7 +424,7 @@ def docs_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def docs_bigram_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs_parallel(spark, sf_dir)
     toked = docs.select(tokens(F.col("text")).alias("toks")).where(
         F.size("toks") >= 2
     )
@@ -491,7 +505,7 @@ def docs_bigram_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def docs_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs_parallel(spark, sf_dir)
     chars = docs.select(
         "doc_id", F.explode(F.split(F.col("text"), "(?!$)")).alias("ch")
     )
@@ -903,7 +917,7 @@ _DUCK_POS_GRAMS = (
 def docs_dup_ngram_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pmp_analytics_spark.functions.text import shingle_hash
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs_parallel(spark, sf_dir)
     # Materialize tokens once, then explode positions: the per-gram lambda
     # form re-tokenizes per gram (O(n^2)) and keeps md5 out of codegen —
     # same rationale as docs_contamination (queries/extended.py).
@@ -988,7 +1002,7 @@ def _dup_span_frames(spark: SparkSession, sf_dir: str):
     span_id, s, e). Mirrors _DUCK_SPAN_CTES exactly."""
     from pmp_analytics_spark.functions.text import shingle_hash
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs_parallel(spark, sf_dir)
     # Cached: the tokenized frame feeds three consumers (gram positions,
     # the removal query's position stream, and the final doc-length join)
     # and the position stream two (df totals + the dup filter) — without
@@ -1519,7 +1533,7 @@ _PPL_T2 = 2.0 / 3.0
     """,
 )
 def docs_perplexity_kn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs_parallel(spark, sf_dir)
     toked = docs.select("doc_id", tokens(F.col("text")).alias("toks")).where(
         F.size("toks") >= 2
     )
@@ -1672,7 +1686,7 @@ def docs_perplexity_kn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def docs_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs_parallel(spark, sf_dir)
     toked = docs.select("doc_id", tokens(F.col("text")).alias("toks")).where(
         F.size("toks") >= 2
     )
@@ -1810,7 +1824,7 @@ def docs_pretrain_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         stopword_ratio,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs_parallel(spark, sf_dir)
     scored = docs.select(
         "doc_id",
         F.col("text"),
@@ -1934,7 +1948,7 @@ def docs_tokenize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         word_vocab,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs_parallel(spark, sf_dir)
     _, rules = _bpe_fit(spark, sf_dir)
     # localCheckpoint: the encoded vocab feeds the driver-side id build
     # (collected below) AND the seg join branch — uncheckpointed, the
@@ -2888,7 +2902,13 @@ def _kn3_duck_lm(doc_where: str = "", prefix: str = "") -> str:
 
 def _trigram_stream(docs: DataFrame) -> DataFrame:
     """Doc-tagged trigram instance stream (doc_id, w1, w2, w3) —
-    map-side explode, deliberately never cached (corpus-sized)."""
+    map-side explode, deliberately never cached (corpus-sized). The
+    narrow text input repartitions up to the core count first (no-op on
+    an already-split scan): tokenize+explode is the expensive
+    projection, and a 1-split local scan would serialize it."""
+    from pmp_analytics_spark.operators.partitioning import ensure_parallelism
+
+    docs = ensure_parallelism(docs.select("doc_id", "text"))
     toked = docs.select("doc_id", tokens(F.col("text")).alias("toks")).where(
         F.size("toks") >= 3
     )
@@ -3671,7 +3691,7 @@ def docs_tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFr
         unigram_segment,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs_parallel(spark, sf_dir)
     lw = (
         docs.select("lang", F.explode(tokens(F.col("text"))).alias("word"))
         .where(F.length("word") <= _UNI_MAXW)
@@ -4007,6 +4027,9 @@ def _fivegram_stream(docs: DataFrame) -> DataFrame:
     """Doc-tagged 5-gram instance stream (doc_id, w1..w5) — map-side
     explode, deliberately never cached (corpus-sized; the
     _trigram_stream contract at order 5)."""
+    from pmp_analytics_spark.operators.partitioning import ensure_parallelism
+
+    docs = ensure_parallelism(docs.select("doc_id", "text"))
     toked = docs.select("doc_id", tokens(F.col("text")).alias("toks")).where(
         F.size("toks") >= 5
     )
