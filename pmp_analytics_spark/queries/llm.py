@@ -1976,14 +1976,13 @@ _BM25_K = 5
 def docs_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pmp_analytics_spark.operators.retrieval import bm25_topk
 
-    from pmp_analytics_spark.operators.partitioning import ensure_parallelism
-
-    # tokenize+explode is the expensive projection — repartition the
-    # narrow (doc_id, text) input up to the core count first (no-op on
-    # an already-split scan; guide §2.5)
-    occ = ensure_parallelism(
-        load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    ).select("doc_id", F.explode(tokens("text")).alias("token"))
+    # NOT wrapped in ensure_parallelism: this query re-derives the scan
+    # in several independent subtrees; each wrapped branch paid its own
+    # text repartition while the unwrapped branches' single-task
+    # explodes already overlap across cores (measured +0.4..+1.1 s).
+    occ = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(tokens("text")).alias("token")
+    )
     qterms = (
         occ.where(F.col("doc_id") < _BM25_NQ)
         .select(F.col("doc_id").alias("query_id"), "token")
@@ -2012,14 +2011,13 @@ def docs_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
 def docs_bm25_wand(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pmp_analytics_spark.operators.retrieval import bm25_topk_wand
 
-    from pmp_analytics_spark.operators.partitioning import ensure_parallelism
-
-    # tokenize+explode is the expensive projection — repartition the
-    # narrow (doc_id, text) input up to the core count first (no-op on
-    # an already-split scan; guide §2.5)
-    occ = ensure_parallelism(
-        load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    ).select("doc_id", F.explode(tokens("text")).alias("token"))
+    # NOT wrapped in ensure_parallelism: this query re-derives the scan
+    # in several independent subtrees; each wrapped branch paid its own
+    # text repartition while the unwrapped branches' single-task
+    # explodes already overlap across cores (measured +0.4..+1.1 s).
+    occ = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(tokens("text")).alias("token")
+    )
     qterms = (
         occ.where(F.col("doc_id") < _BM25_NQ)
         .select(F.col("doc_id").alias("query_id"), "token")
@@ -2108,14 +2106,13 @@ _RRF_EACH = 20
 def docs_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pmp_analytics_spark.operators.retrieval import bm25_topk, rrf_fuse
 
-    from pmp_analytics_spark.operators.partitioning import ensure_parallelism
-
-    # tokenize+explode is the expensive projection — repartition the
-    # narrow (doc_id, text) input up to the core count first (no-op on
-    # an already-split scan; guide §2.5)
-    occ = ensure_parallelism(
-        load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    ).select("doc_id", F.explode(tokens("text")).alias("token"))
+    # NOT wrapped in ensure_parallelism: this query re-derives the scan
+    # in several independent subtrees; each wrapped branch paid its own
+    # text repartition while the unwrapped branches' single-task
+    # explodes already overlap across cores (measured +0.4..+1.1 s).
+    occ = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(tokens("text")).alias("token")
+    )
     qterms = (
         occ.where(F.col("doc_id") < _BM25_NQ)
         .select(F.col("doc_id").alias("query_id"), "token")
