@@ -23,6 +23,138 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# Driver fast-path gate for the ITERATIVE centrality operators
+# (pagerank / hits): when the measured node count is at or below this,
+# the fixed-point iterations run on the driver over the collected
+# (src, dst, w) aggregate instead of as k rounds of distributed
+# join+aggregate. Rationale (guide §8 "decide with small rows"): the
+# iteration state is node-sized, and below ~hundreds of nodes the
+# distributed round costs pure scheduling — measured 161 jobs of
+# 10-50 ms each for 8 HITS iterations over a 25-node graph, ~4 s of
+# wall for microseconds of arithmetic. The collected frame is bounded
+# by the GATE (node-count ≤ threshold ⇒ ≤ threshold² aggregated
+# edges), not by data volume — the same boundedness argument as a
+# broadcast hash join's build side, and the same collect budget the
+# operator already spends on the teleport total. The distributed path
+# is unchanged and remains the one any graph that grows with the data
+# takes; a key-domain-bounded graph (e.g. nation × nation) stays tiny
+# at any corpus scale, which is exactly when the fast path fires.
+# Arithmetic mirrors the distributed expressions term for term (same
+# literals, same coalesce-to-0.0, same divide-then-sum shapes); only
+# the float SUMMATION ORDER can differ, which the declared queries'
+# round-6 projections absorb — the same tolerance that already covers
+# Spark's own partition-order-dependent sums vs the DuckDB oracle.
+SMALL_GRAPH_MAX_NODES = 256
+
+
+def _native_zero(w):
+    """0 of w's numeric type, so driver sums match Spark's native-type
+    aggregation (long stays long/exact; double stays double)."""
+    return w * 0
+
+
+def _ieee_div(a: float, b: float) -> float:
+    """a / b with IEEE semantics (Spark's non-ANSI double division):
+    x/0 -> ±inf, 0/0 -> NaN — plain Python float division raises."""
+    if b != 0.0:
+        return a / b
+    if a == 0.0:
+        return float("nan")
+    return float("inf") if a > 0 else float("-inf")
+
+
+def _small_graph_rows(agg: DataFrame, max_nodes: int):
+    """Collect the aggregated edge frame for the driver fast path, or
+    return None when it isn't eligible (non-int/float weights — e.g.
+    decimals, whose native Spark aggregation the driver won't
+    re-implement — or null weights). ``agg`` is the already-checkpointed
+    (src, dst, w) aggregate, so this is one bounded read of ≤
+    max_nodes² rows, in deterministic (src, dst) order."""
+    rows = [(r[0], r[1], r[2]) for r in agg.collect()]
+    for _, _, w in rows:
+        if not isinstance(w, (int, float)) or isinstance(w, bool):
+            return None
+    rows.sort(key=lambda t: (t[0], t[1]))
+    return rows
+
+
+def _hits_rounds_driver(edge_rows, node_ids, iterations):
+    """The hits() iteration loop on the driver — the distributed loop's
+    arithmetic term for term (double multiply of rank × native weight,
+    coalesce-to-0.0 zero-fill, divide by the raw L1 total); only float
+    summation order differs (round-6-absorbed, see
+    SMALL_GRAPH_MAX_NODES)."""
+
+    def half_step(vec):
+        raw: dict = {}
+        for s, d, w in edge_rows:
+            raw[d] = raw.get(d, 0.0) + vec[s] * w
+        total = 0.0
+        for v in sorted(raw):
+            total += raw[v]
+        return {v: _ieee_div(raw.get(v, 0.0), total) for v in node_ids}
+
+    def half_step_rev(vec):
+        raw: dict = {}
+        for s, d, w in edge_rows:
+            raw[s] = raw.get(s, 0.0) + vec[d] * w
+        total = 0.0
+        for v in sorted(raw):
+            total += raw[v]
+        return {v: _ieee_div(raw.get(v, 0.0), total) for v in node_ids}
+
+    a = {v: 1.0 for v in node_ids}
+    h = {v: 1.0 for v in node_ids}
+    for _ in range(iterations):
+        a = half_step(h)
+        h = half_step_rev(a)
+    return [(v, a[v], h[v]) for v in node_ids]
+
+
+def _pagerank_rounds_driver(edge_rows, node_ids, n, damping, iterations, t_map):
+    """The pagerank iteration loop on the driver — expression-for-
+    expression the distributed loop's arithmetic (same Python-computed
+    literals (1-d)/n and float(n), same coalesce-to-0.0, same
+    multiply/divide shapes); only float summation order differs, which
+    the callers' round-6 projections absorb (see SMALL_GRAPH_MAX_NODES).
+    """
+    out_w: dict = {}
+    for s, _, w in edge_rows:
+        out_w[s] = out_w.get(s, _native_zero(w)) + w
+    has_out = {s for s, v in out_w.items() if v > 0}
+    p = {
+        (s, d): float(w) / float(out_w[s])
+        for s, d, w in edge_rows
+        if s in has_out
+    }
+    if t_map is not None:
+        r = {v: t_map[v] for v in node_ids}
+    else:
+        r = {v: 1.0 / n for v in node_ids}
+    for _ in range(iterations):
+        dang = 0.0
+        for v in node_ids:
+            if v not in has_out:
+                dang += r[v]
+        inc: dict = {}
+        for s, d, _ in edge_rows:
+            pv = p.get((s, d))
+            if pv is not None:
+                inc[d] = inc.get(d, 0.0) + r[s] * pv
+        if t_map is not None:
+            r = {
+                v: (1.0 - damping) * t_map[v]
+                + damping * (inc.get(v, 0.0) + dang * t_map[v])
+                for v in node_ids
+            }
+        else:
+            r = {
+                v: (1.0 - damping) / n
+                + damping * (inc.get(v, 0.0) + dang / float(n))
+                for v in node_ids
+            }
+    return [(v, r[v]) for v in node_ids]
+
 
 def pagerank(
     edges: DataFrame,
@@ -37,6 +169,7 @@ def pagerank(
     teleport: DataFrame | None = None,
     teleport_node: str = "node",
     teleport_weight: str = "t_w",
+    small_graph_max_nodes: int = SMALL_GRAPH_MAX_NODES,
 ) -> DataFrame:
     """Weighted PageRank over ``edges`` with a FIXED iteration count.
 
@@ -144,6 +277,32 @@ def pagerank(
         nodes_t = nodes_t.select(
             "__node", (F.col("__tw") / F.lit(float(tot))).alias("__t")
         )
+    if iterations > 0 and 0 < n <= (small_graph_max_nodes or 0):
+        # driver fast path (see SMALL_GRAPH_MAX_NODES): k scheduling-
+        # bound distributed rounds over a node-sized frame collapse to
+        # one bounded collect + pure-Python rounds; the expensive edge
+        # aggregation above stays distributed and ran exactly once.
+        rows = _small_graph_rows(agg, small_graph_max_nodes)
+        if rows is not None:
+            node_ids = sorted(r[0] for r in nodes.collect())
+            t_map = (
+                {r[0]: r[1] for r in nodes_t.collect()}
+                if nodes_t is not None
+                else None
+            )
+            out = _pagerank_rounds_driver(
+                rows, node_ids, n, damping, iterations, t_map
+            )
+            from pyspark.sql.types import DoubleType, StructField, StructType
+
+            schema = StructType(
+                [
+                    StructField(node_col, nodes.schema.fields[0].dataType),
+                    StructField(rank_col, DoubleType()),
+                ]
+            )
+            return nodes.sparkSession.createDataFrame(out, schema)
+    if nodes_t is not None:
         if iterations > 0:
             nodes_t = nodes_t.localCheckpoint(eager=True)
         ranks = nodes_t.select("__node", F.col("__t").alias("__r"))
@@ -242,10 +401,26 @@ def triangle_count(
     ).localCheckpoint(eager=True)
     # Wedges at apex a: pairs of out-neighbors (b, c), b before c in the
     # orientation order so each unordered pair appears once.
-    o1 = oriented.select(F.col("a"), F.col("b"), F.col("db"))
+    #
+    # The apex join's partition count is PINNED at the configured
+    # shuffle width (explicit repartition by the join key on both
+    # sides, which AQE's coalescer leaves alone). Left to AQE, the
+    # post-shuffle partitions coalesce on the join's INPUT bytes — but
+    # the wedge stage's work is quadratic in each partition's
+    # out-degrees (pair generation + the fused closing probe), so the
+    # small input coalesces into a few giant tasks: measured 4.7 s of
+    # wall in a 9-of-32-task stage at sf0.1 (guide §2.5 — AQE cannot
+    # see an exploding join coming). Both sides share the pinned
+    # hash partitioning, so the join itself adds no extra exchange.
+    n_shuffle = int(
+        oriented.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    o1 = oriented.select(F.col("a"), F.col("b"), F.col("db")).repartition(
+        n_shuffle, "a"
+    )
     o2 = oriented.select(
         F.col("a"), F.col("b").alias("c"), F.col("db").alias("dc")
-    )
+    ).repartition(n_shuffle, "a")
     wedges = o1.join(o2, "a").where(
         F.struct(F.col("db"), F.col("b")) < F.struct(F.col("dc"), F.col("c"))
     )
@@ -398,6 +573,7 @@ def hits(
     node_col: str = "node",
     auth_col: str = "authority",
     hub_col: str = "hub",
+    small_graph_max_nodes: int = SMALL_GRAPH_MAX_NODES,
 ) -> DataFrame:
     """Weighted HITS hubs-and-authorities (Kleinberg, "Authoritative
     sources in a hyperlinked environment", JACM 1999) with a FIXED
@@ -440,6 +616,31 @@ def hits(
     )
     if iterations > 0:
         nodes = nodes.localCheckpoint(eager=True)
+        n = nodes.count()
+        if 0 < n <= (small_graph_max_nodes or 0):
+            # driver fast path (see SMALL_GRAPH_MAX_NODES): the 2k
+            # normalized half-steps over a node-sized frame are pure
+            # scheduling at this size — collapse to one bounded collect
+            # + pure-Python rounds; the edge aggregation above stays
+            # distributed and ran exactly once.
+            rows = _small_graph_rows(agg, small_graph_max_nodes)
+            if rows is not None:
+                node_ids = sorted(r[0] for r in nodes.collect())
+                out = _hits_rounds_driver(rows, node_ids, iterations)
+                from pyspark.sql.types import (
+                    DoubleType,
+                    StructField,
+                    StructType,
+                )
+
+                schema = StructType(
+                    [
+                        StructField(node_col, nodes.schema.fields[0].dataType),
+                        StructField(auth_col, DoubleType()),
+                        StructField(hub_col, DoubleType()),
+                    ]
+                )
+                return nodes.sparkSession.createDataFrame(out, schema)
     a = nodes.select("__node", F.lit(1.0).alias("__a"))
     h = nodes.select("__node", F.lit(1.0).alias("__h"))
 

@@ -189,3 +189,68 @@ def test_hits_matches_pure_python_reference(spark):
     # L1 invariants
     assert abs(sum(v[0] for v in out.values()) - 1.0) < 1e-9
     assert abs(sum(v[1] for v in out.values()) - 1.0) < 1e-9
+
+
+def test_driver_fast_path_matches_distributed_pagerank(spark):
+    """The small-graph driver gear (SMALL_GRAPH_MAX_NODES) must agree
+    with the distributed rounds on the same input far inside the
+    round-6 projection the declared queries apply."""
+    edges = [
+        (0, 1, 9), (0, 2, 1), (1, 0, 1), (2, 0, 1), (2, 3, 4),
+        (3, 4, 2), (4, 0, 7), (1, 4, 3), (4, 2, 1),
+    ]
+    df = _edges_df(spark, edges)
+    fast = _ranks(pagerank(df, "src", "dst", "w"))
+    dist = _ranks(pagerank(df, "src", "dst", "w", small_graph_max_nodes=0))
+    assert set(fast) == set(dist)
+    for v in dist:
+        assert fast[v] == pytest.approx(dist[v], abs=1e-12)
+
+
+def test_driver_fast_path_matches_distributed_pagerank_teleport(spark):
+    edges = [(0, 1, 1), (1, 2, 2), (2, 0, 1), (0, 3, 1), (3, 1, 5)]
+    tele = spark.createDataFrame([(0, 3.0), (1, 1.0)], "node long, t_w double")
+    df = _edges_df(spark, edges)
+    fast = _ranks(pagerank(df, "src", "dst", "w", teleport=tele))
+    dist = _ranks(
+        pagerank(df, "src", "dst", "w", teleport=tele, small_graph_max_nodes=0)
+    )
+    assert set(fast) == set(dist)
+    for v in dist:
+        assert fast[v] == pytest.approx(dist[v], abs=1e-12)
+
+
+def test_driver_fast_path_matches_distributed_hits(spark):
+    from pmp_analytics_spark.operators.graph import hits
+
+    edges = [
+        (0, 1, 9), (0, 2, 1), (1, 0, 1), (2, 0, 1), (2, 3, 4),
+        (3, 4, 2), (4, 0, 7), (1, 4, 3),
+    ]
+    df = _edges_df(spark, edges)
+
+    def both(d):
+        return {
+            row["node"]: (row["authority"], row["hub"]) for row in d.collect()
+        }
+
+    fast = both(hits(df, "src", "dst", "w", iterations=8))
+    dist = both(
+        hits(df, "src", "dst", "w", iterations=8, small_graph_max_nodes=0)
+    )
+    assert set(fast) == set(dist)
+    for v in dist:
+        assert fast[v][0] == pytest.approx(dist[v][0], abs=1e-12)
+        assert fast[v][1] == pytest.approx(dist[v][1], abs=1e-12)
+
+
+def test_driver_fast_path_skips_decimal_weights(spark):
+    """Non-int/float weights are ineligible for the driver gear — the
+    operator must silently take the distributed path, not mis-sum."""
+    from decimal import Decimal
+
+    edges = [(0, 1, Decimal("1.5")), (1, 0, Decimal("2.5"))]
+    df = spark.createDataFrame(edges, "src long, dst long, w decimal(10,2)")
+    got = _ranks(pagerank(df, "src", "dst", "w"))
+    assert set(got) == {0, 1}
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
