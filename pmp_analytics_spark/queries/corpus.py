@@ -1323,8 +1323,17 @@ def _clf_fit(spark: SparkSession, sf_dir: str) -> list[float]:
             .crossJoin(F.broadcast(tot))
             .select("y", (F.col("__n") / (2.0 * F.col("__ny"))).alias("sw"))
         )
-        weighted = labels.join(F.broadcast(cls_w), "y").select(
-            "doc_id", "y", "sw"
+        # cached only through the fit: every GD iteration joins the
+        # weighted labels, and uncached each of the 8 iterations
+        # re-ran the scan + tokenize THREE times through this frame's
+        # lineage (labels + the two class-count aggregates) — measured
+        # as the whole 9.6 s cold-vs-warm gap of
+        # docs_quality_classifier (guide §5: cache what is reused,
+        # unpersist when done)
+        weighted = (
+            labels.join(F.broadcast(cls_w), "y")
+            .select("doc_id", "y", "sw")
+            .cache()
         )
         # cached only through the fit: consumed twice per GD iteration
         feats = hashed_features(
@@ -1341,6 +1350,7 @@ def _clf_fit(spark: SparkSession, sf_dir: str) -> list[float]:
             grad_dp=_CLF_GRAD_DP,
         )
         feats.unpersist()
+        weighted.unpersist()
         _CLF_FIT_MEMO[key] = hit
     return hit
 

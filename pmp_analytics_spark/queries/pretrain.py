@@ -2424,7 +2424,12 @@ def docs_substring_dedup_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     spans0 = duplicate_spans_from_index(
         index0, old, _SUBDUP_T
     ).localCheckpoint(eager=True)
-    delta = snapshot_delta(old, new, ["doc_id"])
+    # the delta (a full-outer text join over two parquet scans) feeds
+    # FOUR delta-bounded consumers across the two refreshes (eviction +
+    # re-shingle in the index refresh, touched + fresh ids in the span
+    # refresh); left lazy each consumer re-ran the join — materialize it
+    # once like the index/span states
+    delta = snapshot_delta(old, new, ["doc_id"]).localCheckpoint(eager=True)
     index1 = substring_index_refresh(index0, delta, _SUBDUP_T).localCheckpoint(
         eager=True
     )
