@@ -475,7 +475,11 @@ def label_propagation_communities(
 
     Returns ``(node, community)`` for every non-isolated node.
     """
-    und = undirected_edges(edges, src, dst)
+    # The doubling union below references the canonical edge set TWICE;
+    # left lazy, BOTH branches re-execute the caller's whole edge
+    # derivation (often an expensive self-join) — measured as 4 full
+    # input scans for one adjacency build. Materialize it once.
+    und = undirected_edges(edges, src, dst).localCheckpoint(eager=True)
     # The doubled adjacency is joined by EVERY round — materialize it
     # once or each round re-executes the caller's edge derivation (the
     # pagerank iteration-invariant-frame rule).

@@ -2270,6 +2270,28 @@ def streaming_pointintime_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Output: the 100 most triangle-dense parts (deterministic tie-break on
 # part id), exact integer counts.
 # --------------------------------------------------------------------------
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The part co-purchase edge frame shared by the triangles /
+    communities / k-core queries: parts appearing on the same order.
+
+    The self-join's two sides are the SAME distinct (order, part)
+    projection; planned lazily each side scans lineitem independently
+    (alias-renamed subtrees defeat exchange reuse), so the one
+    checkpoint here halves the query's input volume — the scan +
+    distinct run once and both join sides probe the materialized
+    pair frame.
+    """
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
+    return a.join(b, "ok").where(F.col("u") < F.col("v")).select("u", "v")
+
+
 _TRI_TOP = 100
 
 
@@ -2302,12 +2324,7 @@ _TRI_TOP = 100
 def part_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pmp_analytics_spark.operators.graph import triangle_count
 
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_partkey"
-    ).distinct()
-    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
-    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
-    edges = a.join(b, "ok").where(F.col("u") < F.col("v")).select("u", "v")
+    edges = _copurchase_edges(spark, sf_dir)
     out = triangle_count(edges, "u", "v")
     return out.orderBy(F.desc("triangles"), "node").limit(_TRI_TOP)
 
@@ -2366,12 +2383,7 @@ def part_copurchase_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
         label_propagation_communities,
     )
 
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_partkey"
-    ).distinct()
-    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
-    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
-    edges = a.join(b, "ok").where(F.col("u") < F.col("v")).select("u", "v")
+    edges = _copurchase_edges(spark, sf_dir)
     out = label_propagation_communities(edges, "u", "v", iterations=_LPA_ROUNDS)
     return out.groupBy("community").agg(
         F.count(F.lit(1)).alias("n_members")
@@ -2428,10 +2440,5 @@ def _kcore_oracle() -> str:
 def part_copurchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pmp_analytics_spark.operators.graph import kcore
 
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_partkey"
-    ).distinct()
-    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
-    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
-    edges = a.join(b, "ok").where(F.col("u") < F.col("v")).select("u", "v")
+    edges = _copurchase_edges(spark, sf_dir)
     return kcore(edges, _KCORE_K, "u", "v", max_rounds=_KCORE_ROUNDS)
