@@ -1042,7 +1042,19 @@ def docs_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and reused (ReusedExchange) instead of the explode running twice —
     # is_tgt rides in the grouping key (it is functionally determined by
     # doc_id) so bc can split target counts without a second pass.
-    dc = f.groupBy("doc_id", "is_tgt", "b").agg(F.count(F.lit(1)).alias("c"))
+    # lazily checkpointed: the lr materialization below splits the query
+    # into a fit ACTION and a score ACTION, and without a materialization
+    # boundary the score pass re-ran the corpus explode+hash from scratch
+    # (profiled as a second 24-77 s summed-CPU stage). dc is the compact
+    # per-doc bucket-count frame (≤ _DSIR_B rows per doc — strictly
+    # smaller than the exploded feature stream it aggregates), so storing
+    # it beats recomputing it at any scale; ContextCleaner frees the
+    # blocks when the frame goes out of scope.
+    dc = (
+        f.groupBy("doc_id", "is_tgt", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
     bc = dc.groupBy("b").agg(
         F.sum("c").alias("raw_c"),
         F.coalesce(

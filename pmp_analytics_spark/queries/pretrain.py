@@ -2726,7 +2726,13 @@ def docs_tokenizer_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=False)
 
     def eval_row(name: str, seg: DataFrame, subs: F.Column) -> DataFrame:
-        with_subs = seg.select("word", "freq", subs.alias("subs"))
+        # lazily checkpointed: the count aggregate and the vocab-used
+        # aggregate both consume the segmented vocabulary; left lazy
+        # each arm re-ran its whole merge-replay segmentation (the
+        # expensive projection) once per consumer
+        with_subs = seg.select(
+            "word", "freq", subs.alias("subs")
+        ).localCheckpoint(eager=False)
         agg = with_subs.agg(
             F.sum("freq").cast("long").alias("n_words"),
             F.sum(F.col("freq") * F.size("subs")).cast("long").alias("n_tokens"),
@@ -3413,7 +3419,11 @@ def docs_wordpiece_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    wv = word_vocab(docs, "text")
+    # lazily checkpointed: the vocab derivation AND the top-words cut
+    # both consume the word vocabulary; left lazy each re-ran the
+    # corpus tokenize+explode (the same two-consumer rule as
+    # docs_tokenizer_eval's wv)
+    wv = word_vocab(docs, "text").localCheckpoint(eager=False)
     _, wrules = _wp_fit(spark, sf_dir)
     vocab = wordpiece_vocab(apply_merges_to_sym(_symbolized(wv), wrules))
     top = (
