@@ -224,8 +224,8 @@ def interpolated_percentiles(
 ) -> DataFrame:
     """Bit-identical replacement for a 1-row ``agg(F.percentile(v, q)
     for each q)`` — Spark's INTERPOLATED (percentile_cont) semantics —
-    computed with the module's two-pass bucket-locate machinery instead
-    of ``Percentile``'s single-task value→count map.
+    computed with the module's two-pass bucket-locate scheme instead of
+    ``Percentile``'s single-task value→count map.
 
     Why: ``Percentile``'s merge materializes every distinct value on
     one task — O(distinct values) memory on a single reducer, the one
@@ -234,6 +234,19 @@ def interpolated_percentiles(
     Here pass 1 is an equi-width histogram (<= ``bins`` rows cross the
     exchange per partition) and pass 2 ranks only the target buckets —
     nothing larger than a bucket ever sits on one task.
+
+    Movement: three bounded driver steps — a 1-row bounds aggregate, the
+    <= ``bins``-row histogram, and the <= 2·len(qs) picked order
+    statistics — with the locate arithmetic (cumulative profile, target
+    bucket, in-bucket rank) done in plain Python between them. The first
+    cut of this operator kept the locate step distributed (a chain of
+    broadcast triangle joins feeding the rank window); that shape is
+    ~12 sequential stages of scheduling for <= bins rows of data, and
+    benched ~1.6 s of pure plan depth per invocation against ~0.1 s for
+    the collect form (guide §1.3: within a small factor of the floor).
+    Every collect here is bounded by CONSTRUCTION (1, bins, 2·len(qs)
+    rows) — the same budget as the repo's 1-row threshold aggregates,
+    independent of data volume.
 
     Exactness: Spark's ``Percentile.getPercentile`` computes, over the
     sorted non-null values v[0..n-1] (0-indexed),
@@ -244,119 +257,105 @@ def interpolated_percentiles(
                = v[lower]                              if v[higher] == v[lower]
                = (higher-pos)*v[lower] + (pos-lower)*v[higher]  otherwise
 
-    This function reproduces that formula expression-for-expression
-    (including both early returns — the general formula is NOT a
+    This function reproduces that formula operation-for-operation in
+    Python doubles (IEEE-identical to Spark's double expressions,
+    including both early returns — the general formula is NOT a
     float-exact identity when the two order statistics coincide), with
     the two order statistics fetched at ranks lower+1 / higher+1 by
     exact integer bucket arithmetic. Output: ONE row, one double column
     per ``(name, q)`` in ``qs`` (null when the input is empty, matching
     ``percentile`` over zero rows).
     """
-    vals = df.where(F.col(value_col).isNotNull()).select(
-        F.col(value_col).cast("double").alias("v")
-    )
-    bounds = vals.agg(
-        F.min("v").alias("mn"),
-        F.max("v").alias("mx"),
-        F.count(F.lit(1)).alias("n"),
-    )
-
-    binned = vals.crossJoin(F.broadcast(bounds)).select(
-        "v", _bin_col(F.col("v"), F.col("mn"), F.col("mx"), bins).alias("bin")
-    )
-    bin_counts = binned.groupBy("bin").agg(F.count(F.lit(1)).alias("cnt"))
-    b2 = bin_counts.select(F.col("bin").alias("b2"), F.col("cnt").alias("c2"))
-    cum = (
-        bin_counts.join(F.broadcast(b2), F.col("b2") <= F.col("bin"))
-        .groupBy("bin", "cnt")
-        .agg(F.sum("c2").alias("cum"))
-    )
+    import math
 
     from pmp_analytics_spark.sources.local import local_df
 
     spark = df.sparkSession
-    qdf = local_df(
-        spark, [(str(name), float(q)) for name, q in qs], "qname string, q double"
+    schema = ", ".join(f"{name} double" for name, _ in qs)
+    vals = df.where(F.col(value_col).isNotNull()).select(
+        F.col(value_col).cast("double").alias("v")
     )
-    # pos exactly as Percentile computes it: (n-1) is a BIGINT, q the
-    # literal double — one long*double multiply.
-    targ = (
-        qdf.crossJoin(F.broadcast(bounds))
-        .where(F.col("n") > 0)
-        .select(
-            "qname",
-            ((F.col("n") - 1) * F.col("q")).alias("pos"),
-        )
-        .select(
-            "qname",
-            "pos",
-            F.floor("pos").alias("lo"),
-            F.ceil("pos").alias("hi"),
-        )
-    )
-    ranks = targ.select(
-        "qname",
-        "pos",
-        "lo",
-        "hi",
-        F.explode(
-            F.array(
-                F.struct(
-                    F.lit("lo").alias("which"), (F.col("lo") + 1).alias("rank")
-                ),
-                F.struct(
-                    F.lit("hi").alias("which"), (F.col("hi") + 1).alias("rank")
-                ),
-            )
-        ).alias("t"),
-    ).select("qname", "pos", "lo", "hi", "t.which", "t.rank")
-    spec = (
-        ranks.join(F.broadcast(cum), F.col("cum") >= F.col("rank"))
-        .groupBy("qname", "pos", "lo", "hi", "which", "rank")
-        .agg(F.min("bin").alias("bin"))
-        .join(F.broadcast(cum), "bin")
-        .select(
-            "qname",
-            "pos",
-            "lo",
-            "hi",
-            "which",
-            "bin",
-            (F.col("rank") - (F.col("cum") - F.col("cnt"))).alias("local_rank"),
-        )
-    )
+    mn, mx, n = vals.agg(
+        F.min("v").alias("mn"),
+        F.max("v").alias("mx"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    if not n:
+        return local_df(spark, [tuple(None for _ in qs)], schema)
 
-    hits = binned.join(F.broadcast(spec), "bin")
-    w = Window.partitionBy("qname", "which").orderBy("v")
-    picked = hits.withColumn("rn", F.row_number().over(w)).where(
-        F.col("rn") == F.col("local_rank")
+    # the bin expression must be IDENTICAL in both passes (same mn/mx
+    # literals) so locate and re-scan agree bit-for-bit
+    binned = vals.select(
+        "v", _bin_col(F.col("v"), F.lit(mn), F.lit(mx), bins).alias("bin")
     )
-    comb = picked.groupBy("qname", "pos", "lo", "hi").agg(
-        F.first(
-            F.when(F.col("which") == "lo", F.col("v")), ignorenulls=True
-        ).alias("vl"),
-        F.first(
-            F.when(F.col("which") == "hi", F.col("v")), ignorenulls=True
-        ).alias("vh"),
+    hist = sorted(
+        (r[0], r[1])
+        for r in binned.groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    )  # <= bins rows by construction
+
+    # locate: global rank -> (bucket, in-bucket rank), exact integers
+    cum_before: dict[int, int] = {}
+    running = 0
+    for b, cnt in hist:
+        cum_before[b] = running
+        running += cnt
+
+    def locate(rank: int) -> tuple[int, int]:
+        for b, cnt in hist:
+            if rank <= cum_before[b] + cnt:
+                return b, rank - cum_before[b]
+        raise AssertionError("rank beyond histogram total")
+
+    specs = []  # (qname, which, bin, local_rank)
+    meta = {}  # qname -> (pos, lo, hi)
+    for name, q in qs:
+        # exactly Percentile's arithmetic: (n-1) is a long, q a double
+        pos = (n - 1) * float(q)
+        lo = math.floor(pos)
+        hi = math.ceil(pos)
+        meta[str(name)] = (pos, lo, hi)
+        specs.append((str(name), "lo", *locate(lo + 1)))
+        specs.append((str(name), "hi", *locate(hi + 1)))
+
+    # pass 2: rank INSIDE the <= 2·len(qs) target buckets only; a
+    # window per bucket (bucket-sized partitions — the module's bound),
+    # pick the needed local ranks, collect the picked values (<=
+    # 2·len(qs) rows). Ties inside a bucket order arbitrarily but the
+    # value at a fixed rank of a multiset is unique, so the picked
+    # VALUE is partitioning- and tie-order-independent.
+    need: dict[int, set] = {}
+    for _, _, b, r in specs:
+        need.setdefault(b, set()).add(r)
+    target_bins = sorted(need)
+    rank_pred = None
+    for b in target_bins:
+        cond = (F.col("bin") == b) & F.col("rn").isin([int(r) for r in need[b]])
+        rank_pred = cond if rank_pred is None else (rank_pred | cond)
+    w = Window.partitionBy("bin").orderBy("v")
+    picked = (
+        binned.where(F.col("bin").isin([int(b) for b in target_bins]))
+        .withColumn("rn", F.row_number().over(w))
+        .where(rank_pred)
+        .select("bin", "rn", "v")
+        .collect()
     )
-    value = (
-        F.when(F.col("hi") == F.col("lo"), F.col("vl"))
-        .when(F.col("vh") == F.col("vl"), F.col("vl"))
-        .otherwise(
-            (F.col("hi") - F.col("pos")) * F.col("vl")
-            + (F.col("pos") - F.col("lo")) * F.col("vh")
-        )
-    )
-    named = comb.select("qname", value.alias("value"))
-    return named.agg(
-        *[
-            F.first(
-                F.when(F.col("qname") == F.lit(str(name)), F.col("value")),
-                ignorenulls=True,
-            ).alias(str(name))
-            for name, _ in qs
-        ]
-    )
+    val_at = {(r["bin"], r["rn"]): r["v"] for r in picked}
+
+    out = []
+    for name, _q in qs:
+        pos, lo, hi = meta[str(name)]
+        sp = {which: (b, r) for (qn, which, b, r) in specs if qn == str(name)}
+        vl = val_at[sp["lo"]]
+        vh = val_at[sp["hi"]]
+        if hi == lo or vh == vl:
+            out.append(vl)
+        else:
+            # same operation order as the expression form:
+            # (hi-pos)*vl + (pos-lo)*vh in doubles
+            out.append((hi - pos) * vl + (pos - lo) * vh)
+    return local_df(spark, [tuple(out)], schema)
 
 
 def interpolated_group_percentile(
@@ -371,101 +370,109 @@ def interpolated_group_percentile(
     ``(group, out_col)``, one row per group with at least one non-null
     value, each value bit-identical to ``groupBy(group).agg(
     F.percentile(value, q))`` — same Percentile formula replication as
-    the global operator, all small frames keyed by the group (the
-    reducer-friendly group cardinalities the exact_group_percentiles
-    broadcast contract documents)."""
+    the global operator, same bounded-collect movement (the per-group
+    bounds and histograms are <= groups and <= groups·bins rows — the
+    reducer-friendly, BROADCASTABLE group cardinalities this operator's
+    callers already contract for when they broadcast the threshold
+    frame back; the locate arithmetic runs in Python between the
+    passes, exactly as the global operator's docstring lays out)."""
+    import math
+
+    from pmp_analytics_spark.sources.local import local_df
+
+    spark = df.sparkSession
     g = F.col(group_col).alias("g")
     vals = df.where(F.col(value_col).isNotNull()).select(
         g, F.col(value_col).cast("double").alias("v")
     )
-    bounds = vals.groupBy("g").agg(
-        F.min("v").alias("mn"),
-        F.max("v").alias("mx"),
-        F.count(F.lit(1)).alias("n"),
-    )
+    bounds = {
+        r["g"]: (r["mn"], r["mx"], r["n"])
+        for r in vals.groupBy("g")
+        .agg(
+            F.min("v").alias("mn"),
+            F.max("v").alias("mx"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    }  # <= #groups rows — the caller's broadcast contract
+    gtype = df.schema[group_col].dataType.simpleString()
+    vtype = df.schema[value_col].dataType.simpleString()
+    schema = f"{group_col} {gtype}, {out_col} double"
+    if not bounds:
+        return local_df(spark, [], schema)
 
-    binned = vals.join(F.broadcast(bounds), "g").select(
+    # the bin expression must be IDENTICAL in both passes: mn/mx ride in
+    # as a broadcast of the collected bounds (per-group literals)
+    bdf = F.broadcast(
+        local_df(
+            spark,
+            [(k, float(mn), float(mx)) for k, (mn, mx, _n) in bounds.items()],
+            f"g {gtype}, mn double, mx double",
+        )
+    )
+    binned = vals.join(bdf, "g").select(
         "g",
         "v",
         _bin_col(F.col("v"), F.col("mn"), F.col("mx"), bins).alias("bin"),
     )
-    bin_counts = binned.groupBy("g", "bin").agg(F.count(F.lit(1)).alias("cnt"))
-    b2 = bin_counts.select(
-        F.col("g").alias("g2"), F.col("bin").alias("b2"), F.col("cnt").alias("c2")
-    )
-    cum = (
-        bin_counts.join(
-            F.broadcast(b2),
-            (F.col("g2") == F.col("g")) & (F.col("b2") <= F.col("bin")),
-        )
-        .groupBy("g", "bin", "cnt")
-        .agg(F.sum("c2").alias("cum"))
-    )
+    hist: dict = {}
+    for r in (
+        binned.groupBy("g", "bin").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    ):  # <= groups*bins rows
+        hist.setdefault(r["g"], []).append((r["bin"], r["cnt"]))
 
-    targ = bounds.select(
-        "g", ((F.col("n") - 1) * F.lit(float(q))).alias("pos")
-    ).select(
-        "g", "pos", F.floor("pos").alias("lo"), F.ceil("pos").alias("hi")
-    )
-    ranks = targ.select(
-        "g",
-        "pos",
-        "lo",
-        "hi",
-        F.explode(
-            F.array(
-                F.struct(
-                    F.lit("lo").alias("which"), (F.col("lo") + 1).alias("rank")
-                ),
-                F.struct(
-                    F.lit("hi").alias("which"), (F.col("hi") + 1).alias("rank")
-                ),
-            )
-        ).alias("t"),
-    ).select("g", "pos", "lo", "hi", "t.which", "t.rank")
-    spec = (
-        ranks.alias("r")
-        .join(
-            F.broadcast(cum).alias("c"),
-            (F.col("r.g") == F.col("c.g")) & (F.col("c.cum") >= F.col("r.rank")),
-        )
-        .groupBy("r.g", "r.pos", "r.lo", "r.hi", "r.which", "r.rank")
-        .agg(F.min("c.bin").alias("bin"))
-        .select(
-            F.col("g"), F.col("pos"), F.col("lo"), F.col("hi"),
-            F.col("which"), F.col("rank"), F.col("bin"),
-        )
-        .join(F.broadcast(cum), ["g", "bin"])
-        .select(
-            "g",
-            "pos",
-            "lo",
-            "hi",
-            "which",
-            "bin",
-            (F.col("rank") - (F.col("cum") - F.col("cnt"))).alias("local_rank"),
-        )
-    )
+    specs: dict = {}  # group -> (pos, lo, hi, (bin_lo, rank_lo), (bin_hi, rank_hi))
+    need: dict = {}  # (group, bin) -> set of local ranks
+    for grp, (mn, mx, n) in bounds.items():
+        h = sorted(hist[grp])
+        cum_before: dict = {}
+        running = 0
+        for b, cnt in h:
+            cum_before[b] = running
+            running += cnt
 
-    hits = binned.join(F.broadcast(spec), ["g", "bin"])
-    w = Window.partitionBy("g", "which").orderBy("v")
-    picked = hits.withColumn("rn", F.row_number().over(w)).where(
-        F.col("rn") == F.col("local_rank")
-    )
-    comb = picked.groupBy("g", "pos", "lo", "hi").agg(
-        F.first(
-            F.when(F.col("which") == "lo", F.col("v")), ignorenulls=True
-        ).alias("vl"),
-        F.first(
-            F.when(F.col("which") == "hi", F.col("v")), ignorenulls=True
-        ).alias("vh"),
-    )
-    value = (
-        F.when(F.col("hi") == F.col("lo"), F.col("vl"))
-        .when(F.col("vh") == F.col("vl"), F.col("vl"))
-        .otherwise(
-            (F.col("hi") - F.col("pos")) * F.col("vl")
-            + (F.col("pos") - F.col("lo")) * F.col("vh")
+        def locate(rank: int) -> tuple:
+            for b, cnt in h:
+                if rank <= cum_before[b] + cnt:
+                    return b, rank - cum_before[b]
+            raise AssertionError("rank beyond histogram total")
+
+        pos = (n - 1) * float(q)
+        lo = math.floor(pos)
+        hi = math.ceil(pos)
+        slo, shi = locate(lo + 1), locate(hi + 1)
+        specs[grp] = (pos, lo, hi, slo, shi)
+        need.setdefault((grp, slo[0]), set()).add(slo[1])
+        need.setdefault((grp, shi[0]), set()).add(shi[1])
+
+    rank_pred = None
+    for (grp, b), ranks in need.items():
+        cond = (
+            (F.col("g") == F.lit(grp))
+            & (F.col("bin") == int(b))
+            & F.col("rn").isin([int(r) for r in ranks])
         )
-    )
-    return comb.select(F.col("g").alias(group_col), value.alias(out_col))
+        rank_pred = cond if rank_pred is None else (rank_pred | cond)
+    bin_pred = None
+    for grp, b in need:
+        cond = (F.col("g") == F.lit(grp)) & (F.col("bin") == int(b))
+        bin_pred = cond if bin_pred is None else (bin_pred | cond)
+    w = Window.partitionBy("g", "bin").orderBy("v")
+    picked = (
+        binned.where(bin_pred)
+        .withColumn("rn", F.row_number().over(w))
+        .where(rank_pred)
+        .select("g", "bin", "rn", "v")
+        .collect()
+    )  # <= 2*#groups rows
+    val_at = {(r["g"], r["bin"], r["rn"]): r["v"] for r in picked}
+
+    out = []
+    for grp, (pos, lo, hi, slo, shi) in specs.items():
+        vl = val_at[(grp, *slo)]
+        vh = val_at[(grp, *shi)]
+        if hi == lo or vh == vl:
+            out.append((grp, vl))
+        else:
+            out.append((grp, (hi - pos) * vl + (pos - lo) * vh))
+    return local_df(spark, out, schema)
