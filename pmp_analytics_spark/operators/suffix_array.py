@@ -102,20 +102,29 @@ def seed_positions(
     )
 
 
-def _positions(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def _positions(
+    docs: DataFrame, id_col: str, text_col: str, widen: bool = True
+) -> DataFrame:
     """(doc_id, doc_len, pos, __t): one row per 1-based char position,
-    text carried for same-select substring extraction only."""
+    text carried for same-select substring extraction only.
+
+    ``widen=False`` skips the input repartition: the CDC/streaming
+    refresh paths call this on DELTA-BOUNDED frames (a micro-batch, a
+    snapshot delta) whose partitioning the delta machinery already
+    chose — fanning a tiny delta to the core count adds an exchange per
+    refresh for no parallelism gain (measured +1.4-1.6 s on the
+    substring CDC/streaming pair at sf0.1). Corpus-path callers keep
+    the widen, which is a no-op once the scan has that many splits."""
     from pmp_analytics_spark.operators.partitioning import ensure_parallelism
 
+    narrow = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("__t")
+    )
     # the per-char position explode is the expensive fan-out — repartition
     # the narrow (id, text) input up to the core count first (no-op once
     # the scan is already split)
     return (
-        ensure_parallelism(
-            docs.select(
-                F.col(id_col).alias("doc_id"), F.col(text_col).alias("__t")
-            )
-        )
+        (ensure_parallelism(narrow) if widen else narrow)
         .where(F.length("__t") > 0)
         .select(
             "doc_id",
@@ -380,6 +389,7 @@ def substring_index_build(
     min_len: int,
     id_col: str = "doc_id",
     text_col: str = "text",
+    widen: bool = True,
 ) -> DataFrame:
     """The exact substring-dedup INDEX: ``(gram, doc_id, occ)`` — every
     literal ``min_len``-character gram with its per-document occurrence
@@ -391,7 +401,7 @@ def substring_index_build(
     store-the-key posture as the LSH band store, with the same
     production note (a deployment that accepts 128-bit-hash exactness
     halves the width; the maintenance algebra is identical)."""
-    pos = _positions(docs, id_col, text_col).where(
+    pos = _positions(docs, id_col, text_col, widen=widen).where(
         F.col("pos") + min_len - 1 <= F.col("doc_len")
     )
     return (
@@ -428,7 +438,11 @@ def substring_index_refresh(
     fresh_docs = delta.where(
         F.col("change_type").isin("added", "changed")
     ).select(F.col(id_col), F.col(f"new_{text_col}").alias(text_col))
-    fresh = substring_index_build(fresh_docs, min_len, id_col, text_col)
+    # widen=False: the fresh side is delta-bounded by construction —
+    # see _positions
+    fresh = substring_index_build(
+        fresh_docs, min_len, id_col, text_col, widen=False
+    )
     return kept.unionByName(fresh)
 
 
@@ -509,7 +523,8 @@ def substring_spans_refresh(
     # recompute spans for affected docs against the NEW corpus counts of
     # exactly the grams those docs contain
     aff_docs = docs_new.join(F.broadcast(affected), id_col, "leftsemi")
-    aff_pos = _positions(aff_docs, id_col, text_col).where(
+    # widen=False: affected docs are delta-bounded — see _positions
+    aff_pos = _positions(aff_docs, id_col, text_col, widen=False).where(
         F.col("pos") + min_len - 1 <= F.col("doc_len")
     ).select(
         "doc_id",
