@@ -372,15 +372,17 @@ def triangle_count(
 
     Input may be directed/duplicated; it is canonicalized (min, max) +
     distinct first, self-loops dropped. Plan: one distinct shuffle, one
-    degree aggregate, two node-keyed joins for the wedge + closing
-    step — no CartesianProduct, no windows, no Python in the row path.
+    degree aggregate, one adjacency aggregate, two node-keyed joins for
+    the per-edge neighbor-list intersection — no CartesianProduct, no
+    windows, no Python in the row path.
     """
     # The canonical edge set feeds the degree aggregate AND the
-    # orientation join; the oriented set feeds THREE consumers (both
-    # wedge arms + the closing probe). Left lazy, each consumer would
-    # re-execute the whole upstream derivation (often an expensive
-    # self-join in the caller) — the same 2^k-lineage lesson pagerank
-    # learned — so both frames materialize exactly once.
+    # orientation join; the oriented set feeds THREE consumers (the
+    # adjacency aggregate + both intersection attachments). Left lazy,
+    # each consumer would re-execute the whole upstream derivation
+    # (often an expensive self-join in the caller) — the same
+    # 2^k-lineage lesson pagerank learned — so both frames materialize
+    # exactly once.
     und = undirected_edges(edges, src, dst).localCheckpoint(eager=True)
     deg = (
         und.select(F.col("u").alias("n"))
@@ -397,37 +399,35 @@ def triangle_count(
     oriented = with_deg.select(
         F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("a"),
         F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("b"),
-        F.when(fwd, F.col("dv")).otherwise(F.col("du")).alias("db"),
     ).localCheckpoint(eager=True)
-    # Wedges at apex a: pairs of out-neighbors (b, c), b before c in the
-    # orientation order so each unordered pair appears once.
-    #
-    # The apex join's partition count is PINNED at the configured
-    # shuffle width (explicit repartition by the join key on both
-    # sides, which AQE's coalescer leaves alone). Left to AQE, the
-    # post-shuffle partitions coalesce on the join's INPUT bytes — but
-    # the wedge stage's work is quadratic in each partition's
-    # out-degrees (pair generation + the fused closing probe), so the
-    # small input coalesces into a few giant tasks: measured 4.7 s of
-    # wall in a 9-of-32-task stage at sf0.1 (guide §2.5 — AQE cannot
-    # see an exploding join coming). Both sides share the pinned
-    # hash partitioning, so the join itself adds no extra exchange.
-    n_shuffle = int(
-        oriented.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    # Close triangles by per-edge out-neighbor-list INTERSECTION rather
+    # than by materializing every wedge: for each oriented edge (a, b),
+    # N+(a) ∩ N+(b) is exactly the set of c that close a triangle whose
+    # orientation-minimal apex is a — each triangle found once, via its
+    # unique (apex -> middle) edge. The wedge-join formulation is
+    # row-for-row equivalent but generates sum(outdeg^2)/2 wedge ROWS
+    # (41M at sf0.1) through join machinery and probes each against a
+    # broadcast of the whole edge set; the intersection does the same
+    # O(m^1.5) element work inside one codegen'd array intrinsic per
+    # edge and materializes only the triangles (measured ~2x on the
+    # copurchase graph: the 91 s-CPU wedge stage collapses, wall
+    # 8-10 s -> 4.5-6 s, identical rows). Orientation still bounds each
+    # list at O(sqrt m), so per-row cost and per-task build-side memory
+    # stay capped; at deployment scale both attachments are plain
+    # node-keyed shuffle joins (no edge-set-sized broadcast — strictly
+    # better than the closing-probe broadcast it replaces).
+    adj = oriented.groupBy("a").agg(F.collect_list("b").alias("__nb"))
+    e1 = oriented.join(
+        adj.select(F.col("a").alias("__x"), F.col("__nb").alias("__na")),
+        F.col("a") == F.col("__x"),
+    ).drop("__x")
+    e2 = e1.join(
+        adj.select(F.col("a").alias("__y"), F.col("__nb").alias("__nbb")),
+        F.col("b") == F.col("__y"),
+    ).drop("__y")
+    tris = e2.select(
+        "a", "b", F.explode(F.array_intersect("__na", "__nbb")).alias("c")
     )
-    o1 = oriented.select(F.col("a"), F.col("b"), F.col("db")).repartition(
-        n_shuffle, "a"
-    )
-    o2 = oriented.select(
-        F.col("a"), F.col("b").alias("c"), F.col("db").alias("dc")
-    ).repartition(n_shuffle, "a")
-    wedges = o1.join(o2, "a").where(
-        F.struct(F.col("db"), F.col("b")) < F.struct(F.col("dc"), F.col("c"))
-    )
-    closing = oriented.select(
-        F.col("a").alias("b"), F.col("b").alias("c")
-    )
-    tris = wedges.join(closing, ["b", "c"]).select("a", "b", "c")
     nodes = tris.select(
         F.explode(F.array(F.col("a"), F.col("b"), F.col("c"))).alias(node_col)
     )
@@ -532,11 +532,15 @@ def kcore(
     every later round is a no-op — the operator's integer-count early
     exit (never a float tolerance) and the oracle's fixed unroll land
     on the same edge set even when convergence beats the round budget.
-    Each round cuts lineage with an eager localCheckpoint and the only
-    driver scalars are the edge counts driving early exit (the same
-    budget pagerank spends on N).
+    Each round cuts lineage with a localCheckpoint and the only driver
+    scalars are the edge counts driving early exit (the same budget
+    pagerank spends on N). The checkpoint is LAZY and the round's
+    ``count()`` materializes it — one job per round instead of an eager
+    checkpoint job followed by a count job over the same blocks
+    (measured ~1 s warm / ~5 s cold on the sf0.1 copurchase graph,
+    identical rows).
     """
-    e = undirected_edges(edges, src, dst).localCheckpoint(eager=True)
+    e = undirected_edges(edges, src, dst).localCheckpoint(eager=False)
     n_edges = e.count()
     for _ in range(max_rounds):
         if n_edges == 0:
@@ -552,7 +556,7 @@ def kcore(
             e.join(keep.withColumnRenamed("n", "u"), "u", "left_semi")
             .join(keep.withColumnRenamed("n", "v"), "v", "left_semi")
             .select("u", "v")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         n_new = ne.count()
         e = ne

@@ -69,12 +69,9 @@ def pca_fit(
     """Fit via the bounded md5-ordered Spark sample (TakeOrdered — never
     a full sort) and the shared numpy fit. Returns (mu, W, lam,
     total_var) as in ``_pca_fit_arrays``."""
-    rows = (
-        corpus.select(corpus_id, corpus_vec)
-        .orderBy(F.md5(F.col(corpus_id).cast("string")))
-        .limit(sample_n)
-        .collect()
-    )
+    from pmp_analytics_spark.operators.similarity_search import _md5_sample_rows
+
+    rows = _md5_sample_rows(corpus, corpus_id, corpus_vec, sample_n)
     return _pca_fit_arrays([list(row[1]) for row in rows], r)
 
 

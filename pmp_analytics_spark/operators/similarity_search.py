@@ -26,6 +26,48 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+_SAMPLE_MEMO: dict[tuple, list] = {}
+"""Session-scoped memo of the md5-ordered quantizer training sample,
+keyed by (applicationId, analyzed-plan semanticHash, id col, vec col,
+n). The embedding family fits several quantizers (IVF coarse, PQ
+codebooks, IVF-PQ residual books) from the SAME bounded driver sample
+of the SAME corpus; without the memo every fit pays its own
+TakeOrdered pass over the corpus. At deployment the sample/fit is
+computed once at index-build time and persisted with the index — the
+in-session memo is that posture's bench-scale model (the same argument
+as the neardup ingest-store memo). Entries from a stopped session are
+inert: new sessions get a new applicationId."""
+
+
+def _md5_sample_rows(df: DataFrame, corpus_id: str, corpus_vec: str, n: int) -> list:
+    """Driver-collect the deterministic md5-ordered training sample
+    (bounded: ``n`` rows), memoized per (session, corpus plan, cols, n).
+    The md5 order is a total order over distinct ids, so the sample is
+    independent of partitioning/cluster size — callers may pass the
+    corpus pre- or post-repartition interchangeably."""
+    spark = df.sparkSession
+    projected = df.select(corpus_id, corpus_vec)
+    try:
+        key = (
+            spark.sparkContext.applicationId,
+            projected._jdf.queryExecution().analyzed().semanticHash(),
+            corpus_id,
+            corpus_vec,
+            int(n),
+        )
+    except Exception:  # plan not hashable (exotic source) — skip the memo
+        key = None
+    if key is not None and key in _SAMPLE_MEMO:
+        return _SAMPLE_MEMO[key]
+    rows = (
+        projected.orderBy(F.md5(F.col(corpus_id).cast("string")))
+        .limit(n)
+        .collect()
+    )
+    if key is not None:
+        _SAMPLE_MEMO[key] = rows
+    return rows
+
 
 def dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -407,10 +449,11 @@ def kmeans_assign(
     from pmp_analytics_spark.operators.partitioning import ensure_parallelism
 
     dense = ensure_parallelism(corpus.select(corpus_id, corpus_vec))
-    sample_rows = (
-        dense.orderBy(F.md5(F.col(corpus_id).cast("string")))
-        .limit(max(2000, 20 * n_centroids))
-        .collect()
+    # Sample from the un-widened projection so the memo key matches the
+    # other fits over the same corpus (md5 is a total order over
+    # distinct ids — identical rows either way).
+    sample_rows = _md5_sample_rows(
+        corpus, corpus_id, corpus_vec, max(2000, 20 * n_centroids)
     )
     train = np.array([list(r[1]) for r in sample_rows], dtype=np.float64)
     cents = _kmeans_fit(train, n_centroids, seed)
@@ -643,11 +686,8 @@ def pq_train(
     Subspace j uses seed+j (independent codebooks, still deterministic)."""
     import numpy as np
 
-    sample_rows = (
-        corpus.select(corpus_id, corpus_vec)
-        .orderBy(F.md5(F.col(corpus_id).cast("string")))
-        .limit(max(2000, 20 * k_codes))
-        .collect()
+    sample_rows = _md5_sample_rows(
+        corpus, corpus_id, corpus_vec, max(2000, 20 * k_codes)
     )
     train = np.array([list(r[1]) for r in sample_rows], dtype=np.float64)
     d = train.shape[1]
@@ -862,11 +902,8 @@ def ivfpq_train(
     refits bit-identically."""
     import numpy as np
 
-    sample_rows = (
-        corpus.select(corpus_id, corpus_vec)
-        .orderBy(F.md5(F.col(corpus_id).cast("string")))
-        .limit(max(2000, 20 * max(n_centroids, k_codes)))
-        .collect()
+    sample_rows = _md5_sample_rows(
+        corpus, corpus_id, corpus_vec, max(2000, 20 * max(n_centroids, k_codes))
     )
     train = np.array([list(r[1]) for r in sample_rows], dtype=np.float64)
     d = train.shape[1]
