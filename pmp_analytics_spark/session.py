@@ -46,14 +46,16 @@ def get_spark(
     """
     par = default_parallelism()
     # In local mode the driver JVM IS the executor. 4g measured fastest
-    # on the full 142-query bench: the 1g default occasionally starves
-    # 32 task threads (allocation-over-95% warnings on the heavier
-    # queries), while LARGE heaps are actively slower here — 24g
-    # measured +23% total (G1 pause/expansion behavior dominates long
-    # before the extra space helps). On a real cluster this knob is
-    # inert (executors are sized by the deploy config);
-    # SPARK_GRAFT_DRIVER_MEM re-pins it locally.
-    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "4g")
+    # on the full 142-query bench; at 252 queries the accumulated
+    # CacheManager entries + 32 task threads push a 4g heap into GC
+    # throttle on the warm pass — full-bench A/B on one box, one day:
+    # best-of 390.5/392.0 s at 4g vs 355.5 s at 6g vs 349.2 s at 8g
+    # (warm pass 443-481 -> 382-387 s). 6g is the knee; LARGE heaps
+    # remain actively slower — 24g measured +23% total (G1 pause/
+    # expansion behavior dominates long before the extra space helps).
+    # On a real cluster this knob is inert (executors are sized by the
+    # deploy config); SPARK_GRAFT_DRIVER_MEM re-pins it locally.
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "6g")
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master or f"local[{par}]")
