@@ -2277,7 +2277,22 @@ communities / k-core) analyze the SAME derived graph; at deployment
 that edge set is a materialized derived table built once per corpus
 version, not re-derived per analysis — the in-session memo is that
 posture's bench-scale model (the neardup ingest-store argument).
-Entries from a stopped session are inert (new applicationId)."""
+Entries from a stopped session are inert (new applicationId);
+``clear_copurchase_edges`` releases explicitly for memory-sensitive
+harnesses (the ``clear_neardup_ingest_store`` discipline)."""
+
+
+def clear_copurchase_edges() -> None:
+    """Unpersist and drop every memoized co-purchase edge frame (see
+    ``_COPURCHASE_EDGE_MEMO``). The frames are localCheckpoints, so
+    ``unpersist`` releases their storage blocks immediately instead of
+    waiting for the ContextCleaner to collect the RDD reference."""
+    for edges in _COPURCHASE_EDGE_MEMO.values():
+        try:
+            edges.unpersist()
+        except Exception:  # session already stopped
+            pass
+    _COPURCHASE_EDGE_MEMO.clear()
 
 
 def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -2708,24 +2708,36 @@ def embedding_index_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         pq_train,
     )
 
+    from pmp_analytics_spark.operators.partitioning import ensure_parallelism
+
     emb = load_table(spark, sf_dir, "embeddings")
     queries_df = emb.where(F.col("vec_id") < _NQ).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     ).cache()  # five consumers: one per candidate pipeline
-    truth = brute_force_topk(emb, queries_df, k=_TOPK).localCheckpoint(
+    # ONE widened materialization of the (id, vec) corpus shared by all
+    # five arms (guide §5): unfused, each arm's internal
+    # ensure_parallelism re-scanned and re-repartitioned the corpus
+    # independently (5 scans + 3 exchanges per eval); the arms'
+    # ensure_parallelism wraps no-op on this frame (already at
+    # defaultParallelism, no Exchange in its plan) and every pass reads
+    # the checkpointed blocks.
+    dense = ensure_parallelism(
+        emb.select("vec_id", "embedding")
+    ).localCheckpoint(eager=False)
+    truth = brute_force_topk(dense, queries_df, k=_TOPK).localCheckpoint(
         eager=False
     )  # ground truth AND the 'brute' sanity arm: evaluate it once
-    books = pq_train(emb, m=_PQ_M, k_codes=_PQ_K)
+    books = pq_train(dense, m=_PQ_M, k_codes=_PQ_K)
     methods = {
         "brute": truth,
-        "lsh": lsh_topk(emb, queries_df, dim=64, k=_TOPK, n_planes=6),
+        "lsh": lsh_topk(dense, queries_df, dim=64, k=_TOPK, n_planes=6),
         "ivf": ivf_topk(
-            emb, queries_df, n_centroids=_IVF_N_CENTROIDS,
+            dense, queries_df, n_centroids=_IVF_N_CENTROIDS,
             nprobe=_IVF_NPROBE, k=_TOPK,
         ),
-        "pq": pq_topk(pq_encode(emb, books), books, queries_df, k=_TOPK),
+        "pq": pq_topk(pq_encode(dense, books), books, queries_df, k=_TOPK),
         "ivfpq": ivfpq_topk(
-            emb, queries_df, n_centroids=_IVF_N_CENTROIDS,
+            dense, queries_df, n_centroids=_IVF_N_CENTROIDS,
             nprobe=_IVFPQ_NPROBE, m=_PQ_M, k_codes=_PQ_K, k=_TOPK,
         ),
     }

@@ -148,9 +148,20 @@ def cdc_pointintime_stream(
         if committed is not None and committed >= batch_id:
             return  # replayed batch: enrichment already committed
         dim_cur = read_latest(spark, dim_root)  # post-batch history
+        # Pre-filter the dimension HISTORY to keys this batch's facts
+        # actually probe (guide §3.2 — the semi-join form of the
+        # Bloom-filter pre-filter): the as-of join is keyed left-join
+        # shaped, so a dim row whose key appears in no fact contributes
+        # nothing — dropping it before the union+window is lossless and
+        # cuts the shuffled dim side from |history| to O(batch keys).
+        # The build side is the batch's distinct key set (batch-bounded
+        # by construction; the planner broadcasts it off the micro-batch
+        # file stats).
+        fact_keys = fd.select(*keys).distinct()
         enriched = asof_join(
             fd,
-            dim_cur.select(*keys, *attr_cols, "valid_from", "valid_to"),
+            dim_cur.select(*keys, *attr_cols, "valid_from", "valid_to")
+            .join(fact_keys, list(keys), "left_semi"),
             keys,
             left_ts=fact_ts,
             right_ts="valid_from",
