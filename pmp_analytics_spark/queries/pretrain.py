@@ -3643,7 +3643,14 @@ def streaming_trigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         refresh,
         checkpoint_dir=os.path.join(work, "ckpt"),
     )
-    return _kn3_report(_kn3_from_c3(read_latest(spark, root).cache()))
+    # lazy localCheckpoint, not cache(): the KN3 report reads the state
+    # several times, but the version path is per-invocation temp — a
+    # cache() can never plan-match across runs, so it accumulated one
+    # unowned CacheManager entry per invocation (the VERDICT-r12
+    # lifecycle class).
+    return _kn3_report(
+        _kn3_from_c3(read_latest(spark, root).localCheckpoint(eager=False))
+    )
 
 
 # --------------------------------------------------------------------------
@@ -3866,7 +3873,14 @@ def streaming_lm_pointintime(spark: SparkSession, sf_dir: str) -> DataFrame:
         # needs |batch types| rows, not |corpus types|; the full 5-way
         # assembly dominated the per-batch cost (PERFORMANCE.md).
         keys = tri.select("w1", "w2", "w3").distinct()
-        lm = _kn3_from_c3(state.cache(), restrict_to=keys).select(
+        # lazy localCheckpoint, not cache(): the KN3 assembly reads the
+        # state several times per batch, but the state version is rooted
+        # at a per-invocation temp path — a cache() here can never
+        # plan-match across batches or runs, so entries ACCUMULATED in
+        # the CacheManager (two per invocation) with no unpersist owner
+        # (the §VERDICT-r12 lifecycle class); checkpoint blocks free
+        # with the frame at batch end.
+        lm = _kn3_from_c3(state.localCheckpoint(eager=False), restrict_to=keys).select(
             "w1",
             "w2",
             "w3",
