@@ -487,10 +487,12 @@ def label_propagation_communities(
     messages are explicitly repartitioned on the receiving node with
     the deployment-scale width, and both aggregations reuse that
     layout (HashPartitioning(n) satisfies the (n, lbl) count's
-    clustering and the argmax's — neither adds an exchange), so a
-    steady-state round costs the message shuffle the algorithm
-    fundamentally needs plus one node-sized label exchange. No
-    per-round driver round-trips remain.
+    clustering and the argmax's — neither adds an exchange; the
+    argmax's output partitioning also carries through the n→b alias
+    into the next round's join requirement, so labels re-enter
+    exchange-free). A steady-state round costs exactly the message
+    shuffle the algorithm fundamentally needs. No per-round driver
+    round-trips remain.
 
     Returns ``(node, community)`` for every non-isolated node.
     """
